@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+The reference pipeline is eager single-threaded pandas; our engine is a lazy
+Catalyst-optimized plan (SURVEY.md §3.4). Session-level invariants that the
+reference manages by hand are pinned here once:
+
+- ``spark.sql.session.timeZone=UTC`` — the reference coerces every timestamp
+  to UTC at every boundary (reference raw_data.py:46,67,129-131,144,199,247);
+  with the session TZ pinned, `hour()`/`weekday()`-derived features match.
+- AQE on — runtime shuffle-partition coalescing + skew-join splitting; this is
+  what makes the same plan survive sf0.001 → 100 TB without retuning.
+- Arrow on — vectorized pandas interchange for the few pandas_udf extension ops.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "big_data_project_datapipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local mode is a test harness; the config choices (AQE, broadcast
+    threshold, partition sizing) are made for a real multi-executor cluster
+    and merely *also work* on local[N].
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # dims like region/nation/supplier stay broadcast even at 100 TB fact scale
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local mode: one JVM; give it room so sf0.1 bench never spills to GC death
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
