@@ -1,38 +1,916 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+(plus the LLM-data-pipeline extensions); each callable is (spark, sf_dir) →
+DataFrame built through the engine package.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query.
+
+Float-parity strategy (driver hashes values): sums of doubles accumulate in
+DECIMAL(18,4) (exact, order-independent) and cast back to double;
+per-row transcendentals (sin/log/…) are rounded to 6 decimals on BOTH
+sides; pure arithmetic on identical parquet doubles is bit-deterministic
+and left unrounded.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions import dedup as D
+from big_data_project_datapipeline_spark.functions import similarity as SIM
+from big_data_project_datapipeline_spark.functions import text as TX
+from big_data_project_datapipeline_spark.functions.temporal import (
+    day_of_week,
+    is_night,
+    is_peak_hour,
+    is_weekend,
+)
+from big_data_project_datapipeline_spark.operators.asof import asof_join
+from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
+from big_data_project_datapipeline_spark.tables import load_table
+
+TWO_PI = 2.0 * math.pi
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(c, alias):
+    """Order-independent sum: accumulate in decimal, emit double."""
+    return F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def _dsum_expr(col, alias):
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.3–2.7 exercised on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan→filter→agg (F*, P2, A1/A4/A5). Filter pushed to
+    the parquet scan; partial aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Money columns are exact 2-decimal values: doing the product chain in
+    # decimal keeps every intermediate exact (and bit-identical to DuckDB's
+    # decimal engine); a double product cast to decimal is NOT portable
+    # (Spark rounds via shortest-string repr, DuckDB via exact binary).
+    dec = lambda c: F.col(c).cast("decimal(10,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(10,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount"))
+    charge = disc_price * (one + dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-06-30"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way equi-join fact⋈dims (J-class): dims broadcast, one fact shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q03_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (O1 + limit)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q04_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS-style): count orders per priority that have at
+    least one lineitem shipped after the order date."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    joined = o.join(
+        li,
+        on=[o.o_orderkey == li.l_orderkey, li.l_shipdate > o.o_orderdate],
+        how="left_semi",
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (F5/J5 class): customers with no orders since 2001-01-01,
+    per segment (filter pushed below the anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q06_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer equi-join of two hourly grids (J1/J2 class)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("click_count"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(_dsum("value", "purchase_value"))
+    )
+    return (
+        clicks.join(purchases, on="hour", how="full_outer")
+        .select("hour", "click_count", "purchase_value")
+        .orderBy("hour")
+    )
+
+
+def q07_upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 keep-last upsert with explicit priority: odd event_ids are the
+    "new" batch and win per (user_id, hour); ties resolved (ts, event_id)
+    ascending — position-independent, unlike pandas keep='last'."""
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.date_trunc("hour", "ts"))
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    merged = upsert_keep_last(
+        existing, new, keys=("user_id", "hour"), tiebreak=("ts", "event_id")
+    )
+    return merged.select(
+        "user_id",
+        "hour",
+        F.col("event_id").alias("kept_event_id"),
+        F.col("value").alias("kept_value"),
+    ).orderBy("user_id", "hour")
+
+
+def q08_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J3): hourly grid ⟶ nearest purchase price within ±30 min,
+    pandas merge_asof semantics (inclusive tolerance, earlier-wins tie)."""
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.select(F.date_trunc("hour", "ts").alias("hour")).distinct()
+    rates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.min("value").alias("price"))
+    )
+    return (
+        asof_join(grid, rates, on="hour", right_on="ts", tolerance_seconds=1800)
+        .select("hour", "price")
+        .orderBy("hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature functions (SURVEY.md §2.8–2.10) on the events surface
+# ---------------------------------------------------------------------------
+
+
+def q09_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1–X9 incl. the Mon=0 weekday and is_night quirks."""
+    ev = _t(spark, sf_dir, "events")
+    ts = F.col("ts")
+    h = F.hour(ts).cast("double")
+    m = F.month(ts).cast("double")
+    return ev.select(
+        "event_id",
+        F.hour(ts).cast("int").alias("hour"),
+        day_of_week(ts).cast("int").alias("day_of_week"),
+        F.month(ts).cast("int").alias("month"),
+        F.dayofmonth(ts).cast("int").alias("day_of_month"),
+        F.weekofyear(ts).cast("int").alias("week_of_year"),
+        is_weekend(ts).cast("int").alias("is_weekend"),
+        is_peak_hour(ts).cast("int").alias("is_peak_hour"),
+        is_night(ts).cast("int").alias("is_night"),
+        F.round(F.sin(F.lit(TWO_PI) * h / 24), 6).alias("hour_sin"),
+        F.round(F.cos(F.lit(TWO_PI) * h / 24), 6).alias("hour_cos"),
+        F.round(F.sin(F.lit(TWO_PI) * m / 12), 6).alias("month_sin"),
+        F.round(F.cos(F.lit(TWO_PI) * m / 12), 6).alias("month_cos"),
+    ).orderBy("event_id")
+
+
+def q10_interaction_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10–X14: clip→greatest, product, epsilon-divide, log1p."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.greatest(F.lit(0.0), F.lit(100.0) - v).alias("demand_below_100"),
+        F.greatest(F.lit(0.0), v - F.lit(150.0)).alias("excess_over_150"),
+        (v * F.col("user_id")).alias("value_user_product"),
+        (v / (v + F.lit(1e-6))).alias("eps_ratio"),
+        F.round(F.log1p(F.coalesce(v, F.lit(0.0))), 6).alias("log1p_value"),
+    ).orderBy("event_id")
+
+
+def q11_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2.10: z-score with population std (ddof=0), fillna(0) first, exact
+    decimal moments (two-pass: one agg job + literal broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    filled = F.coalesce(F.col("value"), F.lit(0.0))
+    stats = ev.agg(
+        F.sum(filled.cast("decimal(18,4)")).cast("double").alias("s"),
+        F.sum((filled.cast("decimal(18,4)") * filled.cast("decimal(18,4)"))).cast("double").alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    mean = stats["s"] / stats["n"]
+    var = stats["ss"] / stats["n"] - mean * mean
+    std = math.sqrt(var) if var > 0 else 1.0
+    return ev.select(
+        "event_id",
+        F.round((filled - F.lit(mean)) / F.lit(std), 6).alias("zscore_value"),
+    ).orderBy("event_id")
+
+
+def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) in batch — lag + cumulative
+    sum; the Structured-Streaming analog is session_window(ts)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sessions = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def q13_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window agg (§2.11 grid alignment)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def q14_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4-class pivot with explicit value list (no distinct-scan job)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return wide.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    ).orderBy("user_id")
+
+
+def q15_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking: top-3 events per user by value (deterministic)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc_nulls_last(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "rnk", "event_id", "value")
+        .orderBy("user_id", "rnk")
+    )
+
+
+def q16_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered analytic window: per-customer running order total (exact
+    decimal accumulation)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over documents (lang, source)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), _dsum("n_chars", "total_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q18_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregate per group."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: dedup, text analysis, similarity
+# ---------------------------------------------------------------------------
+
+
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash, deterministic keeper (min doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d).orderBy("text_hash")
+
+
+def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) → LSH bands(4×4) → candidate pairs → exact Jaccard ≥ 0.5.
+    md5-based hashes keep every stage oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup(d, threshold=0.5).orderBy("left_id", "right_id")
+
+
+def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup: candidates share (lang, source),
+    verified with exact token-set Jaccard ≥ 0.5."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(TX.tokens(F.col("text"))).alias("tokset"),
+    )
+    l = toks.alias("l")
+    r = toks.alias("r")
+    pairs = l.join(
+        r,
+        on=[
+            F.col("l.lang") == F.col("r.lang"),
+            F.col("l.source") == F.col("r.source"),
+            F.col("l.doc_id") < F.col("r.doc_id"),
+        ],
+    ).select(
+        F.col("l.doc_id").alias("left_id"),
+        F.col("r.doc_id").alias("right_id"),
+        (
+            F.size(F.array_intersect("l.tokset", "r.tokset")).cast("double")
+            / F.size(F.array_union("l.tokset", "r.tokset"))
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= 0.5).orderBy("left_id", "right_id")
+
+
+def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), quality ratios,
+    language ID, content fingerprint — all JVM-side expressions."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_token_count(t).alias("n_bpe_tokens"),
+        TX.char_count(t).alias("n_chars_measured"),
+        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
+        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(t, "en"), 6).alias("stopword_ratio_en"),
+        TX.quality_score(t).alias("quality_score"),
+        TX.predicted_lang(t).alias("predicted_lang"),
+        TX.normalized_fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+def q24_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality rollup: predicted vs labelled language."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = d.select(
+        "lang",
+        TX.predicted_lang(t).alias("predicted_lang"),
+        TX.quality_score(t).alias("q"),
+    )
+    return (
+        enriched.groupBy("lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 10) — the ANN
+    correctness baseline. Query side broadcast; zero pre-topk shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("cosine_sim", 6).alias("cosine_sim"),
+    ).orderBy("query_id", "rank")
+
+
+def q26_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column hygiene metrics: dimension + L2 norm per label group."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = SIM.l2_norm(F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min(F.size("embedding")).alias("min_dim"),
+            F.max(F.size("embedding")).alias("max_dim"),
+            F.round(F.min(norm), 6).alias("min_norm"),
+            F.round(F.max(norm), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (non-SQL-expressible or approximate): no oracle entry
+# ---------------------------------------------------------------------------
+
+
+def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH approximate top-k (recall tested vs q25 in unit tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+
+
+def q91_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures (bit-majority over token hashes)."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d).orderBy("doc_id")
+
+
+def q92_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental feature pipeline on an events-derived hourly
+    table (anti-join delta → temporal/cyclical features → fit-on-delta
+    z-score) — the reference's data_engineering.py job re-expressed."""
+    from big_data_project_datapipeline_spark.plans.features import (
+        incremental_feature_run,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("datetime"))
+        .agg(F.avg("value").alias("temperature_C"))
+    )
+    prev = hourly.limit(0).select("datetime")
+    return incremental_feature_run(hourly, prev)
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 5-way join + aggregate at sf0.001 (scan/filter/join/agg)."""
+    return q02_regional_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_regional_revenue": q02_regional_revenue,
+        "q03_top_customers": q03_top_customers,
+        "q04_priority_semi": q04_priority_semi,
+        "q05_customers_without_orders": q05_customers_without_orders,
+        "q06_full_outer_hourly": q06_full_outer_hourly,
+        "q07_upsert_keep_last": q07_upsert_keep_last,
+        "q08_asof_nearest": q08_asof_nearest,
+        "q09_temporal_features": q09_temporal_features,
+        "q10_interaction_math": q10_interaction_math,
+        "q11_zscore": q11_zscore,
+        "q12_sessionize": q12_sessionize,
+        "q13_tumbling_hourly": q13_tumbling_hourly,
+        "q14_pivot_event_types": q14_pivot_event_types,
+        "q15_window_rank": q15_window_rank,
+        "q16_running_total": q16_running_total,
+        "q17_rollup": q17_rollup,
+        "q18_distinct_users": q18_distinct_users,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_minhash_lsh": q21_minhash_lsh,
+        "q22_ngram_jaccard": q22_ngram_jaccard,
+        "q23_text_stats": q23_text_stats,
+        "q24_lang_quality_summary": q24_lang_quality_summary,
+        "q25_cosine_topk": q25_cosine_topk,
+        "q26_embedding_stats": q26_embedding_stats,
+        "q90_ann_lsh": q90_ann_lsh,
+        "q91_simhash": q91_simhash,
+        "q92_feature_pipeline": q92_feature_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokens_sql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    en_stop = "['the','and','of','to','in','is','it','that','for','with']"
+    es_stop = "['el','la','de','que','y','en','un','una','los','las']"
+    de_stop = "['der','die','das','und','ist','von','mit','den','ein','eine']"
+    fr_stop = "['le','la','les','des','et','est','une','dans','pour','que']"
+    return {
+        "q01_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2025-06-30 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_regional_revenue": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "q03_top_customers": """
+            SELECT c_custkey, c_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 10
+        """,
+        "q04_priority_semi": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q05_customers_without_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "q06_full_outer_hourly": """
+            WITH clicks AS (
+                SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS click_count
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+            purchases AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS purchase_value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1)
+            SELECT COALESCE(c.hour, p.hour) AS hour, c.click_count, p.purchase_value
+            FROM clicks c FULL OUTER JOIN purchases p ON c.hour = p.hour
+            ORDER BY hour
+        """,
+        "q07_upsert_keep_last": """
+            WITH tagged AS (
+                SELECT *, date_trunc('hour', ts) AS hour,
+                       CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS pri
+                FROM events),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, hour
+                    ORDER BY pri DESC, ts ASC, event_id ASC) AS rn
+                FROM tagged)
+            SELECT user_id, hour, event_id AS kept_event_id, value AS kept_value
+            FROM ranked WHERE rn = 1
+            ORDER BY user_id, hour
+        """,
+        "q08_asof_nearest": """
+            WITH grid AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events),
+            rates AS (
+                SELECT ts, MIN(value) AS price FROM events
+                WHERE event_type = 'purchase' GROUP BY ts)
+            SELECT g.hour, l.price
+            FROM grid g LEFT JOIN LATERAL (
+                SELECT r.price FROM rates r
+                WHERE abs(epoch(r.ts) - epoch(g.hour)) <= 1800
+                ORDER BY abs(epoch(r.ts) - epoch(g.hour)) ASC, r.ts ASC
+                LIMIT 1) l ON TRUE
+            ORDER BY g.hour
+        """,
+        "q09_temporal_features": """
+            SELECT event_id,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   CAST(isodow(ts) - 1 AS INTEGER) AS day_of_week,
+                   CAST(month(ts) AS INTEGER) AS month,
+                   CAST(day(ts) AS INTEGER) AS day_of_month,
+                   CAST(weekofyear(ts) AS INTEGER) AS week_of_year,
+                   CAST(isodow(ts) - 1 >= 5 AS INTEGER) AS is_weekend,
+                   CAST(hour(ts) BETWEEN 17 AND 21 AS INTEGER) AS is_peak_hour,
+                   CAST(hour(ts) = 23 OR hour(ts) BETWEEN 0 AND 6 AS INTEGER) AS is_night,
+                   ROUND(SIN(6.283185307179586 * hour(ts) / 24), 6) AS hour_sin,
+                   ROUND(COS(6.283185307179586 * hour(ts) / 24), 6) AS hour_cos,
+                   ROUND(SIN(6.283185307179586 * month(ts) / 12), 6) AS month_sin,
+                   ROUND(COS(6.283185307179586 * month(ts) / 12), 6) AS month_cos
+            FROM events ORDER BY event_id
+        """,
+        "q10_interaction_math": """
+            SELECT event_id,
+                   GREATEST(0.0, 100.0 - value) AS demand_below_100,
+                   GREATEST(0.0, value - 150.0) AS excess_over_150,
+                   value * user_id AS value_user_product,
+                   value / (value + 1e-6) AS eps_ratio,
+                   ROUND(LN(1 + COALESCE(value, 0.0)), 6) AS log1p_value
+            FROM events ORDER BY event_id
+        """,
+        "q11_zscore": """
+            WITH st AS (
+                SELECT CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))
+                              * CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))) AS DOUBLE) AS ss,
+                       COUNT(*) AS n
+                FROM events)
+            SELECT event_id,
+                   ROUND((COALESCE(value, 0.0) - s / n)
+                         / CASE WHEN ss / n - (s / n) * (s / n) > 0
+                                THEN sqrt(ss / n - (s / n) * (s / n)) ELSE 1.0 END,
+                         6) AS zscore_value
+            FROM events, st ORDER BY event_id
+        """,
+        "q12_sessionize": """
+            WITH g AS (
+                SELECT *,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+                SELECT *, SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g)
+            SELECT user_id, session_id, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+            FROM s GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "q13_tumbling_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+                   MIN(value) AS min_value, MAX(value) AS max_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "q14_pivot_event_types": """
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q15_window_rank": """
+            SELECT user_id, rnk, event_id, value FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY value DESC NULLS LAST, event_id ASC) AS rnk
+                FROM events) t
+            WHERE rnk <= 3 ORDER BY user_id, rnk
+        """,
+        "q16_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+            FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "q17_rollup": """
+            SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+            ORDER BY lang, source
+        """,
+        "q18_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q20_exact_dedup": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY text_hash
+        """,
+        "q21_minhash_lsh": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
+                FROM documents),
+            sigs AS (
+                SELECT doc_id,
+                       {', '.join(f"MIN(md5(tok || '#{s}')) AS mh{s}" for s in range(16))}
+                FROM toks GROUP BY doc_id),
+            bands AS (
+                {' UNION ALL '.join(
+                    f"SELECT doc_id, {b} AS band, mh{4*b} || '|' || mh{4*b+1} || '|' || mh{4*b+2} || '|' || mh{4*b+3} AS band_key FROM sigs"
+                    for b in range(4))}),
+            cand AS (
+                SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+                FROM bands l JOIN bands r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id),
+            tsets AS (SELECT doc_id, list_distinct({tokens_sql}) AS s FROM documents)
+            SELECT * FROM (
+                SELECT c.left_id, c.right_id,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+                FROM cand c
+                JOIN tsets a ON c.left_id = a.doc_id
+                JOIN tsets b ON c.right_id = b.doc_id) v
+            WHERE jaccard >= 0.5
+            ORDER BY left_id, right_id
+        """,
+        "q22_ngram_jaccard": f"""
+            WITH tsets AS (
+                SELECT doc_id, lang, source, list_distinct({tokens_sql}) AS s
+                FROM documents)
+            SELECT * FROM (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+                FROM tsets a JOIN tsets b
+                  ON a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id) v
+            WHERE jaccard >= 0.5
+            ORDER BY left_id, right_id
+        """,
+        "q23_text_stats": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       {tokens_sql} AS toks,
+                       len(list_filter({tokens_sql}, t -> list_contains({en_stop}, t))) AS en_hits,
+                       len(list_filter({tokens_sql}, t -> list_contains({es_stop}, t))) AS es_hits,
+                       len(list_filter({tokens_sql}, t -> list_contains({de_stop}, t))) AS de_hits,
+                       len(list_filter({tokens_sql}, t -> list_contains({fr_stop}, t))) AS fr_hits
+                FROM documents),
+            stats AS (
+                SELECT doc_id, text, toks, en_hits, es_hits, de_hits, fr_hits,
+                       len(toks) AS n_tokens,
+                       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+                       length(text) AS n_chars_measured,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                       END AS atl,
+                       CASE WHEN length(text) > 0 THEN
+                           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+                       ELSE 0.0 END AS pr,
+                       CASE WHEN len(toks) > 0 THEN
+                           CAST(en_hits AS DOUBLE) / len(toks) ELSE 0.0 END AS swr
+                FROM base)
+            SELECT doc_id,
+                   n_tokens,
+                   n_bpe AS n_bpe_tokens,
+                   n_chars_measured,
+                   ROUND(atl, 6) AS avg_token_len,
+                   ROUND(pr, 6) AS punct_ratio,
+                   ROUND(swr, 6) AS stopword_ratio_en,
+                   0.25 * CAST(n_tokens >= 5 AS DOUBLE)
+                     + 0.25 * CAST(COALESCE(atl, 0.0) >= 2.0 AND COALESCE(atl, 0.0) <= 12.0 AS DOUBLE)
+                     + 0.25 * CAST(pr <= 0.2 AS DOUBLE)
+                     + 0.25 * CAST(swr >= 0.05 AS DOUBLE) AS quality_score,
+                   CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'unknown'
+                        WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+                        WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+                        WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+                        ELSE 'fr' END AS predicted_lang,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM stats ORDER BY doc_id
+        """,
+        "q24_lang_quality_summary": f"""
+            WITH base AS (
+                SELECT lang, text,
+                       {tokens_sql} AS toks,
+                       len(list_filter({tokens_sql}, t -> list_contains({en_stop}, t))) AS en_hits,
+                       len(list_filter({tokens_sql}, t -> list_contains({es_stop}, t))) AS es_hits,
+                       len(list_filter({tokens_sql}, t -> list_contains({de_stop}, t))) AS de_hits,
+                       len(list_filter({tokens_sql}, t -> list_contains({fr_stop}, t))) AS fr_hits
+                FROM documents),
+            enriched AS (
+                SELECT lang,
+                       CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'unknown'
+                            WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'de'
+                            WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'en'
+                            WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits) THEN 'es'
+                            ELSE 'fr' END AS predicted_lang,
+                       0.25 * CAST(len(toks) >= 5 AS DOUBLE)
+                         + 0.25 * CAST(COALESCE(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / NULLIF(len(toks), 0), 0.0) BETWEEN 2.0 AND 12.0 AS DOUBLE)
+                         + 0.25 * CAST((CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) <= 0.2 AS DOUBLE)
+                         + 0.25 * CAST((CASE WHEN len(toks) > 0 THEN CAST(en_hits AS DOUBLE) / len(toks) ELSE 0.0 END) >= 0.05 AS DOUBLE) AS q
+                FROM base)
+            SELECT lang, predicted_lang, COUNT(*) AS n_docs,
+                   ROUND(AVG(q), 6) AS avg_quality
+            FROM enriched GROUP BY lang, predicted_lang
+            ORDER BY lang, predicted_lang
+        """,
+        "q25_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            scored AS (
+                SELECT q.query_id, c.neighbor_id,
+                       list_dot_product(q.qv, c.cv)
+                           / (sqrt(list_dot_product(q.qv, q.qv))
+                              * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+                FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+            ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored)
+            SELECT query_id, rank, neighbor_id, ROUND(sim, 6) AS cosine_sim
+            FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q26_embedding_stats": """
+            SELECT label, COUNT(*) AS n_vectors,
+                   MIN(len(embedding)) AS min_dim, MAX(len(embedding)) AS max_dim,
+                   ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+                   ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+    }

@@ -1,0 +1,199 @@
+"""Deduplication primitives for LLM training-data pipelines.
+
+Four tiers, all shuffle-architected for 100 TB:
+
+- **exact**: md5 hash → groupBy(hash) keep min-id. One shuffle on a
+  uniformly-distributed 128-bit key — no skew by construction.
+- **MinHash + LSH**: per-doc signature of H seed-salted md5 minima
+  (computed in ONE groupBy with H aggregate expressions — not H passes),
+  banded into B buckets; candidate pairs only ever materialize within a
+  bucket (the classic shingle→minhash→band→bucket-join pipeline).
+- **SimHash**: 32-bit bit-majority signature over token hashes — computed
+  with 32 conditional-sum aggregates in the same single groupBy pattern.
+- **n-gram Jaccard**: exact verify step on candidate pairs via
+  array_intersect/array_union sizes.
+
+Everything is built-in expressions (md5/conv/explode/groupBy) — no Python
+UDFs, so the hash path stays inside codegen. md5 is used (not xxhash64)
+because it is bit-identical across Spark and DuckDB/standard SQL, making
+every step oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions.text import tokens
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: per md5(text) group keep the smallest id (deterministic
+    keeper). Returns (keeper id, group size)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_expr(tok: Column, seed: int) -> Column:
+    """Seed-salted token hash; min over tokens = one minhash component.
+    Fixed-width lowercase hex compares lexicographically == numerically."""
+    return F.md5(F.concat(tok, F.lit(f"#{seed}")))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: one explode + ONE groupBy carrying
+    ``num_hashes`` min-aggregates (single shuffle on doc id)."""
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+    aggs = [
+        F.min(minhash_expr(F.col("tok"), s)).alias(f"mh{s}") for s in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Band the signature (rows of ``mh{i}``) and self-join per
+    (band_idx, band_key) bucket → candidate pairs (left_id < right_id).
+
+    Scale: the join key is (band index, concatenated hash) — high
+    cardinality, uniform; bucket sizes stay tiny unless docs truly collide,
+    which is exactly the skew AQE's skew-join handles if a degenerate
+    corpus (all-identical docs) shows up.
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("left_id"),
+            F.col(f"r.{id_col}").alias("right_id"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs (the verify step after
+    LSH blocking). Token sets travel with the pair via two broadcast-or-
+    shuffle hash joins on the ids."""
+    toksets = df.select(
+        F.col(id_col), F.array_distinct(tokens(F.col(text_col))).alias("tokset")
+    )
+    return (
+        pairs.join(toksets.withColumnRenamed(id_col, "left_id").withColumnRenamed("tokset", "l_toks"), "left_id")
+        .join(toksets.withColumnRenamed(id_col, "right_id").withColumnRenamed("tokset", "r_toks"), "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            (
+                F.size(F.array_intersect("l_toks", "r_toks")).cast("double")
+                / F.size(F.array_union("l_toks", "r_toks"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures → LSH candidates → Jaccard verify
+    → pairs above threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    return jaccard_pairs(df, cands, text_col, id_col).filter(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash signature: per bit, majority vote of token-hash bits.
+
+    Token hash = first 8 hex chars of md5 → 32-bit int (via conv). Bit j of
+    the signature is 1 iff more token hashes have bit j set than not. One
+    explode + one groupBy with ``bits`` conditional sums.
+    """
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of xor — bit_count is native in Spark ≥3.4 and DuckDB."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,139 @@
+"""Vector-similarity search over embedding columns (ArrayType(FloatType)).
+
+Two tiers:
+
+- **Brute-force cosine top-k** — the correctness baseline. Dot products via
+  higher-order functions (``zip_with`` + ``aggregate``) — JVM-side, no
+  Python boundary. The query side is broadcast (queries ≪ corpus), so the
+  corpus is scanned exactly once with no shuffle; top-k per query is one
+  window over a small candidate set.
+- **SRP-LSH bucketed ANN** — the 100 TB path. Sign-random-projection bits
+  from deterministic md5-derived hyperplanes bucket the corpus; queries
+  probe only their own bucket. Same scan/shuffle shape as exact dedup.
+
+The brute-force tier is oracle-checkable (deterministic arithmetic); the
+LSH tier trades recall for a bounded candidate set and is checked by a
+recall test against the brute-force tier instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, sequential left-to-right accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim, rank), self-matches
+    excluded, ties broken by neighbor id for determinism. The queries side
+    is broadcast: one corpus scan, zero shuffles before the final top-k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def srp_bucket(vec: Column, num_bits: int = 8, dim: int = 64) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(hᵢ·v) with a
+    deterministic pseudo-random hyperplane hᵢ derived from md5(i, j).
+
+    Hyperplane components are (md5-derived uniform in [-1,1)); everything
+    is built-in expressions, so bucketing a 100 TB corpus is a map-only
+    scan.
+    """
+    def component(i: int, j: int) -> Column:
+        # first 6 hex chars of md5("i:j") → [0, 16^6) → [-1, 1)
+        h = F.conv(F.substring(F.md5(F.lit(f"{i}:{j}")), 1, 6), 16, 10).cast("double")
+        return h / F.lit(float(16**6 / 2)) - F.lit(1.0)
+
+    bucket = F.lit(0)
+    for i in range(num_bits):
+        proj = None
+        for j in range(dim):
+            term = F.element_at(vec, j + 1).cast("double") * component(i, j)
+            proj = term if proj is None else proj + term
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_bits: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucket both sides, join on the bucket, rank
+    within it. 2^num_bits buckets → candidate set shrinks ~2^num_bits×;
+    recall is tested against cosine_topk."""
+    b = lambda d: d.withColumn("__bucket", srp_bucket(F.col(vec_col), num_bits, dim))
+    q = b(queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "__bucket"
+    )
+    c = b(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "__bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

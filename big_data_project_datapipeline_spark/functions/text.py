@@ -1,0 +1,171 @@
+"""Text-analysis functions for LLM training-data pipelines.
+
+All pure built-in column expressions (split/regexp/aggregate higher-order
+functions) — JVM-side, no Python UDFs, so they run at full codegen speed
+over a 100 TB `documents` table. Tokenization is whitespace-based to match
+the oracle SQL exactly; a BPE-ish regex tokenizer is provided separately.
+
+Ops: token/char statistics, punctuation & stopword ratios, a composite
+quality score, n-gram-free heuristic language ID (stopword voting), and
+document fingerprints (normalized md5 + rolling-shingle fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small deterministic stopword inventories for the heuristic language ID.
+# Chosen to be disjoint where possible; the testdata's synthetic docs carry
+# en/es/de/fr-ish stopword mixes.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "eine"],
+    "fr": ["le", "la", "les", "des", "et", "est", "une", "dans", "pour", "que"],
+}
+
+# BPE-ish token pattern: words, numbers, or single non-space symbols —
+# approximates a byte-pair pre-tokenizer's word splitting.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (empty strings removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (words / number runs / symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Non-alphanumeric-non-space chars / total chars."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(text) > 0, F.length(stripped).cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def uppercase_ratio(text: Column) -> Column:
+    upp = F.regexp_replace(text, r"[^A-Z]", "")
+    return F.when(
+        F.length(text) > 0, F.length(upp).cast("double") / F.length(text)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + avg token length
+    band + low punctuation + nonzero stopword signal. Deterministic and
+    oracle-expressible (plain arithmetic over the stats above)."""
+    n_tok = token_count(text)
+    length_ok = (n_tok >= 5).cast("double")
+    atl = F.coalesce(avg_token_len(text), F.lit(0.0))
+    token_len_ok = ((atl >= 2.0) & (atl <= 12.0)).cast("double")
+    punct_ok = (punct_ratio(text) <= 0.2).cast("double")
+    stop_ok = (stopword_ratio(text, "en") >= 0.05).cast("double")
+    return (
+        F.lit(0.25) * length_ok
+        + F.lit(0.25) * token_len_ok
+        + F.lit(0.25) * punct_ok
+        + F.lit(0.25) * stop_ok
+    )
+
+
+def _in_words(words: list[str]):
+    # NB: a default-arg lambda (lambda t, L=words: ...) must NOT be passed to
+    # F.filter — PySpark reads lambda arity and would bind L to the element
+    # index. A closure factory keeps the lambda unary.
+    return lambda t: t.isin(words)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic stand-in)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, _in_words(words)))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax over lang_scores with deterministic alphabetical tie-break;
+    'unknown' when no stopword hits at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)  # alphabetical tie-break: first max wins
+    best = scores[langs[0]]
+    best_lang = F.lit(langs[0])
+    for lang in langs[1:]:
+        is_better = scores[lang] > best
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best = F.when(is_better, scores[lang]).otherwise(best)
+    return F.when(best > 0, best_lang).otherwise(F.lit("unknown"))
+
+
+def normalized_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint robust to case/whitespace/punctuation:
+    md5(lower → strip non-alnum-space → collapse spaces → trim)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return F.md5(norm)
+
+
+def shingle_fingerprint(text: Column, k: int = 3) -> Column:
+    """Rolling k-token-shingle fingerprint: md5 of the min shingle hash —
+    a 1-hash minhash, cheap near-dup blocking key."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    return F.array_min(shingles)
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass text-statistics projection over a documents table."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
+            "n_chars_measured": char_count(t),
+            "avg_token_len": avg_token_len(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio_en": stopword_ratio(t, "en"),
+            "uppercase_ratio": uppercase_ratio(t),
+            "quality_score": quality_score(t),
+            "predicted_lang": predicted_lang(t),
+            "fingerprint": normalized_fingerprint(t),
+        }
+    )

@@ -54,9 +54,11 @@ def asof_join(
     right_on = right_on or on
     payload = [c for c in right.columns if c != right_on]
 
-    tol = int(tolerance_seconds)
+    tol = float(tolerance_seconds)
+    # Fractional-second epochs (cast ts→double keeps microseconds); a plain
+    # unix_timestamp would truncate and shift tolerance/tie decisions.
     l = left.withColumn(_LEFT_ID, F.monotonically_increasing_id()).withColumn(
-        _BUCKET, F.floor(F.unix_timestamp(F.col(on)) / tol)
+        _BUCKET, F.floor(F.col(on).cast("double") / tol)
     )
     # Right rows fan out to the 3 adjacent buckets so every within-tolerance
     # pair co-locates on an equi-key.
@@ -66,15 +68,15 @@ def asof_join(
             _BUCKET,
             F.explode(
                 F.array(
-                    F.floor(F.unix_timestamp(F.col(_RIGHT_TS)) / tol) - 1,
-                    F.floor(F.unix_timestamp(F.col(_RIGHT_TS)) / tol),
-                    F.floor(F.unix_timestamp(F.col(_RIGHT_TS)) / tol) + 1,
+                    F.floor(F.col(_RIGHT_TS).cast("double") / tol) - 1,
+                    F.floor(F.col(_RIGHT_TS).cast("double") / tol),
+                    F.floor(F.col(_RIGHT_TS).cast("double") / tol) + 1,
                 )
             ),
         )
     )
 
-    delta = F.unix_timestamp(F.col(_RIGHT_TS)) - F.unix_timestamp(F.col(on))
+    delta = F.col(_RIGHT_TS).cast("double") - F.col(on).cast("double")
     if direction == "nearest":
         within = F.abs(delta) <= tol
     elif direction == "backward":

@@ -9,6 +9,8 @@ the queries that consume them (check with ``.explain``: ``PushedFilters`` /
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = [
     "region",
@@ -25,7 +27,24 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table.
+
+    The ``events`` table stores TIMESTAMP(NANOS) which Spark has no native
+    type for — with ``spark.sql.legacy.parquet.nanosAsLong`` the column
+    arrives as epoch-nanos LONG and is converted to a micros timestamp
+    (`ts div 1000` — exact: the generator emits whole microseconds).
+    The conf is runtime-settable, so this also works on a driver-provided
+    SparkSession.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 — conf may be locked; reads then fail loudly
+        pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
