@@ -35,6 +35,7 @@ from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
 from big_data_project_datapipeline_spark.tables import load_table
 
 TWO_PI = 2.0 * math.pi
+PIPE_SEP = " || '|' || "
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -77,7 +78,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        
     )
 
 
@@ -101,7 +102,7 @@ def q02_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy("r_name", "n_name")
+        
     )
 
 
@@ -131,7 +132,7 @@ def q04_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderpriority")
+        
     )
 
 
@@ -148,7 +149,7 @@ def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("c_mktsegment")
+        
     )
 
 
@@ -168,7 +169,7 @@ def q06_full_outer_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         clicks.join(purchases, on="hour", how="full_outer")
         .select("hour", "click_count", "purchase_value")
-        .orderBy("hour")
+        
     )
 
 
@@ -187,7 +188,7 @@ def q07_upsert_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.col("event_id").alias("kept_event_id"),
         F.col("value").alias("kept_value"),
-    ).orderBy("user_id", "hour")
+    )
 
 
 def q08_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,7 +204,7 @@ def q08_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         asof_join(grid, rates, on="hour", right_on="ts", tolerance_seconds=1800)
         .select("hour", "price")
-        .orderBy("hour")
+        
     )
 
 
@@ -232,7 +233,7 @@ def q09_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cos(F.lit(TWO_PI) * h / 24), 6).alias("hour_cos"),
         F.round(F.sin(F.lit(TWO_PI) * m / 12), 6).alias("month_sin"),
         F.round(F.cos(F.lit(TWO_PI) * m / 12), 6).alias("month_cos"),
-    ).orderBy("event_id")
+    )
 
 
 def q10_interaction_math(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,7 +247,7 @@ def q10_interaction_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (v * F.col("user_id")).alias("value_user_product"),
         (v / (v + F.lit(1e-6))).alias("eps_ratio"),
         F.round(F.log1p(F.coalesce(v, F.lit(0.0))), 6).alias("log1p_value"),
-    ).orderBy("event_id")
+    )
 
 
 def q11_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -265,7 +266,7 @@ def q11_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.round((filled - F.lit(mean)) / F.lit(std), 6).alias("zscore_value"),
-    ).orderBy("event_id")
+    )
 
 
 def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,7 +286,7 @@ def q12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             _dsum("value", "session_value"),
         )
-        .orderBy("user_id", "session_id")
+        
     )
 
 
@@ -300,7 +301,7 @@ def q13_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
         )
-        .orderBy("hour", "event_type")
+        
     )
 
 
@@ -316,7 +317,7 @@ def q14_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.select(
         "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
-    ).orderBy("user_id")
+    )
 
 
 def q15_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,7 +330,7 @@ def q15_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("user_id", "rnk", "event_id", "value")
-        .orderBy("user_id", "rnk")
+        
     )
 
 
@@ -349,7 +350,7 @@ def q16_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_total"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +365,7 @@ def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "total_chars",
         )
-        .orderBy("lang", "source")
+        
     )
 
 
@@ -374,7 +375,7 @@ def q18_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
-        .orderBy("event_type")
+        
     )
 
 
@@ -386,14 +387,16 @@ def q18_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash, deterministic keeper (min doc_id)."""
     d = _t(spark, sf_dir, "documents")
-    return D.exact_dedup(d).orderBy("text_hash")
+    return D.exact_dedup(d)
 
 
 def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) → LSH bands(4×4) → candidate pairs → exact Jaccard ≥ 0.5.
+    """MinHash(16) → LSH bands(2×8) → per-doc keep/drop decision with exact
+    Jaccard verify of each doc's candidate ancestor. O(n) output — emitting
+    all near-dup pairs is O(cluster²) and this corpus has ~2M such pairs.
     md5-based hashes keep every stage oracle-checkable."""
     d = _t(spark, sf_dir, "documents")
-    return D.minhash_dedup(d, threshold=0.5).orderBy("left_id", "right_id")
+    return D.minhash_dedup_decision(d, num_hashes=16, band_size=8, threshold=0.8)
 
 
 def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,7 +426,7 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.array_union("l.tokset", "r.tokset"))
         ).alias("jaccard"),
     )
-    return pairs.filter(F.col("jaccard") >= 0.5).orderBy("left_id", "right_id")
+    return pairs.filter(F.col("jaccard") >= 0.5)
 
 
 def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,7 +445,7 @@ def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.quality_score(t).alias("quality_score"),
         TX.predicted_lang(t).alias("predicted_lang"),
         TX.normalized_fingerprint(t).alias("fingerprint"),
-    ).orderBy("doc_id")
+    )
 
 
 def q24_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,7 +463,7 @@ def q24_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("q"), 6).alias("avg_quality"),
         )
-        .orderBy("lang", "predicted_lang")
+        
     )
 
 
@@ -474,7 +477,7 @@ def q25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         "neighbor_id",
         F.round("cosine_sim", 6).alias("cosine_sim"),
-    ).orderBy("query_id", "rank")
+    )
 
 
 def q26_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +493,7 @@ def q26_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(norm), 6).alias("min_norm"),
             F.round(F.max(norm), 6).alias("max_norm"),
         )
-        .orderBy("label")
+        
     )
 
 
@@ -503,13 +506,13 @@ def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH approximate top-k (recall tested vs q25 in unit tests)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.select("query_id", "rank", "neighbor_id").orderBy("query_id", "rank")
+    return out.select("query_id", "rank", "neighbor_id")
 
 
 def q91_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures (bit-majority over token hashes)."""
     d = _t(spark, sf_dir, "documents")
-    return D.simhash(d).orderBy("doc_id")
+    return D.simhash(d)
 
 
 def q92_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,23 +789,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks GROUP BY doc_id),
             bands AS (
                 {' UNION ALL '.join(
-                    f"SELECT doc_id, {b} AS band, mh{4*b} || '|' || mh{4*b+1} || '|' || mh{4*b+2} || '|' || mh{4*b+3} AS band_key FROM sigs"
-                    for b in range(4))}),
+                    f"SELECT doc_id, {b} AS band, "
+                    + PIPE_SEP.join(f"mh{8*b+j}" for j in range(8))
+                    + " AS band_key FROM sigs"
+                    for b in range(2))}),
+            bucket_min AS (
+                SELECT band, band_key, MIN(doc_id) AS bucket_min
+                FROM bands GROUP BY band, band_key),
+            anc AS (
+                SELECT b.doc_id, MIN(m.bucket_min) AS candidate_ancestor
+                FROM bands b JOIN bucket_min m
+                  ON b.band = m.band AND b.band_key = m.band_key
+                GROUP BY b.doc_id),
             cand AS (
-                SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
-                FROM bands l JOIN bands r
-                  ON l.band = r.band AND l.band_key = r.band_key
-                 AND l.doc_id < r.doc_id),
-            tsets AS (SELECT doc_id, list_distinct({tokens_sql}) AS s FROM documents)
-            SELECT * FROM (
-                SELECT c.left_id, c.right_id,
+                SELECT candidate_ancestor AS left_id, doc_id AS right_id
+                FROM anc WHERE candidate_ancestor < doc_id),
+            tsets AS (SELECT doc_id, list_distinct({tokens_sql}) AS s FROM documents),
+            verified AS (
+                SELECT c.right_id AS doc_id, c.left_id AS _anc,
                        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                            / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
                 FROM cand c
                 JOIN tsets a ON c.left_id = a.doc_id
-                JOIN tsets b ON c.right_id = b.doc_id) v
-            WHERE jaccard >= 0.5
-            ORDER BY left_id, right_id
+                JOIN tsets b ON c.right_id = b.doc_id)
+            SELECT d.doc_id,
+                   CASE WHEN v.jaccard >= 0.8 THEN v._anc END AS dup_of,
+                   ROUND(v.jaccard, 6) AS jaccard,
+                   CASE WHEN v.jaccard >= 0.8 THEN 0 ELSE 1 END AS is_kept
+            FROM documents d LEFT JOIN verified v ON d.doc_id = v.doc_id
         """,
         "q22_ngram_jaccard": f"""
             WITH tsets AS (

@@ -1,0 +1,92 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is measured with the noop sink (full plan runs, nothing is
+collected to the driver or converted to pandas), which is the honest
+analog of a cluster write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from big_data_project_datapipeline_spark.session import get_spark
+
+# Every oracle-checked query plus the rows-only extension ops; q21 (minhash
+# LSH over a near-degenerate synthetic corpus) is the heavyweight.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_customers",
+    "q04_priority_semi",
+    "q05_customers_without_orders",
+    "q06_full_outer_hourly",
+    "q07_upsert_keep_last",
+    "q08_asof_nearest",
+    "q09_temporal_features",
+    "q10_interaction_math",
+    "q11_zscore",
+    "q12_sessionize",
+    "q13_tumbling_hourly",
+    "q14_pivot_event_types",
+    "q15_window_rank",
+    "q16_running_total",
+    "q17_rollup",
+    "q18_distinct_users",
+    "q20_exact_dedup",
+    "q21_minhash_lsh",
+    "q22_ngram_jaccard",
+    "q23_text_stats",
+    "q24_lang_quality_summary",
+    "q25_cosine_topk",
+    "q26_embedding_stats",
+    "q90_ann_lsh",
+    "q91_simhash",
+    "q92_feature_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    # Warm up scans + codegen so the first timed query isn't charged JVM
+    # startup (parquet footer reads, whole-stage compilation).
+    from big_data_project_datapipeline_spark.tables import TABLE_NAMES, load_table
+
+    for t in TABLE_NAMES:
+        load_table(spark, sf_dir, t).count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

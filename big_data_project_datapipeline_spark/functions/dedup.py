@@ -156,6 +156,81 @@ def minhash_dedup(
     )
 
 
+def minhash_dedup_decision(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Scalable near-dup dedup: per-doc keep/drop decision, O(n) output.
+
+    Emitting all near-dup *pairs* is O(cluster²) — on a corpus where a
+    cluster holds k near-identical docs that's k²/2 rows of pure overhead
+    (the driver testdata is exactly this degenerate: ~2M pairs from 5k
+    docs). What a dedup pipeline actually needs is one decision per doc:
+
+    1. band the MinHash signature; bucket key = (band idx, band hash);
+    2. bucket representative = MIN(id) per bucket (one groupBy);
+    3. per doc, candidate ancestor = MIN over its buckets' representatives
+       (second groupBy) — a one-pass union-find approximation;
+    4. exact-Jaccard verify ONLY the (doc → ancestor) pairs — ≤ n pairs;
+    5. doc is kept unless a verified ancestor with smaller id exists.
+
+    Total cost: one explode, two hash aggs, one bounded verify join — every
+    shuffle key uniform. Returns (id, dup_of, jaccard, is_kept) for all docs.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+    bucket_min = banded.groupBy("band", "band_key").agg(
+        F.min(id_col).alias("bucket_min")
+    )
+    anc = (
+        banded.join(bucket_min, ["band", "band_key"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("candidate_ancestor"))
+    )
+    cand_pairs = anc.filter(F.col("candidate_ancestor") < F.col(id_col)).select(
+        F.col("candidate_ancestor").alias("left_id"), F.col(id_col).alias("right_id")
+    )
+    verified = jaccard_pairs(df, cand_pairs, text_col, id_col)
+    return (
+        df.select(id_col)
+        .join(
+            verified.select(
+                F.col("right_id").alias(id_col),
+                F.col("left_id").alias("_anc"),
+                "jaccard",
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            id_col,
+            F.when(F.col("jaccard") >= threshold, F.col("_anc")).alias("dup_of"),
+            F.round("jaccard", 6).alias("jaccard"),
+            F.when(F.col("jaccard") >= threshold, F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_kept"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -82,24 +82,29 @@ def cosine_topk(
     )
 
 
+def _srp_component(i: int, j: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1): first 6
+    hex chars of md5("i:j"). Computed driver-side — these are constants, so
+    folding them here keeps the per-row work at dim multiply-adds instead
+    of dim md5 invocations."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6], 16)
+    return h / (16**6 / 2) - 1.0
+
+
 def srp_bucket(vec: Column, num_bits: int = 8, dim: int = 64) -> Column:
     """Sign-random-projection bucket id: bit i = sign(hᵢ·v) with a
-    deterministic pseudo-random hyperplane hᵢ derived from md5(i, j).
-
-    Hyperplane components are (md5-derived uniform in [-1,1)); everything
-    is built-in expressions, so bucketing a 100 TB corpus is a map-only
-    scan.
+    deterministic md5-derived hyperplane hᵢ (literal constants in the plan).
+    Pure column arithmetic → bucketing a 100 TB corpus is a map-only scan.
     """
-    def component(i: int, j: int) -> Column:
-        # first 6 hex chars of md5("i:j") → [0, 16^6) → [-1, 1)
-        h = F.conv(F.substring(F.md5(F.lit(f"{i}:{j}")), 1, 6), 16, 10).cast("double")
-        return h / F.lit(float(16**6 / 2)) - F.lit(1.0)
-
     bucket = F.lit(0)
     for i in range(num_bits):
         proj = None
         for j in range(dim):
-            term = F.element_at(vec, j + 1).cast("double") * component(i, j)
+            term = F.element_at(vec, j + 1).cast("double") * F.lit(
+                _srp_component(i, j)
+            )
             proj = term if proj is None else proj + term
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
