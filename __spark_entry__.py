@@ -379,6 +379,21 @@ def q18_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19_string_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P5/P6 + §2.13 string ops: timestamp→ISO string format, JSON field
+    extraction, substring containment flag, lenient string→int cast."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_ts"),
+        F.upper("event_type").alias("type_upper"),
+        F.col("event_type").contains("c").cast("int").alias("has_c"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        (F.col("value") > 100).cast("int").alias("is_high"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline extensions: dedup, text analysis, similarity
 # ---------------------------------------------------------------------------
@@ -562,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
         "q18_distinct_users": q18_distinct_users,
+        "q19_string_projections": q19_string_projections,
         "q20_exact_dedup": q20_exact_dedup,
         "q21_minhash_lsh": q21_minhash_lsh,
         "q22_ngram_jaccard": q22_ngram_jaccard,
@@ -773,6 +789,16 @@ def oracle_sql() -> dict[str, str]:
         "q18_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q19_string_projections": """
+            SELECT event_id,
+                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+                   upper(event_type) AS type_upper,
+                   CAST(contains(event_type, 'c') AS INTEGER) AS has_c,
+                   json_extract_string(props, '$.k') AS k_str,
+                   TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+                   CAST(value > 100 AS INTEGER) AS is_high
+            FROM events
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q16_running_total",
     "q17_rollup",
     "q18_distinct_users",
+    "q19_string_projections",
     "q20_exact_dedup",
     "q21_minhash_lsh",
     "q22_ngram_jaccard",

@@ -82,28 +82,31 @@ def cosine_topk(
     )
 
 
-def _srp_component(i: int, j: int) -> float:
+def _srp_component(i: int, j: int, table: int = 0) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1): first 6
     hex chars of md5("i:j"). Computed driver-side — these are constants, so
     folding them here keeps the per-row work at dim multiply-adds instead
     of dim md5 invocations."""
     import hashlib
 
-    h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:6], 16)
+    h = int(hashlib.md5(f"{table}:{i}:{j}".encode()).hexdigest()[:6], 16)
     return h / (16**6 / 2) - 1.0
 
 
-def srp_bucket(vec: Column, num_bits: int = 8, dim: int = 64) -> Column:
+def srp_bucket(
+    vec: Column, num_bits: int = 8, dim: int = 64, table: int = 0
+) -> Column:
     """Sign-random-projection bucket id: bit i = sign(hᵢ·v) with a
     deterministic md5-derived hyperplane hᵢ (literal constants in the plan).
     Pure column arithmetic → bucketing a 100 TB corpus is a map-only scan.
+    ``table`` selects an independent hyperplane set (multi-table LSH).
     """
     bucket = F.lit(0)
     for i in range(num_bits):
         proj = None
         for j in range(dim):
             term = F.element_at(vec, j + 1).cast("double") * F.lit(
-                _srp_component(i, j)
+                _srp_component(i, j, table)
             )
             proj = term if proj is None else proj + term
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -118,25 +121,39 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     num_bits: int = 4,
     dim: int = 64,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: SRP-bucket both sides, join on the bucket, rank
-    within it. 2^num_bits buckets → candidate set shrinks ~2^num_bits×;
-    recall is tested against cosine_topk."""
-    b = lambda d: d.withColumn("__bucket", srp_bucket(F.col(vec_col), num_bits, dim))
-    q = b(queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "__bucket"
+    """Approximate top-k via multi-table SRP-LSH.
+
+    Each of ``n_tables`` independent hyperplane sets buckets both sides
+    into 2^num_bits buckets; a corpus vector is a candidate if it shares a
+    bucket with the query in ANY table (the classic recall lever — recall
+    grows ~1-(1-p)^L while each table's candidate set stays 2^bits×
+    smaller than the corpus). Candidates are deduped before scoring, so
+    each (query, neighbor) cosine is computed once.
+    """
+    buckets = F.array(
+        *[srp_bucket(F.col(vec_col), num_bits, dim, t) for t in range(n_tables)]
     )
-    c = b(corpus).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "__bucket"
-    )
-    scored = (
-        c.join(F.broadcast(q), "__bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+    expand = lambda d, idc, vc: (  # noqa: E731
+        d.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(vc),
+            F.posexplode(buckets).alias("__table", "__bucket"),
         )
+    )
+    q = expand(queries, "query_id", "q_vec")
+    c = expand(corpus, "neighbor_id", "c_vec")
+    cands = (
+        c.join(F.broadcast(q), ["__table", "__bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

@@ -1,0 +1,115 @@
+"""Streaming operators mirroring the reference's incremental semantics.
+
+Mapping (SURVEY.md §2.11):
+
+- daily cron micro-batch            → ``trigger(availableNow=True)``
+- trailing-days late-data re-fetch  → ``withWatermark`` (48 h default — the
+  reference re-queries carbon for 2 days, raw_data.py:88-91)
+- hourly grid alignment (minute==0) → tumbling ``window(ts, "1 hour")``
+- keep-last upsert into history     → ``dropDuplicatesWithinWatermark``
+- previous-output-as-state          → the streaming checkpoint
+
+All transformations are expressed on an unbounded DataFrame; the same
+column logic is reused by the batch pipelines (one definition, two
+runtimes — the reason to keep them as plain column expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def hourly_grid_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Tumbling 1-hour event-time aggregation with late-data bound.
+
+    The watermark plays the reference's "re-fetch 2 trailing days, then
+    filter back" role: rows later than 48 h are dropped, state for closed
+    windows is evicted — bounded memory at any scale.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_values(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Session windows (30-min inactivity gap) — the streaming-native form
+    of the batch lag+cumsum sessionization (q12)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup_keep_first(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Streaming key-dedup with bounded state — the D1/D2 analog. Within
+    the watermark horizon the first arrival wins (state evicted after)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "engine_stream",
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Drain everything currently available, then stop — the cron-batch
+    cadence (reference raw_data_collection.yml:5) on a streaming plan.
+    Writes to a named in-memory sink; production would target parquet/Delta
+    with the same trigger.
+
+    output_mode: windowed aggregations need ``complete`` (or ``update``) on
+    a finite drain — in ``append`` a window only emits once the watermark
+    passes it, and the watermark never advances past the final batch.
+    Stateless transforms and watermark-dedup use ``append``.
+    """
+    return (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

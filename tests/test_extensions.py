@@ -1,0 +1,139 @@
+"""LLM-pipeline extension ops: text stats vs a pure-Python reference,
+dedup invariants, SimHash cross-check, ANN recall vs brute force."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions import dedup as D
+from big_data_project_datapipeline_spark.functions import similarity as SIM
+from big_data_project_datapipeline_spark.functions import text as TX
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "el gato y el perro en la casa"),
+    (4, "completely different words entirely unrelated tokens"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_text_stats_against_python(docs):
+    rows = {r["doc_id"]: r for r in TX.add_text_stats(docs).collect()}
+    for doc_id, text in DOCS:
+        toks = [t for t in text.lower().split() if t]
+        r = rows[doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_chars_measured"] == len(text)
+        if toks:
+            assert abs(r["avg_token_len"] - sum(map(len, toks)) / len(toks)) < 1e-9
+        sw = sum(1 for t in toks if t in TX.STOPWORDS["en"])
+        if toks:
+            assert abs(r["stopword_ratio_en"] - sw / len(toks)) < 1e-9
+
+
+def test_lang_id(docs):
+    rows = {r["doc_id"]: r["predicted_lang"] for r in TX.add_text_stats(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[3] == "es"
+    assert rows[4] == "unknown"  # no stopwords at all
+    assert rows[5] == "unknown"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO  WORLD.")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(TX.normalized_fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_exact_dedup_groups(docs):
+    out = D.exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 2  # docs 0 and 2 identical, keeper = min id
+    assert 2 not in groups
+
+
+def test_minhash_decision_flags_near_dups(docs):
+    out = {
+        r["doc_id"]: r
+        for r in D.minhash_dedup_decision(
+            # band_size=2 → 8 bands: catch probability 1-(1-s²)^8 ≈ 0.999
+            # at s≈0.78 (r=4 would deterministically miss this md5 draw)
+            docs.filter("text <> ''"), num_hashes=16, band_size=2, threshold=0.5
+        ).collect()
+    }
+    assert out[0]["is_kept"] == 1                        # cluster root
+    assert out[2]["is_kept"] == 0 and out[2]["dup_of"] == 0   # exact dup
+    assert out[4]["is_kept"] == 1                        # unrelated doc kept
+    # doc 1 is a 0.8-jaccard near-dup of doc 0 — banding at r=4 catches it
+    assert out[1]["dup_of"] == 0 and out[1]["is_kept"] == 0
+
+
+def test_simhash_against_python(docs):
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(docs.filter("text <> ''"), bits=32).collect()}
+
+    def py_simhash(text: str, bits: int = 32) -> int:
+        toks = sorted({t for t in text.lower().split() if t})
+        votes = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(bits):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(bits) if votes[j] > 0)
+
+    for doc_id, text in DOCS:
+        if text:
+            assert got[doc_id] == py_simhash(text), doc_id
+
+
+def test_hamming_distance(spark):
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
+    assert df.select(D.hamming_distance(F.col("a"), F.col("b")).alias("d")).first()["d"] == 2
+
+
+def test_cosine_topk_against_python(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = SIM.cosine_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    got1 = [r for r in out if r["neighbor_id"] == 1][0]["cosine_sim"]
+    assert abs(got1 - cos(vecs[0][1], vecs[1][1])) < 1e-6
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """SRP-LSH must recover a decent fraction of true top-5 neighbours on
+    the driver embeddings table (structured vectors, 10 labelled clusters)."""
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = SIM.cosine_topk(emb, queries, k=5).collect()
+    approx = SIM.ann_topk_lsh(emb, queries, k=5, num_bits=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"

@@ -1,0 +1,101 @@
+"""Structured Streaming equivalents (SURVEY.md §2.11): file source →
+availableNow drain → memory sink, checked against the equivalent batch
+aggregation on the same data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_project_datapipeline_spark.streaming import (
+    hourly_grid_counts,
+    run_available_now,
+    sessionized_values,
+    streaming_dedup_keep_first,
+)
+
+UTC = dt.timezone.utc
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m, tzinfo=UTC)
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    rows = [
+        (0, ts(0, 5), 1, 10.0),
+        (1, ts(0, 40), 1, 20.0),
+        (2, ts(1, 10), 1, 30.0),   # >30min gap → new session for user 1
+        (3, ts(0, 15), 2, 5.0),
+        (4, ts(3, 0), 2, 7.0),
+        (5, ts(0, 5), 3, 1.0),     # duplicate key (user 3, same ts) below
+        (6, ts(0, 5), 3, 2.0),
+    ]
+    path = str(tmp_path_factory.mktemp("stream_src"))
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _drain(spark, df, tmp_path_factory, name, mode="append"):
+    q = run_available_now(
+        df,
+        str(tmp_path_factory.mktemp(f"ckpt_{name}")),
+        query_name=name,
+        output_mode=mode,
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_grid_counts(spark, source_dir, tmp_path_factory):
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    out = _drain(
+        spark, hourly_grid_counts(stream), tmp_path_factory, "hourly", mode="complete"
+    )
+    got = {r["hour"].hour: (r["n_events"], r["total_value"]) for r in out.collect()}
+    assert got == {0: (5, 38.0), 1: (1, 30.0), 3: (1, 7.0)}
+
+
+def test_sessionized_values(spark, source_dir, tmp_path_factory):
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    out = _drain(
+        spark, sessionized_values(stream), tmp_path_factory, "sessions", mode="complete"
+    )
+    sessions = {
+        (r["user_id"], r["session_start"].hour, r["session_start"].minute): r[
+            "n_events"
+        ]
+        for r in out.collect()
+    }
+    # user 1: 00:05→00:40 is a 35-min gap (split); 00:40→01:10 is exactly
+    # 30 min and the boundary is inclusive (merged)
+    assert sessions[(1, 0, 5)] == 1
+    assert sessions[(1, 0, 40)] == 2
+    assert (1, 1, 10) not in sessions
+    assert sessions[(2, 0, 15)] == 1 and sessions[(2, 3, 0)] == 1
+    assert sessions[(3, 0, 5)] == 2
+
+
+def test_streaming_dedup(spark, source_dir, tmp_path_factory):
+    stream = spark.readStream.schema(SCHEMA).parquet(source_dir)
+    out = _drain(
+        spark,
+        streaming_dedup_keep_first(stream, keys=["user_id", "ts"]),
+        tmp_path_factory,
+        "dedup",
+    )
+    assert out.count() == 6  # events 5 & 6 share (user 3, 00:05) → one kept
+    assert out.filter((F.col("user_id") == 3)).count() == 1
