@@ -1,0 +1,141 @@
+"""Sinks (SURVEY.md §2.2, §1.4).
+
+The reference's storage model is append-only CSV rewritten in full every
+day, versioned by DVC md5 (reference raw_data.py:241-269, data/*.dvc). The
+Spark-native storage model:
+
+- **Date-partitioned parquet** as the system of record. The daily upsert
+  touches only the target date's partitions (dynamic partition overwrite)
+  instead of rewriting history — at 100 TB that is the difference between
+  an O(day) and O(years) write.
+- **Bucketed tables** for fact tables that join repeatedly on one key:
+  bucket both sides → the join needs no shuffle at read time.
+- **CSV export** kept as a parity/interchange surface (K1/K2 semantics,
+  exact column names preserved).
+- **JSON metrics doc** (K3) — O(1) driver-side write.
+- **Content hash manifest** — the engine-side analog of DVC's md5 role
+  (K4): a deterministic order-insensitive hash of the dataset for
+  regression pinning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Date-partitioned parquet sink with dynamic partition overwrite: an
+    idempotent daily job rewrites only the partitions present in ``df``."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = df.write.mode(mode)
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def merge_into_partitioned(
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_col: str,
+    spark: SparkSession | None = None,
+) -> None:
+    """Upsert ``new`` into the partitioned sink, new-wins per key (D1).
+
+    Only partitions present in ``new`` are read back, merged, and
+    rewritten — the reference's read-modify-write of the whole CSV
+    (raw_data.py:246-263) shrunk to the touched dates. Emulates Delta
+    MERGE with plain parquet.
+    """
+    spark = spark or new.sparkSession
+    try:
+        existing = spark.read.parquet(path)
+        touched = [
+            r[0] for r in new.select(partition_col).distinct().collect()
+        ]
+        existing_slice = existing.filter(F.col(partition_col).isin(touched))
+        merged = upsert_keep_last(existing_slice, new, keys=keys)
+    except Exception:  # noqa: BLE001 — first write, nothing to merge
+        merged = new
+    write_partitioned(merged, path, [partition_col])
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: both sides of a repeated equi-join bucketed
+    on the key read co-located — the join plans with zero exchanges
+    (verify: no Exchange under SortMergeJoin in .explain)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a crashed prior run can leave the managed location behind with no
+    # catalog entry — saveAsTable refuses to reuse it, so clear it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name)
+    if os.path.exists(loc):
+        import shutil
+
+        shutil.rmtree(loc)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
+def export_csv(df: DataFrame, path: str) -> None:
+    """K1/K2 parity export: single-header CSV directory, exact column
+    names (incl. %/£ chars), UTC ISO timestamps."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_metrics_json(metrics: dict, path: str) -> None:
+    """K3: the monitoring document (reference raw_data.py:396-424) —
+    read-modify-write of an O(1) JSON doc stays driver-side."""
+    existing: dict = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            try:
+                existing = json.load(fh)
+            except json.JSONDecodeError:
+                existing = {}
+    existing.update(metrics)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(existing, fh, indent=2, sort_keys=True)
+
+
+def content_hash(df: DataFrame) -> str:
+    """K4 analog: deterministic, order-insensitive content hash (sum of
+    per-row md5 prefixes over canonicalized values). Plays DVC's md5 role:
+    pin it in a test, re-run the pipeline, compare."""
+    hashed = df.select(
+        F.conv(
+            F.substring(F.md5(F.to_json(F.struct(*sorted(df.columns)))), 1, 15),
+            16,
+            10,
+        )
+        .cast("decimal(38,0)")
+        .alias("h")
+    )
+    total = hashed.agg(F.sum("h").alias("s")).first()["s"]
+    return format(int(total or 0) % (1 << 128), "x")

@@ -1,0 +1,75 @@
+"""Physical-plan audits: the optimizations SURVEY.md §4 promises must be
+visible in .explain — predicate pushdown into the parquet scan, column
+pruning, broadcast joins for dims, whole-stage codegen coverage. These are
+regression guards for the 100 TB posture, checked at sf0.001 (plan shape
+is scale-independent)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns are read, not all 11
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q02_dims_broadcast(spark):
+    plan = plan_of(spark, "q02_regional_revenue")
+    # customer/nation/region joins must be broadcast-hash, not SMJ
+    assert plan.count("BroadcastHashJoin") >= 3
+    # the orders⋈lineitem fact join may be SMJ/shuffled-hash — but never
+    # a nested-loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q05_anti_join_filter_pushed(spark):
+    plan = plan_of(spark, "q05_customers_without_orders")
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q08_asof_no_cartesian(spark):
+    plan = plan_of(spark, "q08_asof_nearest")
+    # the bucketed as-of join must plan as an equi-join on the bucket key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q25_query_side_broadcast(spark):
+    plan = plan_of(spark, "q25_cosine_topk")
+    # corpus × queries: queries side broadcast, single corpus scan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q09_single_stage_projection(spark):
+    plan = plan_of(spark, "q09_temporal_features")
+    # pure projection: no exchange at all (map-only at any scale)
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage codegen span (star notation)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q13_tumbling_hourly", "q20_exact_dedup", "q18_distinct_users"],
+)
+def test_aggregations_have_partial_phase(spark, name):
+    """Map-side partial aggregation (HashAggregate below the exchange) —
+    the difference between shuffling rows and shuffling groups."""
+    plan = plan_of(spark, name)
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Exchange hashpartitioning" in plan
