@@ -448,29 +448,26 @@ def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), quality ratios,
     language ID, content fingerprint — all JVM-side expressions."""
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
+    stats = TX.add_text_stats(d)  # tokenizes once, derives all stats
+    return stats.select(
         "doc_id",
-        TX.token_count(t).alias("n_tokens"),
-        TX.bpe_token_count(t).alias("n_bpe_tokens"),
-        TX.char_count(t).alias("n_chars_measured"),
-        F.round(TX.avg_token_len(t), 6).alias("avg_token_len"),
-        F.round(TX.punct_ratio(t), 6).alias("punct_ratio"),
-        F.round(TX.stopword_ratio(t, "en"), 6).alias("stopword_ratio_en"),
-        TX.quality_score(t).alias("quality_score"),
-        TX.predicted_lang(t).alias("predicted_lang"),
-        TX.normalized_fingerprint(t).alias("fingerprint"),
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars_measured",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio_en", 6).alias("stopword_ratio_en"),
+        "quality_score",
+        "predicted_lang",
+        "fingerprint",
     )
 
 
 def q24_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality rollup: predicted vs labelled language."""
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    enriched = d.select(
-        "lang",
-        TX.predicted_lang(t).alias("predicted_lang"),
-        TX.quality_score(t).alias("q"),
+    enriched = TX.add_text_stats(d).select(
+        "lang", "predicted_lang", F.col("quality_score").alias("q")
     )
     return (
         enriched.groupBy("lang", "predicted_lang")
@@ -509,6 +506,84 @@ def q26_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(norm), 6).alias("max_norm"),
         )
         
+    )
+
+
+def q27_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: union of frames with different column sets — name-aligned,
+    null-filled (pandas concat semantics via allowMissingColumns)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    return clicks.unionByName(purchases, allowMissingColumns=True)
+
+
+def q28_lenient_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: coerce-to-null casts (pandas errors='coerce'): every 10th row is
+    garbage; try-parse yields NULL there, real timestamps elsewhere."""
+    ev = _t(spark, sf_dir, "events")
+    raw_str = F.when(F.col("event_id") % 10 == 0, F.lit("garbage")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    return ev.select(
+        "event_id",
+        raw_str.alias("raw_str"),
+        F.try_to_timestamp(raw_str).alias("parsed_ts"),
+        raw_str.try_cast("double").alias("parsed_num"),
+    )
+
+
+def q29_range_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3: dataset completeness report — counts, key range, cardinality
+    (reference raw_data.py:316-345), one aggregate job."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("missing_value"),
+    )
+
+
+def q30_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, backward direction (most recent price at-or-before each
+    hour, within 30 min) — the classic last-known-value join."""
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.select(F.date_trunc("hour", "ts").alias("hour")).distinct()
+    rates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.min("value").alias("price"))
+    )
+    return asof_join(
+        grid, rates, on="hour", right_on="ts", tolerance_seconds=1800,
+        direction="backward",
+    ).select("hour", "price")
+
+
+def q31_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score (population std, exact decimal moments) — the
+    grouped form of 2.10, one shuffle on the group key."""
+    ev = _t(spark, sf_dir, "events")
+    filled = F.coalesce(F.col("value"), F.lit(0.0))
+    dec = filled.cast("decimal(18,4)")
+    w = Window.partitionBy("event_type")
+    s = F.sum(dec).over(w).cast("double")
+    ss = F.sum(dec * dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    mean = s / n
+    var = ss / n - mean * mean
+    std = F.when(var > 0, F.sqrt(var)).otherwise(F.lit(1.0))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.round((filled - mean) / std, 6).alias("zscore_in_type"),
     )
 
 
@@ -585,6 +660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_lang_quality_summary": q24_lang_quality_summary,
         "q25_cosine_topk": q25_cosine_topk,
         "q26_embedding_stats": q26_embedding_stats,
+        "q27_union_by_name": q27_union_by_name,
+        "q28_lenient_casts": q28_lenient_casts,
+        "q29_range_report": q29_range_report,
+        "q30_asof_backward": q30_asof_backward,
+        "q31_grouped_zscore": q31_grouped_zscore,
         "q90_ann_lsh": q90_ann_lsh,
         "q91_simhash": q91_simhash,
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -952,5 +1032,59 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
                    ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "q27_union_by_name": """
+            SELECT event_id, ts, value, NULL::BIGINT AS user_id
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, ts, NULL::DOUBLE AS value, user_id
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "q28_lenient_casts": """
+            WITH s AS (
+                SELECT event_id,
+                       CASE WHEN event_id % 10 = 0 THEN 'garbage'
+                            ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw_str
+                FROM events)
+            SELECT event_id, raw_str,
+                   TRY_CAST(raw_str AS TIMESTAMP) AS parsed_ts,
+                   TRY_CAST(raw_str AS DOUBLE) AS parsed_num
+            FROM s
+        """,
+        "q29_range_report": """
+            SELECT COUNT(*) AS n_rows,
+                   MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(DISTINCT event_type) AS n_types,
+                   COUNT(CASE WHEN value IS NULL THEN 1 END) AS missing_value
+            FROM events
+        """,
+        "q30_asof_backward": """
+            WITH grid AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events),
+            rates AS (
+                SELECT ts, MIN(value) AS price FROM events
+                WHERE event_type = 'purchase' GROUP BY ts)
+            SELECT g.hour, l.price
+            FROM grid g LEFT JOIN LATERAL (
+                SELECT r.price FROM rates r
+                WHERE epoch(r.ts) <= epoch(g.hour)
+                  AND epoch(g.hour) - epoch(r.ts) <= 1800
+                ORDER BY r.ts DESC LIMIT 1) l ON TRUE
+        """,
+        "q31_grouped_zscore": """
+            WITH st AS (
+                SELECT event_id, event_type, COALESCE(value, 0.0) AS v,
+                       CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s,
+                       CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))
+                              * CAST(COALESCE(value, 0.0) AS DECIMAL(18,4))) OVER w AS DOUBLE) AS ss,
+                       COUNT(*) OVER w AS n
+                FROM events
+                WINDOW w AS (PARTITION BY event_type))
+            SELECT event_id, event_type,
+                   ROUND((v - s / n)
+                         / CASE WHEN ss / n - (s / n) * (s / n) > 0
+                                THEN sqrt(ss / n - (s / n) * (s / n)) ELSE 1.0 END,
+                         6) AS zscore_in_type
+            FROM st
         """,
     }

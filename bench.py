@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "q24_lang_quality_summary",
     "q25_cosine_topk",
     "q26_embedding_stats",
+    "q27_union_by_name",
+    "q28_lenient_casts",
+    "q29_range_report",
+    "q30_asof_backward",
+    "q31_grouped_zscore",
     "q90_ann_lsh",
     "q91_simhash",
     "q92_feature_pipeline",

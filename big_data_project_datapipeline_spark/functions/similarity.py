@@ -100,15 +100,22 @@ def srp_bucket(
     deterministic md5-derived hyperplane hᵢ (literal constants in the plan).
     Pure column arithmetic → bucketing a 100 TB corpus is a map-only scan.
     ``table`` selects an independent hyperplane set (multi-table LSH).
+
+    Each projection is a ``zip_with``+``aggregate`` over a literal array —
+    a shallow expression tree. (The unrolled form, num_bits×dim chained
+    multiply-adds, overflows whole-stage-codegen's method-size limit and
+    falls back to interpreted eval: observed 5× slower.)
     """
     bucket = F.lit(0)
     for i in range(num_bits):
-        proj = None
-        for j in range(dim):
-            term = F.element_at(vec, j + 1).cast("double") * F.lit(
-                _srp_component(i, j, table)
-            )
-            proj = term if proj is None else proj + term
+        plane = F.array(
+            *[F.lit(_srp_component(i, j, table)) for j in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 

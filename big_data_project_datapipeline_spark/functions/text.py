@@ -5,6 +5,13 @@ functions) — JVM-side, no Python UDFs, so they run at full codegen speed
 over a 100 TB `documents` table. Tokenization is whitespace-based to match
 the oracle SQL exactly; a BPE-ish regex tokenizer is provided separately.
 
+Every stat accepts an optional pre-tokenized ``toks`` column. Catalyst does
+NOT common-subexpression-eliminate across select-list expressions, so a
+naive "each stat tokenizes for itself" projection re-splits the text dozens
+of times per row (observed: 57 split() nodes in one stats plan);
+``add_text_stats`` materializes the token array once behind a projection
+boundary and derives everything from it.
+
 Ops: token/char statistics, punctuation & stopword ratios, a composite
 quality score, n-gram-free heuristic language ID (stopword voting), and
 document fingerprints (normalized md5 + rolling-shingle fingerprint).
@@ -16,8 +23,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small deterministic stopword inventories for the heuristic language ID.
-# Chosen to be disjoint where possible; the testdata's synthetic docs carry
-# en/es/de/fr-ish stopword mixes.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
@@ -35,8 +40,12 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
-def token_count(text: Column) -> Column:
-    return F.size(tokens(text))
+def _toks(text: Column, toks: Column | None) -> Column:
+    return toks if toks is not None else tokens(text)
+
+
+def token_count(text: Column, toks: Column | None = None) -> Column:
+    return F.size(_toks(text, toks))
 
 
 def bpe_token_count(text: Column) -> Column:
@@ -48,14 +57,14 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
-def avg_token_len(text: Column) -> Column:
-    toks = tokens(text)
+def avg_token_len(text: Column, toks: Column | None = None) -> Column:
+    tk = _toks(text, toks)
     total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
+        F.transform(tk, lambda t: F.length(t)),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks))
+    return F.when(F.size(tk) > 0, total.cast("double") / F.size(tk))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -66,10 +75,19 @@ def punct_ratio(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text: Column, lang: str = "en") -> Column:
-    toks = tokens(text)
-    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS[lang])))
-    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(
+def _in_words(words: list[str]):
+    # NB: a default-arg lambda (lambda t, L=words: ...) must NOT be passed to
+    # F.filter — PySpark reads lambda arity and would bind L to the element
+    # index. A closure factory keeps the lambda unary.
+    return lambda t: t.isin(words)
+
+
+def stopword_ratio(
+    text: Column, lang: str = "en", toks: Column | None = None
+) -> Column:
+    tk = _toks(text, toks)
+    hits = F.size(F.filter(tk, _in_words(STOPWORDS[lang])))
+    return F.when(F.size(tk) > 0, hits.cast("double") / F.size(tk)).otherwise(
         F.lit(0.0)
     )
 
@@ -81,16 +99,16 @@ def uppercase_ratio(text: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] quality heuristic: length band + avg token length
     band + low punctuation + nonzero stopword signal. Deterministic and
     oracle-expressible (plain arithmetic over the stats above)."""
-    n_tok = token_count(text)
+    n_tok = token_count(text, toks)
     length_ok = (n_tok >= 5).cast("double")
-    atl = F.coalesce(avg_token_len(text), F.lit(0.0))
+    atl = F.coalesce(avg_token_len(text, toks), F.lit(0.0))
     token_len_ok = ((atl >= 2.0) & (atl <= 12.0)).cast("double")
     punct_ok = (punct_ratio(text) <= 0.2).cast("double")
-    stop_ok = (stopword_ratio(text, "en") >= 0.05).cast("double")
+    stop_ok = (stopword_ratio(text, "en", toks) >= 0.05).cast("double")
     return (
         F.lit(0.25) * length_ok
         + F.lit(0.25) * token_len_ok
@@ -99,26 +117,19 @@ def quality_score(text: Column) -> Column:
     )
 
 
-def _in_words(words: list[str]):
-    # NB: a default-arg lambda (lambda t, L=words: ...) must NOT be passed to
-    # F.filter — PySpark reads lambda arity and would bind L to the element
-    # index. A closure factory keeps the lambda unary.
-    return lambda t: t.isin(words)
-
-
-def lang_scores(text: Column) -> dict[str, Column]:
+def lang_scores(text: Column, toks: Column | None = None) -> dict[str, Column]:
     """Per-language stopword-hit counts (the n-gram-heuristic stand-in)."""
-    toks = tokens(text)
+    tk = _toks(text, toks)
     return {
-        lang: F.size(F.filter(toks, _in_words(words)))
+        lang: F.size(F.filter(tk, _in_words(words)))
         for lang, words in STOPWORDS.items()
     }
 
 
-def predicted_lang(text: Column) -> Column:
+def predicted_lang(text: Column, toks: Column | None = None) -> Column:
     """argmax over lang_scores with deterministic alphabetical tie-break;
     'unknown' when no stopword hits at all."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks)
     langs = sorted(scores)  # alphabetical tie-break: first max wins
     best = scores[langs[0]]
     best_lang = F.lit(langs[0])
@@ -153,19 +164,23 @@ def shingle_fingerprint(text: Column, k: int = 3) -> Column:
 
 
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass text-statistics projection over a documents table."""
+    """One-pass text-statistics projection over a documents table. The
+    token array is materialized once (projection boundary) and every stat
+    derives from it — not re-split per expression."""
     t = F.col(text_col)
-    return df.withColumns(
+    staged = df.withColumn("__toks", tokens(t))
+    tk = F.col("__toks")
+    return staged.withColumns(
         {
-            "n_tokens": token_count(t),
+            "n_tokens": token_count(t, tk),
             "n_bpe_tokens": bpe_token_count(t),
             "n_chars_measured": char_count(t),
-            "avg_token_len": avg_token_len(t),
+            "avg_token_len": avg_token_len(t, tk),
             "punct_ratio": punct_ratio(t),
-            "stopword_ratio_en": stopword_ratio(t, "en"),
+            "stopword_ratio_en": stopword_ratio(t, "en", tk),
             "uppercase_ratio": uppercase_ratio(t),
-            "quality_score": quality_score(t),
-            "predicted_lang": predicted_lang(t),
+            "quality_score": quality_score(t, tk),
+            "predicted_lang": predicted_lang(t, tk),
             "fingerprint": normalized_fingerprint(t),
         }
-    )
+    ).drop("__toks")
