@@ -567,6 +567,33 @@ def q30_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("hour", "price")
 
 
+def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the blocking key
+    stands in for an SRP bucket; same join shape at 100 TB). Threshold 0.3
+    suits this corpus — within-label cosine tops out ≈0.47."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", F.col("embedding").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.label") == F.col("b.label"), F.col("a.vec_id") < F.col("b.vec_id")],
+    ).select(
+        F.col("a.vec_id").alias("left_id"),
+        F.col("b.vec_id").alias("right_id"),
+        SIM.cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= 0.3).select(
+        "left_id", "right_id", F.round("sim", 6).alias("cosine_sim")
+    )
+
+
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures — md5-based token hashes keep the
+    bit-majority vote oracle-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash(d, bits=32)
+
+
 def q31_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score (population std, exact decimal moments) — the
     grouped form of 2.10, one shuffle on the group key."""
@@ -597,12 +624,6 @@ def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.select("query_id", "rank", "neighbor_id")
-
-
-def q91_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signatures (bit-majority over token hashes)."""
-    d = _t(spark, sf_dir, "documents")
-    return D.simhash(d)
 
 
 def q92_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,8 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_range_report": q29_range_report,
         "q30_asof_backward": q30_asof_backward,
         "q31_grouped_zscore": q31_grouped_zscore,
+        "q32_embedding_neardup": q32_embedding_neardup,
+        "q33_simhash": q33_simhash,
         "q90_ann_lsh": q90_ann_lsh,
-        "q91_simhash": q91_simhash,
         "q92_feature_pipeline": q92_feature_pipeline,
     }
 
@@ -1070,6 +1092,33 @@ def oracle_sql() -> dict[str, str]:
                 WHERE epoch(r.ts) <= epoch(g.hour)
                   AND epoch(g.hour) - epoch(r.ts) <= 1800
                 ORDER BY r.ts DESC LIMIT 1) l ON TRUE
+        """,
+        "q32_embedding_neardup": """
+            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT left_id, right_id, ROUND(sim, 6) AS cosine_sim FROM (
+                SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                       list_dot_product(a.v, b.v)
+                           / (sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v))) AS sim
+                FROM e a JOIN e b
+                  ON a.label = b.label AND a.vec_id < b.vec_id) p
+            WHERE sim >= 0.3
+        """,
+        "q33_simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
+                FROM documents),
+            h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+                FROM toks),
+            votes AS (
+                SELECT doc_id,
+                       {', '.join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(32))}
+                FROM h GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST({' + '.join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))} AS BIGINT) AS simhash
+            FROM votes
         """,
         "q31_grouped_zscore": """
             WITH st AS (

@@ -55,7 +55,8 @@ BENCH_QUERIES = [
     "q30_asof_backward",
     "q31_grouped_zscore",
     "q90_ann_lsh",
-    "q91_simhash",
+    "q32_embedding_neardup",
+    "q33_simhash",
     "q92_feature_pipeline",
 ]
 
