@@ -422,7 +422,7 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(TX.tokens(F.col("text"))).alias("tokset"),
+        D.token_hash_set(F.col("text")).alias("tokset"),
     )
     l = toks.alias("l")
     r = toks.alias("r")
@@ -572,7 +572,13 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for an SRP bucket; same join shape at 100 TB). Threshold 0.3
     suits this corpus — within-label cosine tops out ≈0.47."""
     emb = _t(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", F.col("embedding").alias("v"))
+    # norms computed once per vector (not per pair — N× fewer sqrt/aggs)
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("v"),
+        SIM.l2_norm(F.col("embedding")).alias("n"),
+    )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(
         b,
@@ -580,7 +586,9 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("left_id"),
         F.col("b.vec_id").alias("right_id"),
-        SIM.cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        (SIM.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
+            "sim"
+        ),
     )
     return pairs.filter(F.col("sim") >= 0.3).select(
         "left_id", "right_id", F.round("sim", 6).alias("cosine_sim")
@@ -695,6 +703,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     tokens_sql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    # int-hashed token sets: identical md5-derived bigints in both engines
+    htokens_sql = (
+        f"list_distinct(list_transform({tokens_sql},"
+        " t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)))"
+    )
     en_stop = "['the','and','of','to','in','is','it','that','for','with']"
     es_stop = "['el','la','de','que','y','en','un','una','los','las']"
     de_stop = "['der','die','das','und','ist','von','mit','den','ein','eine']"
@@ -932,7 +945,7 @@ def oracle_sql() -> dict[str, str]:
             cand AS (
                 SELECT candidate_ancestor AS left_id, doc_id AS right_id
                 FROM anc WHERE candidate_ancestor < doc_id),
-            tsets AS (SELECT doc_id, list_distinct({tokens_sql}) AS s FROM documents),
+            tsets AS (SELECT doc_id, {htokens_sql} AS s FROM documents),
             verified AS (
                 SELECT c.right_id AS doc_id, c.left_id AS _anc,
                        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
@@ -948,7 +961,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q22_ngram_jaccard": f"""
             WITH tsets AS (
-                SELECT doc_id, lang, source, list_distinct({tokens_sql}) AS s
+                SELECT doc_id, lang, source, {htokens_sql} AS s
                 FROM documents)
             SELECT * FROM (
                 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
@@ -1094,12 +1107,13 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY r.ts DESC LIMIT 1) l ON TRUE
         """,
         "q32_embedding_neardup": """
-            WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+                FROM embeddings)
             SELECT left_id, right_id, ROUND(sim, 6) AS cosine_sim FROM (
                 SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-                       list_dot_product(a.v, b.v)
-                           / (sqrt(list_dot_product(a.v, a.v))
-                              * sqrt(list_dot_product(b.v, b.v))) AS sim
+                       list_dot_product(a.v, b.v) / (a.n * b.n) AS sim
                 FROM e a JOIN e b
                   ON a.label = b.label AND a.vec_id < b.vec_id) p
             WHERE sim >= 0.3

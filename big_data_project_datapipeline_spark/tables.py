@@ -38,6 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # calendar features & oracle parity assume UTC rendering — a driver-
+        # provided session may carry a different TZ (both runtime-settable)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # noqa: BLE001 — conf may be locked; reads then fail loudly
         pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
