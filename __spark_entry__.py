@@ -634,6 +634,16 @@ def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q93_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means coarse quantizer, n_probe cells per
+    query) — recall tested against exact top-k in unit tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=4
+    )
+    return out.select("query_id", "rank", "neighbor_id")
+
+
 def q92_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental feature pipeline on an events-derived hourly
     table (anti-join delta → temporal/cyclical features → fit-on-delta
@@ -698,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_simhash": q33_simhash,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
+        "q93_ann_ivf": q93_ann_ivf,
     }
 
 

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "q32_embedding_neardup",
     "q33_simhash",
     "q92_feature_pipeline",
+    "q93_ann_ivf",
 ]
 
 

@@ -120,6 +120,77 @@ def srp_bucket(
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    partitions the corpus into ``n_lists`` cells; each query probes its
+    ``n_probe`` nearest cells only.
+
+    The scale shape: training samples the corpus (Spark ML KMeans),
+    assignment is one map-only pass, and the search join touches
+    n_probe/n_lists of the corpus. Centroids are collected to the driver
+    (n_lists × dim floats — O(1)) and folded into the probe expression as
+    literals, so probing is pure column arithmetic.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_corpus = corpus.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="__list").fit(
+        ml_corpus
+    )
+    assigned = model.transform(ml_corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("__list").alias("__list"),
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    def sq_dist_to(center: list[float]) -> Column:
+        plane = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col), plane, lambda x, c: (x.cast("double") - c) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dists = F.array(
+        *[
+            F.struct(sq_dist_to(c).alias("d"), F.lit(i).alias("list"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probes = F.slice(F.array_sort(dists), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.transform(probes, lambda s: s["list"])).alias("__list"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

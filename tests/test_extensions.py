@@ -124,6 +124,30 @@ def test_cosine_topk_against_python(spark):
     assert abs(got1 - cos(vecs[0][1], vecs[1][1])) < 1e-6
 
 
+def test_ivf_recall_scales_with_probes(spark):
+    """IVF: recall must grow with n_probe (the recall/cost dial)."""
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        a = {
+            (r["query_id"], r["neighbor_id"])
+            for r in SIM.ivf_topk(
+                emb, queries, k=5, n_lists=16, n_probe=n_probe
+            ).collect()
+        }
+        return len(exact & a) / len(exact)
+
+    r4, r8 = recall(4), recall(8)
+    assert r8 >= r4 >= 0.3, (r4, r8)
+
+
 def test_ann_recall_vs_brute_force(spark):
     """SRP-LSH must recover a decent fraction of true top-5 neighbours on
     the driver embeddings table (structured vectors, 10 labelled clusters)."""

@@ -1,0 +1,49 @@
+"""Salted join: result equivalence with a plain join + actual spread of
+the hot key across salt buckets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.operators.skew import salted_join
+
+
+def _tables(spark):
+    # 10k rows of hot key 0 + 1k spread over keys 1..100
+    large = spark.range(11000).select(
+        F.when(F.col("id") < 10000, 0).otherwise((F.col("id") % 100) + 1).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(101).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dim")
+    )
+    return large, small
+
+
+def test_salted_equals_plain_join(spark):
+    large, small = _tables(spark)
+    plain = large.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    salted = salted_join(large, small, "k", salt=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("payload").alias("s")
+    )
+    assert sorted(plain.collect()) == sorted(salted.collect())
+
+
+def test_hot_key_only_salting(spark):
+    large, small = _tables(spark)
+    out = salted_join(large, small, "k", salt=8, hot_keys=[0])
+    plain = large.join(small, "k")
+    assert out.count() == plain.count() == 11000
+
+
+def test_hot_key_spreads_over_buckets(spark):
+    large, _ = _tables(spark)
+    salted = large.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+    buckets = (
+        salted.filter("k = 0").groupBy("__salt").count().collect()
+    )
+    assert len(buckets) == 8  # hot key occupies all 8 salt buckets
+    counts = [r["count"] for r in buckets]
+    assert max(counts) < 10000 * 0.25  # no bucket holds the whole key
