@@ -595,6 +595,25 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q34_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations of returnflag × linestatus)
+    — completes the grouping-sets surface next to q17's ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_quantity", "total_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "total_qty",
+        )
+    )
+
+
 def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures — md5-based token hashes keep the
     bit-majority vote oracle-checkable."""
@@ -706,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_grouped_zscore": q31_grouped_zscore,
         "q32_embedding_neardup": q32_embedding_neardup,
         "q33_simhash": q33_simhash,
+        "q34_cube_summary": q34_cube_summary,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1128,6 +1148,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b
                   ON a.label = b.label AND a.vec_id < b.vec_id) p
             WHERE sim >= 0.3
+        """,
+        "q34_cube_summary": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "q33_simhash": f"""
             WITH toks AS (

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "q90_ann_lsh",
     "q32_embedding_neardup",
     "q33_simhash",
+    "q34_cube_summary",
     "q92_feature_pipeline",
     "q93_ann_ivf",
 ]
