@@ -614,6 +614,18 @@ def q34_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): lineitem measures melted to (metric, value)
+    rows — the inverse of the S4 pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures — md5-based token hashes keep the
     bit-majority vote oracle-checkable."""
@@ -651,6 +663,17 @@ def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.select("query_id", "rank", "neighbor_id")
+
+
+def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
+    internals differ per engine, so rows-only; exact counterparts are
+    oracle-checked in q18/q29."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("p50_p95"),
+    )
 
 
 def q93_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -726,9 +749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_embedding_neardup": q32_embedding_neardup,
         "q33_simhash": q33_simhash,
         "q34_cube_summary": q34_cube_summary,
+        "q35_unpivot": q35_unpivot,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
+        "q94_approx_stats": q94_approx_stats,
     }
 
 
@@ -1148,6 +1173,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b
                   ON a.label = b.label AND a.vec_id < b.vec_id) p
             WHERE sim >= 0.3
+        """,
+        "q35_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+            FROM lineitem
         """,
         "q34_cube_summary": """
             SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

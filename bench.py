@@ -58,8 +58,10 @@ BENCH_QUERIES = [
     "q32_embedding_neardup",
     "q33_simhash",
     "q34_cube_summary",
+    "q35_unpivot",
     "q92_feature_pipeline",
     "q93_ann_ivf",
+    "q94_approx_stats",
 ]
 
 
