@@ -170,6 +170,19 @@ def normalize_prices(
     )
 
 
+def quarantine_split(
+    df: DataFrame, valid: "F.Column"
+) -> tuple[DataFrame, DataFrame]:
+    """Per-record error quarantine (S3-class fault tolerance, SURVEY §2.1):
+    route rows failing the validity predicate to a quarantine frame instead
+    of dropping them silently — at scale the quarantine side lands in its
+    own sink for replay/debugging.
+
+    Both frames share one lineage; Catalyst plans two filters over a single
+    scan (no double read when the source is cached or columnar)."""
+    return df.filter(valid), df.filter(~F.coalesce(valid, F.lit(False)))
+
+
 def agile_tariff_code(products_url_col: str = "link"):
     """S5 (catalog part) column recipe: tariff code = second-to-last URL path
     segment (reference raw_data.py:176) — ``split`` + ``element_at(-2)``."""

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the semantically hard operators:
+as-of join vs pandas merge_asof on random inputs, keep-last upsert
+idempotency, z-score vs numpy. Few examples with a shared session — each
+example costs Spark jobs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from big_data_project_datapipeline_spark.operators.asof import asof_join
+from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
+from big_data_project_datapipeline_spark.operators.scale import zscore_scale
+
+UTC = dt.timezone.utc
+BASE = dt.datetime(2024, 1, 1, tzinfo=UTC)
+
+# offsets in seconds within one day; duplicates allowed on the left side
+offsets = st.integers(min_value=0, max_value=86_400)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    left=st.lists(offsets, min_size=1, max_size=12),
+    right=st.lists(offsets, min_size=1, max_size=12, unique=True),
+    tol=st.sampled_from([60, 900, 3600]),
+)
+def test_asof_nearest_matches_pandas(spark, left, right, tol):
+    lrows = [(BASE + dt.timedelta(seconds=s),) for s in sorted(set(left))]
+    rrows = [
+        (BASE + dt.timedelta(seconds=s), float(i)) for i, s in enumerate(sorted(right))
+    ]
+    ldf = spark.createDataFrame(lrows, "datetime timestamp")
+    rdf = spark.createDataFrame(rrows, "datetime timestamp, price double")
+    got = (
+        asof_join(ldf, rdf, tolerance_seconds=tol)
+        .orderBy("datetime")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        pd.DataFrame({"datetime": [r[0] for r in lrows]}),
+        pd.DataFrame(
+            {"datetime": [r[0] for r in rrows], "price": [r[1] for r in rrows]}
+        ),
+        on="datetime",
+        direction="nearest",
+        tolerance=pd.Timedelta(seconds=tol),
+    )
+    got["datetime"] = pd.to_datetime(got["datetime"], utc=True)
+    exp["datetime"] = pd.to_datetime(exp["datetime"], utc=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+    )
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    existing=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-10, 10, allow_nan=False)),
+        min_size=0,
+        max_size=8,
+    ),
+    new=st.lists(
+        st.tuples(st.integers(0, 5), st.floats(-10, 10, allow_nan=False)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_upsert_keep_last_properties(spark, existing, new):
+    schema = "k int, v double"
+    e = spark.createDataFrame(existing, schema) if existing else spark.createDataFrame([], schema)
+    n = spark.createDataFrame(new, schema) if new else spark.createDataFrame([], schema)
+    out = upsert_keep_last(e, n, keys=("k",), tiebreak=("v",))
+    rows = out.collect()
+    keys = [r["k"] for r in rows]
+    # one row per key, and the keyset is the union
+    assert len(keys) == len(set(keys))
+    assert set(keys) == {k for k, _ in existing} | {k for k, _ in new}
+    # every key present in `new` must carry a value from `new`
+    new_keys = {k for k, _ in new}
+    for r in rows:
+        if r["k"] in new_keys:
+            assert any(k == r["k"] and v == r["v"] for k, v in new)
+    # idempotency: re-applying `new` changes nothing
+    again = upsert_keep_last(out, n, keys=("k",), tiebreak=("v",))
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-1e3, 1e3, allow_nan=False)),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_zscore_matches_numpy(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    out = zscore_scale(df, ["x"]).collect()
+    filled = np.array([0.0 if v is None else v for v in vals])
+    std = filled.std()  # ddof=0
+    mean = filled.mean()
+    expected = (filled - mean) / (std if std > 0 else 1.0)
+    got = sorted(r["scaled_x"] for r in out)
+    assert np.allclose(got, sorted(expected), atol=1e-9)
