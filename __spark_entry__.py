@@ -626,6 +626,24 @@ def q35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode / lateral-view surface: corpus-wide top-20 tokens with doc
+    frequency (generate → re-agg; deterministic tie-break)."""
+    d = _t(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("occurrences").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures — md5-based token hashes keep the
     bit-majority vote oracle-checkable."""
@@ -750,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_simhash": q33_simhash,
         "q34_cube_summary": q34_cube_summary,
         "q35_unpivot": q35_unpivot,
+        "q36_top_tokens": q36_top_tokens,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1173,6 +1192,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b
                   ON a.label = b.label AND a.vec_id < b.vec_id) p
             WHERE sim >= 0.3
+        """,
+        "q36_top_tokens": f"""
+            SELECT token, COUNT(*) AS occurrences,
+                   COUNT(DISTINCT doc_id) AS doc_freq
+            FROM (SELECT doc_id, unnest({tokens_sql}) AS token FROM documents)
+            GROUP BY token
+            ORDER BY occurrences DESC, token ASC
+            LIMIT 20
         """,
         "q35_unpivot": """
             SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "q33_simhash",
     "q34_cube_summary",
     "q35_unpivot",
+    "q36_top_tokens",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
