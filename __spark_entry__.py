@@ -644,6 +644,68 @@ def q36_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full ingest pipeline (§3.1) as ONE oracle-checked
+    plan: five event-derived source tables → full-outer grid merge (J1/J2)
+    → nearest as-of price stamp (J3) → broadcast 1-row mix (J4) → target-day
+    hourly-grid filter (F1/F2) → keep-last upsert into (empty) history (D1).
+    Uses the production ``merge_all_sources``/``daily_ingest`` functions."""
+    import datetime as _dt
+
+    from big_data_project_datapipeline_spark.plans.ingest import (
+        daily_ingest,
+        merge_all_sources,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    half = F.timestamp_seconds(
+        (F.floor(F.col("ts").cast("double") / 1800) * 1800).cast("long")
+    )
+    weather = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(hour.alias("datetime"))
+        .agg(F.min("value").alias("temperature_C"))
+    )
+    air = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(hour.alias("datetime"))
+        .agg(F.min("value").alias("pm10"))
+    )
+    carbon = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(half.alias("datetime"))
+        .agg(F.min("value").alias("carbon_intensity_actual"))
+    )
+    prices = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg((F.min("value") / 100).alias("retail_price_£_per_kWh"))
+        .withColumnRenamed("ts", "datetime")
+    )
+    mix = (
+        ev.filter(F.col("event_type") == "signup")
+        .agg(
+            F.min("value").alias("uk_gen_gas_%"),
+            F.max("value").alias("uk_gen_wind_%"),
+        )
+        .withColumn("datetime", F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .select("datetime", "uk_gen_gas_%", "uk_gen_wind_%")
+    )
+    merged = merge_all_sources(weather, air, carbon, mix, prices)
+    history = spark.createDataFrame([], merged.schema)
+    out = daily_ingest(merged, history, _dt.date(2024, 1, 15))
+    return out.select(
+        "datetime",
+        "temperature_C",
+        "pm10",
+        "carbon_intensity_actual",
+        "retail_price_£_per_kWh",
+        "uk_gen_gas_%",
+        "uk_gen_wind_%",
+    )
+
+
 def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures — md5-based token hashes keep the
     bit-majority vote oracle-checkable."""
@@ -769,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_cube_summary": q34_cube_summary,
         "q35_unpivot": q35_unpivot,
         "q36_top_tokens": q36_top_tokens,
+        "q37_ingest_pipeline": q37_ingest_pipeline,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1192,6 +1255,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b
                   ON a.label = b.label AND a.vec_id < b.vec_id) p
             WHERE sim >= 0.3
+        """,
+        "q37_ingest_pipeline": """
+            WITH weather AS (
+                SELECT date_trunc('hour', ts) AS datetime, MIN(value) AS temperature_C
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+            air AS (
+                SELECT date_trunc('hour', ts) AS datetime, MIN(value) AS pm10
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+            carbon AS (
+                SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP) AS datetime,
+                       MIN(value) AS carbon_intensity_actual
+                FROM events WHERE event_type = 'error' GROUP BY 1),
+            prices AS (
+                SELECT ts AS datetime, MIN(value) / 100 AS price
+                FROM events WHERE event_type = 'purchase' GROUP BY ts),
+            mix AS (
+                SELECT MIN(value) AS gas, MAX(value) AS wind
+                FROM events WHERE event_type = 'signup'),
+            grid AS (
+                SELECT COALESCE(w.datetime, a.datetime, c.datetime) AS datetime,
+                       w.temperature_C, a.pm10, c.carbon_intensity_actual
+                FROM weather w
+                FULL OUTER JOIN air a ON w.datetime = a.datetime
+                FULL OUTER JOIN carbon c
+                  ON COALESCE(w.datetime, a.datetime) = c.datetime)
+            SELECT g.datetime, g.temperature_C, g.pm10, g.carbon_intensity_actual,
+                   l.price AS "retail_price_£_per_kWh",
+                   m.gas AS "uk_gen_gas_%", m.wind AS "uk_gen_wind_%"
+            FROM grid g
+            LEFT JOIN LATERAL (
+                SELECT r.price FROM prices r
+                WHERE abs(epoch(r.datetime) - epoch(g.datetime)) <= 1800
+                ORDER BY abs(epoch(r.datetime) - epoch(g.datetime)) ASC,
+                         r.datetime ASC
+                LIMIT 1) l ON TRUE
+            CROSS JOIN mix m
+            WHERE CAST(g.datetime AS DATE) = DATE '2024-01-15'
+              AND minute(g.datetime) = 0
         """,
         "q36_top_tokens": f"""
             SELECT token, COUNT(*) AS occurrences,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "q34_cube_summary",
     "q35_unpivot",
     "q36_top_tokens",
+    "q37_ingest_pipeline",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
