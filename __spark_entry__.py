@@ -768,19 +768,53 @@ def q93_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q92_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental feature pipeline on an events-derived hourly
-    table (anti-join delta → temporal/cyclical features → fit-on-delta
-    z-score) — the reference's data_engineering.py job re-expressed."""
+    table (anti-join delta → temporal/cyclical/interaction features →
+    z-score) — the reference's data_engineering.py job re-expressed.
+    Oracle-checkable: the hourly pre-agg uses a decimal sum (order-
+    independent across partitions) and the scaler fit is supplied as
+    decimal-exact moments via the pipeline's fit/transform split."""
     from big_data_project_datapipeline_spark.plans.features import (
         incremental_feature_run,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    hourly = (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("datetime"))
-        .agg(F.avg("value").alias("temperature_C"))
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,4)")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("datetime")).agg(
+        (F.sum(dec).cast("double") / F.count("value")).alias("temperature_C")
     )
+    # Decimal-exact fit moments (one O(1)-output agg job, like q11).
+    td = F.col("temperature_C").cast("decimal(18,4)")
+    st = hourly.agg(
+        F.sum(td).cast("double").alias("s"),
+        F.sum(td * td).cast("double").alias("ss"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    mean = st["s"] / st["n"]
+    var = st["ss"] / st["n"] - mean * mean
+    std = math.sqrt(var) if var > 0 else 1.0
     prev = hourly.limit(0).select("datetime")
-    return incremental_feature_run(hourly, prev)
+    out = incremental_feature_run(
+        hourly, prev, scale_stats={"temperature_C": (mean, std)}
+    )
+    return out.select(
+        "datetime",
+        "temperature_C",
+        F.col("hour").cast("int").alias("hour"),
+        F.col("day_of_week").cast("int").alias("day_of_week"),
+        F.col("month").cast("int").alias("month"),
+        F.col("day_of_month").cast("int").alias("day_of_month"),
+        F.col("week_of_year").cast("int").alias("week_of_year"),
+        F.col("is_weekend").cast("int").alias("is_weekend"),
+        F.col("is_peak_hour").cast("int").alias("is_peak_hour"),
+        F.col("is_night").cast("int").alias("is_night"),
+        F.round("hour_sin", 6).alias("hour_sin"),
+        F.round("hour_cos", 6).alias("hour_cos"),
+        F.round("month_sin", 6).alias("month_sin"),
+        F.round("month_cos", 6).alias("month_cos"),
+        "heating_demand",
+        "cooling_demand",
+        F.round("scaled_temperature_C", 6).alias("scaled_temperature_C"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1255,6 +1289,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b
                   ON a.label = b.label AND a.vec_id < b.vec_id) p
             WHERE sim >= 0.3
+        """,
+        "q92_feature_pipeline": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS datetime,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(value) AS temperature_C
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1),
+            st AS (
+                SELECT CAST(SUM(CAST(temperature_C AS DECIMAL(18,4))) AS DOUBLE) AS s,
+                       CAST(SUM(CAST(temperature_C AS DECIMAL(18,4))
+                              * CAST(temperature_C AS DECIMAL(18,4))) AS DOUBLE) AS ss,
+                       COUNT(*) AS n
+                FROM hourly)
+            SELECT h.datetime,
+                   h.temperature_C,
+                   CAST(hour(h.datetime) AS INTEGER) AS hour,
+                   CAST(isodow(h.datetime) - 1 AS INTEGER) AS day_of_week,
+                   CAST(month(h.datetime) AS INTEGER) AS month,
+                   CAST(day(h.datetime) AS INTEGER) AS day_of_month,
+                   CAST(weekofyear(h.datetime) AS INTEGER) AS week_of_year,
+                   CAST(isodow(h.datetime) - 1 >= 5 AS INTEGER) AS is_weekend,
+                   CAST(hour(h.datetime) BETWEEN 17 AND 21 AS INTEGER) AS is_peak_hour,
+                   CAST(hour(h.datetime) = 23 OR hour(h.datetime) BETWEEN 0 AND 6
+                        AS INTEGER) AS is_night,
+                   ROUND(SIN(6.283185307179586 * hour(h.datetime) / 24), 6) AS hour_sin,
+                   ROUND(COS(6.283185307179586 * hour(h.datetime) / 24), 6) AS hour_cos,
+                   ROUND(SIN(6.283185307179586 * month(h.datetime) / 12), 6) AS month_sin,
+                   ROUND(COS(6.283185307179586 * month(h.datetime) / 12), 6) AS month_cos,
+                   GREATEST(0.0, 18.0 - h.temperature_C) AS heating_demand,
+                   GREATEST(0.0, h.temperature_C - 22.0) AS cooling_demand,
+                   ROUND((COALESCE(h.temperature_C, 0.0) - s / n)
+                         / CASE WHEN ss / n - (s / n) * (s / n) > 0
+                                THEN sqrt(ss / n - (s / n) * (s / n)) ELSE 1.0 END,
+                         6) AS scaled_temperature_C
+            FROM hourly h, st
         """,
         "q37_ingest_pipeline": """
             WITH weather AS (

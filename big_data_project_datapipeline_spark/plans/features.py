@@ -43,13 +43,20 @@ def engineer_features(
     delta: DataFrame,
     ts_col: str = "datetime",
     scale_cols: Sequence[str] = tuple(DEFAULT_SCALE_COLS),
+    scale_stats: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
-    """X1–X14 + z-score over one delta batch (fit-on-delta, ddof=0)."""
+    """X1–X14 + z-score over one delta batch (fit-on-delta, ddof=0).
+
+    ``scale_stats``: optional pre-fitted {col: (mean, std_pop)} forwarded to
+    ``zscore_scale`` — a fit/transform split at pipeline level (e.g. fit on a
+    training window, transform the delta; or supply order-independent
+    decimal-exact moments for bit-reproducible output).
+    """
     out = add_temporal_features(delta, ts_col)
     out = add_cyclical_features(out, ts_col)
     out = add_interaction_features(out)
     out = add_log_transforms(out)
-    return zscore_scale(out, list(scale_cols))
+    return zscore_scale(out, list(scale_cols), stats=scale_stats)
 
 
 def incremental_feature_run(
@@ -57,6 +64,7 @@ def incremental_feature_run(
     previous: DataFrame,
     ts_col: str = "datetime",
     scale_cols: Sequence[str] = tuple(DEFAULT_SCALE_COLS),
+    scale_stats: dict[str, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Full incremental run: delta → features → union/dedup (prev wins).
 
@@ -67,5 +75,5 @@ def incremental_feature_run(
     delta = anti_join_delta(raw, previous.select(ts_col), keys=(ts_col,))
     if delta.isEmpty():
         return previous
-    engineered = engineer_features(delta, ts_col, scale_cols)
+    engineered = engineer_features(delta, ts_col, scale_cols, scale_stats)
     return upsert_keep_first(previous, engineered, keys=(ts_col,)).orderBy(ts_col)
