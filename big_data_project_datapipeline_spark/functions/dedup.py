@@ -55,6 +55,53 @@ def token_hash_set(text: Column) -> Column:
     )
 
 
+def lsh_threshold(n_bands: int, band_size: int) -> float:
+    """Approximate Jaccard similarity where the (b, r) LSH S-curve is
+    steepest: (1/b)^(1/r). Pairs above it are likely candidates."""
+    return (1.0 / n_bands) ** (1.0 / band_size)
+
+
+def candidate_probability(similarity: float, n_bands: int, band_size: int) -> float:
+    """P(a pair becomes an LSH candidate | Jaccard = s) = 1 − (1 − s^r)^b."""
+    return 1.0 - (1.0 - similarity**band_size) ** n_bands
+
+
+def solve_banding(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+    steps: int = 200,
+) -> tuple[int, int]:
+    """Choose (n_bands, band_size) for a target Jaccard ``threshold`` under
+    a signature budget of ``num_hashes`` components.
+
+    Minimizes the weighted false-positive + false-negative area of the
+    S-curve (midpoint-rule integral of P(s) below the threshold and
+    1 − P(s) above it) over all (b, r) with b·r ≤ num_hashes. Raise
+    ``fp_weight`` to avoid wasted verify work, ``fn_weight`` to avoid
+    missed near-dups. Driver-side O(num_hashes · steps) — negligible.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = candidate_probability(s, b, r)
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        cost = (fp_weight * fp + fn_weight * fn) / steps
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    assert best is not None
+    return best[1], best[2]
+
+
 def minhash_expr(tok: Column, seed: int) -> Column:
     """Seed-salted token hash; min over tokens = one minhash component.
     Fixed-width lowercase hex compares lexicographically == numerically."""
@@ -157,11 +204,14 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    band_size: int = 4,
+    band_size: int | None = 4,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → Jaccard verify
-    → pairs above threshold."""
+    → pairs above threshold. ``band_size=None`` auto-solves (b, r) for the
+    threshold via ``solve_banding``."""
+    if band_size is None:
+        _, band_size = solve_banding(threshold, num_hashes)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
     return jaccard_pairs(df, cands, text_col, id_col).filter(
@@ -174,10 +224,11 @@ def minhash_dedup_decision(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 16,
-    band_size: int = 8,
+    band_size: int | None = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Scalable near-dup dedup: per-doc keep/drop decision, O(n) output.
+    ``band_size=None`` auto-solves (b, r) for the threshold.
 
     Emitting all near-dup *pairs* is O(cluster²) — on a corpus where a
     cluster holds k near-identical docs that's k²/2 rows of pure overhead
@@ -194,6 +245,8 @@ def minhash_dedup_decision(
     Total cost: one explode, two hash aggs, one bounded verify join — every
     shuffle key uniform. Returns (id, dup_of, jaccard, is_kept) for all docs.
     """
+    if band_size is None:
+        _, band_size = solve_banding(threshold, num_hashes)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes)
     n_bands = num_hashes // band_size
     bands = F.array(

@@ -161,3 +161,42 @@ def test_ann_recall_vs_brute_force(spark):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_solve_banding_tracks_threshold():
+    """The solver's chosen (b, r) must put the S-curve's steepest point
+    near the requested threshold, and higher thresholds must yield
+    longer bands (more rows per band = stricter buckets)."""
+    picks = {}
+    for t in (0.3, 0.5, 0.8, 0.95):
+        b, r = D.solve_banding(t, num_hashes=64)
+        assert b * r <= 64 and b >= 1 and r >= 1
+        # steepest point within a loose window of the target
+        assert abs(D.lsh_threshold(b, r) - t) < 0.25
+        picks[t] = r
+    assert picks[0.3] <= picks[0.5] <= picks[0.8] <= picks[0.95]
+
+
+def test_candidate_probability_s_curve():
+    b, r = 8, 8
+    t = D.lsh_threshold(b, r)
+    assert D.candidate_probability(t - 0.2, b, r) < 0.5
+    assert D.candidate_probability(min(t + 0.2, 0.999), b, r) > 0.5
+    assert D.candidate_probability(0.0, b, r) == 0.0
+    assert D.candidate_probability(1.0, b, r) == pytest.approx(1.0)
+
+
+def test_fp_weight_shifts_solver_stricter():
+    """Penalizing false positives should never shorten the bands."""
+    _, r_bal = D.solve_banding(0.7, num_hashes=32)
+    _, r_fp = D.solve_banding(0.7, num_hashes=32, fp_weight=10.0)
+    assert r_fp >= r_bal
+
+
+def test_minhash_decision_auto_banding(docs):
+    out = D.minhash_dedup_decision(
+        docs, num_hashes=16, band_size=None, threshold=0.5
+    ).collect()
+    kept = {r["doc_id"]: r["is_kept"] for r in out}
+    assert kept[0] == 1
+    assert kept[2] == 0  # exact dup of 0 dropped at any sane banding
