@@ -745,6 +745,75 @@ def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ↔
+    ANSI ``quantile_cont``) — sort-based, so deterministic without decimal
+    tricks; the approximate counterpart is q94."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def q39_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + population covariance of (value, user_id) per event
+    type, built from decimal-exact co-moments (Σx, Σy, Σxy, Σx², Σy², n) so
+    the result is order-independent across partitions — Spark's native
+    ``corr``/``covar_pop`` accumulate doubles and are not."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = F.col("value").cast("decimal(18,4)")
+    y = F.col("user_id").cast("decimal(18,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_value_user"),
+        F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop_value_user"),
+    )
+
+
+def q40_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: for each purchase event, count error events by the
+    same user in the preceding hour. The equality key (user_id) carries the
+    shuffle — per-key time ranges are filtered inside the sort-merge join,
+    so this scales as a normal equi-join, never a cross product."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    joined = purch.join(
+        err,
+        on=[
+            purch["user_id"] == err["e_user"],
+            err["e_ts"] >= purch["ts"] - F.expr("INTERVAL 1 HOUR"),
+            err["e_ts"] < purch["ts"],
+        ],
+        how="left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("e_ts").alias("n_prior_errors")
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -866,6 +935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_unpivot": q35_unpivot,
         "q36_top_tokens": q36_top_tokens,
         "q37_ingest_pipeline": q37_ingest_pipeline,
+        "q38_percentiles": q38_percentiles,
+        "q39_corr_covar": q39_corr_covar,
+        "q40_range_join": q40_range_join,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1289,6 +1361,48 @@ def oracle_sql() -> dict[str, str]:
                 FROM e a JOIN e b
                   ON a.label = b.label AND a.vec_id < b.vec_id) p
             WHERE sim >= 0.3
+        """,
+        "q38_percentiles": """
+            SELECT event_type,
+                   COUNT(value) AS n,
+                   ROUND(quantile_cont(value, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(value, 0.9), 6) AS p90,
+                   ROUND(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "q39_corr_covar": """
+            WITH m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))
+                              * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(user_id AS DECIMAL(18,0))
+                              * CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))
+                              * CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   ROUND((n * sxy - sx * sy)
+                         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                         6) AS corr_value_user,
+                   ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop_value_user
+            FROM m
+        """,
+        "q40_range_join": """
+            SELECT p.event_id,
+                   COUNT(e.e_ts) AS n_prior_errors
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id AS e_user, ts AS e_ts FROM events
+                       WHERE event_type = 'error') e
+              ON p.user_id = e.e_user
+             AND e.e_ts >= p.ts - INTERVAL 1 HOUR
+             AND e.e_ts < p.ts
+            GROUP BY p.event_id
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "q35_unpivot",
     "q36_top_tokens",
     "q37_ingest_pipeline",
+    "q38_percentiles",
+    "q39_corr_covar",
+    "q40_range_join",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
