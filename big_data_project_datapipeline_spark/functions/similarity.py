@@ -118,9 +118,9 @@ def srp_bucket(
     """
     bucket = F.lit(0)
     for i in range(num_bits):
-        plane = F.array(
-            *[F.lit(_srp_component(i, j, table)) for j in range(dim)]
-        )
+        # one lit() for the whole array — per-element lit() costs a py4j
+        # round-trip each, dominating plan build time for wide planes
+        plane = F.lit([_srp_component(i, j, table) for j in range(dim)])
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
@@ -128,6 +128,28 @@ def srp_bucket(
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def _lloyd_fit(
+    sample: list[list[float]], k: int, seed: int = 42, max_iter: int = 8
+) -> list[list[float]]:
+    """Driver-side Lloyd k-means on a bounded sample (the IVF quantizer
+    training step). Deterministic for a fixed sample and seed; empty
+    clusters keep their previous center."""
+    import numpy as np
+
+    pts = np.asarray(sample, dtype=np.float64)
+    k = min(k, len(pts))
+    rng = np.random.default_rng(seed)
+    centers = pts[rng.choice(len(pts), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = pts[assign == j]
+            if len(members):
+                centers[j] = members.mean(axis=0)
+    return [list(map(float, c)) for c in centers]
 
 
 def ivf_topk(
@@ -139,33 +161,32 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a k-means coarse quantizer
     partitions the corpus into ``n_lists`` cells; each query probes its
     ``n_probe`` nearest cells only.
 
-    The scale shape: training samples the corpus (Spark ML KMeans),
-    assignment is one map-only pass, and the search join touches
-    n_probe/n_lists of the corpus. Centroids are collected to the driver
-    (n_lists × dim floats — O(1)) and folded into the probe expression as
-    literals, so probing is pure column arithmetic.
+    The scale shape (FAISS-style): the quantizer trains on a BOUNDED
+    deterministic sample (≤ 256·n_lists vectors, one top-N-by-hash pass —
+    O(1) driver memory regardless of corpus size) with numpy Lloyd
+    iterations driver-side; centroids fold into the assignment/probe
+    expressions as literals, so cell assignment is one map-only pass and
+    the search join touches n_probe/n_lists of the corpus. No Spark-ML
+    iteration rounds over the full corpus.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    ml_corpus = corpus.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="__list").fit(
-        ml_corpus
+    sample_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(256 * n_lists)
+        .collect()
     )
-    assigned = model.transform(ml_corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.col("__list").alias("__list"),
+    centroids = _lloyd_fit(
+        [r["v"] for r in sample_rows], n_lists, seed=seed, max_iter=max_iter
     )
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     def sq_dist_to(center: list[float]) -> Column:
-        plane = F.array(*[F.lit(float(x)) for x in center])
+        plane = F.lit([float(x) for x in center])  # one py4j call, not dim
         return F.aggregate(
             F.zip_with(
                 F.col(vec_col), plane, lambda x, c: (x.cast("double") - c) ** 2
@@ -181,9 +202,16 @@ def ivf_topk(
         ]
     )
     probes = F.slice(F.array_sort(dists), 1, n_probe)
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+        F.array_sort(dists)[0]["list"].alias("__list"),
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
         F.explode(F.transform(probes, lambda s: s["list"])).alias("__list"),
     )
     scored = (
@@ -192,7 +220,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
