@@ -814,6 +814,40 @@ def q40_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q41_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-stream analytics: lag/lead, value delta, inter-event
+    gap, percent_rank, ntile quartile — one window spec, one shuffle on
+    user_id, unique (ts, event_id) ordering for determinism."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        (v - F.lag(v).over(w)).alias("value_delta"),
+        (ts.cast("double") - F.lag(ts).over(w).cast("double")).alias(
+            "gap_seconds"
+        ),
+        F.lead("event_type").over(w).alias("next_event_type"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q42_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax/argmin per group via struct-max (value, id) —
+    the tie-break is explicit in the ordering, unlike bare max_by."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mx = F.max(F.struct(F.col("value").alias("v"), F.col("event_id").alias("id")))
+    mn = F.min(F.struct(F.col("value").alias("v"), F.col("event_id").alias("id")))
+    return ev.groupBy("event_type").agg(
+        mx["v"].alias("max_value"),
+        mx["id"].alias("max_value_event"),
+        mn["v"].alias("min_value"),
+        mn["id"].alias("min_value_event"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -938,6 +972,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_percentiles": q38_percentiles,
         "q39_corr_covar": q39_corr_covar,
         "q40_range_join": q40_range_join,
+        "q41_window_analytics": q41_window_analytics,
+        "q42_argmax": q42_argmax,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1403,6 +1439,25 @@ def oracle_sql() -> dict[str, str]:
              AND e.e_ts >= p.ts - INTERVAL 1 HOUR
              AND e.e_ts < p.ts
             GROUP BY p.event_id
+        """,
+        "q41_window_analytics": """
+            SELECT event_id,
+                   value - LAG(value) OVER w AS value_delta,
+                   epoch(ts) - epoch(LAG(ts) OVER w) AS gap_seconds,
+                   LEAD(event_type) OVER w AS next_event_type,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q42_argmax": """
+            SELECT event_type,
+                   (MAX(struct_pack(v := value, id := event_id))).v AS max_value,
+                   (MAX(struct_pack(v := value, id := event_id))).id AS max_value_event,
+                   (MIN(struct_pack(v := value, id := event_id))).v AS min_value,
+                   (MIN(struct_pack(v := value, id := event_id))).id AS min_value_event
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "q38_percentiles",
     "q39_corr_covar",
     "q40_range_join",
+    "q41_window_analytics",
+    "q42_argmax",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
