@@ -183,6 +183,46 @@ def quarantine_split(
     return df.filter(valid), df.filter(~F.coalesce(valid, F.lit(False)))
 
 
+def read_landed_json(
+    spark,
+    path: str,
+    schema: "T.StructType",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """The S1–S3 scale path: scan LANDED JSON-lines payloads (one file per
+    fetch, dumped by collectors) with an EXPLICIT schema — no sampling-based
+    inference pass over 100 TB — plus corrupt-record quarantine.
+
+    Returns ``(good, quarantine)``: rows that parsed cleanly (typed per
+    ``schema``) and raw malformed lines with their source file for replay.
+    Mirrors the reference's per-record fault tolerance
+    (raw_data_collection/raw_data.py:93-118) at file scale.
+
+    Spark disallows queries whose only referenced source column is the
+    corrupt-record column, so the parsed frame is persisted before the
+    split (the documented workaround). That is the right call for the
+    reference's MB-scale daily batches; at 100 TB you land ONE bronze
+    parquet pass (schema + corrupt column) and filter the columnar copy —
+    same plan shape, spill-safe, no JSON re-parse per side.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        .withColumn("source_file", F.input_file_name())
+        .cache()
+    )
+    good = raw.filter(F.col(corrupt_col).isNull()).drop(corrupt_col, "source_file")
+    quarantine = raw.filter(F.col(corrupt_col).isNotNull()).select(
+        corrupt_col, "source_file"
+    )
+    return good, quarantine
+
+
 def agile_tariff_code(products_url_col: str = "link"):
     """S5 (catalog part) column recipe: tariff code = second-to-last URL path
     segment (reference raw_data.py:176) — ``split`` + ``element_at(-2)``."""
