@@ -848,6 +848,23 @@ def q42_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (MOSS, SIGMOD 2003): per-window
+    minima over k-gram hashes; map-only scan via the Arrow-vectorized
+    variant (integer-exact, so still oracle-checked; the pure-expression
+    variant is pinned equal in test_extensions). Scalar summary per doc
+    keeps the oracle hashable (the full set is an array column)."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.withColumn("fingerprints", TX.winnow_fingerprints_udf()(F.col("text")))
+    fp = F.col("fingerprints")
+    return staged.select(
+        "doc_id",
+        F.size(fp).alias("n_fingerprints"),
+        F.array_min(fp).alias("min_fp"),
+        F.array_max(fp).alias("max_fp"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -974,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_range_join": q40_range_join,
         "q41_window_analytics": q41_window_analytics,
         "q42_argmax": q42_argmax,
+        "q43_winnow_fingerprints": q43_winnow_fingerprints,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1458,6 +1476,35 @@ def oracle_sql() -> dict[str, str]:
                    (MIN(struct_pack(v := value, id := event_id))).id AS min_value_event
             FROM events WHERE value IS NOT NULL
             GROUP BY event_type
+        """,
+        "q43_winnow_fingerprints": """
+            WITH c AS (
+                SELECT doc_id,
+                       list_transform(range(1, length(lower(text)) + 1),
+                           i -> CAST(unicode(substr(lower(text), i, 1)) AS BIGINT))
+                           AS codes
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(codes) - 5 + 2),
+                           i -> codes[i] * 4294967296 + codes[i+1] * 16777216
+                              + codes[i+2] * 65536 + codes[i+3] * 256
+                              + codes[i+4]) AS grams
+                FROM c),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+                            WHEN len(grams) - 3 < 1 THEN [list_min(grams)]
+                            ELSE list_distinct(list_transform(
+                                     range(1, len(grams) - 3 + 1),
+                                     j -> list_min(list_slice(grams, j, j + 3))))
+                       END AS fp
+                FROM g)
+            SELECT doc_id,
+                   CAST(len(fp) AS INTEGER) AS n_fingerprints,
+                   list_min(fp) AS min_fp,
+                   list_max(fp) AS max_fp
+            FROM s
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

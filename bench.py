@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q40_range_join",
     "q41_window_analytics",
     "q42_argmax",
+    "q43_winnow_fingerprints",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

@@ -200,3 +200,29 @@ def test_minhash_decision_auto_banding(docs):
     kept = {r["doc_id"]: r["is_kept"] for r in out}
     assert kept[0] == 1
     assert kept[2] == 0  # exact dup of 0 dropped at any sane banding
+
+
+def test_winnow_udf_matches_expression(docs):
+    """The Arrow-vectorized winnow must produce the same fingerprint SET
+    as the pure-expression form (integer arithmetic, no float slack)."""
+    expr = TX.add_winnow_fingerprints(docs, k=3, window=2)
+    udf = docs.withColumn(
+        "fingerprints", TX.winnow_fingerprints_udf(k=3, window=2)(F.col("text"))
+    )
+    got_e = {r["doc_id"]: sorted(r["fingerprints"]) for r in expr.collect()}
+    got_u = {r["doc_id"]: sorted(r["fingerprints"]) for r in udf.collect()}
+    assert got_e == got_u
+    assert got_e[5] == []  # empty doc -> empty set
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= k+window-1 share a print."""
+    k, w = 5, 4
+    shared = "identical shared run of text"
+    df = spark.createDataFrame(
+        [(1, "prefix AAA " + shared), (2, shared + " ZZZ different tail")],
+        "doc_id long, text string",
+    )
+    rows = TX.add_winnow_fingerprints(df, k=k, window=w).collect()
+    sets = {r["doc_id"]: set(r["fingerprints"]) for r in rows}
+    assert sets[1] & sets[2]
