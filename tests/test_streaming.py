@@ -99,3 +99,64 @@ def test_streaming_dedup(spark, source_dir, tmp_path_factory):
     )
     assert out.count() == 6  # events 5 & 6 share (user 3, 00:05) → one kept
     assert out.filter((F.col("user_id") == 3)).count() == 1
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two availableNow drains over one checkpoint: run 1 finalizes early
+    windows (append mode emits below-watermark windows); run 2 delivers an
+    event far older than the advanced watermark plus a fresh one — the
+    late event's window must NOT re-emit, the fresh one must."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, SCHEMA).write.mode("append").parquet(
+            str(src)
+        )
+
+    out = str(tmp_path / "out")
+
+    def drain(name):
+        # parquet sink: supports checkpoint recovery (memory sink does not)
+        stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+        agg = hourly_grid_counts(stream, watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        counts = {}
+        for r in rows:
+            counts[r["hour"].hour] = counts.get(r["hour"].hour, 0) + r["n_events"]
+        return counts
+
+    write_batch("b1", [(0, ts(0, 10), 1, 1.0), (1, ts(5, 0), 1, 2.0)])
+    first = drain("wm_run1")
+    # the availableNow drain ends with a flush batch: hour-0 (window end
+    # 01:00 ≤ watermark 04:00) is finalized and emitted within run 1
+    assert first == {0: 1}
+
+    write_batch(
+        "b2",
+        [
+            (2, ts(0, 20), 1, 99.0),  # 4h40m behind the checkpointed wm
+            (3, ts(6, 0), 1, 3.0),    # fresh: advances watermark to 05:00
+        ],
+    )
+    second = drain("wm_run2")
+    # hour-0 stays at count 1: the late 00:20 row was DROPPED by the
+    # recovered watermark and its already-emitted window never re-opens
+    # (2, or a second hour-0 row, would mean the late row leaked in)
+    assert second.get(0) == 1
+    assert 5 not in second           # hour-5 window still open (wm == 05:00)
+
+    write_batch("b3", [(4, ts(7, 0), 1, 4.0)])
+    third = drain("wm_run3")
+    assert third.get(0) == 1         # emitted exactly once across runs
+    assert third.get(5) == 1         # now past the watermark → finalized
