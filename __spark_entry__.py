@@ -865,6 +865,58 @@ def q43_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q44_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array analytics: per-label centroid via posexplode + decimal-exact
+    component means, then each vector's distance to its label centroid,
+    aggregated per label. Two shuffles (label,pos → vec) — the same shape
+    as a distributed k-means E-step at 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = pos.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+            / F.count("x")
+        ).alias("c")
+    )
+    d2 = (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                    "decimal(18,12)"
+                )
+            )
+            .cast("double")
+            .alias("dist2")
+        )
+    )
+    return d2.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.sqrt("dist2").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_dist_to_centroid"),
+    )
+
+
+def q45_dedup_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: exact-dedup the documents, semi-join the kept
+    ids into the embeddings table (doc_id = vec_id), count survivors per
+    label — the dedup→downstream-training handoff."""
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    keepers = D.exact_dedup(d).select(F.col("keep_id").alias("vec_id"))
+    return (
+        emb.join(keepers, "vec_id", "left_semi")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -992,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_window_analytics": q41_window_analytics,
         "q42_argmax": q42_argmax,
         "q43_winnow_fingerprints": q43_winnow_fingerprints,
+        "q44_label_centroids": q44_label_centroids,
+        "q45_dedup_then_join": q45_dedup_then_join,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1505,6 +1559,37 @@ def oracle_sql() -> dict[str, str]:
                    list_min(fp) AS min_fp,
                    list_max(fp) AS max_fp
             FROM s
+        """,
+        "q44_label_centroids": """
+            WITH pos AS (
+                SELECT vec_id, label,
+                       generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings),
+            cent AS (
+                SELECT label, pos,
+                       CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(x) AS c
+                FROM pos GROUP BY label, pos),
+            d2 AS (
+                SELECT p.vec_id, p.label,
+                       CAST(SUM(CAST((p.x - c.c) * (p.x - c.c)
+                                     AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+                FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+                GROUP BY p.vec_id, p.label)
+            SELECT label,
+                   COUNT(*) AS n_vecs,
+                   ROUND(CAST(SUM(CAST(sqrt(dist2) AS DECIMAL(18,9))) AS DOUBLE)
+                         / COUNT(*), 6) AS avg_dist_to_centroid
+            FROM d2 GROUP BY label
+        """,
+        "q45_dedup_then_join": """
+            WITH keepers AS (
+                SELECT MIN(doc_id) AS vec_id FROM documents GROUP BY md5(text))
+            SELECT label, COUNT(*) AS n_kept
+            FROM embeddings e
+            WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.vec_id = e.vec_id)
+            GROUP BY label
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q41_window_analytics",
     "q42_argmax",
     "q43_winnow_fingerprints",
+    "q44_label_centroids",
+    "q45_dedup_then_join",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
