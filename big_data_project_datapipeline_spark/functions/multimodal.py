@@ -124,6 +124,106 @@ def extract_media_features(df: DataFrame, content_col: str = "content") -> DataF
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize plumbing: 1→1 Arrow-batched transform of a binary column.
+
+    The pixel work is STUBBED (no image libs in this container): output
+    bytes are a deterministic function of (input digest, target dims) with
+    a recognizable header, so round-trip tests are stable. With PIL
+    present, swap the stub body for ``decode_image(c).resize(...)`` —
+    the Spark plumbing (schema, pruning, batch shape, nulls) is identical.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content = []
+            for c in pdf[content_col]:
+                if c is None:
+                    out_content.append(None)
+                    continue
+                d = hashlib.sha1(bytes(c)).digest()
+                out_content.append(
+                    b"FAKE-RESIZE:%dx%d:" % (width, height) + d
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_content,
+                    "width": [
+                        width if c is not None else None for c in pdf[content_col]
+                    ],
+                    "height": [
+                        height if c is not None else None for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.select("media_id", content_col).mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_offset_s", T.DoubleType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    fps: float = 1.0,
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame-sampling plumbing: 1→N Arrow-batched fan-out — each video row
+    yields ``n_frames`` frame rows (uniform stride at ``fps``). The decode
+    is STUBBED (deterministic digest-derived frame bytes); the fan-out,
+    schema, and constant-memory batch shape are the real thing. At scale
+    the output is ``n_frames×`` the input row count with no shuffle —
+    repartition AFTER sampling if downstream needs balance.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, frames = [], [], [], []
+            for mid, c in zip(pdf["media_id"], pdf[content_col]):
+                if c is None:
+                    continue  # undecodable media yields no frames
+                d = hashlib.sha1(bytes(c)).digest()
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    offs.append(i / fps)
+                    frames.append(b"FAKE-FRAME:%d:" % i + d)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_offset_s": pd.Series(offs, dtype="float64"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select("media_id", content_col).mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat the documents table's text as opaque bytes so the
     multimodal path can be exercised against driver testdata (no real

@@ -59,3 +59,34 @@ def test_documents_adapter(spark):
     assert out["media_id"] == 7
     assert out["n_bytes"] == len(b"hello world")
     assert out["sha1"] == hashlib.sha1(b"hello world").hexdigest()
+
+
+def test_resize_plumbing(media):
+    from big_data_project_datapipeline_spark.functions.multimodal import (
+        resize_images,
+    )
+
+    out = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert len(out) == 5  # 1→1, null rows preserved
+    assert out[1]["width"] == out[1]["height"] == 224
+    assert bytes(out[1]["content"]).startswith(b"FAKE-RESIZE:224x224:")
+    assert out[5]["content"] is None and out[5]["width"] is None
+    # deterministic: same input bytes → same output bytes
+    again = {r["media_id"]: r for r in resize_images(media, 224, 224).collect()}
+    assert bytes(again[2]["content"]) == bytes(out[2]["content"])
+
+
+def test_frame_sample_fanout(media):
+    from big_data_project_datapipeline_spark.functions.multimodal import (
+        sample_video_frames,
+    )
+
+    rows = sample_video_frames(media, n_frames=3, fps=2.0).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {1, 2, 3, 4}  # null content yields no frames
+    for frames in by_id.values():
+        assert sorted(f["frame_idx"] for f in frames) == [0, 1, 2]
+        assert sorted(f["ts_offset_s"] for f in frames) == [0.0, 0.5, 1.0]
+    assert bytes(by_id[1][0]["frame"]).startswith(b"FAKE-FRAME:")
