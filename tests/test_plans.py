@@ -73,3 +73,31 @@ def test_aggregations_have_partial_phase(spark, name):
     plan = plan_of(spark, name)
     assert "HashAggregate" in plan or "SortAggregate" in plan
     assert "Exchange hashpartitioning" in plan
+
+def test_q40_range_join_keeps_equi_key(spark):
+    """The range predicate must ride on a hash/merge join keyed on
+    user_id — never degrade to a nested-loop over the cross product."""
+    plan = plan_of(spark, "q40_range_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_q43_winnow_stays_map_only(spark):
+    """Fingerprinting is a scan→project pipeline: no exchange at all."""
+    plan = plan_of(spark, "q43_winnow_fingerprints")
+    assert "Exchange" not in plan
+
+
+def test_q44_partial_aggregation(spark):
+    """Centroid aggs must map-side combine (partial_ before the shuffle)."""
+    plan = plan_of(spark, "q44_label_centroids")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q45_semi_join_not_inner(spark):
+    plan = plan_of(spark, "q45_dedup_then_join")
+    assert "LeftSemi" in plan
