@@ -130,6 +130,65 @@ def srp_bucket(
     return bucket
 
 
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for pairwise cosine near-dup inside blocks: one
+    ``applyInPandas`` per block computes the whole normalized Gram matrix
+    with a single numpy matmul (BLAS) instead of per-pair interpreted
+    expression evaluation — measured ~10× on the bench corpus.
+
+    Same join shape as the expression form (`q32`): shuffle on the block
+    key, candidates never leave their block. The expression form is the
+    oracle-exact baseline (sequential-fold float sums match the SQL
+    oracle); this one's sums are BLAS-ordered, so agreement is to float
+    tolerance, not bitwise — pinned in tests at 1e-6.
+
+    Block-size caveat at 100 TB: the Gram matrix is O(block²) — keep
+    blocks ≤ ~30k vectors (a few GiB); split hot blocks with a salt
+    column first if needed.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("left_id", T.LongType()),
+            T.StructField("right_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+        + [df.schema[c] for c in block_cols]
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        ids = pdf[id_col].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ (m / norms[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        # ids within a block are unordered; emit (min, max) for determinism
+        li, ri = ids[iu[keep]], ids[ju[keep]]
+        res = pd.DataFrame(
+            {
+                "left_id": np.minimum(li, ri),
+                "right_id": np.maximum(li, ri),
+                "cosine_sim": sims[iu, ju][keep],
+            }
+        )
+        for c in block_cols:
+            res[c] = pdf[c].iloc[0] if len(res) else pd.Series([], dtype=object)
+        return res
+
+    return df.groupBy(*block_cols).applyInPandas(_pairs, out_schema)
+
+
 def _lloyd_fit(
     sample: list[list[float]], k: int, seed: int = 42, max_iter: int = 8
 ) -> list[list[float]]:

@@ -226,3 +226,41 @@ def test_winnow_shared_substring_guarantee(spark):
     rows = TX.add_winnow_fingerprints(df, k=k, window=w).collect()
     sets = {r["doc_id"]: set(r["fingerprints"]) for r in rows}
     assert sets[1] & sets[2]
+
+
+def test_blocked_cosine_pairs_matches_expression(spark):
+    """BLAS-path pairwise cosine must agree with the expression form to
+    float tolerance on the same label blocks."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], str(i % 3))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    fast = {
+        (r["left_id"], r["right_id"]): r["cosine_sim"]
+        for r in SIM.blocked_cosine_pairs(df, ["label"], threshold=-1.0).collect()
+    }
+    e = df.select(
+        "vec_id", "label", F.col("embedding").alias("v"),
+        SIM.l2_norm(F.col("embedding")).alias("n"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    slow = {
+        (r["l"], r["r"]): r["sim"]
+        for r in a.join(
+            b,
+            on=[F.col("a.label") == F.col("b.label"),
+                F.col("a.vec_id") < F.col("b.vec_id")],
+        )
+        .select(
+            F.col("a.vec_id").alias("l"), F.col("b.vec_id").alias("r"),
+            (SIM.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("sim"),
+        )
+        .collect()
+    }
+    assert set(fast) == set(slow)
+    for k, v in slow.items():
+        assert abs(fast[k] - v) < 1e-6
