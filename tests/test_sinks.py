@@ -89,3 +89,22 @@ def test_content_hash_stability(spark):
     h1, h2, h3 = map(sinks.content_hash, (df1, df2, df3))
     assert h1 == h2
     assert h1 != h3
+
+
+def test_partition_pruning_on_read(spark, tmp_path):
+    """A date filter over the partitioned sink must prune at the partition
+    level (PartitionFilters in the scan, not a post-scan filter) — this is
+    the reference's F1 'filter to yesterday' made O(day) at 100 TB."""
+    from big_data_project_datapipeline_spark.sinks import write_partitioned
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{1 + i % 3:02d}", float(i)) for i in range(30)],
+        "id long, d string, v double",
+    )
+    write_partitioned(df, path, ["d"])
+    q = spark.read.parquet(path).filter(F.col("d") == "2024-01-02")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(d" in plan
+    # pruned scan reads exactly the one partition's rows
+    assert q.count() == 10
