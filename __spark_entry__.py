@@ -917,6 +917,56 @@ def q45_dedup_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q46_upsert_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 keep-first upsert: the existing batch wins per key on re-run
+    (idempotency guard, reference data_engineering.py:123-126) — explicit
+    priority, position-independent."""
+    from big_data_project_datapipeline_spark.operators.merge import (
+        upsert_keep_first,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.date_trunc("hour", "ts"))
+    existing = ev.filter(F.col("event_id") % 2 == 0)
+    recomputed = ev.filter(F.col("event_id") % 3 == 0)  # overlaps existing
+    merged = upsert_keep_first(
+        existing, recomputed, keys=("user_id", "hour"), tiebreak=("ts", "event_id")
+    )
+    return merged.select(
+        "user_id",
+        "hour",
+        F.col("event_id").alias("kept_event_id"),
+        F.col("value").alias("kept_value"),
+    )
+
+
+def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible way to
+    downsample a 100 TB corpus per class: md5-derived uniform bucket in
+    [0,100) per row id, per-stratum rate from a broadcast map; the same
+    rows are selected on every run and every engine (no RNG state)."""
+    ev = _t(spark, sf_dir, "events")
+    rates = {"view": 10, "click": 25, "purchase": 100, "error": 50, "signup": 100}
+    rate_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, v) for k, v in rates.items()], "event_type string, pct int"
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    sampled = (
+        ev.join(rate_df, "event_type")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("pct"))
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        _dsum("value", "sum_value"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1046,6 +1096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_winnow_fingerprints": q43_winnow_fingerprints,
         "q44_label_centroids": q44_label_centroids,
         "q45_dedup_then_join": q45_dedup_then_join,
+        "q46_upsert_keep_first": q46_upsert_keep_first,
+        "q47_stratified_sample": q47_stratified_sample,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1590,6 +1642,33 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e
             WHERE EXISTS (SELECT 1 FROM keepers k WHERE k.vec_id = e.vec_id)
             GROUP BY label
+        """,
+        "q46_upsert_keep_first": """
+            WITH tagged AS (
+                SELECT *, date_trunc('hour', ts) AS hour, 1 AS pri
+                FROM events WHERE event_id % 2 = 0
+                UNION ALL
+                SELECT *, date_trunc('hour', ts) AS hour, 0 AS pri
+                FROM events WHERE event_id % 3 = 0),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, hour
+                    ORDER BY pri DESC, ts ASC, event_id ASC) AS rn
+                FROM tagged)
+            SELECT user_id, hour, event_id AS kept_event_id, value AS kept_value
+            FROM ranked WHERE rn = 1
+        """,
+        "q47_stratified_sample": """
+            WITH rates(event_type, pct) AS (VALUES
+                ('view', 10), ('click', 25), ('purchase', 100),
+                ('error', 50), ('signup', 100))
+            SELECT e.event_type,
+                   COUNT(*) AS n_sampled,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events e JOIN rates r ON e.event_type = r.event_type
+            WHERE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 100 < r.pct
+            GROUP BY e.event_type
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q43_winnow_fingerprints",
     "q44_label_centroids",
     "q45_dedup_then_join",
+    "q46_upsert_keep_first",
+    "q47_stratified_sample",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
