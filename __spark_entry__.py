@@ -967,6 +967,35 @@ def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q48_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations (distinct semantics): users who both
+    clicked and purchased (INTERSECT), clicked-only (EXCEPT), with a tag
+    column unioned into one result."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).withColumn("segment", F.lit("click_and_buy"))
+    only = clickers.subtract(buyers).withColumn("segment", F.lit("click_only"))
+    return both.unionByName(only)
+
+
+def q49_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-column handling (SURVEY §1.3): parse the props JSON into a
+    typed struct with ``from_json``, access nested fields, and aggregate —
+    the flattening the reference does driver-side (raw_data.py:114-128)
+    done as a typed columnar expression."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.col("p.k")).alias("n_with_k"),
+        F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1098,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dedup_then_join": q45_dedup_then_join,
         "q46_upsert_keep_first": q46_upsert_keep_first,
         "q47_stratified_sample": q47_stratified_sample,
+        "q48_set_ops": q48_set_ops,
+        "q49_nested_json": q49_nested_json,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1669,6 +1700,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 15))
                        AS BIGINT) % 100 < r.pct
             GROUP BY e.event_type
+        """,
+        "q48_set_ops": """
+            SELECT user_id, 'click_and_buy' AS segment FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'purchase')
+            UNION ALL
+            SELECT user_id, 'click_only' AS segment FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                EXCEPT
+                SELECT user_id FROM events WHERE event_type = 'purchase')
+        """,
+        "q49_nested_json": """
+            SELECT event_type,
+                   COUNT(json_extract(props, '$.k')) AS n_with_k,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+            FROM events GROUP BY event_type
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

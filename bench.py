@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q45_dedup_then_join",
     "q46_upsert_keep_first",
     "q47_stratified_sample",
+    "q48_set_ops",
+    "q49_nested_json",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
