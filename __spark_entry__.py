@@ -567,6 +567,23 @@ def q30_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("hour", "price")
 
 
+def q50_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, forward direction (next price at-or-after each hour,
+    within 30 min) — the next-known-value join; completes the
+    nearest/backward/forward direction set (q08/q30/q50)."""
+    ev = _t(spark, sf_dir, "events")
+    grid = ev.select(F.date_trunc("hour", "ts").alias("hour")).distinct()
+    rates = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.min("value").alias("price"))
+    )
+    return asof_join(
+        grid, rates, on="hour", right_on="ts", tolerance_seconds=1800,
+        direction="forward",
+    ).select("hour", "price")
+
+
 def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the blocking key
     stands in for an SRP bucket; same join shape at 100 TB). Threshold 0.3
@@ -1129,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_stratified_sample": q47_stratified_sample,
         "q48_set_ops": q48_set_ops,
         "q49_nested_json": q49_nested_json,
+        "q50_asof_forward": q50_asof_forward,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1719,6 +1737,18 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "q50_asof_forward": """
+            WITH grid AS (SELECT DISTINCT date_trunc('hour', ts) AS hour FROM events),
+            rates AS (
+                SELECT ts, MIN(value) AS price FROM events
+                WHERE event_type = 'purchase' GROUP BY ts)
+            SELECT g.hour, l.price
+            FROM grid g LEFT JOIN LATERAL (
+                SELECT r.price FROM rates r
+                WHERE epoch(r.ts) >= epoch(g.hour)
+                  AND epoch(r.ts) - epoch(g.hour) <= 1800
+                ORDER BY r.ts ASC LIMIT 1) l ON TRUE
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "q47_stratified_sample",
     "q48_set_ops",
     "q49_nested_json",
+    "q50_asof_forward",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
