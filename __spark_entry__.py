@@ -584,6 +584,18 @@ def q50_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("hour", "price")
 
 
+def q51_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash decision forest → pointer-
+    jumping connected components (iterative, O(log depth) self-join
+    rounds). Every doc labeled with its cluster root; oracle follows the
+    same parent chains with a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    decision = D.minhash_dedup_decision(
+        d, num_hashes=16, band_size=8, threshold=0.8
+    )
+    return D.resolve_dup_clusters(decision)
+
+
 def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the blocking key
     stands in for an SRP bucket; same join shape at 100 TB). Threshold 0.3
@@ -1147,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_set_ops": q48_set_ops,
         "q49_nested_json": q49_nested_json,
         "q50_asof_forward": q50_asof_forward,
+        "q51_dup_clusters": q51_dup_clusters,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1161,6 +1174,40 @@ def oracle_sql() -> dict[str, str]:
         f"list_distinct(list_transform({tokens_sql},"
         " t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)))"
     )
+    # Shared CTE prefix: the MinHash→LSH→verified-ancestor pipeline in SQL
+    # (used by q21 and q51).
+    minhash_cte = f"""toks AS (
+                SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
+                FROM documents),
+            sigs AS (
+                SELECT doc_id,
+                       {', '.join(f"MIN(md5(tok || '#{s}')) AS mh{s}" for s in range(16))}
+                FROM toks GROUP BY doc_id),
+            bands AS (
+                {' UNION ALL '.join(
+                    f"SELECT doc_id, {b} AS band, "
+                    + PIPE_SEP.join(f"mh{8*b+j}" for j in range(8))
+                    + " AS band_key FROM sigs"
+                    for b in range(2))}),
+            bucket_min AS (
+                SELECT band, band_key, MIN(doc_id) AS bucket_min
+                FROM bands GROUP BY band, band_key),
+            anc AS (
+                SELECT b.doc_id, MIN(m.bucket_min) AS candidate_ancestor
+                FROM bands b JOIN bucket_min m
+                  ON b.band = m.band AND b.band_key = m.band_key
+                GROUP BY b.doc_id),
+            cand AS (
+                SELECT candidate_ancestor AS left_id, doc_id AS right_id
+                FROM anc WHERE candidate_ancestor < doc_id),
+            tsets AS (SELECT doc_id, {htokens_sql} AS s FROM documents),
+            verified AS (
+                SELECT c.right_id AS doc_id, c.left_id AS _anc,
+                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+                FROM cand c
+                JOIN tsets a ON c.left_id = a.doc_id
+                JOIN tsets b ON c.right_id = b.doc_id)"""
     en_stop = "['the','and','of','to','in','is','it','that','for','with']"
     es_stop = "['el','la','de','que','y','en','un','una','los','las']"
     de_stop = "['der','die','das','und','ist','von','mit','den','ein','eine']"
@@ -1374,38 +1421,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(text) ORDER BY text_hash
         """,
         "q21_minhash_lsh": f"""
-            WITH toks AS (
-                SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
-                FROM documents),
-            sigs AS (
-                SELECT doc_id,
-                       {', '.join(f"MIN(md5(tok || '#{s}')) AS mh{s}" for s in range(16))}
-                FROM toks GROUP BY doc_id),
-            bands AS (
-                {' UNION ALL '.join(
-                    f"SELECT doc_id, {b} AS band, "
-                    + PIPE_SEP.join(f"mh{8*b+j}" for j in range(8))
-                    + " AS band_key FROM sigs"
-                    for b in range(2))}),
-            bucket_min AS (
-                SELECT band, band_key, MIN(doc_id) AS bucket_min
-                FROM bands GROUP BY band, band_key),
-            anc AS (
-                SELECT b.doc_id, MIN(m.bucket_min) AS candidate_ancestor
-                FROM bands b JOIN bucket_min m
-                  ON b.band = m.band AND b.band_key = m.band_key
-                GROUP BY b.doc_id),
-            cand AS (
-                SELECT candidate_ancestor AS left_id, doc_id AS right_id
-                FROM anc WHERE candidate_ancestor < doc_id),
-            tsets AS (SELECT doc_id, {htokens_sql} AS s FROM documents),
-            verified AS (
-                SELECT c.right_id AS doc_id, c.left_id AS _anc,
-                       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-                FROM cand c
-                JOIN tsets a ON c.left_id = a.doc_id
-                JOIN tsets b ON c.right_id = b.doc_id)
+            WITH {minhash_cte}
             SELECT d.doc_id,
                    CASE WHEN v.jaccard >= 0.8 THEN v._anc END AS dup_of,
                    ROUND(v.jaccard, 6) AS jaccard,
@@ -1749,6 +1765,19 @@ def oracle_sql() -> dict[str, str]:
                 WHERE epoch(r.ts) >= epoch(g.hour)
                   AND epoch(r.ts) - epoch(g.hour) <= 1800
                 ORDER BY r.ts ASC LIMIT 1) l ON TRUE
+        """,
+        "q51_dup_clusters": f"""
+            WITH RECURSIVE {minhash_cte},
+            edges AS (
+                SELECT doc_id AS id, _anc AS parent
+                FROM verified WHERE jaccard >= 0.8),
+            chain(id, anc) AS (
+                SELECT id, parent FROM edges
+                UNION ALL
+                SELECT c.id, e.parent FROM chain c JOIN edges e ON c.anc = e.id),
+            roots AS (SELECT id, MIN(anc) AS root FROM chain GROUP BY id)
+            SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS cluster_root
+            FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

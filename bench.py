@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "q48_set_ops",
     "q49_nested_json",
     "q50_asof_forward",
+    "q51_dup_clusters",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

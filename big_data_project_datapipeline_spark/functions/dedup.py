@@ -297,6 +297,57 @@ def minhash_dedup_decision(
     )
 
 
+def resolve_dup_clusters(
+    decision: DataFrame,
+    id_col: str = "doc_id",
+    parent_col: str = "dup_of",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Resolve transitive duplicate chains (a←b←c) to one root
+    representative per cluster via pointer jumping: each round replaces a
+    node's parent with its grandparent, halving chain depth — O(log d)
+    rounds for chains of depth d, each round one self-join shuffle on the
+    id. The iterative driver loop is the Spark shape of connected
+    components on a parent forest (``dup_of`` always points to a smaller
+    id, so the graph is acyclic and the root is the cluster minimum).
+
+    Input: ``minhash_dedup_decision`` output — (id, dup_of|null).
+    Output: (id, cluster_root); singletons are their own root. For general
+    graphs (not forests) use alternating large-star/small-star; a parent
+    forest never needs it.
+    """
+    parent = decision.select(
+        F.col(id_col),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("p"),
+    ).cache()
+    for _ in range(max_iters):
+        grand = (
+            parent.alias("a")
+            .join(
+                parent.alias("b"),
+                F.col("a.p") == F.col(f"b.{id_col}"),
+                "left",
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                F.coalesce(F.col("b.p"), F.col("a.p")).alias("p"),
+            )
+            .cache()
+        )
+        changed = (
+            grand.alias("n")
+            .join(parent.alias("o"), id_col)
+            .filter(F.col("n.p") != F.col("o.p"))
+            .limit(1)
+            .count()
+        )
+        parent.unpersist()
+        parent = grand
+        if changed == 0:
+            break
+    return parent.select(F.col(id_col), F.col("p").alias("cluster_root"))
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

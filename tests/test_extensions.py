@@ -264,3 +264,16 @@ def test_blocked_cosine_pairs_matches_expression(spark):
     assert set(fast) == set(slow)
     for k, v in slow.items():
         assert abs(fast[k] - v) < 1e-6
+
+
+def test_resolve_dup_clusters_chains(spark):
+    """a←b←c chains collapse to the root; singletons self-root."""
+    decision = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3), (10, None), (11, 10), (20, None)],
+        "doc_id long, dup_of long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_root"]
+        for r in D.resolve_dup_clusters(decision).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
