@@ -331,18 +331,14 @@ def resolve_dup_clusters(
             .select(
                 F.col(f"a.{id_col}").alias(id_col),
                 F.coalesce(F.col("b.p"), F.col("a.p")).alias("p"),
+                F.col("a.p").alias("old_p"),
             )
             .cache()
         )
-        changed = (
-            grand.alias("n")
-            .join(parent.alias("o"), id_col)
-            .filter(F.col("n.p") != F.col("o.p"))
-            .limit(1)
-            .count()
-        )
+        # convergence probe rides on the same cached frame — no extra join
+        changed = grand.filter(F.col("p") != F.col("old_p")).limit(1).count()
         parent.unpersist()
-        parent = grand
+        parent = grand.select(id_col, "p")
         if changed == 0:
             break
     return parent.select(F.col(id_col), F.col("p").alias("cluster_root"))
