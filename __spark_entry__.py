@@ -1025,6 +1025,30 @@ def q49_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join in the gate: events⋈per-type rate dim through
+    ``salted_join`` with event_type declared hot (5 keys × ~20% of rows
+    each — exactly the known-heavy-hitter shape). Salting spreads each hot
+    key over 16 buckets; the result set is salt-invariant, so the oracle
+    is the plain join."""
+    from big_data_project_datapipeline_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.0), ("purchase", 10.0), ("error", 0.0),
+         ("signup", 5.0)],
+        "event_type string, weight double",
+    )
+    joined = salted_join(
+        ev, dim, on="event_type", salt=16,
+        hot_keys=["view", "click", "purchase", "error", "signup"],
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum_expr(F.col("value") * F.col("weight"), "weighted_sum"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1160,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_nested_json": q49_nested_json,
         "q50_asof_forward": q50_asof_forward,
         "q51_dup_clusters": q51_dup_clusters,
+        "q52_salted_join": q52_salted_join,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1778,6 +1803,17 @@ def oracle_sql() -> dict[str, str]:
             roots AS (SELECT id, MIN(anc) AS root FROM chain GROUP BY id)
             SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS cluster_root
             FROM documents d LEFT JOIN roots r ON d.doc_id = r.id
+        """,
+        "q52_salted_join": """
+            WITH dim(event_type, weight) AS (VALUES
+                ('view', 1.0), ('click', 2.0), ('purchase', 10.0),
+                ('error', 0.0), ('signup', 5.0))
+            SELECT e.event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(e.value * d.weight AS DECIMAL(18,4))) AS DOUBLE)
+                       AS weighted_sum
+            FROM events e JOIN dim d ON e.event_type = d.event_type
+            GROUP BY e.event_type
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "q49_nested_json",
     "q50_asof_forward",
     "q51_dup_clusters",
+    "q52_salted_join",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
