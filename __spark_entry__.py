@@ -1201,17 +1201,30 @@ def oracle_sql() -> dict[str, str]:
     )
     # Shared CTE prefix: the MinHash→LSH→verified-ancestor pipeline in SQL
     # (used by q21 and q51).
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        UH_PRIME,
+        universal_hash_params,
+    )
+
+    uh = [universal_hash_params(s_) for s_ in range(16)]
     minhash_cte = f"""toks AS (
                 SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
                 FROM documents),
+            th AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+                           % {UH_PRIME} AS th
+                FROM toks),
             sigs AS (
                 SELECT doc_id,
-                       {', '.join(f"MIN(md5(tok || '#{s}')) AS mh{s}" for s in range(16))}
-                FROM toks GROUP BY doc_id),
+                       {', '.join(
+                           f"MIN(({a} * th + {b}) % {UH_PRIME}) AS mh{s_}"
+                           for s_, (a, b) in enumerate(uh))}
+                FROM th GROUP BY doc_id),
             bands AS (
                 {' UNION ALL '.join(
                     f"SELECT doc_id, {b} AS band, "
-                    + PIPE_SEP.join(f"mh{8*b+j}" for j in range(8))
+                    + PIPE_SEP.join(f"CAST(mh{8*b+j} AS VARCHAR)" for j in range(8))
                     + " AS band_key FROM sigs"
                     for b in range(2))}),
             bucket_min AS (

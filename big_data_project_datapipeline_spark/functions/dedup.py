@@ -4,10 +4,12 @@ Four tiers, all shuffle-architected for 100 TB:
 
 - **exact**: md5 hash → groupBy(hash) keep min-id. One shuffle on a
   uniformly-distributed 128-bit key — no skew by construction.
-- **MinHash + LSH**: per-doc signature of H seed-salted md5 minima
-  (computed in ONE groupBy with H aggregate expressions — not H passes),
-  banded into B buckets; candidate pairs only ever materialize within a
-  bucket (the classic shingle→minhash→band→bucket-join pipeline).
+- **MinHash + LSH**: per-doc signature of H universal-hash minima over a
+  shared 31-bit md5 token hash (ONE digest per distinct token; the H
+  components are integer (a·x+b) mod p transforms computed in ONE groupBy
+  with H aggregate expressions — not H passes), banded into B buckets;
+  candidate pairs only ever materialize within a bucket (the classic
+  shingle→minhash→band→bucket-join pipeline).
 - **SimHash**: 32-bit bit-majority signature over token hashes — computed
   with 32 conditional-sum aggregates in the same single groupBy pattern.
 - **n-gram Jaccard**: exact verify step on candidate pairs via
@@ -102,10 +104,33 @@ def solve_banding(
     return best[1], best[2]
 
 
-def minhash_expr(tok: Column, seed: int) -> Column:
-    """Seed-salted token hash; min over tokens = one minhash component.
-    Fixed-width lowercase hex compares lexicographically == numerically."""
-    return F.md5(F.concat(tok, F.lit(f"#{seed}")))
+UH_PRIME = 2147483647  # 2^31 − 1: a·x stays under 2^62, no long overflow
+
+
+def universal_hash_params(seed: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the universal hash h(x) = (a·x + b) mod p,
+    derived from md5 of the seed so any engine can regenerate them;
+    a ∈ [1, p), b ∈ [0, p)."""
+    import hashlib
+
+    d = hashlib.md5(f"minhash-seed-{seed}".encode()).hexdigest()
+    return int(d[:15], 16) % (UH_PRIME - 1) + 1, int(d[15:30], 16) % UH_PRIME
+
+
+def token_hash31(tok: Column) -> Column:
+    """31-bit md5-derived token hash — the shared base for all minhash
+    components (ONE digest per distinct token, not one per (token, seed))."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % UH_PRIME
+    )
+
+
+def minhash_expr(th: Column, seed: int) -> Column:
+    """One minhash component: universal-hash the shared 31-bit token hash.
+    Integer arithmetic — bit-identical across engines, ~16× fewer digests
+    than seed-salted md5 and long (not hex-string) signature columns."""
+    a, b = universal_hash_params(seed)
+    return (F.lit(a) * th + F.lit(b)) % F.lit(UH_PRIME)
 
 
 def minhash_signatures(
@@ -117,10 +142,12 @@ def minhash_signatures(
     """Per-doc MinHash signature: one explode + ONE groupBy carrying
     ``num_hashes`` min-aggregates (single shuffle on doc id)."""
     exploded = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    )
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).select(F.col(id_col), token_hash31(F.col("tok")).alias("th"))
     aggs = [
-        F.min(minhash_expr(F.col("tok"), s)).alias(f"mh{s}") for s in range(num_hashes)
+        F.min(minhash_expr(F.col("th"), s)).alias(f"mh{s}")
+        for s in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
 
