@@ -1049,6 +1049,32 @@ def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per day (TWAP): each quote holds until
+    the next one (lead over a per-day window — no global sort), weight =
+    holding seconds; day-final segments drop (no close boundary). Decimal
+    accumulation keeps the weighted mean order-independent."""
+    ev = _t(spark, sf_dir, "events")
+    quotes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("ts")
+        .agg(F.min("value").alias("price"))
+        .withColumn("day", F.to_date("ts"))
+    )
+    w = Window.partitionBy("day").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    seg = quotes.withColumn(
+        "dur", F.lead(us).over(w) - us
+    ).filter(F.col("dur").isNotNull())
+    wsum = F.sum((F.col("price") * F.col("dur")).cast("decimal(28,6)")).cast(
+        "double"
+    )
+    return seg.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.round(wsum / F.sum("dur"), 6).alias("twap"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1185,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_asof_forward": q50_asof_forward,
         "q51_dup_clusters": q51_dup_clusters,
         "q52_salted_join": q52_salted_join,
+        "q53_twap": q53_twap,
         "q90_ann_lsh": q90_ann_lsh,
         "q92_feature_pipeline": q92_feature_pipeline,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1827,6 +1854,22 @@ def oracle_sql() -> dict[str, str]:
                        AS weighted_sum
             FROM events e JOIN dim d ON e.event_type = d.event_type
             GROUP BY e.event_type
+        """,
+        "q53_twap": """
+            WITH quotes AS (
+                SELECT ts, MIN(value) AS price, CAST(ts AS DATE) AS day
+                FROM events WHERE event_type = 'purchase' GROUP BY ts),
+            seg AS (
+                SELECT day, price,
+                       epoch_us(LEAD(ts) OVER (PARTITION BY day ORDER BY ts))
+                         - epoch_us(ts) AS dur
+                FROM quotes)
+            SELECT day,
+                   COUNT(*) AS n_segments,
+                   ROUND(CAST(SUM(CAST(price * dur AS DECIMAL(28,6))) AS DOUBLE)
+                         / SUM(dur), 6) AS twap
+            FROM seg WHERE dur IS NOT NULL
+            GROUP BY day
         """,
         "q92_feature_pipeline": """
             WITH hourly AS (

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "q50_asof_forward",
     "q51_dup_clusters",
     "q52_salted_join",
+    "q53_twap",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
