@@ -1,0 +1,177 @@
+"""Runnable job entry points — the reference's two cron scripts as CLI jobs.
+
+The reference ships ``python raw_data.py`` (ingest) and
+``python data_engineering.py`` (features) on GitHub-Actions cron
+(raw_data_collection.yml:38, data_engineering.yml:40). A user switching to
+this engine runs:
+
+    python -m big_data_project_datapipeline_spark ingest \
+        --payload-dir landed/2024-01-15 --store data/raw --date 2024-01-15
+    python -m big_data_project_datapipeline_spark features \
+        --store data/raw --out data/features
+
+``ingest`` reads the day's LANDED payload files (one JSON document per
+source API, as dumped by any fetcher — the HTTP step is out of engine
+scope by design), normalizes them through the S1–S5 source ops, runs the
+merge pipeline (J1–J4, F1/F2, D1 upsert) and merges into a date-partitioned
+parquet store, then writes run metrics (K3). ``features`` runs the
+incremental feature pipeline (anti-join delta → X1–X14 + z-score → keep-
+first union) and writes the feature table + CSV export (K2).
+
+Payload file conventions in ``--payload-dir``:
+    weather.json, air_quality.json, generation_mix.json, prices.json and
+    carbon_0.json, carbon_1.json, ... (one per fetched day, S3's multi-day
+    union — reference raw_data.py:88-98).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import glob
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.operators.incremental import load_or_empty
+from big_data_project_datapipeline_spark.plans.features import incremental_feature_run
+from big_data_project_datapipeline_spark.plans.ingest import (
+    daily_ingest,
+    merge_all_sources,
+)
+from big_data_project_datapipeline_spark.session import get_spark
+from big_data_project_datapipeline_spark.sinks import (
+    export_csv,
+    merge_into_partitioned,
+    write_metrics_json,
+)
+from big_data_project_datapipeline_spark.sources.json_payloads import (
+    normalize_carbon_records,
+    normalize_generation_mix,
+    normalize_parallel_arrays,
+    normalize_prices,
+)
+
+# Reference array-name → engine column-name mappings (raw_data.py:36-45,65-76).
+WEATHER_MAPPING = {
+    "temperature_2m": "temperature_C",
+    "relative_humidity_2m": "humidity_%",
+    "wind_speed_10m": "wind_speed_mps",
+    "cloud_cover": "cloud_cover_%",
+    "shortwave_radiation": "solar_radiation_Wm2",
+}
+AIR_QUALITY_MAPPING = {
+    "pm10": "pm10",
+    "pm2_5": "pm2_5",
+    "carbon_monoxide": "co",
+    "nitrogen_dioxide": "no2",
+    "sulphur_dioxide": "so2",
+    "ozone": "o3",
+    "us_aqi": "aqi_us",
+}
+
+
+def _read_json(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def run_ingest(
+    spark: SparkSession, payload_dir: str, store: str, target_date: dt.date
+) -> DataFrame:
+    """Normalize the day's landed payloads, run the merge pipeline, upsert
+    into the date-partitioned store. Returns the day's grid rows."""
+    t0 = time.monotonic()
+    weather = normalize_parallel_arrays(
+        spark, _read_json(os.path.join(payload_dir, "weather.json")),
+        "hourly", WEATHER_MAPPING,
+    )
+    air = normalize_parallel_arrays(
+        spark, _read_json(os.path.join(payload_dir, "air_quality.json")),
+        "hourly", AIR_QUALITY_MAPPING,
+    )
+    carbon = normalize_carbon_records(
+        spark,
+        [_read_json(p) for p in sorted(glob.glob(os.path.join(payload_dir, "carbon_*.json")))],
+    )
+    mix = normalize_generation_mix(
+        spark, _read_json(os.path.join(payload_dir, "generation_mix.json"))
+    )
+    prices = normalize_prices(
+        spark, _read_json(os.path.join(payload_dir, "prices.json"))
+    )
+    merged = merge_all_sources(weather, air, carbon, mix, prices)
+    history = load_or_empty(spark, store, merged.schema)
+    day = daily_ingest(merged, history, target_date).filter(
+        F.to_date("datetime") == F.lit(target_date)
+    )
+    day = day.withColumn("date", F.to_date("datetime"))
+    # count BEFORE the merge: day's plan lazily reads the store (history
+    # side), and the merge rewrites those partitions
+    n_rows = day.count()
+    merge_into_partitioned(day, store, keys=["datetime"], partition_col="date")
+    write_metrics_json(
+        {
+            "last_run": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "target_date": str(target_date),
+            "rows_ingested": n_rows,
+            "ingest_seconds": round(time.monotonic() - t0, 3),
+        },
+        os.path.join(store, "_metrics", "ingest.json"),
+    )
+    return day
+
+
+def run_features(spark: SparkSession, store: str, out_dir: str) -> DataFrame:
+    """Incremental feature run over the raw store; parquet + CSV outputs."""
+    t0 = time.monotonic()
+    raw = spark.read.parquet(store).drop("date")
+    prev_path = os.path.join(out_dir, "features.parquet")
+    try:
+        previous = spark.read.parquet(prev_path)
+    except Exception:  # noqa: BLE001 — bootstrap: no previous output yet
+        previous = raw.limit(0).select("datetime")
+    features = incremental_feature_run(raw, previous)
+    # two-phase write: the plan reads prev_path, so first materialize to a
+    # side location, then promote — never clobber an input mid-plan
+    features.write.mode("overwrite").parquet(prev_path + ".tmp")
+    spark.read.parquet(prev_path + ".tmp").write.mode("overwrite").parquet(prev_path)
+    out = spark.read.parquet(prev_path)
+    export_csv(out, os.path.join(out_dir, "engineered_data.csv"))
+    write_metrics_json(
+        {
+            "last_run": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "rows": out.count(),
+            "columns": len(out.columns),
+            "features_seconds": round(time.monotonic() - t0, 3),
+        },
+        os.path.join(out_dir, "_metrics", "features.json"),
+    )
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="big_data_project_datapipeline_spark")
+    sub = ap.add_subparsers(dest="job", required=True)
+    ing = sub.add_parser("ingest", help="daily payload ingest → raw store")
+    ing.add_argument("--payload-dir", required=True)
+    ing.add_argument("--store", required=True)
+    ing.add_argument("--date", required=True, help="YYYY-MM-DD target day")
+    fea = sub.add_parser("features", help="incremental feature engineering")
+    fea.add_argument("--store", required=True)
+    fea.add_argument("--out", required=True)
+    args = ap.parse_args(argv)
+    spark = get_spark(app_name=f"pipeline-{args.job}")
+    if args.job == "ingest":
+        run_ingest(
+            spark, args.payload_dir, args.store, dt.date.fromisoformat(args.date)
+        )
+    else:
+        run_features(spark, args.store, args.out)
+
+
+if __name__ == "__main__":
+    main()

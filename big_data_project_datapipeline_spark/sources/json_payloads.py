@@ -83,6 +83,19 @@ CARBON_RECORD = T.StructType(
 )
 
 
+def lenient_iso_timestamp(col: "F.Column") -> "F.Column":
+    """pandas-``to_datetime``-like leniency (reference raw_data.py:129-131,
+    144) for the APIs' ISO variants: second or minute precision, with or
+    without a trailing zone. Unparseable → NULL (P4), never an ANSI error.
+    Spark's default parser accepts second-precision and zone-less
+    minute-precision but NOT ``2024-01-15T00:00Z`` — the carbon/generation
+    APIs' actual format."""
+    return F.coalesce(
+        F.try_to_timestamp(col),
+        F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mmX")),
+    )
+
+
 def normalize_carbon_records(
     spark: SparkSession, payloads: list[dict[str, Any]]
 ) -> DataFrame:
@@ -101,7 +114,7 @@ def normalize_carbon_records(
     return (
         df.filter(F.col("from").isNotNull() & (F.col("from") != ""))
         .select(
-            F.try_to_timestamp(F.col("from")).alias("datetime"),  # ANSI-safe coerce-to-null
+            lenient_iso_timestamp(F.col("from")).alias("datetime"),  # ANSI-safe coerce-to-null
             F.col("intensity.actual").alias("carbon_intensity_actual"),
             F.col("intensity.forecast").alias("carbon_intensity_forecast"),
             F.col("intensity.index").alias("carbon_index"),
@@ -130,7 +143,7 @@ def normalize_generation_mix(
     )
     df = spark.createDataFrame(
         [(r.get("fuel"), r.get("perc")) for r in mix], schema
-    ).withColumn("datetime", F.to_timestamp(F.lit(ts)))
+    ).withColumn("datetime", lenient_iso_timestamp(F.lit(ts)))
     df = df.withColumn("fuel", F.regexp_replace(F.lower("fuel"), " ", "_"))
     return pivot_records(
         df,
