@@ -1,7 +1,9 @@
 """Local stand-in for the driver's correctness gate: run every query in
 __spark_entry__.queries() and its oracle_sql() via DuckDB on the same
-parquet, compare row count, sorted column names, and values (rows sorted by
-all columns; floats compared to 1e-9 after both sides' own rounding).
+parquet, compare row count, sorted column names, dtype kinds, and values
+(rows sorted by all columns; floats compared BIT-EXACTLY so that -0.0 vs
+0.0 and int64-vs-float64 asymmetries fail here exactly as they fail the
+driver's value-hash gate).
 
 Usage: python tools/compare_oracle.py [sf_dir] [query_name ...]
 """
@@ -34,6 +36,20 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _kind(s: pd.Series) -> str:
+    """Dtype kind the driver's hash is sensitive to (timestamps are
+    unit/tz-normalized by the driver, so they collapse to one kind)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
     problems = []
     if len(a) != len(b):
@@ -43,13 +59,20 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> list[str]:
         return problems
     if problems:
         return problems
+    for c in sorted(a.columns):
+        ka, kb = _kind(a[c]), _kind(b[c])
+        if ka != kb:
+            problems.append(f"col {c}: dtype kind {ka} ({a[c].dtype}) vs {kb} ({b[c].dtype})")
+    if problems:
+        return problems
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]):
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             both_nan = np.isnan(av) & np.isnan(bv)
-            close = np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True)
-            bad = ~(close | both_nan)
+            # Bit-exact: distinguishes -0.0 from 0.0, like a value hash does.
+            bit_eq = av.view(np.int64) == bv.view(np.int64)
+            bad = ~(bit_eq | both_nan)
             if bad.any():
                 i = int(np.argmax(bad))
                 problems.append(
