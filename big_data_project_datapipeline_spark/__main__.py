@@ -33,6 +33,7 @@ import json
 import os
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,7 +104,9 @@ def run_ingest(
     prices = normalize_prices(
         spark, _read_json(os.path.join(payload_dir, "prices.json"))
     )
-    merged = merge_all_sources(weather, air, carbon, mix, prices)
+    merged = merge_all_sources(
+        weather, air, carbon, mix, prices, price_target_date=target_date
+    )
     history = load_or_empty(spark, store, merged.schema)
     day = daily_ingest(merged, history, target_date).filter(
         F.to_date("datetime") == F.lit(target_date)
@@ -132,13 +135,22 @@ def run_features(spark: SparkSession, store: str, out_dir: str) -> DataFrame:
     prev_path = os.path.join(out_dir, "features.parquet")
     try:
         previous = spark.read.parquet(prev_path)
-    except Exception:  # noqa: BLE001 — bootstrap: no previous output yet
+    except AnalysisException:  # bootstrap: no previous output yet
         previous = raw.limit(0).select("datetime")
     features = incremental_feature_run(raw, previous)
     # two-phase write: the plan reads prev_path, so first materialize to a
-    # side location, then promote — never clobber an input mid-plan
-    features.write.mode("overwrite").parquet(prev_path + ".tmp")
-    spark.read.parquet(prev_path + ".tmp").write.mode("overwrite").parquet(prev_path)
+    # side location, then promote by rename — never clobber an input
+    # mid-plan, never leave a stale .tmp for glob consumers to pick up
+    import shutil
+
+    tmp_path = prev_path + ".tmp"
+    features.write.mode("overwrite").parquet(tmp_path)
+    shutil.rmtree(prev_path, ignore_errors=True)
+    try:
+        os.replace(tmp_path, prev_path)
+    except OSError:  # cross-device or non-local path: copy-write + clean up
+        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(prev_path)
+        shutil.rmtree(tmp_path, ignore_errors=True)
     out = spark.read.parquet(prev_path)
     export_csv(out, os.path.join(out_dir, "engineered_data.csv"))
     write_metrics_json(

@@ -53,19 +53,21 @@ def add_interaction_features(
     """X10–X13. Default specs mirror the reference's energy-domain features
     when their inputs exist; pass explicit ``specs`` for other schemas."""
     if specs is None:
+        # Exact reference formulas (data_engineering.py:50-60):
+        # renewable_pct = wind + solar (no biomass); fossil_pct = gas only
+        # (no imports); wind_solar_combined = wind * solar RADIATION, not
+        # wind * solar generation.
         cols = set(df.columns)
         specs = {}
-        if {"uk_gen_solar_%", "uk_gen_wind_%", "uk_gen_biomass_%"} <= cols:
-            specs["renewable_pct"] = (
-                F.col("uk_gen_solar_%") + F.col("uk_gen_wind_%") + F.col("uk_gen_biomass_%")
-            )
-        if {"uk_gen_gas_%", "uk_gen_imports_%"} <= cols:
-            specs["fossil_pct"] = F.col("uk_gen_gas_%") + F.col("uk_gen_imports_%")
+        if {"uk_gen_wind_%", "uk_gen_solar_%"} <= cols:
+            specs["renewable_pct"] = F.col("uk_gen_wind_%") + F.col("uk_gen_solar_%")
+        if "uk_gen_gas_%" in cols:
+            specs["fossil_pct"] = F.col("uk_gen_gas_%")
         if "temperature_C" in cols:
             specs["heating_demand"] = clip_lower(F.lit(18.0) - F.col("temperature_C"))
             specs["cooling_demand"] = clip_lower(F.col("temperature_C") - F.lit(22.0))
-        if {"uk_gen_wind_%", "uk_gen_solar_%"} <= cols:
-            specs["wind_solar_combined"] = F.col("uk_gen_wind_%") * F.col("uk_gen_solar_%")
+        if {"uk_gen_wind_%", "solar_radiation_Wm2"} <= cols:
+            specs["wind_solar_combined"] = F.col("uk_gen_wind_%") * F.col("solar_radiation_Wm2")
         if {"carbon_intensity_actual", "retail_price_£_per_kWh"} <= cols:
             specs["carbon_per_price"] = eps_divide(
                 F.col("carbon_intensity_actual"), F.col("retail_price_£_per_kWh")

@@ -53,6 +53,15 @@ def asof_join(
         raise ValueError(f"unknown direction {direction!r}")
     right_on = right_on or on
     payload = [c for c in right.columns if c != right_on]
+    # A right payload column shadowing a left column would emit two
+    # identically-named output columns — ambiguous downstream. Fail loudly
+    # (pd.merge_asof suffixes instead; callers here rename explicitly).
+    collisions = sorted(set(payload) & set(left.columns))
+    if collisions:
+        raise ValueError(
+            f"asof_join: right payload column(s) {collisions} collide with "
+            "left columns; rename them before joining"
+        )
 
     tol = float(tolerance_seconds)
     # Fractional-second epochs (cast ts→double keeps microseconds); a plain

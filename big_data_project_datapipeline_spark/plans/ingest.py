@@ -34,11 +34,22 @@ def merge_all_sources(
     generation_mix: DataFrame,
     prices: DataFrame,
     ts_col: str = "datetime",
+    price_target_date: dt.date | None = None,
 ) -> DataFrame:
-    """J1→J2→J3(as-of)→J4 as one plan (reference raw_data.py:210-237)."""
+    """J1→J2→J3(as-of)→J4 as one plan (reference raw_data.py:210-237).
+
+    ``price_target_date`` replicates the reference's filter of prices to
+    the target day BEFORE merge_asof (raw_data.py:203-206): without it a
+    day-boundary grid row (00:00) could be stamped with the previous day's
+    23:30 price that the reference leaves NaN.
+    """
     merged = weather.join(air_quality, on=ts_col, how="full_outer").join(
         carbon, on=ts_col, how="full_outer"
     )
+    if price_target_date is not None:
+        prices = prices.filter(
+            F.to_date(F.col(ts_col)) == F.lit(price_target_date)
+        )
     merged = asof_join(
         merged, prices, on=ts_col, tolerance_seconds=1800, direction="nearest"
     )

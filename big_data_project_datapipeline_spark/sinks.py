@@ -63,16 +63,23 @@ def merge_into_partitioned(
     (raw_data.py:246-263) shrunk to the touched dates. Emulates Delta
     MERGE with plain parquet.
     """
+    from pyspark.errors import AnalysisException
+
     spark = spark or new.sparkSession
     try:
         existing = spark.read.parquet(path)
+    except AnalysisException:  # path not found — first write, nothing to merge
+        merged = new
+    else:
+        # Any error past this point (corrupt file, permission, schema
+        # mismatch) must propagate: treating it as "first write" would
+        # dynamic-overwrite touched partitions with only the new rows and
+        # silently drop the existing rows that should have been merged.
         touched = [
             r[0] for r in new.select(partition_col).distinct().collect()
         ]
         existing_slice = existing.filter(F.col(partition_col).isin(touched))
         merged = upsert_keep_last(existing_slice, new, keys=keys)
-    except Exception:  # noqa: BLE001 — first write, nothing to merge
-        merged = new
     write_partitioned(merged, path, [partition_col])
 
 

@@ -84,3 +84,13 @@ def test_gap_beyond_tolerance_is_null(spark, frames):
 def test_every_left_row_survives(spark, frames):
     left, right, *_ = frames
     assert asof_join(left, right).count() == left.count()
+
+
+def test_right_payload_collision_raises(spark, frames):
+    left, right, _, _ = frames
+    shadowing = right.withColumnRenamed("price", "datetime2").withColumnRenamed(
+        "datetime", "ts"
+    ).withColumnRenamed("datetime2", "datetime")
+    # right payload column named like the left key column → must raise
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, shadowing, on="datetime", right_on="ts")

@@ -83,6 +83,8 @@ def test_two_day_ingest_then_incremental_features(spark, tmp_path):
 
     f2 = run_features(spark, store, out)
     assert f2.count() == 5
+    # rename-promote leaves no stale .tmp for glob consumers to pick up
+    assert not (tmp_path / "features" / "features.parquet.tmp").exists()
     # day-1 rows unchanged by the incremental run (keep-first)
     v2 = {r["datetime"]: r["scaled_temperature_C"] for r in f2.collect()}
     for k, v in v1.items():

@@ -80,3 +80,37 @@ def test_daily_ingest_grid_and_upsert(spark, merged):
     updated = daily_ingest(corrected, out, DAY)
     assert updated.count() == 24
     assert updated.agg(F.min("temperature_C")).first()[0] >= 110.0
+
+
+def test_price_target_date_excludes_prev_day_boundary(spark):
+    """Reference filters prices to the target day BEFORE merge_asof
+    (raw_data.py:203-206): a 00:00 grid row must NOT pick up the previous
+    day's 23:30 price — it stays null."""
+    prev_day_2330 = dt.datetime(2024, 1, 1, 23, 30, tzinfo=UTC)
+    weather = spark.createDataFrame(
+        [(ts(0), 10.0), (ts(2), 12.0)], "datetime timestamp, temperature_C double"
+    )
+    aq = spark.createDataFrame([(ts(0), 5.0)], "datetime timestamp, pm10 double")
+    carbon = spark.createDataFrame(
+        [(ts(0), 100.0)], "datetime timestamp, carbon_intensity_actual double"
+    )
+    mix = spark.createDataFrame(
+        [(ts(9), 30.0, 25.0)],
+        "datetime timestamp, `uk_gen_gas_%` double, `uk_gen_wind_%` double",
+    )
+    prices = spark.createDataFrame(
+        [(prev_day_2330, 0.99), (ts(0, 30), 0.20)],
+        "datetime timestamp, `retail_price_£_per_kWh` double",
+    )
+    unfiltered = merge_all_sources(weather, aq, carbon, mix, prices)
+    filtered = merge_all_sources(
+        weather, aq, carbon, mix, prices, price_target_date=DAY
+    )
+    get = lambda df, h: {  # noqa: E731
+        r["datetime"].hour: r["retail_price_£_per_kWh"] for r in df.collect()
+    }[h]
+    # without the filter, 00:00 grabs the 23:30 prev-day price (both 30 min)
+    assert get(unfiltered, 0) in (0.99, 0.20)
+    # with the filter (reference behavior), only same-day prices qualify
+    assert get(filtered, 0) == 0.20
+    assert get(filtered, 2) is None  # 90 min from the only same-day price
