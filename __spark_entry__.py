@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_project_datapipeline_spark.functions import dedup as D
+from big_data_project_datapipeline_spark.functions import multimodal as MM
 from big_data_project_datapipeline_spark.functions import similarity as SIM
 from big_data_project_datapipeline_spark.functions import text as TX
 from big_data_project_datapipeline_spark.functions.temporal import (
@@ -1100,6 +1101,19 @@ def q53_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the driver hash gate: documents-as-media
+    (opaque utf-8 bytes + mime, multimodal.documents_as_media) → Arrow-
+    batched ``mapInPandas`` feature extraction (MEDIA_FEATURES_SCHEMA:
+    size, digest, magic-sniffed kind, dims). The codec step is the
+    documented deterministic md5-based fake (container ships no image
+    libs; ``decode_image`` is the real-decode swap point), which makes
+    every output column oracle-reproducible in SQL — the mapInPandas
+    path itself gets value-hash-gated, not just rows-counted."""
+    d = _t(spark, sf_dir, "documents")
+    return MM.extract_media_features(MM.documents_as_media(d))
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1218,7 +1232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_union_by_name": q27_union_by_name,
         "q28_lenient_casts": q28_lenient_casts,
         "q29_range_report": q29_range_report,
-        "q30_asof_backward": q30_asof_backward,
         "q31_grouped_zscore": q31_grouped_zscore,
         "q32_embedding_neardup": q32_embedding_neardup,
         "q33_simhash": q33_simhash,
@@ -1239,9 +1252,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_dup_clusters": q51_dup_clusters,
         "q52_salted_join": q52_salted_join,
         "q53_twap": q53_twap,
+        "q54_media_features": q54_media_features,
         "q92_feature_pipeline": q92_feature_pipeline,
-        # --- positions 51+ (outside the driver's 50-entry gate) ---
+        # --- positions 51+ (outside the driver's 50-entry gate; near-dup
+        # variants of gated operators, all pandas-pinned in unit tests) ---
         "q16_running_total": q16_running_total,
+        "q30_asof_backward": q30_asof_backward,
         "q45_dedup_then_join": q45_dedup_then_join,
         "q46_upsert_keep_first": q46_upsert_keep_first,
         "q50_asof_forward": q50_asof_forward,
@@ -1931,6 +1947,20 @@ def oracle_sql() -> dict[str, str]:
                        AS weighted_sum
             FROM events e JOIN dim d ON e.event_type = d.event_type
             GROUP BY e.event_type
+        """,
+        "q54_media_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+                   md5(text) AS md5,
+                   CASE WHEN text LIKE 'RIFF%' THEN 'audio/wav'
+                        WHEN substr(text, 1, 2) = chr(26) || 'E'
+                             AND substr(text, 3, 1) = chr(2019) THEN 'video/webm'
+                        ELSE 'application/octet-stream' END AS sniffed_kind,
+                   CAST(16 * (1 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 64)
+                        AS INTEGER) AS width,
+                   CAST(16 * (1 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 64)
+                        AS INTEGER) AS height
+            FROM documents ORDER BY media_id
         """,
         "q53_twap": """
             WITH quotes AS (

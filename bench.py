@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q51_dup_clusters",
     "q52_salted_join",
     "q53_twap",
+    "q54_media_features",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
@@ -107,17 +108,34 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Per-query regression check against the committed baseline (written by
+    # tools/save_bench_baseline.py). Machine noise between runs is ±20%, so
+    # flag only >1.5× — the flag list rides in the JSON line; an empty list
+    # is the healthy state.
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".benchmarks",
+        f"baseline_sf{sf}.json",
     )
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh).get("queries", {})
+        out["baseline_total"] = round(
+            sum(v for k, v in baseline.items() if k in timings), 3
+        )
+        out["regressions"] = {
+            k: {"now": v, "baseline": baseline[k]}
+            for k, v in timings.items()
+            if k in baseline and v > 1.5 * baseline[k]
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ shape, null handling — is real Spark plumbing and tested.
 The actual codec step is STUBBED: this container has no image/audio
 libraries, so ``decode_image`` raises ``NotImplementedError`` unless a
 decoder (PIL) is importable, and ``extract_media_features`` falls back to a
-deterministic header-based fake (size, sha1, magic-sniffed kind,
+deterministic header-based fake (size, md5, magic-sniffed kind,
 fake dimensions parsed from the header bytes) so the pipeline shape is
 exercised end-to-end.
 
@@ -43,7 +43,7 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.IntegerType(), True),
-        T.StructField("sha1", T.StringType(), True),
+        T.StructField("md5", T.StringType(), True),
         T.StructField("sniffed_kind", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -88,7 +88,7 @@ def _fake_dims(content: bytes | None) -> tuple[int | None, int | None]:
     content digest so tests are stable and the column shape is realistic."""
     if content is None:
         return None, None
-    d = hashlib.sha1(content).digest()
+    d = hashlib.md5(content).digest()
     return 16 * (1 + d[0] % 64), 16 * (1 + d[1] % 64)
 
 
@@ -109,8 +109,8 @@ def extract_media_features(df: DataFrame, content_col: str = "content") -> DataF
                     "n_bytes": [
                         len(c) if c is not None else None for c in contents
                     ],
-                    "sha1": [
-                        hashlib.sha1(c).hexdigest() if c is not None else None
+                    "md5": [
+                        hashlib.md5(c).hexdigest() if c is not None else None
                         for c in contents
                     ],
                     "sniffed_kind": [_sniff(c) for c in contents],

@@ -37,7 +37,7 @@ def test_extract_features(media):
 
     content = b"\x89PNG\r\n\x1a\nrest-of-png"
     assert out[1]["n_bytes"] == len(content)
-    assert out[1]["sha1"] == hashlib.sha1(content).hexdigest()
+    assert out[1]["md5"] == hashlib.md5(content).hexdigest()
     # deterministic fake dims: multiples of 16 in [16, 1024]
     assert out[1]["width"] % 16 == 0 and 16 <= out[1]["width"] <= 1024
 
@@ -58,7 +58,7 @@ def test_documents_adapter(spark):
     out = extract_media_features(documents_as_media(docs)).collect()[0]
     assert out["media_id"] == 7
     assert out["n_bytes"] == len(b"hello world")
-    assert out["sha1"] == hashlib.sha1(b"hello world").hexdigest()
+    assert out["md5"] == hashlib.md5(b"hello world").hexdigest()
 
 
 def test_resize_plumbing(media):
