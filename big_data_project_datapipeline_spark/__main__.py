@@ -165,9 +165,40 @@ def run_features(spark: SparkSession, store: str, out_dir: str) -> DataFrame:
     return out
 
 
+def run_fetch(
+    payload_dir: str, target_date: dt.date, retries: int = 0, probe: bool = False
+) -> None:
+    """The reference's HTTP fetch step (raw_data.py:22-206): fetch the five
+    payloads over the real requests transport and land them in the ingest
+    CLI's payload-dir conventions. ``--probe`` also HEADs each endpoint and
+    writes the monitoring metrics doc (raw_data.py:360-424). Driver-side
+    only — no Spark session needed to fetch."""
+    from big_data_project_datapipeline_spark.sources import fetch as FX
+
+    transport = FX.requests_transport(retries=retries)
+    payloads = FX.fetch_all(transport, target_date)
+    FX.write_payload_dir(payloads, payload_dir)
+    if probe:
+        import requests
+
+        def head(url: str, timeout: float | None) -> None:
+            requests.head(url, timeout=timeout).raise_for_status()
+
+        metrics = FX.probe_api_health(head)
+        metrics["last_run"] = dt.datetime.now(dt.timezone.utc).isoformat()
+        write_metrics_json(
+            metrics, os.path.join(payload_dir, "_metrics", "api_health.json")
+        )
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="big_data_project_datapipeline_spark")
     sub = ap.add_subparsers(dest="job", required=True)
+    fet = sub.add_parser("fetch", help="HTTP fetch → landed payload dir")
+    fet.add_argument("--out", required=True, help="payload dir to land into")
+    fet.add_argument("--date", required=True, help="YYYY-MM-DD target day")
+    fet.add_argument("--retries", type=int, default=0)
+    fet.add_argument("--probe", action="store_true", help="write API health metrics")
     ing = sub.add_parser("ingest", help="daily payload ingest → raw store")
     ing.add_argument("--payload-dir", required=True)
     ing.add_argument("--store", required=True)
@@ -176,6 +207,11 @@ def main(argv: list[str] | None = None) -> None:
     fea.add_argument("--store", required=True)
     fea.add_argument("--out", required=True)
     args = ap.parse_args(argv)
+    if args.job == "fetch":
+        run_fetch(
+            args.out, dt.date.fromisoformat(args.date), args.retries, args.probe
+        )
+        return
     spark = get_spark(app_name=f"pipeline-{args.job}")
     if args.job == "ingest":
         run_ingest(
