@@ -1114,6 +1114,49 @@ def q54_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_media_features(MM.documents_as_media(d))
 
 
+def q55_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: word 3-gram shingles repeated across ≥3 distinct
+    docs (headers/footers/license blocks in a pretraining corpus). One
+    explode + ONE groupBy on a uniform 60-bit shingle hash — map-side
+    combine does the heavy lifting, no skew by construction. The follow-up
+    (filtering flagged shingles out of docs) is a broadcast semi-join of
+    this (small) output against the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(D.shingle_hash_set(F.col("text"), 3)).alias("shingle_hash"),
+    )
+    return (
+        sh.groupBy("shingle_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))  # hashes pre-deduped per doc
+        .filter(F.col("n_docs") >= 3)
+    )
+
+
+def q56_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word 4-gram
+    with a benchmark set (here the deterministic doc_id%10==0 slice stands
+    in for an external eval set). The benchmark shingle set is broadcast —
+    one corpus scan, no shuffle until the per-doc count; at 100 TB the
+    benchmark side stays the small side by construction (eval sets are
+    MBs). Output: contaminated doc_id + distinct overlapping shingles."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(D.shingle_hash_set(F.col("text"), 4)).alias("h")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("h").alias("bh"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(bench), F.col("h") == F.col("bh"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("h")).alias("n_overlap"))
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1254,13 +1297,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_twap": q53_twap,
         "q54_media_features": q54_media_features,
         "q92_feature_pipeline": q92_feature_pipeline,
-        # --- positions 51+ (outside the driver's 50-entry gate; near-dup
-        # variants of gated operators, all pandas-pinned in unit tests) ---
+        # --- positions 51+ (outside the driver's 50-entry gate; oracle-
+        # backed and bit-checked by tools/compare_oracle.py locally —
+        # near-dup variants of gated operators plus newer pipeline ops) ---
         "q16_running_total": q16_running_total,
         "q30_asof_backward": q30_asof_backward,
         "q45_dedup_then_join": q45_dedup_then_join,
         "q46_upsert_keep_first": q46_upsert_keep_first,
         "q50_asof_forward": q50_asof_forward,
+        "q55_boilerplate_shingles": q55_boilerplate_shingles,
+        "q56_decontaminate": q56_decontaminate,
         # --- rows-only (no SQL-expressible oracle) ---
         "q90_ann_lsh": q90_ann_lsh,
         "q93_ann_ivf": q93_ann_ivf,
@@ -1947,6 +1993,32 @@ def oracle_sql() -> dict[str, str]:
                        AS weighted_sum
             FROM events e JOIN dim d ON e.event_type = d.event_type
             GROUP BY e.event_type
+        """,
+        "q55_boilerplate_shingles": f"""
+            WITH toks AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+                    i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+3], ' ')), 1, 15))
+                              AS BIGINT)))) AS shingle_hash
+                FROM toks)
+            SELECT shingle_hash, COUNT(*) AS n_docs
+            FROM sh GROUP BY shingle_hash HAVING COUNT(*) >= 3
+            ORDER BY shingle_hash
+        """,
+        "q56_decontaminate": f"""
+            WITH toks AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+            sh AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, CASE WHEN len(t) >= 4 THEN len(t) - 3 ELSE 0 END),
+                    i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+4], ' ')), 1, 15))
+                              AS BIGINT)))) AS h
+                FROM toks),
+            bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 10 = 0)
+            SELECT s.doc_id, COUNT(DISTINCT s.h) AS n_overlap
+            FROM sh s JOIN bench b ON s.h = b.h
+            WHERE s.doc_id % 10 <> 0
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "q54_media_features": """
             SELECT doc_id AS media_id,

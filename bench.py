@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "q52_salted_join",
     "q53_twap",
     "q54_media_features",
+    "q55_boilerplate_shingles",
+    "q56_decontaminate",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

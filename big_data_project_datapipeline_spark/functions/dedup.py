@@ -57,6 +57,31 @@ def token_hash_set(text: Column) -> Column:
     )
 
 
+def word_shingles(text: Column, k: int = 5) -> Column:
+    """Word k-gram shingles (space-joined) — the unit of boilerplate
+    mining and benchmark decontamination. Pure array expressions: a
+    sequence of start offsets sliced out of one tokenization, no explode
+    until the caller needs one."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_hash_set(text: Column, k: int = 5) -> Column:
+    """Distinct 60-bit md5 hashes of the word k-gram shingles — same
+    engine-portable digest scheme as ``token_hash_set`` so every consumer
+    is oracle-checkable."""
+    return F.array_distinct(
+        F.transform(
+            word_shingles(text, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        )
+    )
+
+
 def lsh_threshold(n_bands: int, band_size: int) -> float:
     """Approximate Jaccard similarity where the (b, r) LSH S-curve is
     steepest: (1/b)^(1/r). Pairs above it are likely candidates."""

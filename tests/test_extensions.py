@@ -359,3 +359,51 @@ def test_q32_srp_recall_vs_exact_within_label(spark):
     }
     assert got <= exact
     assert len(got) / len(exact) >= 0.7
+
+
+def test_word_shingles_and_hashes(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "x y"), (2, None)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", D.word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert out[0] == ["a b c", "b c d"]  # sliding k-grams, in order
+    assert out[1] == []  # shorter than k -> empty, not error
+    hashes = (
+        df.filter("doc_id = 0")
+        .select(D.shingle_hash_set(F.col("text"), 3).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert len(hashes) == 2 and all(isinstance(h, int) for h in hashes)
+    # engine-portable digest: matches md5 of the shingle text
+    expect = int(hashlib.md5(b"a b c").hexdigest()[:15], 16)
+    assert expect in hashes
+
+
+def test_decontaminate_flags_only_real_overlaps(spark):
+    """q56 invariants on real data: benchmark docs never flagged; every
+    flagged doc shares >=1 exact word 4-gram with some benchmark doc."""
+    import __spark_entry__ as entrymod
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    flagged = {
+        r["doc_id"]: r["n_overlap"]
+        for r in entrymod.queries()["q56_decontaminate"](spark, sf).collect()
+    }
+    assert flagged and all(doc % 10 != 0 for doc in flagged)
+    d = load_table(spark, sf, "documents")
+    sh = d.select(
+        "doc_id", F.explode(D.shingle_hash_set(F.col("text"), 4)).alias("h")
+    )
+    bench_hashes = {
+        r["h"] for r in sh.filter("doc_id % 10 = 0").collect()
+    }
+    some = list(flagged)[:5]
+    for doc in some:
+        mine = {r["h"] for r in sh.filter(F.col("doc_id") == doc).collect()}
+        assert len(mine & bench_hashes) == flagged[doc]
