@@ -1122,9 +1122,14 @@ def q55_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (filtering flagged shingles out of docs) is a broadcast semi-join of
     this (small) output against the corpus."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
+    # stage the token array: shingling references it k+2 times, and an
+    # inline tokens(text) would re-run the regexp split per reference
+    staged = d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    sh = staged.select(
         "doc_id",
-        F.explode(D.shingle_hash_set(F.col("text"), 3)).alias("shingle_hash"),
+        F.explode(D.shingle_hash_set_from_tokens(F.col("toks"), 3)).alias(
+            "shingle_hash"
+        ),
     )
     return (
         sh.groupBy("shingle_hash")
@@ -1141,8 +1146,10 @@ def q56_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark side stays the small side by construction (eval sets are
     MBs). Output: contaminated doc_id + distinct overlapping shingles."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(D.shingle_hash_set(F.col("text"), 4)).alias("h")
+    staged = d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    sh = staged.select(
+        "doc_id",
+        F.explode(D.shingle_hash_set_from_tokens(F.col("toks"), 4)).alias("h"),
     )
     bench = (
         sh.filter(F.col("doc_id") % 10 == 0)
