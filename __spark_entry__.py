@@ -1164,6 +1164,56 @@ def q56_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — vocabulary weighting for corpus
+    curation. Two keyed groupBys (term freq, doc freq) + a token-keyed
+    shuffle join (vocab is NOT broadcast: web-scale vocabularies are
+    hapax-heavy and huge); ranks on the round(6) score so ln() ULP noise
+    can't flip cross-engine ordering."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.tf_idf_top_terms(d, k=3)
+
+
+def q58_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: modal-unigram /
+    modal-bigram fraction + duplicate-trigram fraction per doc. Relational
+    (explode + groupBy) rather than per-row HOF mode-finding, which would
+    be O(len²) on book-length docs. All outputs are ratios of counts —
+    exact IEEE division, no rounding needed."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.add_repetition_metrics(d)
+
+
+def q59_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/link scrubbing: URL/email/IPv4 → placeholder tokens + whitespace
+    collapse (regexp_replace chain, map-only), with per-category match
+    counts on the original text. Patterns restricted to the Java-regex ∩
+    RE2 dialect so the oracle runs the identical chain. Behavioural edge
+    cases (URLs containing '@', multiple matches) are pinned in unit tests
+    with crafted rows; the gate checks the chain over the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    counts = TX.scrub_counts(t)
+    clean = TX.scrub_text(t)
+    return d.select(
+        "doc_id",
+        counts["n_urls"].alias("n_urls"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        F.length(clean).alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def q60_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit over the embeddings table (scale,
+    payload checksum, saturated lanes, L2 reconstruction error) — map-only
+    HOF folds, engine-portable arithmetic (floor, not cast: double→int
+    CAST truncates in Spark but rounds in DuckDB)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.quantize_int8_metrics(emb)
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1314,6 +1364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_asof_forward": q50_asof_forward,
         "q55_boilerplate_shingles": q55_boilerplate_shingles,
         "q56_decontaminate": q56_decontaminate,
+        "q57_tfidf_top_terms": q57_tfidf_top_terms,
+        "q58_repetition_metrics": q58_repetition_metrics,
+        "q59_scrub_pii": q59_scrub_pii,
+        "q60_quantize_embeddings": q60_quantize_embeddings,
         # --- rows-only (no SQL-expressible oracle) ---
         "q90_ann_lsh": q90_ann_lsh,
         "q93_ann_ivf": q93_ann_ivf,
@@ -2026,6 +2080,98 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s JOIN bench b ON s.h = b.h
             WHERE s.doc_id % 10 <> 0
             GROUP BY s.doc_id ORDER BY s.doc_id
+        """,
+        "q57_tfidf_top_terms": f"""
+            WITH toks AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                   FROM tok GROUP BY doc_id, token),
+            dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+                SELECT doc_id, token, tf, df,
+                       ROUND(tf * ln(n_docs / df), 6) AS tfidf
+                FROM tf JOIN dft USING (token) CROSS JOIN n),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY tfidf DESC, token ASC) AS rank
+                FROM scored)
+            SELECT doc_id, token, tf, df, tfidf, rank
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "q58_repetition_metrics": f"""
+            WITH toks AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+            grams AS (
+                SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, 2 AS n, unnest(list_transform(
+                    range(0, CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END),
+                    i -> array_to_string(t[i+1:i+2], ' '))) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, 3 AS n, unnest(list_transform(
+                    range(0, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+                    i -> array_to_string(t[i+1:i+3], ' '))) AS g FROM toks),
+            per_gram AS (
+                SELECT doc_id, n, g, COUNT(*) AS cnt
+                FROM grams GROUP BY doc_id, n, g),
+            per_n AS (
+                SELECT doc_id, n, MAX(cnt) AS top_cnt,
+                       CAST(SUM(cnt) AS BIGINT) AS total,
+                       COUNT(*) AS n_distinct
+                FROM per_gram GROUP BY doc_id, n)
+            SELECT doc_id,
+                   MAX(CASE WHEN n = 1 THEN total END) AS n_tokens,
+                   MAX(CASE WHEN n = 1 THEN top_cnt END)
+                       / MAX(CASE WHEN n = 1 THEN total END) AS top_unigram_frac,
+                   MAX(CASE WHEN n = 2 THEN top_cnt END)
+                       / MAX(CASE WHEN n = 2 THEN total END) AS top_bigram_frac,
+                   1.0 - MAX(CASE WHEN n = 3 THEN n_distinct END)
+                       / MAX(CASE WHEN n = 3 THEN total END) AS dup_trigram_frac
+            FROM per_n GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q59_scrub_pii": """
+            WITH clean AS (
+                SELECT doc_id, text,
+                    trim(regexp_replace(regexp_replace(regexp_replace(
+                        regexp_replace(text,
+                            'https?://\\S+', '<URL>', 'g'),
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g'),
+                        '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                        '\\s+', ' ', 'g')) AS c
+                FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'https?://\\S+')) AS n_urls,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ips,
+                   length(c) AS clean_len,
+                   md5(c) AS clean_md5
+            FROM clean ORDER BY doc_id
+        """,
+        "q60_quantize_embeddings": """
+            WITH s AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_max(list_transform(embedding::DOUBLE[],
+                                               x -> abs(x))) / 127.0 AS scale
+                FROM embeddings),
+            q AS (
+                SELECT vec_id, v, scale,
+                       list_transform(v, x -> CASE WHEN scale > 0
+                           THEN CAST(floor(x / scale) AS BIGINT)
+                           ELSE 0 END) AS qv,
+                       list_transform(v, x -> x - (CASE WHEN scale > 0
+                           THEN floor(x / scale) ELSE 0 END) * scale) AS dv
+                FROM s)
+            SELECT vec_id, len(v) AS dim, scale,
+                   CAST(list_sum(qv) AS BIGINT) AS sum_q,
+                   len(list_filter(qv, x -> abs(x) >= 127)) AS n_sat,
+                   ROUND(sqrt(list_sum(list_transform(dv, d -> d * d))), 6)
+                       AS recon_err
+            FROM q ORDER BY vec_id
         """,
         "q54_media_features": """
             SELECT doc_id AS media_id,

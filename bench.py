@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     "q54_media_features",
     "q55_boilerplate_shingles",
     "q56_decontaminate",
+    "q57_tfidf_top_terms",
+    "q58_repetition_metrics",
+    "q59_scrub_pii",
+    "q60_quantize_embeddings",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

@@ -92,6 +92,64 @@ def cosine_topk(
     )
 
 
+def quantize_int8_metrics(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization metrics per vector — the storage-side op
+    of an embedding pipeline (fp32 → int8 cuts a 100 TB vector store 4×).
+
+    Per vector: ``scale`` = max|x|/127, ``q_i`` = floor(xᵢ/scale), and the
+    outputs a compression job audits — ``sum_q`` (checksum of the quantized
+    payload), ``n_sat`` (saturated lanes, |q|=127), and the L2
+    reconstruction error. Map-only: every metric is a higher-order-function
+    fold over the vector, no shuffle, no Python.
+
+    Engine-portable arithmetic by construction: floor (not cast/round —
+    double→int CAST truncates in Spark but rounds in DuckDB), IEEE ×/÷
+    only, sequential in-order folds, round(6) on the one sqrt surface.
+    """
+    v = F.col(vec_col)
+    staged = df.select(
+        id_col,
+        v.alias("__v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias(
+            "__absmax"
+        ),
+    )
+    scale = (F.col("__absmax") / F.lit(127.0)).alias("scale")
+    staged = staged.select(id_col, "__v", scale)
+    s = F.col("scale")
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(s > 0, F.floor(x.cast("double") / s)).otherwise(
+            F.lit(0)
+        ).cast("long"),
+    )
+    staged = staged.select(id_col, "__v", "scale", q.alias("__q"))
+    err_sq = F.aggregate(
+        F.zip_with(
+            F.col("__v"),
+            F.col("__q"),
+            lambda x, qi: (x.cast("double") - qi.cast("double") * s)
+            * (x.cast("double") - qi.cast("double") * s),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return staged.select(
+        id_col,
+        F.size("__v").alias("dim"),
+        "scale",
+        F.aggregate(
+            F.col("__q"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_q"),
+        F.size(F.filter(F.col("__q"), lambda x: F.abs(x) >= 127)).alias(
+            "n_sat"
+        ),
+        F.round(F.sqrt(err_sq), 6).alias("recon_err"),
+    )
+
+
 def _srp_component(i: int, j: int, table: int = 0) -> float:
     """Deterministic pseudo-random hyperplane component in [-1, 1): first 6
     hex chars of md5("i:j"). Computed driver-side — these are constants, so

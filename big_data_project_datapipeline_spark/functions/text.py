@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level so pandas_udf type hints resolve
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Small deterministic stopword inventories for the heuristic language ID.
@@ -292,6 +292,152 @@ def winnow_fingerprints_udf(k: int = 5, window: int = 4, base: int = 256):
         return pd.Series(out)
 
     return fp
+
+
+# --- PII / boilerplate scrubbing -------------------------------------------
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround. Scrub order matters — URLs
+# first (they can contain '@'), then emails, then bare IPv4s.
+URL_PATTERN = r"https?://\S+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+SCRUB_STEPS: list[tuple[str, str]] = [
+    (URL_PATTERN, "<URL>"),
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+]
+
+
+def scrub_text(text: Column) -> Column:
+    """PII/link-scrubbed text: URLs → <URL>, emails → <EMAIL>, IPv4s →
+    <IP>, whitespace collapsed, trimmed. Pure ``regexp_replace`` chain —
+    codegen'd JVM regex, no Python. Mirrors reference-pipeline text
+    cleaning; at 100 TB this is a map-only pass."""
+    out = text
+    for pat, rep in SCRUB_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def scrub_counts(text: Column) -> dict[str, Column]:
+    """Match counts per scrub category on the ORIGINAL text."""
+    return {
+        "n_urls": F.regexp_count(text, F.lit(URL_PATTERN)),
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_PATTERN)),
+        "n_ips": F.regexp_count(text, F.lit(IPV4_PATTERN)),
+    }
+
+
+def add_repetition_metrics(
+    df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_unigram_frac``  — fraction of tokens that are the modal token
+    - ``top_bigram_frac``   — fraction of bigrams that are the modal bigram
+    - ``dup_trigram_frac``  — fraction of trigrams that are repeats
+      (1 − distinct/total)
+
+    Shape for 100 TB: the (doc, n, gram) frequency table is built by ONE
+    explode + groupBy (map-side combine collapses repeats before the
+    shuffle); modal counts per (doc, n) and the final per-doc pivot are
+    keyed on doc_id, so no skew beyond document count. A per-row
+    higher-order-function mode would be O(len²) per doc — unbounded for
+    book-length documents — hence the relational shape. Grams travel as
+    raw strings: a hashed variant (60-bit md5, the engine's portable
+    digest) was measured 1.6× SLOWER end-to-end — the per-gram md5 costs
+    more than the narrower shuffle saves at word-gram sizes.
+    """
+    from . import dedup as D  # local import to avoid a module cycle
+
+    staged = df.select(doc_id_col, tokens(F.col(text_col)).alias("__toks"))
+    tk = F.col("__toks")
+    grams = staged.select(
+        doc_id_col,
+        F.explode(
+            F.concat(
+                F.transform(tk, lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
+                F.transform(
+                    D.shingles_from_tokens(tk, 2),
+                    lambda s: F.struct(F.lit(2).alias("n"), s.alias("g")),
+                ),
+                F.transform(
+                    D.shingles_from_tokens(tk, 3),
+                    lambda s: F.struct(F.lit(3).alias("n"), s.alias("g")),
+                ),
+            )
+        ).alias("ng"),
+    ).select(doc_id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    per_gram = grams.groupBy(doc_id_col, "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_n = per_gram.groupBy(doc_id_col, "n").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+
+    def _pick(n: int, expr: Column) -> Column:
+        return F.max(F.when(F.col("n") == n, expr))
+
+    return per_n.groupBy(doc_id_col).agg(
+        _pick(1, F.col("total")).alias("n_tokens"),
+        (_pick(1, F.col("top_cnt")) / _pick(1, F.col("total"))).alias(
+            "top_unigram_frac"
+        ),
+        (_pick(2, F.col("top_cnt")) / _pick(2, F.col("total"))).alias(
+            "top_bigram_frac"
+        ),
+        (
+            F.lit(1.0)
+            - _pick(3, F.col("n_distinct")) / _pick(3, F.col("total"))
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf · ln(N/df), ties by token).
+
+    Scale shape: term frequencies are one explode + groupBy with map-side
+    combine; document frequency reuses the tf table (already one row per
+    (doc, token)); the tf⋈df join shuffles on token — deliberately NOT a
+    broadcast, since a web-scale vocabulary (hapax-heavy) is itself huge.
+    N arrives via a 1-row cross join, which Spark plans as a broadcast
+    nested loop — no driver-side count() action. Ranking uses the
+    ROUNDED score so cross-engine ULP noise in ln() cannot flip ranks.
+    """
+    staged = df.select(doc_id_col, tokens(F.col(text_col)).alias("__toks"))
+    tf = (
+        staged.select(doc_id_col, F.explode("__toks").alias("token"))
+        .groupBy(doc_id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
+    scored = (
+        tf.join(dft, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy(doc_id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(doc_id_col, "token", "tf", "df", "tfidf", "rank")
+    )
 
 
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -407,3 +407,106 @@ def test_decontaminate_flags_only_real_overlaps(spark):
     for doc in some:
         mine = {r["h"] for r in sh.filter(F.col("doc_id") == doc).collect()}
         assert len(mine & bench_hashes) == flagged[doc]
+
+
+def test_scrub_text_crafted(spark):
+    """PII scrub on inputs the synthetic corpus lacks: URLs (incl. one
+    containing '@'), emails, IPv4s, whitespace collapse."""
+    rows = [
+        (1, "see https://ex.com/a?u=x@y.z and http://b.io now"),
+        (2, "mail me: alice.smith+tag@sub.example.co.uk thanks"),
+        (3, "host 192.168.0.1 and  10.0.0.255\tlisted"),
+        (4, "plain   text   only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    counts = TX.scrub_counts(t)
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            counts["n_urls"].alias("u"),
+            counts["n_emails"].alias("e"),
+            counts["n_ips"].alias("i"),
+            TX.scrub_text(t).alias("c"),
+        ).collect()
+    }
+    # URL scrub wins over the email inside the URL (scrub order)
+    assert out[1]["u"] == 2 and out[1]["c"] == "see <URL> and <URL> now"
+    assert out[2]["e"] == 1 and out[2]["c"] == "mail me: <EMAIL> thanks"
+    assert out[3]["i"] == 2 and out[3]["c"] == "host <IP> and <IP> listed"
+    assert out[4]["c"] == "plain text only"
+
+
+def test_repetition_metrics_python_parity(spark):
+    """Gopher repetition fractions vs a literal Python computation."""
+    from collections import Counter
+
+    rows = [
+        (1, "a a a b c"),              # modal unigram 'a' 3/5
+        (2, "x y x y x y"),            # modal bigram 'x y' 3/5
+        (3, "p q r p q r p q r"),      # repeated trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TX.add_repetition_metrics(df).collect()}
+    for doc_id, text in rows:
+        toks = text.split()
+        for n, col in [(1, "top_unigram_frac"), (2, "top_bigram_frac")]:
+            grams = [
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            ]
+            expect = Counter(grams).most_common(1)[0][1] / len(grams)
+            assert got[doc_id][col] == pytest.approx(expect), (doc_id, col)
+        tri = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        expect_dup = 1.0 - len(set(tri)) / len(tri)
+        assert got[doc_id]["dup_trigram_frac"] == pytest.approx(expect_dup)
+        assert got[doc_id]["n_tokens"] == len(toks)
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """tf·ln(N/df) on a 3-doc corpus, rank ties broken by token."""
+    import math as _m
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "apple cherry"),
+        (3, "banana banana banana cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = TX.tf_idf_top_terms(df, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 df=2 -> 2*ln(1.5); banana tf=1 df=2 -> ln(1.5)
+    d1 = {r["token"]: r for r in by_doc[1]}
+    assert d1["apple"]["rank"] == 1
+    assert d1["apple"]["tfidf"] == pytest.approx(
+        round(2 * _m.log(3 / 2), 6)
+    )
+    assert d1["banana"]["rank"] == 2
+    # doc 3: banana 3*ln(1.5) beats cherry ln(1.5)
+    d3 = {r["token"]: r for r in by_doc[3]}
+    assert d3["banana"]["rank"] == 1 and d3["cherry"]["rank"] == 2
+    # every rank run is 1..k contiguous
+    for doc, rs in by_doc.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_quantize_int8_invariants(spark):
+    """Quantization audit: scale, saturation, reconstruction error bound
+    (|x - q*scale| < scale since q = floor(x/scale))."""
+    rows = [
+        (1, [1.0, -1.0, 0.5, 0.0]),
+        (2, [0.001, 0.002, -0.003, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector -> scale 0, q=0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in SIM.quantize_int8_metrics(df).collect()}
+    assert out[1]["scale"] == pytest.approx(1.0 / 127.0)
+    assert out[1]["n_sat"] >= 1  # x = max|x| lands exactly on 127
+    assert out[3]["scale"] == 0.0 and out[3]["sum_q"] == 0
+    assert out[3]["recon_err"] == 0.0
+    for vid, vec in rows[:2]:
+        scale = out[vid]["scale"]
+        # floor-quantization error per lane < scale; L2 < scale*sqrt(dim)
+        assert out[vid]["recon_err"] < scale * (len(vec) ** 0.5)
