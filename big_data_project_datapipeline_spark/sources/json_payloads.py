@@ -96,21 +96,12 @@ def lenient_iso_timestamp(col: "F.Column") -> "F.Column":
     )
 
 
-def normalize_carbon_records(
-    spark: SparkSession, payloads: list[dict[str, Any]]
-) -> DataFrame:
-    """S3: union of per-day record-list payloads → flat typed rows.
-
-    Replicates the skip-record guard (``from`` missing → drop, reference
-    raw_data.py:116-117, F6) and the coerce-to-null timestamp cast (:129-131,
-    P4) as column predicates, not Python loops.
-    """
-    records: list[Any] = []
-    for p in payloads:
-        records.extend(p.get("data") or [])
-    df = spark.createDataFrame(records, CARBON_RECORD) if records else (
-        spark.createDataFrame([], CARBON_RECORD)
-    )
+def carbon_record_columns(df: DataFrame) -> DataFrame:
+    """The S3 column recipe on a frame of CARBON_RECORD rows — shared by
+    the dict-payload batch path and the landed-file streaming path (one
+    definition, two runtimes). Skip-record guard (``from`` missing → drop,
+    reference raw_data.py:116-117, F6) and coerce-to-null timestamp cast
+    (:129-131, P4) as column predicates, not Python loops."""
     return (
         df.filter(F.col("from").isNotNull() & (F.col("from") != ""))
         .select(
@@ -121,6 +112,19 @@ def normalize_carbon_records(
         )
         .filter(F.col("datetime").isNotNull())
     )
+
+
+def normalize_carbon_records(
+    spark: SparkSession, payloads: list[dict[str, Any]]
+) -> DataFrame:
+    """S3: union of per-day record-list payloads → flat typed rows."""
+    records: list[Any] = []
+    for p in payloads:
+        records.extend(p.get("data") or [])
+    df = spark.createDataFrame(records, CARBON_RECORD) if records else (
+        spark.createDataFrame([], CARBON_RECORD)
+    )
+    return carbon_record_columns(df)
 
 
 def normalize_generation_mix(

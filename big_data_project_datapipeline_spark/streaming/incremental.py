@@ -89,6 +89,57 @@ def streaming_dedup_keep_first(
     )
 
 
+def stream_carbon_payloads(spark, landing_dir: str) -> DataFrame:
+    """Streaming twin of the fetch→ingest loop: a file-source stream over
+    the payload landing dir (`sources.fetch.write_payload_dir`'s layout —
+    one single-line JSON document per fetch, ``carbon_*.json``), exploded
+    to records and normalized through the SAME column recipe as the batch
+    path (`json_payloads.carbon_record_columns`).
+
+    File-source semantics give the cron loop its exactly-once story for
+    free: each landed file is processed in exactly one micro-batch
+    (checkpointed file log), so re-running the drain after new fetches
+    appends only the new payloads' rows. Schema is EXPLICIT — no inference
+    pass, and malformed documents yield null-`data` rows that explode to
+    zero records rather than failing the stream."""
+    from big_data_project_datapipeline_spark.sources.json_payloads import (
+        CARBON_RECORD,
+        carbon_record_columns,
+    )
+    from pyspark.sql import types as T
+
+    payload_schema = T.StructType(
+        [T.StructField("data", T.ArrayType(CARBON_RECORD), True)]
+    )
+    raw = (
+        spark.readStream.schema(payload_schema)
+        .option("pathGlobFilter", "carbon_*.json")
+        .json(landing_dir)
+    )
+    recs = raw.select(F.explode("data").alias("r")).select("r.*")
+    return carbon_record_columns(recs)
+
+
+def run_available_now_to_parquet(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "engine_stream_sink",
+) -> StreamingQuery:
+    """Drain-to-parquet with checkpointed exactly-once file tracking — the
+    production shape of the cron fetch→ingest loop (the memory-sink variant
+    above is for tests/inspection)."""
+    return (
+        result.writeStream.format("parquet")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,
