@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "q58_repetition_metrics",
     "q59_scrub_pii",
     "q60_quantize_embeddings",
+    "q61_chunk_dedup",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

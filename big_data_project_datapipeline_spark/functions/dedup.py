@@ -466,3 +466,72 @@ def simhash(
 def hamming_distance(a: Column, b: Column) -> Column:
     """Popcount of xor — bit_count is native in Spark ≥3.4 and DuckDB."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def word_chunks(toks: Column, k: int = 3) -> Column:
+    """Non-overlapping k-word chunks with their 0-based position:
+    ``array<struct<pos:int, chunk:string>>`` (last chunk may be short).
+
+    Map-only construction (transform + slice over a staged token array) —
+    the CCNet "paragraph" unit generalized to fixed word windows, since
+    the corpus here is single-line token streams with no newlines."""
+    n_chunks = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.array_join(F.slice(toks, i * k + 1, k), " ").alias("chunk"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
+
+
+def chunk_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Corpus-wide keep-first chunk dedup — CCNet-style paragraph dedup
+    (Wenzek et al. 2020: hash every paragraph, drop repeats corpus-wide,
+    keep one copy) re-expressed over non-overlapping k-word chunks.
+
+    An instance (doc, pos, chunk) survives iff it is the FIRST occurrence
+    of that chunk in (doc_id, pos) order; surviving chunks are re-joined
+    in position order into ``text_dedup``. Output per doc: text_dedup,
+    n_chunks, n_kept.
+
+    100 TB shape: explode is map-only; the first-occurrence decision is a
+    groupBy(chunk).min(struct(id, pos)) — map-side partial aggregation
+    absorbs hot chunks (a boilerplate chunk repeated 1e9× combines to one
+    row per map task), which is why this is a groupBy + join back rather
+    than a row_number window (a window partitioned by chunk would put the
+    hot chunk's every instance in ONE partition). At scale, key the
+    shuffle on a 64-bit hash of the chunk instead of the raw string to
+    cut shuffle bytes (raw strings kept here for oracle bit-parity and
+    because short-chunk corpora measure faster without the extra md5)."""
+    inst = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .select(F.col(id_col), F.explode(word_chunks(F.col("toks"), k)).alias("c"))
+        .select(F.col(id_col), F.col("c.pos").alias("pos"), F.col("c.chunk").alias("chunk"))
+    )
+    firsts = inst.groupBy("chunk").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first")
+    )
+    flagged = inst.join(firsts, "chunk").withColumn(
+        "kept",
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("kept"), F.struct("pos", "chunk")))
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    )

@@ -510,3 +510,27 @@ def test_quantize_int8_invariants(spark):
         scale = out[vid]["scale"]
         # floor-quantization error per lane < scale; L2 < scale*sqrt(dim)
         assert out[vid]["recon_err"] < scale * (len(vec) ** 0.5)
+
+
+def test_chunk_dedup_keep_first(spark):
+    """CCNet chunk dedup: later occurrences of a chunk drop corpus-wide,
+    first (doc_id, pos) occurrence survives; partial last chunk included."""
+    from big_data_project_datapipeline_spark.functions.dedup import chunk_dedup
+
+    rows = [
+        (1, "a b c d e f"),        # chunks: "a b c", "d e f"
+        (2, "a b c x y z"),        # "a b c" dup -> dropped
+        (3, "d e f"),              # whole doc is a dup -> empty text
+        (4, "x y z q r s t"),      # "x y z" dup of doc 2; partial tail "t"
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in chunk_dedup(df, k=3).collect()}
+    assert out[1]["text_dedup"] == "a b c d e f"
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["text_dedup"] == "x y z"
+    assert (out[2]["n_chunks"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["text_dedup"] == ""
+    assert (out[3]["n_chunks"], out[3]["n_kept"]) == (1, 0)
+    # doc 4: "x y z" dropped (doc 2 owns it), "q r s" + partial "t" kept
+    assert out[4]["text_dedup"] == "q r s t"
+    assert (out[4]["n_chunks"], out[4]["n_kept"]) == (3, 2)
