@@ -1226,6 +1226,60 @@ def q61_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.chunk_dedup(d, k=3)
 
 
+def q62_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet LM perplexity filter: per-doc mean unigram log-prob + ppl
+    under the in-corpus unigram model (external-LM join shape; see
+    text.unigram_logprob_scores for the 100 TB notes — token-keyed vocab
+    join NOT broadcast, decimal-accumulated log-prob sums)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.unigram_logprob_scores(d)
+
+
+def q63_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing — the data-mixing step of a pretraining
+    pipeline: downsample overrepresented sources toward a UNIFORM target
+    mix with the q47 md5-bucket device (reproducible across runs and
+    engines, no RNG state). Keep-rate per source = min(1, (N/k)/count_s),
+    computed relationally from two tiny aggregates (broadcast back —
+    n_sources is small by nature); audit output = per-source kept counts,
+    keep rate, realized share."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    tot = counts.agg(
+        F.sum("n_total").cast("double").alias("__n"),
+        F.count(F.lit(1)).cast("double").alias("__k"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "keep_rate",
+        F.least(F.lit(1.0), (F.col("__n") / F.col("__k")) / F.col("n_total")),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("source", "keep_rate")), "source")
+        .withColumn("__b", bucket)
+        .filter(F.col("__b") < F.col("keep_rate") * 100.0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    base = (
+        rates.select("source", "n_total", "keep_rate")
+        .join(kept, "source", "left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)).cast("long"))
+    )
+    kt = base.agg(F.sum("n_kept").cast("double").alias("__kt"))
+    return base.crossJoin(F.broadcast(kt)).select(
+        "source",
+        "n_total",
+        "n_kept",
+        F.round("keep_rate", 6).alias("keep_rate"),
+        F.round(F.col("n_kept") / F.col("__kt"), 6).alias("realized_share"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1373,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_feature_pipeline": q92_feature_pipeline,
         # --- positions 51+ (outside the driver's 50-entry gate; oracle-
         # backed and bit-checked by tools/compare_oracle.py locally) ---
+        "q62_lm_perplexity": q62_lm_perplexity,
+        "q63_source_mix_rebalance": q63_source_mix_rebalance,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2214,6 +2270,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_kept
             FROM ranked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q62_lm_perplexity": f"""
+            WITH toks AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+            tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            tf AS (SELECT doc_id, token, COUNT(*) AS c
+                   FROM tok GROUP BY doc_id, token),
+            vocab AS (SELECT token, CAST(SUM(c) AS BIGINT) AS cnt
+                      FROM tf GROUP BY token),
+            tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+            scored AS (
+                SELECT doc_id, c,
+                       CAST(c * ln(cnt / total) AS DECIMAL(28,12)) AS lp
+                FROM tf JOIN vocab USING (token) CROSS JOIN tot),
+            per AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       CAST(SUM(lp) AS DOUBLE) / SUM(c) AS avg
+                FROM scored GROUP BY doc_id)
+            SELECT doc_id, n_tokens, ROUND(avg, 6) AS avg_logprob,
+                   ROUND(exp(-avg), 6) AS ppl
+            FROM per ORDER BY doc_id
+        """,
+        "q63_source_mix_rebalance": """
+            WITH counts AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+                FROM documents GROUP BY source),
+            tot AS (SELECT CAST(SUM(n_total) AS DOUBLE) AS n,
+                           CAST(COUNT(*) AS DOUBLE) AS k FROM counts),
+            rates AS (
+                SELECT source, n_total,
+                       LEAST(CAST(1.0 AS DOUBLE), (n / k) / n_total)
+                           AS keep_rate
+                FROM counts CROSS JOIN tot),
+            kept AS (
+                SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM documents d JOIN rates r ON d.source = r.source
+                WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT) % 100
+                      < r.keep_rate * CAST(100.0 AS DOUBLE)
+                GROUP BY d.source),
+            base AS (
+                SELECT r.source, r.n_total,
+                       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                       r.keep_rate
+                FROM rates r LEFT JOIN kept k ON r.source = k.source),
+            kt AS (SELECT CAST(SUM(n_kept) AS DOUBLE) AS total_kept
+                   FROM base)
+            SELECT source, n_total, n_kept,
+                   ROUND(keep_rate, 6) AS keep_rate,
+                   ROUND(n_kept / total_kept, 6) AS realized_share
+            FROM base CROSS JOIN kt ORDER BY source
         """,
         "q54_media_features": """
             SELECT doc_id AS media_id,

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "q59_scrub_pii",
     "q60_quantize_embeddings",
     "q61_chunk_dedup",
+    "q62_lm_perplexity",
+    "q63_source_mix_rebalance",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

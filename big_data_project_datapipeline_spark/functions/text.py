@@ -461,3 +461,52 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": normalized_fingerprint(t),
         }
     ).drop("__toks")
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str = "text", doc_id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality scoring with an in-corpus unigram model:
+    per-doc mean token log-probability and perplexity under
+    p(t) = corpus_count(t) / total_tokens (Wenzek et al. 2020 filter
+    documents on LM perplexity; the reference model there is KenLM — in
+    production the probability table is such an EXTERNAL dump joined the
+    same way, fitting on the corpus itself keeps the op self-contained
+    and oracle-checkable).
+
+    Scale shape: tf is one explode + groupBy(doc, token) with map-side
+    combine; the vocab table reuses tf (groupBy token — no second corpus
+    scan); the total token count arrives via a 1-row broadcast cross
+    join (no driver action); tf⋈vocab shuffles on token — deliberately
+    NOT broadcast, web vocabularies are hapax-heavy and huge. The
+    per-doc sum of c·ln p accumulates in DECIMAL so partition order
+    cannot wiggle low-order bits, and round(6) absorbs cross-engine
+    ln()/exp() ULP noise."""
+    staged = df.select(doc_id_col, tokens(F.col(text_col)).alias("__toks"))
+    tf = (
+        staged.select(doc_id_col, F.explode("__toks").alias("token"))
+        .groupBy(doc_id_col, "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = tf.groupBy("token").agg(F.sum("c").alias("cnt"))
+    total = vocab.select(F.sum("cnt").cast("double").alias("__total"))
+    scored = (
+        tf.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "lp",
+            (F.col("c") * F.log(F.col("cnt") / F.col("__total"))).cast(
+                "decimal(28,12)"
+            ),
+        )
+    )
+    per_doc = scored.groupBy(doc_id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        (F.sum("lp").cast("double") / F.sum("c")).alias("__avg"),
+    )
+    return per_doc.select(
+        doc_id_col,
+        "n_tokens",
+        F.round("__avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 6).alias("ppl"),
+    )

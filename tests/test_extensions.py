@@ -534,3 +534,47 @@ def test_chunk_dedup_keep_first(spark):
     # doc 4: "x y z" dropped (doc 2 owns it), "q r s" + partial "t" kept
     assert out[4]["text_dedup"] == "q r s t"
     assert (out[4]["n_chunks"], out[4]["n_kept"]) == (3, 2)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus: p(a)=3/6, p(b)=2/6, p(c)=1/6; per-doc mean log-prob
+    and ppl = exp(-mean) match hand math."""
+    from big_data_project_datapipeline_spark.functions.text import (
+        unigram_logprob_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    lp1 = (2 * math.log(3 / 6) + math.log(2 / 6)) / 3
+    lp2 = (math.log(3 / 6) + math.log(2 / 6) + math.log(1 / 6)) / 3
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(round(lp1, 6))
+    assert out[2]["avg_logprob"] == pytest.approx(round(lp2, 6))
+    assert out[2]["ppl"] == pytest.approx(round(math.exp(-lp2), 6))
+    # the rarer-token doc scores lower (higher perplexity) — the filter's
+    # actual decision axis
+    assert out[2]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[2]["ppl"] > out[1]["ppl"]
+
+
+def test_source_mix_rebalance_invariants(spark):
+    """Uniform-target rebalance: underrepresented sources keep everything
+    (rate 1), overrepresented ones are cut toward N/k, shares sum to 1."""
+    import __spark_entry__ as e
+
+    out = e.q63_source_mix_rebalance(spark, "/root/testdata/sf0.001").collect()
+    rows = {r["source"]: r for r in out}
+    n = sum(r["n_total"] for r in out)
+    k = len(out)
+    for r in out:
+        assert 0 < r["keep_rate"] <= 1.0
+        assert r["n_kept"] <= r["n_total"]
+        if r["n_total"] <= n / k:  # underrepresented -> keep all
+            assert r["keep_rate"] == 1.0 and r["n_kept"] == r["n_total"]
+    assert sum(r["realized_share"] for r in out) == pytest.approx(1.0, abs=1e-4)
+    # deterministic: same selection on re-run
+    again = {r["source"]: r["n_kept"]
+             for r in e.q63_source_mix_rebalance(spark, "/root/testdata/sf0.001").collect()}
+    assert again == {s: r["n_kept"] for s, r in rows.items()}
