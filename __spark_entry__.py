@@ -1280,6 +1280,40 @@ def q63_source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q64_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): turn q32's
+    BOUNDED near-dup candidate pairs into an O(n) per-vector keep/drop
+    decision — a vector drops iff it has a ≥τ (0.35) neighbor with a smaller
+    vec_id, so the smallest-id representative of every near-dup group
+    survives. Same decision shape the minhash path uses
+    (dedup.minhash_dedup_decision): one groupBy over the pair set + one
+    left join back to the corpus; clusters are never materialized. The
+    τ filter runs on the ROUNDED sim, which both engines emit
+    bit-identically (q32 is hash-gated), so the decision is engine-exact
+    even though raw BLAS sims differ at 1e-14."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = q32_embedding_neardup(spark, sf_dir).filter(
+        F.col("cosine_sim") >= 0.35
+    )
+    drops = pairs.groupBy(F.col("right_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_dup_neighbors"),
+        F.max("cosine_sim").alias("max_sim"),
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_dup_neighbors"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_neighbors"),
+            F.col("max_sim").isNotNull().cast("int").alias("dropped"),
+            F.coalesce(F.col("max_sim"), F.lit(0.0)).alias("max_sim"),
+        )
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1429,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # backed and bit-checked by tools/compare_oracle.py locally) ---
         "q62_lm_perplexity": q62_lm_perplexity,
         "q63_source_mix_rebalance": q63_source_mix_rebalance,
+        "q64_semantic_dedup": q64_semantic_dedup,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -1923,6 +1958,40 @@ def oracle_sql() -> dict[str, str]:
                 JOIN e a ON c.left_id = a.vec_id
                 JOIN e b ON c.right_id = b.vec_id) p
             WHERE sim >= 0.3
+        """,
+        "q64_semantic_dedup": f"""
+            WITH bands32 AS ({bands32}),
+            cand32 AS (
+                SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+                FROM bands32 a JOIN bands32 b
+                  ON a.label = b.label AND a.tbl = b.tbl
+                 AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS n
+                FROM embeddings),
+            pairs AS (
+                SELECT c.left_id, c.right_id,
+                       ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6)
+                           AS cosine_sim
+                FROM cand32 c
+                JOIN e a ON c.left_id = a.vec_id
+                JOIN e b ON c.right_id = b.vec_id),
+            drops AS (
+                SELECT right_id AS vec_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_dup_neighbors,
+                       MAX(cosine_sim) AS max_sim
+                FROM pairs WHERE cosine_sim >= 0.35
+                GROUP BY right_id)
+            SELECT emb.vec_id, emb.label,
+                   CAST(COALESCE(d.n_dup_neighbors, 0) AS BIGINT)
+                       AS n_dup_neighbors,
+                   CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS dropped,
+                   COALESCE(d.max_sim, 0.0) AS max_sim
+            FROM embeddings emb LEFT JOIN drops d ON emb.vec_id = d.vec_id
+            ORDER BY emb.vec_id
         """,
         "q38_percentiles": """
             SELECT event_type,

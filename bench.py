@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q61_chunk_dedup",
     "q62_lm_perplexity",
     "q63_source_mix_rebalance",
+    "q64_semantic_dedup",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

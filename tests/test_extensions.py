@@ -578,3 +578,28 @@ def test_source_mix_rebalance_invariants(spark):
     again = {r["source"]: r["n_kept"]
              for r in e.q63_source_mix_rebalance(spark, "/root/testdata/sf0.001").collect()}
     assert again == {s: r["n_kept"] for s, r in rows.items()}
+
+
+def test_semantic_dedup_decision_matches_pairs(spark):
+    """q64 decision invariant: a vector drops iff q32 reports a ≥τ pair
+    in which it is the larger id — so every near-dup group keeps its
+    smallest id, and nothing without a qualifying neighbor drops."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["left_id"], r["right_id"])
+        for r in e.q32_embedding_neardup(spark, sf).collect()
+        if r["cosine_sim"] >= 0.35
+    ]
+    expected_drops = {r for _, r in pairs}
+    out = {r["vec_id"]: r for r in e.q64_semantic_dedup(spark, sf).collect()}
+    got_drops = {v for v, r in out.items() if r["dropped"] == 1}
+    assert got_drops == expected_drops and len(got_drops) > 0
+    for left, right in pairs:
+        assert out[right]["n_dup_neighbors"] >= 1
+        assert out[right]["max_sim"] >= 0.35
+    # smallest id in any pair never drops unless it is also a right side
+    lefts_only = {l for l, _ in pairs} - expected_drops
+    for v in lefts_only:
+        assert out[v]["dropped"] == 0
