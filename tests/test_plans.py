@@ -101,3 +101,43 @@ def test_q44_partial_aggregation(spark):
 def test_q45_semi_join_not_inner(spark):
     plan = plan_of(spark, "q45_dedup_then_join")
     assert "LeftSemi" in plan
+
+
+def test_q61_chunk_dedup_groupby_not_window(spark):
+    plan = plan_of(spark, "q61_chunk_dedup")
+    # first-occurrence decision must be the skew-proof groupBy-min (with a
+    # map-side partial phase), never a row_number window keyed on chunk
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q62_vocab_join_size_driven_not_hinted(spark):
+    # tf⋈vocab must not carry a broadcast HINT: web vocabularies are
+    # hapax-heavy and huge, and a forced broadcast would OOM the driver
+    # at scale. Catalyst choosing broadcast at sf0.001 (where the vocab
+    # really is tiny) is correct size-driven behavior and reverses on its
+    # own once the vocab outgrows the threshold — so the audit checks the
+    # LOGICAL plan for hints, not the physical strategy. The only hint
+    # allowed is the deliberate 1-row total broadcast.
+    df = entrymod.queries()["q62_lm_perplexity"](spark, SF)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    hints = [l for l in logical.splitlines() if "ResolvedHint" in l]
+    assert len(hints) == 1, hints  # the 1-row __total only
+    assert "CartesianProduct" not in plan_of(spark, "q62_lm_perplexity")
+
+
+def test_q63_rates_broadcast(spark):
+    plan = plan_of(spark, "q63_source_mix_rebalance")
+    # per-source keep-rates are O(sources) — they must come back as a
+    # broadcast, so the corpus-side selection is one map-only pass
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q64_decision_no_cartesian(spark):
+    plan = plan_of(spark, "q64_semantic_dedup")
+    # the pair step stays inside (label, tbl, bucket) cells and the
+    # decision is groupBy + equi-join back — nothing quadratic globally
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
