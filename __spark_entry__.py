@@ -1314,6 +1314,15 @@ def q64_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate-then-chunk window
+    assignment per md5 shard (see text.sequence_packing — per-shard
+    cumsum window, never a global order-by; straddle flag is the
+    packing-efficiency metric)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.sequence_packing(d, budget=256, n_shards=8)
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1464,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_lm_perplexity": q62_lm_perplexity,
         "q63_source_mix_rebalance": q63_source_mix_rebalance,
         "q64_semantic_dedup": q64_semantic_dedup,
+        "q65_sequence_packing": q65_sequence_packing,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -1992,6 +2002,32 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(d.max_sim, 0.0) AS max_sim
             FROM embeddings emb LEFT JOIN drops d ON emb.vec_id = d.vec_id
             ORDER BY emb.vec_id
+        """,
+        "q65_sequence_packing": f"""
+            WITH toks AS (
+                SELECT doc_id, len({tokens_sql}) AS n_tokens FROM documents),
+            staged AS (
+                SELECT doc_id,
+                       CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 15)) AS BIGINT) % 8
+                            AS INTEGER) AS shard,
+                       CAST(n_tokens AS BIGINT) AS n_tokens
+                FROM toks WHERE n_tokens > 0),
+            c AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM staged)
+            SELECT doc_id, shard, n_tokens,
+                   cum - n_tokens AS token_offset,
+                   CAST(floor((cum - n_tokens) / 256.0) AS BIGINT)
+                       AS first_window,
+                   CAST(floor((cum - 1) / 256.0) AS BIGINT) AS last_window,
+                   CAST(CASE WHEN floor((cum - 1) / 256.0)
+                                  > floor((cum - n_tokens) / 256.0)
+                             THEN 1 ELSE 0 END AS INTEGER) AS straddles
+            FROM c ORDER BY doc_id
         """,
         "q38_percentiles": """
             SELECT event_type,

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q62_lm_perplexity",
     "q63_source_mix_rebalance",
     "q64_semantic_dedup",
+    "q65_sequence_packing",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

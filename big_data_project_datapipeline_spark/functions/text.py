@@ -510,3 +510,60 @@ def unigram_logprob_scores(
         F.round("__avg", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("__avg")), 6).alias("ppl"),
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = 8,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence-packing assignment (concatenate-then-chunk):
+    documents are concatenated in (shard, doc_id) order and cut into
+    fixed ``budget``-token training windows; each doc gets its token
+    offset inside the shard stream, its first/last window ids, and a
+    boundary-straddle flag (the fraction of straddling docs is the
+    packing-efficiency metric trainers watch).
+
+    Scale shape: packing state is a running sum — kept scalable by
+    partitioning the window on a DETERMINISTIC md5 shard of the doc id,
+    never a global order-by (a single global cumsum serializes the
+    corpus through one partition). Shard count is the knob: pick
+    corpus_tokens / (desired partition tokens); each shard's stream is
+    independent, which is exactly how multi-worker training shards
+    consume the data anyway. Zero-token docs are excluded (they have no
+    window to land in)."""
+    tc = token_count(F.col(text_col))
+    shard = (
+        F.conv(F.substring(F.md5(F.col(doc_id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+    staged = (
+        df.select(doc_id_col, tc.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shard", shard)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(doc_id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        doc_id_col,
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (cum - F.col("n_tokens")).cast("long").alias("token_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(float(budget)))
+        .cast("long")
+        .alias("first_window"),
+        F.floor((cum - 1) / F.lit(float(budget))).cast("long").alias("last_window"),
+        (
+            F.floor((cum - 1) / F.lit(float(budget)))
+            > F.floor((cum - F.col("n_tokens")) / F.lit(float(budget)))
+        )
+        .cast("int")
+        .alias("straddles"),
+    )

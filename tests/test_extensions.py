@@ -603,3 +603,30 @@ def test_semantic_dedup_decision_matches_pairs(spark):
     lefts_only = {l for l, _ in pairs} - expected_drops
     for v in lefts_only:
         assert out[v]["dropped"] == 0
+
+
+def test_sequence_packing_hand_computed(spark):
+    """Single shard, budget 4: offsets are the running concatenation,
+    windows are offset//4 .. (end-1)//4, straddle flags exact."""
+    from big_data_project_datapipeline_spark.functions.text import (
+        sequence_packing,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g h"), (3, "i"), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in sequence_packing(df, budget=4, n_shards=1).collect()
+    }
+    assert 4 not in out  # zero-token doc excluded
+    # doc1: tokens 0..2 -> window 0 only
+    assert (out[1]["token_offset"], out[1]["first_window"],
+            out[1]["last_window"], out[1]["straddles"]) == (0, 0, 0, 0)
+    # doc2: tokens 3..7 -> windows 0..1, straddles
+    assert (out[2]["token_offset"], out[2]["first_window"],
+            out[2]["last_window"], out[2]["straddles"]) == (3, 0, 1, 1)
+    # doc3: token 8 -> window 2 exactly at a boundary, no straddle
+    assert (out[3]["token_offset"], out[3]["first_window"],
+            out[3]["last_window"], out[3]["straddles"]) == (8, 2, 2, 0)
