@@ -1323,6 +1323,30 @@ def q65_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.sequence_packing(d, budget=256, n_shards=8)
 
 
+def q66_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free deterministic train/val/test split: the split key is
+    the md5 bucket of the GROUP (source/domain), not the document —
+    near-dups cluster within a domain, and a doc-level split would leak
+    them across train and eval (the classic contamination mistake; cf.
+    q56's n-gram decontamination for the cross-corpus case). 90/5/5 by
+    bucket, map-only, reproducible on any engine — the q47 device at
+    group granularity."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 15), 16, 10).cast("long")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1474,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_source_mix_rebalance": q63_source_mix_rebalance,
         "q64_semantic_dedup": q64_semantic_dedup,
         "q65_sequence_packing": q65_sequence_packing,
+        "q66_train_val_split": q66_train_val_split,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2028,6 +2053,18 @@ def oracle_sql() -> dict[str, str]:
                                   > floor((cum - n_tokens) / 256.0)
                              THEN 1 ELSE 0 END AS INTEGER) AS straddles
             FROM c ORDER BY doc_id
+        """,
+        "q66_train_val_split": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+                           % 100 AS bucket
+                FROM documents)
+            SELECT doc_id, source, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
         "q38_percentiles": """
             SELECT event_type,

@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q63_source_mix_rebalance",
     "q64_semantic_dedup",
     "q65_sequence_packing",
+    "q66_train_val_split",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

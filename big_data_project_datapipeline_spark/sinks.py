@@ -146,3 +146,30 @@ def content_hash(df: DataFrame) -> str:
     )
     total = hashed.agg(F.sum("h").alias("s")).first()["s"]
     return format(int(total or 0) % (1 << 128), "x")
+
+
+def write_sorted_for_skipping(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    target_files: int | None = None,
+) -> None:
+    """Data-skipping layout: range-partition + sort the data on the skip
+    columns before writing, so each parquet file owns a narrow, mostly
+    disjoint min/max range — the poor-man's Z-order. A later filtered
+    scan on those columns prunes whole files/row-groups from the parquet
+    footer statistics alone; on a 100 TB fact table that is the
+    difference between touching every file and touching the few that can
+    contain the predicate range.
+
+    ``repartitionByRange`` samples the sort keys for balanced range
+    bounds (one shuffle), ``sortWithinPartitions`` orders rows inside
+    each file so row-group stats stay tight too."""
+    parted = (
+        df.repartitionByRange(target_files, *sort_cols)
+        if target_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
+        path
+    )

@@ -630,3 +630,19 @@ def test_sequence_packing_hand_computed(spark):
     # doc3: token 8 -> window 2 exactly at a boundary, no straddle
     assert (out[3]["token_offset"], out[3]["first_window"],
             out[3]["last_window"], out[3]["straddles"]) == (8, 2, 2, 0)
+
+
+def test_train_val_split_group_constant(spark):
+    """q66: every doc of a source lands in the same split (leakage-free
+    by construction) and the assignment is deterministic across runs."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    rows = e.q66_train_val_split(spark, sf).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values())
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    again = {r["doc_id"]: r["split"] for r in e.q66_train_val_split(spark, sf).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in rows}

@@ -108,3 +108,42 @@ def test_partition_pruning_on_read(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(d" in plan
     # pruned scan reads exactly the one partition's rows
     assert q.count() == 10
+
+
+def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted_for_skipping: per-file min/max ranges on the sort key
+    must be (near-)disjoint so footer stats can prune files; a plain
+    round-robin write of the same data has overlapping ranges."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_datapipeline_spark.sinks import (
+        write_sorted_for_skipping,
+    )
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "skip")
+    write_sorted_for_skipping(ev, out, ["user_id"], target_files=4)
+
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "user_id"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    # consecutive file ranges must not interleave: each file owns its slice
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)
+    # and the data survives intact
+    assert spark.read.parquet(out).count() == ev.count()
