@@ -31,8 +31,15 @@ from big_data_project_datapipeline_spark.functions.temporal import (
     is_peak_hour,
     is_weekend,
 )
+from big_data_project_datapipeline_spark.functions.quality import (
+    fixed_bin_histogram,
+)
+from big_data_project_datapipeline_spark.operators import behavior as BV
 from big_data_project_datapipeline_spark.operators.asof import asof_join
 from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
+from big_data_project_datapipeline_spark.operators.temporal_fill import (
+    gap_fill_locf,
+)
 from big_data_project_datapipeline_spark.tables import load_table
 
 TWO_PI = 2.0 * math.pi
@@ -1347,6 +1354,69 @@ def q66_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+BM25_TERMS = ["data", "spark", "window"]
+
+
+def q67_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase: per-stage
+    user counts + step conversion (operators/behavior.ordered_funnel —
+    relational min-chain, one uniform user-key shuffle per stage; never a
+    per-user event sort)."""
+    ev = _t(spark, sf_dir, "events")
+    return BV.funnel_counts(ev, FUNNEL_STEPS)
+
+
+def q68_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/behavior.cohort_retention
+    — two groupBys on the user key + a broadcast cohort-size join)."""
+    ev = _t(spark, sf_dir, "events")
+    return BV.cohort_retention(ev)
+
+
+def q69_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly densification + last-observation-carried-
+    forward (operators/temporal_fill — sequence/explode grid from each
+    series' own bounds, decimal-exact slot mean, one LOCF window per
+    series)."""
+    ev = _t(spark, sf_dir, "events")
+    out = gap_fill_locf(
+        ev, "event_type", "ts", F.col("value"), "1 hour", "value"
+    )
+    return out.select(
+        "event_type", "slot", F.round("value", 6).alias("value"), "filled"
+    )
+
+
+def q70_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals of each user's event_type stream
+    (operators/behavior.scd2_intervals — lag change-points + lead interval
+    ends, one per-user window sort reused by both functions)."""
+    ev = _t(spark, sf_dir, "events")
+    return BV.scd2_intervals(
+        ev, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def q71_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 keyword search (functions/text.bm25_topk —
+    postings filtered to query terms before any join, broadcast df/stats,
+    TakeOrdered top-k; per-term contributions rounded then decimal-summed
+    for order-independence)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.bm25_topk(d, BM25_TERMS, k=20)
+
+
+def q72_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram per event type (functions/quality.
+    fixed_bin_histogram — single map-side-combined aggregate, clamped
+    floor bin ids, exact IEEE bin bounds)."""
+    ev = _t(spark, sf_dir, "events")
+    return fixed_bin_histogram(
+        ev, "value", 0.0, 500.0, 20, ["event_type"]
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1499,6 +1569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_semantic_dedup": q64_semantic_dedup,
         "q65_sequence_packing": q65_sequence_packing,
         "q66_train_val_split": q66_train_val_split,
+        "q67_funnel": q67_funnel,
+        "q68_cohort_retention": q68_cohort_retention,
+        "q69_gap_fill_locf": q69_gap_fill_locf,
+        "q70_scd2": q70_scd2,
+        "q71_bm25_search": q71_bm25_search,
+        "q72_value_histogram": q72_value_histogram,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2065,6 +2141,162 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b ORDER BY doc_id
+        """,
+        "q67_funnel": """
+            WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s0 ON e.user_id = s0.user_id AND e.ts > s0.t
+                   WHERE e.event_type = 'view' GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                   WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+            counts AS (
+                SELECT 0 AS step, 'signup' AS step_name,
+                       COUNT(*) AS users FROM s0
+                UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
+                UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+                UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3)
+            SELECT step, step_name, users,
+                   ROUND(users / LAG(users) OVER (ORDER BY step), 6)
+                       AS conv_from_prev
+            FROM counts ORDER BY step
+        """,
+        "q68_cohort_retention": """
+            WITH firsts AS (
+                SELECT user_id,
+                       MIN(date_trunc('week', ts)) AS cohort_week
+                FROM events GROUP BY user_id),
+            active AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts)
+                    AS active_week
+                FROM events),
+            joined AS (
+                SELECT a.user_id, f.cohort_week,
+                       CAST(date_diff('day', f.cohort_week,
+                                      a.active_week) / 7 AS BIGINT)
+                           AS week_offset
+                FROM active a JOIN firsts f ON a.user_id = f.user_id),
+            cells AS (
+                SELECT cohort_week, week_offset,
+                       COUNT(DISTINCT user_id) AS active_users
+                FROM joined GROUP BY cohort_week, week_offset),
+            sizes AS (
+                SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+                FROM firsts GROUP BY cohort_week)
+            SELECT c.cohort_week, c.week_offset, c.active_users,
+                   s.cohort_size,
+                   ROUND(c.active_users / s.cohort_size, 6)
+                       AS retention_rate
+            FROM cells c JOIN sizes s ON c.cohort_week = s.cohort_week
+            ORDER BY c.cohort_week, c.week_offset
+        """,
+        "q69_gap_fill_locf": """
+            WITH obs AS (
+                SELECT event_type, date_trunc('hour', ts) AS slot,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           / COUNT(value) AS obs
+                FROM events GROUP BY 1, 2),
+            bounds AS (
+                SELECT event_type,
+                       date_trunc('hour', MIN(ts)) AS lo,
+                       date_trunc('hour', MAX(ts)) AS hi
+                FROM events GROUP BY event_type),
+            grid AS (
+                SELECT b.event_type, g.slot
+                FROM bounds b,
+                     LATERAL (SELECT unnest(generate_series(
+                         b.lo, b.hi, INTERVAL 1 HOUR)) AS slot) g)
+            SELECT g.event_type, g.slot,
+                   ROUND(last_value(o.obs IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.slot
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS value,
+                   CAST(o.obs IS NULL AS INTEGER) AS filled
+            FROM grid g
+            LEFT JOIN obs o
+              ON g.event_type = o.event_type AND g.slot = o.slot
+            ORDER BY g.event_type, g.slot
+        """,
+        "q70_scd2": """
+            WITH marked AS (
+                SELECT user_id, event_type, ts, event_id,
+                       LAG(event_type) OVER w AS prev_type,
+                       ROW_NUMBER() OVER w AS rn
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            changed AS (
+                SELECT user_id, event_type, ts, event_id FROM marked
+                WHERE rn = 1
+                   OR event_type IS DISTINCT FROM prev_type)
+            SELECT user_id, event_type,
+                   ts AS valid_from,
+                   LEAD(ts) OVER w2 AS valid_to,
+                   CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+                   CAST(LEAD(ts) OVER w2 IS NULL AS INTEGER) AS is_current
+            FROM changed
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY user_id, valid_from
+        """,
+        "q71_bm25_search": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens_sql} AS t FROM documents),
+            lens AS (
+                SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+                WHERE token IN ('data', 'spark', 'window')
+                GROUP BY doc_id, token),
+            dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+            stats AS (
+                SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                           AS n_docs,
+                       (SELECT CAST(SUM(len(t)) AS DOUBLE) FROM toks)
+                           AS n_tokens),
+            contrib AS (
+                SELECT tf.doc_id,
+                       ROUND(
+                           ln(CAST(1.0 AS DOUBLE)
+                              + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                                / (d.df + CAST(0.5 AS DOUBLE)))
+                           * (tf.tf * CAST(2.2 AS DOUBLE))
+                           / (tf.tf + CAST(1.2 AS DOUBLE)
+                              * (CAST(0.25 AS DOUBLE)
+                                 + CAST(0.75 AS DOUBLE) * l.dl
+                                   / (s.n_tokens / s.n_docs))), 6)
+                           AS term_score
+                FROM tf
+                JOIN lens l ON tf.doc_id = l.doc_id
+                JOIN dft d ON tf.token = d.token
+                CROSS JOIN stats s),
+            scored AS (
+                SELECT doc_id,
+                       CAST(SUM(CAST(term_score AS DECIMAL(18,6)))
+                            AS DOUBLE) AS bm25,
+                       CAST(COUNT(*) AS INTEGER) AS n_matched_terms
+                FROM contrib GROUP BY doc_id)
+            SELECT doc_id, bm25, n_matched_terms,
+                   CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        "q72_value_histogram": """
+            WITH binned AS (
+                SELECT event_type,
+                       CAST(LEAST(GREATEST(
+                           FLOOR((value - 0.0) / 25.0), 0), 19)
+                           AS INTEGER) AS bin
+                FROM events WHERE value IS NOT NULL)
+            SELECT event_type, bin,
+                   CAST(bin * 25.0 AS DOUBLE) AS bin_lo,
+                   CAST((bin + 1) * 25.0 AS DOUBLE) AS bin_hi,
+                   COUNT(*) AS n
+            FROM binned GROUP BY event_type, bin
+            ORDER BY event_type, bin
         """,
         "q38_percentiles": """
             SELECT event_type,

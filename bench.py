@@ -90,6 +90,12 @@ BENCH_QUERIES = [
     "q64_semantic_dedup",
     "q65_sequence_packing",
     "q66_train_val_split",
+    "q67_funnel",
+    "q68_cohort_retention",
+    "q69_gap_fill_locf",
+    "q70_scd2",
+    "q71_bm25_search",
+    "q72_value_histogram",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

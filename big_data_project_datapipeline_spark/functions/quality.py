@@ -52,3 +52,38 @@ def completeness_warnings(
         for key, limit in thresholds.items()
         if metrics.get(key, 0) > limit
     ]
+
+
+def fixed_bin_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram (width_bucket semantics): values clamp into
+    [lo, hi) bins, with per-group counts and bin bounds.
+
+    One groupBy over (groups, bin) — bin assignment is pure arithmetic on
+    the scan, so the whole op is a single map-side-combined aggregate; no
+    per-group sort, no driver-side binning. The bin id from floor() is
+    exact for IEEE doubles, hence engine-reproducible bit-for-bit.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bin_id = F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    out = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_id.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.select(
+        *group_cols,
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+        "n",
+    )

@@ -440,6 +440,96 @@ def tf_idf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 keyword search: top-k documents for a bag of query terms.
+
+    idf uses the Lucene-style ln(1 + (N - df + 0.5)/(df + 0.5)) (always
+    positive); the tf saturation uses the standard k1/b length
+    normalization against the corpus mean doc length.
+
+    Scale shape mirrors tf_idf_top_terms, but the tf table is filtered to
+    the query terms BEFORE any join — the per-term postings list, not the
+    full vocabulary, is what flows. df/N/avgdl all arrive as 1-row or
+    len(query)-row broadcast frames (no driver action). The final top-k is
+    orderBy+limit — Spark plans TakeOrdered (per-partition heap + driver
+    merge of k·P rows), never a global sort.
+
+    Parity: per-term contributions are rounded to 6dp (ln is
+    transcendental) and summed in DECIMAL so the per-doc score is
+    order-independent; ranking uses the rounded score with doc_id
+    tiebreak.
+    """
+    staged = df.select(doc_id_col, tokens(F.col(text_col)).alias("__toks"))
+    lens = staged.select(
+        doc_id_col, F.size("__toks").cast("double").alias("dl")
+    )
+    tf = (
+        staged.select(doc_id_col, F.explode("__toks").alias("token"))
+        .filter(F.col("token").isin(list(query_terms)))
+        .groupBy(doc_id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    ).crossJoin(
+        staged.select(F.explode("__toks").alias("__t")).agg(
+            F.count(F.lit(1)).cast("double").alias("__n_tokens")
+        )
+    )
+    contrib = (
+        tf.join(lens, doc_id_col)
+        .join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__avgdl", F.col("__n_tokens") / F.col("__n_docs"))
+        .withColumn(
+            "__idf",
+            F.log(
+                1.0
+                + (F.col("__n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__term_score",
+            F.round(
+                F.col("__idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+                ),
+                6,
+            ),
+        )
+    )
+    scored = contrib.groupBy(doc_id_col).agg(
+        F.sum(F.col("__term_score").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("bm25"),
+        F.count(F.lit(1)).cast("int").alias("n_matched_terms"),
+    )
+    top = scored.orderBy(
+        F.col("bm25").desc(), F.col(doc_id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("bm25").desc(), F.col(doc_id_col).asc())
+    return top.select(
+        doc_id_col,
+        "bm25",
+        "n_matched_terms",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-statistics projection over a documents table. The
     token array is materialized once (projection boundary) and every stat

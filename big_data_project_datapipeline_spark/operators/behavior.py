@@ -1,0 +1,197 @@
+"""Event-behavior analytics: ordered funnels, cohort retention, SCD2.
+
+These are the classic product-analytics operators over an append-only event
+log (``events(event_id, ts, user_id, event_type, value)``) that the
+reference's pandas jobs never needed but any analytics engine at this
+surface is expected to ship. All three are expressed relationally so
+Catalyst keeps them in whole-stage codegen:
+
+- **Funnel** (``ordered_funnel``): the textbook "min ts of step k AFTER the
+  user's step k-1 timestamp" chain. Each stage is one groupBy(user) +\
+  one equi-join on user — every shuffle is on the same uniform user key,
+  so AQE coalescing + co-partitioning make the whole chain one exchange
+  per stage with no skew exposure. Never a per-user sort or collect_list:
+  a sorted-array scan per user would ship every event of a hot user to
+  one task, the relational min-chain ships one row per (user, stage).
+- **Cohort retention** (``cohort_retention``): first-activity week per
+  user (one groupBy), distinct (user, week) activity (one aggregate on
+  the same key), join on user, then a count-distinct per
+  (cohort, offset) cell. Cohort sizes re-join via broadcast — the cohort
+  dimension is O(weeks), tiny at any corpus size.
+- **SCD2** (``scd2_intervals``): change-point detection with
+  lag/lead over (entity ORDER BY ts, id) — the standard
+  slowly-changing-dimension type-2 build. One window per entity
+  partition; entities are numerous and uniform so the sort is
+  parallel and bounded per task.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user ordered funnel: a user reaches step k only via an event of
+    type ``steps[k]`` STRICTLY AFTER their step k-1 timestamp (first
+    qualifying occurrence). Returns one row per user with the reach
+    timestamp of each step (null = never reached).
+
+    Scale: len(steps) rounds of [filter → join(user) → groupBy(user)].
+    Every exchange hashes the same uniform user key; the per-stage state
+    is one row per user still in the funnel (monotonically shrinking).
+    """
+    if not steps:
+        raise ValueError("ordered_funnel needs at least one step")
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("step_0_ts"))
+    )
+    for k, step in enumerate(steps[1:], start=1):
+        prev = f"step_{k - 1}_ts"
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(user_col, F.col(ts_col).alias("__cand_ts"))
+            .join(out.select(user_col, prev), user_col)
+            .filter(F.col("__cand_ts") > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("__cand_ts").alias(f"step_{k}_ts"))
+        )
+        out = out.join(nxt, user_col, "left")
+    return out
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stage-level funnel summary: users reaching each step plus the
+    conversion rate from the previous step (round(6) for the parity gate).
+
+    The per-user funnel collapses to one O(len(steps))-row frame, so the
+    final lag window over a single partition is free.
+    """
+    per_user = ordered_funnel(events, steps, user_col, type_col, ts_col)
+    stage_counts = per_user.select(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("step"),
+                    F.lit(name).alias("step_name"),
+                    F.col(f"step_{k}_ts").isNotNull().alias("reached"),
+                )
+                for k, name in enumerate(steps)
+            ]
+        ).alias("stages")
+    )
+    exploded = stage_counts.select(F.explode("stages").alias("s")).select(
+        F.col("s.step").alias("step"),
+        F.col("s.step_name").alias("step_name"),
+        F.col("s.reached").cast("long").alias("reached"),
+    )
+    agg = exploded.groupBy("step", "step_name").agg(
+        F.sum("reached").alias("users")
+    )
+    w = Window.orderBy("step")
+    return agg.select(
+        "step",
+        "step_name",
+        "users",
+        F.round(
+            F.col("users") / F.lag("users").over(w),
+            6,
+        ).alias("conv_from_prev"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: cohort = Monday-truncated week of the
+    user's first event; one output row per (cohort_week, week_offset)
+    with distinct active users and the retention rate vs cohort size.
+    """
+    week = F.date_trunc("week", F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(
+        F.min(week).alias("cohort_week")
+    )
+    active = events.select(user_col, week.alias("active_week")).distinct()
+    joined = active.join(firsts, user_col).select(
+        user_col,
+        "cohort_week",
+        (
+            F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+    )
+    cells = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct(user_col).alias("active_users")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.countDistinct(user_col).alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias(
+            "retention_rate"
+        ),
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event/change log: collapse
+    consecutive equal attribute values per key into validity intervals
+    [valid_from, valid_to) with a version number and is_current flag.
+
+    Change points come from lag() over (key ORDER BY ts, tiebreak); the
+    interval end from lead() over the change rows only. Two windows on the
+    same partitioning → a single sort, reused by Catalyst.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # Null-safe change test (<=>): a run of equal values (nulls included)
+    # keeps only its first row; row_number==1 keeps the first row even when
+    # its attr equals lag's null (an all-null first run).
+    changed = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            | ~F.col(attr_col).eqNullSafe(F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        (F.row_number().over(w2)).cast("int").alias("version"),
+        F.lead(ts_col).over(w2).isNull().cast("int").alias("is_current"),
+    )

@@ -1,0 +1,174 @@
+"""Hand-computed fixtures for funnel / cohort retention / SCD2 /
+gap-fill-LOCF / BM25 / histogram — the behavior-analytics wave.
+
+Each test pins semantics the oracle can't distinguish from a lucky
+aggregate: funnel ORDER (a click before the view must not count),
+LOCF carry distance, SCD2 run collapsing, histogram clamping.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions.quality import (
+    fixed_bin_histogram,
+)
+from big_data_project_datapipeline_spark.functions.text import bm25_topk
+from big_data_project_datapipeline_spark.operators.behavior import (
+    cohort_retention,
+    funnel_counts,
+    ordered_funnel,
+    scd2_intervals,
+)
+from big_data_project_datapipeline_spark.operators.temporal_fill import (
+    gap_fill_locf,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+EV_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, EV_COLS)
+
+
+def test_funnel_requires_step_order(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, _ts("2024-01-01T00:00:00"), 1, "signup", 1.0),
+        (2, _ts("2024-01-01T01:00:00"), 1, "view", 1.0),
+        (3, _ts("2024-01-01T02:00:00"), 1, "click", 1.0),
+        # u2: view BEFORE signup — must stop at signup
+        (4, _ts("2024-01-02T05:00:00"), 2, "view", 1.0),
+        (5, _ts("2024-01-02T06:00:00"), 2, "signup", 1.0),
+        # u3: never signed up — not in funnel at all
+        (6, _ts("2024-01-03T00:00:00"), 3, "view", 1.0),
+    ]
+    out = ordered_funnel(
+        _events(spark, rows), ["signup", "view", "click"]
+    )
+    got = {r["user_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["step_2_ts"] == _ts("2024-01-01T02:00:00")
+    assert got[2]["step_1_ts"] is None and got[2]["step_2_ts"] is None
+    counts = {
+        r["step_name"]: r["users"]
+        for r in funnel_counts(
+            _events(spark, rows), ["signup", "view", "click"]
+        ).collect()
+    }
+    assert counts == {"signup": 2, "view": 1, "click": 1}
+
+
+def test_funnel_uses_first_qualifying_occurrence(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "signup", 1.0),
+        # two views after signup: step ts must be the EARLIER one
+        (2, _ts("2024-01-01T03:00:00"), 1, "view", 1.0),
+        (3, _ts("2024-01-01T01:00:00"), 1, "view", 1.0),
+    ]
+    out = ordered_funnel(_events(spark, rows), ["signup", "view"]).collect()
+    assert out[0]["step_1_ts"] == _ts("2024-01-01T01:00:00")
+
+
+def test_cohort_retention_offsets_and_rates(spark):
+    rows = [
+        # u1 first active Mon Jan 1 week; active again week +2
+        (1, _ts("2024-01-02T00:00:00"), 1, "view", 1.0),
+        (2, _ts("2024-01-16T00:00:00"), 1, "view", 1.0),
+        # u2 same cohort week, only week 0
+        (3, _ts("2024-01-03T00:00:00"), 2, "view", 1.0),
+    ]
+    out = {
+        (r["cohort_week"], r["week_offset"]): r.asDict()
+        for r in cohort_retention(_events(spark, rows)).collect()
+    }
+    w0 = _ts("2024-01-01T00:00:00")  # Monday truncation
+    assert out[(w0, 0)]["active_users"] == 2
+    assert out[(w0, 0)]["retention_rate"] == 1.0
+    assert out[(w0, 2)]["active_users"] == 1
+    assert out[(w0, 2)]["retention_rate"] == 0.5
+    assert out[(w0, 0)]["cohort_size"] == 2
+
+
+def test_scd2_collapses_runs_and_versions(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "a", 1.0),
+        (2, _ts("2024-01-01T01:00:00"), 1, "a", 1.0),  # same run
+        (3, _ts("2024-01-01T02:00:00"), 1, "b", 1.0),
+        (4, _ts("2024-01-01T03:00:00"), 1, "a", 1.0),  # a returns
+    ]
+    out = scd2_intervals(
+        _events(spark, rows), "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    assert [r["event_type"] for r in out] == ["a", "b", "a"]
+    assert [r["version"] for r in out] == [1, 2, 3]
+    assert out[0]["valid_to"] == _ts("2024-01-01T02:00:00")
+    assert out[1]["valid_to"] == _ts("2024-01-01T03:00:00")
+    assert out[2]["valid_to"] is None and out[2]["is_current"] == 1
+
+
+def test_gap_fill_locf_carries_and_flags(spark):
+    rows = [
+        (1, _ts("2024-01-01T00:10:00"), 1, "s", 10.0),
+        (2, _ts("2024-01-01T00:20:00"), 1, "s", 20.0),  # slot 00 mean 15
+        (3, _ts("2024-01-01T03:30:00"), 1, "s", 40.0),  # slots 01,02 gap
+    ]
+    out = gap_fill_locf(
+        _events(spark, rows), "event_type", "ts", F.col("value"), "1 hour"
+    ).collect()
+    got = {r["slot"].hour: (r["value"], r["filled"]) for r in out}
+    assert got[0] == (15.0, 0)
+    assert got[1] == (15.0, 1)  # carried forward, flagged
+    assert got[2] == (15.0, 1)
+    assert got[3] == (40.0, 0)
+    assert len(out) == 4  # grid spans the series' own bounds only
+
+
+def test_bm25_ranks_rarer_term_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common common"),
+            (2, "common common common"),
+            (3, "common filler filler filler filler filler"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["rare", "common"], k=10)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    # doc1 matches the rare term → highest score; all three match common.
+    assert rows[1]["rank"] == 1
+    assert rows[1]["n_matched_terms"] == 2
+    assert set(rows) == {1, 2, 3}
+    # longer doc with same tf is length-penalized below the short one
+    assert rows[2]["bm25"] > rows[3]["bm25"]
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 10.0), ("a", 99.0)],
+        ["k", "v"],
+    )
+    out = {
+        r["bin"]: r.asDict()
+        for r in fixed_bin_histogram(df, "v", 0.0, 50.0, 5, ["k"]).collect()
+    }
+    # -5 clamps into bin 0; 99 clamps into bin 4; bounds are exact.
+    assert out[0]["n"] == 3 and out[0]["bin_lo"] == 0.0
+    assert out[1]["n"] == 1 and out[1]["bin_hi"] == 20.0
+    assert out[4]["n"] == 1
+
+
+def test_funnel_rejects_empty_steps(spark):
+    with pytest.raises(ValueError):
+        ordered_funnel(
+            spark.createDataFrame([], "user_id long, event_type string, ts timestamp"),
+            [],
+        )
