@@ -36,7 +36,11 @@ from big_data_project_datapipeline_spark.functions.quality import (
 )
 from big_data_project_datapipeline_spark.operators import behavior as BV
 from big_data_project_datapipeline_spark.operators.asof import asof_join
+from big_data_project_datapipeline_spark.operators.fuzzy import (
+    blocked_levenshtein_pairs,
+)
 from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
+from big_data_project_datapipeline_spark.operators.rolling import rolling_stats
 from big_data_project_datapipeline_spark.operators.temporal_fill import (
     gap_fill_locf,
 )
@@ -1417,6 +1421,32 @@ def q72_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q73_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (Levenshtein ≤ 2) name matching on part
+    (operators/fuzzy.blocked_levenshtein_pairs — equality blocks on
+    p_brand + admissible length band; the DP distance runs only inside a
+    block, never across the full cross product)."""
+    p = _t(spark, sf_dir, "part")
+    return blocked_levenshtein_pairs(
+        p, ["p_brand"], "p_name", "p_partkey", max_dist=2
+    )
+
+
+def q74_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row rolling stats per user event stream
+    (operators/rolling.rolling_stats — one window spec serves
+    count/mean/std/min/max; decimal-accumulated frame sums, zero-clamped
+    variance)."""
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_stats(
+        ev, "user_id", ["ts", "event_id"], F.col("value"), n=5
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        "roll_n", "roll_mean", "roll_std", "roll_min", "roll_max",
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1575,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_scd2": q70_scd2,
         "q71_bm25_search": q71_bm25_search,
         "q72_value_histogram": q72_value_histogram,
+        "q73_fuzzy_match": q73_fuzzy_match,
+        "q74_rolling_stats": q74_rolling_stats,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2220,6 +2252,39 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN obs o
               ON g.event_type = o.event_type AND g.slot = o.slot
             ORDER BY g.event_type, g.slot
+        """,
+        "q73_fuzzy_match": """
+            SELECT l.p_partkey AS left_id, r.p_partkey AS right_id,
+                   l.p_name AS left_text, r.p_name AS right_text,
+                   CAST(levenshtein(l.p_name, r.p_name) AS INTEGER)
+                       AS distance
+            FROM part l JOIN part r
+              ON l.p_brand = r.p_brand
+             AND l.p_partkey < r.p_partkey
+            WHERE levenshtein(l.p_name, r.p_name) <= 2
+        """,
+        "q74_rolling_stats": """
+            WITH w0 AS (
+                SELECT user_id, event_id, ts, value,
+                       COUNT(value) OVER w AS roll_n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                            AS DOUBLE) AS s,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))
+                                * CAST(value AS DECIMAL(18,4))) OVER w
+                            AS DOUBLE) AS ss,
+                       MIN(value) OVER w AS roll_min,
+                       MAX(value) OVER w AS roll_max
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+            SELECT user_id, event_id, ts, value, roll_n,
+                   s / roll_n AS roll_mean,
+                   ROUND(SQRT(GREATEST(
+                       ss / roll_n - (s / roll_n) * (s / roll_n), 0.0
+                   )), 6) AS roll_std,
+                   roll_min, roll_max
+            FROM w0
+            ORDER BY user_id, ts, event_id
         """,
         "q70_scd2": """
             WITH marked AS (

@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "q70_scd2",
     "q71_bm25_search",
     "q72_value_histogram",
+    "q73_fuzzy_match",
+    "q74_rolling_stats",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
