@@ -29,12 +29,16 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    The ``events`` table stores TIMESTAMP(NANOS) which Spark has no native
-    type for — with ``spark.sql.legacy.parquet.nanosAsLong`` the column
-    arrives as epoch-nanos LONG and is converted to a micros timestamp
-    (`ts div 1000` — exact: the generator emits whole microseconds).
-    The conf is runtime-settable, so this also works on a driver-provided
-    SparkSession.
+    Timestamp normalization: generator vintages differ — TIMESTAMP(NANOS)
+    (no native Spark type; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it arrives as epoch-nanos LONG and is converted via `ts div 1000` —
+    exact, the generator emits whole microseconds) and TIMESTAMP_NTZ
+    (micros, isAdjustedToUTC=false). Both are normalized to the session
+    TIMESTAMP type (LTZ, session TZ pinned UTC, so wall-clock fields are
+    identical to DuckDB's naive read of the same file) — every operator
+    downstream then sees one timestamp semantics regardless of vintage.
+    The confs are runtime-settable, so this also works on a
+    driver-provided SparkSession.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -47,6 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
+            )
     return df
 
 
