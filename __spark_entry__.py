@@ -33,14 +33,20 @@ from big_data_project_datapipeline_spark.functions.temporal import (
 )
 from big_data_project_datapipeline_spark.functions.quality import (
     fixed_bin_histogram,
+    mad_outlier_summary,
+    welch_ttest,
 )
 from big_data_project_datapipeline_spark.operators import behavior as BV
 from big_data_project_datapipeline_spark.operators.asof import asof_join
 from big_data_project_datapipeline_spark.operators.fuzzy import (
     blocked_levenshtein_pairs,
 )
+from big_data_project_datapipeline_spark.operators.market import copurchase_lift
 from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
-from big_data_project_datapipeline_spark.operators.rolling import rolling_stats
+from big_data_project_datapipeline_spark.operators.rolling import (
+    rolling_stats,
+    trailing_ewma,
+)
 from big_data_project_datapipeline_spark.operators.temporal_fill import (
     gap_fill_locf,
 )
@@ -1447,6 +1453,65 @@ def q74_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping token chunking, 32-token windows / 8 overlap
+    (functions/text.chunk_documents — map-only: staged tokenize →
+    sequence/explode → slice; zero shuffles)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, chunk_tokens=32, overlap=8)
+
+
+def q76_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event streams
+    (operators/behavior.markov_transitions — one lag window on the
+    uniform user key, map-side-combined pair counts, broadcast totals)."""
+    ev = _t(spark, sf_dir, "events")
+    return BV.markov_transitions(ev)
+
+
+def q77_welch_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per event type, arms = user_id parity
+    (functions/quality.welch_ttest — ONE aggregate with conditional
+    decimal moments; all statistics derived from exact moments)."""
+    ev = _t(spark, sf_dir, "events")
+    return welch_ttest(ev, "value", (F.col("user_id") % 2) == 1, ["event_type"])
+
+
+def q78_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier summary per event type: lower-median, MAD, 3σ-rate
+    (functions/quality.mad_outlier_summary — element-based medians so
+    every downstream comparison is bit-reproducible across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    return mad_outlier_summary(ev, "value", ["event_type"])
+
+
+def q79_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket support/lift over order baskets (operators/market.
+    copurchase_lift — pairs generated WITHIN baskets only, bounded by
+    basket size; never an item×item cross product)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_lift(li, "l_orderkey", "l_partkey", min_pair_count=2)
+
+
+def q80_trailing_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing truncated EWMA (α=0.8, 8 lags) per user value stream
+    (operators/rolling.trailing_ewma — fixed lag chain with literal
+    weights: identical IEEE op sequence in any engine)."""
+    ev = _t(spark, sf_dir, "events")
+    out = trailing_ewma(ev, "user_id", ["ts", "event_id"], "value")
+    return out.select("user_id", "event_id", "ts", "value", "ewma")
+
+
+def q81_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution of purchases to click/view within 7 days
+    (operators/behavior.last_touch_attribution — single LOCF window per
+    user; horizon test on the materialized carried timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    return BV.last_touch_attribution(
+        ev, "purchase", ["click", "view"], horizon_days=7
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1522,6 +1587,35 @@ def q92_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
+
+
+def _ewma_oracle_sql(alpha: float = 0.8, n: int = 8) -> str:
+    """DuckDB twin of operators/rolling.trailing_ewma — the SAME left-fold
+    lag chain with the SAME repr'd weight literals, so both engines
+    execute an identical IEEE op sequence."""
+    lag = lambda k: (  # noqa: E731
+        "value" if k == 0 else f"LAG(value, {k}) OVER w"
+    )
+    num = " + ".join(
+        f"CASE WHEN {lag(k)} IS NOT NULL"
+        f" THEN {lag(k)} * {alpha ** k!r} ELSE 0.0 END"
+        for k in range(n)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag(k)} IS NOT NULL THEN {alpha ** k!r} ELSE 0.0 END"
+        for k in range(n)
+    )
+    return f"""
+        WITH w0 AS (
+            SELECT user_id, event_id, ts, value,
+                   {num} AS num,
+                   {den} AS den
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS ewma
+        FROM w0
+    """
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1607,6 +1701,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_value_histogram": q72_value_histogram,
         "q73_fuzzy_match": q73_fuzzy_match,
         "q74_rolling_stats": q74_rolling_stats,
+        "q75_rag_chunks": q75_rag_chunks,
+        "q76_markov_transitions": q76_markov_transitions,
+        "q77_welch_ab": q77_welch_ab,
+        "q78_mad_outliers": q78_mad_outliers,
+        "q79_copurchase_lift": q79_copurchase_lift,
+        "q80_trailing_ewma": q80_trailing_ewma,
+        "q81_attribution": q81_attribution,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2285,6 +2386,195 @@ def oracle_sql() -> dict[str, str]:
                    roll_min, roll_max
             FROM w0
             ORDER BY user_id, ts, event_id
+        """,
+        "q75_rag_chunks": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens_sql} AS tk FROM documents),
+            st AS (
+                SELECT doc_id, tk, len(tk) AS n,
+                       CASE WHEN len(tk) <= 32 THEN 1
+                            ELSE 1 + (len(tk) - 32 + 23) // 24 END AS nc
+                FROM toks WHERE len(tk) > 0),
+            ex AS (
+                SELECT doc_id, tk, n, nc,
+                       unnest(range(nc)) AS chunk_id
+                FROM st)
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(nc AS BIGINT) AS n_chunks,
+                   CAST(LEAST(32, n - chunk_id * 24) AS BIGINT) AS chunk_len,
+                   array_to_string(
+                       tk[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' '
+                   ) AS chunk_text
+            FROM ex
+        """,
+        "q76_markov_transitions": """
+            WITH seq AS (
+                SELECT LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS src,
+                       event_type AS dst
+                FROM events),
+            c AS (
+                SELECT src, dst, COUNT(*) AS n
+                FROM seq WHERE src IS NOT NULL GROUP BY src, dst),
+            t AS (
+                SELECT src, CAST(SUM(n) AS BIGINT) AS src_total
+                FROM c GROUP BY src)
+            SELECT c.src, c.dst, c.n, t.src_total,
+                   ROUND(CAST(c.n AS DOUBLE) / t.src_total, 6) AS p
+            FROM c JOIN t USING (src)
+        """,
+        # Welch: every statistic derives from the SAME exact decimal
+        # moments with the SAME expression tree as functions/quality.
+        "q77_welch_ab": """
+            WITH base AS (
+                SELECT event_type,
+                       COUNT(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_a,
+                       CAST(SUM(CASE WHEN user_id % 2 = 0
+                                THEN CAST(value AS DECIMAL(18,4)) END)
+                            AS DOUBLE) AS s_a,
+                       CAST(SUM(CASE WHEN user_id % 2 = 0
+                                THEN CAST(value AS DECIMAL(18,4))
+                                     * CAST(value AS DECIMAL(18,4)) END)
+                            AS DOUBLE) AS ss_a,
+                       COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_b,
+                       CAST(SUM(CASE WHEN user_id % 2 = 1
+                                THEN CAST(value AS DECIMAL(18,4)) END)
+                            AS DOUBLE) AS s_b,
+                       CAST(SUM(CASE WHEN user_id % 2 = 1
+                                THEN CAST(value AS DECIMAL(18,4))
+                                     * CAST(value AS DECIMAL(18,4)) END)
+                            AS DOUBLE) AS ss_b
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type),
+            d AS (
+                SELECT *,
+                       s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+                       (ss_a - s_a * (s_a / n_a)) / (n_a - 1) AS var_a,
+                       (ss_b - s_b * (s_b / n_b)) / (n_b - 1) AS var_b
+                FROM base),
+            e AS (
+                SELECT *, var_a / n_a + var_b / n_b AS se2 FROM d)
+            SELECT event_type, n_a, n_b,
+                   ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+                   ROUND(var_a, 6) AS var_a, ROUND(var_b, 6) AS var_b,
+                   ROUND((mean_a - mean_b) / SQRT(se2), 6) AS t_stat,
+                   ROUND((se2 * se2) / (
+                       (var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                       + (var_b / n_b) * (var_b / n_b) / (n_b - 1)
+                   ), 6) AS welch_df
+            FROM e
+        """,
+        # Lower-median (element at rank (n+1) div 2) — integer // floor
+        # mirrors Spark's cast-to-long truncation for positives.
+        "q78_mad_outliers": """
+            WITH vals AS (
+                SELECT event_type, value FROM events
+                WHERE value IS NOT NULL),
+            g AS (
+                SELECT event_type, value AS v, COUNT(*) AS c
+                FROM vals GROUP BY event_type, value),
+            cum AS (
+                SELECT event_type, v,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumc,
+                       (SUM(c) OVER (PARTITION BY event_type) + 1) // 2
+                           AS tgt
+                FROM g),
+            med AS (
+                SELECT event_type,
+                       MIN(CASE WHEN cumc >= tgt THEN v END) AS median
+                FROM cum GROUP BY event_type),
+            dev AS (
+                SELECT vals.event_type, vals.value, med.median,
+                       ABS(vals.value - med.median) AS d
+                FROM vals JOIN med USING (event_type)),
+            g2 AS (
+                SELECT event_type, d AS v, COUNT(*) AS c
+                FROM dev GROUP BY event_type, d),
+            cum2 AS (
+                SELECT event_type, v,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumc,
+                       (SUM(c) OVER (PARTITION BY event_type) + 1) // 2
+                           AS tgt
+                FROM g2),
+            mad AS (
+                SELECT event_type,
+                       MIN(CASE WHEN cumc >= tgt THEN v END) AS mad
+                FROM cum2 GROUP BY event_type)
+            SELECT dev.event_type,
+                   COUNT(*) AS n,
+                   MIN(dev.median) AS median,
+                   MIN(mad.mad) AS mad,
+                   CAST(SUM(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_outliers,
+                   ROUND(CAST(SUM(CASE WHEN dev.d > 3.0 * 1.4826 * mad.mad
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*), 6) AS outlier_rate
+            FROM dev JOIN mad USING (event_type)
+            GROUP BY dev.event_type
+        """,
+        "q79_copurchase_lift": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+                FROM lineitem),
+            p AS (
+                SELECT a.item AS item_a, b.item AS item_b,
+                       COUNT(*) AS pair_n
+                FROM items a JOIN items b
+                  ON a.basket = b.basket AND a.item < b.item
+                GROUP BY a.item, b.item
+                HAVING COUNT(*) >= 2),
+            m AS (
+                SELECT item, COUNT(*) AS item_n FROM items GROUP BY item),
+            t AS (
+                SELECT COUNT(DISTINCT basket) AS n_baskets FROM items)
+            SELECT p.item_a, p.item_b, p.pair_n,
+                   ma.item_n AS n_a, mb.item_n AS n_b,
+                   ROUND(CAST(p.pair_n AS DOUBLE) / t.n_baskets, 6)
+                       AS support,
+                   ROUND(CAST(p.pair_n * t.n_baskets AS DOUBLE)
+                         / (ma.item_n * mb.item_n), 6) AS lift
+            FROM p
+            JOIN m ma ON ma.item = p.item_a
+            JOIN m mb ON mb.item = p.item_b
+            CROSS JOIN t
+        """,
+        "q80_trailing_ewma": _ewma_oracle_sql(),
+        "q81_attribution": """
+            WITH carried AS (
+                SELECT user_id, event_id, ts, event_type,
+                       LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                       THEN ts END IGNORE NULLS)
+                           OVER w AS t_ts,
+                       LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_type END IGNORE NULLS)
+                           OVER w AS t_type,
+                       LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                                       THEN event_id END IGNORE NULLS)
+                           OVER w AS t_id
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING))
+            SELECT user_id,
+                   event_id AS conversion_id,
+                   ts AS conversion_ts,
+                   CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_ts END
+                       AS touch_ts,
+                   CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_type END
+                       AS touch_type,
+                   CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN t_id END
+                       AS touch_id,
+                   CASE WHEN t_ts >= ts - INTERVAL 7 DAY THEN 1 ELSE 0 END
+                       AS attributed
+            FROM carried
+            WHERE event_type = 'purchase'
         """,
         "q70_scd2": """
             WITH marked AS (

@@ -98,6 +98,13 @@ BENCH_QUERIES = [
     "q72_value_histogram",
     "q73_fuzzy_match",
     "q74_rolling_stats",
+    "q75_rag_chunks",
+    "q76_markov_transitions",
+    "q77_welch_ab",
+    "q78_mad_outliers",
+    "q79_copurchase_lift",
+    "q80_trailing_ewma",
+    "q81_attribution",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

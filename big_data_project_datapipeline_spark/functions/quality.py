@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -86,4 +86,147 @@ def fixed_bin_histogram(
         (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
         "n",
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_flag,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Welch two-sample t-test per ``by`` group: ``group_flag`` (a boolean
+    Column) splits rows into A (false) and B (true); outputs per-arm
+    n/mean/sample-variance plus the Welch t statistic and
+    Welch–Satterthwaite degrees of freedom (round(6)).
+
+    Parity/scale: ONE aggregate job with conditional decimal-accumulated
+    moments (sum, sum-of-squares per arm) — order-independent across
+    partitions, map-side combined, no second pass and no pivot shuffle.
+    All downstream arithmetic is double-on-exact-moments, so both engines
+    reproduce it bit-for-bit given the same expression structure.
+    """
+    dec = F.col(value_col).cast("decimal(18,4)")
+    fl = group_flag.cast("boolean")
+
+    def arm(flag_val: bool, tag: str):
+        cond = fl == flag_val
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{tag}"),
+            F.sum(F.when(cond, dec)).cast("double").alias(f"__s_{tag}"),
+            F.sum(F.when(cond, dec * dec)).cast("double").alias(f"__ss_{tag}"),
+        ]
+
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by)
+        .agg(*arm(False, "a"), *arm(True, "b"))
+    )
+    mean = {t: F.col(f"__s_{t}") / F.col(f"n_{t}") for t in ("a", "b")}
+    # Sample variance (ddof=1) from exact moments: (ss - s*mean)/(n-1).
+    var = {
+        t: (F.col(f"__ss_{t}") - F.col(f"__s_{t}") * mean[t])
+        / (F.col(f"n_{t}") - 1)
+        for t in ("a", "b")
+    }
+    se2 = var["a"] / F.col("n_a") + var["b"] / F.col("n_b")
+    t_stat = (mean["a"] - mean["b"]) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        (var["a"] / F.col("n_a")) * (var["a"] / F.col("n_a"))
+        / (F.col("n_a") - 1)
+        + (var["b"] / F.col("n_b")) * (var["b"] / F.col("n_b"))
+        / (F.col("n_b") - 1)
+    )
+    return base.select(
+        *by,
+        "n_a",
+        "n_b",
+        F.round(mean["a"], 6).alias("mean_a"),
+        F.round(mean["b"], 6).alias("mean_b"),
+        F.round(var["a"], 6).alias("var_a"),
+        F.round(var["b"], 6).alias("var_b"),
+        F.round(t_stat, 6).alias("t_stat"),
+        F.round(dof, 6).alias("welch_df"),
+    )
+
+
+def grouped_lower_median(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    alias: str,
+) -> DataFrame:
+    """Exact LOWER median per group: the element at ascending rank
+    ``(n+1) div 2``. Deliberately element-based (never interpolated) —
+    interpolated percentiles differ between engines in the last ULP,
+    while "a specific input element" is bit-reproducible everywhere,
+    which keeps every downstream comparison (MAD, outlier thresholds)
+    deterministic.
+
+    Scale: aggregate to DISTINCT values first (groupBy value — map-side
+    combined), then a cumulative-count window over the distinct values of
+    each group. The window partition is one group's distinct-value set —
+    far smaller than its row count; for extreme-cardinality groups swap
+    in percentile_approx and accept the approximation.
+    """
+    g = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *by, F.col(value_col).alias("__v")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*by)
+    cum = F.sum("__c").over(wcum)
+    tgt = ((F.sum("__c").over(wall) + 1) / 2).cast("long")
+    return (
+        g.withColumn("__cum", cum)
+        .withColumn("__tgt", tgt)
+        .groupBy(*by)
+        .agg(
+            F.min(F.when(F.col("__cum") >= F.col("__tgt"), F.col("__v"))).alias(
+                alias
+            )
+        )
+    )
+
+
+MAD_SIGMA = 1.4826  # consistency constant: MAD × 1.4826 ≈ σ for normal data
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Robust outlier summary per group: lower-median, MAD (lower-median
+    of absolute deviations), and the count/rate of rows whose deviation
+    exceeds ``n_sigmas × 1.4826 × MAD``.
+
+    Two grouped_lower_median passes (medians are data elements, so the
+    deviations — and therefore the threshold comparison — are bit-exact
+    in any engine); the median/MAD frames are O(groups) and broadcast
+    back to the row stream.
+    """
+    med = grouped_lower_median(df, by, value_col, "median")
+    rows = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(med), list(by) if by else None, "inner" if by else "cross"
+    )
+    dev = rows.withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("median"))
+    )
+    mad = grouped_lower_median(dev, by, "__dev", "mad")
+    flagged = dev.join(F.broadcast(mad), list(by) if by else None,
+                       "inner" if by else "cross")
+    thr = F.lit(float(n_sigmas)) * F.lit(MAD_SIGMA) * F.col("mad")
+    return flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("median").alias("median"),
+        F.first("mad").alias("mad"),
+        F.sum((F.col("__dev") > thr).cast("long")).alias("n_outliers"),
+        F.round(
+            F.sum((F.col("__dev") > thr).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("outlier_rate"),
     )

@@ -657,3 +657,69 @@ def sequence_packing(
         .cast("int")
         .alias("straddles"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping token-window chunking: cut each document's
+    whitespace-token stream into windows of ``chunk_tokens`` tokens whose
+    starts advance by ``stride = chunk_tokens - overlap``; the final
+    window may be shorter. One output row per (doc, chunk) with the
+    reassembled chunk text.
+
+    Chunk count is ``1 + ceil((n - chunk_tokens) / stride)`` for
+    n > chunk_tokens else 1, computed in integer arithmetic
+    (``(n - chunk_tokens + stride - 1) div stride``) so both engines
+    agree bit-exactly; empty documents emit no chunks.
+
+    Scale: map-only — tokenize once (staged array; never re-split per
+    derived expression), sequence → explode over chunk starts, slice +
+    array_join per chunk. No shuffle at all; output size is
+    corpus_tokens / stride rows, the expected blow-up for RAG indexing.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    staged = (
+        df.select(doc_id_col, tokens(F.col(text_col)).alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    n_chunks = F.when(
+        F.col("__n") <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        1
+        + (
+            (F.col("__n") - chunk_tokens + (stride - 1)).cast("long")
+            / F.lit(stride)
+        ).cast("long")
+    )
+    start = (F.col("__chunk_id") * stride).cast("int")
+    return (
+        staged.withColumn("__nc", n_chunks)
+        .select(
+            doc_id_col,
+            "__toks",
+            "__n",
+            "__nc",
+            F.explode(F.sequence(F.lit(0), (F.col("__nc") - 1).cast("int"))).alias(
+                "__chunk_id"
+            ),
+        )
+        .select(
+            doc_id_col,
+            F.col("__chunk_id").cast("long").alias("chunk_id"),
+            F.col("__nc").cast("long").alias("n_chunks"),
+            F.least(F.lit(chunk_tokens), F.col("__n") - start)
+            .cast("long")
+            .alias("chunk_len"),
+            F.array_join(
+                F.slice(F.col("__toks"), start + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )

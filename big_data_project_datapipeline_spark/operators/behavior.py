@@ -195,3 +195,96 @@ def scd2_intervals(
         (F.row_number().over(w2)).cast("int").alias("version"),
         F.lead(ts_col).over(w2).isNull().cast("int").alias("is_current"),
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of each entity's state stream:
+    count and probability of every (src → dst) consecutive pair, ordered
+    per entity by (ts, tiebreak).
+
+    Scale: one lag window per entity partition (high-cardinality uniform
+    key), then a groupBy on the (src, dst) pair — the state space is tiny
+    so map-side combine collapses each task to O(states²) rows before the
+    exchange; per-src totals are an O(states) frame joined back via
+    broadcast.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    pairs = events.select(
+        F.lag(state_col).over(w).alias("src"),
+        F.col(state_col).alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("src_total"))
+    return counts.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n",
+        "src_total",
+        F.round(F.col("n") / F.col("src_total"), 6).alias("p"),
+    )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: Sequence[str],
+    horizon_days: int = 7,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch attribution: each conversion event is credited to the
+    entity's most recent STRICTLY EARLIER touch event (by (ts, id) order)
+    within ``horizon_days``; conversions with no qualifying touch keep
+    null attribution columns. One row per conversion.
+
+    Scale: a single LOCF-style window per entity — last(ignorenulls) over
+    rows UNBOUNDED PRECEDING..1 PRECEDING carries the latest touch to
+    every row; the horizon check is a post-filter on the carried
+    timestamp. The three carried columns (ts/type/id) use independent
+    last() calls over the same frame — they are non-null on exactly the
+    touch rows, so all three resolve to the same touch row while keeping
+    the plan struct-free (the SQL oracle mirrors column-wise).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col).isin(list(touch_types))
+
+    def carried(col: str):
+        return F.last(F.when(is_touch, F.col(col)), ignorenulls=True).over(w)
+
+    out = events.select(
+        key_col,
+        id_col,
+        ts_col,
+        type_col,
+        carried(ts_col).alias("__t_ts"),
+        carried(type_col).alias("__t_type"),
+        carried(id_col).alias("__t_id"),
+    ).filter(F.col(type_col) == conversion_type)
+    # Horizon test on the MATERIALIZED carried column — re-deriving the
+    # window here would re-run it over the conversion-only rows.
+    within = F.col("__t_ts") >= F.col(ts_col) - F.expr(
+        f"INTERVAL {int(horizon_days)} DAYS"
+    )
+    return out.select(
+        key_col,
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+        F.when(within, F.col("__t_ts")).alias("touch_ts"),
+        F.when(within, F.col("__t_type")).alias("touch_type"),
+        F.when(within, F.col("__t_id")).alias("touch_id"),
+        F.when(within, F.lit(1)).otherwise(F.lit(0)).alias("attributed"),
+    )

@@ -1,0 +1,90 @@
+"""Market-basket co-occurrence analytics (support / lift).
+
+The classic "items bought together" operator over an order/line fact:
+pair counts within a basket, normalized into support and lift. The
+reference's pandas surface has no graph/co-occurrence op, but any
+analytics engine at this surface ships one, and it is the canonical
+example of a join whose cost must be bounded by BASKET size, never by
+corpus size.
+
+Scale shape: the self-join is keyed on the basket id, so each task only
+pairs items WITHIN one basket — O(Σ k_b²) pairs for basket sizes k_b
+(TPC-H baskets are ≤ 7 lines; retail baskets are tens). That is the
+sub-quadratic blocking pattern (cf. fuzzy.blocked_levenshtein_pairs):
+the full item×item cross product never exists. Item marginals are a
+separate groupBy on the item key; the basket total is a 1-row frame
+cross-joined via broadcast (J4 pattern). Pair→marginal joins shuffle on
+the uniform item key; AQE downgrades them to broadcast when the item
+dimension is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_lift(
+    lines: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Support and lift for every unordered item pair co-occurring in at
+    least ``min_pair_count`` baskets.
+
+    support(a,b) = pairs(a,b) / n_baskets;
+    lift(a,b) = support(a,b) / (support(a) * support(b))
+              = pairs(a,b) * n_baskets / (baskets(a) * baskets(b)).
+    Both rounded to 6 (pure double arithmetic on exact counts — engine
+    reproducible given the same expression structure).
+    """
+    items = lines.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.basket") == F.col("b.basket"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    marginals = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
+    totals = items.agg(
+        F.countDistinct("basket").alias("n_baskets")
+    )
+    out = (
+        pairs.join(
+            marginals.select(
+                F.col("item").alias("item_a"), F.col("item_n").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            marginals.select(
+                F.col("item").alias("item_b"), F.col("item_n").alias("n_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "pair_n",
+        "n_a",
+        "n_b",
+        F.round(F.col("pair_n") / F.col("n_baskets"), 6).alias("support"),
+        F.round(
+            (F.col("pair_n") * F.col("n_baskets"))
+            / (F.col("n_a") * F.col("n_b")),
+            6,
+        ).alias("lift"),
+    )

@@ -55,3 +55,45 @@ def rolling_stats(
             f"{prefix}max": F.max(value).over(w),
         }
     )
+
+
+def trailing_ewma(
+    df: DataFrame,
+    series_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.8,
+    n: int = 8,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated trailing exponentially-weighted moving average: over the
+    last ``n`` rows of each series, EWMA = Σ αᵏ·v₋ₖ / Σ αᵏ, where the
+    weight of a lag is included only when that lag exists AND its value
+    is non-null (missing observations carry no weight).
+
+    Parity note: the truncated form is a FIXED lag chain — weights are
+    Python-computed double literals and the numerator/denominator fold
+    left in lag order, so any engine evaluates the identical sequence of
+    IEEE operations (the recursive infinite-memory EWMA, by contrast,
+    needs either per-row recursion or a pow(α, −i) prefix trick that
+    overflows and reorders arithmetic). round(6) on the output only.
+
+    Scale: one window sort per series partition serves all ``n`` lag()
+    calls; no extra exchange beyond the series key.
+    """
+    w = Window.partitionBy(series_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    num = None
+    den = None
+    for k in range(n):
+        lagged = F.lag(F.col(value_col), k).over(w) if k else F.col(value_col)
+        wk = F.lit(float(alpha) ** k)
+        term = F.when(lagged.isNotNull(), lagged * wk).otherwise(F.lit(0.0))
+        wgt = F.when(lagged.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return df.withColumn(
+        out_col,
+        F.when(den > 0, F.round(num / den, 6)),
+    )

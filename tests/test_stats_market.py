@@ -1,0 +1,158 @@
+"""Hand-computed fixtures for the stats/market/attribution wave:
+Welch t-test, lower-median + MAD outliers, co-purchase lift, trailing
+EWMA, Markov transitions, last-touch attribution, RAG chunking.
+
+Each test pins a semantic the oracle gate can't distinguish from a
+lucky aggregate: Welch's ddof=1 variance and df formula, the LOWER
+(element) median on even counts, lift normalization, EWMA weight decay
+with a null gap, strictly-earlier touch ordering, and chunk stride /
+tail behavior.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions.quality import (
+    grouped_lower_median,
+    mad_outlier_summary,
+    welch_ttest,
+)
+from big_data_project_datapipeline_spark.functions.text import chunk_documents
+from big_data_project_datapipeline_spark.operators.behavior import (
+    last_touch_attribution,
+    markov_transitions,
+)
+from big_data_project_datapipeline_spark.operators.market import copurchase_lift
+from big_data_project_datapipeline_spark.operators.rolling import trailing_ewma
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double"
+)
+
+
+def test_welch_ttest_hand_computed(spark):
+    # arm a: [1, 2, 3]  arm b: [2, 4, 9]
+    rows = [(i, a, float(v)) for i, (a, v) in enumerate(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 4), (1, 9)]
+    )]
+    df = spark.createDataFrame(rows, "id long, arm int, value double")
+    out = welch_ttest(df, "value", F.col("arm") == 1).first()
+    assert out["n_a"] == 3 and out["n_b"] == 3
+    assert out["mean_a"] == 2.0 and out["mean_b"] == 5.0
+    assert out["var_a"] == 1.0  # ddof=1: ((1-2)²+(0)²+(1)²)/2
+    assert out["var_b"] == 13.0
+    se2 = 1.0 / 3 + 13.0 / 3
+    assert out["t_stat"] == pytest.approx((2.0 - 5.0) / math.sqrt(se2), abs=1e-6)
+    dof = se2**2 / ((1.0 / 3) ** 2 / 2 + (13.0 / 3) ** 2 / 2)
+    assert out["welch_df"] == pytest.approx(dof, abs=1e-6)
+
+
+def test_lower_median_even_count_takes_lower_element(spark):
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 2, 3, 4]], "k string, value double"
+    )
+    out = grouped_lower_median(df, ["k"], "value", "med").first()
+    assert out["med"] == 2.0  # rank (4+1) div 2 = 2 → element 2, never 2.5
+
+
+def test_mad_outlier_flags_extreme_only(spark):
+    vals = [1.0, 3.0, 5.0, 7.0, 100.0]  # median 5, devs 4,2,0,2,95 → MAD 2
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, value double")
+    out = mad_outlier_summary(df, "value", ["k"]).first()
+    assert out["median"] == 5.0 and out["mad"] == 2.0
+    # threshold 3 × 1.4826 × 2 ≈ 8.9: only the 95 deviation trips it
+    assert out["n_outliers"] == 1 and out["n"] == 5
+
+
+def test_copurchase_lift_normalization(spark):
+    # baskets: {a,b,c}, {a,b}, {a,b} → pair (a,b) in 3 of 3 baskets
+    lines = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+         (3, "b")],  # duplicate line collapses
+        "o long, p string",
+    )
+    out = copurchase_lift(lines, "o", "p", min_pair_count=2)
+    rows = {(r["item_a"], r["item_b"]): r for r in out.collect()}
+    assert set(rows) == {("a", "b")}
+    r = rows[("a", "b")]
+    assert r["pair_n"] == 3 and r["support"] == 1.0
+    assert r["lift"] == pytest.approx(3 * 3 / (3 * 3), abs=1e-6)
+
+
+def test_trailing_ewma_null_gap_carries_no_weight(spark):
+    vals = [1.0, 2.0, None, 4.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "u long, i long, value double"
+    )
+    out = trailing_ewma(df, "u", ["i"], "value", alpha=0.5, n=3)
+    got = {r["i"]: r["ewma"] for r in out.collect()}
+    assert got[0] == 1.0
+    assert got[1] == pytest.approx((2 + 0.5 * 1) / 1.5, abs=1e-6)
+    # null current row: only lags contribute
+    assert got[2] == pytest.approx((0.5 * 2 + 0.25 * 1) / 0.75, abs=1e-6)
+    # the null lag carries no weight
+    assert got[3] == pytest.approx((4 + 0.25 * 2) / 1.25, abs=1e-6)
+
+
+def test_markov_transition_probabilities(spark):
+    rows = [
+        (1, _ts("2024-01-01T10:00"), 1, "view", None),
+        (2, _ts("2024-01-01T11:00"), 1, "click", None),
+        (3, _ts("2024-01-01T12:00"), 1, "view", None),
+        (4, _ts("2024-01-01T10:30"), 2, "view", None),
+        (5, _ts("2024-01-01T11:30"), 2, "view", None),
+    ]
+    out = markov_transitions(spark.createDataFrame(rows, EV_SCHEMA))
+    got = {(r["src"], r["dst"]): (r["n"], r["p"]) for r in out.collect()}
+    # user1: view→click→view; user2: view→view
+    assert got[("view", "click")] == (1, 0.5)
+    assert got[("view", "view")] == (1, 0.5)
+    assert got[("click", "view")] == (1, 1.0)
+
+
+def test_attribution_strictly_earlier_and_horizon(spark):
+    rows = [
+        (1, _ts("2024-01-01T10:00"), 1, "view", None),
+        (2, _ts("2024-01-01T11:00"), 1, "click", None),
+        (3, _ts("2024-01-05T11:00"), 1, "purchase", None),   # → click(2)
+        (4, _ts("2024-01-20T11:00"), 1, "purchase", None),   # horizon miss
+        (5, _ts("2024-01-01T09:00"), 2, "purchase", None),   # no prior touch
+        # same-ts touch sorts AFTER the purchase by event_id → not credited
+        (6, _ts("2024-01-01T09:00"), 2, "view", None),
+    ]
+    out = last_touch_attribution(
+        spark.createDataFrame(rows, EV_SCHEMA), "purchase", ["click", "view"], 7
+    )
+    got = {r["conversion_id"]: r for r in out.collect()}
+    assert got[3]["touch_id"] == 2 and got[3]["attributed"] == 1
+    assert got[4]["touch_id"] is None and got[4]["attributed"] == 0
+    assert got[5]["touch_id"] is None
+
+
+def test_chunk_stride_overlap_and_short_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: 10 tokens, stride 2 → 1 + ceil(6/2) = 4 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, c) for c in range(4)}
+    assert rows[(1, 0)]["chunk_text"] == "a b c d"
+    assert rows[(1, 1)]["chunk_text"] == "c d e f"
+    assert rows[(1, 3)]["chunk_text"] == "g h i j"
+    # short doc: single chunk, chunk_len = token count
+    assert rows[(2, 0)]["chunk_len"] == 2
+    # empty/null docs emit nothing
+    assert not any(k[0] in (3, 4) for k in rows)
