@@ -39,27 +39,42 @@ def copurchase_lift(
     Both rounded to 6 (pure double arithmetic on exact counts — engine
     reproducible given the same expression structure).
     """
-    items = lines.select(
-        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
-    ).distinct()
-    a = items.alias("a")
-    b = items.alias("b")
+    # ONE shuffle on the basket key builds the per-basket distinct item
+    # array (collect_set is bounded by basket size); pairs are then
+    # generated MAP-SIDE from the sorted array — a self-join on the
+    # basket key would shuffle the item stream twice and re-hash it in
+    # the join, for the identical pair multiset.
+    baskets = (
+        lines.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .persist()
+    )
+    i = F.explode(F.sequence(F.lit(0), F.size("items") - 2)).alias("i")
+    pair_stream = (
+        baskets.filter(F.size("items") >= 2)
+        .select("items", i)
+        .select(
+            F.col("items")[F.col("i")].alias("item_a"),
+            F.explode(
+                F.slice(
+                    "items", F.col("i") + 2, F.size("items") - F.col("i") - 1
+                )
+            ).alias("item_b"),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
-        )
+        pair_stream.groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_count)
     )
-    marginals = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_n"))
-    totals = items.agg(
-        F.countDistinct("basket").alias("n_baskets")
+    exploded_items = baskets.select(F.explode("items").alias("item"))
+    marginals = exploded_items.groupBy("item").agg(
+        F.count(F.lit(1)).alias("item_n")
     )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     out = (
         pairs.join(
             marginals.select(
