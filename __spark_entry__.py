@@ -31,9 +31,16 @@ from big_data_project_datapipeline_spark.functions.temporal import (
     is_peak_hour,
     is_weekend,
 )
+from big_data_project_datapipeline_spark.functions.encode import (
+    hashed_token_counts,
+    target_encode_loo,
+)
 from big_data_project_datapipeline_spark.functions.quality import (
+    equal_frequency_bins,
     fixed_bin_histogram,
     mad_outlier_summary,
+    robust_scale,
+    seasonal_anomalies,
     welch_ttest,
 )
 from big_data_project_datapipeline_spark.operators import behavior as BV
@@ -1512,6 +1519,56 @@ def q81_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per event type (functions/quality.
+    robust_scale — element-based quartiles from ONE cumulative window
+    over distinct values; O(groups) quartile frame broadcast back)."""
+    ev = _t(spark, sf_dir, "events")
+    out = robust_scale(ev, "value", ["event_type"])
+    return out.select(
+        "event_id", "event_type", "value", "p25", "p50", "p75",
+        "robust_scaled",
+    )
+
+
+def q83_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal-baseline anomaly detection per event type
+    (functions/quality.seasonal_anomalies — decimal cell moments,
+    broadcast baseline, threshold on unrounded z)."""
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_anomalies(ev, "value", "ts", ["event_type"], n_sigmas=2.5)
+    return out.select(
+        "event_id", "ts", "event_type", "value", "baseline_mean", "z"
+    )
+
+
+def q84_equal_freq_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equal-frequency) binning summary per event type
+    (functions/quality.equal_frequency_bins — ntile over the total
+    order (value, event_id); one window sort + one aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    return equal_frequency_bins(
+        ev, "value", n_bins=10, by=["event_type"], tiebreak_col="event_id"
+    )
+
+
+def q85_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value
+    (functions/encode.target_encode_loo — decimal category moments,
+    (sum−y)/(n−1) self-exclusion)."""
+    ev = _t(spark, sf_dir, "events")
+    out = target_encode_loo(ev, ["event_type"], "value")
+    return out.select("event_id", "event_type", "value", "te_loo")
+
+
+def q86_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick token count vectors, 64 buckets (functions/encode.
+    hashed_token_counts — vocabulary-free md5 bucketing, one explode +
+    one map-side-combined aggregate)."""
+    d = _t(spark, sf_dir, "documents")
+    return hashed_token_counts(d, n_buckets=64)
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1708,6 +1765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_copurchase_lift": q79_copurchase_lift,
         "q80_trailing_ewma": q80_trailing_ewma,
         "q81_attribution": q81_attribution,
+        "q82_robust_scale": q82_robust_scale,
+        "q83_seasonal_anomalies": q83_seasonal_anomalies,
+        "q84_equal_freq_bins": q84_equal_freq_bins,
+        "q85_target_encode": q85_target_encode,
+        "q86_feature_hashing": q86_feature_hashing,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2546,6 +2608,93 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN t
         """,
         "q80_trailing_ewma": _ewma_oracle_sql(),
+        # Nearest-rank elements: (num·n + den−1) // den mirrors Spark's
+        # floor((num·n + den−1)/den) exactly for positive integers.
+        "q82_robust_scale": """
+            WITH vals AS (
+                SELECT event_id, event_type, value FROM events
+                WHERE value IS NOT NULL),
+            g AS (
+                SELECT event_type, value AS v, COUNT(*) AS c
+                FROM vals GROUP BY event_type, value),
+            cum AS (
+                SELECT event_type, v,
+                       SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumc,
+                       SUM(c) OVER (PARTITION BY event_type) AS n
+                FROM g),
+            q AS (
+                SELECT event_type,
+                       MIN(CASE WHEN cumc >= (1 * n + 3) // 4 THEN v END)
+                           AS p25,
+                       MIN(CASE WHEN cumc >= (1 * n + 1) // 2 THEN v END)
+                           AS p50,
+                       MIN(CASE WHEN cumc >= (3 * n + 3) // 4 THEN v END)
+                           AS p75
+                FROM cum GROUP BY event_type)
+            SELECT event_id, vals.event_type, value, p25, p50, p75,
+                   CASE WHEN p75 - p25 > 0
+                        THEN ROUND((value - p50) / (p75 - p25), 6)
+                   END AS robust_scaled
+            FROM vals JOIN q USING (event_type)
+        """,
+        "q83_seasonal_anomalies": """
+            WITH vals AS (
+                SELECT event_id, ts, event_type, value, HOUR(ts) AS hh
+                FROM events WHERE value IS NOT NULL),
+            cells AS (
+                SELECT event_type, hh, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           AS s,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))
+                                * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           AS ss
+                FROM vals GROUP BY event_type, hh),
+            base AS (
+                SELECT event_type, hh, s / n AS mean,
+                       SQRT(GREATEST(ss / n - (s / n) * (s / n), 0.0))
+                           AS std
+                FROM cells)
+            SELECT event_id, ts, vals.event_type, value,
+                   ROUND(mean, 6) AS baseline_mean,
+                   ROUND((value - mean) / std, 6) AS z
+            FROM vals JOIN base
+              ON vals.event_type = base.event_type AND vals.hh = base.hh
+            WHERE std > 0 AND ABS((value - mean) / std) > 2.5
+        """,
+        "q84_equal_freq_bins": """
+            SELECT event_type, bin, COUNT(*) AS n,
+                   MIN(value) AS lo, MAX(value) AS hi
+            FROM (
+                SELECT event_type, value,
+                       NTILE(10) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS bin
+                FROM events WHERE value IS NOT NULL)
+            GROUP BY event_type, bin
+        """,
+        "q85_target_encode": """
+            WITH cat AS (
+                SELECT event_type, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           AS s
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type)
+            SELECT event_id, e.event_type, value,
+                   CASE WHEN value IS NOT NULL AND n > 1
+                        THEN ROUND((s - value) / (n - 1), 6)
+                   END AS te_loo
+            FROM events e LEFT JOIN cat USING (event_type)
+        """,
+        "q86_feature_hashing": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({tokens_sql}) AS tok FROM documents)
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 64
+                       AS bucket,
+                   COUNT(*) AS n
+            FROM toks GROUP BY doc_id, bucket
+        """,
         "q81_attribution": """
             WITH carried AS (
                 SELECT user_id, event_id, ts, event_type,

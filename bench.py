@@ -105,6 +105,11 @@ BENCH_QUERIES = [
     "q79_copurchase_lift",
     "q80_trailing_ewma",
     "q81_attribution",
+    "q82_robust_scale",
+    "q83_seasonal_anomalies",
+    "q84_equal_freq_bins",
+    "q85_target_encode",
+    "q86_feature_hashing",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

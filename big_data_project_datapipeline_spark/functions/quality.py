@@ -169,27 +169,8 @@ def grouped_lower_median(
     far smaller than its row count; for extreme-cardinality groups swap
     in percentile_approx and accept the approximation.
     """
-    g = df.filter(F.col(value_col).isNotNull()).groupBy(
-        *by, F.col(value_col).alias("__v")
-    ).agg(F.count(F.lit(1)).alias("__c"))
-    wcum = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__v").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy(*by)
-    cum = F.sum("__c").over(wcum)
-    tgt = ((F.sum("__c").over(wall) + 1) / 2).cast("long")
-    return (
-        g.withColumn("__cum", cum)
-        .withColumn("__tgt", tgt)
-        .groupBy(*by)
-        .agg(
-            F.min(F.when(F.col("__cum") >= F.col("__tgt"), F.col("__v"))).alias(
-                alias
-            )
-        )
-    )
+    # rank (n+1) div 2 == ceil(n/2): q=1/2 of the general device below.
+    return grouped_rank_elements(df, by, value_col, [(1, 2, alias)])
 
 
 MAD_SIGMA = 1.4826  # consistency constant: MAD × 1.4826 ≈ σ for normal data
@@ -229,4 +210,163 @@ def mad_outlier_summary(
         F.round(
             F.sum((F.col("__dev") > thr).cast("long")) / F.count(F.lit(1)), 6
         ).alias("outlier_rate"),
+    )
+
+
+def grouped_rank_elements(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[tuple[int, int, str]],
+) -> DataFrame:
+    """Exact nearest-rank quantile ELEMENTS per group, single pass:
+    for each (num, den, alias) the element at ascending rank
+    ``ceil(num·n/den)`` — computed as ``(num·n + den − 1) div den`` in
+    pure integer arithmetic, so every engine picks the identical input
+    element (q=1/2 reproduces grouped_lower_median exactly).
+
+    One distinct-value aggregate + ONE cumulative window serves every
+    requested quantile (conditional mins share the cum frame).
+    """
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by, F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wcum = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*by)
+    n = F.sum("__c").over(wall)
+    staged = g.select(
+        *by,
+        "__v",
+        F.sum("__c").over(wcum).alias("__cum"),
+        *[
+            F.floor((num * n + (den - 1)) / den).alias(f"__tgt_{alias}")
+            for num, den, alias in quantiles
+        ],
+    )
+    return staged.groupBy(*by).agg(
+        *[
+            F.min(
+                F.when(F.col("__cum") >= F.col(f"__tgt_{alias}"), F.col("__v"))
+            ).alias(alias)
+            for _, _, alias in quantiles
+        ]
+    )
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    out_col: str = "robust_scaled",
+) -> DataFrame:
+    """Robust (median/IQR) scaling: (x − p50) / (p75 − p25) per group,
+    with element-based quartiles so the scaled values are bit-identical
+    in any engine. Rows in a zero-IQR group scale to null.
+
+    Scale: the quartile frame is O(groups) and broadcasts back onto the
+    row stream — the data path is one map-side join, no row shuffle.
+    """
+    qs = grouped_rank_elements(
+        df,
+        by,
+        value_col,
+        [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")],
+    )
+    joined = df.filter(F.col(value_col).isNotNull()).join(
+        F.broadcast(qs), list(by) if by else None, "inner" if by else "cross"
+    )
+    iqr = F.col("p75") - F.col("p25")
+    return joined.withColumn(
+        out_col,
+        F.when(iqr > 0, F.round((F.col(value_col) - F.col("p50")) / iqr, 6)),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    by: Sequence[str] = (),
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: the baseline is the mean per
+    (group, hour-of-day) cell; rows whose residual z-score exceeds
+    ``n_sigmas`` are flagged. Returns the anomalous rows with their
+    baseline and z.
+
+    Parity: cell moments accumulate in decimal (order-independent) and
+    the z threshold compares UNROUNDED doubles derived from those exact
+    moments, so the flag set is engine-reproducible; z is round(6) only
+    in the output. Scale: the baseline frame is O(groups × 24) —
+    broadcast; the data path is map-only.
+    """
+    hour = F.hour(F.col(ts_col)).alias("__hh")
+    dec = F.col(value_col).cast("decimal(18,4)")
+    cells = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by, hour)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(dec).cast("double").alias("__s"),
+            F.sum(dec * dec).cast("double").alias("__ss"),
+        )
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__ss") / F.col("__n") - mean * mean
+    base = cells.select(
+        *by,
+        "__hh",
+        mean.alias("__mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("__std"),
+    )
+    rows = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "__hh", F.hour(F.col(ts_col))
+    )
+    joined = rows.join(F.broadcast(base), [*by, "__hh"])
+    z = (F.col(value_col) - F.col("__mean")) / F.col("__std")
+    return (
+        joined.filter(
+            (F.col("__std") > 0) & (F.abs(z) > F.lit(float(n_sigmas)))
+        )
+        .drop("__hh")
+        .withColumn("baseline_mean", F.round("__mean", 6))
+        .withColumn("z", F.round(z, 6))
+        .drop("__mean", "__std")
+    )
+
+
+def equal_frequency_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    by: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency (quantile) binning summary: ntile(n) per group
+    over (value, tiebreak) — the tiebreak makes the assignment a total
+    order, hence deterministic across engines — with per-bin count and
+    value bounds.
+
+    Scale: one window sort per group partition feeds one aggregate.
+    ntile over a LOW-cardinality group key serializes each group through
+    one task — acceptable for summary stats; at extreme scale switch to
+    approx quantile cut points and a broadcast range join.
+    """
+    order = [F.col(value_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*by).orderBy(*order)
+    binned = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "bin", F.ntile(n_bins).over(w)
+    )
+    return binned.groupBy(*by, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
     )

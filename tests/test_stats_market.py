@@ -156,3 +156,104 @@ def test_chunk_stride_overlap_and_short_tail(spark):
     assert rows[(2, 0)]["chunk_len"] == 2
     # empty/null docs emit nothing
     assert not any(k[0] in (3, 4) for k in rows)
+
+
+def test_rank_elements_quartiles(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_rank_elements,
+    )
+
+    # n=8 → ranks: p25 ceil(2)=2, p50 ceil(4)=4, p75 ceil(6)=6
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [10, 20, 30, 40, 50, 60, 70, 80]],
+        "k string, value double",
+    )
+    out = grouped_rank_elements(
+        df, ["k"], "value", [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")]
+    ).first()
+    assert (out["p25"], out["p50"], out["p75"]) == (20.0, 40.0, 60.0)
+
+
+def test_robust_scale_zero_iqr_is_null(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        robust_scale,
+    )
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 4]] + [("b", 5.0), ("b", 5.0)],
+        "k string, value double",
+    )
+    out = robust_scale(df, "value", ["k"])
+    rows = out.collect()
+    a = {r["value"]: r["robust_scaled"] for r in rows if r["k"] == "a"}
+    # quartile elements: p25=1, p50=2, p75=3 → iqr 2
+    assert a[4.0] == pytest.approx((4 - 2) / 2, abs=1e-6)
+    assert all(r["robust_scaled"] is None for r in rows if r["k"] == "b")
+
+
+def test_seasonal_anomaly_flags_hour_outlier(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        seasonal_anomalies,
+    )
+
+    # hour 10 baseline ~10, one wild reading; hour 11 constant (std 0)
+    hour10 = [9.0, 10.0, 11.0, 30.0, 10.0, 9.0, 11.0, 10.0]
+    rows = [
+        (d, _ts(f"2024-01-{d + 1:02d}T10:00"), 1, "t", v)
+        for d, v in enumerate(hour10)
+    ] + [(9, _ts("2024-01-01T11:00"), 1, "t", 5.0),
+         (10, _ts("2024-01-02T11:00"), 1, "t", 5.0)]
+    df = spark.createDataFrame(rows, EV_SCHEMA)
+    out = seasonal_anomalies(df, "value", "ts", ["event_type"], n_sigmas=2.0)
+    flagged = [r["event_id"] for r in out.collect()]
+    assert flagged == [3]  # only the 30.0 reading (z≈2.6); constant hour
+    # (std 0) never flags, nor do the in-range hour-10 readings
+
+
+def test_equal_freq_bins_deterministic_ties(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        equal_frequency_bins,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 1, 1, 1, 2, 2, 2, 2])],
+        "id long, value double",
+    )
+    out = equal_frequency_bins(df, "value", n_bins=4, tiebreak_col="id")
+    got = {r["bin"]: (r["n"], r["lo"], r["hi"]) for r in out.collect()}
+    # ntile(4) over 8 rows → 2 per bin; ties split by id order
+    assert got == {1: (2, 1.0, 1.0), 2: (2, 1.0, 1.0),
+                   3: (2, 2.0, 2.0), 4: (2, 2.0, 2.0)}
+
+
+def test_target_encode_loo_excludes_self(spark):
+    from big_data_project_datapipeline_spark.functions.encode import (
+        target_encode_loo,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 6.0), (4, "b", 9.0)],
+        "id long, cat string, y double",
+    )
+    out = target_encode_loo(df, ["cat"], "y")
+    got = {r["id"]: r["te_loo"] for r in out.collect()}
+    assert got[1] == pytest.approx((2 + 6) / 2, abs=1e-6)
+    assert got[3] == pytest.approx((1 + 2) / 2, abs=1e-6)
+    assert got[4] is None  # singleton category has no "others"
+
+
+def test_hashed_token_counts_multiplicity(spark):
+    from big_data_project_datapipeline_spark.functions.encode import (
+        hashed_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "dog dog cat"), (2, "")], "doc_id long, text string"
+    )
+    out = hashed_token_counts(df, n_buckets=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["n"])
+    # doc 1: "dog"×2 and "cat"×1 (buckets may collide but total is 3)
+    assert sorted(by_doc[1]) in ([1, 2], [3])
+    assert 2 not in by_doc  # empty doc emits nothing
