@@ -36,6 +36,7 @@ from big_data_project_datapipeline_spark.functions.encode import (
     target_encode_loo,
 )
 from big_data_project_datapipeline_spark.functions.quality import (
+    chi_square_contingency,
     equal_frequency_bins,
     fixed_bin_histogram,
     mad_outlier_summary,
@@ -43,6 +44,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     seasonal_anomalies,
     welch_ttest,
 )
+from big_data_project_datapipeline_spark.operators.graph import pagerank
 from big_data_project_datapipeline_spark.operators import behavior as BV
 from big_data_project_datapipeline_spark.operators.asof import asof_join
 from big_data_project_datapipeline_spark.operators.fuzzy import (
@@ -1569,6 +1571,40 @@ def q86_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_token_counts(d, n_buckets=64)
 
 
+def q87_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank over the symmetrized customer–part
+    co-purchase graph (operators/graph.pagerank — Pregel-shaped
+    relational message passing, decimal-accumulated contributions;
+    node ids namespaced custkey·2 / partkey·2+1)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ed = (
+        o.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    sym = ed.union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(sym, n_iter=3)
+
+
+def q88_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category χ² contributions of event_type × user-parity
+    (functions/quality.chi_square_contingency — exact-count conditional
+    aggregate + 1-row broadcast totals)."""
+    ev = _t(spark, sf_dir, "events")
+    return chi_square_contingency(
+        ev, "event_type", (F.col("user_id") % 2) == 1
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1675,6 +1711,52 @@ def _ewma_oracle_sql(alpha: float = 0.8, n: int = 8) -> str:
     """
 
 
+def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 3) -> str:
+    """DuckDB twin of operators/graph.pagerank over the q87 co-purchase
+    graph — iterations unrolled into CTEs with the SAME decimal(28,12)
+    contribution cast and the SAME double literals."""
+    om = 1.0 - damping  # repr'd below → identical parsed double
+    parts = [
+        f"""
+        WITH ed0 AS (
+            SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed0
+                UNION ALL SELECT dst, src FROM ed0)),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        c{k} AS (
+            SELECT e.dst AS node,
+                   CAST(r.pr / d.deg AS DECIMAL(28,12)) AS w
+            FROM edges e
+            JOIN r{k - 1} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src),
+        s{k} AS (
+            SELECT node, CAST(SUM(w) AS DOUBLE) AS s
+            FROM c{k} GROUP BY node),
+        r{k} AS (
+            SELECT nodes.node,
+                   {om!r} / nn.n
+                       + {damping!r} * COALESCE(s.s, 0.0) AS pr
+            FROM nodes LEFT JOIN s{k} s ON nodes.node = s.node
+            CROSS JOIN nn)""")
+    return (
+        ",".join(parts)
+        + f"\n        SELECT node, ROUND(pr, 6) AS pr FROM r{n_iter}"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 5-way join + aggregate at sf0.001 (scan/filter/join/agg)."""
     return q02_regional_revenue(spark, "/root/testdata/sf0.001")
@@ -1770,6 +1852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_equal_freq_bins": q84_equal_freq_bins,
         "q85_target_encode": q85_target_encode,
         "q86_feature_hashing": q86_feature_hashing,
+        "q87_pagerank": q87_pagerank,
+        "q88_chi_square": q88_chi_square,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2608,6 +2692,32 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN t
         """,
         "q80_trailing_ewma": _ewma_oracle_sql(),
+        "q87_pagerank": _pagerank_oracle_sql(),
+        "q88_chi_square": """
+            WITH counts AS (
+                SELECT event_type,
+                       COUNT(CASE WHEN NOT (user_id % 2 = 1) THEN 1 END)
+                           AS n0,
+                       COUNT(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n1
+                FROM events GROUP BY event_type),
+            t AS (
+                SELECT CAST(SUM(n0) AS BIGINT) AS c0,
+                       CAST(SUM(n1) AS BIGINT) AS c1
+                FROM counts)
+            SELECT event_type, n0, n1,
+                   ROUND((n0 + n1) * c0 / (c0 + c1), 6) AS e0,
+                   ROUND((n0 + n1) * c1 / (c0 + c1), 6) AS e1,
+                   ROUND(
+                       (n0 - (n0 + n1) * c0 / (c0 + c1))
+                       * (n0 - (n0 + n1) * c0 / (c0 + c1))
+                       / ((n0 + n1) * c0 / (c0 + c1))
+                       + (n1 - (n0 + n1) * c1 / (c0 + c1))
+                       * (n1 - (n0 + n1) * c1 / (c0 + c1))
+                       / ((n0 + n1) * c1 / (c0 + c1)),
+                       6
+                   ) AS chi2_row
+            FROM counts CROSS JOIN t
+        """,
         # Nearest-rank elements: (num·n + den−1) // den mirrors Spark's
         # floor((num·n + den−1)/den) exactly for positive integers.
         "q82_robust_scale": """

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "q84_equal_freq_bins",
     "q85_target_encode",
     "q86_feature_hashing",
+    "q87_pagerank",
+    "q88_chi_square",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

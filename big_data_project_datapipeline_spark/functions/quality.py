@@ -370,3 +370,45 @@ def equal_frequency_bins(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     )
+
+
+def chi_square_contingency(
+    df: DataFrame,
+    row_col: str,
+    col_flag,
+    alias: str = "chi2_row",
+) -> DataFrame:
+    """Per-row-category χ² contributions of a 2-column contingency table
+    (columns = ``col_flag`` false/true): observed counts, expected counts
+    under independence, and the row's (O−E)²/E sum. The table-level χ²
+    statistic is the sum of the output column; per-row contributions
+    localize WHICH category drives the dependence.
+
+    Parity: everything derives from exact integer counts; the two (O−E)²/E
+    terms fold in a fixed order, so the doubles are engine-reproducible.
+    Scale: one conditional-count aggregate (map-side combined) + a 1-row
+    broadcast of the column totals.
+    """
+    fl = col_flag.cast("boolean")
+    counts = df.groupBy(row_col).agg(
+        F.count(F.when(~fl, F.lit(1))).alias("n0"),
+        F.count(F.when(fl, F.lit(1))).alias("n1"),
+    )
+    totals = counts.agg(
+        F.sum("n0").alias("__c0"), F.sum("n1").alias("__c1")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    grand = F.col("__c0") + F.col("__c1")
+    row_total = F.col("n0") + F.col("n1")
+    e0 = row_total * F.col("__c0") / grand
+    e1 = row_total * F.col("__c1") / grand
+    term0 = (F.col("n0") - e0) * (F.col("n0") - e0) / e0
+    term1 = (F.col("n1") - e1) * (F.col("n1") - e1) / e1
+    return j.select(
+        row_col,
+        "n0",
+        "n1",
+        F.round(e0, 6).alias("e0"),
+        F.round(e1, 6).alias("e1"),
+        F.round(term0 + term1, 6).alias(alias),
+    )

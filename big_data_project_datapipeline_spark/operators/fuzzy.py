@@ -58,14 +58,18 @@ def blocked_levenshtein_pairs(
         <= max_dist,
     ]
     joined = left.join(right, cond)
+    # Thresholded levenshtein runs the BANDED DP (O(len·d) per pair, not
+    # O(len²)) and returns −1 past the budget — the dominant cost of the
+    # whole operator at any scale, so the band matters more than any
+    # join-side tweak. Exact distances for kept pairs are unchanged.
     return (
         joined.withColumn(
             "distance",
             F.levenshtein(
-                F.col(f"l_{text_col}"), F.col(f"r_{text_col}")
+                F.col(f"l_{text_col}"), F.col(f"r_{text_col}"), max_dist
             ),
         )
-        .filter(F.col("distance") <= max_dist)
+        .filter(F.col("distance") >= 0)
         .select(
             F.col(f"l_{id_col}").alias("left_id"),
             F.col(f"r_{id_col}").alias("right_id"),

@@ -1,0 +1,80 @@
+"""Iterative graph analytics: fixed-iteration PageRank.
+
+The Pregel-shaped companion to `functions/dedup.resolve_dup_clusters`
+(pointer-jumping connected components): rank state lives in a node
+DataFrame and each iteration is the relational message pass
+``edges ⋈ ranks → groupBy(dst)`` — 2 shuffles per iteration (join on
+src, aggregate on dst), the canonical distributed PageRank shape. No
+driver-side graph state at all; the only scalar is the node count,
+cross-joined as a 1-row broadcast.
+
+Parity: the per-target contribution sum accumulates in DECIMAL(28,12)
+(cast from the double ``pr/deg`` — the same order-independence device as
+functions/text.unigram_logprob_scores), so partition order cannot wiggle
+low-order bits and a SQL engine unrolling the same iterations
+reproduces every rank bit-for-bit before the final round(6).
+
+Scale: edges are repartitioned on src once and persisted — iterations
+reuse the co-partitioned edge frame, so each pass shuffles only the
+O(nodes) rank frame, never the edge list. Dangling nodes (out-degree 0)
+lose their mass, as in the simplified textbook formulation; feed an
+undirected (symmetrized) edge list to avoid them entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed ``n_iter`` PageRank sweeps over a (src, dst) edge list
+    (deduplicated internally). Returns (node, pr) with pr round(6).
+    """
+    e = edges.select(src, dst).distinct()
+    e = e.repartition(F.col(src)).persist()
+    # nodes/deg are O(nodes) frames referenced by EVERY unrolled
+    # iteration — persist them or the final plan recomputes the edge
+    # distinct once per iteration.
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy(src).agg(F.count(F.lit(1)).alias("deg")).persist()
+    n_total = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = F.lit(1.0 - damping) / F.col("n")
+    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", src), src)
+            .join(deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("pr") / F.col("deg")).cast("decimal(28,12)").alias("w"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum("w").cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n_total))
+            .select(
+                "node",
+                (
+                    base
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return ranks.select("node", F.round("pr", 6).alias("pr"))

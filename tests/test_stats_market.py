@@ -257,3 +257,47 @@ def test_hashed_token_counts_multiplicity(spark):
     # doc 1: "dog"×2 and "cat"×1 (buckets may collide but total is 3)
     assert sorted(by_doc[1]) in ([1, 2], [3])
     assert 2 not in by_doc  # empty doc emits nothing
+
+
+def test_pagerank_star_graph(spark):
+    from big_data_project_datapipeline_spark.operators.graph import pagerank
+
+    # undirected star: hub 0 — leaves 1..3. Symmetric edges.
+    ed = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    out = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=3).collect()}
+    # hand-iterate: n=4, d=0.85; hub deg 3, leaves deg 1
+    pr = {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+    for _ in range(3):
+        nxt = {}
+        nxt[0] = 0.15 / 4 + 0.85 * sum(pr[i] / 1 for i in (1, 2, 3))
+        for i in (1, 2, 3):
+            nxt[i] = 0.15 / 4 + 0.85 * (pr[0] / 3)
+        pr = nxt
+    for node, want in pr.items():
+        assert out[node] == pytest.approx(want, abs=1e-6)
+    # ranks are a distribution (mass preserved on a symmetric graph)
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_chi_square_hand_computed(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        chi_square_contingency,
+    )
+
+    # 2×2 table: type x: (10, 20); type y: (30, 40)
+    rows = [("x", 0)] * 10 + [("x", 1)] * 20 + [("y", 0)] * 30 + [("y", 1)] * 40
+    df = spark.createDataFrame(
+        [(t, p) for t, p in rows], "event_type string, par int"
+    )
+    out = {
+        r["event_type"]: r
+        for r in chi_square_contingency(
+            df, "event_type", F.col("par") == 1
+        ).collect()
+    }
+    # totals: c0=40, c1=60, grand=100; x row_total=30 → e0=12, e1=18
+    assert out["x"]["e0"] == 12.0 and out["x"]["e1"] == 18.0
+    want_x = (10 - 12) ** 2 / 12 + (20 - 18) ** 2 / 18
+    assert out["x"]["chi2_row"] == pytest.approx(want_x, abs=1e-6)
+    assert out["y"]["n0"] == 30 and out["y"]["n1"] == 40
