@@ -1605,6 +1605,19 @@ def q88_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q91_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA projection of the embedding corpus (functions/
+    similarity.pca_fit/pca_project — bounded deterministic driver
+    sample, eigh basis as closure literals, one Arrow-batched map-only
+    projection pass). Rows-only at the gate (like IVF, the fitted basis
+    is outside SQL semantics); numpy-pinned in unit tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = SIM.pca_project(emb, k=8)
+    return out.select(
+        "vec_id", "label", *[f"pc{i}" for i in range(8)]
+    )
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1868,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_asof_forward": q50_asof_forward,
         # --- rows-only (no SQL-expressible oracle) ---
         "q90_ann_lsh": q90_ann_lsh,
+        "q91_pca": q91_pca,
         "q93_ann_ivf": q93_ann_ivf,
         "q94_approx_stats": q94_approx_stats,
     }

@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "q30_asof_backward",
     "q31_grouped_zscore",
     "q90_ann_lsh",
+    "q91_pca",
     "q32_embedding_neardup",
     "q33_simhash",
     "q34_cube_summary",

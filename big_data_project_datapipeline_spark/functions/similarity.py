@@ -18,6 +18,8 @@ recall test against the brute-force tier instead.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -395,3 +397,86 @@ def ann_topk_lsh(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 16384,
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Fit a PCA basis on a BOUNDED deterministic sample (the ivf_topk
+    device: top-N by xxhash64(id) — O(1) driver memory at any corpus
+    size): returns (mean, components[k][dim], explained_variance[k]).
+    Components are eigh eigenvectors sorted by descending eigenvalue and
+    sign-normalized (largest-|coordinate| entry positive) so the basis
+    is deterministic for a fixed sample.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / max(len(x) - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    for j in order:
+        v = evecs[:, j]
+        pivot = np.argmax(np.abs(v))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(c) for c in v])
+    return (
+        [float(m) for m in mean],
+        comps,
+        [float(evals[j]) for j in order],
+    )
+
+
+def pca_project(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 16384,
+    prefix: str = "pc",
+) -> DataFrame:
+    """Project every vector onto the top-k PCA components fitted by
+    ``pca_fit``. The mean/components fold into an Arrow-batched
+    pandas_udf as closure literals — the projection pass is map-only
+    (one matmul per Arrow batch, BLAS), nothing iterates over the
+    corpus twice. Output appends round(6) ``pc0..pc{k-1}`` columns.
+
+    Like ivf_topk, the fitted basis depends on float reductions outside
+    the engine's expression semantics → rows-only at the oracle gate;
+    correctness is pinned against numpy in unit tests.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mean, comps, _ = pca_fit(corpus, k, id_col, vec_col, sample_cap)
+    mean_arr = np.asarray(mean)
+    w = np.asarray(comps)  # k × dim
+
+    @pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        m = np.asarray([np.asarray(v, dtype=np.float64) for v in vs])
+        out = (m - mean_arr) @ w.T
+        return pd.Series([list(map(float, row)) for row in out])
+
+    projected = corpus.withColumn("__pc", _proj(F.col(vec_col)))
+    return projected.select(
+        "*",
+        *[
+            F.round(F.col("__pc")[i], 6).alias(f"{prefix}{i}")
+            for i in range(k)
+        ],
+    ).drop("__pc")

@@ -173,3 +173,70 @@ def write_sorted_for_skipping(
     parted.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(
         path
     )
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> DataFrame:
+    """Append a ``__z`` Morton (Z-order) key interleaving the bits of
+    each column's rank bucket. Buckets come from min/max linear scaling
+    into [0, 2^bits) — ONE tiny aggregate (collected as 2·len(cols)
+    scalars) folded back as literals, so the bucket step is map-only.
+
+    Bit interleave is a fixed shift/mask expression chain (len(cols) ×
+    bits operations) — integer-exact, whole-stage-codegen friendly.
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).first()
+    n_buckets = 1 << bits
+    bucket_cols = []
+    for c in cols:
+        lo = float(bounds[f"lo_{c}"])
+        hi = float(bounds[f"hi_{c}"])
+        span = (hi - lo) or 1.0
+        b = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(lo))
+                / F.lit(span)
+                * n_buckets
+            ).cast("long"),
+        )
+        bucket_cols.append(F.greatest(F.lit(0), b))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, b in enumerate(bucket_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1).cast("long")),
+                    bit * len(cols) + i,
+                )
+            )
+    return df.withColumn("__z", z)
+
+
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    target_files: int | None = None,
+    bits: int = 16,
+) -> None:
+    """Multi-column data-skipping layout: range-partition + sort on the
+    Morton key so each parquet file owns a small HYPER-RECTANGLE of the
+    (col1, col2, …) space — footer min/max stats then prune files for
+    predicates on ANY of the interleaved columns, where a plain sort
+    only skips on its leading column. The Databricks/Iceberg Z-ORDER
+    device, expressed as two narrow steps: map-only key computation +
+    one range shuffle."""
+    with_z = zorder_value(df, cols, bits)
+    parted = (
+        with_z.repartitionByRange(target_files, "__z")
+        if target_files
+        else with_z.repartitionByRange("__z")
+    )
+    parted.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -147,3 +147,36 @@ def test_sorted_write_produces_disjoint_file_ranges(spark, tmp_path):
         assert hi1 <= lo2, (hi1, lo2)
     # and the data survives intact
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_write_zorder_prunes_both_columns(spark, tmp_path):
+    """Each z-ordered file must own a small hyper-rectangle: per-file
+    footer ranges on BOTH interleaved columns are a fraction of the
+    global span (a plain sort leaves the trailing column unprunable)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from big_data_project_datapipeline_spark.sinks import write_zorder
+
+    df = spark.range(0, 4096).selectExpr(
+        "id % 64 as a", "cast(id / 64 as long) as b", "id as payload"
+    )
+    path = str(tmp_path / "z")
+    write_zorder(df, path, ["a", "b"], target_files=16, bits=6)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == 16
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins = {"a": 10**9, "b": 10**9}
+        maxs = {"a": -(10**9), "b": -(10**9)}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins:
+                    mins[name] = min(mins[name], col.statistics.min)
+                    maxs[name] = max(maxs[name], col.statistics.max)
+        # 16 files over a 64×64 grid → 16×16 tiles: both spans bounded
+        assert maxs["a"] - mins["a"] <= 16
+        assert maxs["b"] - mins["b"] <= 16

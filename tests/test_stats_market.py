@@ -301,3 +301,34 @@ def test_chi_square_hand_computed(spark):
     want_x = (10 - 12) ** 2 / 12 + (20 - 18) ** 2 / 18
     assert out["x"]["chi2_row"] == pytest.approx(want_x, abs=1e-6)
     assert out["y"]["n0"] == 30 and out["y"]["n1"] == 40
+
+
+def test_pca_matches_numpy_and_is_orthonormal(spark):
+    import numpy as np
+
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: variance concentrated on two known axes
+    base = rng.normal(size=(200, 6)) * np.array([10.0, 5.0, 1, 1, 0.5, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    mean, comps, ev = pca_fit(df, k=3, sample_cap=1000)
+    w = np.asarray(comps)
+    # orthonormal basis, descending explained variance
+    assert np.allclose(w @ w.T, np.eye(3), atol=1e-9)
+    assert ev[0] >= ev[1] >= ev[2] > 0
+    # dominant component aligns with the highest-variance input axis
+    assert abs(w[0][0]) > 0.9
+    # projections match numpy exactly (same mean/components, BLAS both)
+    out = pca_project(df, k=3, sample_cap=1000)
+    got = {r["vec_id"]: (r["pc0"], r["pc1"], r["pc2"]) for r in out.collect()}
+    want = (base - np.asarray(mean)) @ w.T
+    for i in range(200):
+        for j in range(3):
+            assert got[i][j] == pytest.approx(round(want[i][j], 6), abs=1e-9)
