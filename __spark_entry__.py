@@ -1605,6 +1605,15 @@ def q88_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q89_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-relational Lloyd k-means, k=8, 2 sweeps (functions/
+    similarity.kmeans_assign_relational — broadcast centroid frame,
+    q25's diff-dot distance fold, decimal (cluster,pos) partial sums;
+    every step in-engine, hence oracle-checkable end-to-end)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.kmeans_assign_relational(emb, k=8, n_iter=2)
+
+
 def q91_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 PCA projection of the embedding corpus (functions/
     similarity.pca_fit/pca_project — bounded deterministic driver
@@ -1722,6 +1731,67 @@ def _ewma_oracle_sql(alpha: float = 0.8, n: int = 8) -> str:
                CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS ewma
         FROM w0
     """
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
+    """DuckDB twin of similarity.kmeans_assign_relational — unrolled
+    Lloyd sweeps; distances via list_dot_product on the diff vector
+    (bit-identical to the Spark fold, q25 device), centroid updates via
+    unnest + decimal sums, reassembly via array_agg ORDER BY pos."""
+    dd = (
+        "list_transform(list_zip(p.v, c{i}.c), x -> x[1] - x[2])"
+    )
+    assign = """
+        s{i} AS (
+            SELECT p.pid, p.v, c{i}.cluster,
+                   list_dot_product({dd}, {dd}) AS dist2
+            FROM pts p CROSS JOIN c{i}),
+        a{i} AS (
+            SELECT pid, v, cluster, dist2 FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY pid ORDER BY dist2, cluster) AS rn
+                FROM s{i})
+            WHERE rn = 1)"""
+    update = """
+        comp{j} AS (
+            SELECT cluster, pos - 1 AS pos, val
+            FROM (SELECT cluster, unnest(v) AS val,
+                         generate_subscripts(v, 1) AS pos
+                  FROM a{i})),
+        cm{j} AS (
+            SELECT cluster, pos,
+                   CAST(SUM(CAST(val AS DECIMAL(28,12))) AS DOUBLE)
+                       / COUNT(*) AS cval
+            FROM comp{j} GROUP BY cluster, pos),
+        c{j} AS (
+            SELECT cluster, array_agg(cval ORDER BY pos) AS c
+            FROM cm{j} GROUP BY cluster)"""
+    parts = [
+        f"""
+        WITH pts AS (
+            SELECT vec_id AS pid, embedding::DOUBLE[] AS v
+            FROM embeddings),
+        c0 AS (
+            SELECT CAST(pid AS INTEGER) AS cluster, v AS c
+            FROM pts WHERE pid < {k})"""
+    ]
+    for it in range(n_iter):
+        parts.append(
+            assign.format(i=it, dd=dd.format(i=it))
+        )
+        parts.append(update.format(i=it, j=it + 1))
+    final_dd = dd.format(i=n_iter)
+    parts.append(f"""
+        fin AS (
+            SELECT p.pid, c{n_iter}.cluster,
+                   list_dot_product({final_dd}, {final_dd}) AS dist2
+            FROM pts p CROSS JOIN c{n_iter})
+        SELECT pid AS vec_id, cluster, ROUND(dist2, 6) AS dist2 FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY pid ORDER BY dist2, cluster) AS rn
+            FROM fin)
+        WHERE rn = 1""")
+    return ",".join(parts)
 
 
 def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 3) -> str:
@@ -1867,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_feature_hashing": q86_feature_hashing,
         "q87_pagerank": q87_pagerank,
         "q88_chi_square": q88_chi_square,
+        "q89_kmeans": q89_kmeans,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2707,6 +2778,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q80_trailing_ewma": _ewma_oracle_sql(),
         "q87_pagerank": _pagerank_oracle_sql(),
+        "q89_kmeans": _kmeans_oracle_sql(),
         "q88_chi_square": """
             WITH counts AS (
                 SELECT event_type,

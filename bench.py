@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "q86_feature_hashing",
     "q87_pagerank",
     "q88_chi_square",
+    "q89_kmeans",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

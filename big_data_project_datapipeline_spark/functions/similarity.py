@@ -480,3 +480,97 @@ def pca_project(
             for i in range(k)
         ],
     ).drop("__pc")
+
+
+def kmeans_assign_relational(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully-relational Lloyd k-means (fixed ``n_iter`` sweeps) — unlike
+    ivf_topk's driver-side quantizer this keeps EVERY step in the
+    engine, so it is oracle-checkable end-to-end and scales to corpora
+    where even the centroid update must be distributed:
+
+    - init: the k lowest-id vectors are the seeds (deterministic);
+    - assign: broadcast the k-row centroid frame, squared-L2 via a
+      sequential zip_with/aggregate fold (bit-identical to DuckDB's
+      list_dot_product on the diff vector — the q25 device), argmin by
+      (dist², cluster) row_number;
+    - update: posexplode to (cluster, pos) partial sums — DECIMAL
+      accumulated, map-side combined (the q44 label-centroid shape) —
+      then array_sort(collect_list(struct)) reassembles each centroid.
+
+    2 shuffles per iteration (assignment argmin is window-free only in
+    the agg sense: row_number over k=constant rows per point; update is
+    one (cluster,pos) aggregate). Returns (id, cluster, dist2) of the
+    final assignment.
+    """
+    pts = corpus.select(
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cents = (
+        pts.filter(F.col("pid") < k)
+        .select(F.col("pid").cast("int").alias("cluster"), F.col("v").alias("c"))
+    )
+
+    def dist2():
+        # diff-then-self-dot: the exact op sequence of DuckDB's
+        # list_dot_product(dd, dd) (the q25 parity device), so unrolled
+        # SQL iterations reproduce every distance bit-for-bit.
+        diff = F.zip_with("v", "c", lambda x, y: x - y)
+        return F.aggregate(
+            F.zip_with(diff, diff, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    assigned = None
+    for _ in range(n_iter):
+        scored = pts.crossJoin(F.broadcast(cents)).withColumn(
+            "dist2", dist2()
+        )
+        w = Window.partitionBy("pid").orderBy(
+            F.col("dist2").asc(), F.col("cluster").asc()
+        )
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("pid", "v", "cluster", "dist2")
+        )
+        comp = assigned.select(
+            "cluster", F.posexplode("v").alias("pos", "val")
+        )
+        cents = (
+            comp.groupBy("cluster", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(28,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("c")
+            )
+        )
+    # final assignment against the LAST centroid update
+    scored = pts.crossJoin(F.broadcast(cents)).withColumn("dist2", dist2())
+    w = Window.partitionBy("pid").orderBy(
+        F.col("dist2").asc(), F.col("cluster").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("pid").alias(id_col),
+            "cluster",
+            F.round("dist2", 6).alias("dist2"),
+        )
+    )

@@ -332,3 +332,33 @@ def test_pca_matches_numpy_and_is_orthonormal(spark):
     for i in range(200):
         for j in range(3):
             assert got[i][j] == pytest.approx(round(want[i][j], 6), abs=1e-9)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    import numpy as np
+
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        kmeans_assign_relational,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = []
+    for c, center in enumerate([[0.0, 0.0], [10.0, 10.0], [0.0, 10.0]]):
+        for i in range(20):
+            pts.append(
+                (
+                    c * 20 + i,
+                    [
+                        float(center[0] + rng.normal(0, 0.5)),
+                        float(center[1] + rng.normal(0, 0.5)),
+                    ],
+                )
+            )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = kmeans_assign_relational(df, k=3, n_iter=2).collect()
+    # every planted group lands in exactly one cluster, and vice versa
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] // 20)
+    assert sorted(map(len, by_cluster.values())) == [1, 1, 1]
+    assert all(r["dist2"] is not None and r["dist2"] < 3.0 for r in out)
