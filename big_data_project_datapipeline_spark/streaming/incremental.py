@@ -164,3 +164,53 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_touch_conversions(
+    touches: DataFrame,
+    conversions: DataFrame,
+    horizon: str = "7 days",
+    watermark: str = "48 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stream-stream attribution join — the streaming-native form of the
+    batch last-touch window (q81): every (touch, conversion) pair of the
+    same user where the touch lands in ``[conversion − horizon,
+    conversion)``. Watermarks on BOTH sides + the time-range predicate
+    bound the join state: a touch can be evicted once its ts falls
+    ``horizon`` past the conversion watermark, which is exactly the
+    state bound Spark derives from this interval condition.
+
+    Emits one row per qualifying pair (the "all touches" form);
+    downstream batch jobs reduce to last-touch if needed — keeping the
+    stream append-only (no per-key aggregation state beyond the join).
+    """
+    t = touches.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("t_user"),
+        F.col(id_col).alias("touch_id"),
+        F.col(ts_col).alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    c = conversions.withWatermark(ts_col, watermark).select(
+        F.col(key_col).alias("c_user"),
+        F.col(id_col).alias("conversion_id"),
+        F.col(ts_col).alias("conversion_ts"),
+    )
+    return t.join(
+        c,
+        (F.col("t_user") == F.col("c_user"))
+        & (F.col("touch_ts") < F.col("conversion_ts"))
+        & (
+            F.col("touch_ts")
+            >= F.col("conversion_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("c_user").alias(key_col),
+        "conversion_id",
+        "conversion_ts",
+        "touch_id",
+        "touch_type",
+        "touch_ts",
+    )

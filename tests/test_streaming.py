@@ -160,3 +160,45 @@ def test_watermark_drops_late_data(spark, tmp_path):
     third = drain("wm_run3")
     assert third.get(0) == 1         # emitted exactly once across runs
     assert third.get(5) == 1         # now past the watermark → finalized
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Stream-stream interval join: pairs only within the horizon and
+    strictly before the conversion; state bounded by watermark+interval."""
+    import datetime as dt
+
+    from big_data_project_datapipeline_spark.streaming.incremental import (
+        stream_touch_conversions,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 10), 1, "click", 1.0),
+        (2, T(2024, 1, 5, 9), 1, "purchase", 1.0),    # click within 7d
+        (3, T(2024, 1, 20, 9), 1, "purchase", 1.0),   # outside horizon
+        (4, T(2024, 1, 2, 9), 2, "purchase", 1.0),    # no touch for user 2
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    touches = stream.filter(F.col("event_type").isin("click", "view"))
+    convs = stream.filter(F.col("event_type") == "purchase")
+    joined = stream_touch_conversions(touches, convs)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conversion_id"], r["touch_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+    assert got == {(2, 1)}
