@@ -141,3 +141,44 @@ def test_q64_decision_no_cartesian(spark):
     # decision is groupBy + equi-join back — nothing quadratic globally
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q75_chunking_stays_map_only(spark):
+    plan = plan_of(spark, "q75_rag_chunks")
+    # tokenize → sequence/explode → slice: zero exchanges at any scale
+    assert "Exchange" not in plan
+
+
+def test_q79_single_basket_shuffle(spark):
+    plan = plan_of(spark, "q79_copurchase_lift")
+    # pair generation is map-side from per-basket arrays: no self-join
+    # of the item stream (a second join would appear as SMJ on basket)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q83_baseline_broadcast(spark):
+    plan = plan_of(spark, "q83_seasonal_anomalies")
+    # the O(groups×24) baseline joins back via broadcast, never SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q85_no_cartesian(spark):
+    plan = plan_of(spark, "q85_target_encode")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q86_hashing_partial_agg(spark):
+    plan = plan_of(spark, "q86_feature_hashing")
+    # (doc, bucket) counts must map-side combine before the exchange
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_q89_kmeans_broadcast_centroids(spark):
+    plan = plan_of(spark, "q89_kmeans")
+    # the k-row centroid frame joins via broadcast; the point stream is
+    # never shuffled for assignment
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

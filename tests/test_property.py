@@ -106,3 +106,61 @@ def test_zscore_matches_numpy(spark, vals):
     expected = (filled - mean) / (std if std > 0 else 1.0)
     got = sorted(r["scaled_x"] for r in out)
     assert np.allclose(got, sorted(expected), atol=1e-9)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    chunk=st.integers(min_value=2, max_value=16),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunking_covers_every_token_in_order(spark, n_tokens, chunk, overlap_frac):
+    from big_data_project_datapipeline_spark.functions.text import (
+        chunk_documents,
+    )
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    words = [f"w{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    stride = chunk - overlap
+    # stride reconstruction: dropping each chunk's overlap prefix (except
+    # the first) re-yields the exact token stream
+    rebuilt = rows[0]["chunk_text"].split()
+    for r in rows[1:]:
+        rebuilt.extend(r["chunk_text"].split()[overlap:])
+    # the final chunk may re-cover earlier tokens; dedup while keeping order
+    assert rebuilt[: len(words)] == words
+    assert set(rebuilt) == set(words)
+    # every chunk except the last is full-size
+    assert all(r["chunk_len"] == chunk for r in rows[:-1])
+    assert rows[-1]["chunk_len"] >= 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40
+    ),
+)
+def test_rank_elements_match_numpy_lower_method(spark, values):
+    import numpy as np
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_rank_elements,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in values], "k string, value double"
+    )
+    out = grouped_rank_elements(
+        df, ["k"], "value", [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")]
+    ).first()
+    arr = np.sort(np.asarray(values, dtype=float))
+    n = len(arr)
+    for (num, den, name) in [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")]:
+        rank = (num * n + den - 1) // den  # ceil(num·n/den), 1-based
+        assert out[name] == arr[rank - 1]
