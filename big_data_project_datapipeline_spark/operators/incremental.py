@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.utils import AnalysisException
 
@@ -48,3 +49,66 @@ def load_or_empty(
         return reader.format(fmt).load(path)
     except AnalysisException:
         return spark.createDataFrame([], schema)
+
+
+AGG_STATE_COLS = ["n", "sum_dec", "vmin", "vmax", "users_hll"]
+
+
+def aggregate_state(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    distinct_col: str | None = None,
+) -> DataFrame:
+    """Mergeable per-key aggregate STATE — the incremental
+    materialized-view pattern: instead of recomputing a summary over
+    100 TB of history each day, keep (count, decimal sum, min, max, HLL
+    sketch) per key and fold each new partition's state in with
+    ``merge_aggregate_state``. Every component is associative and
+    commutative: decimal sums are exact (so merge order can't change a
+    bit), min/max are lattice joins, and the HLL sketch is the
+    classic mergeable distinct-count summary.
+    """
+    dec = F.col(value_col).cast("decimal(28,6)")
+    aggs = [
+        F.count(value_col).alias("n"),
+        F.sum(dec).alias("sum_dec"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    ]
+    if distinct_col:
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("users_hll"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_aggregate_state(
+    prev: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Fold a new partition's state into the running state: one groupBy
+    over the UNION of the two O(keys) frames — never touches raw rows.
+    """
+    both = prev.unionByName(new, allowMissingColumns=True)
+    aggs = [
+        F.sum("n").alias("n"),
+        F.sum("sum_dec").alias("sum_dec"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    ]
+    if "users_hll" in both.columns:
+        aggs.append(F.hll_union_agg("users_hll").alias("users_hll"))
+    return both.groupBy(*keys).agg(*aggs)
+
+
+def read_aggregate_state(state: DataFrame) -> DataFrame:
+    """Materialize user-facing metrics from the state: mean from the
+    exact decimal sum, distinct estimate from the sketch."""
+    out = state.select(
+        *[c for c in state.columns if c != "users_hll"],
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("mean"),
+        *(
+            [F.hll_sketch_estimate("users_hll").alias("approx_distinct")]
+            if "users_hll" in state.columns
+            else []
+        ),
+    )
+    return out
