@@ -51,6 +51,7 @@ from big_data_project_datapipeline_spark.operators.fuzzy import (
     blocked_levenshtein_pairs,
 )
 from big_data_project_datapipeline_spark.operators.market import copurchase_lift
+from big_data_project_datapipeline_spark.operators.skew import key_skew_profile
 from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
 from big_data_project_datapipeline_spark.operators.rolling import (
     rolling_stats,
@@ -1627,6 +1628,27 @@ def q91_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q95_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup audit report on
+    top of q51's pointer-jump resolution (how much of the corpus sits
+    in how-big clusters drives the keep/drop policy choice)."""
+    labeled = q51_dup_clusters(spark, sf_dir)
+    sizes = labeled.groupBy("cluster_root").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def q96_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostics over events.user_id (operators/
+    skew.key_skew_profile — top-10 heaviest keys + entropy/max-over-mean
+    from one O(keys) aggregate; decides whether a join needs salting)."""
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, ["user_id"], top_n=10)
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1938,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_pagerank": q87_pagerank,
         "q88_chi_square": q88_chi_square,
         "q89_kmeans": q89_kmeans,
+        "q95_dup_cluster_sizes": q95_dup_cluster_sizes,
+        "q96_key_skew_profile": q96_key_skew_profile,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2041,7 +2065,7 @@ def oracle_sql() -> dict[str, str]:
     es_stop = "['el','la','de','que','y','en','un','una','los','las']"
     de_stop = "['der','die','das','und','ist','von','mit','den','ein','eine']"
     fr_stop = "['le','la','les','des','et','est','une','dans','pour','que']"
-    return {
+    out = {
         "q01_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -2779,6 +2803,29 @@ def oracle_sql() -> dict[str, str]:
         "q80_trailing_ewma": _ewma_oracle_sql(),
         "q87_pagerank": _pagerank_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
+        "q96_key_skew_profile": """
+            WITH cnt AS (
+                SELECT user_id, COUNT(*) AS cnt
+                FROM events GROUP BY user_id),
+            t AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                       COUNT(*) AS n_keys,
+                       MAX(cnt) AS max_cnt,
+                       CAST(SUM(CAST(cnt * LN(cnt) AS DECIMAL(28,12)))
+                            AS DOUBLE) AS slogc
+                FROM cnt),
+            r AS (
+                SELECT user_id, cnt,
+                       ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id)
+                           AS rank
+                FROM cnt)
+            SELECT rank, user_id, cnt,
+                   ROUND(cnt / total, 6) AS share,
+                   n_keys,
+                   ROUND(max_cnt / (total / n_keys), 6) AS max_over_mean,
+                   ROUND(LN(total) - slogc / total, 6) AS entropy
+            FROM r CROSS JOIN t WHERE rank <= 10
+        """,
         "q88_chi_square": """
             WITH counts AS (
                 SELECT event_type,
@@ -3557,3 +3604,14 @@ def oracle_sql() -> dict[str, str]:
             FROM st
         """,
     }
+    # Derived oracle: the cluster-size distribution wraps the FULL q51
+    # oracle as a subquery (DuckDB allows WITH inside a derived table),
+    # so the two stay in lockstep by construction.
+    out["q95_dup_cluster_sizes"] = f"""
+        SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+            SELECT cluster_root, COUNT(*) AS cluster_size
+            FROM ({out["q51_dup_clusters"]}) b
+            GROUP BY cluster_root) s
+        GROUP BY cluster_size
+    """
+    return out

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "q87_pagerank",
     "q88_chi_square",
     "q89_kmeans",
+    "q95_dup_cluster_sizes",
+    "q96_key_skew_profile",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SALT = "__salt"
@@ -58,3 +58,46 @@ def salted_join(
     s_salted = small.withColumn(_SALT, F.explode(small_range))
     out = l_salted.join(s_salted, on=[on, _SALT], how=how)
     return out.drop(_SALT)
+
+
+def key_skew_profile(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostics — the profiling step that decides
+    WHETHER a join needs salting/AQE skew handling: top-N heaviest keys
+    with their share, plus distribution-level stats (key count, max/mean
+    ratio, Shannon entropy) repeated on every row for a one-frame ops
+    report.
+
+    Scale: one groupBy(keys) → an O(distinct-keys) frame; the entropy
+    sum accumulates c·ln c in decimal (the q62 order-independence
+    device) and the top-N rank runs on the already-tiny counts frame.
+    """
+    cnt = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    lp = (F.col("cnt") * F.log(F.col("cnt"))).cast("decimal(28,12)")
+    totals = cnt.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(lp).cast("double").alias("__slogc"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
+    ranked = (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(totals))
+    )
+    entropy = F.log(F.col("total")) - F.col("__slogc") / F.col("total")
+    return ranked.select(
+        "rank",
+        *keys,
+        "cnt",
+        F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+        "n_keys",
+        F.round(
+            F.col("max_cnt") / (F.col("total") / F.col("n_keys")), 6
+        ).alias("max_over_mean"),
+        F.round(entropy, 6).alias("entropy"),
+    )

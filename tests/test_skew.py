@@ -47,3 +47,26 @@ def test_hot_key_spreads_over_buckets(spark):
     assert len(buckets) == 8  # hot key occupies all 8 salt buckets
     counts = [r["count"] for r in buckets]
     assert max(counts) < 10000 * 0.25  # no bucket holds the whole key
+
+
+def test_key_skew_profile_hand_computed(spark):
+    import pytest
+    import math
+
+    from big_data_project_datapipeline_spark.operators.skew import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)] * 1
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, ["k"], top_n=2).collect()
+    assert [(r["rank"], r["k"], r["cnt"]) for r in out] == [
+        (1, "hot", 6),
+        (2, "warm", 3),
+    ]
+    r = out[0]
+    assert r["share"] == 0.6 and r["n_keys"] == 3
+    # max/mean: 6 / (10/3)
+    assert r["max_over_mean"] == pytest.approx(6 / (10 / 3), abs=1e-6)
+    want_h = -sum(p * math.log(p) for p in (0.6, 0.3, 0.1))
+    assert r["entropy"] == pytest.approx(want_h, abs=1e-6)
