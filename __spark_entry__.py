@@ -39,6 +39,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     chi_square_contingency,
     equal_frequency_bins,
     fixed_bin_histogram,
+    grouped_linear_trend,
     mad_outlier_summary,
     robust_scale,
     seasonal_anomalies,
@@ -1649,6 +1650,18 @@ def q96_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(ev, ["user_id"], top_n=10)
 
 
+Q97_EPOCH0_MS = 1_704_067_200_000  # 2024-01-01 UTC, recentring literal
+
+
+def q97_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over time (functions/quality.
+    grouped_linear_trend — decimal-exact moments in one pass; slope
+    scaled to per-day; never the engine's float-accumulating regr_*)."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.unix_millis(F.col("ts")) - F.lit(Q97_EPOCH0_MS)
+    return grouped_linear_trend(ev, x, "value", ["event_type"])
+
+
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, quantile sketch) — sketch
     internals differ per engine, so rows-only; exact counterparts are
@@ -1962,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_kmeans": q89_kmeans,
         "q95_dup_cluster_sizes": q95_dup_cluster_sizes,
         "q96_key_skew_profile": q96_key_skew_profile,
+        "q97_trend_ols": q97_trend_ols,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2803,6 +2817,37 @@ def oracle_sql() -> dict[str, str]:
         "q80_trailing_ewma": _ewma_oracle_sql(),
         "q87_pagerank": _pagerank_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
+        "q97_trend_ols": f"""
+            WITH m AS (
+                SELECT event_type,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(epoch_ms(ts) - {Q97_EPOCH0_MS}
+                                AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           AS sy,
+                       CAST(SUM(CAST(epoch_ms(ts) - {Q97_EPOCH0_MS}
+                                     AS DECIMAL(28,0))
+                                * CAST(epoch_ms(ts) - {Q97_EPOCH0_MS}
+                                       AS DECIMAL(28,0))) AS DOUBLE)
+                           AS sxx,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))
+                                * CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                           AS syy,
+                       CAST(SUM(CAST(
+                           CAST(epoch_ms(ts) - {Q97_EPOCH0_MS} AS DOUBLE)
+                           * value AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+                FROM events WHERE value IS NOT NULL
+                GROUP BY event_type)
+            SELECT event_type, n,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         * 86400000.0, 6) AS slope_per_unit,
+                   ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 6) AS intercept,
+                   ROUND((n * sxy - sx * sy)
+                         / (SQRT(n * sxx - sx * sx)
+                            * SQRT(n * syy - sy * sy)), 6) AS pearson_r
+            FROM m
+        """,
         "q96_key_skew_profile": """
             WITH cnt AS (
                 SELECT user_id, COUNT(*) AS cnt

@@ -412,3 +412,52 @@ def chi_square_contingency(
         F.round(e1, 6).alias("e1"),
         F.round(term0 + term1, 6).alias(alias),
     )
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    x,
+    value_col: str,
+    by: Sequence[str] = (),
+    slope_unit: float = 86_400_000.0,
+) -> DataFrame:
+    """Closed-form per-group OLS of value against a numeric ``x`` Column
+    (e.g. epoch millis): slope (scaled to ``slope_unit`` x-ticks, i.e.
+    per-day for epoch-ms), intercept, and Pearson r — all derived from
+    ONE pass of decimal-exact moments (n, Σx, Σy, Σx², Σy², Σxy), the
+    same order-independence device as the z-score/Welch aggregates.
+    Never the built-in regr_*/corr aggregates: their internal float
+    accumulation is partition-order dependent and differs per engine.
+
+    x must be exact integers (epoch millis recentred by a literal);
+    x·y double products are IEEE-identical everywhere, and their
+    decimal-cast sums make the group moments bit-reproducible.
+    """
+    xd = x.cast("decimal(28,0)")
+    yd = F.col(value_col).cast("decimal(18,4)")
+    xy = (x.cast("double") * F.col(value_col)).cast("decimal(28,6)")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).cast("double").alias("__sx"),
+            F.sum(yd).cast("double").alias("__sy"),
+            F.sum(xd * xd).cast("double").alias("__sxx"),
+            F.sum(yd * yd).cast("double").alias("__syy"),
+            F.sum(xy).cast("double").alias("__sxy"),
+        )
+    )
+    num = F.col("n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.col("n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = num / den
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("n")
+    deny = F.col("n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    r = num / (F.sqrt(den) * F.sqrt(deny))
+    return g.select(
+        *by,
+        "n",
+        F.round(slope * F.lit(slope_unit), 6).alias("slope_per_unit"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r, 6).alias("pearson_r"),
+    )

@@ -362,3 +362,18 @@ def test_kmeans_recovers_planted_clusters(spark):
         by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"] // 20)
     assert sorted(map(len, by_cluster.values())) == [1, 1, 1]
     assert all(r["dist2"] is not None and r["dist2"] < 3.0 for r in out)
+
+
+def test_linear_trend_recovers_planted_slope(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_linear_trend,
+    )
+
+    # y = 2·day + 5 exactly → slope_per_day 2, intercept 5, r = 1
+    day_ms = 86_400_000
+    rows = [("g", i * day_ms, 5.0 + 2.0 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, x long, value double")
+    out = grouped_linear_trend(df, F.col("x"), "value", ["k"]).first()
+    assert out["slope_per_unit"] == pytest.approx(2.0, abs=1e-6)
+    assert out["intercept"] == pytest.approx(5.0, abs=1e-6)
+    assert out["pearson_r"] == pytest.approx(1.0, abs=1e-6)
