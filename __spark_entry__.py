@@ -1650,6 +1650,37 @@ def q96_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(ev, ["user_id"], top_n=10)
 
 
+def q98_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document: split on terminal
+    punctuation + whitespace (a Java∩RE2 pattern — no lookbehind, so
+    both engines segment identically), then count/min/max/mean sentence
+    token lengths. Map-only; the staged sentence array is tokenized
+    once per sentence via transform (never re-split per stat)."""
+    d = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+\s+"),
+        lambda s: F.trim(s) != "",
+    )
+    staged = d.select(
+        "doc_id",
+        F.transform(
+            sents, lambda s: F.size(TX.tokens(s))
+        ).alias("__lens"),
+    ).filter(F.size("__lens") > 0)
+    n = F.size("__lens")
+    total = F.aggregate(
+        "__lens", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return staged.select(
+        "doc_id",
+        n.cast("long").alias("n_sentences"),
+        total.alias("total_tokens"),
+        F.array_min("__lens").cast("long").alias("min_len"),
+        F.array_max("__lens").cast("long").alias("max_len"),
+        F.round(total / n, 6).alias("mean_len"),
+    )
+
+
 Q97_EPOCH0_MS = 1_704_067_200_000  # 2024-01-01 UTC, recentring literal
 
 
@@ -1976,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_dup_cluster_sizes": q95_dup_cluster_sizes,
         "q96_key_skew_profile": q96_key_skew_profile,
         "q97_trend_ols": q97_trend_ols,
+        "q98_sentence_stats": q98_sentence_stats,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
@@ -2817,6 +2849,26 @@ def oracle_sql() -> dict[str, str]:
         "q80_trailing_ewma": _ewma_oracle_sql(),
         "q87_pagerank": _pagerank_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
+        "q98_sentence_stats": f"""
+            WITH st AS (
+                SELECT doc_id,
+                       list_transform(
+                           list_filter(
+                               regexp_split_to_array(text, '[.!?]+\\s+'),
+                               s -> trim(s) <> ''),
+                           s -> len(list_filter(
+                               regexp_split_to_array(lower(s), '\\s+'),
+                               t -> t <> ''))) AS lens
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(lens) AS BIGINT) AS n_sentences,
+                   CAST(list_sum(lens) AS BIGINT) AS total_tokens,
+                   CAST(list_min(lens) AS BIGINT) AS min_len,
+                   CAST(list_max(lens) AS BIGINT) AS max_len,
+                   ROUND(CAST(list_sum(lens) AS BIGINT)
+                         / len(lens), 6) AS mean_len
+            FROM st WHERE len(lens) > 0
+        """,
         "q97_trend_ols": f"""
             WITH m AS (
                 SELECT event_type,

@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q95_dup_cluster_sizes",
     "q96_key_skew_profile",
     "q97_trend_ols",
+    "q98_sentence_stats",
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
