@@ -240,3 +240,82 @@ def write_zorder(
     parted.sortWithinPartitions("__z").drop("__z").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction — the maintenance job every streaming/
+    incremental sink eventually needs (each micro-batch append writes
+    O(partitions) files; a year of half-hourly cron ticks is ~17k tiny
+    files whose footer reads dominate scan time at 100 TB). Rewrites the
+    dataset into ceil(bytes / target) files via a two-phase promote
+    (write to .compact.tmp, swap) so readers never see a half-written
+    store. Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    spark.read.parquet(path).coalesce(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    back = path.rstrip("/") + ".compact.old"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+    return n_files
+
+
+def write_versioned(df: DataFrame, root: str) -> int:
+    """Versioned snapshot write (the poor-man's table format): each call
+    lands a complete snapshot under ``root/v=N`` and atomically repoints
+    ``root/_CURRENT`` (write-temp + rename) — readers following the
+    pointer see an old or a new snapshot, never a mix, and any prior
+    version stays readable for time travel / rollback. Returns N."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    versions = [
+        int(d.split("=")[1])
+        for d in os.listdir(root)
+        if d.startswith("v=") and d.split("=")[1].isdigit()
+    ]
+    n = max(versions, default=-1) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(root, f"v={n}"))
+    tmp = os.path.join(root, "._CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(n))
+    os.replace(tmp, os.path.join(root, "_CURRENT"))
+    return n
+
+
+def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read a snapshot: the _CURRENT pointer by default, or any explicit
+    ``version`` for time travel."""
+    import os
+
+    if version is None:
+        with open(os.path.join(root, "_CURRENT")) as fh:
+            version = int(fh.read().strip())
+    return spark.read.parquet(os.path.join(root, f"v={version}"))
+
+
+def rollback_versioned(root: str, version: int) -> None:
+    """Repoint _CURRENT at an older snapshot (atomic rename)."""
+    import os
+
+    if not os.path.isdir(os.path.join(root, f"v={version}")):
+        raise FileNotFoundError(f"no snapshot v={version} under {root}")
+    tmp = os.path.join(root, "._CURRENT.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(root, "_CURRENT"))

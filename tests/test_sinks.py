@@ -180,3 +180,38 @@ def test_write_zorder_prunes_both_columns(spark, tmp_path):
         # 16 files over a 64×64 grid → 16×16 tiles: both spans bounded
         assert maxs["a"] - mins["a"] <= 16
         assert maxs["b"] - mins["b"] <= 16
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from big_data_project_datapipeline_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # fragment: 32 tiny files
+    spark.range(0, 10_000).repartition(32).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 32
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_versioned_write_time_travel_and_rollback(spark, tmp_path):
+    from big_data_project_datapipeline_spark.sinks import (
+        read_versioned,
+        rollback_versioned,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "store")
+    assert write_versioned(spark.range(0, 5), root) == 0
+    assert write_versioned(spark.range(0, 9), root) == 1
+    assert read_versioned(spark, root).count() == 9          # current
+    assert read_versioned(spark, root, version=0).count() == 5  # travel
+    rollback_versioned(root, 0)
+    assert read_versioned(spark, root).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        rollback_versioned(root, 7)
