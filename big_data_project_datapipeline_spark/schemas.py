@@ -137,3 +137,48 @@ EMBEDDINGS = T.StructType(
         T.StructField("label", T.IntegerType(), True),
     ]
 )
+
+
+def schema_drift(
+    actual, expected, path: str = ""
+) -> list[str]:
+    """Structural diff of two StructTypes — the data-contract check an
+    ingest job runs before trusting a new payload vintage (the driver's
+    own testdata changed timestamp encodings between rounds; this is
+    the guard that turns such a change into one clear message instead
+    of a cast error deep in an operator).
+
+    Returns human-readable drift strings: missing / unexpected columns
+    and type changes, recursing into nested structs. Empty list ⇒
+    contract satisfied (extra nullability looseness is tolerated).
+    """
+    from pyspark.sql import types as T
+
+    drifts: list[str] = []
+    a_fields = {f.name: f for f in actual.fields}
+    e_fields = {f.name: f for f in expected.fields}
+    for name, ef in e_fields.items():
+        full = f"{path}{name}"
+        if name not in a_fields:
+            drifts.append(f"missing column: {full} ({ef.dataType.simpleString()})")
+            continue
+        at = a_fields[name].dataType
+        et = ef.dataType
+        if isinstance(et, T.StructType) and isinstance(at, T.StructType):
+            drifts.extend(schema_drift(at, et, path=f"{full}."))
+        elif at.simpleString() != et.simpleString():
+            drifts.append(
+                f"type change: {full} {et.simpleString()} → {at.simpleString()}"
+            )
+    for name in a_fields:
+        if name not in e_fields:
+            drifts.append(f"unexpected column: {path}{name}")
+    return drifts
+
+
+def assert_schema(df, expected) -> None:
+    """Raise ValueError listing every drift (never just the first — ops
+    needs the full contract report in one failure)."""
+    drifts = schema_drift(df.schema, expected)
+    if drifts:
+        raise ValueError("schema drift:\n  " + "\n  ".join(drifts))

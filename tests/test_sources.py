@@ -79,3 +79,49 @@ def test_prices_projection_and_scaling(spark):
     assert df.columns == ["datetime", "retail_price_£_per_kWh"]  # P1 prune
     rows = df.orderBy("datetime").collect()
     assert rows[0]["retail_price_£_per_kWh"] == 0.25  # P2: /100
+
+
+def test_schema_drift_reports_all_changes(spark):
+    from pyspark.sql import types as T
+
+    from big_data_project_datapipeline_spark.schemas import (
+        assert_schema,
+        schema_drift,
+    )
+
+    expected = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField(
+                "n",
+                T.StructType([T.StructField("x", T.DoubleType())]),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1.0, {"x": "s"}, True)],
+        T.StructType(
+            [
+                T.StructField("a", T.DoubleType()),        # type change
+                T.StructField(
+                    "n",
+                    T.StructType([T.StructField("x", T.StringType())]),
+                ),                                          # nested change
+                T.StructField("c", T.BooleanType()),        # unexpected
+            ]                                               # b missing
+        ),
+    )
+    drifts = schema_drift(df.schema, expected)
+    assert sorted(d.split(":")[0] for d in drifts) == [
+        "missing column",
+        "type change",
+        "type change",
+        "unexpected column",
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="nested|n.x"):
+        assert_schema(df, expected)
+    # identical schema: clean
+    assert schema_drift(expected, expected) == []
