@@ -1974,8 +1974,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_quantize_embeddings": q60_quantize_embeddings,
         "q61_chunk_dedup": q61_chunk_dedup,
         "q92_feature_pipeline": q92_feature_pipeline,
-        # --- positions 51+ (outside the driver's 50-entry gate; oracle-
-        # backed and bit-checked by tools/compare_oracle.py locally) ---
+        # --- positions 51+ (outside the driver's 50-entry gate; ALL
+        # oracle-backed and bit-checked by tools/compare_oracle.py at
+        # sf0.001 + sf0.01 locally — the analytics (q62-q74), stats/
+        # market/feature (q75-q88), graph/ML (q87/q89/q95-q98) waves
+        # plus the near-duplicate §2 variants displaced from the
+        # prefix) ---
         "q62_lm_perplexity": q62_lm_perplexity,
         "q63_source_mix_rebalance": q63_source_mix_rebalance,
         "q64_semantic_dedup": q64_semantic_dedup,
