@@ -206,6 +206,13 @@ def main(argv: list[str] | None = None) -> None:
     fea = sub.add_parser("features", help="incremental feature engineering")
     fea.add_argument("--store", required=True)
     fea.add_argument("--out", required=True)
+    cmp_ = sub.add_parser("compact", help="small-file compaction of a parquet store")
+    cmp_.add_argument("--path", required=True)
+    cmp_.add_argument("--target-file-mb", type=int, default=128)
+    prof = sub.add_parser("profile", help="key-skew profile of a parquet store")
+    prof.add_argument("--path", required=True)
+    prof.add_argument("--keys", required=True, help="comma-separated key columns")
+    prof.add_argument("--top", type=int, default=10)
     args = ap.parse_args(argv)
     if args.job == "fetch":
         run_fetch(
@@ -216,6 +223,22 @@ def main(argv: list[str] | None = None) -> None:
     if args.job == "ingest":
         run_ingest(
             spark, args.payload_dir, args.store, dt.date.fromisoformat(args.date)
+        )
+    elif args.job == "compact":
+        from big_data_project_datapipeline_spark.sinks import compact_parquet
+
+        n = compact_parquet(
+            spark, args.path, target_file_bytes=args.target_file_mb * 1024 * 1024
+        )
+        print(f"compacted {args.path} -> {n} file(s)")
+    elif args.job == "profile":
+        from big_data_project_datapipeline_spark.operators.skew import (
+            key_skew_profile,
+        )
+
+        df = spark.read.parquet(args.path)
+        key_skew_profile(df, args.keys.split(","), top_n=args.top).show(
+            truncate=False
         )
     else:
         run_features(spark, args.store, args.out)

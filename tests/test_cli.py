@@ -96,3 +96,16 @@ def test_two_day_ingest_then_incremental_features(spark, tmp_path):
 
     metrics = json.loads((tmp_path / "raw" / "_metrics" / "ingest.json").read_text())
     assert metrics["rows_ingested"] == 2
+
+
+def test_cli_compact(spark, tmp_path):
+    import glob
+
+    from big_data_project_datapipeline_spark.__main__ import main
+
+    path = str(tmp_path / "store")
+    spark.range(0, 1000).repartition(8).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 8
+    main(["compact", "--path", path, "--target-file-mb", "512"])
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 1000
