@@ -148,12 +148,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # The printed line must stay SHORT so the driver's capture can parse it
+    # (the round-2 line with all 98 per-query numbers was front-truncated →
+    # "parsed": null). The line carries totals + regressions + the 10
+    # slowest queries; the full per-query map goes to BENCH_DETAIL.json
+    # next to this script.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+        "detail_file": "BENCH_DETAIL.json",
     }
     # Per-query regression check against the committed baseline (written by
     # tools/save_bench_baseline.py). Machine noise between runs is ±20%, so
@@ -175,6 +185,11 @@ def main() -> None:
             for k, v in timings.items()
             if k in baseline and v > 1.5 * baseline[k]
         }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump({**out, "queries": timings}, fh, indent=1, sort_keys=True)
     print(json.dumps(out))
 
 

@@ -73,7 +73,11 @@ def key_skew_profile(
 
     Scale: one groupBy(keys) → an O(distinct-keys) frame; the entropy
     sum accumulates c·ln c in decimal (the q62 order-independence
-    device) and the top-N rank runs on the already-tiny counts frame.
+    device). The top-N selection is ``orderBy(...).limit(top_n)`` —
+    Spark plans that as TakeOrderedAndProject (per-partition top-N +
+    driver-side merge of top_n·n_partitions rows), so the full
+    O(distinct-keys) counts frame is NEVER sorted on one partition; the
+    rank window then runs on the ≤top_n surviving rows only.
     """
     cnt = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     lp = (F.col("cnt") * F.log(F.col("cnt"))).cast("decimal(28,12)")
@@ -83,10 +87,10 @@ def key_skew_profile(
         F.max("cnt").alias("max_cnt"),
         F.sum(lp).cast("double").alias("__slogc"),
     )
-    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc() for k in keys])
+    order = [F.col("cnt").desc(), *[F.col(k).asc() for k in keys]]
+    top = cnt.orderBy(*order).limit(top_n)
     ranked = (
-        cnt.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .crossJoin(F.broadcast(totals))
     )
     entropy = F.log(F.col("total")) - F.col("__slogc") / F.col("total")
