@@ -351,6 +351,12 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# ann_topk_lsh broadcasts queries × tables rows (each with a full
+# embedding); ~1M rows × 64 doubles ≈ 0.5 GB — the sane ceiling for a
+# 2-4 GB executor broadcast budget.
+_LSH_BROADCAST_MAX_QUERIES = 1_000_000
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -369,7 +375,25 @@ def ann_topk_lsh(
     grows ~1-(1-p)^L while each table's candidate set stays 2^bits×
     smaller than the corpus). Candidates are deduped before scoring, so
     each (query, neighbor) cosine is computed once.
+
+    The QUERY side is broadcast — this operator targets the
+    query-batch ≪ corpus regime (a search serving / eval loop). The
+    broadcast payload is n_queries × n_tables rows each carrying the
+    full vector, so a "query batch" that is really a second corpus
+    would exceed executor memory: bucket-join both sides unsalted (drop
+    the broadcast hint) for the symmetric all-pairs regime — that is
+    what ``embedding_near_duplicates`` already implements. Guarded here
+    rather than silently: > ``_LSH_BROADCAST_MAX_QUERIES`` raises.
     """
+    n_queries = queries.count()
+    if n_queries * n_tables > _LSH_BROADCAST_MAX_QUERIES:
+        raise ValueError(
+            f"ann_topk_lsh broadcasts the query side: {n_queries} queries "
+            f"x {n_tables} tables = {n_queries * n_tables} broadcast rows "
+            f"exceeds the {_LSH_BROADCAST_MAX_QUERIES} guard. For "
+            f"corpus-vs-corpus similarity use embedding_near_duplicates "
+            f"(bucketed, no broadcast) or raise the guard explicitly."
+        )
     buckets = F.array(
         *[srp_bucket(F.col(vec_col), num_bits, dim, t) for t in range(n_tables)]
     )
@@ -512,9 +536,19 @@ def kmeans_assign_relational(
         F.col(id_col).alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
+    # Seed from the k LOWEST ids explicitly (TakeOrderedAndProject +
+    # row_number over the <=k surviving rows) — a `pid < k` filter would
+    # silently under-seed on sparse ids and mis-compare on string ids.
+    # With dense 0..k-1 integer ids (the oracle's regime) cluster == pid,
+    # so the unrolled-SQL parity is unchanged.
+    seed_w = Window.orderBy(F.col("pid").asc())
     cents = (
-        pts.filter(F.col("pid") < k)
-        .select(F.col("pid").cast("int").alias("cluster"), F.col("v").alias("c"))
+        pts.orderBy(F.col("pid").asc())
+        .limit(k)
+        .select(
+            (F.row_number().over(seed_w) - 1).alias("cluster"),
+            F.col("v").alias("c"),
+        )
     )
 
     def dist2():

@@ -77,4 +77,14 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-    return ranks.select("node", F.round("pr", 6).alias("pr"))
+    out = ranks.select("node", F.round("pr", 6).alias("pr"))
+    # Materialize the O(nodes) result eagerly (lineage truncated), then
+    # release the iteration caches immediately — without this the edge/
+    # node/degree frames stay pinned for the session lifetime, which on
+    # a 100 TB edge list is an executor-memory leak, not a convenience.
+    try:
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for handle in (e, nodes, deg):
+            handle.unpersist()
+    return out

@@ -90,7 +90,7 @@ def copurchase_lift(
         )
         .crossJoin(F.broadcast(totals))
     )
-    return out.select(
+    result = out.select(
         "item_a",
         "item_b",
         "pair_n",
@@ -103,3 +103,10 @@ def copurchase_lift(
             6,
         ).alias("lift"),
     )
+    # Materialize eagerly and release the basket cache — the persisted
+    # per-basket arrays otherwise stay pinned for the session lifetime.
+    try:
+        result = result.localCheckpoint(eager=True)
+    finally:
+        baskets.unpersist()
+    return result

@@ -185,7 +185,21 @@ def zorder_value(
 
     Bit interleave is a fixed shift/mask expression chain (len(cols) ×
     bits operations) — integer-exact, whole-stage-codegen friendly.
+
+    Guards: the highest shift position is ``len(cols)*bits - 1``; Java's
+    shiftleft wraps at 64 (shift mod 64), which would silently scramble
+    the Morton order, so ``len(cols)*bits`` must stay ≤ 63 — pass a
+    smaller ``bits`` for wide column sets (e.g. 4 cols → bits ≤ 15).
+    Empty / all-null inputs have no min/max to scale by and raise.
     """
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"len(cols)*bits = {len(cols) * bits} exceeds 63: shiftleft "
+            f"wraps mod 64 and would scramble the Morton order; lower "
+            f"bits to <= {63 // len(cols)} for {len(cols)} columns"
+        )
     bounds = df.agg(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
@@ -193,6 +207,11 @@ def zorder_value(
     n_buckets = 1 << bits
     bucket_cols = []
     for c in cols:
+        if bounds[f"lo_{c}"] is None or bounds[f"hi_{c}"] is None:
+            raise ValueError(
+                f"zorder_value: column {c!r} has no min/max (empty "
+                f"DataFrame or all-null column) — nothing to bucket"
+            )
         lo = float(bounds[f"lo_{c}"])
         hi = float(bounds[f"hi_{c}"])
         span = (hi - lo) or 1.0
@@ -248,15 +267,40 @@ def compact_parquet(
     """Small-file compaction — the maintenance job every streaming/
     incremental sink eventually needs (each micro-batch append writes
     O(partitions) files; a year of half-hourly cron ticks is ~17k tiny
-    files whose footer reads dominate scan time at 100 TB). Rewrites the
-    dataset into ceil(bytes / target) files via a two-phase promote
-    (write to .compact.tmp, swap) so readers never see a half-written
-    store. Returns the new file count.
+    files whose footer reads dominate scan time at 100 TB).
+
+    Hive-partitioned stores (the ``write_partitioned`` /
+    ``merge_into_partitioned`` layout, ``key=value`` subdirectories) are
+    detected from the directory names and rewritten WITH the same
+    ``partitionBy`` — a flat rewrite would mix root-level files with
+    ``key=`` dirs on the next dynamic-partition merge and break both
+    reads and partition pruning. The rewrite hash-partitions on the
+    partition columns, so every ``key=`` dir compacts to one file (all
+    rows of a key land in one task); unpartitioned stores compact to
+    ceil(bytes / target) files.
+
+    Swap protocol (LOCAL-FS ONLY — ``os.rename``; object stores need a
+    table format / manifest pointer, see ``write_versioned`` for the
+    crash-safe pointer device): write ``.compact.tmp`` → verify its row
+    count matches the source → rename source to ``.compact.old`` →
+    rename tmp into place → verification read of the final store →
+    only then drop the backup. On any verification failure the backup
+    is restored/kept and the error propagates. The brief window between
+    the two renames (path absent) is inherent to directory renames on a
+    plain filesystem; if a crash lands there, ``.compact.old`` holds the
+    intact store. Returns the new file count.
     """
     import math
     import os
     import shutil
 
+    part_cols = sorted(
+        {
+            d.split("=", 1)[0]
+            for d in os.listdir(path)
+            if "=" in d and os.path.isdir(os.path.join(path, d))
+        }
+    )
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -265,12 +309,34 @@ def compact_parquet(
     )
     n_files = max(1, math.ceil(size / target_file_bytes))
     tmp = path.rstrip("/") + ".compact.tmp"
-    spark.read.parquet(path).coalesce(n_files).write.mode(
-        "overwrite"
-    ).parquet(tmp)
+    src = spark.read.parquet(path)
+    src_rows = src.count()
+    if part_cols:
+        src.repartition(n_files, *part_cols).write.mode(
+            "overwrite"
+        ).partitionBy(*part_cols).parquet(tmp)
+    else:
+        src.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    if spark.read.parquet(tmp).count() != src_rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compact_parquet: rewrite of {path} lost rows; aborted "
+            f"before swap, source untouched"
+        )
     back = path.rstrip("/") + ".compact.old"
     os.rename(path, back)
     os.rename(tmp, path)
+    try:
+        ok = spark.read.parquet(path).count() == src_rows
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(back, path)
+        raise RuntimeError(
+            f"compact_parquet: verification read of compacted {path} "
+            f"failed; original store restored from backup"
+        )
     shutil.rmtree(back)
     return n_files
 

@@ -174,6 +174,7 @@ def stream_touch_conversions(
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
+    type_col: str = "event_type",
 ) -> DataFrame:
     """Stream-stream attribution join — the streaming-native form of the
     batch last-touch window (q81): every (touch, conversion) pair of the
@@ -191,7 +192,7 @@ def stream_touch_conversions(
         F.col(key_col).alias("t_user"),
         F.col(id_col).alias("touch_id"),
         F.col(ts_col).alias("touch_ts"),
-        F.col("event_type").alias("touch_type"),
+        F.col(type_col).alias("touch_type"),
     )
     c = conversions.withWatermark(ts_col, watermark).select(
         F.col(key_col).alias("c_user"),

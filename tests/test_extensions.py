@@ -163,6 +163,21 @@ def test_ann_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ann_lsh_guards_large_query_broadcast(spark, monkeypatch):
+    """The query side is broadcast — a corpus-sized 'query batch' must be
+    rejected, not silently shipped to every executor."""
+    import pytest
+
+    from big_data_project_datapipeline_spark.functions import similarity
+
+    monkeypatch.setattr(similarity, "_LSH_BROADCAST_MAX_QUERIES", 8)
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="broadcasts the query side"):
+        similarity.ann_topk_lsh(emb, emb.limit(100), k=5, num_bits=4)
+
+
 def test_solve_banding_tracks_threshold():
     """The solver's chosen (b, r) must put the S-curve's steepest point
     near the requested threshold, and higher thresholds must yield

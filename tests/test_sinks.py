@@ -197,6 +197,60 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     assert spark.read.parquet(path).count() == 10_000
 
 
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """A date-partitioned store (the merge_into_partitioned layout) must
+    come back date-partitioned: a flat rewrite would break the next
+    dynamic-partition merge and lose pruning (round-2 ADVICE, high)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from big_data_project_datapipeline_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "store")
+    df = spark.range(0, 3_000).select(
+        (F.col("id") % 3).cast("string").alias("date"), F.col("id").alias("v")
+    )
+    # fragment each partition into 8 files
+    df.repartition(8).write.partitionBy("date").parquet(path)
+    assert len(glob.glob(path + "/date=*/*.parquet")) == 24
+    compact_parquet(spark, path, target_file_bytes=10**9)
+    # layout preserved: key= dirs, no root-level data files
+    assert sorted(
+        d.rsplit("/", 1)[-1] for d in glob.glob(path + "/date=*")
+    ) == ["date=0", "date=1", "date=2"]
+    assert glob.glob(path + "/*.parquet") == []
+    # each partition compacts to one file; rows and values intact
+    for d in ("0", "1", "2"):
+        assert len(glob.glob(path + f"/date={d}/*.parquet")) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 3_000
+    assert back.filter(F.col("date") == "1").count() == 1_000
+    # no backup/tmp left behind after a verified swap
+    assert not glob.glob(str(tmp_path / "store.compact.*"))
+
+
+def test_zorder_value_guards():
+    import pytest
+
+    from big_data_project_datapipeline_spark.sinks import zorder_value
+
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_value(None, ["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_value(None, [], bits=16)
+
+
+def test_zorder_value_empty_input_raises(spark):
+    import pytest
+
+    from big_data_project_datapipeline_spark.sinks import zorder_value
+
+    empty = spark.range(0).selectExpr("id AS a", "id AS b")
+    with pytest.raises(ValueError, match="no min/max"):
+        zorder_value(empty, ["a", "b"], bits=8)
+
+
 def test_versioned_write_time_travel_and_rollback(spark, tmp_path):
     from big_data_project_datapipeline_spark.sinks import (
         read_versioned,

@@ -364,6 +364,27 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert all(r["dist2"] is not None and r["dist2"] < 3.0 for r in out)
 
 
+def test_kmeans_seeds_from_sparse_ids(spark):
+    """Seeding takes the k LOWEST ids — sparse (non 0..k-1) ids must
+    still yield exactly k seeds (round-2 ADVICE: a `pid < k` filter
+    silently under-seeded here)."""
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        kmeans_assign_relational,
+    )
+
+    # ids start at 1000 — the old `pid < k` seed filter finds none;
+    # interleaved so the 3 lowest ids hit the 3 distinct blobs
+    pts = [
+        (1000 + c + 3 * i, [float(c * 10), float(c * 10)])
+        for c in range(3)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    out = kmeans_assign_relational(df, k=3, n_iter=2).collect()
+    assert len(out) == 30
+    assert {r["cluster"] for r in out} == {0, 1, 2}
+
+
 def test_linear_trend_recovers_planted_slope(spark):
     from big_data_project_datapipeline_spark.functions.quality import (
         grouped_linear_trend,

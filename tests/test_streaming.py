@@ -202,3 +202,45 @@ def test_stream_stream_attribution_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM attrib").collect()
     }
     assert got == {(2, 1)}
+
+
+def test_stream_attribution_custom_type_col(spark, tmp_path):
+    """type_col is parameterized (round-2 ADVICE): a schema without an
+    event_type column works when the touch-type column is named."""
+    import datetime as dt
+
+    from big_data_project_datapipeline_spark.streaming.incremental import (
+        stream_touch_conversions,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    T = dt.datetime
+    rows = [
+        (1, T(2024, 1, 1, 10), 1, "ad"),
+        (2, T(2024, 1, 3, 9), 1, "buy"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, kind string"
+    )
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    joined = stream_touch_conversions(
+        stream.filter(F.col("kind") == "ad"),
+        stream.filter(F.col("kind") == "buy"),
+        type_col="kind",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib_kind")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["touch_id"], r["touch_type"])
+        for r in spark.sql("SELECT * FROM attrib_kind").collect()
+    ]
+    assert got == [(1, "ad")]
