@@ -47,6 +47,7 @@ from big_data_project_datapipeline_spark.session import get_spark
 from big_data_project_datapipeline_spark.sinks import (
     export_csv,
     merge_into_partitioned,
+    promote_overwrite,
     write_metrics_json,
 )
 from big_data_project_datapipeline_spark.sources.json_payloads import (
@@ -138,19 +139,8 @@ def run_features(spark: SparkSession, store: str, out_dir: str) -> DataFrame:
     except AnalysisException:  # bootstrap: no previous output yet
         previous = raw.limit(0).select("datetime")
     features = incremental_feature_run(raw, previous)
-    # two-phase write: the plan reads prev_path, so first materialize to a
-    # side location, then promote by rename — never clobber an input
-    # mid-plan, never leave a stale .tmp for glob consumers to pick up
-    import shutil
-
-    tmp_path = prev_path + ".tmp"
-    features.write.mode("overwrite").parquet(tmp_path)
-    shutil.rmtree(prev_path, ignore_errors=True)
-    try:
-        os.replace(tmp_path, prev_path)
-    except OSError:  # cross-device or non-local path: copy-write + clean up
-        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(prev_path)
-        shutil.rmtree(tmp_path, ignore_errors=True)
+    # the plan reads prev_path → two-phase promote (sinks.promote_overwrite)
+    promote_overwrite(features, prev_path)
     out = spark.read.parquet(prev_path)
     export_csv(out, os.path.join(out_dir, "engineered_data.csv"))
     write_metrics_json(

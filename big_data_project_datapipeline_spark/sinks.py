@@ -109,6 +109,25 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def promote_overwrite(df: DataFrame, path: str) -> None:
+    """Two-phase parquet overwrite for stores whose OWN plan reads
+    ``path`` (the incremental read-transform-replace shape): materialize
+    to ``<path>.tmp`` first, then swap by rename — never clobber an
+    input mid-plan, never leave a stale ``.tmp`` for glob consumers.
+    Falls back to a copy-write when the rename crosses devices or the
+    path isn't local."""
+    import shutil
+
+    tmp = path.rstrip("/") + ".tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.replace(tmp, path)
+    except OSError:
+        df.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def export_csv(df: DataFrame, path: str) -> None:
     """K1/K2 parity export: single-header CSV directory, exact column
     names (incl. %/£ chars), UTC ISO timestamps."""

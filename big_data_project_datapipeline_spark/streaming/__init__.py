@@ -9,6 +9,10 @@ reference's N-day re-fetch window bounds recomputation, and
 the same streaming plan.
 """
 
+from big_data_project_datapipeline_spark.streaming.features import (
+    apply_feature_batch,
+    stream_feature_runs,
+)
 from big_data_project_datapipeline_spark.streaming.incremental import (
     hourly_grid_counts,
     sessionized_values,
@@ -17,8 +21,10 @@ from big_data_project_datapipeline_spark.streaming.incremental import (
 )
 
 __all__ = [
+    "apply_feature_batch",
     "hourly_grid_counts",
     "sessionized_values",
+    "stream_feature_runs",
     "streaming_dedup_keep_first",
     "run_available_now",
 ]
