@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "q88_chi_square",
     "q89_kmeans",
     "q95_dup_cluster_sizes",
+    "q99_substring_dedup",
     "q96_key_skew_profile",
     "q97_trend_ols",
     "q98_sentence_stats",

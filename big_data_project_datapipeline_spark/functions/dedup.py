@@ -510,6 +510,108 @@ def word_chunks(toks: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Corpus-level EXACT-SUBSTRING dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): any token span of length ``window`` that occurs more
+    than once ANYWHERE in the corpus is removed from every occurrence
+    except the first, where "first" is the minimal (doc_id, pos). Unlike
+    doc-level (q20) or chunk-level (q61) dedup this catches duplicated
+    spans that cross chunk boundaries or sit inside otherwise-unique
+    documents — the memorization vector the paper targets.
+
+    Relational re-expression of their suffix-array pass: sliding
+    ``window``-token shingles at stride 1 play the role of the
+    length-threshold match (two docs share a duplicated substring of
+    length ≥ window iff they share a window-gram), the keep/drop
+    decision is a corpus-wide groupBy, and removed spans are the union
+    of covered token positions of every non-first duplicate occurrence
+    (overlapping spans merge via the position-set distinct).
+
+    100 TB shape (the q61 budget): window explode is map-only over a
+    staged token array; the first-occurrence decision is
+    groupBy(gram).agg(count, min(struct)) — map-side combine absorbs
+    hot boilerplate grams, never a row_number window partitioned by
+    gram; join-back is gram-keyed; the covered-position explode is
+    bounded by window × dup occurrences; reassembly is one per-doc
+    aggregate. At scale, key the gram shuffle on xxhash64(gram) to cut
+    shuffle bytes (raw strings kept here for oracle bit-parity).
+
+    Output per doc (docs with no tokens drop, as in chunk_dedup):
+    (doc_id, n_tokens, n_removed, text_dedup).
+    """
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    wins = (
+        base.filter(F.col("n") >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - window),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(
+                            F.slice("toks", i + 1, window), " "
+                        ).alias("w"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.w").alias("w"))
+    )
+    firsts = wins.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+    )
+    dup_occ = (
+        wins.join(firsts, "w")
+        .filter(
+            (F.col("cnt") >= 2)
+            & ~(
+                (F.col(id_col) == F.col(f"first.{id_col}"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(F.col(id_col), F.col("pos"))
+    )
+    removed = dup_occ.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + window - 1)
+        ).alias("tpos"),
+    ).distinct()
+    tok_pos = base.select(
+        F.col(id_col), F.posexplode("toks").alias("tpos", "tok")
+    ).withColumn("tpos", F.col("tpos").cast("long"))
+    marked = tok_pos.join(
+        removed.withColumn("rm", F.lit(True)), [id_col, "tpos"], "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.coalesce(F.sum(F.col("rm").cast("long")), F.lit(0)).alias(
+            "n_removed"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rm").isNull(), F.struct("tpos", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
 def chunk_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

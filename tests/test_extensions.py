@@ -551,6 +551,33 @@ def test_chunk_dedup_keep_first(spark):
     assert (out[4]["n_chunks"], out[4]["n_kept"]) == (3, 2)
 
 
+def test_exact_substring_dedup_hand_computed(spark):
+    """Lee-et-al ExactSubstr over window-grams: a duplicated 3-token span
+    is scrubbed from every non-first occurrence; overlapping duplicated
+    spans merge (covered positions counted once); short docs untouched."""
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [
+        (1, "a b c d e"),      # owns first occurrences of "a b c"/"b c d"
+        (2, "x a b c d y"),    # both spans dup here -> positions 1-4 out
+        (3, "p q r"),          # unique window -> intact
+        (4, "a b"),            # shorter than the window -> intact
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in exact_substring_dedup(df, window=3).collect()
+    }
+    assert out[1]["text_dedup"] == "a b c d e"
+    assert (out[1]["n_tokens"], out[1]["n_removed"]) == (5, 0)
+    # doc 2: spans [1,3] and [2,4] overlap -> union {1,2,3,4} removed once
+    assert out[2]["text_dedup"] == "x y"
+    assert (out[2]["n_tokens"], out[2]["n_removed"]) == (6, 4)
+    assert out[3]["text_dedup"] == "p q r"
+    assert (out[4]["n_tokens"], out[4]["n_removed"]) == (2, 0)
+
+
 def test_unigram_logprob_hand_computed(spark):
     """Tiny corpus: p(a)=3/6, p(b)=2/6, p(c)=1/6; per-doc mean log-prob
     and ppl = exp(-mean) match hand math."""
