@@ -23,6 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from big_data_project_datapipeline_spark.operators.caching import (
+    attach_cache_release,
+)
+
 
 def copurchase_lift(
     lines: DataFrame,
@@ -103,10 +107,7 @@ def copurchase_lift(
             6,
         ).alias("lift"),
     )
-    # Materialize eagerly and release the basket cache — the persisted
-    # per-basket arrays otherwise stay pinned for the session lifetime.
-    try:
-        result = result.localCheckpoint(eager=True)
-    finally:
-        baskets.unpersist()
-    return result
+    # The persisted per-basket arrays release with the result (auto on
+    # GC, or operators.caching.release_caches) instead of pinning
+    # executor memory for the session lifetime.
+    return attach_cache_release(result, (baskets,))

@@ -66,6 +66,45 @@ def test_fuzzy_length_band_is_admissible(spark):
     assert out.count() == 0
 
 
+def test_fuzzy_charset_prune_is_admissible(spark):
+    """The 64-bit charset-bitmap prune must be a pure speedup: pairs
+    found == the naive band+DP result on a corpus crafted to stress it
+    (substitutions that retire/introduce characters, repeated chars whose
+    set is unchanged, transposition-like double substitutions, and
+    colliding bits via pmod-64)."""
+    from big_data_project_datapipeline_spark.operators.fuzzy import (
+        _blocked_pairs_naive,
+    )
+
+    rows = [
+        (1, "A", "banana"),
+        (2, "A", "bananas"),    # +1 char introduces 's'
+        (3, "A", "banann"),     # substitution retires 'a'? no — still has a
+        (4, "A", "bonono"),     # 2 subs retire 'a', introduce 'o'
+        (5, "A", "nanaba"),     # anagram: same charset, d>2 from banana
+        (6, "A", "banama"),     # 1 sub introduces 'm'
+        (7, "A", "aaaaaa"),     # degenerate repeats
+        (8, "A", "aaaaab"),
+        (9, "A", "xyzzyx"),     # disjoint charset
+        (10, "A", "ba" + chr(ord("a") + 64)),  # pmod-64 collision with 'a'
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "name"])
+    for d in (1, 2):
+        fast = {
+            (r.left_id, r.right_id, r.distance)
+            for r in blocked_levenshtein_pairs(
+                df, ["blk"], "name", "id", max_dist=d
+            ).collect()
+        }
+        naive = {
+            (r.left_id, r.right_id, r.distance)
+            for r in _blocked_pairs_naive(
+                df, ["blk"], "name", "id", max_dist=d
+            ).collect()
+        }
+        assert fast == naive, (d, fast ^ naive)
+
+
 def test_rolling_trailing_frame(spark):
     rows = [
         ("u1", _ts(f"2024-01-01T0{i}:00:00"), i, float(v))

@@ -280,6 +280,39 @@ def test_pagerank_star_graph(spark):
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
 
 
+def test_pagerank_caches_release_with_result(spark):
+    """The persisted edge/node/degree frames must not outlive the result
+    (round-2 ADVICE): explicit release_caches frees them, and dropping
+    the result releases them automatically via the GC finalizer."""
+    import gc
+
+    from big_data_project_datapipeline_spark.operators.caching import (
+        release_caches,
+    )
+    from big_data_project_datapipeline_spark.operators.graph import pagerank
+
+    def n_cached():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    before = n_cached()
+
+    out = pagerank(edges, n_iter=2)
+    assert out.count() == 3
+    assert n_cached() > before  # caches materialized by the action
+    release_caches(out)
+    assert n_cached() == before
+
+    out2 = pagerank(edges, n_iter=2)
+    assert out2.count() == 3
+    assert n_cached() > before
+    del out2
+    gc.collect()
+    assert n_cached() == before  # finalizer released on GC
+
+
 def test_chi_square_hand_computed(spark):
     from big_data_project_datapipeline_spark.functions.quality import (
         chi_square_contingency,
