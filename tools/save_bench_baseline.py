@@ -34,6 +34,11 @@ def main() -> int:
         sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
         return 1
     result = json.loads(line)
+    # the printed line carries only the slowest queries (kept short so
+    # the driver capture can parse it); the full per-query map is in the
+    # detail file bench.py writes next to itself
+    with open(os.path.join(REPO, result["detail_file"])) as fh:
+        result["queries"] = json.load(fh)["queries"]
     os.makedirs(os.path.join(REPO, ".benchmarks"), exist_ok=True)
     path = os.path.join(REPO, ".benchmarks", f"baseline_sf{result['sf']}.json")
     with open(path, "w") as fh:
