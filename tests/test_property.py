@@ -164,3 +164,89 @@ def test_rank_elements_match_numpy_lower_method(spark, values):
     for (num, den, name) in [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")]:
         rank = (num * n + den - 1) // den  # ceil(num·n/den), 1-based
         assert out[name] == arr[rank - 1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=10),
+        min_size=2,
+        max_size=12,
+    ),
+    d=st.sampled_from([1, 2]),
+)
+def test_charset_prune_never_loses_a_match(spark, names, d):
+    """Random small-alphabet corpora (maximally collision- and
+    anagram-prone): the bitmap-pruned fuzzy matcher returns exactly the
+    naive band+DP result."""
+    from big_data_project_datapipeline_spark.operators.fuzzy import (
+        _blocked_pairs_naive,
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [(i, "A", n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, blk string, name string")
+    fast = {
+        (r.left_id, r.right_id, r.distance)
+        for r in blocked_levenshtein_pairs(
+            df, ["blk"], "name", "id", max_dist=d
+        ).collect()
+    }
+    naive = {
+        (r.left_id, r.right_id, r.distance)
+        for r in _blocked_pairs_naive(
+            df, ["blk"], "name", "id", max_dist=d
+        ).collect()
+    }
+    assert fast == naive
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("ab cd ef gh ij".split()),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.sampled_from([2, 3]),
+)
+def test_substring_dedup_matches_bruteforce(spark, docs, window):
+    """exact_substring_dedup vs a python brute force on tiny random
+    corpora with a 5-word vocabulary (dup spans everywhere)."""
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        exact_substring_dedup,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(df, window=window).collect()
+    }
+
+    # brute force: same semantics, driver-side
+    wins = {}  # gram -> sorted list of (doc, pos)
+    tok_docs = {i: toks for i, toks in enumerate(docs)}
+    for i, toks in tok_docs.items():
+        for p in range(len(toks) - window + 1):
+            wins.setdefault(tuple(toks[p : p + window]), []).append((i, p))
+    removed = {i: set() for i in tok_docs}
+    for occs in wins.values():
+        if len(occs) < 2:
+            continue
+        keeper = min(occs)
+        for occ in occs:
+            if occ != keeper:
+                removed[occ[0]].update(range(occ[1], occ[1] + window))
+    for i, toks in tok_docs.items():
+        if not toks:
+            assert i not in got  # empty docs drop (posexplode)
+            continue
+        kept = [t for p, t in enumerate(toks) if p not in removed[i]]
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_removed"] == len(removed[i])
+        assert got[i]["text_dedup"] == " ".join(kept)
