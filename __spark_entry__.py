@@ -1693,6 +1693,16 @@ def q99_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_substring_dedup(d, window=8)
 
 
+def q100_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication-coverage report per source (RefinedWeb-style
+    "how duplicated is this crawl" diagnostic): fraction of token
+    positions covered by any corpus-wide repeated 8-gram (ALL
+    occurrences, unlike q99's keep-first removal) + fraction of docs
+    touched. See dedup.dup_span_coverage for the 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dup_span_coverage(d, window=8)
+
+
 Q97_EPOCH0_MS = 1_704_067_200_000  # 2024-01-01 UTC, recentring literal
 
 
@@ -2043,6 +2053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_scrub_pii": q59_scrub_pii,
         "q60_quantize_embeddings": q60_quantize_embeddings,
         "q61_chunk_dedup": q61_chunk_dedup,
+        # round-3 addition past the cap — bit-checked locally, rotates
+        # into the prefix next round
+        "q100_dup_coverage": q100_dup_coverage,
     }
 
 
@@ -3543,6 +3556,43 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
                                        ' ' ORDER BY tpos), '') AS text_dedup
             FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
+        "q100_dup_coverage": f"""
+            WITH toks AS (SELECT doc_id, source, {tokens_sql} AS t
+                          FROM documents),
+            base AS (SELECT doc_id, source, t, len(t) AS n FROM toks),
+            wins AS (
+                SELECT doc_id, pos,
+                       array_to_string(t[pos + 1 : pos + 8], ' ') AS w
+                FROM (SELECT doc_id, t,
+                             unnest(range(0, n - 7)) AS pos
+                      FROM base WHERE n >= 8)),
+            cnts AS (SELECT w, COUNT(*) AS cnt FROM wins GROUP BY w),
+            covered AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens
+                FROM (
+                    SELECT DISTINCT doc_id, tpos FROM (
+                        SELECT wi.doc_id,
+                               unnest(range(wi.pos, wi.pos + 8)) AS tpos
+                        FROM wins wi JOIN cnts c ON wi.w = c.w
+                        WHERE c.cnt >= 2))
+                GROUP BY doc_id),
+            per_doc AS (
+                SELECT b.source, CAST(b.n AS BIGINT) AS n_tokens,
+                       COALESCE(c.dup_tokens, 0) AS dup_tokens
+                FROM base b LEFT JOIN covered c ON b.doc_id = c.doc_id)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+                   ROUND(CAST(SUM(dup_tokens) AS DOUBLE) / SUM(n_tokens), 6)
+                       AS dup_token_frac,
+                   CAST(SUM(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_affected,
+                   ROUND(CAST(SUM(CASE WHEN dup_tokens > 0 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / COUNT(*), 6)
+                       AS docs_affected_frac
+            FROM per_doc GROUP BY source ORDER BY source
         """,
         "q62_lm_perplexity": f"""
             WITH toks AS (SELECT doc_id, {tokens_sql} AS t FROM documents),

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "q89_kmeans",
     "q95_dup_cluster_sizes",
     "q99_substring_dedup",
+    "q100_dup_coverage",
     "q96_key_skew_profile",
     "q97_trend_ols",
     "q98_sentence_stats",

@@ -612,6 +612,82 @@ def exact_substring_dedup(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    window: int = 8,
+) -> DataFrame:
+    """Corpus duplication-coverage report — the diagnostic a pipeline
+    operator reads BEFORE deciding how aggressively to dedup (the
+    RefinedWeb/Gopher-style "how much of this crawl is boilerplate"
+    number): per ``group_col``, the fraction of token positions covered
+    by any ``window``-gram that occurs ≥ 2 times corpus-wide (ALL
+    occurrences count, including the first — unlike q99's removal,
+    which spares firsts) and the fraction of documents touched.
+
+    Same 100 TB budget as exact_substring_dedup: map-only window
+    explode, one map-side-combinable groupBy(gram) for the counts, a
+    gram-keyed join back, a bounded covered-position explode, and two
+    small aggregates. Output per group: (group, n_docs, total_tokens,
+    dup_tokens, dup_token_frac, docs_affected, docs_affected_frac).
+    """
+    base = df.select(
+        F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    wins = (
+        base.filter(F.col("n") >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - window),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(
+                            F.slice("toks", i + 1, window), " "
+                        ).alias("w"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.w").alias("w"))
+    )
+    counts = wins.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    covered = (
+        wins.join(counts, "w")
+        .filter(F.col("cnt") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("tpos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    per_doc = base.join(covered, id_col, "left").select(
+        F.col(group_col),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+    return per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("dup_tokens").alias("dup_tokens"),
+        F.round(F.sum("dup_tokens") / F.sum("n_tokens"), 6).alias(
+            "dup_token_frac"
+        ),
+        F.sum((F.col("dup_tokens") > 0).cast("long")).alias("docs_affected"),
+        F.round(
+            F.sum((F.col("dup_tokens") > 0).cast("long")) / F.count(F.lit(1)),
+            6,
+        ).alias("docs_affected_frac"),
+    )
+
+
 def chunk_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:

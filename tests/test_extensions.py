@@ -578,6 +578,30 @@ def test_exact_substring_dedup_hand_computed(spark):
     assert (out[4]["n_tokens"], out[4]["n_removed"]) == (2, 0)
 
 
+def test_dup_span_coverage_counts_all_occurrences(spark):
+    """Coverage counts EVERY occurrence of a repeated gram (first
+    included) — the diagnostic complement of q99's keep-first removal."""
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        dup_span_coverage,
+    )
+
+    rows = [
+        (1, "a b c d e", "s1"),  # owns "a b c" — still covered (pos 0-2)
+        (2, "a b c x y", "s1"),  # dup "a b c" covers pos 0-2
+        (3, "p q r s t", "s2"),  # unique -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r for r in dup_span_coverage(df, window=3).collect()
+    }
+    s1 = out["s1"]
+    assert (s1["n_docs"], s1["total_tokens"], s1["dup_tokens"]) == (2, 10, 6)
+    assert s1["dup_token_frac"] == 0.6
+    assert (s1["docs_affected"], s1["docs_affected_frac"]) == (2, 1.0)
+    s2 = out["s2"]
+    assert (s2["dup_tokens"], s2["docs_affected"]) == (0, 0)
+
+
 def test_unigram_logprob_hand_computed(spark):
     """Tiny corpus: p(a)=3/6, p(b)=2/6, p(c)=1/6; per-doc mean log-prob
     and ppl = exp(-mean) match hand math."""
