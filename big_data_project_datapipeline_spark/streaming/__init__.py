@@ -9,6 +9,10 @@ reference's N-day re-fetch window bounds recomputation, and
 the same streaming plan.
 """
 
+from big_data_project_datapipeline_spark.streaming.dedup import (
+    apply_substring_dedup_batch,
+    stream_substring_dedup,
+)
 from big_data_project_datapipeline_spark.streaming.features import (
     apply_feature_batch,
     stream_feature_runs,
@@ -22,9 +26,11 @@ from big_data_project_datapipeline_spark.streaming.incremental import (
 
 __all__ = [
     "apply_feature_batch",
+    "apply_substring_dedup_batch",
     "hourly_grid_counts",
     "sessionized_values",
     "stream_feature_runs",
+    "stream_substring_dedup",
     "streaming_dedup_keep_first",
     "run_available_now",
 ]

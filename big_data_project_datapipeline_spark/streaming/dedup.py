@@ -1,0 +1,206 @@
+"""Incremental exact-substring dedup across cron ticks.
+
+At 100 TB you cannot re-run corpus-wide dedup (q99) on every arrival —
+production pipelines dedup each incoming BATCH against a persistent
+index of every window-gram ever seen, then fold the batch's new grams
+into the index. This module is that pattern on Spark's runtime,
+composing the q99 machinery (`functions/dedup.exact_substring_dedup`
+semantics) with the ingest/FE streaming twins' exactly-once story:
+
+- semantics: FIRST ARRIVAL WINS. A gram already in the index scrubs
+  every occurrence in the new batch; within a batch, the minimal
+  (doc_id, pos) occurrence survives (the q99 rule). When doc ids are
+  assigned in arrival order this reproduces the global q99 result on
+  the union exactly — the equivalence the tests pin.
+- state: the gram index is a directory of per-batch parquet subdirs
+  (``grams_<batch_id>``). Each micro-batch OVERWRITES its own subdir,
+  so a crashed-and-replayed batch rewrites the same files instead of
+  appending duplicates — idempotent without reading-while-appending a
+  single directory. Deduped docs land the same way (``docs_<batch_id>``).
+- scale: the per-batch work is the q99 budget (map-only window explode,
+  map-side-combinable groupBy(gram), gram-keyed joins); the index join
+  is one equi-join on the gram key. The index itself is the large
+  state — O(distinct grams) rows of one string column; lay it out
+  bucketed on the gram (``sinks.write_bucketed``) and compact
+  periodically (``sinks.compact_parquet``) to keep the join shuffle
+  one-sided at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from big_data_project_datapipeline_spark.functions.text import tokens
+
+
+def _windows(base: DataFrame, id_col: str, window: int) -> DataFrame:
+    return (
+        base.filter(F.col("n") >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - window),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(
+                            F.slice("toks", i + 1, window), " "
+                        ).alias("w"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.w").alias("w"))
+    )
+
+
+def load_gram_index(
+    spark: SparkSession, index_dir: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """Union of every batch's gram subdir; empty frame on bootstrap.
+
+    ``exclude_batch_id`` skips that batch's OWN shard — a replayed
+    batch must dedup against the pre-batch state, not against the grams
+    it wrote on the crashed attempt (it would otherwise scrub itself).
+    Local-FS directory listing; an object-store deployment swaps this
+    for the FileSystem API listing."""
+    import os
+
+    try:
+        shards = sorted(
+            d for d in os.listdir(index_dir) if d.startswith("grams_")
+        )
+    except FileNotFoundError:
+        shards = []
+    if exclude_batch_id is not None:
+        shards = [d for d in shards if d != f"grams_{exclude_batch_id}"]
+    if not shards:
+        return spark.createDataFrame([], "w string")
+    paths = [os.path.join(index_dir, d) for d in shards]
+    try:
+        return spark.read.parquet(*paths).select("w").distinct()
+    except AnalysisException:
+        return spark.createDataFrame([], "w string")
+
+
+def apply_substring_dedup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> None:
+    """One incremental dedup tick: scrub ``batch_df`` against the gram
+    index + its own internal repeats, land the deduped docs, fold the
+    batch's grams into the index. Also callable directly on a batch
+    frame (the stream ≡ batch equivalence the tests pin)."""
+    spark = batch_df.sparkSession
+    seen = load_gram_index(spark, index_dir, exclude_batch_id=batch_id)
+
+    base = batch_df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    wins = _windows(base, id_col, window)
+    firsts = wins.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+    )
+    flagged = (
+        wins.join(firsts, "w")
+        .join(seen.withColumn("__seen", F.lit(True)), "w", "left")
+        .withColumn(
+            "dup",
+            F.coalesce(F.col("__seen"), F.lit(False))
+            | (
+                (F.col("cnt") >= 2)
+                & ~(
+                    (F.col(id_col) == F.col(f"first.{id_col}"))
+                    & (F.col("pos") == F.col("first.pos"))
+                )
+            ),
+        )
+    )
+    removed = (
+        flagged.filter(F.col("dup"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tok_pos = base.select(
+        F.col(id_col), F.posexplode("toks").alias("tpos", "tok")
+    ).withColumn("tpos", F.col("tpos").cast("long"))
+    deduped = (
+        tok_pos.join(
+            removed.withColumn("rm", F.lit(True)), [id_col, "tpos"], "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").alias("n_tokens"),
+            F.coalesce(F.sum(F.col("rm").cast("long")), F.lit(0)).alias(
+                "n_removed"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rm").isNull(), F.struct("tpos", "tok")
+                            )
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    # per-batch subdirs: a replayed batch overwrites its own output and
+    # gram shard — idempotent, and the index is never read and appended
+    # in the same directory listing
+    deduped.write.mode("overwrite").parquet(f"{out_dir}/docs_{batch_id}")
+    firsts.select("w").write.mode("overwrite").parquet(
+        f"{index_dir}/grams_{batch_id}"
+    )
+
+
+def stream_substring_dedup(
+    spark: SparkSession,
+    docs_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    query_name: str = "engine_stream_dedup",
+) -> StreamingQuery:
+    """availableNow drain: every docs parquet file not yet seen by the
+    checkpoint flows through one incremental dedup tick.
+
+    The (checkpoint_dir, index_dir, out_dir) triple is ONE unit of
+    state: batch ids are unique per checkpoint, so pairing a fresh
+    checkpoint with an existing index/output would overwrite the
+    earliest batch subdirs — recover by reusing the checkpoint, never
+    by replacing it."""
+    schema = spark.read.parquet(docs_dir).schema
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: apply_substring_dedup_batch(
+                batch_df, batch_id, index_dir, out_dir, text_col, id_col, window
+            )
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
