@@ -203,6 +203,15 @@ def main(argv: list[str] | None = None) -> None:
     prof.add_argument("--path", required=True)
     prof.add_argument("--keys", required=True, help="comma-separated key columns")
     prof.add_argument("--top", type=int, default=10)
+    ded = sub.add_parser(
+        "dedup",
+        help="incremental substring dedup of a docs dir against a gram index",
+    )
+    ded.add_argument("--docs-dir", required=True)
+    ded.add_argument("--index-dir", required=True)
+    ded.add_argument("--out", required=True)
+    ded.add_argument("--checkpoint", required=True)
+    ded.add_argument("--window", type=int, default=8)
     args = ap.parse_args(argv)
     if args.job == "fetch":
         run_fetch(
@@ -230,6 +239,21 @@ def main(argv: list[str] | None = None) -> None:
         key_skew_profile(df, args.keys.split(","), top_n=args.top).show(
             truncate=False
         )
+    elif args.job == "dedup":
+        from big_data_project_datapipeline_spark.streaming.dedup import (
+            stream_substring_dedup,
+        )
+
+        q = stream_substring_dedup(
+            spark,
+            args.docs_dir,
+            args.index_dir,
+            args.out,
+            args.checkpoint,
+            window=args.window,
+        )
+        q.awaitTermination()
+        print(f"deduped {args.docs_dir} -> {args.out} (index {args.index_dir})")
     else:
         run_features(spark, args.store, args.out)
 

@@ -109,3 +109,27 @@ def test_cli_compact(spark, tmp_path):
     main(["compact", "--path", path, "--target-file-mb", "512"])
     assert len(glob.glob(path + "/*.parquet")) == 1
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_cli_dedup(spark, tmp_path):
+    from big_data_project_datapipeline_spark.__main__ import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x")], "doc_id long, text string"
+    ).write.parquet(docs)
+    main(
+        [
+            "dedup",
+            "--docs-dir", docs,
+            "--index-dir", str(tmp_path / "index"),
+            "--out", str(tmp_path / "out"),
+            "--checkpoint", str(tmp_path / "cp"),
+            "--window", "3",
+        ]
+    )
+    got = {
+        r["doc_id"]: r["text_dedup"]
+        for r in spark.read.parquet(str(tmp_path / "out" / "docs_*")).collect()
+    }
+    assert got == {1: "a b c d", 2: "x"}
