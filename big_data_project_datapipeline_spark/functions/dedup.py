@@ -510,6 +510,35 @@ def word_chunks(toks: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<struct<pos:int,chunk:string>>"))
 
 
+def substring_windows(
+    base: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """Stride-1 ``window``-token shingles of a staged token frame
+    (columns: id_col, ``toks`` array, ``n`` = size) → (id, pos, w).
+    Map-only explode — the shared candidate-generation step of
+    exact_substring_dedup / dup_span_coverage / streaming dedup."""
+    return (
+        base.filter(F.col("n") >= window)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - window),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(
+                            F.slice("toks", i + 1, window), " "
+                        ).alias("w"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select(
+            F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.w").alias("w")
+        )
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -548,24 +577,7 @@ def exact_substring_dedup(
     base = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("toks")
     ).withColumn("n", F.size("toks"))
-    wins = (
-        base.filter(F.col("n") >= window)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n") - window),
-                    lambda i: F.struct(
-                        i.cast("long").alias("pos"),
-                        F.array_join(
-                            F.slice("toks", i + 1, window), " "
-                        ).alias("w"),
-                    ),
-                )
-            ).alias("x"),
-        )
-        .select(F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.w").alias("w"))
-    )
+    wins = substring_windows(base, id_col, window)
     firsts = wins.groupBy("w").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
@@ -636,24 +648,7 @@ def dup_span_coverage(
     base = df.select(
         F.col(id_col), F.col(group_col), tokens(F.col(text_col)).alias("toks")
     ).withColumn("n", F.size("toks"))
-    wins = (
-        base.filter(F.col("n") >= window)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n") - window),
-                    lambda i: F.struct(
-                        i.cast("long").alias("pos"),
-                        F.array_join(
-                            F.slice("toks", i + 1, window), " "
-                        ).alias("w"),
-                    ),
-                )
-            ).alias("x"),
-        )
-        .select(F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.w").alias("w"))
-    )
+    wins = substring_windows(base, id_col, window)
     counts = wins.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     covered = (
         wins.join(counts, "w")

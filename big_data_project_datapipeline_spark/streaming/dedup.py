@@ -33,28 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from big_data_project_datapipeline_spark.functions.dedup import (
+    substring_windows,
+)
 from big_data_project_datapipeline_spark.functions.text import tokens
-
-
-def _windows(base: DataFrame, id_col: str, window: int) -> DataFrame:
-    return (
-        base.filter(F.col("n") >= window)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.col("n") - window),
-                    lambda i: F.struct(
-                        i.cast("long").alias("pos"),
-                        F.array_join(
-                            F.slice("toks", i + 1, window), " "
-                        ).alias("w"),
-                    ),
-                )
-            ).alias("x"),
-        )
-        .select(F.col(id_col), F.col("x.pos").alias("pos"), F.col("x.w").alias("w"))
-    )
 
 
 def load_gram_index(
@@ -105,7 +87,7 @@ def apply_substring_dedup_batch(
     base = batch_df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("toks")
     ).withColumn("n", F.size("toks"))
-    wins = _windows(base, id_col, window)
+    wins = substring_windows(base, id_col, window)
     firsts = wins.groupBy("w").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
