@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from big_data_project_datapipeline_spark.functions import corpus as CO
 from big_data_project_datapipeline_spark.functions import dedup as D
 from big_data_project_datapipeline_spark.functions import multimodal as MM
 from big_data_project_datapipeline_spark.functions import similarity as SIM
@@ -1933,6 +1934,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return q02_regional_revenue(spark, "/root/testdata/sf0.001")
 
 
+def q101_bigram_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM head: top-50 adjacent token pairs with MLE
+    conditional probability P(w2|w1) (denominator = bigram-first count).
+    See functions/corpus.bigram_model for the 100 TB shape (arrays_zip
+    staging, map-side-combinable pair counts, AQE-split hot head-words)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.bigram_model(d, top_n=50)
+
+
+def q102_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling: admit docs in md5(doc_id)
+    priority order while the running token total stays <= 1000 per
+    source — the hard-cap domain-mixing step (deterministic across
+    engines; no RNG). See functions/corpus.token_budget_sample."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.token_budget_sample(d, budget=1000)
+
+
+def q103_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS over the top-100 corpus tokens (slope ~ -1
+    for natural text). Decimal-accumulated rounded-log moments (the q97
+    device) keep the fit bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.zipf_fit(d, top_ranks=100)
+
+
+def q104_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: type-token ratio + Shannon entropy
+    (bits) of the within-doc token distribution — the distribution-level
+    sibling of the q58 repetition filters. Relational explode+groupBy
+    (documents can be arbitrarily long; never per-row O(distinct^2))."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.token_diversity(d)
+
+
+def q105_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between per-source unigram profiles on
+    the global top-500 vocabulary — the "which domains look alike" mixing
+    diagnostic. Vocab prune bounds the token-keyed self-join to
+    vocab_size * n_sources^2 pairs by construction."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.source_profile_similarity(d, vocab_size=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. Round-2 certified the previous prefix 50/50
@@ -2053,14 +2098,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_scrub_pii": q59_scrub_pii,
         "q60_quantize_embeddings": q60_quantize_embeddings,
         "q61_chunk_dedup": q61_chunk_dedup,
-        # round-3 addition past the cap — bit-checked locally, rotates
+        # round-3 additions past the cap — bit-checked locally, rotate
         # into the prefix next round
         "q100_dup_coverage": q100_dup_coverage,
+        "q101_bigram_model": q101_bigram_model,
+        "q102_token_budget_sample": q102_token_budget_sample,
+        "q103_zipf_fit": q103_zipf_fit,
+        "q104_token_diversity": q104_token_diversity,
+        "q105_source_similarity": q105_source_similarity,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     tokens_sql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    LN2_LITERAL = CO.LN2  # shared bits-conversion divisor (corpus.py)
     # int-hashed token sets: identical md5-derived bigints in both engines
     htokens_sql = (
         f"list_distinct(list_transform({tokens_sql},"
@@ -3804,6 +3855,116 @@ def oracle_sql() -> dict[str, str]:
                                 THEN sqrt(ss / n - (s / n) * (s / n)) ELSE 1.0 END,
                          6) AS zscore_in_type
             FROM st
+        """,
+        "q101_bigram_model": f"""
+            WITH toks AS (SELECT {tokens_sql} AS t FROM documents),
+            pairs AS (
+                SELECT t[pos] AS w1, t[pos + 1] AS w2
+                FROM (SELECT t, unnest(range(1, len(t))) AS pos
+                      FROM toks WHERE len(t) >= 2)),
+            bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+                   FROM pairs GROUP BY w1, w2),
+            fc AS (SELECT w1, CAST(SUM(pair_count) AS BIGINT) AS first_count
+                   FROM bc GROUP BY w1)
+            SELECT bc.w1, bc.w2, pair_count, first_count,
+                   ROUND(CAST(pair_count AS DOUBLE) / first_count, 6)
+                       AS cond_p
+            FROM bc JOIN fc ON bc.w1 = fc.w1
+            ORDER BY pair_count DESC, bc.w1, bc.w2 LIMIT 50
+        """,
+        "q102_token_budget_sample": f"""
+            WITH staged AS (
+                SELECT source, doc_id,
+                       CAST(len({tokens_sql}) AS BIGINT) AS n_tokens,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS pri
+                FROM documents),
+            cum AS (
+                SELECT source, doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY source ORDER BY pri, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cum_tokens
+                FROM staged)
+            SELECT source, doc_id, n_tokens, cum_tokens
+            FROM cum WHERE cum_tokens <= 1000
+        """,
+        "q103_zipf_fit": f"""
+            WITH tok AS (SELECT unnest({tokens_sql}) AS token
+                         FROM documents),
+            counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM tok GROUP BY token),
+            top AS (SELECT token, cnt FROM counts
+                    ORDER BY cnt DESC, token LIMIT 100),
+            ranked AS (SELECT cnt, ROW_NUMBER() OVER
+                           (ORDER BY cnt DESC, token) AS rank FROM top),
+            vals AS (SELECT
+                CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9)
+                     AS DECIMAL(18,9)) AS x,
+                CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9)
+                     AS DECIMAL(18,9)) AS y
+                FROM ranked),
+            m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+                         CAST(SUM(x) AS DOUBLE) AS sx,
+                         CAST(SUM(y) AS DOUBLE) AS sy,
+                         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                         CAST(SUM(x * y) AS DOUBLE) AS sxy
+                  FROM vals)
+            SELECT n_ranks,
+                   ROUND((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx), 6)
+                       AS zipf_slope,
+                   ROUND((sy - ((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                                / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx))
+                               * sx) / CAST(n_ranks AS DOUBLE), 6)
+                       AS zipf_intercept
+            FROM m
+        """,
+        "q104_token_diversity": f"""
+            WITH tok AS (SELECT doc_id, unnest({tokens_sql}) AS token
+                         FROM documents),
+            tc AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok GROUP BY doc_id, token),
+            agg AS (SELECT doc_id,
+                           CAST(SUM(c) AS BIGINT) AS n_tokens,
+                           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                           CAST(SUM(CAST(ROUND(
+                               CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                               AS DECIMAL(18,9))) AS DOUBLE) AS clog
+                    FROM tc GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_distinct,
+                   ROUND(CAST(n_distinct AS DOUBLE)
+                         / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+                   ROUND((ln(CAST(n_tokens AS DOUBLE))
+                          - clog / CAST(n_tokens AS DOUBLE))
+                         / {LN2_LITERAL!r}, 6) AS entropy_bits
+            FROM agg
+        """,
+        "q105_source_similarity": f"""
+            WITH tok AS (SELECT source, unnest({tokens_sql}) AS token
+                         FROM documents),
+            counts AS (SELECT source, token,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM tok GROUP BY source, token),
+            vocab AS (SELECT token FROM (
+                SELECT token, CAST(SUM(c) AS BIGINT) AS tot
+                FROM counts GROUP BY token
+                ORDER BY tot DESC, token LIMIT 500)),
+            pruned AS (SELECT c.* FROM counts c
+                       JOIN vocab v ON c.token = v.token),
+            norms AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS sq
+                      FROM pruned GROUP BY source),
+            dots AS (SELECT a.source AS src_a, b.source AS src_b,
+                            CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+                     FROM pruned a JOIN pruned b
+                       ON a.token = b.token AND a.source < b.source
+                     GROUP BY a.source, b.source)
+            SELECT src_a, src_b,
+                   ROUND(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(n1.sq AS DOUBLE))
+                            * sqrt(CAST(n2.sq AS DOUBLE))), 6) AS cosine
+            FROM dots JOIN norms n1 ON dots.src_a = n1.source
+                      JOIN norms n2 ON dots.src_b = n2.source
         """,
     }
     # Derived oracle: the cluster-size distribution wraps the FULL q51

@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     "q95_dup_cluster_sizes",
     "q99_substring_dedup",
     "q100_dup_coverage",
+    "q101_bigram_model",
+    "q102_token_budget_sample",
+    "q103_zipf_fit",
+    "q104_token_diversity",
+    "q105_source_similarity",
     "q96_key_skew_profile",
     "q97_trend_ols",
     "q98_sentence_stats",

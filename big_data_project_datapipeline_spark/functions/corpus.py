@@ -1,0 +1,300 @@
+"""Corpus-level statistics for pretraining-data curation: n-gram language
+models, token-budget sampling, Zipf rank-frequency fits, per-document
+lexical diversity, and source-profile similarity.
+
+These complement the per-document quality metrics in `functions.text`
+(ratios, langID, fingerprints) with the *corpus-shaped* questions a data
+team asks before mixing sources into a training run: what does the
+bigram distribution look like, how much of each source fits a token
+budget, does the token distribution follow Zipf, how lexically diverse
+is each document, and which sources look alike.
+
+Cross-engine determinism devices (shared with the rest of the repo):
+
+- Sampling order comes from md5(doc_id) (the q47/q63 bucket device) —
+  reproducible across runs and engines, no RNG state.
+- Float reductions that feed the bit-exact oracle gate go through the
+  "round-then-decimal" device proven by q97's trend OLS: per-row float
+  values (ln/log2) are rounded to 9 decimals and cast to decimal before
+  summation, so the aggregate is order-independent and exact; only the
+  final O(1) scalar arithmetic runs in double, with an expression tree
+  the oracle SQL mirrors literally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import text as TX
+
+__all__ = [
+    "LN2",
+    "bigram_model",
+    "token_budget_sample",
+    "zipf_fit",
+    "token_diversity",
+    "source_profile_similarity",
+]
+
+# Embedded as a literal on BOTH engines (Spark expression and oracle SQL)
+# so the bits-conversion divisor is the identical double everywhere —
+# never each engine's own log2/ln(2) (base-2 log is the one transcendental
+# the two engines compute differently: ln is fdlibm/glibc-identical on
+# every input the suite has hashed, log2 is not).
+LN2 = 0.6931471805599453
+
+
+def _md5_priority(c: Column) -> Column:
+    """Deterministic pseudo-random priority: first 60 bits of md5 as a
+    long (same device as the q47/q63 bucket split — engine-portable)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def bigram_model(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Corpus bigram language model head: top-`top_n` adjacent token
+    pairs with their conditional probability P(w2 | w1).
+
+    The denominator is the bigram-first count (sum of pair counts with
+    the same w1), not the raw unigram count — this is the standard MLE
+    normalization (doc-final tokens never start a bigram, so the raw
+    unigram count would make the conditional distribution sum < 1).
+
+    Scale shape: the token array is staged once per doc; pairs come from
+    one arrays_zip of two slices (no self-join of exploded positions).
+    Two shuffles: groupBy(w1, w2) with map-side combine, then a
+    groupBy(w1) re-agg of the *already-collapsed* pair counts joined
+    back on w1. Head words (the/of/...) are hot keys in that join — the
+    pair-count frame is vocab-bounded, and AQE skew-join splits the hot
+    w1 partitions; never broadcast the w1 totals (vocab is unbounded,
+    hapax-heavy — same reasoning as tf_idf_top_terms)."""
+    toks = TX.tokens(F.col(text_col))
+    staged = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    n = F.size("__t")
+    pairs = staged.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, n - 1).alias("w1"),
+                F.slice("__t", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pair_counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("pair_count")
+    )
+    first_counts = pair_counts.groupBy("w1").agg(
+        F.sum("pair_count").alias("first_count")
+    )
+    out = pair_counts.join(first_counts, "w1").select(
+        "w1",
+        "w2",
+        "pair_count",
+        "first_count",
+        F.round(
+            F.col("pair_count").cast("double") / F.col("first_count"), 6
+        ).alias("cond_p"),
+    )
+    # TakeOrderedAndProject: per-partition top-N + driver merge (the q96
+    # lesson — never a global row_number window for a head slice).
+    return out.orderBy(F.desc("pair_count"), "w1", "w2").limit(top_n)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source token-budget sampling: admit documents in deterministic
+    md5-priority order until the source's cumulative token count would
+    exceed `budget` (inclusive semantics: a doc is kept iff the running
+    total *through it* is <= budget).
+
+    This is the "give me ~N tokens per domain" step of assembling a
+    training mix with hard per-source caps — reproducible across runs
+    and engines because the admission order is md5(doc_id), not RNG.
+
+    Scale shape: one window per source (cumulative sum over the
+    md5-priority order). Sources parallelize across partitions; within
+    one giant source this is a per-key sort, which is the honest cost of
+    an exact sequential budget. If an approximate budget suffices at
+    100 TB, pre-bucket by priority range and binary-search the cutoff
+    bucket from per-bucket token subtotals instead — documented here,
+    not implemented, because the exact semantics are what the oracle
+    pins."""
+    staged = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(TX.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        _md5_priority(F.col(id_col)).alias("__pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_ranks: int = 100
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus token distribution: OLS of
+    ln(freq) on ln(rank) for the top-`top_ranks` tokens. A healthy
+    natural-language corpus has slope near -1; synthetic or heavily
+    templated text shows up as a flat or kinked head. Returns one row:
+    (n_ranks, zipf_slope, zipf_intercept).
+
+    Determinism: ln values are rounded to 9 decimals and accumulated as
+    decimals (order-independent, exact — the q97 device); only the final
+    closed-form slope/intercept arithmetic runs in double, in an
+    expression order the oracle mirrors token-for-token.
+
+    Scale shape: one explode + one map-side-combinable groupBy; the head
+    slice is TakeOrderedAndProject (never a global sort); the rank
+    window then covers <= top_ranks rows."""
+    tok = df.select(F.explode(TX.tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(top_ranks)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "token")),
+    )
+    dec = "decimal(18,9)"
+    x = F.round(F.log(F.col("rank").cast("double")), 9).cast(dec)
+    y = F.round(F.log(F.col("cnt").cast("double")), 9).cast(dec)
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    nd = F.col("n_ranks").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "n_ranks",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nd, 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+def token_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical diversity: token count, distinct tokens,
+    type-token ratio, and Shannon entropy (bits) of the within-document
+    token distribution. Low-entropy / low-TTR documents are the
+    boilerplate and keyword-stuffing that repetition filters (q58) catch
+    at the n-gram level — this is the distribution-level sibling.
+
+    H_bits = (ln(n) - (sum c*ln c) / n) / LN2 over within-doc token
+    counts c — ln everywhere (the engine-portable transcendental; see
+    LN2 above for why not log2), c*ln(c) terms rounded to 9 decimals and
+    summed as decimals (order-independent — the q97 device), final
+    arithmetic in double with an oracle-mirrored expression tree.
+
+    Scale shape: explode -> groupBy(doc, token) -> groupBy(doc), both
+    map-side combinable; never a per-row O(distinct^2) array expression
+    (documents can be arbitrarily long — same reasoning as the Gopher
+    repetition filters, text.py:332)."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    )
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    clog = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 9
+    ).cast("decimal(18,9)")
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(clog).cast("double").alias("__clog"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    entropy = (F.log(nd) - F.col("__clog") / nd) / F.lit(LN2)
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct").cast("double") / nd, 6).alias("ttr"),
+        F.round(entropy, 6).alias("entropy_bits"),
+    )
+
+
+def source_profile_similarity(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    vocab_size: int = 500,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-source unigram profiles,
+    restricted to the global top-`vocab_size` vocabulary — the "which
+    domains look alike" diagnostic behind source-mix decisions (merge
+    near-identical crawls, diversify the rest).
+
+    Scale shape: profiles come from one explode + groupBy; the vocab
+    prune (TakeOrderedAndProject head, broadcast semi-join) bounds every
+    downstream frame to <= vocab_size rows per source, so the token-
+    keyed self-join emits at most vocab_size * n_sources^2 pairs —
+    bounded by construction, never an all-pairs blowup over raw vocab.
+    Dot products and norms accumulate exact integer counts; only the
+    final cosine runs in double (oracle-mirrored order)."""
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = (
+        counts.groupBy("token")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), "token")
+        .limit(vocab_size)
+        .select("token")
+    )
+    pruned = counts.join(F.broadcast(vocab), "token")
+    norms = pruned.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    left = pruned.select(
+        "token", F.col("source").alias("src_a"), F.col("c").alias("ca")
+    )
+    right = pruned.select(
+        "token", F.col("source").alias("src_b"), F.col("c").alias("cb")
+    )
+    dots = (
+        left.join(right, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("source").alias("src_a"), F.col("sq").alias("sq_a")
+    )
+    nb = norms.select(
+        F.col("source").alias("src_b"), F.col("sq").alias("sq_b")
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("sq_a").cast("double"))
+        * F.sqrt(F.col("sq_b").cast("double"))
+    )
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select("src_a", "src_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -1,0 +1,193 @@
+"""Corpus-level stats (functions/corpus.py): bigram LM, token-budget
+sampling, Zipf fit, lexical diversity, source-profile similarity — each
+against a hand-computed or pure-Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+
+from big_data_project_datapipeline_spark.functions import corpus as CO
+
+CORPUS = [
+    (0, "srcA", "the cat sat on the mat"),
+    (1, "srcA", "the cat ran"),
+    (2, "srcB", "the cat sat on the mat"),
+    (3, "srcB", "dog dog dog dog"),
+    (4, "srcC", "one lonely"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        CORPUS, "doc_id long, source string, text string"
+    )
+
+
+def _py_bigrams():
+    pairs = Counter()
+    for _, _, text in CORPUS:
+        t = text.lower().split()
+        pairs.update(zip(t, t[1:]))
+    return pairs
+
+
+def test_bigram_model_counts_and_conditionals(corpus):
+    rows = CO.bigram_model(corpus, top_n=1000).collect()
+    expected = _py_bigrams()
+    got = {(r.w1, r.w2): r.pair_count for r in rows}
+    assert got == dict(expected)
+    # MLE normalization: P(.|w1) sums to 1 over the full (untruncated)
+    # model, because the denominator is the bigram-first count.
+    by_w1 = Counter()
+    for r in rows:
+        by_w1[r.w1] += r.cond_p
+    for w1, total in by_w1.items():
+        assert total == pytest.approx(1.0, abs=1e-5), w1
+    # Spot-check: 'the' starts 5 bigrams, 'the cat' appears 3 times.
+    r = next(r for r in rows if (r.w1, r.w2) == ("the", "cat"))
+    assert (r.pair_count, r.first_count) == (3, 5)
+    assert r.cond_p == pytest.approx(0.6)
+
+
+def test_bigram_model_top_n_is_count_ordered(corpus):
+    rows = CO.bigram_model(corpus, top_n=2).collect()
+    assert len(rows) == 2
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert (rows[0].w1, rows[0].w2) == ("dog", "dog")  # 3 occurrences
+
+
+def _py_priority(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+
+def test_token_budget_sample_inclusive_prefix(spark):
+    # One source, tiny budget: docs admitted in md5-priority order while
+    # the running total stays <= budget (inclusive).
+    docs = [(i, "s", "w " * (i + 1)) for i in range(6)]  # 1..6 tokens
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    budget = 9
+    out = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in CO.token_budget_sample(df, budget=budget).collect()
+    }
+    order = sorted(range(6), key=lambda i: (_py_priority(i), i))
+    cum, expected = 0, {}
+    for i in order:
+        n = i + 1
+        if cum + n > budget:
+            break  # sequential admission stops at the first overflow
+        cum += n
+        expected[i] = (n, cum)
+    assert out == expected
+    assert max(c for _, c in out.values()) <= budget
+
+
+def test_token_budget_sample_per_source_independent(corpus):
+    out = CO.token_budget_sample(corpus, budget=10**6).collect()
+    # Budget far above corpus size: everything kept, cum is per-source.
+    assert len(out) == len(CORPUS)
+    per_source_max = {}
+    for r in out:
+        per_source_max[r.source] = max(
+            per_source_max.get(r.source, 0), r.cum_tokens
+        )
+    totals = Counter()
+    for _, src, text in CORPUS:
+        totals[src] += len(text.split())
+    assert per_source_max == dict(totals)
+
+
+def test_zipf_fit_matches_python_ols(spark):
+    # Perfect power law: token w_r appears round(1000 / r) times.
+    rows = []
+    did = 0
+    for r in range(1, 21):
+        for _ in range(round(1000 / r)):
+            rows.append((did, f"w{r:02d}"))
+            did += 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in rows], "doc_id long, text string"
+    )
+    out = CO.zipf_fit(df, top_ranks=20).collect()[0]
+    assert out.n_ranks == 20
+    xs = [math.log(r) for r in range(1, 21)]
+    ys = [math.log(round(1000 / r)) for r in range(1, 21)]
+    n = 20.0
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out.zipf_slope == pytest.approx(slope, abs=1e-6)
+    assert out.zipf_slope == pytest.approx(-1.0, abs=0.01)
+    assert out.zipf_intercept == pytest.approx((sy - slope * sx) / n, abs=1e-6)
+
+
+def test_token_diversity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),      # uniform: H = 2 bits, TTR = 1
+            (1, "a a a a"),      # degenerate: H = 0, TTR = 0.25
+            (2, "a a b"),        # H = -(2/3 lg 2/3 + 1/3 lg 1/3)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in CO.token_diversity(df).collect()}
+    assert out[0].entropy_bits == pytest.approx(2.0, abs=1e-6)
+    assert out[0].ttr == 1.0
+    assert out[1].entropy_bits == pytest.approx(0.0, abs=1e-6)
+    assert out[1].ttr == 0.25
+    h2 = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert out[2].entropy_bits == pytest.approx(h2, abs=1e-6)
+    assert out[2].n_tokens == 3 and out[2].n_distinct == 2
+
+
+def test_source_similarity_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "alpha beta gamma"),
+            (1, "s2", "alpha beta gamma"),   # identical profile to s1
+            (2, "s3", "delta epsilon"),      # disjoint from both
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = CO.source_profile_similarity(df, vocab_size=10).collect()
+    got = {(r.src_a, r.src_b): r.cosine for r in rows}
+    assert got[("s1", "s2")] == pytest.approx(1.0)
+    # Disjoint profiles share no token rows, so the pair is absent
+    # (implicit cosine 0) — the sparse-output contract.
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+def test_source_similarity_hand_computed_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "a a b"),
+            (1, "s2", "a b b"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = CO.source_profile_similarity(df, vocab_size=10).collect()
+    # profiles: s1 = {a:2, b:1}, s2 = {a:1, b:2}; cos = 4 / 5
+    assert len(rows) == 1
+    assert rows[0].cosine == pytest.approx(4 / 5, abs=1e-6)
+
+
+def test_source_similarity_vocab_prune_bounds_join(spark):
+    # With vocab_size=1 only the globally-dominant token survives the
+    # prune, so cosine collapses to 1.0 for every co-occurring pair.
+    df = spark.createDataFrame(
+        [
+            (0, "s1", "a a a b"),
+            (1, "s2", "a c"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = CO.source_profile_similarity(df, vocab_size=1).collect()
+    assert len(rows) == 1
+    assert rows[0].cosine == pytest.approx(1.0)
