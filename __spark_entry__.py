@@ -1978,6 +1978,89 @@ def q105_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.source_profile_similarity(d, vocab_size=500)
 
 
+def q106_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per language: chars per BPE-ish token and
+    BPE tokens per whitespace word — the "how expensive is this language
+    for the tokenizer" diagnostic that drives per-language sampling
+    budgets. Integer sums (exact); division in double, oracle-mirrored.
+    Map-only until one tiny groupBy(lang)."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "lang",
+        F.size(TX.tokens(F.col("text"))).cast("long").alias("__words"),
+        TX.bpe_token_count(F.col("text")).cast("long").alias("__bpe"),
+        F.length("text").cast("long").alias("__chars"),
+    )
+    agg = staged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__words").alias("total_words"),
+        F.sum("__bpe").alias("total_bpe_tokens"),
+        F.sum("__chars").alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        "total_bpe_tokens",
+        "total_chars",
+        F.round(
+            F.col("total_chars").cast("double") / F.col("total_bpe_tokens"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.col("total_bpe_tokens").cast("double") / F.col("total_words"), 6
+        ).alias("tokens_per_word"),
+    )
+
+
+def q107_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: among STANDARD-type parts
+    sold to customers in region ASIA, NATION_0-supplier revenue share per
+    order year. Exercises the widest join tree in the suite (lineitem ⋈
+    orders shuffle + five broadcast dims: customer, two nation roles,
+    region, part, supplier) — Catalyst orders the tree, every dim-side
+    filter prunes before its join, and the conditional revenue split is
+    one decimal-exact aggregate (no second pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)")
+    )
+    zero = F.lit(0).cast("decimal(21,4)")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), s.s_nationkey == F.col("sn_key"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(rev).cast("double").alias("total_revenue"),
+        F.sum(F.when(F.col("sn_name") == "NATION_0", rev).otherwise(zero))
+        .cast("double")
+        .alias("nation_revenue"),
+    )
+    return agg.select(
+        "order_year",
+        "total_revenue",
+        "nation_revenue",
+        F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. Round-2 certified the previous prefix 50/50
@@ -2106,6 +2189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_zipf_fit": q103_zipf_fit,
         "q104_token_diversity": q104_token_diversity,
         "q105_source_similarity": q105_source_similarity,
+        "q106_tokenizer_fertility": q106_tokenizer_fertility,
+        "q107_market_share": q107_market_share,
     }
 
 
@@ -3967,6 +4052,55 @@ def oracle_sql() -> dict[str, str]:
                       JOIN norms n2 ON dots.src_b = n2.source
         """,
     }
+    out["q106_tokenizer_fertility"] = f"""
+        WITH staged AS (
+            SELECT lang,
+                   CAST(len({tokens_sql}) AS BIGINT) AS words,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                       AS bpe,
+                   CAST(length(text) AS BIGINT) AS chars
+            FROM documents),
+        agg AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(words) AS BIGINT) AS total_words,
+                   CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM(chars) AS BIGINT) AS total_chars
+            FROM staged GROUP BY lang)
+        SELECT lang, n_docs, total_words, total_bpe_tokens, total_chars,
+               ROUND(CAST(total_chars AS DOUBLE) / total_bpe_tokens, 6)
+                   AS chars_per_token,
+               ROUND(CAST(total_bpe_tokens AS DOUBLE) / total_words, 6)
+                   AS tokens_per_word
+        FROM agg
+    """
+    out["q107_market_share"] = """
+        WITH joined AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+                   CAST(l_extendedprice AS DECIMAL(10,2))
+                     * (CAST(1 AS DECIMAL(10,2))
+                        - CAST(l_discount AS DECIMAL(10,2))) AS rev,
+                   sn.n_name AS sn_name
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+                       AND r_name = 'ASIA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey),
+        agg AS (
+            SELECT order_year,
+                   CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+                   CAST(SUM(CASE WHEN sn_name = 'NATION_0' THEN rev
+                                 ELSE CAST(0 AS DECIMAL(21,4)) END)
+                        AS DOUBLE) AS nation_revenue
+            FROM joined GROUP BY order_year)
+        SELECT order_year, total_revenue, nation_revenue,
+               ROUND(nation_revenue / total_revenue, 6) AS mkt_share
+        FROM agg
+    """
     # Derived oracle: the cluster-size distribution wraps the FULL q51
     # oracle as a subquery (DuckDB allows WITH inside a derived table),
     # so the two stay in lockstep by construction.

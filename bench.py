@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "q103_zipf_fit",
     "q104_token_diversity",
     "q105_source_similarity",
+    "q106_tokenizer_fertility",
+    "q107_market_share",
     "q96_key_skew_profile",
     "q97_trend_ols",
     "q98_sentence_stats",

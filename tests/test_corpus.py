@@ -191,3 +191,23 @@ def test_source_similarity_vocab_prune_bounds_join(spark):
     rows = CO.source_profile_similarity(df, vocab_size=1).collect()
     assert len(rows) == 1
     assert rows[0].cosine == pytest.approx(1.0)
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    import __spark_entry__ as E
+    import tempfile, os
+    # "ab cd." -> words 2; BPE tokens: ab, cd, '.' = 3; chars 6
+    df = spark.createDataFrame(
+        [(0, "ab cd.", "en", "s", 6), (1, "x y", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = E.q106_tokenizer_fertility(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.total_words, r.total_bpe_tokens, r.total_chars) == (
+        2, 4, 5, 9,
+    )
+    assert r.chars_per_token == pytest.approx(9 / 5, abs=1e-6)
+    assert r.tokens_per_word == pytest.approx(5 / 4, abs=1e-6)
