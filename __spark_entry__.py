@@ -2012,6 +2012,15 @@ def q106_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q108_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage audit: per-language OOV rate against the
+    corpus' own top-1000 token vocabulary (occurrence- and type-level).
+    See functions/corpus.oov_rate for the 100 TB shape (collapse before
+    join; broadcast vocab head)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.oov_rate(d, group_col="lang", vocab_size=1000)
+
+
 def q107_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped national market share: among STANDARD-type parts
     sold to customers in region ASIA, NATION_0-supplier revenue share per
@@ -2191,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_source_similarity": q105_source_similarity,
         "q106_tokenizer_fertility": q106_tokenizer_fertility,
         "q107_market_share": q107_market_share,
+        "q108_oov_rate": q108_oov_rate,
     }
 
 
@@ -4072,6 +4082,33 @@ def oracle_sql() -> dict[str, str]:
                    AS chars_per_token,
                ROUND(CAST(total_bpe_tokens AS DOUBLE) / total_words, 6)
                    AS tokens_per_word
+        FROM agg
+    """
+    out["q108_oov_rate"] = f"""
+        WITH tok AS (SELECT lang AS grp, unnest({tokens_sql}) AS token
+                     FROM documents),
+        counts AS (SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM tok GROUP BY grp, token),
+        vocab AS (SELECT token FROM (
+            SELECT token, CAST(SUM(c) AS BIGINT) AS tot
+            FROM counts GROUP BY token
+            ORDER BY tot DESC, token LIMIT 1000)),
+        flagged AS (
+            SELECT counts.grp, counts.c,
+                   CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+            FROM counts LEFT JOIN vocab v ON counts.token = v.token),
+        agg AS (
+            SELECT grp,
+                   CAST(SUM(c) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN oov = 1 THEN c ELSE 0 END)
+                        AS BIGINT) AS oov_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+                   CAST(SUM(oov) AS BIGINT) AS oov_distinct
+            FROM flagged GROUP BY grp)
+        SELECT grp AS lang, total_tokens, oov_tokens, distinct_tokens,
+               oov_distinct,
+               ROUND(CAST(oov_tokens AS DOUBLE) / total_tokens, 6)
+                   AS oov_rate
         FROM agg
     """
     out["q107_market_share"] = """

@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q105_source_similarity",
     "q106_tokenizer_fertility",
     "q107_market_share",
+    "q108_oov_rate",
     "q96_key_skew_profile",
     "q97_trend_ols",
     "q98_sentence_stats",

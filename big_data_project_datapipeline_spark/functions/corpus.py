@@ -34,6 +34,7 @@ __all__ = [
     "token_budget_sample",
     "zipf_fit",
     "token_diversity",
+    "oov_rate",
     "source_profile_similarity",
 ]
 
@@ -232,6 +233,58 @@ def token_diversity(
         "n_distinct",
         F.round(F.col("n_distinct").cast("double") / nd, 6).alias("ttr"),
         F.round(entropy, 6).alias("entropy_bits"),
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against the corpus' own top-
+    `vocab_size` token vocabulary — the "does a fixed vocab cover this
+    language/source" diagnostic that decides tokenizer retraining and
+    per-group sampling budgets.
+
+    Scale shape: token occurrences collapse to (group, token) counts
+    FIRST (map-side combinable; the heavy explode is aggregated before
+    any join), the vocab head is TakeOrderedAndProject, and membership
+    is a broadcast left-semi-shaped join on the collapsed frame — the
+    join touches distinct-token rows, never raw token occurrences."""
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vocab = (
+        counts.groupBy("token")
+        .agg(F.sum("c").alias("tot"))
+        .orderBy(F.desc("tot"), "token")
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__in_vocab"))
+    )
+    flagged = counts.join(F.broadcast(vocab), "token", "left")
+    agg = flagged.groupBy("grp").agg(
+        F.sum("c").alias("total_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), F.col("c")).otherwise(0))
+        .alias("oov_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias(
+            "oov_distinct"
+        ),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "total_tokens",
+        "oov_tokens",
+        "distinct_tokens",
+        "oov_distinct",
+        F.round(
+            F.col("oov_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("oov_rate"),
     )
 
 

@@ -211,3 +211,23 @@ def test_tokenizer_fertility_hand_computed(spark):
     )
     assert r.chars_per_token == pytest.approx(9 / 5, abs=1e-6)
     assert r.tokens_per_word == pytest.approx(5 / 4, abs=1e-6)
+
+
+def test_oov_rate_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "en", "a a a b"),   # 'a' dominant
+            (1, "de", "a c c"),     # 'c' second, 'b' third
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r.lang: r for r in CO.oov_rate(df, vocab_size=2).collect()
+    }
+    # Global counts: a=4, c=2, b=1 -> vocab {a, c}; 'b' is OOV.
+    en, de = out["en"], out["de"]
+    assert (en.total_tokens, en.oov_tokens) == (4, 1)
+    assert (en.distinct_tokens, en.oov_distinct) == (2, 1)
+    assert en.oov_rate == pytest.approx(0.25)
+    assert (de.total_tokens, de.oov_tokens) == (3, 0)
+    assert de.oov_rate == 0.0
