@@ -2012,6 +2012,18 @@ def q106_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q109_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compression audit (FAISS PQ shape): m=4
+    subspaces × k=16 sub-centroids trained on a bounded deterministic
+    sample, then one map-only encode pass; per-label reconstruction-MSE
+    and code-space utilization. Rows-only (codebook training is not
+    SQL-expressible — same class as q93 IVF); recon-error invariants are
+    unit-tested."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(emb, m=4, k=16)
+    return SIM.pq_audit(emb, books, group_col="label")
+
+
 def q108_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage audit: per-language OOV rate against the
     corpus' own top-1000 token vocabulary (occurrence- and type-level).
@@ -2201,6 +2213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_tokenizer_fertility": q106_tokenizer_fertility,
         "q107_market_share": q107_market_share,
         "q108_oov_rate": q108_oov_rate,
+        # rows-only addition (training not SQL-expressible, like q93)
+        "q109_pq_audit": q109_pq_audit,
     }
 
 

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q106_tokenizer_fertility",
     "q107_market_share",
     "q108_oov_rate",
+    "q109_pq_audit",
     "q96_key_skew_profile",
     "q97_trend_ols",
     "q98_sentence_stats",

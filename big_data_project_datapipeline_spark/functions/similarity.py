@@ -252,15 +252,29 @@ def blocked_cosine_pairs(
 def _lloyd_fit(
     sample: list[list[float]], k: int, seed: int = 42, max_iter: int = 8
 ) -> list[list[float]]:
-    """Driver-side Lloyd k-means on a bounded sample (the IVF quantizer
-    training step). Deterministic for a fixed sample and seed; empty
-    clusters keep their previous center."""
+    """Driver-side Lloyd k-means on a bounded sample (the IVF/PQ
+    quantizer training step). Deterministic for a fixed sample; empty
+    clusters keep their previous center.
+
+    Init is farthest-first traversal (Gonzalez maxmin), not random
+    choice: it is deterministic without RNG state and cannot seed two
+    centers inside one tight cluster — random init was observed
+    collapsing two planted clusters into a shared center (a local
+    optimum Lloyd cannot escape because empty clusters keep their
+    previous center). ``seed`` is kept for signature stability; it only
+    picks the (deterministic) starting point."""
     import numpy as np
 
     pts = np.asarray(sample, dtype=np.float64)
     k = min(k, len(pts))
-    rng = np.random.default_rng(seed)
-    centers = pts[rng.choice(len(pts), size=k, replace=False)].copy()
+    first = seed % len(pts)
+    chosen = [first]
+    d_min = ((pts - pts[first]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(d_min.argmax())
+        chosen.append(nxt)
+        d_min = np.minimum(d_min, ((pts - pts[nxt]) ** 2).sum(axis=1))
+    centers = pts[chosen].copy()
     for _ in range(max_iter):
         d = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -608,3 +622,134 @@ def kmeans_assign_relational(
             F.round("dist2", 6).alias("dist2"),
         )
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    sample_per_centroid: int = 256,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (FAISS PQ shape): split the
+    vector into ``m`` contiguous subspaces and fit an independent
+    ``k``-centroid quantizer per subspace on ONE bounded deterministic
+    sample (<= sample_per_centroid * k rows via top-N-by-hash — O(1)
+    driver memory regardless of corpus size, the same device as
+    ivf_topk's coarse quantizer). Returns m codebooks of k sub-centroids
+    each — ship them back into map-only expressions as literals; nothing
+    iterates over the full corpus."""
+    rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_per_centroid * k)
+        .collect()
+    )
+    vecs = [r["v"] for r in rows]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        _lloyd_fit(
+            [v[j * sub : (j + 1) * sub] for v in vecs],
+            k,
+            seed=seed + j,
+            max_iter=max_iter,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only PQ encoding: per subspace, the argmin sub-centroid id
+    (deterministic smallest-id tie-break) plus that subspace's squared
+    error. ``codes`` is the m-byte compressed representation; the total
+    reconstruction squared error is just the sum of per-subspace argmin
+    distances (the reconstruction is the concatenation of the chosen
+    sub-centroids — never materialized).
+
+    Scale: one narrow projection, no shuffle, no UDF; each sub-centroid
+    is ONE array literal (one py4j call, not dim), so the expression
+    tree is m*k structs wide and stays in whole-stage codegen."""
+    sub = len(codebooks[0][0])
+
+    def best(j: int, cb: list[list[float]]) -> Column:
+        sv = F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sv,
+                            F.lit([float(x) for x in c]),
+                            lambda x, cc: (x - cc) ** 2,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(cb)
+            ]
+        )
+        return F.array_sort(entries)[0]
+
+    bests = [best(j, cb).alias(f"__b{j}") for j, cb in enumerate(codebooks)]
+    staged = df.select(F.col(id_col), *bests)
+    code = F.array(*[F.col(f"__b{j}")["i"] for j in range(len(codebooks))])
+    err = None
+    for j in range(len(codebooks)):
+        d = F.col(f"__b{j}")["d"]
+        err = d if err is None else err + d
+    dim = sub * len(codebooks)
+    return staged.select(
+        F.col(id_col),
+        code.alias("codes"),
+        (err / F.lit(float(dim))).alias("recon_mse"),
+    )
+
+
+def pq_audit(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """PQ compression audit: reconstruction-MSE stats and code-space
+    utilization per group (or corpus-wide with group_col=None) — the
+    "is m/k enough for this corpus" diagnostic before committing to a
+    compressed ANN index. One map-only encode pass + one aggregate."""
+    enc = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+    if group_col is not None:
+        enc = enc.join(df.select(F.col(id_col), F.col(group_col)), id_col)
+    keys = [group_col] if group_col is not None else []
+    k_total = float(len(codebooks) * len(codebooks[0]))
+    stats = enc.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("recon_mse"), 6).alias("mean_recon_mse"),
+        F.round(F.max("recon_mse"), 6).alias("max_recon_mse"),
+    )
+    # Utilization relationally: explode the m-code array and count
+    # distinct (subspace, code) cells per group — map-side combinable,
+    # never a per-group collect_list of n_vecs*m entries.
+    cells = enc.select(
+        *keys, F.posexplode("codes").alias("pos", "code")
+    ).distinct()
+    util = cells.groupBy(*keys).agg(
+        F.round(F.count(F.lit(1)) / F.lit(k_total), 6).alias(
+            "codebook_utilization"
+        )
+    )
+    if keys:
+        return stats.join(util, keys)
+    return stats.crossJoin(F.broadcast(util))

@@ -8,7 +8,13 @@ import bench
 
 # The only queries intentionally lacking a DuckDB oracle (approximate by
 # nature); everything else MUST be oracle-checked.
-ROWS_ONLY = {"q90_ann_lsh", "q91_pca", "q93_ann_ivf", "q94_approx_stats"}
+ROWS_ONLY = {
+    "q90_ann_lsh",
+    "q91_pca",
+    "q93_ann_ivf",
+    "q94_approx_stats",
+    "q109_pq_audit",
+}
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():

@@ -712,3 +712,59 @@ def test_train_val_split_group_constant(spark):
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     again = {r["doc_id"]: r["split"] for r in e.q66_train_val_split(spark, sf).collect()}
     assert again == {r["doc_id"]: r["split"] for r in rows}
+
+
+def test_pq_encode_exact_centroids_zero_error(spark):
+    # Codebooks: m=2 subspaces of 2 dims, k=2 centroids each.
+    books = [
+        [[0.0, 0.0], [1.0, 1.0]],
+        [[2.0, 2.0], [3.0, 3.0]],
+    ]
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 3.0, 3.0]),   # codes (0, 1), error 0
+            (1, [1.0, 1.0, 2.0, 2.0]),   # codes (1, 0), error 0
+            (2, [0.0, 0.0, 2.0, 2.5]),   # codes (0, 0), err 0.25/4
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in SIM.pq_encode(df, books).collect()}
+    assert list(out[0].codes) == [0, 1] and out[0].recon_mse == 0.0
+    assert list(out[1].codes) == [1, 0] and out[1].recon_mse == 0.0
+    assert list(out[2].codes) == [0, 0]
+    assert out[2].recon_mse == pytest.approx(0.25 / 4)
+
+
+def test_pq_train_error_shrinks_with_k(spark):
+    import random
+
+    rng = random.Random(7)
+    centers = [[float(5 * c + d) for d in range(4)] for c in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.1, 0.1) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mse = {}
+    for k in (1, 4):
+        books = SIM.pq_train(df, m=2, k=k, sample_per_centroid=256)
+        enc = SIM.pq_encode(df, books)
+        mse[k] = enc.agg(F.avg("recon_mse")).collect()[0][0]
+    assert mse[4] < mse[1] * 0.25  # 4 planted clusters: big win over k=1
+    assert mse[4] < 0.01
+
+
+def test_pq_audit_grouped_invariants(spark):
+    rows = [
+        (i, [float(i % 3)] * 4, i % 2) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    books = SIM.pq_train(df, m=2, k=4, sample_per_centroid=64)
+    out = SIM.pq_audit(df, books, group_col="label").collect()
+    assert {r.label for r in out} == {0, 1}
+    for r in out:
+        assert r.n_vecs == 15
+        assert 0.0 < r.codebook_utilization <= 1.0
+        assert r.mean_recon_mse <= r.max_recon_mse
