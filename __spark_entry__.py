@@ -2012,6 +2012,53 @@ def q106_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composite (the LLM-side sibling of the q37/
+    q92 pipeline composites): exact-dedup keep-first (normalized
+    fingerprint, groupBy-MIN — the q61 skew device, no window) then the
+    q23 quality gate on the survivors; per-source drop accounting with
+    dup-before-quality precedence, the report a data team reads before
+    committing a training mix. Every stage reuses an already-oracle-
+    pinned primitive (fingerprint ≡ q23, quality ≡ q23/q24, keep-first
+    ≡ q20/q61)."""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "source",
+        TX.quality_score(F.col("text")).alias("__q"),
+        TX.normalized_fingerprint(F.col("text")).alias("__fp"),
+    )
+    keep_first = staged.groupBy("__fp").agg(F.min("doc_id").alias("__keep"))
+    flagged = staged.join(keep_first, "__fp").select(
+        "source",
+        (F.col("doc_id") != F.col("__keep")).alias("__dup"),
+        (F.col("__q") < 0.5).alias("__lowq"),
+    )
+    one = F.lit(1)
+    agg = flagged.groupBy("source").agg(
+        F.count(one).alias("n_docs"),
+        F.sum(F.when(F.col("__dup"), one).otherwise(0)).alias(
+            "n_dups_removed"
+        ),
+        F.sum(
+            F.when(~F.col("__dup") & F.col("__lowq"), one).otherwise(0)
+        ).alias("n_low_quality"),
+        F.sum(
+            F.when(~F.col("__dup") & ~F.col("__lowq"), one).otherwise(0)
+        ).alias("n_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dups_removed",
+        "n_low_quality",
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_docs"), 6
+        ).alias("kept_frac"),
+    )
+
+
 def q109_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization compression audit (FAISS PQ shape): m=4
     subspaces × k=16 sub-centroids trained on a bounded deterministic
@@ -2213,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_tokenizer_fertility": q106_tokenizer_fertility,
         "q107_market_share": q107_market_share,
         "q108_oov_rate": q108_oov_rate,
+        "q110_curation_report": q110_curation_report,
         # rows-only addition (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
     }
@@ -4124,6 +4172,48 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(oov_tokens AS DOUBLE) / total_tokens, 6)
                    AS oov_rate
         FROM agg
+    """
+    out["q110_curation_report"] = f"""
+        WITH base AS (
+            SELECT doc_id, source, text, {tokens_sql} AS toks,
+                   len(list_filter({tokens_sql},
+                       t -> list_contains({en_stop}, t))) AS en_hits
+            FROM documents),
+        scored AS (
+            SELECT doc_id, source,
+                   0.25 * CAST(len(toks) >= 5 AS DOUBLE)
+                     + 0.25 * CAST(COALESCE(
+                           CAST(list_sum(list_transform(toks,
+                                t -> length(t))) AS DOUBLE)
+                           / NULLIF(len(toks), 0), 0.0)
+                           BETWEEN 2.0 AND 12.0 AS DOUBLE)
+                     + 0.25 * CAST((CASE WHEN length(text) > 0 THEN
+                           CAST(length(regexp_replace(text,
+                                '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END) <= 0.2 AS DOUBLE)
+                     + 0.25 * CAST((CASE WHEN len(toks) > 0 THEN
+                           CAST(en_hits AS DOUBLE) / len(toks)
+                           ELSE 0.0 END) >= 0.05 AS DOUBLE) AS q,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+            FROM base),
+        kf AS (SELECT fp, MIN(doc_id) AS keep_id FROM scored GROUP BY fp),
+        flagged AS (
+            SELECT source, (doc_id <> keep_id) AS is_dup,
+                   (q < 0.5) AS low_q
+            FROM scored JOIN kf USING (fp))
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dups_removed,
+               CAST(SUM(CASE WHEN NOT is_dup AND low_q THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_quality,
+               CAST(SUM(CASE WHEN NOT is_dup AND NOT low_q THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               ROUND(CAST(SUM(CASE WHEN NOT is_dup AND NOT low_q
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS kept_frac
+        FROM flagged GROUP BY source
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q107_market_share",
     "q108_oov_rate",
     "q109_pq_audit",
+    "q110_curation_report",
     "q96_key_skew_profile",
     "q97_trend_ols",
     "q98_sentence_stats",

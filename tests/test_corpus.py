@@ -231,3 +231,37 @@ def test_oov_rate_hand_computed(spark):
     assert en.oov_rate == pytest.approx(0.25)
     assert (de.total_tokens, de.oov_tokens) == (3, 0)
     assert de.oov_rate == 0.0
+
+
+def test_curation_report_precedence(spark):
+    import __spark_entry__ as E
+    import tempfile, os
+    good = ("the quick brown fox is running with the lazy dog "
+            "and it is that fast for everyone involved")
+    docs = [
+        (0, good, "en", "s1", len(good)),
+        (1, good, "en", "s1", len(good)),        # exact dup of 0
+        # q = 0.25 (only punct passes): 1 token, avg len > 12, no stopwords
+        (2, "z" * 20, "en", "s1", 20),           # unique but low quality
+        (3, "Y" * 20 + "!!", "en", "s2", 22),    # low quality, distinct fp
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.source: r
+            for r in E.q110_curation_report(spark, d).collect()
+        }
+    s1 = out["s1"]
+    # doc 1 counts as dup (never as low-quality); doc 2 as low-quality.
+    assert (s1.n_docs, s1.n_dups_removed, s1.n_low_quality, s1.n_kept) == (
+        3, 1, 1, 1,
+    )
+    assert s1.kept_frac == pytest.approx(1 / 3, abs=1e-6)
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.n_dups_removed, s2.n_low_quality, s2.n_kept) == (
+        1, 0, 1, 0,
+    )
