@@ -32,7 +32,9 @@ __all__ = [
     "LN2",
     "bigram_model",
     "token_budget_sample",
+    "token_counts",
     "zipf_fit",
+    "zipf_fit_from_counts",
     "token_diversity",
     "oov_rate",
     "source_profile_similarity",
@@ -146,6 +148,17 @@ def token_budget_sample(
     )
 
 
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus (token, cnt) frame — one explode + one map-side-combinable
+    groupBy. This is also the MERGEABLE state unit for incremental
+    corpus stats (counts are associative sums): see
+    streaming/corpus.maintain_token_counts."""
+    tok = df.select(F.explode(TX.tokens(F.col(text_col))).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
 def zipf_fit(
     df: DataFrame, text_col: str = "text", top_ranks: int = 100
 ) -> DataFrame:
@@ -163,8 +176,17 @@ def zipf_fit(
     Scale shape: one explode + one map-side-combinable groupBy; the head
     slice is TakeOrderedAndProject (never a global sort); the rank
     window then covers <= top_ranks rows."""
-    tok = df.select(F.explode(TX.tokens(F.col(text_col))).alias("token"))
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return zipf_fit_from_counts(
+        token_counts(df, text_col), top_ranks=top_ranks
+    )
+
+
+def zipf_fit_from_counts(
+    counts: DataFrame, top_ranks: int = 100
+) -> DataFrame:
+    """Zipf fit from a pre-aggregated (token, cnt) frame — the read path
+    for an incrementally MAINTAINED count store (identical result to
+    zipf_fit on the raw corpus, pinned by test)."""
     top = counts.orderBy(F.desc("cnt"), "token").limit(top_ranks)
     ranked = top.withColumn(
         "rank",

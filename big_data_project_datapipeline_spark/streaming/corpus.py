@@ -1,0 +1,110 @@
+"""Incremental corpus-statistics maintenance across cron ticks.
+
+The batch corpus reports (Zipf fit, top tokens, OOV rate) start from one
+(token, cnt) aggregate. At 100 TB that aggregate is the expensive part —
+and it is a MERGEABLE state (counts are associative sums), so a daily
+crawl drop should fold its delta into a persistent count store instead
+of re-exploding the whole corpus. This module is that fold: the
+corpus-stats sibling of streaming/dedup.py's persistent gram index and
+operators/incremental.aggregate_state's mergeable-MV pattern.
+
+Scale shape per tick: one explode + groupBy over the NEW batch only,
+then one groupBy over the union of two O(vocab) frames. The store is
+rewritten via the two-phase promote (sinks.promote_overwrite) because
+its own plan reads the store path. Vocabulary grows sublinearly in
+corpus size (Heaps' law), so the merged frame stays small relative to
+any batch of raw text; at extreme vocab, partition the store by a token
+hash prefix and merge per partition.
+
+Replay safety: merging is NOT idempotent (a replayed batch would
+double-count), so ticks are keyed — each batch lands its delta under
+``deltas/<batch_id>/`` first (overwrite-idempotent), and the store is
+rebuilt as base ⊕ all landed deltas only for batch ids not yet folded.
+This mirrors the per-batch subdir-shard device streaming/dedup.py ships
+(a replayed tick overwrites its shard instead of duplicating it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from big_data_project_datapipeline_spark.functions import corpus as CO
+from big_data_project_datapipeline_spark.operators.incremental import (
+    load_or_empty,
+)
+from big_data_project_datapipeline_spark.sinks import promote_overwrite
+
+COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("token", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def merge_token_counts(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta into the running (token, cnt) state: one groupBy
+    over the union of two already-aggregated frames — never raw rows."""
+    return (
+        prev.unionByName(delta)
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def land_delta(
+    docs_batch: DataFrame, store_dir: str, batch_id: str
+) -> str:
+    """Aggregate ONE batch's token counts and land them under a
+    batch-keyed subdir (replay overwrites, never duplicates)."""
+    path = os.path.join(store_dir, "deltas", str(batch_id))
+    CO.token_counts(docs_batch).write.mode("overwrite").parquet(path)
+    return path
+
+
+def maintain_token_counts(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    store_dir: str,
+    batch_id: str,
+) -> DataFrame:
+    """One cron tick: land the batch delta (idempotent per batch_id),
+    then rebuild the merged store from base ⊕ unfolded deltas. Returns
+    the merged (token, cnt) frame as re-read from the promoted store."""
+    land_delta(docs_batch, store_dir, batch_id)
+    base_path = os.path.join(store_dir, "counts")
+    folded_path = os.path.join(store_dir, "_folded.txt")
+    folded: set[str] = set()
+    if os.path.exists(folded_path):
+        with open(folded_path) as fh:
+            folded = {ln.strip() for ln in fh if ln.strip()}
+    deltas_root = os.path.join(store_dir, "deltas")
+    pending = sorted(
+        d
+        for d in os.listdir(deltas_root)
+        if d not in folded
+        and os.path.isdir(os.path.join(deltas_root, d))
+    )
+    merged = load_or_empty(spark, base_path, COUNT_SCHEMA)
+    for d in pending:
+        delta = spark.read.schema(COUNT_SCHEMA).parquet(
+            os.path.join(deltas_root, d)
+        )
+        merged = merge_token_counts(merged, delta)
+    promote_overwrite(merged, base_path)
+    with open(folded_path, "w") as fh:
+        fh.write("\n".join(sorted(folded | set(pending))) + "\n")
+    return spark.read.schema(COUNT_SCHEMA).parquet(base_path)
+
+
+def zipf_report(spark: SparkSession, store_dir: str, top_ranks: int = 100):
+    """Zipf fit straight off the maintained store — identical to the
+    batch zipf_fit over all documents ever folded (pinned by test)."""
+    counts = spark.read.schema(COUNT_SCHEMA).parquet(
+        os.path.join(store_dir, "counts")
+    )
+    return CO.zipf_fit_from_counts(counts, top_ranks=top_ranks)

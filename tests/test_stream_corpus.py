@@ -1,0 +1,70 @@
+"""Incremental corpus-stats maintenance (streaming/corpus.py): the
+maintained (token, cnt) store after N ticks must equal the batch
+aggregate over everything folded, bit-for-bit — including under batch
+replay (idempotent per batch_id)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_project_datapipeline_spark.functions import corpus as CO
+from big_data_project_datapipeline_spark.streaming import corpus as SC
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return str(tmp_path / "token_store")
+
+
+def test_two_ticks_equal_batch_recompute(spark, store):
+    wave1 = _docs(spark, [(0, "a b a"), (1, "b c")])
+    wave2 = _docs(spark, [(2, "a d d d")])
+    SC.maintain_token_counts(spark, wave1, store, batch_id="t1")
+    SC.maintain_token_counts(spark, wave2, store, batch_id="t2")
+    got = {
+        r.token: r.cnt
+        for r in SC.zipf_report(spark, store, top_ranks=10)
+        .sparkSession.read.parquet(store + "/counts")
+        .collect()
+    }
+    full = CO.token_counts(wave1.unionByName(wave2))
+    expected = {r.token: r.cnt for r in full.collect()}
+    assert got == expected == {"a": 3, "b": 2, "c": 1, "d": 3}
+
+
+def test_replayed_tick_is_idempotent(spark, store):
+    wave1 = _docs(spark, [(0, "x x y")])
+    SC.maintain_token_counts(spark, wave1, store, batch_id="t1")
+    # Replay the SAME batch id (cron retry): counts must not double.
+    SC.maintain_token_counts(spark, wave1, store, batch_id="t1")
+    got = {
+        r.token: r.cnt
+        for r in spark.read.parquet(store + "/counts").collect()
+    }
+    assert got == {"x": 2, "y": 1}
+
+
+def test_zipf_report_matches_batch_fit(spark, store):
+    rows = []
+    did = 0
+    texts = []
+    for r in range(1, 11):
+        for _ in range(101 - 10 * r):
+            texts.append(f"w{r:02d}")
+    # split the same corpus into two waves, one doc per token
+    half = len(texts) // 2
+    wave1 = _docs(spark, [(i, t) for i, t in enumerate(texts[:half])])
+    wave2 = _docs(
+        spark, [(half + i, t) for i, t in enumerate(texts[half:])]
+    )
+    SC.maintain_token_counts(spark, wave1, store, batch_id="a")
+    SC.maintain_token_counts(spark, wave2, store, batch_id="b")
+    inc = SC.zipf_report(spark, store, top_ranks=10).collect()[0]
+    batch = CO.zipf_fit(
+        wave1.unionByName(wave2), top_ranks=10
+    ).collect()[0]
+    assert inc == batch  # bit-for-bit, decimal-accumulated both paths
