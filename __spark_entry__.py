@@ -2129,6 +2129,64 @@ def q107_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q111_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every non-src0
+    document by ln p_target − ln p_raw over 256 hashed unigram buckets
+    (target distribution fit on the src0 slice). The weight table is
+    bounded by n_buckets and broadcast; distributions collapse map-side
+    before any join (functions/corpus.dsir_importance)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.dsir_importance(d, target_source="src0", n_buckets=256, alpha=1.0)
+
+
+def q112_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM scoring with add-k smoothing (k=0.1) — the
+    2-gram sibling of the q62 CCNet unigram filter; separates word-salad
+    from phrase-shaped text. Pair counts collapse per-doc before the
+    (w1,w2)-keyed model join (NOT broadcast — bigram vocab is unbounded);
+    decimal-accumulated c·ln p (q62 device)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.bigram_logprob_scores(d, k=0.1)
+
+
+def q113_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (the GPT-3/LLaMA
+    curation step): z = mean bucket weight over hashed unigrams, p =
+    sigmoid(z), weights arriving as a bounded (bucket, weight) table
+    broadcast into the scoring join — the classifier IS a broadcast
+    join; no model server. Deterministic stand-in weights here
+    (corpus.default_hash_weights); a trained dump drops in unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    w = CO.default_hash_weights(d, n_buckets=512)
+    return CO.hashed_logit_score(d, w, bias=0.0, n_buckets=512)
+
+
+def q114_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text-normalization audit: lowercase → non-[a-z0-9]+ws →
+    space → collapse runs → trim (Java∩RE2 patterns, map-only at any
+    scale), reporting the normalized length, md5, and a changed flag per
+    doc — the normalization exact-dedup keys (q20/q43) assume upstream."""
+    d = _t(spark, sf_dir, "documents")
+    norm = TX.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+def q115_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SimHash near-dup pairs (Manku et al. 2007): pigeonhole
+    block index over the 32-bit signature (4 blocks for distance <= 3 —
+    any pair within distance 3 agrees on >= 1 block exactly), so unlike
+    the MinHash-LSH path this candidate set is COMPLETE, the popcount
+    verify exact, and the whole op SQL-oracle-checkable. Candidates via
+    (block, value) equi-join, never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_duplicates(d, max_distance=3, bits=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. Round-2 certified the previous prefix 50/50
@@ -2261,6 +2319,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_market_share": q107_market_share,
         "q108_oov_rate": q108_oov_rate,
         "q110_curation_report": q110_curation_report,
+        "q111_dsir_importance": q111_dsir_importance,
+        "q112_bigram_perplexity": q112_bigram_perplexity,
+        "q113_quality_classifier": q113_quality_classifier,
+        "q114_normalize_text": q114_normalize_text,
+        "q115_simhash_neardup": q115_simhash_neardup,
         # rows-only addition (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
     }
@@ -4214,6 +4277,149 @@ def oracle_sql() -> dict[str, str]:
                                    THEN 1 ELSE 0 END) AS DOUBLE)
                      / COUNT(*), 6) AS kept_frac
         FROM flagged GROUP BY source
+    """
+    out["q111_dsir_importance"] = f"""
+        WITH toks AS (
+            SELECT doc_id, (source = 'src0') AS is_target,
+                   {tokens_sql} AS t
+            FROM documents),
+        tok AS (SELECT doc_id, is_target, unnest(t) AS token FROM toks),
+        b AS (SELECT doc_id, is_target,
+                     CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                         % 256 AS bucket
+              FROM tok),
+        doc_b AS (SELECT doc_id, bucket, COUNT(*) AS c
+                  FROM b WHERE NOT is_target GROUP BY doc_id, bucket),
+        tgt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct
+                FROM b WHERE is_target GROUP BY bucket),
+        rawb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr
+                 FROM b WHERE NOT is_target GROUP BY bucket),
+        tot AS (SELECT (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS tt,
+                       (SELECT CAST(SUM(cr) AS BIGINT) FROM rawb) AS tr),
+        merged AS (
+            SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+                   COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+            FROM tgt t FULL OUTER JOIN rawb r ON t.bucket = r.bucket),
+        w AS (
+            SELECT bucket,
+                   ln((CAST(ct AS DOUBLE) + 1.0)
+                      / (CAST(tt AS DOUBLE) + 256.0))
+                   - ln((CAST(cr AS DOUBLE) + 1.0)
+                        / (CAST(tr AS DOUBLE) + 256.0)) AS w
+            FROM merged CROSS JOIN tot),
+        scored AS (
+            SELECT doc_id, c,
+                   CAST(CAST(c AS DOUBLE) * w AS DECIMAL(28,12)) AS lw
+            FROM doc_b JOIN w USING (bucket)),
+        per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(lw) AS DOUBLE) AS lw
+            FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_tokens, ROUND(lw, 6) AS log_weight,
+               ROUND(lw / CAST(n_tokens AS DOUBLE), 6) AS avg_log_weight
+        FROM per
+    """
+    out["q112_bigram_perplexity"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql} AS t FROM documents),
+        doc_pairs AS (
+            SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, t[pos] AS w1, t[pos + 1] AS w2
+                  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS pos
+                        FROM toks WHERE len(t) >= 2))
+            GROUP BY doc_id, w1, w2),
+        pc AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12
+               FROM doc_pairs GROUP BY w1, w2),
+        fc AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+               FROM pc GROUP BY w1),
+        vn AS (
+            SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v
+            FROM (SELECT unnest(t) AS token FROM toks)),
+        model AS (
+            SELECT pc.w1, pc.w2,
+                   ln((CAST(c12 AS DOUBLE) + 0.1)
+                      / (CAST(c1 AS DOUBLE)
+                         + 0.1 * CAST(v AS DOUBLE))) AS logp
+            FROM pc JOIN fc ON pc.w1 = fc.w1 CROSS JOIN vn),
+        scored AS (
+            SELECT doc_id, c,
+                   CAST(CAST(c AS DOUBLE) * logp AS DECIMAL(28,12)) AS lp
+            FROM doc_pairs JOIN model USING (w1, w2)),
+        per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+                   CAST(SUM(lp) AS DOUBLE) / SUM(c) AS avg
+            FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_pairs, ROUND(avg, 6) AS avg_logprob,
+               ROUND(exp(-avg), 6) AS ppl
+        FROM per
+    """
+    out["q113_quality_classifier"] = f"""
+        WITH weights AS (
+            SELECT CAST(i AS INT) AS bucket,
+                   CAST((i * 2654435761) % 2000 AS DOUBLE) / 1000.0 - 1.0
+                       AS weight
+            FROM (SELECT unnest(range(512)) AS i)),
+        tok AS (
+            SELECT doc_id, unnest({tokens_sql}) AS token FROM documents),
+        doc_b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                       % 512 AS bucket,
+                   COUNT(*) AS c
+            FROM tok GROUP BY doc_id, bucket),
+        scored AS (
+            SELECT doc_id, c,
+                   CAST(CAST(c AS DOUBLE) * weight AS DECIMAL(28,12))
+                       AS cw
+            FROM doc_b JOIN weights USING (bucket)),
+        per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   0.0 + CAST(SUM(cw) AS DOUBLE)
+                         / CAST(SUM(c) AS DOUBLE) AS z
+            FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_tokens, ROUND(z, 6) AS logit,
+               ROUND(1.0 / (1.0 + exp(-z)), 6) AS prob
+        FROM per
+    """
+    out["q114_normalize_text"] = """
+        SELECT doc_id, md5(norm) AS norm_md5,
+               CAST(length(norm) AS BIGINT) AS n_chars_norm,
+               CAST(norm <> text AS INT) AS changed
+        FROM (SELECT doc_id, text,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+                         AS norm
+              FROM documents)
+    """
+    simhash_sigs_cte = f"""toks AS (
+            SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
+            FROM documents),
+        h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+            FROM toks),
+        votes AS (
+            SELECT doc_id,
+                   {', '.join(f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(32))}
+            FROM h GROUP BY doc_id),
+        sigs AS (
+            SELECT doc_id,
+                   CAST({' + '.join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))} AS BIGINT) AS simhash
+            FROM votes)"""
+    out["q115_simhash_neardup"] = f"""
+        WITH {simhash_sigs_cte},
+        blocks AS (
+            SELECT doc_id, simhash, blk,
+                   (simhash >> (blk * 8)) & 255 AS val
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(blk)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM blocks a JOIN blocks b
+              ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "q92_feature_pipeline",
     "q93_ann_ivf",
     "q94_approx_stats",
+    "q111_dsir_importance",
+    "q112_bigram_perplexity",
+    "q113_quality_classifier",
+    "q114_normalize_text",
+    "q115_simhash_neardup",
 ]
 
 

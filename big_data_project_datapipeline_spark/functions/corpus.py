@@ -38,6 +38,10 @@ __all__ = [
     "token_diversity",
     "oov_rate",
     "source_profile_similarity",
+    "dsir_importance",
+    "bigram_logprob_scores",
+    "default_hash_weights",
+    "hashed_logit_score",
 ]
 
 # Embedded as a literal on BOTH engines (Spark expression and oracle SQL)
@@ -372,4 +376,269 @@ def source_profile_similarity(
         dots.join(F.broadcast(na), "src_a")
         .join(F.broadcast(nb), "src_b")
         .select("src_a", "src_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+def _md5_bucket(c: Column, n_buckets: int) -> Column:
+    """Engine-portable feature hash: first 60 bits of md5 mod n_buckets
+    (the same md5 device as _md5_priority — both engines agree on md5 of
+    the same string and on int64 arithmetic; never use Spark's hash()/
+    xxhash64 here, DuckDB has no twin)."""
+    return (
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_source: str,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-unigram distribution is,
+    log w(x) = sum_t [ ln p_target(b(t)) - ln p_raw(b(t)) ], with
+    add-alpha smoothing over `n_buckets` hashed feature buckets. The
+    target distribution is fit on the `target_source` slice, the raw
+    distribution on everything else; raw docs with high log-weight are
+    the ones importance resampling would promote into the mix.
+
+    Returns (doc_id, n_tokens, log_weight, avg_log_weight) for every
+    NON-target document (the candidates being selected from).
+
+    Determinism: bucket ids come from md5 (engine-portable; see
+    _md5_bucket), the per-bucket ln-ratio is computed once in double
+    from exact integer counts + literal smoothing (ln is the portable
+    transcendental — q62 precedent), and the per-doc sum accumulates
+    c * ratio in DECIMAL so partition order cannot wiggle low bits;
+    round(6) on the exposed surfaces.
+
+    Scale shape: both distribution tables collapse to <= n_buckets rows
+    via map-side-combinable groupBys, merge with a full outer join
+    (coalesce-0: a bucket seen only on one side still gets its smoothed
+    probability on the other), and the resulting weight table —
+    bounded by n_buckets — is BROADCAST to the per-doc bucket counts.
+    The heavy explode aggregates to (doc, bucket) before any join;
+    nothing in the plan scales worse than one corpus tokenize + two
+    bounded-table joins."""
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(source_col) == target_source).alias("is_target"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    ).withColumn("bucket", _md5_bucket(F.col("token"), n_buckets))
+    # per-(doc,bucket) counts for the docs being scored (non-target)
+    doc_b = (
+        staged.filter(~F.col("is_target"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bounded per-bucket count tables for the two distributions
+    tgt = (
+        staged.filter("is_target")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = (
+        staged.filter(~F.col("is_target"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tot = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
+        raw.agg(F.sum("cr").alias("tr"))
+    )
+    merged = (
+        tgt.join(raw, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.lit(float(alpha))
+    ab = F.lit(float(alpha) * n_buckets)
+    ratio = F.log(
+        (F.col("ct").cast("double") + a)
+        / (F.col("tt").cast("double") + ab)
+    ) - F.log(
+        (F.col("cr").cast("double") + a)
+        / (F.col("tr").cast("double") + ab)
+    )
+    weights = merged.select("bucket", ratio.alias("w"))
+    scored = doc_b.join(F.broadcast(weights), "bucket").withColumn(
+        "lw",
+        (F.col("c").cast("double") * F.col("w")).cast("decimal(28,12)"),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum("lw").cast("double").alias("__lw"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        F.round("__lw", 6).alias("log_weight"),
+        F.round(
+            F.col("__lw") / F.col("n_tokens").cast("double"), 6
+        ).alias("avg_log_weight"),
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    k: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram LM scoring with add-k smoothing — the
+    2-gram sibling of the CCNet unigram filter (text.py
+    unigram_logprob_scores): avg ln p(w2|w1) and perplexity under
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1,*) + k*V), V = corpus unigram
+    vocabulary size. Bigram perplexity separates word-salad from
+    phrase-shaped text in a way unigram scores cannot (identical
+    unigram bags score identically there regardless of order).
+
+    Fit on the corpus itself so the op is self-contained and
+    oracle-checkable; in production the (w1, w2, logp) table is an
+    external KenLM dump joined exactly the same way. Docs with < 2
+    tokens emit no row (they have no bigrams).
+
+    Scale shape: per-doc pairs collapse to (doc, w1, w2, c) with
+    map-side combine before the model join; the model join shuffles on
+    (w1, w2) and is deliberately NOT broadcast (bigram vocab is
+    hapax-heavy and unbounded — the tf_idf/bigram_model reasoning);
+    w1 totals join the vocab-bounded pair-count frame, where AQE
+    skew-join absorbs hot head words. Decimal accumulation of c*ln p
+    (q62 device), round(6) on exposed surfaces."""
+    toks = TX.tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    n = F.size("__t")
+    doc_pairs = (
+        staged.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, n - 1).alias("w1"),
+                    F.slice("__t", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pair_counts = doc_pairs.groupBy("w1", "w2").agg(
+        F.sum("c").alias("c12")
+    )
+    first_counts = pair_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    )
+    vocab_n = (
+        df.select(F.explode(toks).alias("token"))
+        .agg(F.count_distinct("token").alias("v"))
+    )
+    kl = F.lit(float(k))
+    model = (
+        pair_counts.join(first_counts, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                (F.col("c12").cast("double") + kl)
+                / (
+                    F.col("c1").cast("double")
+                    + kl * F.col("v").cast("double")
+                )
+            ).alias("logp"),
+        )
+    )
+    scored = doc_pairs.join(model, ["w1", "w2"]).withColumn(
+        "lp",
+        (F.col("c").cast("double") * F.col("logp")).cast("decimal(28,12)"),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_pairs"),
+        (F.sum("lp").cast("double") / F.sum("c")).alias("__avg"),
+    )
+    return per.select(
+        "doc_id",
+        "n_pairs",
+        F.round("__avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 6).alias("ppl"),
+    )
+
+
+def default_hash_weights(df: DataFrame, n_buckets: int = 1024) -> DataFrame:
+    """Deterministic stand-in weight table for hashed_logit_score —
+    (bucket, weight) with weight = ((bucket * 2654435761) % 2000) / 1000
+    - 1.0, a Knuth-multiplicative pseudo-pattern in [-1, 1) computed in
+    exact int64 arithmetic (engine-portable; a real pipeline loads the
+    trained model's weight vector here instead). Built FROM a DataFrame
+    (any input, used only for its session) via spark.range."""
+    spark = df.sparkSession
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            ((F.col("id") * F.lit(2654435761)) % 2000).cast("double")
+            / 1000.0
+            - 1.0
+        ).alias("weight"),
+    )
+
+
+def hashed_logit_score(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed unigram
+    features: z = bias + mean_t weight[b(t)], p = sigmoid(z). This is
+    the scoring half of the GPT-3/LLaMA "quality classifier" curation
+    step — the trained weight vector arrives as a (bucket, weight)
+    table (see default_hash_weights for the deterministic test stand-in)
+    and scoring is pure relational algebra: no model server in the
+    loop, the classifier IS a broadcast join.
+
+    Scale shape: explode collapses to (doc, bucket, c) with map-side
+    combine; `weights` is bounded by n_buckets and broadcast; the
+    per-doc mean accumulates c * weight in DECIMAL (order-independent).
+    sigmoid runs on the unrounded mean, round(6) on both exposed
+    surfaces (the q62 exp precedent)."""
+    doc_b = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(TX.tokens(F.col(text_col))).alias("token"),
+        )
+        .withColumn("bucket", _md5_bucket(F.col("token"), n_buckets))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = doc_b.join(F.broadcast(weights), "bucket").withColumn(
+        "cw",
+        (F.col("c").cast("double") * F.col("weight")).cast(
+            "decimal(28,12)"
+        ),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum("cw").cast("double").alias("__sw"),
+    )
+    z = F.lit(float(bias)) + F.col("__sw") / F.col("n_tokens").cast(
+        "double"
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        F.round(z, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
     )

@@ -490,6 +490,80 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_near_duplicates(
+    df: DataFrame,
+    max_distance: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT SimHash near-duplicate pairs: all (id_a < id_b) with
+    hamming(simhash_a, simhash_b) <= max_distance — the Manku/Jain/
+    Sarma 2007 web-dedup shape ("Detecting Near-Duplicates for Web
+    Crawling"). Unlike the MinHash-LSH path (recall-bounded), the
+    block-index here is COMPLETE by pigeonhole: split the signature
+    into max_distance+1 bit-blocks; any pair within distance d differs
+    in at most d blocks, so at least one block matches exactly. Every
+    true pair is a candidate, the popcount verify is exact, and the op
+    is SQL-oracle-checkable end-to-end.
+
+    Returns (id_a, id_b, hamming) pairs.
+
+    Scale shape: the signature frame is O(docs); candidates come from
+    an equi-join on (block_idx, block_value) — never an all-pairs
+    cross. Near-identical boilerplate collapses into hot block-value
+    buckets; AQE skew-join splits those, and a production run would cap
+    per-bucket size (dropping a bucket only merges docs ALREADY known
+    near-identical — same argument as the LSH bucket cap). The
+    multi-block candidate dup (a pair matching on 2+ blocks) is
+    removed by distinct BEFORE the popcount verify."""
+    if bits % (max_distance + 1) != 0:
+        raise ValueError("bits must divide into max_distance+1 blocks")
+    n_blocks = max_distance + 1
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.blk").alias("blk"), F.col("bk.val").alias("val"))
+    left = blocks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        "blk",
+        "val",
+    )
+    right = blocks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        "blk",
+        "val",
+    )
+    cand = (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = hamming_distance(F.col("sig_a"), F.col("sig_b"))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_distance)
+
+
 def word_chunks(toks: Column, k: int = 3) -> Column:
     """Non-overlapping k-word chunks with their 0-based position:
     ``array<struct<pos:int, chunk:string>>`` (last chunk may be short).

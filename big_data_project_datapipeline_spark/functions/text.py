@@ -320,6 +320,21 @@ def scrub_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"\s+", " "))
 
 
+def normalize_text(text: Column) -> Column:
+    """Canonical text normalization for dedup keys and training input:
+    lowercase, map every char outside [a-z0-9] + whitespace to a space,
+    collapse whitespace runs, trim. The char-class patterns sit in the
+    Java∩RE2 intersection (the q59 scrub rule) so the same literal runs
+    on both engines; Unicode NFKC is out of scope here (no ICU on the
+    oracle side) — documented, not silently approximated.
+
+    Map-only at any scale; this is the normalization the exact-dedup
+    (q20) and fingerprint (q43) keys assume upstream."""
+    lowered = F.lower(text)
+    stripped = F.regexp_replace(lowered, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def scrub_counts(text: Column) -> dict[str, Column]:
     """Match counts per scrub category on the ORIGINAL text."""
     return {

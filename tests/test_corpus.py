@@ -9,6 +9,7 @@ import math
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 from big_data_project_datapipeline_spark.functions import corpus as CO
 
@@ -265,3 +266,111 @@ def test_curation_report_precedence(spark):
     assert (s2.n_docs, s2.n_dups_removed, s2.n_low_quality, s2.n_kept) == (
         1, 0, 1, 0,
     )
+
+
+def test_dsir_importance_directionality(spark):
+    # Target slice speaks {aa, bb}; raw docs that share that vocab must
+    # outscore raw docs that don't (the whole point of DSIR).
+    df = spark.createDataFrame(
+        [
+            (0, "aa bb aa bb", "tgt"),
+            (1, "aa bb bb aa", "tgt"),
+            (2, "aa bb aa", "raw"),      # target-like
+            (3, "zz yy xx ww", "raw"),   # off-distribution
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: r
+        for r in CO.dsir_importance(
+            df, target_source="tgt", n_buckets=64
+        ).collect()
+    }
+    assert set(out) == {2, 3}  # only non-target docs are scored
+    assert out[2].n_tokens == 3 and out[3].n_tokens == 4
+    assert out[2].avg_log_weight > out[3].avg_log_weight
+    assert out[2].log_weight > 0 > out[3].log_weight
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # Corpus: doc0 = "a b a b" (pairs ab, ba, ab), doc1 = "a b" (ab).
+    # V = 2, k = 0.5: c(ab)=3, c(ba)=1, c(a,*)=3... careful: first-counts
+    # come from pair firsts: a starts ab(3) -> c1(a)=3; b starts ba(1).
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in CO.bigram_logprob_scores(df, k=0.5).collect()
+    }
+    assert set(out) == {0, 1}  # <2 tokens -> no bigrams, no row
+    V = 3  # vocab includes 'solo'
+    p_ab = (3 + 0.5) / (3 + 0.5 * V)
+    p_ba = (1 + 0.5) / (1 + 0.5 * V)
+    exp0 = (2 * math.log(p_ab) + 1 * math.log(p_ba)) / 3
+    assert out[0].n_pairs == 3
+    assert out[0].avg_logprob == pytest.approx(exp0, abs=1e-6)
+    assert out[0].ppl == pytest.approx(math.exp(-exp0), abs=1e-4)
+    assert out[1].n_pairs == 1
+    assert out[1].avg_logprob == pytest.approx(math.log(p_ab), abs=1e-6)
+
+
+def test_hashed_logit_score_known_weights(spark):
+    # With every bucket weight forced to a constant, the mean collapses
+    # to that constant regardless of tokens — pins the c-weighted mean
+    # and the sigmoid surface.
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "x y z"), (1, "x")], "doc_id long, text string"
+    )
+    w = spark.range(32).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.lit(0.5).alias("weight"),
+    )
+    out = {
+        r.doc_id: r
+        for r in CO.hashed_logit_score(
+            df, w, bias=1.0, n_buckets=32
+        ).collect()
+    }
+    for r in out.values():
+        assert r.logit == pytest.approx(1.5, abs=1e-9)
+        assert r.prob == pytest.approx(1 / (1 + math.exp(-1.5)), abs=1e-6)
+    assert out[0].n_tokens == 3 and out[1].n_tokens == 1
+
+
+def test_default_hash_weights_range_and_determinism(spark):
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    w = CO.default_hash_weights(df, n_buckets=100).collect()
+    assert len(w) == 100
+    assert all(-1.0 <= r.weight < 1.0 for r in w)
+    again = {r.bucket: r.weight for r in CO.default_hash_weights(df, 100).collect()}
+    assert all(again[r.bucket] == r.weight for r in w)
+
+
+def test_normalize_text_crafted(spark):
+    from big_data_project_datapipeline_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (0, "  Hello,   WORLD!  "),
+            (1, "tabs\tand\nnewlines"),
+            (2, "already clean"),
+            (3, "123-456 #ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.norm
+        for r in df.select(
+            "doc_id", TX.normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert out[0] == "hello world"
+    assert out[1] == "tabs and newlines"
+    assert out[2] == "already clean"
+    assert out[3] == "123 456 ok"

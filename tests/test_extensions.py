@@ -768,3 +768,44 @@ def test_pq_audit_grouped_invariants(spark):
         assert r.n_vecs == 15
         assert 0.0 < r.codebook_utilization <= 1.0
         assert r.mean_recon_mse <= r.max_recon_mse
+
+
+def test_simhash_neardup_complete_vs_bruteforce(spark):
+    # Pigeonhole completeness: the block-index candidate set must recover
+    # EVERY pair within max_distance — compare against brute-force
+    # all-pairs popcount over the python-computed signatures.
+    import itertools
+
+    texts = [
+        "the cat sat on the mat today",
+        "the cat sat on the mat yesterday",   # near-identical token set
+        "the cat sat on a mat today",
+        "totally different words entirely here now",
+        "the cat sat on the mat today",       # exact dup of 0
+        "quick brown fox jumps over lazy dog",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {
+        r["doc_id"]: r["simhash"] for r in D.simhash(df, bits=32).collect()
+    }
+    want = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_near_duplicates(df, max_distance=3).collect()
+    }
+    assert got == want
+    assert (0, 4, 0) in got  # the exact dup pair at distance 0
+
+
+def test_simhash_neardup_rejects_bad_blocking(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        D.simhash_near_duplicates(df, max_distance=4, bits=32)  # 32 % 5 != 0
