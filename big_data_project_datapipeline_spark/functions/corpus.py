@@ -39,6 +39,9 @@ __all__ = [
     "oov_rate",
     "source_profile_similarity",
     "dsir_importance",
+    "dsir_bucket_counts",
+    "dsir_weights_from_counts",
+    "dsir_score_docs",
     "bigram_logprob_scores",
     "default_hash_weights",
     "hashed_logit_score",
@@ -425,19 +428,48 @@ def dsir_importance(
     bounded by n_buckets — is BROADCAST to the per-doc bucket counts.
     The heavy explode aggregates to (doc, bucket) before any join;
     nothing in the plan scales worse than one corpus tokenize + two
-    bounded-table joins."""
+    bounded-table joins.
+
+    Factored so the expensive half is a MERGEABLE aggregate: the
+    (bucket, ct, cr) frame from dsir_bucket_counts is associative-sum
+    state that streaming/corpus.maintain_dsir_counts folds across cron
+    ticks; dsir_weights_from_counts + dsir_score_docs are the cheap
+    read path shared by both the batch and incremental pipelines."""
+    counts = dsir_bucket_counts(
+        df,
+        target_source,
+        n_buckets=n_buckets,
+        source_col=source_col,
+        text_col=text_col,
+    )
+    weights = dsir_weights_from_counts(counts, n_buckets, alpha=alpha)
+    candidates = df.filter(F.col(source_col) != target_source)
+    return dsir_score_docs(
+        candidates,
+        weights,
+        n_buckets=n_buckets,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    target_source: str,
+    n_buckets: int = 1024,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The mergeable state underlying DSIR weights: per hashed bucket,
+    the target-slice token count (ct) and the raw-slice token count
+    (cr), full-outer-merged with coalesce-0 (a bucket seen on only one
+    side still needs its smoothed probability on the other). Counts are
+    associative sums — fold daily deltas instead of re-exploding the
+    corpus (streaming/corpus.maintain_dsir_counts)."""
     staged = df.select(
-        F.col(id_col).alias("doc_id"),
         (F.col(source_col) == target_source).alias("is_target"),
         F.explode(TX.tokens(F.col(text_col))).alias("token"),
     ).withColumn("bucket", _md5_bucket(F.col("token"), n_buckets))
-    # per-(doc,bucket) counts for the docs being scored (non-target)
-    doc_b = (
-        staged.filter(~F.col("is_target"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    # bounded per-bucket count tables for the two distributions
     tgt = (
         staged.filter("is_target")
         .groupBy("bucket")
@@ -448,18 +480,24 @@ def dsir_importance(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cr"))
     )
-    tot = tgt.agg(F.sum("ct").alias("tt")).crossJoin(
-        raw.agg(F.sum("cr").alias("tr"))
+    return tgt.join(raw, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).cast("long").alias("ct"),
+        F.coalesce("cr", F.lit(0)).cast("long").alias("cr"),
     )
-    merged = (
-        tgt.join(raw, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-        )
-        .crossJoin(F.broadcast(tot))
+
+
+def dsir_weights_from_counts(
+    counts: DataFrame, n_buckets: int, alpha: float = 1.0
+) -> DataFrame:
+    """(bucket, w) weight table from a (bucket, ct, cr) count frame:
+    w = ln p_target - ln p_raw with add-alpha smoothing. Bounded by
+    n_buckets; the totals arrive via a 1-row broadcast cross join (no
+    driver action)."""
+    tot = counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
+    merged = counts.crossJoin(F.broadcast(tot))
     a = F.lit(float(alpha))
     ab = F.lit(float(alpha) * n_buckets)
     ratio = F.log(
@@ -469,7 +507,30 @@ def dsir_importance(
         (F.col("cr").cast("double") + a)
         / (F.col("tr").cast("double") + ab)
     )
-    weights = merged.select("bucket", ratio.alias("w"))
+    return merged.select("bucket", ratio.alias("w"))
+
+
+def dsir_score_docs(
+    candidates: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score candidate docs against a (bucket, w) DSIR weight table:
+    per-doc sum / mean of bucket log-ratios. The weight table is
+    broadcast (bounded by n_buckets); per-doc bucket counts collapse
+    map-side before the join; c*w accumulates in DECIMAL (q62
+    device)."""
+    doc_b = (
+        candidates.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(TX.tokens(F.col(text_col))).alias("token"),
+        )
+        .withColumn("bucket", _md5_bucket(F.col("token"), n_buckets))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     scored = doc_b.join(F.broadcast(weights), "bucket").withColumn(
         "lw",
         (F.col("c").cast("double") * F.col("w")).cast("decimal(28,12)"),

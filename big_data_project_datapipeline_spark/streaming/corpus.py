@@ -66,16 +66,16 @@ def land_delta(
     return path
 
 
-def maintain_token_counts(
+def _fold_pending_deltas(
     spark: SparkSession,
-    docs_batch: DataFrame,
     store_dir: str,
-    batch_id: str,
+    schema: T.StructType,
+    merge_fn,
 ) -> DataFrame:
-    """One cron tick: land the batch delta (idempotent per batch_id),
-    then rebuild the merged store from base ⊕ unfolded deltas. Returns
-    the merged (token, cnt) frame as re-read from the promoted store."""
-    land_delta(docs_batch, store_dir, batch_id)
+    """Shared fold: rebuild the base store as base ⊕ every landed delta
+    whose batch id is not in the _folded ledger, promote, and return the
+    re-read store. merge_fn(prev, delta) must be an associative
+    aggregate merge over two already-collapsed frames."""
     base_path = os.path.join(store_dir, "counts")
     folded_path = os.path.join(store_dir, "_folded.txt")
     folded: set[str] = set()
@@ -89,16 +89,31 @@ def maintain_token_counts(
         if d not in folded
         and os.path.isdir(os.path.join(deltas_root, d))
     )
-    merged = load_or_empty(spark, base_path, COUNT_SCHEMA)
+    merged = load_or_empty(spark, base_path, schema)
     for d in pending:
-        delta = spark.read.schema(COUNT_SCHEMA).parquet(
+        delta = spark.read.schema(schema).parquet(
             os.path.join(deltas_root, d)
         )
-        merged = merge_token_counts(merged, delta)
+        merged = merge_fn(merged, delta)
     promote_overwrite(merged, base_path)
     with open(folded_path, "w") as fh:
         fh.write("\n".join(sorted(folded | set(pending))) + "\n")
-    return spark.read.schema(COUNT_SCHEMA).parquet(base_path)
+    return spark.read.schema(schema).parquet(base_path)
+
+
+def maintain_token_counts(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    store_dir: str,
+    batch_id: str,
+) -> DataFrame:
+    """One cron tick: land the batch delta (idempotent per batch_id),
+    then rebuild the merged store from base ⊕ unfolded deltas. Returns
+    the merged (token, cnt) frame as re-read from the promoted store."""
+    land_delta(docs_batch, store_dir, batch_id)
+    return _fold_pending_deltas(
+        spark, store_dir, COUNT_SCHEMA, merge_token_counts
+    )
 
 
 def zipf_report(spark: SparkSession, store_dir: str, top_ranks: int = 100):
@@ -108,3 +123,53 @@ def zipf_report(spark: SparkSession, store_dir: str, top_ranks: int = 100):
         os.path.join(store_dir, "counts")
     )
     return CO.zipf_fit_from_counts(counts, top_ranks=top_ranks)
+
+
+# --- DSIR weight maintenance -------------------------------------------
+# The expensive half of DSIR importance weighting (functions/corpus.
+# dsir_importance) is the corpus-wide (bucket, ct, cr) histogram — also
+# an associative-sum state. Folding daily deltas keeps the weight table
+# current without re-exploding 100 TB of history; scoring any candidate
+# batch is then one broadcast join (dsir_score_docs).
+
+DSIR_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("ct", T.LongType()),
+        T.StructField("cr", T.LongType()),
+    ]
+)
+
+
+def merge_dsir_counts(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(delta)
+        .groupBy("bucket")
+        .agg(
+            F.sum("ct").cast("long").alias("ct"),
+            F.sum("cr").cast("long").alias("cr"),
+        )
+    )
+
+
+def maintain_dsir_counts(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    target_source: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """One cron tick of DSIR state maintenance: land the batch's
+    (bucket, ct, cr) delta under a batch-keyed subdir (replay
+    overwrites, never double-counts), fold unfolded deltas into the
+    base store, return the merged frame. Feed the result to
+    functions/corpus.dsir_weights_from_counts — pinned by test to be
+    bit-identical to the batch dsir_importance over all folded docs."""
+    path = os.path.join(store_dir, "deltas", str(batch_id))
+    CO.dsir_bucket_counts(
+        docs_batch, target_source, n_buckets=n_buckets
+    ).write.mode("overwrite").parquet(path)
+    return _fold_pending_deltas(
+        spark, store_dir, DSIR_SCHEMA, merge_dsir_counts
+    )

@@ -68,3 +68,63 @@ def test_zipf_report_matches_batch_fit(spark, store):
         wave1.unionByName(wave2), top_ranks=10
     ).collect()[0]
     assert inc == batch  # bit-for-bit, decimal-accumulated both paths
+
+
+def _sdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_dsir_maintained_equals_batch(spark, tmp_path):
+    store = str(tmp_path / "dsir_store")
+    wave1 = _sdocs(
+        spark,
+        [(0, "tgt", "aa bb aa"), (1, "raw", "aa zz"), (2, "raw", "yy")],
+    )
+    wave2 = _sdocs(
+        spark, [(3, "tgt", "bb bb cc"), (4, "raw", "aa bb qq")]
+    )
+    SC.maintain_dsir_counts(
+        spark, wave1, store, "t1", target_source="tgt", n_buckets=64
+    )
+    counts = SC.maintain_dsir_counts(
+        spark, wave2, store, "t2", target_source="tgt", n_buckets=64
+    )
+    # maintained counts == batch counts over the union, bit-for-bit
+    batch_counts = CO.dsir_bucket_counts(
+        wave1.unionByName(wave2), "tgt", n_buckets=64
+    )
+    assert sorted(map(tuple, counts.collect())) == sorted(
+        map(tuple, batch_counts.collect())
+    )
+    # ... and scoring current candidates off the maintained store is
+    # bit-identical to the one-shot batch dsir_importance
+    all_docs = wave1.unionByName(wave2)
+    weights = CO.dsir_weights_from_counts(counts, 64, alpha=1.0)
+    inc = CO.dsir_score_docs(
+        all_docs.filter("source <> 'tgt'"), weights, n_buckets=64
+    )
+    batch = CO.dsir_importance(all_docs, "tgt", n_buckets=64, alpha=1.0)
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_dsir_replayed_tick_is_idempotent(spark, tmp_path):
+    store = str(tmp_path / "dsir_store")
+    wave = _sdocs(spark, [(0, "tgt", "aa aa"), (1, "raw", "aa bb")])
+    SC.maintain_dsir_counts(
+        spark, wave, store, "t1", target_source="tgt", n_buckets=16
+    )
+    counts = SC.maintain_dsir_counts(
+        spark, wave, store, "t1", target_source="tgt", n_buckets=16
+    )
+    totals = counts.agg({"ct": "sum", "cr": "sum"}).collect()[0]
+    assert sorted(totals) == [2, 2]  # replay did not double-count
+    got = {(r.bucket): (r.ct, r.cr) for r in counts.collect()}
+    batch = {
+        (r.bucket): (r.ct, r.cr)
+        for r in CO.dsir_bucket_counts(wave, "tgt", n_buckets=16).collect()
+    }
+    assert got == batch
