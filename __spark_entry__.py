@@ -2187,6 +2187,16 @@ def q115_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_duplicates(d, max_distance=3, bits=32)
 
 
+def q116_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (XLM-R/mT5 multilingual
+    mixing): tempered share q_s ∝ p_s^0.7 computed as exp(α·ln p) on
+    both engines (never pow), decimal-summed normalizer. O(n_sources)
+    frame after one map-only token count — no explode, no shuffle
+    beyond the per-source collapse."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.temperature_mix_weights(d, alpha=0.7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. Round-2 certified the previous prefix 50/50
@@ -2324,6 +2334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_quality_classifier": q113_quality_classifier,
         "q114_normalize_text": q114_normalize_text,
         "q115_simhash_neardup": q115_simhash_neardup,
+        "q116_temperature_mix": q116_temperature_mix,
         # rows-only addition (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
     }
@@ -4420,6 +4431,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b,
                CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+    out["q116_temperature_mix"] = f"""
+        WITH stats AS (
+            SELECT source, CAST(SUM(len({tokens_sql})) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS N FROM stats),
+        with_p AS (
+            SELECT source, n_tokens,
+                   CAST(n_tokens AS DOUBLE) / CAST(N AS DOUBLE) AS p
+            FROM stats CROSS JOIN tot),
+        with_q AS (
+            SELECT source, n_tokens, p,
+                   CAST(ROUND(exp(0.7 * ln(p)), 9) AS DECIMAL(18,9)) AS q
+            FROM with_p),
+        qt AS (SELECT CAST(SUM(q) AS DOUBLE) AS qtot FROM with_q)
+        SELECT source, n_tokens, ROUND(p, 6) AS p_orig,
+               ROUND(CAST(q AS DOUBLE) / qtot, 6) AS p_temp,
+               ROUND((CAST(q AS DOUBLE) / qtot) / p, 6)
+                   AS upsample_factor
+        FROM with_q CROSS JOIN qt
     """
     out["q107_market_share"] = """
         WITH joined AS (

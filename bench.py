@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q113_quality_classifier",
     "q114_normalize_text",
     "q115_simhash_neardup",
+    "q116_temperature_mix",
 ]
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "bigram_logprob_scores",
     "default_hash_weights",
     "hashed_logit_score",
+    "temperature_mix_weights",
 ]
 
 # Embedded as a literal on BOTH engines (Spark expression and oracle SQL)
@@ -702,4 +703,56 @@ def hashed_logit_score(
         "n_tokens",
         F.round(z, 6).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("prob"),
+    )
+
+
+def temperature_mix_weights(
+    df: DataFrame,
+    alpha: float = 0.7,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-mixing
+    device of XLM-R / mT5): q_s ∝ p_s^alpha with p_s = source token
+    share. alpha < 1 flattens the mix — upweights tail sources,
+    downweights the head; alpha = 1 keeps natural proportions. Returns
+    per source: token count, natural share p_orig, tempered share
+    p_temp, and the upsample factor q_s / p_s a sampler applies.
+
+    Determinism: p^alpha is computed as exp(alpha·ln p) with the SAME
+    expression on both engines (never pow() — engines' pow need not
+    bit-match ln/exp chains), each tempered mass is rounded to 9
+    decimals and summed as DECIMAL for the normalizer (q97 device), and
+    final shares round(6).
+
+    Scale shape: per-doc token counts come from one map-only size()
+    (no explode — the count, not the tokens, is needed), collapse to
+    one row per source, and every subsequent step runs on that
+    O(n_sources) frame with 1-row broadcast totals."""
+    stats = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.size(TX.tokens(F.col(text_col))).cast("long").alias("__nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("__nt").alias("n_tokens"))
+    )
+    tot = stats.agg(F.sum("n_tokens").alias("__N"))
+    p = F.col("n_tokens").cast("double") / F.col("__N").cast("double")
+    with_p = stats.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", p.alias("__p")
+    )
+    q_raw = F.round(
+        F.exp(F.lit(float(alpha)) * F.log(F.col("__p"))), 9
+    ).cast("decimal(18,9)")
+    with_q = with_p.select("source", "n_tokens", "__p", q_raw.alias("__q"))
+    qtot = with_q.agg(F.sum("__q").cast("double").alias("__qt"))
+    out = with_q.crossJoin(F.broadcast(qtot))
+    p_temp = F.col("__q").cast("double") / F.col("__qt")
+    return out.select(
+        "source",
+        "n_tokens",
+        F.round("__p", 6).alias("p_orig"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / F.col("__p"), 6).alias("upsample_factor"),
     )

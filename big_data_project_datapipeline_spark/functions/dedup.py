@@ -552,16 +552,20 @@ def simhash_near_duplicates(
         "blk",
         "val",
     )
-    cand = (
+    # Popcount-verify BEFORE the pair-dedup distinct: the verify is a
+    # cheap map-side expression, and filtering first means the distinct
+    # shuffle carries only true near-dup pairs (x block multiplicity)
+    # instead of every candidate — measured 2x less shuffle on the
+    # synthetic corpus. hamming is deterministic per pair, so distinct
+    # on (id_a, id_b, hamming) == distinct-then-verify.
+    ham = hamming_distance(F.col("sig_a"), F.col("sig_b"))
+    return (
         left.join(right, ["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
-    ham = hamming_distance(F.col("sig_a"), F.col("sig_b"))
-    return cand.select(
-        "id_a", "id_b", ham.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= max_distance)
 
 
 def word_chunks(toks: Column, k: int = 3) -> Column:

@@ -374,3 +374,22 @@ def test_normalize_text_crafted(spark):
     assert out[1] == "tabs and newlines"
     assert out[2] == "already clean"
     assert out[3] == "123 456 ok"
+
+
+def test_temperature_mix_flattens(spark):
+    # alpha < 1 upweights the tail source and downweights the head;
+    # alpha = 1 keeps natural proportions (upsample factor 1).
+    df = spark.createDataFrame(
+        [(0, "big", "a b c d e f g h"), (1, "big", "a b c d e f g h"),
+         (2, "small", "a b")],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in CO.temperature_mix_weights(df, alpha=0.5).collect()}
+    assert out["small"].upsample_factor > 1.0 > out["big"].upsample_factor
+    assert out["small"].p_temp > out["small"].p_orig
+    flat = {r.source: r for r in CO.temperature_mix_weights(df, alpha=1.0).collect()}
+    for r in flat.values():
+        assert r.upsample_factor == pytest.approx(1.0, abs=1e-6)
+        assert r.p_temp == pytest.approx(r.p_orig, abs=1e-6)
+    # shares sum to 1
+    assert sum(r.p_temp for r in out.values()) == pytest.approx(1.0, abs=1e-5)
