@@ -195,9 +195,13 @@ def main() -> None:
     if os.path.exists(base_path):
         with open(base_path) as fh:
             baseline = json.load(fh).get("queries", {})
-        out["baseline_total"] = round(
-            sum(v for k, v in baseline.items() if k in timings), 3
-        )
+        # Compare like-for-like: totals over the queries PRESENT in the
+        # baseline; newer queries (no baseline row yet) are counted
+        # separately so a growing suite doesn't read as a regression.
+        common = [k for k in timings if k in baseline]
+        out["baseline_total"] = round(sum(baseline[k] for k in common), 3)
+        out["common_total"] = round(sum(timings[k] for k in common), 3)
+        out["n_new_queries"] = len(timings) - len(common)
         out["regressions"] = {
             k: {"now": v, "baseline": baseline[k]}
             for k, v in timings.items()
