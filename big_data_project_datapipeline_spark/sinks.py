@@ -404,3 +404,75 @@ def rollback_versioned(root: str, version: int) -> None:
     with open(tmp, "w") as fh:
         fh.write(str(version))
     os.replace(tmp, os.path.join(root, "_CURRENT"))
+
+
+def write_training_shards(
+    df: DataFrame,
+    root: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "json",
+) -> dict:
+    """Training-export sink: shard the corpus into exactly ``n_shards``
+    files by deterministic md5(doc id) (the q47/q65 device — stable
+    across runs and engines, no RNG), one file per shard in (shard,
+    doc_id) order, plus a ``_MANIFEST.json`` with per-shard row and
+    token counts. This is the hand-off surface to a training job:
+    multi-worker loaders consume one shard each, the manifest tells the
+    scheduler how much work each shard carries, and re-exporting the
+    same corpus reproduces byte-identical shard membership.
+
+    Format ``json`` emits JSONL (the lingua franca of LLM data drops);
+    ``parquet`` keeps columnar. Returns the manifest dict.
+
+    Scale shape: one repartition on the shard key (each output file is
+    one partition — n_shards is the parallelism knob, sized so
+    corpus/n_shards fits a worker), in-partition sort for reproducible
+    line order, and a manifest from one O(n_shards) aggregate. The
+    md5 shard key is uniform by construction, so shard skew is bounded
+    by doc-length variance only."""
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+    from big_data_project_datapipeline_spark.functions.text import token_count
+
+    staged = df.withColumn("shard", shard)
+    manifest_rows = (
+        staged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .collect()
+    )
+    out = (
+        staged.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    data_path = os.path.join(root, "data")
+    if fmt == "json":
+        out.json(data_path)
+    elif fmt == "parquet":
+        out.parquet(data_path)
+    else:
+        raise ValueError(f"unsupported fmt: {fmt}")
+    manifest = {
+        "n_shards": n_shards,
+        "format": fmt,
+        "shards": {
+            str(r["shard"]): {"n_rows": r["n_rows"], "n_tokens": r["n_tokens"]}
+            for r in sorted(manifest_rows, key=lambda r: r["shard"])
+        },
+        "total_rows": int(sum(r["n_rows"] for r in manifest_rows)),
+        "total_tokens": int(sum(r["n_tokens"] for r in manifest_rows)),
+    }
+    tmp = os.path.join(root, "._MANIFEST.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(root, "_MANIFEST.json"))
+    return manifest

@@ -269,3 +269,38 @@ def test_versioned_write_time_travel_and_rollback(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         rollback_versioned(root, 7)
+
+
+def test_training_shards_manifest_and_determinism(spark, tmp_path):
+    import hashlib
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} " * (i % 3 + 1)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    root = str(tmp_path / "export")
+    m = sinks.write_training_shards(df, root, n_shards=4, fmt="json")
+    # manifest totals match the corpus
+    assert m["total_rows"] == 40
+    assert m["total_tokens"] == sum(i % 3 + 1 for i in range(40))
+    assert set(m["shards"]) <= {"0", "1", "2", "3"}
+    assert sum(s["n_rows"] for s in m["shards"].values()) == 40
+    # shard membership is the md5 device — engine-independent expectation
+    def expect_shard(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 4
+
+    back = spark.read.json(os.path.join(root, "data"))
+    got = {r.doc_id: int(r.shard) for r in back.collect()}
+    assert got == {i: expect_shard(i) for i in range(40)}
+    # persisted manifest file round-trips
+    with open(os.path.join(root, "_MANIFEST.json")) as fh:
+        assert json.load(fh) == m
+    # one data file per shard directory (single-partition-per-shard write)
+    for sh in m["shards"]:
+        d = os.path.join(root, "data", f"shard={sh}")
+        files = [f for f in os.listdir(d) if f.endswith(".json")]
+        assert len(files) == 1, (sh, files)
+    # re-export reproduces identical shard membership + manifest
+    m2 = sinks.write_training_shards(df, root, n_shards=4, fmt="json")
+    assert m2 == m
