@@ -250,3 +250,66 @@ def test_substring_dedup_matches_bruteforce(spark, docs, window):
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["n_removed"] == len(removed[i])
         assert got[i]["text_dedup"] == " ".join(kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_normalize_text_idempotent_and_canonical(spark, texts):
+    from pyspark.sql import functions as F
+
+    from big_data_project_datapipeline_spark.functions.text import (
+        normalize_text,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = df.select(
+        "doc_id", normalize_text(F.col("text")).alias("n1")
+    ).withColumn("n2", normalize_text(F.col("n1")))
+    for r in once.collect():
+        # idempotent: a normalized string is its own normal form
+        assert r.n2 == r.n1
+        # canonical: lowercase [a-z0-9 ] only, single spaces, trimmed
+        assert r.n1 == " ".join(r.n1.split())
+        assert all(c.islower() or c.isdigit() or c == " " for c in r.n1)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    seeds=st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=8),
+    d=st.sampled_from([1, 3, 7]),
+)
+def test_simhash_neardup_complete_on_random_corpora(spark, seeds, d):
+    import itertools
+
+    from big_data_project_datapipeline_spark.functions import dedup as D
+
+    vocab = ["cat", "dog", "fox", "owl", "ant", "bee", "elk", "hen", "ram", "sow"]
+    texts = [
+        " ".join(vocab[(s + j) % len(vocab)] for j in range(s % 5 + 2))
+        for s in seeds
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df, bits=32).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= d
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_duplicates(df, max_distance=d).collect()
+    }
+    assert got == want  # complete AND exact for any block-compatible d
