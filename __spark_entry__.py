@@ -2197,6 +2197,22 @@ def q116_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.temperature_mix_weights(d, alpha=0.7)
 
 
+def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
+    Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
+    codes, ADC table-lookup scoring, then exact re-rank of the
+    k·refine shortlist only. Rows-only (codebook training is not
+    SQL-expressible — q93/q109 class); recall-vs-exact and
+    determinism pinned in tests. At 100 TB each indexed vector costs
+    m bytes + a list id (~32x under raw floats), which is the entire
+    point of this index family."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return SIM.ivfpq_topk(
+        emb, queries_df, k=5, n_lists=16, n_probe=4, m=8, k_sub=16, refine=4
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. Round-2 certified the previous prefix 50/50
@@ -2335,8 +2351,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_normalize_text": q114_normalize_text,
         "q115_simhash_neardup": q115_simhash_neardup,
         "q116_temperature_mix": q116_temperature_mix,
-        # rows-only addition (training not SQL-expressible, like q93)
+        # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
+        "q117_ann_ivfpq": q117_ann_ivfpq,
     }
 
 

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q114_normalize_text",
     "q115_simhash_neardup",
     "q116_temperature_mix",
+    "q117_ann_ivfpq",
 ]
 
 

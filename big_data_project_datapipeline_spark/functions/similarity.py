@@ -771,3 +771,206 @@ def pq_audit(
         else stats.crossJoin(F.broadcast(util))
     )
     return attach_cache_release(out, (enc,))
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    refine: int = 4,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors (the FAISS IVFPQ shape —
+    Jegou et al. 2011 "Product Quantization for Nearest Neighbor
+    Search"): a coarse k-means quantizer routes vectors into
+    ``n_lists`` inverted lists, each vector stores only the ``m``-byte
+    PQ code of its RESIDUAL (v − coarse centroid), and queries score
+    candidates with asymmetric distance computation (ADC): per probed
+    list the query builds an m × k_sub distance table once, and each
+    candidate's approximate distance is m table lookups — no float
+    vector is ever read at search time.
+
+    ``refine`` > 1 adds the FAISS IndexRefineFlat step: the ADC pass
+    shortlists k·refine candidates per query, and only that shortlist is
+    re-ranked with exact distances (one join touching queries·k·refine
+    raw vectors — the 100 TB cost stays "read a handful of vectors per
+    query", never a corpus scan). ADC code budgets that are cheap
+    enough to store shift fine-grained ranking errors; the refine step
+    is the standard fix. refine=1 is pure ADC.
+
+    Returns (query_id, neighbor_id, approx_dist, rank) with rank ≤ k
+    ascending (exact distance when refine > 1). Approximate by
+    construction (probe misses + shortlist misses) — rows-only query
+    class, pinned by a recall test against exact search.
+
+    Scale shape: both quantizers train on ONE bounded deterministic
+    sample (top-N-by-hash; O(1) driver memory), and all of training
+    ships back as literals. The corpus pass is map-only (assign +
+    residual-encode, no shuffle); the search is one broadcast join on
+    the list id (query side = queries × n_probe rows carrying m small
+    lookup arrays) followed by a per-query top-k window over candidates
+    from n_probe/n_lists of the corpus. The 100 TB memory story is the
+    point: each indexed vector costs m bytes + a list id, ~32x smaller
+    than the raw floats, exactly why IVFPQ is the scale path."""
+    import numpy as np
+
+    sample_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(256 * n_lists)
+        .collect()
+    )
+    vecs = np.asarray([r["v"] for r in sample_rows], dtype=np.float64)
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = np.asarray(
+        _lloyd_fit(vecs.tolist(), n_lists, seed=seed, max_iter=max_iter)
+    )
+    n_lists = len(cents)  # may shrink on tiny corpora
+    n_probe = min(n_probe, n_lists)
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = vecs - cents[d2.argmin(axis=1)]
+    codebooks = [
+        _lloyd_fit(
+            resid[:, j * sub : (j + 1) * sub].tolist(),
+            k_sub,
+            seed=seed + 1 + j,
+            max_iter=max_iter,
+        )
+        for j in range(m)
+    ]
+
+    cents_arr = F.array(*[F.lit([float(x) for x in c]) for c in cents])
+
+    def sqd(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # ---- corpus pass: assign to a list, PQ-encode the residual --------
+    v = F.col(vec_col).cast("array<double>")
+    coarse_d = F.transform(cents_arr, lambda c: sqd(v, c))
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        v.alias("__v"),
+        (F.array_position(coarse_d, F.array_min(coarse_d)) - 1)
+        .cast("int")
+        .alias("__list"),
+    ).withColumn(
+        "__r",
+        F.zip_with(
+            F.col("__v"),
+            F.element_at(cents_arr, F.col("__list") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+
+    def code_of(j: int, cb: list[list[float]], vec: Column) -> Column:
+        sv = F.slice(vec, j * sub + 1, sub)
+        cbl = F.array(*[F.lit([float(x) for x in c]) for c in cb])
+        ds = F.transform(cbl, lambda c: sqd(sv, c))
+        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+    enc = assigned.select(
+        "neighbor_id",
+        "__list",
+        F.array(
+            *[code_of(j, cb, F.col("__r")) for j, cb in enumerate(codebooks)]
+        ).alias("__codes"),
+    )
+
+    # ---- query pass: probe lists, build ADC tables --------------------
+    qv = F.col(vec_col).cast("array<double>")
+    q_coarse = F.array(
+        *[
+            F.struct(sqd(qv, F.lit([float(x) for x in c])).alias("d"),
+                     F.lit(i).alias("list"))
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(F.array_sort(q_coarse), 1, n_probe)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            qv.alias("__q"),
+            F.explode(F.transform(probes, lambda s: s["list"])).alias("__list"),
+        )
+        .withColumn(
+            "__rq",
+            F.zip_with(
+                F.col("__q"),
+                F.element_at(cents_arr, F.col("__list") + 1),
+                lambda x, c: x - c,
+            ),
+        )
+    )
+
+    def dtable(j: int, cb: list[list[float]]) -> Column:
+        sv = F.slice(F.col("__rq"), j * sub + 1, sub)
+        cbl = F.array(*[F.lit([float(x) for x in c]) for c in cb])
+        return F.transform(cbl, lambda c: sqd(sv, c))
+
+    q_tabs = q.select(
+        "query_id",
+        "__list",
+        *[dtable(j, cb).alias(f"__t{j}") for j, cb in enumerate(codebooks)],
+    )
+
+    # ---- ADC scoring: m array lookups per candidate -------------------
+    approx = F.element_at(
+        F.col("__t0"), F.element_at(F.col("__codes"), 1) + 1
+    )
+    for j in range(1, m):
+        approx = approx + F.element_at(
+            F.col(f"__t{j}"), F.element_at(F.col("__codes"), j + 1) + 1
+        )
+    scored = (
+        enc.join(F.broadcast(q_tabs), "__list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if refine <= 1:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k * refine
+    ).drop("rank")
+    # Exact re-rank of the tiny shortlist: fetch only those raw vectors
+    # (broadcast the shortlist into the corpus scan — queries·k·refine
+    # rows), join back the query vectors, one sqd per pair.
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), qv.alias("__q")
+    )
+    nvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), v.alias("__nv")
+    )
+    refined = (
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            sqd(F.col("__q"), F.col("__nv")).alias("approx_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return refined.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )

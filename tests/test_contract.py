@@ -14,6 +14,7 @@ ROWS_ONLY = {
     "q93_ann_ivf",
     "q94_approx_stats",
     "q109_pq_audit",
+    "q117_ann_ivfpq",
 }
 
 

@@ -809,3 +809,56 @@ def test_simhash_neardup_rejects_bad_blocking(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         D.simhash_near_duplicates(df, max_distance=4, bits=32)  # 32 % 5 != 0
+
+
+def test_ivfpq_recall_vs_exact_l2(spark):
+    """IVFPQ: recall must rise with the refine shortlist (the FAISS
+    IndexRefineFlat dial) and clear an achievable floor on the
+    structured embeddings table. This corpus' within-cluster neighbor
+    gaps are noise-scale (ADC↔exact corr ≈ 0.23 inside the true
+    top-50), so pure ADC fine-ranking is intrinsically hard here — the
+    refine step is exactly what FAISS prescribes for that regime."""
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 5")
+    # exact L2 top-5 (brute force, python-side for 500 x 5 pairs)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: r.embedding for r in rows}
+    exact = set()
+    for q in range(5):
+        d = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(vecs[q], vecs[i])), i)
+                for i in vecs
+                if i != q
+            ),
+        )[:5]
+        exact |= {(q, i) for _, i in d}
+
+    def recall(refine):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in SIM.ivfpq_topk(
+                emb, queries, k=5, n_lists=8, n_probe=4,
+                m=8, k_sub=16, refine=refine,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1, (r1, r8)
+    assert r8 >= 0.5, f"IVFPQ refined recall too low: {r8}"
+
+
+def test_ivfpq_code_shape_and_determinism(spark):
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 3")
+    a = SIM.ivfpq_topk(emb, queries, k=3, n_lists=8, n_probe=4).collect()
+    b = SIM.ivfpq_topk(emb, queries, k=3, n_lists=8, n_probe=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # no RNG state
+    assert {r.query_id for r in a} == {0, 1, 2}
+    for r in a:
+        assert 1 <= r.rank <= 3 and r.approx_dist >= 0.0
