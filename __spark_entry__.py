@@ -2197,6 +2197,47 @@ def q116_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.temperature_mix_weights(d, alpha=0.7)
 
 
+def q118_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate statistics (Sennrich et al. 2016 counting
+    kernel): frequency-weighted adjacent character-pair counts over the
+    distinct word table — vocab-bounded by Heaps' law, so the pair pass
+    never touches the raw corpus again after one token_counts
+    aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.bpe_pair_stats(d, top_n=50)
+
+
+def q119_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection inside duplicate clusters: the
+    curation refinement of q51's keep-smallest-id — every near-dup
+    cluster keeps its HIGHEST-quality member (doc_id tie-break), the
+    policy real pipelines use so the best-formatted duplicate survives.
+    One window over cluster members; oracle wraps the full q51 cluster
+    SQL as a subquery so the two stay in lockstep by construction."""
+    d = _t(spark, sf_dir, "documents")
+    decision = D.minhash_dedup_decision(
+        d, num_hashes=16, band_size=8, threshold=0.8
+    )
+    clusters = D.resolve_dup_clusters(decision)
+    scored = d.select("doc_id", TX.quality_score(F.col("text")).alias("q"))
+    j = clusters.join(scored, "doc_id")
+    w = Window.partitionBy("cluster_root").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_root")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_root",
+            F.col("doc_id").alias("canonical_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("q").alias("best_quality"),
+        )
+    )
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2351,6 +2392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_normalize_text": q114_normalize_text,
         "q115_simhash_neardup": q115_simhash_neardup,
         "q116_temperature_mix": q116_temperature_mix,
+        "q118_bpe_pair_stats": q118_bpe_pair_stats,
+        "q119_canonical_selection": q119_canonical_selection,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4469,6 +4512,59 @@ def oracle_sql() -> dict[str, str]:
                ROUND((CAST(q AS DOUBLE) / qtot) / p, 6)
                    AS upsample_factor
         FROM with_q CROSS JOIN qt
+    """
+    out["q118_bpe_pair_stats"] = f"""
+        WITH toks AS (SELECT {tokens_sql} AS t FROM documents),
+        wc AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token),
+        chars AS (
+            SELECT cnt, regexp_split_to_array(token, '') AS c
+            FROM wc WHERE length(token) >= 2),
+        pairs AS (
+            SELECT c[pos] AS s1, c[pos + 1] AS s2, cnt
+            FROM (SELECT cnt, c, unnest(range(1, len(c))) AS pos
+                  FROM chars)),
+        agg AS (
+            SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY s1, s2)
+        SELECT s1, s2, pair_count FROM agg
+        ORDER BY pair_count DESC, s1, s2 LIMIT 50
+    """
+    out["q119_canonical_selection"] = f"""
+        WITH clusters AS ({out["q51_dup_clusters"]}),
+        base AS (
+            SELECT doc_id, text, {tokens_sql} AS toks,
+                   len(list_filter({tokens_sql},
+                       t -> list_contains({en_stop}, t))) AS en_hits
+            FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   0.25 * CAST(len(toks) >= 5 AS DOUBLE)
+                     + 0.25 * CAST(COALESCE(
+                           CAST(list_sum(list_transform(toks,
+                                t -> length(t))) AS DOUBLE)
+                           / NULLIF(len(toks), 0), 0.0)
+                           BETWEEN 2.0 AND 12.0 AS DOUBLE)
+                     + 0.25 * CAST((CASE WHEN length(text) > 0 THEN
+                           CAST(length(regexp_replace(text,
+                                '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                           / length(text) ELSE 0.0 END) <= 0.2 AS DOUBLE)
+                     + 0.25 * CAST((CASE WHEN len(toks) > 0 THEN
+                           CAST(en_hits AS DOUBLE) / len(toks)
+                           ELSE 0.0 END) >= 0.05 AS DOUBLE) AS q
+            FROM base),
+        r AS (
+            SELECT c.cluster_root, c.doc_id, s.q,
+                   ROW_NUMBER() OVER (PARTITION BY c.cluster_root
+                                      ORDER BY s.q DESC, c.doc_id ASC)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY c.cluster_root)
+                       AS n_members
+            FROM clusters c JOIN scored s ON c.doc_id = s.doc_id)
+        SELECT cluster_root, doc_id AS canonical_id,
+               CAST(n_members AS BIGINT) AS n_members, q AS best_quality
+        FROM r WHERE rn = 1
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "q115_simhash_neardup",
     "q116_temperature_mix",
     "q117_ann_ivfpq",
+    "q118_bpe_pair_stats",
+    "q119_canonical_selection",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "default_hash_weights",
     "hashed_logit_score",
     "temperature_mix_weights",
+    "bpe_pair_stats",
 ]
 
 # Embedded as a literal on BOTH engines (Spark expression and oracle SQL)
@@ -756,3 +757,45 @@ def temperature_mix_weights(
         F.round(p_temp, 6).alias("p_temp"),
         F.round(p_temp / F.col("__p"), 6).alias("upsample_factor"),
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """First-iteration BPE merge statistics (Sennrich et al. 2016):
+    the frequency-weighted adjacent-symbol-pair counts over the WORD
+    TABLE that pick the next merge — the counting kernel of tokenizer
+    training. Symbols here are characters (iteration 0); a trainer
+    loops this op, applying the top merge and re-counting.
+
+    Returns the top-``top_n`` (s1, s2, pair_count) by descending count
+    (deterministic (s1, s2) tie-break).
+
+    Scale shape: the heavy corpus pass is the existing token_counts
+    aggregate; pair counting then runs on the DISTINCT word table
+    weighted by frequency — Heaps' law makes that vocab-bounded, orders
+    of magnitude smaller than the corpus. Pairs come from one
+    arrays_zip of two slices of a staged char array (never a position
+    self-join), one map-side-combinable groupBy, and a
+    TakeOrderedAndProject head."""
+    wc = token_counts(df, text_col)
+    chars = F.split(F.col("token"), "")
+    staged = wc.select(
+        "cnt", chars.alias("__c")
+    ).filter(F.size("__c") >= 2)
+    n = F.size("__c")
+    pairs = staged.select(
+        "cnt",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__c", 1, n - 1).alias("s1"),
+                F.slice("__c", 2, n - 1).alias("s2"),
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.s1").alias("s1"), F.col("p.s2").alias("s2"), "cnt"
+    )
+    out = pairs.groupBy("s1", "s2").agg(
+        F.sum("cnt").cast("long").alias("pair_count")
+    )
+    return out.orderBy(F.desc("pair_count"), "s1", "s2").limit(top_n)

@@ -393,3 +393,16 @@ def test_temperature_mix_flattens(spark):
         assert r.p_temp == pytest.approx(r.p_orig, abs=1e-6)
     # shares sum to 1
     assert sum(r.p_temp for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bpe_pair_stats_hand_computed(spark):
+    # words: "ab" x3, "abc" x1, "x" x2 (too short -> no pairs)
+    df = spark.createDataFrame(
+        [(0, "ab ab abc x"), (1, "ab x")], "doc_id long, text string"
+    )
+    rows = CO.bpe_pair_stats(df, top_n=10).collect()
+    got = {(r.s1, r.s2): r.pair_count for r in rows}
+    # ab: 3 occurrences of word 'ab' + 1 inside 'abc' = 4; bc: 1
+    assert got == {("a", "b"): 4, ("b", "c"): 1}
+    # ordering: count desc
+    assert rows[0].pair_count == 4

@@ -862,3 +862,40 @@ def test_ivfpq_code_shape_and_determinism(spark):
     assert {r.query_id for r in a} == {0, 1, 2}
     for r in a:
         assert 1 <= r.rank <= 3 and r.approx_dist >= 0.0
+
+
+def test_canonical_selection_prefers_quality_over_min_id(spark):
+    import __spark_entry__ as E
+    import os
+    import tempfile
+
+    # docs 0 and 1 are exact near-dups (same token set, jaccard 1.0) but
+    # doc 0 is low quality (no stopwords after 'the' removal? keep it
+    # simple: doc 0 short/degenerate, doc 1 the good copy). q51's policy
+    # keeps min id; canonical selection must keep the HIGH-QUALITY one.
+    good = ("the quick brown fox is running with the lazy dog "
+            "and it is that fast for everyone involved")
+    # same token multiset as `good` minus stopword signal is hard to craft;
+    # instead make doc 0 a token-set duplicate with quality-killing shape:
+    # identical DISTINCT token set (MinHash sees sets), but avg token len
+    # pushed out of band by massive repetition of the longest word.
+    bad = " ".join(good.split() + ["everyone"] * 200)
+    docs = [
+        (0, bad, "en", "s1", len(bad)),
+        (1, good, "en", "s1", len(good)),
+        (2, "completely different text here now", "en", "s1", 34),
+    ]
+    df = spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r.cluster_root: r
+            for r in E.q119_canonical_selection(spark, d).collect()
+        }
+    cluster = out[0]  # root = min member id = 0
+    assert cluster.n_members == 2
+    assert cluster.canonical_id == 1  # quality beats min-id
+    assert cluster.best_quality >= 0.75
