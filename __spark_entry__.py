@@ -2238,6 +2238,18 @@ def q119_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q120_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source snapshot-drift monitoring: smoothed KL both ways +
+    Jeffreys divergence between two corpus halves (doc_id parity stands
+    in for crawl vintage on this static table; production passes a real
+    snapshot flag). One tokenize, conditional (source, token) counts,
+    O(n_sources) broadcast totals, decimal-summed KL terms."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_new", (F.col("doc_id") % 2) == 1
+    )
+    return CO.token_drift(d, "is_new", alpha=0.5)
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2394,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_temperature_mix": q116_temperature_mix,
         "q118_bpe_pair_stats": q118_bpe_pair_stats,
         "q119_canonical_selection": q119_canonical_selection,
+        "q120_corpus_drift": q120_corpus_drift,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4565,6 +4578,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT cluster_root, doc_id AS canonical_id,
                CAST(n_members AS BIGINT) AS n_members, q AS best_quality
         FROM r WHERE rn = 1
+    """
+    out["q120_corpus_drift"] = f"""
+        WITH tok AS (
+            SELECT source, (doc_id % 2 = 1) AS isn,
+                   unnest({tokens_sql}) AS token
+            FROM documents),
+        counts AS (
+            SELECT source, token,
+                   CAST(SUM(CASE WHEN NOT isn THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ca,
+                   CAST(SUM(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT)
+                       AS cb
+            FROM tok GROUP BY source, token),
+        totals AS (
+            SELECT source, CAST(SUM(ca) AS BIGINT) AS ta,
+                   CAST(SUM(cb) AS BIGINT) AS tb,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM counts GROUP BY source),
+        terms AS (
+            SELECT c.source, c.ca, c.cb,
+                   (CAST(c.ca AS DOUBLE) + 0.5)
+                       / (CAST(t.ta AS DOUBLE) + 0.5 * CAST(t.v AS DOUBLE))
+                       AS pa,
+                   (CAST(c.cb AS DOUBLE) + 0.5)
+                       / (CAST(t.tb AS DOUBLE) + 0.5 * CAST(t.v AS DOUBLE))
+                       AS pb
+            FROM counts c JOIN totals t ON c.source = t.source),
+        dec AS (
+            SELECT source, ca, cb,
+                   CAST(ROUND(pa * (ln(pa) - ln(pb)), 9)
+                        AS DECIMAL(18,9)) AS tab,
+                   CAST(ROUND(pb * (ln(pb) - ln(pa)), 9)
+                        AS DECIMAL(18,9)) AS tba
+            FROM terms),
+        agg AS (
+            SELECT source,
+                   CAST(SUM(ca) AS BIGINT) AS n_tokens_old,
+                   CAST(SUM(cb) AS BIGINT) AS n_tokens_new,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   CAST(SUM(tab) AS DOUBLE) AS kab,
+                   CAST(SUM(tba) AS DOUBLE) AS kba
+            FROM dec GROUP BY source)
+        SELECT source, n_tokens_old, n_tokens_new, vocab_size,
+               ROUND(kab, 6) AS kl_old_new, ROUND(kba, 6) AS kl_new_old,
+               ROUND(kab + kba, 6) AS jeffreys
+        FROM agg
     """
     out["q107_market_share"] = """
         WITH joined AS (

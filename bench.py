@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q117_ann_ivfpq",
     "q118_bpe_pair_stats",
     "q119_canonical_selection",
+    "q120_corpus_drift",
 ]
 
 

@@ -47,6 +47,7 @@ __all__ = [
     "hashed_logit_score",
     "temperature_mix_weights",
     "bpe_pair_stats",
+    "token_drift",
 ]
 
 # Embedded as a literal on BOTH engines (Spark expression and oracle SQL)
@@ -799,3 +800,70 @@ def bpe_pair_stats(
         F.sum("cnt").cast("long").alias("pair_count")
     )
     return out.orderBy(F.desc("pair_count"), "s1", "s2").limit(top_n)
+
+
+def token_drift(
+    df: DataFrame,
+    new_col: str,
+    source_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-source distribution drift between two corpus snapshots (the
+    monitoring op a data team runs when a new crawl lands): add-alpha
+    smoothed KL(old‖new), KL(new‖old), and their sum (Jeffreys
+    divergence) over each source's union vocabulary. ``new_col`` names
+    a boolean column marking the new snapshot's rows. A drifting
+    source — topic shift, spam influx, scraper breakage — shows up as
+    Jeffreys divergence far above its peers.
+
+    Determinism: probabilities come from exact integer counts +
+    literal smoothing; each token's KL term is computed in double,
+    rounded to 9 decimals and summed as DECIMAL (the q97 device);
+    exposed surfaces round(6).
+
+    Scale shape: one explode collapses to (source, token) rows with
+    BOTH snapshot counts as conditional sums (map-side combinable);
+    per-source totals/vocab sizes are an O(n_sources) frame broadcast
+    back; the KL reduction is one more map-side-combinable aggregate.
+    Nothing exceeds the cost of a single corpus tokenize."""
+    tok = df.select(
+        F.col(source_col).alias("source"),
+        F.col(new_col).alias("__new"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    )
+    counts = tok.groupBy("source", "token").agg(
+        F.sum(F.when(~F.col("__new"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__new"), 1).otherwise(0)).alias("cb"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    a = F.lit(float(alpha))
+    j = counts.join(F.broadcast(totals), "source")
+    pa = (F.col("ca").cast("double") + a) / (
+        F.col("ta").cast("double") + a * F.col("v").cast("double")
+    )
+    pb = (F.col("cb").cast("double") + a) / (
+        F.col("tb").cast("double") + a * F.col("v").cast("double")
+    )
+    term_ab = F.round(pa * (F.log(pa) - F.log(pb)), 9).cast("decimal(18,9)")
+    term_ba = F.round(pb * (F.log(pb) - F.log(pa)), 9).cast("decimal(18,9)")
+    agg = j.groupBy("source").agg(
+        F.sum("ca").cast("long").alias("n_tokens_old"),
+        F.sum("cb").cast("long").alias("n_tokens_new"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(term_ab).cast("double").alias("__kl_ab"),
+        F.sum(term_ba).cast("double").alias("__kl_ba"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens_old",
+        "n_tokens_new",
+        "vocab_size",
+        F.round("__kl_ab", 6).alias("kl_old_new"),
+        F.round("__kl_ba", 6).alias("kl_new_old"),
+        F.round(F.col("__kl_ab") + F.col("__kl_ba"), 6).alias("jeffreys"),
+    )

@@ -406,3 +406,29 @@ def test_bpe_pair_stats_hand_computed(spark):
     assert got == {("a", "b"): 4, ("b", "c"): 1}
     # ordering: count desc
     assert rows[0].pair_count == 4
+
+
+def test_token_drift_detects_shift(spark):
+    import math
+
+    # source "stable": identical distributions across snapshots;
+    # source "shifted": disjoint vocabularies.
+    rows = [
+        (0, "stable", "a b c", False), (1, "stable", "a b c", True),
+        (2, "shifted", "x x y", False), (3, "shifted", "p q q", True),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, is_new boolean"
+    )
+    out = {r.source: r for r in CO.token_drift(df, "is_new", alpha=0.5).collect()}
+    st, sh = out["stable"], out["shifted"]
+    assert st.jeffreys == pytest.approx(0.0, abs=1e-9)  # identical dists
+    assert sh.jeffreys > 0.5  # disjoint vocab drifts hard
+    assert (sh.n_tokens_old, sh.n_tokens_new, sh.vocab_size) == (3, 3, 4)
+    # hand-check KL(old||new) for the shifted source
+    V, a = 4, 0.5
+    def p(c, t): return (c + a) / (t + a * V)
+    pa = [p(2,3), p(1,3), p(0,3), p(0,3)]  # x, y, p, q under old
+    pb = [p(0,3), p(0,3), p(1,3), p(2,3)]  # under new
+    kl = sum(x * (math.log(x) - math.log(y)) for x, y in zip(pa, pb))
+    assert sh.kl_old_new == pytest.approx(kl, abs=1e-6)
