@@ -212,6 +212,14 @@ def main(argv: list[str] | None = None) -> None:
     ded.add_argument("--out", required=True)
     ded.add_argument("--checkpoint", required=True)
     ded.add_argument("--window", type=int, default=8)
+    exp = sub.add_parser(
+        "export",
+        help="shard a docs parquet into n training files + manifest",
+    )
+    exp.add_argument("--docs", required=True, help="documents parquet path")
+    exp.add_argument("--out", required=True, help="export root dir")
+    exp.add_argument("--shards", type=int, default=8)
+    exp.add_argument("--format", choices=["json", "parquet"], default="json")
     args = ap.parse_args(argv)
     if args.job == "fetch":
         run_fetch(
@@ -254,6 +262,20 @@ def main(argv: list[str] | None = None) -> None:
         )
         q.awaitTermination()
         print(f"deduped {args.docs_dir} -> {args.out} (index {args.index_dir})")
+    elif args.job == "export":
+        from big_data_project_datapipeline_spark.sinks import (
+            write_training_shards,
+        )
+
+        df = spark.read.parquet(args.docs)
+        manifest = write_training_shards(
+            df, args.out, n_shards=args.shards, fmt=args.format
+        )
+        print(
+            f"exported {manifest['total_rows']} rows / "
+            f"{manifest['total_tokens']} tokens -> "
+            f"{args.shards} {args.format} shard(s) under {args.out}"
+        )
     else:
         run_features(spark, args.store, args.out)
 

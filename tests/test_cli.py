@@ -133,3 +133,20 @@ def test_cli_dedup(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out" / "docs_*")).collect()
     }
     assert got == {1: "a b c d", 2: "x"}
+
+
+def test_cli_export(spark, tmp_path):
+    import json as _json
+
+    from big_data_project_datapipeline_spark.__main__ import main
+
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"w{i} w{i}") for i in range(20)], "doc_id long, text string"
+    ).write.parquet(docs)
+    out = str(tmp_path / "export")
+    main(["export", "--docs", docs, "--out", out, "--shards", "4"])
+    with open(out + "/_MANIFEST.json") as fh:
+        m = _json.load(fh)
+    assert m["total_rows"] == 20 and m["total_tokens"] == 40
+    assert spark.read.json(out + "/data").count() == 20
