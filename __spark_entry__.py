@@ -46,6 +46,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     seasonal_anomalies,
     welch_ttest,
 )
+from big_data_project_datapipeline_spark.operators import graph as G
 from big_data_project_datapipeline_spark.operators.graph import pagerank
 from big_data_project_datapipeline_spark.operators import behavior as BV
 from big_data_project_datapipeline_spark.operators.asof import asof_join
@@ -2250,6 +2251,76 @@ def q120_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.token_drift(d, "is_new", alpha=0.5)
 
 
+def q121_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph via degree-ordered
+    edge orientation (Suri & Vassilvitskii node-iterator++): wedges
+    enumerate only at each triangle's lowest-(degree, id) vertex, so
+    hub parts generate no wedge blow-up — O(m^1.5) regardless of skew.
+    All equi-joins (operators/graph.triangle_count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    # support >= 2 (repeat co-purchases): the one-off pair soup is noise
+    # for basket analytics AND makes the graph quadratic-dense — the
+    # threshold is both the domain-correct graph and the scale device
+    # (1.2M -> 3.6k edges at sf0.1).
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("src", "dst")
+    )
+    return G.triangle_count(edges)
+
+
+def q122_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double correlation, decorrelated the Spark-first
+    way: suppliers who were the ONLY late-shipping supplier (shipdate >
+    orderdate + 30 days) in a multi-supplier order. Instead of
+    EXISTS/NOT-EXISTS subqueries re-scanning lineitem per row, one
+    per-(order, supplier) aggregate + one per-order aggregate answer
+    both correlations; the fact shuffles once on orderkey and the
+    supplier dim is broadcast. Top 25 by wait count."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    per_os = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("late").alias("n_late"),
+    )
+    waiting = (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late") == 1)
+        )
+    )
+    agg = waiting.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    out = agg.join(
+        F.broadcast(s.select("s_suppkey", "s_name")),
+        agg.l_suppkey == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "numwait")
+    return out.orderBy(F.desc("numwait"), "s_name").limit(25)
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2407,6 +2478,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_bpe_pair_stats": q118_bpe_pair_stats,
         "q119_canonical_selection": q119_canonical_selection,
         "q120_corpus_drift": q120_corpus_drift,
+        "q121_triangle_count": q121_triangle_count,
+        "q122_lone_late_supplier": q122_lone_late_supplier,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4624,6 +4697,66 @@ def oracle_sql() -> dict[str, str]:
                ROUND(kab, 6) AS kl_old_new, ROUND(kba, 6) AS kl_new_old,
                ROUND(kab + kba, 6) AS jeffreys
         FROM agg
+    """
+    out["q121_triangle_count"] = """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+            FROM lineitem),
+        raw_edges AS (
+            SELECT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+            GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        canon AS (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM raw_edges WHERE src <> dst),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM canon
+                  UNION ALL SELECT v AS n FROM canon)
+            GROUP BY n),
+        oriented AS (
+            SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                        THEN c.u ELSE c.v END AS s,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                        THEN c.v ELSE c.u END AS t
+            FROM canon c
+            JOIN deg du ON c.u = du.n JOIN deg dv ON c.v = dv.n),
+        wedges AS (
+            SELECT w1.t AS x, w2.t AS y
+            FROM oriented w1 JOIN oriented w2
+              ON w1.s = w2.s AND w1.t < w2.t),
+        closing AS (
+            SELECT DISTINCT x, y FROM (
+                SELECT s AS x, t AS y FROM oriented
+                UNION ALL SELECT t AS x, s AS y FROM oriented)),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM wedges JOIN closing USING (x, y))
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM canon) AS n_edges,
+               n_triangles
+        FROM tri
+    """
+    out["q122_lone_late_supplier"] = """
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   MAX(CAST(l_shipdate > o_orderdate
+                            + INTERVAL 30 DAY AS INT)) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey, l_suppkey),
+        per_o AS (
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supps,
+                   CAST(SUM(late) AS BIGINT) AS n_late
+            FROM per_os GROUP BY l_orderkey),
+        waiting AS (
+            SELECT s.l_suppkey
+            FROM per_os s JOIN per_o o ON s.l_orderkey = o.l_orderkey
+            WHERE s.late = 1 AND o.n_supps >= 2 AND o.n_late = 1)
+        SELECT sup.s_suppkey, sup.s_name,
+               CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM waiting w JOIN supplier sup ON w.l_suppkey = sup.s_suppkey
+        GROUP BY sup.s_suppkey, sup.s_name
+        ORDER BY numwait DESC, s_name LIMIT 25
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "q118_bpe_pair_stats",
     "q119_canonical_selection",
     "q120_corpus_drift",
+    "q121_triangle_count",
+    "q122_lone_late_supplier",
 ]
 
 

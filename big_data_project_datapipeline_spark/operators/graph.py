@@ -91,3 +91,87 @@ def pagerank(
     # lifetime (auto on GC, or operators.caching.release_caches for
     # explicit control).
     return attach_cache_release(out, (e, nodes))
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected edge list (input may
+    contain either or both directions + duplicates; self-loops are
+    dropped). Returns one row: (n_nodes, n_edges, n_triangles).
+
+    Algorithm: degree-ordered edge orientation (the MapReduce-era
+    node-iterator++ of Suri & Vassilvitskii 2011): orient every edge
+    from the endpoint with the smaller (degree, id) to the larger, so
+    each triangle has exactly ONE vertex with two out-edges — wedges
+    are enumerated only at a triangle's lowest-degree vertex, bounding
+    the wedge count by O(m^1.5) regardless of hot hubs (a star graph
+    generates ZERO wedges at the hub because all its edges point
+    outward... toward it).
+
+    Scale shape: canonicalize + distinct (1 shuffle), degree agg
+    (1 shuffle), orientation join, wedge self-join on the pivot, and a
+    closing semi-join on the oriented edge set — every join is an
+    equi-join on edge/vertex keys; no cartesian anywhere."""
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(
+            F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .union(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(
+        F.col("n").alias("u"), F.col("d").alias("du")
+    )
+    dv = deg.select(
+        F.col("n").alias("v"), F.col("d").alias("dv")
+    )
+    # orient low (deg, id) -> high (deg, id)
+    oriented = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(
+                F.struct(F.col("v").alias("s"), F.col("u").alias("t"))
+            )
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    w1 = oriented.select(F.col("s").alias("p"), F.col("t").alias("x"))
+    w2 = oriented.select(F.col("s").alias("p"), F.col("t").alias("y"))
+    wedges = w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+    # close the wedge: the third edge is oriented x->y or y->x; both
+    # endpoints rank above the pivot, so check the UNDIRECTED canonical
+    # pair against the oriented set symmetrized once (small relative to
+    # wedges).
+    closing = oriented.select(
+        F.col("s").alias("x"), F.col("t").alias("y")
+    ).union(
+        oriented.select(F.col("t").alias("x"), F.col("s").alias("y"))
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(
+            F.broadcast(canon.agg(F.count(F.lit(1)).alias("n_edges")))
+        )
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

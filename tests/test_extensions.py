@@ -899,3 +899,34 @@ def test_canonical_selection_prefers_quality_over_min_id(spark):
     assert cluster.n_members == 2
     assert cluster.canonical_id == 1  # quality beats min-id
     assert cluster.best_quality >= 0.75
+
+
+def test_triangle_count_crafted_graphs(spark):
+    from big_data_project_datapipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; plus a
+    # dangling path 4-5; duplicate + reversed + self-loop edges thrown in
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (2, 1),            # reversed duplicate
+        (1, 4), (2, 4),
+        (4, 5), (5, 5),    # path + self-loop
+        (1, 2),            # exact duplicate
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 6, 2)
+    # star graph: no triangles, hub generates zero wedges
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "src long, dst long"
+    )
+    r2 = triangle_count(star).collect()[0]
+    assert (r2.n_nodes, r2.n_edges, r2.n_triangles) == (9, 8, 0)
+    # complete graph K5: C(5,3) = 10 triangles
+    k5 = spark.createDataFrame(
+        [(i, j) for i in range(5) for j in range(i + 1, 5)],
+        "src long, dst long",
+    )
+    assert triangle_count(k5).collect()[0].n_triangles == 10
