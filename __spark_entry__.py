@@ -2321,6 +2321,15 @@ def q122_lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("numwait"), "s_name").limit(25)
 
 
+def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, 5 docs
+    per source, weight = token count, with DETERMINISTIC md5-derived
+    uniforms (dyadic rationals — bit-identical across engines, no RNG
+    state). Map-only keys + one per-group top-k window."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.weighted_sample(d, k=5)
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2480,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_corpus_drift": q120_corpus_drift,
         "q121_triangle_count": q121_triangle_count,
         "q122_lone_late_supplier": q122_lone_late_supplier,
+        "q123_weighted_sample": q123_weighted_sample,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4757,6 +4767,26 @@ def oracle_sql() -> dict[str, str]:
         FROM waiting w JOIN supplier sup ON w.l_suppkey = sup.s_suppkey
         GROUP BY sup.s_suppkey, sup.s_name
         ORDER BY numwait DESC, s_name LIMIT 25
+    """
+    out["q123_weighted_sample"] = f"""
+        WITH staged AS (
+            SELECT source AS grp, doc_id AS id,
+                   CAST(len({tokens_sql}) AS DOUBLE) AS w,
+                   (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                       / 1152921504606846976.0 AS u
+            FROM documents),
+        keyed AS (
+            SELECT grp, id, w, ln(u) / w AS k
+            FROM staged WHERE w > 0),
+        ranked AS (
+            SELECT grp, id, w, k,
+                   ROW_NUMBER() OVER (PARTITION BY grp
+                                      ORDER BY k DESC, id ASC) AS rn
+            FROM keyed)
+        SELECT grp AS source, id AS doc_id, CAST(w AS BIGINT) AS weight,
+               ROUND(k, 6) AS es_key, CAST(rn AS INT) AS sample_rank
+        FROM ranked WHERE rn <= 5
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q120_corpus_drift",
     "q121_triangle_count",
     "q122_lone_late_supplier",
+    "q123_weighted_sample",
 ]
 
 

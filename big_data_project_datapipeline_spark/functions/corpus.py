@@ -48,6 +48,7 @@ __all__ = [
     "temperature_mix_weights",
     "bpe_pair_stats",
     "token_drift",
+    "weighted_sample",
 ]
 
 # Embedded as a literal on BOTH engines (Spark expression and oracle SQL)
@@ -866,4 +867,67 @@ def token_drift(
         F.round("__kl_ab", 6).alias("kl_old_new"),
         F.round("__kl_ba", 6).alias("kl_new_old"),
         F.round(F.col("__kl_ab") + F.col("__kl_ba"), 6).alias("jeffreys"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 10,
+    weight_col: str | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group (Efraimidis &
+    Spirakis 2006 exponential-key reservoir — the standard distributed
+    one-pass device): each row gets key u^(1/w) for u ~ Uniform(0,1],
+    and the k largest keys per group are an exact w-weighted sample.
+    Here u is DETERMINISTIC — (md5_60bits(id)+1) / 2^60, a dyadic
+    rational both engines compute bit-identically — so the sample is
+    reproducible across runs and engines with no RNG state (the q47
+    md5 device applied to reservoir sampling). Default weight =
+    document token count (length-proportional sampling); pass
+    weight_col to override.
+
+    Ranking uses ln(u)/w, monotone-equivalent to u^(1/w) (ln u < 0,
+    w > 0) and cheaper; ln is the engine-portable transcendental. Ties
+    break on id.
+
+    Scale shape: map-only key computation, then one per-group top-k
+    window over the group's rows — the honest cost of exact per-group
+    order statistics; groups parallelize across partitions."""
+    w = (
+        F.col(weight_col).cast("double")
+        if weight_col
+        else F.size(TX.tokens(F.col(text_col))).cast("double")
+    )
+    two60 = float(1 << 60)
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(two60)
+    staged = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            w.alias("__w"),
+            u.alias("__u"),
+        )
+        .filter(F.col("__w") > 0)
+        .withColumn("__key", F.log("__u") / F.col("__w"))
+    )
+    win = Window.partitionBy("grp").orderBy(
+        F.desc("__key"), F.asc("id")
+    )
+    return (
+        staged.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("__w").cast("long").alias("weight"),
+            F.round("__key", 6).alias("es_key"),
+            F.col("__rn").alias("sample_rank"),
+        )
     )

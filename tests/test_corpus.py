@@ -432,3 +432,41 @@ def test_token_drift_detects_shift(spark):
     pb = [p(0,3), p(0,3), p(1,3), p(2,3)]  # under new
     kl = sum(x * (math.log(x) - math.log(y)) for x, y in zip(pa, pb))
     assert sh.kl_old_new == pytest.approx(kl, abs=1e-6)
+
+
+def test_weighted_sample_matches_python_es(spark):
+    import hashlib
+    import math
+
+    rows = [(i, "s" if i < 12 else "t", "w " * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = CO.weighted_sample(df, k=3).collect()
+
+    def key(i):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (float(h) + 1.0) / float(1 << 60)
+        return math.log(u) / float(i + 1)
+
+    expect = {}
+    for grp, ids in (("s", range(12)), ("t", range(12, 20))):
+        ranked = sorted(ids, key=lambda i: (-key(i), i))[:3]
+        expect[grp] = ranked
+    got = {}
+    for r in sorted(out, key=lambda r: (r.source, r.sample_rank)):
+        got.setdefault(r.source, []).append(r.doc_id)
+    assert got == expect
+    for r in out:
+        assert r.weight == r.doc_id + 1
+        assert r.es_key == pytest.approx(key(r.doc_id), abs=1e-6)
+
+
+def test_weighted_sample_is_length_biased(spark):
+    # Across many md5 draws, heavy docs must be selected far more often
+    # than light ones: weight 50 vs weight 1 in a 2-slot reservoir.
+    rows = [(i, "g", ("w " * 50) if i % 2 == 0 else "w") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = CO.weighted_sample(df, k=20, group_col="source")
+    heavy = sum(1 for r in out.collect() if r.weight == 50)
+    assert heavy >= 16  # 100 heavy vs 100 light at 50x weight
