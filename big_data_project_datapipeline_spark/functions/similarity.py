@@ -773,6 +773,249 @@ def pq_audit(
     return attach_cache_release(out, (enc,))
 
 
+def _sqd(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two array<double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    k_sub: int = 16,
+    seed: int = 42,
+    max_iter: int = 8,
+    sample_per_centroid: int = 256,
+) -> dict:
+    """Train the IVF-PQ model (Jegou et al. 2011): a coarse k-means
+    quantizer over ``n_lists`` cells plus ``m`` residual PQ codebooks
+    of ``k_sub`` sub-centroids each, all fit on ONE bounded
+    deterministic top-N-by-hash sample — O(1) driver memory regardless
+    of corpus size. Returns a plain-dict model (json-serializable; see
+    save_ivfpq_model) that ships into encode/search plans as literals."""
+    import numpy as np
+
+    sample_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_per_centroid * n_lists)
+        .collect()
+    )
+    vecs = np.asarray([r["v"] for r in sample_rows], dtype=np.float64)
+    dim = vecs.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cents = np.asarray(
+        _lloyd_fit(vecs.tolist(), n_lists, seed=seed, max_iter=max_iter)
+    )
+    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = vecs - cents[d2.argmin(axis=1)]
+    codebooks = [
+        _lloyd_fit(
+            resid[:, j * sub : (j + 1) * sub].tolist(),
+            k_sub,
+            seed=seed + 1 + j,
+            max_iter=max_iter,
+        )
+        for j in range(m)
+    ]
+    return {
+        "centroids": [list(map(float, c)) for c in cents],
+        "codebooks": codebooks,
+        "m": m,
+        "sub": sub,
+        "dim": dim,
+    }
+
+
+def save_ivfpq_model(model: dict, path: str) -> None:
+    """Persist an IVF-PQ model as JSON. Python float repr round-trips
+    IEEE doubles exactly, so a saved+loaded model encodes and searches
+    bit-identically (pinned by test)."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(model, fh)
+    os.replace(tmp, path)
+
+
+def load_ivfpq_model(path: str) -> dict:
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _cents_arr(model: dict) -> Column:
+    return F.array(
+        *[F.lit([float(x) for x in c]) for c in model["centroids"]]
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only index build: assign each vector to its coarse list and
+    PQ-encode the residual. Output (vec_id, list_id, codes) is the
+    ENTIRE persisted index — m bytes + a list id per vector, ~32x
+    smaller than the raw floats; write it with partitionBy("list_id")
+    and searches prune to the probed lists' partitions."""
+    sub, m = model["sub"], model["m"]
+    cents_arr = _cents_arr(model)
+    v = F.col(vec_col).cast("array<double>")
+    coarse_d = F.transform(cents_arr, lambda c: _sqd(v, c))
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("__v"),
+        (F.array_position(coarse_d, F.array_min(coarse_d)) - 1)
+        .cast("int")
+        .alias("list_id"),
+    ).withColumn(
+        "__r",
+        F.zip_with(
+            F.col("__v"),
+            F.element_at(cents_arr, F.col("list_id") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+
+    def code_of(j: int, cb: list[list[float]]) -> Column:
+        sv = F.slice(F.col("__r"), j * sub + 1, sub)
+        cbl = F.array(*[F.lit([float(x) for x in c]) for c in cb])
+        ds = F.transform(cbl, lambda c: _sqd(sv, c))
+        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+    return assigned.select(
+        "vec_id",
+        "list_id",
+        F.array(
+            *[code_of(j, cb) for j, cb in enumerate(model["codebooks"])]
+        ).alias("codes"),
+    )
+
+
+def ivfpq_search(
+    index: DataFrame,
+    model: dict,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search against a prebuilt (vec_id, list_id, codes) index:
+    per probed list each query builds an m × k_sub lookup table once
+    and every candidate costs m array lookups — the index's float
+    vectors are never read. ``refine`` > 1 exact-re-ranks the
+    k·refine ADC shortlist (FAISS IndexRefineFlat) and requires
+    ``corpus`` for the raw vectors; the refine join touches only
+    queries·k·refine of them."""
+    if refine > 1 and corpus is None:
+        raise ValueError("refine > 1 needs the raw-vector corpus")
+    m = model["m"]
+    sub = model["sub"]
+    cents = model["centroids"]
+    n_probe = min(n_probe, len(cents))
+    cents_arr = _cents_arr(model)
+    qv = F.col(vec_col).cast("array<double>")
+    q_coarse = F.array(
+        *[
+            F.struct(
+                _sqd(qv, F.lit([float(x) for x in c])).alias("d"),
+                F.lit(i).alias("list"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    probes = F.slice(F.array_sort(q_coarse), 1, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("__q"),
+        F.explode(F.transform(probes, lambda s: s["list"])).alias("list_id"),
+    ).withColumn(
+        "__rq",
+        F.zip_with(
+            F.col("__q"),
+            F.element_at(cents_arr, F.col("list_id") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+
+    def dtable(j: int, cb: list[list[float]]) -> Column:
+        sv = F.slice(F.col("__rq"), j * sub + 1, sub)
+        cbl = F.array(*[F.lit([float(x) for x in c]) for c in cb])
+        return F.transform(cbl, lambda c: _sqd(sv, c))
+
+    q_tabs = q.select(
+        "query_id",
+        "list_id",
+        *[
+            dtable(j, cb).alias(f"__t{j}")
+            for j, cb in enumerate(model["codebooks"])
+        ],
+    )
+    approx = F.element_at(F.col("__t0"), F.element_at(F.col("codes"), 1) + 1)
+    for j in range(1, m):
+        approx = approx + F.element_at(
+            F.col(f"__t{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+    scored = (
+        index.join(F.broadcast(q_tabs), "list_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            approx.alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    if refine <= 1:
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine)
+        .drop("rank")
+    )
+    qvecs = queries.select(F.col(id_col).alias("query_id"), qv.alias("__q"))
+    nvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("__nv"),
+    )
+    refined = (
+        nvecs.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sqd(F.col("__q"), F.col("__nv")).alias("approx_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return refined.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -787,23 +1030,10 @@ def ivfpq_topk(
     seed: int = 42,
     max_iter: int = 8,
 ) -> DataFrame:
-    """IVF-PQ approximate nearest neighbors (the FAISS IVFPQ shape —
-    Jegou et al. 2011 "Product Quantization for Nearest Neighbor
-    Search"): a coarse k-means quantizer routes vectors into
-    ``n_lists`` inverted lists, each vector stores only the ``m``-byte
-    PQ code of its RESIDUAL (v − coarse centroid), and queries score
-    candidates with asymmetric distance computation (ADC): per probed
-    list the query builds an m × k_sub distance table once, and each
-    candidate's approximate distance is m table lookups — no float
-    vector is ever read at search time.
-
-    ``refine`` > 1 adds the FAISS IndexRefineFlat step: the ADC pass
-    shortlists k·refine candidates per query, and only that shortlist is
-    re-ranked with exact distances (one join touching queries·k·refine
-    raw vectors — the 100 TB cost stays "read a handful of vectors per
-    query", never a corpus scan). ADC code budgets that are cheap
-    enough to store shift fine-grained ranking errors; the refine step
-    is the standard fix. refine=1 is pure ADC.
+    """One-shot IVF-PQ ANN (train + encode + search in a single call —
+    see ivfpq_train / ivfpq_encode / ivfpq_search for the production
+    split where the index is built once, persisted partitioned by
+    list_id, and searched many times).
 
     Returns (query_id, neighbor_id, approx_dist, rank) with rank ≤ k
     ascending (exact distance when refine > 1). Approximate by
@@ -811,166 +1041,31 @@ def ivfpq_topk(
     class, pinned by a recall test against exact search.
 
     Scale shape: both quantizers train on ONE bounded deterministic
-    sample (top-N-by-hash; O(1) driver memory), and all of training
-    ships back as literals. The corpus pass is map-only (assign +
-    residual-encode, no shuffle); the search is one broadcast join on
-    the list id (query side = queries × n_probe rows carrying m small
-    lookup arrays) followed by a per-query top-k window over candidates
-    from n_probe/n_lists of the corpus. The 100 TB memory story is the
-    point: each indexed vector costs m bytes + a list id, ~32x smaller
-    than the raw floats, exactly why IVFPQ is the scale path."""
-    import numpy as np
-
-    sample_rows = (
-        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
-        .limit(256 * n_lists)
-        .collect()
+    sample (top-N-by-hash; O(1) driver memory) shipped as literals;
+    the index pass is map-only; search is one broadcast join on the
+    list id plus a per-query top-k window; refine re-reads only
+    queries·k·refine raw vectors. Each indexed vector costs m bytes +
+    a list id (~32x under raw floats) — why IVFPQ is the 100 TB
+    path."""
+    model = ivfpq_train(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        m=m,
+        k_sub=k_sub,
+        seed=seed,
+        max_iter=max_iter,
     )
-    vecs = np.asarray([r["v"] for r in sample_rows], dtype=np.float64)
-    dim = vecs.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    cents = np.asarray(
-        _lloyd_fit(vecs.tolist(), n_lists, seed=seed, max_iter=max_iter)
-    )
-    n_lists = len(cents)  # may shrink on tiny corpora
-    n_probe = min(n_probe, n_lists)
-    d2 = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    resid = vecs - cents[d2.argmin(axis=1)]
-    codebooks = [
-        _lloyd_fit(
-            resid[:, j * sub : (j + 1) * sub].tolist(),
-            k_sub,
-            seed=seed + 1 + j,
-            max_iter=max_iter,
-        )
-        for j in range(m)
-    ]
-
-    cents_arr = F.array(*[F.lit([float(x) for x in c]) for c in cents])
-
-    def sqd(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) ** 2),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    # ---- corpus pass: assign to a list, PQ-encode the residual --------
-    v = F.col(vec_col).cast("array<double>")
-    coarse_d = F.transform(cents_arr, lambda c: sqd(v, c))
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        v.alias("__v"),
-        (F.array_position(coarse_d, F.array_min(coarse_d)) - 1)
-        .cast("int")
-        .alias("__list"),
-    ).withColumn(
-        "__r",
-        F.zip_with(
-            F.col("__v"),
-            F.element_at(cents_arr, F.col("__list") + 1),
-            lambda x, c: x - c,
-        ),
-    )
-
-    def code_of(j: int, cb: list[list[float]], vec: Column) -> Column:
-        sv = F.slice(vec, j * sub + 1, sub)
-        cbl = F.array(*[F.lit([float(x) for x in c]) for c in cb])
-        ds = F.transform(cbl, lambda c: sqd(sv, c))
-        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
-
-    enc = assigned.select(
-        "neighbor_id",
-        "__list",
-        F.array(
-            *[code_of(j, cb, F.col("__r")) for j, cb in enumerate(codebooks)]
-        ).alias("__codes"),
-    )
-
-    # ---- query pass: probe lists, build ADC tables --------------------
-    qv = F.col(vec_col).cast("array<double>")
-    q_coarse = F.array(
-        *[
-            F.struct(sqd(qv, F.lit([float(x) for x in c])).alias("d"),
-                     F.lit(i).alias("list"))
-            for i, c in enumerate(cents)
-        ]
-    )
-    probes = F.slice(F.array_sort(q_coarse), 1, n_probe)
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            qv.alias("__q"),
-            F.explode(F.transform(probes, lambda s: s["list"])).alias("__list"),
-        )
-        .withColumn(
-            "__rq",
-            F.zip_with(
-                F.col("__q"),
-                F.element_at(cents_arr, F.col("__list") + 1),
-                lambda x, c: x - c,
-            ),
-        )
-    )
-
-    def dtable(j: int, cb: list[list[float]]) -> Column:
-        sv = F.slice(F.col("__rq"), j * sub + 1, sub)
-        cbl = F.array(*[F.lit([float(x) for x in c]) for c in cb])
-        return F.transform(cbl, lambda c: sqd(sv, c))
-
-    q_tabs = q.select(
-        "query_id",
-        "__list",
-        *[dtable(j, cb).alias(f"__t{j}") for j, cb in enumerate(codebooks)],
-    )
-
-    # ---- ADC scoring: m array lookups per candidate -------------------
-    approx = F.element_at(
-        F.col("__t0"), F.element_at(F.col("__codes"), 1) + 1
-    )
-    for j in range(1, m):
-        approx = approx + F.element_at(
-            F.col(f"__t{j}"), F.element_at(F.col("__codes"), j + 1) + 1
-        )
-    scored = (
-        enc.join(F.broadcast(q_tabs), "__list")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", approx.alias("approx_dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
-    )
-    if refine <= 1:
-        return scored.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
-    shortlist = scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k * refine
-    ).drop("rank")
-    # Exact re-rank of the tiny shortlist: fetch only those raw vectors
-    # (broadcast the shortlist into the corpus scan — queries·k·refine
-    # rows), join back the query vectors, one sqd per pair.
-    qvecs = queries.select(
-        F.col(id_col).alias("query_id"), qv.alias("__q")
-    )
-    nvecs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), v.alias("__nv")
-    )
-    refined = (
-        nvecs.join(F.broadcast(shortlist), "neighbor_id")
-        .join(F.broadcast(qvecs), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            sqd(F.col("__q"), F.col("__nv")).alias("approx_dist"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
-    )
-    return refined.withColumn("rank", F.row_number().over(w2)).filter(
-        F.col("rank") <= k
+    index = ivfpq_encode(corpus, model, id_col=id_col, vec_col=vec_col)
+    return ivfpq_search(
+        index,
+        model,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        refine=refine,
+        corpus=corpus,
+        id_col=id_col,
+        vec_col=vec_col,
     )

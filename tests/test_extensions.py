@@ -930,3 +930,37 @@ def test_triangle_count_crafted_graphs(spark):
         "src long, dst long",
     )
     assert triangle_count(k5).collect()[0].n_triangles == 10
+
+
+def test_ivfpq_split_pipeline_matches_oneshot(spark, tmp_path):
+    """Build-once/search-many must equal the one-shot call bit-for-bit,
+    including through JSON model persistence and a parquet index
+    round-trip partitioned by list_id."""
+    import os
+
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter("vec_id < 4")
+    oneshot = sorted(
+        map(tuple, SIM.ivfpq_topk(emb, queries, k=4, n_lists=8).collect())
+    )
+    model = SIM.ivfpq_train(emb, n_lists=8)
+    mpath = str(tmp_path / "model.json")
+    SIM.save_ivfpq_model(model, mpath)
+    model2 = SIM.load_ivfpq_model(mpath)
+    assert model2 == model  # exact float round-trip through JSON
+    ipath = str(tmp_path / "index")
+    SIM.ivfpq_encode(emb, model2).write.partitionBy("list_id").parquet(ipath)
+    index = spark.read.parquet(ipath)
+    split = sorted(
+        map(
+            tuple,
+            SIM.ivfpq_search(
+                index, model2, queries, k=4, corpus=emb
+            ).collect(),
+        )
+    )
+    assert split == oneshot
+    # the persisted index is hive-partitioned by list for probe pruning
+    assert any(d.startswith("list_id=") for d in os.listdir(ipath))
