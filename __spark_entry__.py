@@ -37,6 +37,7 @@ from big_data_project_datapipeline_spark.functions.encode import (
     target_encode_loo,
 )
 from big_data_project_datapipeline_spark.functions.quality import (
+    gini_dispersion,
     chi_square_contingency,
     equal_frequency_bins,
     fixed_bin_histogram,
@@ -2330,6 +2331,28 @@ def q123_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.weighted_sample(d, k=5)
 
 
+def q124_gini_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini mean difference + Gini coefficient via the
+    order-statistics identity (one per-group sort instead of O(n^2)
+    pairs); rank-weighted terms rounded-then-decimal-summed
+    (functions/quality.gini_dispersion)."""
+    ev = _t(spark, sf_dir, "events")
+    return gini_dispersion(ev)
+
+
+def q125_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware per-user running balance (the ledger pattern):
+    'signup' events zero the balance and start a new segment; the
+    segment id IS an inclusive running count of resets — two windows
+    sharing one per-user sort, no iterative state
+    (operators/behavior.running_balance_with_resets)."""
+    ev = _t(spark, sf_dir, "events")
+    out = BV.running_balance_with_resets(
+        ev, F.col("event_type") == "signup"
+    )
+    return out.select("event_id", "user_id", "segment", "balance")
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2490,6 +2513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_triangle_count": q121_triangle_count,
         "q122_lone_late_supplier": q122_lone_late_supplier,
         "q123_weighted_sample": q123_weighted_sample,
+        "q124_gini_dispersion": q124_gini_dispersion,
+        "q125_running_balance": q125_running_balance,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4787,6 +4812,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT grp AS source, id AS doc_id, CAST(w AS BIGINT) AS weight,
                ROUND(k, 6) AS es_key, CAST(rn AS INT) AS sample_rank
         FROM ranked WHERE rn <= 5
+    """
+    out["q124_gini_dispersion"] = """
+        WITH base AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS x,
+                   event_id AS id
+            FROM events WHERE value IS NOT NULL),
+        ranked AS (
+            SELECT grp, x,
+                   ROW_NUMBER() OVER (PARTITION BY grp
+                                      ORDER BY x, id) AS i,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM base),
+        agg AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(CAST(2 * i - n - 1 AS DOUBLE) * x,
+                                       9) AS DECIMAL(28,9))) AS DOUBLE)
+                       AS s,
+                   CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx
+            FROM ranked GROUP BY grp)
+        SELECT grp AS event_type, n,
+               ROUND(CASE WHEN n >= 2
+                          THEN 2.0 * s / (CAST(n AS DOUBLE)
+                                          * (CAST(n AS DOUBLE) - 1.0))
+                          ELSE 0.0 END, 6) AS gini_mean_diff,
+               ROUND(CASE WHEN sx / n <> 0.0
+                          THEN (CASE WHEN n >= 2
+                                     THEN 2.0 * s / (CAST(n AS DOUBLE)
+                                          * (CAST(n AS DOUBLE) - 1.0))
+                                     ELSE 0.0 END)
+                               / (2.0 * (sx / CAST(n AS DOUBLE)))
+                          ELSE 0.0 END, 6) AS gini_coefficient
+        FROM agg
+    """
+    out["q125_running_balance"] = """
+        WITH flagged AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(event_type = 'signup' AS INT) AS r
+            FROM events),
+        seg AS (
+            SELECT event_id, user_id, ts, value, r,
+                   CAST(SUM(r) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS segment
+            FROM flagged)
+        SELECT event_id, user_id, segment,
+               ROUND(CAST(SUM(CASE WHEN r = 1
+                                   THEN CAST(0 AS DECIMAL(18,4))
+                                   ELSE CAST(COALESCE(value, 0)
+                                             AS DECIMAL(18,4)) END)
+                          OVER (PARTITION BY user_id, segment
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE),
+                     6) AS balance
+        FROM seg
     """
     out["q107_market_share"] = """
         WITH joined AS (

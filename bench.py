@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "q121_triangle_count",
     "q122_lone_late_supplier",
     "q123_weighted_sample",
+    "q124_gini_dispersion",
+    "q125_running_balance",
 ]
 
 

@@ -288,3 +288,53 @@ def last_touch_attribution(
         F.when(within, F.col("__t_id")).alias("touch_id"),
         F.when(within, F.lit(1)).otherwise(F.lit(0)).alias("attributed"),
     )
+
+
+def running_balance_with_resets(
+    df: DataFrame,
+    reset_condition,
+    value_col: str = "value",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity running balance that RESETS to zero whenever
+    ``reset_condition`` (a boolean Column) fires — the ledger /
+    session-credit / counter-with-checkpoint pattern. A reset row
+    starts a new segment and itself carries balance 0; later rows
+    accumulate within their segment.
+
+    The reset is expressed relationally with the two-window device:
+    an inclusive running count of reset flags IS the segment id (each
+    reset bumps it, becoming the first row of its own segment), then
+    the balance is a running DECIMAL sum within (key, segment). No
+    iterative state, no UDF — two windows sharing one per-key sort.
+
+    Scale shape: both windows partition on the entity key and reuse
+    the same (ts, id) sort; per-key state is O(1). Null values count
+    as zero."""
+    w_seg = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = df.withColumn(
+        "__reset", reset_condition.cast("int")
+    ).withColumn("segment", F.sum("__reset").over(w_seg).cast("long"))
+    w_bal = (
+        Window.partitionBy(key_col, "segment")
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = F.when(
+        F.col("__reset") == 1, F.lit(0).cast("decimal(18,4)")
+    ).otherwise(
+        F.coalesce(F.col(value_col), F.lit(0)).cast("decimal(18,4)")
+    )
+    return (
+        flagged.withColumn(
+            "balance",
+            F.round(F.sum(contrib).over(w_bal).cast("double"), 6),
+        )
+        .drop("__reset")
+    )

@@ -431,3 +431,59 @@ def test_linear_trend_recovers_planted_slope(spark):
     assert out["slope_per_unit"] == pytest.approx(2.0, abs=1e-6)
     assert out["intercept"] == pytest.approx(5.0, abs=1e-6)
     assert out["pearson_r"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_gini_dispersion_hand_computed(spark):
+    import itertools
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        gini_dispersion,
+    )
+
+    vals = [1.0, 2.0, 4.0, 7.0]
+    rows = [(i, "a", v) for i, v in enumerate(vals)] + [
+        (10, "b", 5.0),               # singleton: GMD defined as 0
+        (11, "c", 3.0), (12, "c", 3.0),  # identical pair: GMD 0
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r.event_type: r for r in gini_dispersion(df).collect()}
+    n = len(vals)
+    gmd = sum(abs(a - b) for a, b in itertools.product(vals, vals)) / (n * (n - 1))
+    assert out["a"].gini_mean_diff == pytest.approx(gmd, abs=1e-6)
+    mean = sum(vals) / n
+    assert out["a"].gini_coefficient == pytest.approx(gmd / (2 * mean), abs=1e-6)
+    assert out["b"].gini_mean_diff == 0.0
+    assert out["c"].gini_mean_diff == 0.0 and out["c"].n == 2
+
+
+def test_running_balance_resets(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_project_datapipeline_spark.operators.behavior import (
+        running_balance_with_resets,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, t0, "view", 10.0),
+        (2, 7, t0 + dt.timedelta(minutes=1), "view", 5.0),
+        (3, 7, t0 + dt.timedelta(minutes=2), "signup", 99.0),  # reset
+        (4, 7, t0 + dt.timedelta(minutes=3), "view", 2.0),
+        (5, 8, t0, "view", None),                              # null -> 0
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r.event_id: (r.segment, r.balance)
+        for r in running_balance_with_resets(
+            df, F.col("event_type") == "signup"
+        ).collect()
+    }
+    assert out[1] == (0, 10.0)
+    assert out[2] == (0, 15.0)
+    assert out[3] == (1, 0.0)    # reset row: new segment, zero balance
+    assert out[4] == (1, 2.0)    # accumulation restarts after reset
+    assert out[5] == (0, 0.0)
