@@ -38,6 +38,7 @@ from big_data_project_datapipeline_spark.functions.encode import (
 )
 from big_data_project_datapipeline_spark.functions.quality import (
     gini_dispersion,
+    weighted_percentile_elements,
     chi_square_contingency,
     equal_frequency_bins,
     fixed_bin_histogram,
@@ -2353,6 +2354,23 @@ def q125_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "segment", "balance")
 
 
+def q126_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price percentiles per returnflag: the p-th
+    element is the first price whose cumulative QUANTITY reaches p% of
+    the flag's total — boundary test 100*cumw >= p*W carried entirely
+    in DECIMAL so no float threshold can wobble the chosen element
+    (functions/quality.weighted_percentile_elements)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_percentile_elements(
+        li,
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        group_cols=["l_returnflag"],
+        percentiles=(25, 50, 75, 90),
+        id_col="l_orderkey",
+    )
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2515,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_weighted_sample": q123_weighted_sample,
         "q124_gini_dispersion": q124_gini_dispersion,
         "q125_running_balance": q125_running_balance,
+        "q126_weighted_percentiles": q126_weighted_percentiles,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4867,6 +4886,26 @@ def oracle_sql() -> dict[str, str]:
                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE),
                      6) AS balance
         FROM seg
+    """
+    out["q126_weighted_percentiles"] = """
+        WITH staged AS (
+            SELECT l_returnflag, l_extendedprice AS v,
+                   CAST(l_quantity AS DECIMAL(18,4)) AS w,
+                   SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                       OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                       OVER (PARTITION BY l_returnflag) AS tot
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity > 0)
+        SELECT l_returnflag,
+               CAST(SUM(w) AS DOUBLE) AS total_weight,
+               MIN(CASE WHEN cw * 100 >= tot * 25 THEN v END) AS p25,
+               MIN(CASE WHEN cw * 100 >= tot * 50 THEN v END) AS p50,
+               MIN(CASE WHEN cw * 100 >= tot * 75 THEN v END) AS p75,
+               MIN(CASE WHEN cw * 100 >= tot * 90 THEN v END) AS p90
+        FROM staged GROUP BY l_returnflag
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q123_weighted_sample",
     "q124_gini_dispersion",
     "q125_running_balance",
+    "q126_weighted_percentiles",
 ]
 
 

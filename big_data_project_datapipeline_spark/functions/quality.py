@@ -519,3 +519,53 @@ def gini_dispersion(
             F.when(mean != 0.0, gmd / (2.0 * mean)).otherwise(F.lit(0.0)), 6
         ).alias("gini_coefficient"),
     )
+
+
+def weighted_percentile_elements(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: Sequence[str],
+    percentiles: Sequence[int] = (25, 50, 75, 90),
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-group weighted percentile ELEMENTS (lower nearest-rank on
+    cumulative weight): the p-th weighted percentile is the first
+    value, in ascending order, whose cumulative weight reaches p% of
+    the group's total. Weighted medians/quantiles are what pricing and
+    load reports actually need when each row represents a different
+    mass (units, bytes, minutes).
+
+    Determinism device: the boundary test is 100·cumw ≥ p·W carried
+    ENTIRELY in DECIMAL (weights cast decimal(18,4), exact cumsum,
+    exact integer scaling) — no float threshold can wobble the chosen
+    element, and both engines pick the identical row. Output values
+    are exact column elements, never interpolations (the q82/q38
+    element convention).
+
+    Scale shape: one per-group sort window (shared by the cumulative
+    and total sums) + one map-side-combinable aggregate; group count
+    bounds the output."""
+    gcols = list(group_cols)
+    order = [F.col(value_col)] + ([F.col(id_col)] if id_col else [])
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols)
+    wd = F.col(weight_col).cast("decimal(18,4)")
+    staged = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__cw", F.sum(wd).over(w_cum))
+        .withColumn("__W", F.sum(wd).over(w_all))
+    )
+    aggs = [F.sum(wd).cast("double").alias("total_weight")]
+    for p in percentiles:
+        hit = (
+            F.col("__cw") * 100 >= F.col("__W") * int(p)
+        )
+        aggs.append(
+            F.min(F.when(hit, F.col(value_col))).alias(f"p{p}")
+        )
+    return staged.groupBy(*gcols).agg(*aggs)

@@ -487,3 +487,27 @@ def test_running_balance_resets(spark):
     assert out[3] == (1, 0.0)    # reset row: new segment, zero balance
     assert out[4] == (1, 2.0)    # accumulation restarts after reset
     assert out[5] == (0, 0.0)
+
+
+def test_weighted_percentiles_hand_computed(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        weighted_percentile_elements,
+    )
+
+    # values 1..4 with weights 1,1,1,7 (total 10): cumw = 1,2,3,10.
+    # p25 -> first cw>=2.5 -> value 3; p50 -> cw>=5 -> 4; p90 -> 4.
+    rows = [(1, "g", 1.0, 1.0), (2, "g", 2.0, 1.0),
+            (3, "g", 3.0, 1.0), (4, "g", 4.0, 7.0)]
+    df = spark.createDataFrame(
+        rows, "id long, grp string, v double, w double"
+    )
+    out = weighted_percentile_elements(
+        df, "v", "w", ["grp"], percentiles=(25, 50, 90), id_col="id"
+    ).collect()[0]
+    assert out.total_weight == 10.0
+    assert (out.p25, out.p50, out.p90) == (3.0, 4.0, 4.0)
+    # exact boundary: p10 -> 100*cw >= 10*10 at cw=1 -> value 1
+    out2 = weighted_percentile_elements(
+        df, "v", "w", ["grp"], percentiles=(10,), id_col="id"
+    ).collect()[0]
+    assert out2.p10 == 1.0
