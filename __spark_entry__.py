@@ -2371,6 +2371,15 @@ def q126_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_inter_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-interval telemetry: per event type, count/mean/std and
+    lower-median ELEMENT of the gap since the same user's previous
+    event. Integer-second gaps make the moments exact; the median is a
+    nearest-rank element (operators/behavior.inter_event_stats)."""
+    ev = _t(spark, sf_dir, "events")
+    return BV.inter_event_stats(ev)
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2534,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_gini_dispersion": q124_gini_dispersion,
         "q125_running_balance": q125_running_balance,
         "q126_weighted_percentiles": q126_weighted_percentiles,
+        "q127_inter_event_stats": q127_inter_event_stats,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4906,6 +4916,39 @@ def oracle_sql() -> dict[str, str]:
                MIN(CASE WHEN cw * 100 >= tot * 75 THEN v END) AS p75,
                MIN(CASE WHEN cw * 100 >= tot * 90 THEN v END) AS p90
         FROM staged GROUP BY l_returnflag
+    """
+    out["q127_inter_event_stats"] = """
+        WITH gaps AS (
+            SELECT event_type,
+                   CAST(FLOOR((epoch_us(ts) - epoch_us(prev_ts))
+                              / 1000000) AS BIGINT) AS gap_s
+            FROM (SELECT event_type, ts,
+                         LAG(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            WHERE prev_ts IS NOT NULL),
+        ranked AS (
+            SELECT event_type, gap_s,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY gap_s) AS i,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM gaps),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(gap_s) AS BIGINT) AS s,
+                   CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss,
+                   CAST(MIN(CASE WHEN 2 * i >= n THEN gap_s END)
+                        AS BIGINT) AS median_gap_s
+            FROM ranked GROUP BY event_type)
+        SELECT event_type, n_intervals,
+               ROUND(CAST(s AS DOUBLE) / n_intervals, 6) AS mean_gap_s,
+               ROUND(sqrt(GREATEST(CAST(ss AS DOUBLE) / n_intervals
+                     - (CAST(s AS DOUBLE) / n_intervals)
+                       * (CAST(s AS DOUBLE) / n_intervals), 0.0)), 6)
+                   AS std_gap_s,
+               median_gap_s
+        FROM agg
     """
     out["q107_market_share"] = """
         WITH joined AS (

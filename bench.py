@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "q124_gini_dispersion",
     "q125_running_balance",
     "q126_weighted_percentiles",
+    "q127_inter_event_stats",
 ]
 
 

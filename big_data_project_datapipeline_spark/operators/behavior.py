@@ -338,3 +338,68 @@ def running_balance_with_resets(
         )
         .drop("__reset")
     )
+
+
+def inter_event_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Arrival-interval telemetry per event type: for each event, the
+    gap (seconds) since the SAME user's previous event of any type;
+    grouped by the later event's type into count / mean / population
+    std / median-element. The "how bursty is each action" report that
+    drives session-timeout and rate-limit tuning.
+
+    Determinism: gaps are integer seconds (exact timestamp arithmetic),
+    so the moment sums are exact integer aggregates; the median is a
+    nearest-rank ELEMENT (lower median) via one per-type sort window —
+    never an interpolated percentile. Mean/std round(6) in double only
+    at the end.
+
+    Scale shape: one per-user lag window, then one per-type sort window
+    over the O(events) gap frame + a map-side-combinable aggregate."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gaps = (
+        df.withColumn("__prev", F.lag(ts_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            F.col(type_col).alias("event_type"),
+            # exact integer micros, divide the DIFFERENCE (truncating
+            # each timestamp to seconds first would shift gaps by ±1
+            # when sub-second parts straddle a boundary — caught by the
+            # oracle gate)
+            F.floor(
+                (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__prev")))
+                / F.lit(1000000)
+            ).cast("long").alias("gap_s"),
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("gap_s")
+    w_all = Window.partitionBy("event_type")
+    ranked = gaps.withColumn("__i", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    # lower-median element: first i with 2i >= n (integer arithmetic —
+    # no float rank, no interpolation; the grouped_lower_median
+    # convention)
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("gap_s").alias("__s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("__ss"),
+        F.min(
+            F.when(2 * F.col("__i") >= F.col("__n"), F.col("gap_s"))
+        ).alias("median_gap_s"),
+    )
+    nd = F.col("n_intervals").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = F.col("__ss").cast("double") / nd - mean * mean
+    return agg.select(
+        "event_type",
+        "n_intervals",
+        F.round(mean, 6).alias("mean_gap_s"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_gap_s"),
+        "median_gap_s",
+    )

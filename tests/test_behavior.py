@@ -172,3 +172,58 @@ def test_funnel_rejects_empty_steps(spark):
             spark.createDataFrame([], "user_id long, event_type string, ts timestamp"),
             [],
         )
+
+
+def test_inter_event_stats_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    from big_data_project_datapipeline_spark.operators.behavior import (
+        inter_event_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: gaps 10s then 20s (types b, c)
+        (1, 1, t0, "a", 0.0),
+        (2, 1, t0 + dt.timedelta(seconds=10), "b", 0.0),
+        (3, 1, t0 + dt.timedelta(seconds=30), "c", 0.0),
+        # user 2: one gap of 40s into type b; first event no gap
+        (4, 2, t0, "c", 0.0),
+        (5, 2, t0 + dt.timedelta(seconds=40), "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    out = {r.event_type: r for r in inter_event_stats(df).collect()}
+    assert "a" not in out  # first events carry no interval
+    b = out["b"]
+    assert (b.n_intervals, b.median_gap_s) == (2, 10)  # lower median of {10, 40}
+    assert b.mean_gap_s == pytest.approx(25.0)
+    assert b.std_gap_s == pytest.approx(15.0)  # population std of {10, 40}
+    assert out["c"].n_intervals == 1 and out["c"].median_gap_s == 20
+    assert out["c"].std_gap_s == 0.0
+
+
+def test_inter_event_stats_subsecond_truncation(spark):
+    import datetime as dt
+
+    from big_data_project_datapipeline_spark.operators.behavior import (
+        inter_event_stats,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 900000)
+    rows = [
+        (1, 1, t0, "a", 0.0),
+        # 0.2s later: gap floor(0.2s) = 0 even though the SECOND field
+        # of the two timestamps differs (the ±1 trap the micros device
+        # fixes)
+        (2, 1, t0 + dt.timedelta(microseconds=200000), "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+    out = inter_event_stats(df).collect()
+    assert len(out) == 1 and out[0].median_gap_s == 0
