@@ -2380,6 +2380,104 @@ def q127_inter_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BV.inter_event_stats(ev)
 
 
+def q128_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segmentation: recency (days since last order,
+    against the corpus max date), frequency (order count), monetary
+    (decimal-summed total price) -> per-dimension quintiles via ntile
+    over a DETERMINISTIC total order (value, custkey) -> score band
+    labels. The classic marketing cut, all relational: one customer
+    aggregate + three ntile windows + a CASE.
+
+    Scale note: the ntile windows are global over the O(customers)
+    frame — fine for the per-entity aggregate this is (the corpus
+    collapses by orders of magnitude first; the q84 posture), but at
+    billions of customers switch the quintile boundaries to
+    approx-percentile cut points and a broadcast range join."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    maxd = per.agg(F.max("__last").alias("__maxd"))
+    base = per.crossJoin(F.broadcast(maxd)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(F.col("__maxd"), F.col("__last")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    r_q = F.ntile(5).over(
+        Window.orderBy(F.desc("recency_days"), F.asc("custkey"))
+    )
+    f_q = F.ntile(5).over(
+        Window.orderBy(F.asc("frequency"), F.asc("custkey"))
+    )
+    m_q = F.ntile(5).over(
+        Window.orderBy(F.asc("monetary"), F.asc("custkey"))
+    )
+    scored = base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_q.alias("r_score"),
+        f_q.alias("f_score"),
+        m_q.alias("m_score"),
+    )
+    total = F.col("r_score") + F.col("f_score") + F.col("m_score")
+    label = (
+        F.when(total >= 13, "champion")
+        .when(total >= 10, "loyal")
+        .when(total >= 7, "regular")
+        .when(total >= 5, "at_risk")
+        .otherwise("hibernating")
+    )
+    return scored.withColumn("rfm_total", total.cast("int")).withColumn(
+        "segment", label
+    )
+
+
+def q129_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order month: exact
+    integer day gaps (datediff), exact integer moment sums, and
+    p50/p90 ELEMENTS via the shared-sort rank device. One fact join
+    shuffle + one per-month sort window."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    w_rank = Window.partitionBy("order_month").orderBy("lat", "k", "ln")
+    w_all = Window.partitionBy("order_month")
+    ranked = j.withColumn("__i", F.row_number().over(w_rank)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
+    )
+    agg = ranked.groupBy("order_month").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("lat").alias("__s"),
+        F.min(
+            F.when(2 * F.col("__i") >= F.col("__n"), F.col("lat"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(10 * F.col("__i") >= 9 * F.col("__n"), F.col("lat"))
+        ).alias("p90_days"),
+    )
+    return agg.select(
+        "order_month",
+        "n_items",
+        F.round(
+            F.col("__s").cast("double") / F.col("n_items").cast("double"), 6
+        ).alias("mean_days"),
+        "p50_days",
+        "p90_days",
+    )
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2544,6 +2642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_running_balance": q125_running_balance,
         "q126_weighted_percentiles": q126_weighted_percentiles,
         "q127_inter_event_stats": q127_inter_event_stats,
+        "q128_rfm_segments": q128_rfm_segments,
+        "q129_ship_latency": q129_ship_latency,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -4948,6 +5048,70 @@ def oracle_sql() -> dict[str, str]:
                        * (CAST(s AS DOUBLE) / n_intervals), 0.0)), 6)
                    AS std_gap_s,
                median_gap_s
+        FROM agg
+    """
+    out["q128_rfm_segments"] = """
+        WITH per AS (
+            SELECT o_custkey AS custkey, MAX(o_orderdate) AS last_d,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS monetary
+            FROM orders GROUP BY o_custkey),
+        maxd AS (SELECT MAX(last_d) AS max_d FROM per),
+        base AS (
+            SELECT custkey,
+                   CAST(date_diff('day', last_d, max_d) AS INT)
+                       AS recency_days,
+                   frequency, monetary
+            FROM per CROSS JOIN maxd),
+        scored AS (
+            SELECT custkey, recency_days, frequency, monetary,
+                   CAST(NTILE(5) OVER (ORDER BY recency_days DESC,
+                                       custkey ASC) AS INT) AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY frequency ASC,
+                                       custkey ASC) AS INT) AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY monetary ASC,
+                                       custkey ASC) AS INT) AS m_score
+            FROM base)
+        SELECT custkey, recency_days, frequency, monetary,
+               r_score, f_score, m_score,
+               CAST(r_score + f_score + m_score AS INT) AS rfm_total,
+               CASE WHEN r_score + f_score + m_score >= 13
+                    THEN 'champion'
+                    WHEN r_score + f_score + m_score >= 10 THEN 'loyal'
+                    WHEN r_score + f_score + m_score >= 7
+                    THEN 'regular'
+                    WHEN r_score + f_score + m_score >= 5
+                    THEN 'at_risk'
+                    ELSE 'hibernating' END AS segment
+        FROM scored
+    """
+    out["q129_ship_latency"] = """
+        WITH j AS (
+            SELECT date_trunc('month', o_orderdate) AS order_month,
+                   CAST(date_diff('day', o_orderdate, l_shipdate)
+                        AS BIGINT) AS lat,
+                   l_orderkey AS k, l_linenumber AS ln
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        ranked AS (
+            SELECT order_month, lat,
+                   ROW_NUMBER() OVER (PARTITION BY order_month
+                                      ORDER BY lat, k, ln) AS i,
+                   COUNT(*) OVER (PARTITION BY order_month) AS n
+            FROM j),
+        agg AS (
+            SELECT order_month,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(lat) AS BIGINT) AS s,
+                   CAST(MIN(CASE WHEN 2 * i >= n THEN lat END)
+                        AS BIGINT) AS p50_days,
+                   CAST(MIN(CASE WHEN 10 * i >= 9 * n THEN lat END)
+                        AS BIGINT) AS p90_days
+            FROM ranked GROUP BY order_month)
+        SELECT order_month, n_items,
+               ROUND(CAST(s AS DOUBLE) / CAST(n_items AS DOUBLE), 6)
+                   AS mean_days,
+               p50_days, p90_days
         FROM agg
     """
     out["q107_market_share"] = """

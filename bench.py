@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "q125_running_balance",
     "q126_weighted_percentiles",
     "q127_inter_event_stats",
+    "q128_rfm_segments",
+    "q129_ship_latency",
 ]
 
 

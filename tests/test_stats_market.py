@@ -511,3 +511,36 @@ def test_weighted_percentiles_hand_computed(spark):
         df, "v", "w", ["grp"], percentiles=(10,), id_col="id"
     ).collect()[0]
     assert out2.p10 == 1.0
+
+
+def test_rfm_segments_deterministic_quintiles(spark):
+    import __spark_entry__ as E
+    import datetime as dt
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    oid = 0
+    # customer c gets c orders of 100*c each, last order day c
+    for c in range(1, 11):
+        for _ in range(c):
+            rows.append((oid, c, "F", 100.0 * c, t0 + dt.timedelta(days=c), "P"))
+            oid += 1
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "orders.parquet"))
+        out = {r.custkey: r for r in E.q128_rfm_segments(spark, d).collect()}
+    # customer 10: most recent, most frequent, highest spend -> 5/5/5
+    top = out[10]
+    assert (top.r_score, top.f_score, top.m_score) == (5, 5, 5)
+    assert top.segment == "champion" and top.rfm_total == 15
+    # customer 1: oldest, least frequent, lowest spend -> 1/1/1
+    bot = out[1]
+    assert (bot.r_score, bot.f_score, bot.m_score) == (1, 1, 1)
+    assert bot.segment == "hibernating"
+    assert out[10].recency_days == 0 and out[1].recency_days == 9
