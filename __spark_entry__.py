@@ -2478,6 +2478,30 @@ def q129_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q130_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of labeled lang vs the
+    stopword-hit classifier (q24's predictor), with per-true-lang row
+    shares — the "is the heuristic good enough to route languages"
+    audit. Map-only prediction + one (lang, predicted) aggregate +
+    a broadcast join of per-lang totals."""
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select(
+        "lang", TX.predicted_lang(F.col("text")).alias("predicted_lang")
+    )
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("__t"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("frac_of_lang"),
+    )
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2644,6 +2668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_inter_event_stats": q127_inter_event_stats,
         "q128_rfm_segments": q128_rfm_segments,
         "q129_ship_latency": q129_ship_latency,
+        "q130_lang_confusion": q130_lang_confusion,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -5113,6 +5138,44 @@ def oracle_sql() -> dict[str, str]:
                    AS mean_days,
                p50_days, p90_days
         FROM agg
+    """
+    out["q130_lang_confusion"] = f"""
+        WITH base AS (
+            SELECT lang, {tokens_sql} AS toks FROM documents),
+        hits AS (
+            SELECT lang,
+                   len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','in','is','it','that','for','with'], t))) AS en_hits,
+                   len(list_filter(toks, t -> list_contains(
+                       ['el','la','de','que','y','en','un','una','los','las'], t))) AS es_hits,
+                   len(list_filter(toks, t -> list_contains(
+                       ['der','die','das','und','ist','von','mit','den','ein','eine'], t))) AS de_hits,
+                   len(list_filter(toks, t -> list_contains(
+                       ['le','la','les','des','et','est','une','dans','pour','que'], t))) AS fr_hits
+            FROM base),
+        pred AS (
+            SELECT lang,
+                   CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0
+                        THEN 'unknown'
+                        WHEN de_hits = greatest(de_hits, en_hits, es_hits, fr_hits)
+                        THEN 'de'
+                        WHEN en_hits = greatest(de_hits, en_hits, es_hits, fr_hits)
+                        THEN 'en'
+                        WHEN es_hits = greatest(de_hits, en_hits, es_hits, fr_hits)
+                        THEN 'es'
+                        ELSE 'fr' END AS predicted_lang
+            FROM hits),
+        cells AS (
+            SELECT lang, predicted_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY lang, predicted_lang),
+        totals AS (
+            SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS t
+            FROM cells GROUP BY lang)
+        SELECT c.lang, c.predicted_lang, c.n_docs,
+               ROUND(CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
+                   AS frac_of_lang
+        FROM cells c JOIN totals t ON c.lang = t.lang
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q127_inter_event_stats",
     "q128_rfm_segments",
     "q129_ship_latency",
+    "q130_lang_confusion",
 ]
 
 
