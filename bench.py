@@ -169,15 +169,19 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     queries = entrymod.queries()
+    # Best-of-2 with INTERLEAVED passes: the host shows multi-second
+    # noisy-neighbor bursts, and two back-to-back runs of one query both
+    # land inside the same burst (observed: q99 15.5s in a bench slot,
+    # 4.0s solo). Running the full list twice decorrelates each query's
+    # two samples by minutes, so min() actually strips the bursts.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(2):  # best-of-2: strips scheduler/GC noise
+    for _ in range(2):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            el = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, el), el), 3)
 
     total = round(sum(timings.values()), 3)
     # The printed line must stay SHORT so the driver's capture can parse it
