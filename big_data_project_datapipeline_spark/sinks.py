@@ -476,3 +476,39 @@ def write_training_shards(
         json.dump(manifest, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(root, "_MANIFEST.json"))
     return manifest
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    partition_col: str,
+) -> int:
+    """Targeted row purge from a hive-partitioned parquet store (the
+    GDPR-delete / right-to-be-forgotten shape): locate the partitions
+    that actually contain matching rows (one pruned scan), rewrite ONLY
+    those partitions without the matches (dynamic partition overwrite),
+    and leave every other partition's files untouched. Returns the
+    number of rows deleted.
+
+    This is DELETE-emulation over plain parquet, the same posture as
+    merge_into_partitioned's MERGE emulation: at 100 TB the point is
+    that a purge touches O(partitions containing the subject), never
+    the store. ``condition`` is a boolean Column over the store's
+    schema."""
+    existing = spark.read.parquet(path)
+    touched = [
+        r[0]
+        for r in existing.filter(condition)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not touched:
+        return 0
+    slice_ = existing.filter(F.col(partition_col).isin(touched))
+    n_before = slice_.count()
+    kept = slice_.filter(~condition)
+    n_after = kept.count()
+    write_partitioned(kept, path, [partition_col])
+    return n_before - n_after

@@ -304,3 +304,45 @@ def test_training_shards_manifest_and_determinism(spark, tmp_path):
     # re-export reproduces identical shard membership + manifest
     m2 = sinks.write_training_shards(df, root, n_shards=4, fmt="json")
     assert m2 == m
+
+
+def test_delete_where_touches_only_matching_partitions(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, i % 4, f"d{i % 3}") for i in range(60)],
+        "id long, user long, day string",
+    )
+    sinks.write_partitioned(df, path, ["day"])
+    # snapshot untouched partition's file listing + mtimes
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    # user 1 appears only in days where id%4==1; delete them
+    before_all = spark.read.parquet(path).count()
+    # pick a partition that contains NO user-1 rows? user 1 rows exist in
+    # every day here, so craft one: day 'clean' without user 1
+    extra = spark.createDataFrame(
+        [(100, 2, "clean"), (101, 3, "clean")], "id long, user long, day string"
+    )
+    sinks.write_partitioned(extra, path, ["day"])
+    clean_before = files_of("clean")
+    n = sinks.delete_where(
+        spark, path, F.col("user") == 1, partition_col="day"
+    )
+    assert n == 15  # 60 rows, user==1 for id%4==1
+    back = spark.read.parquet(path)
+    assert back.filter("user = 1").count() == 0
+    assert back.count() == before_all + 2 - n
+    # the partition without matches was not rewritten
+    assert files_of("clean") == clean_before
+    # deleting a non-existent subject is a no-op returning 0
+    assert sinks.delete_where(
+        spark, path, F.col("user") == 999, partition_col="day"
+    ) == 0
