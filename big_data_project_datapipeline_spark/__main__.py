@@ -220,6 +220,13 @@ def main(argv: list[str] | None = None) -> None:
     exp.add_argument("--out", required=True, help="export root dir")
     exp.add_argument("--shards", type=int, default=8)
     exp.add_argument("--format", choices=["json", "parquet"], default="json")
+    dele = sub.add_parser(
+        "delete",
+        help="purge rows matching a SQL predicate from a partitioned store",
+    )
+    dele.add_argument("--path", required=True)
+    dele.add_argument("--where", required=True, help="SQL boolean predicate")
+    dele.add_argument("--partition-col", required=True)
     args = ap.parse_args(argv)
     if args.job == "fetch":
         run_fetch(
@@ -262,6 +269,13 @@ def main(argv: list[str] | None = None) -> None:
         )
         q.awaitTermination()
         print(f"deduped {args.docs_dir} -> {args.out} (index {args.index_dir})")
+    elif args.job == "delete":
+        from big_data_project_datapipeline_spark.sinks import delete_where
+
+        n = delete_where(
+            spark, args.path, F.expr(args.where), args.partition_col
+        )
+        print(f"deleted {n} row(s) from {args.path}")
     elif args.job == "export":
         from big_data_project_datapipeline_spark.sinks import (
             write_training_shards,

@@ -150,3 +150,19 @@ def test_cli_export(spark, tmp_path):
         m = _json.load(fh)
     assert m["total_rows"] == 20 and m["total_tokens"] == 40
     assert spark.read.json(out + "/data").count() == 20
+
+
+def test_cli_delete(spark, tmp_path):
+    from big_data_project_datapipeline_spark import sinks
+    from big_data_project_datapipeline_spark.__main__ import main
+
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"d{i % 2}") for i in range(12)],
+        "id long, user long, day string",
+    )
+    sinks.write_partitioned(df, path, ["day"])
+    main(["delete", "--path", path, "--where", "user = 1",
+          "--partition-col", "day"])
+    assert spark.read.parquet(path).filter("user = 1").count() == 0
+    assert spark.read.parquet(path).count() == 8
