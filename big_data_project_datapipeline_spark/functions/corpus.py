@@ -495,13 +495,26 @@ def dsir_weights_from_counts(
     counts: DataFrame, n_buckets: int, alpha: float = 1.0
 ) -> DataFrame:
     """(bucket, w) weight table from a (bucket, ct, cr) count frame:
-    w = ln p_target - ln p_raw with add-alpha smoothing. Bounded by
-    n_buckets; the totals arrive via a 1-row broadcast cross join (no
-    driver action)."""
-    tot = counts.agg(
+    w = ln p_target - ln p_raw with add-alpha smoothing. The table is
+    COMPLETE over all n_buckets rows (a range frame left-joins the
+    counts), so scoring a candidate batch whose tokens hash to buckets
+    the count store has never seen still applies the smoothed
+    probability instead of silently dropping the tokens in the scoring
+    join — the incremental-store case review caught. Totals arrive via
+    a 1-row broadcast cross join (no driver action)."""
+    spark = counts.sparkSession
+    all_b = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    full = all_b.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    tot = full.agg(
         F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
     )
-    merged = counts.crossJoin(F.broadcast(tot))
+    merged = full.crossJoin(F.broadcast(tot))
     a = F.lit(float(alpha))
     ab = F.lit(float(alpha) * n_buckets)
     ratio = F.log(
@@ -665,6 +678,7 @@ def hashed_logit_score(
     n_buckets: int = 1024,
     id_col: str = "doc_id",
     text_col: str = "text",
+    missing_weight: float = 0.0,
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed unigram
     features: z = bias + mean_t weight[b(t)], p = sigmoid(z). This is
@@ -688,11 +702,16 @@ def hashed_logit_score(
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    scored = doc_b.join(F.broadcast(weights), "bucket").withColumn(
+    # LEFT join: a sparse trained weight table (buckets with no
+    # training signal) must not silently drop tokens or whole docs —
+    # unseen buckets contribute ``missing_weight`` (fastText's OOV-
+    # bucket-is-zero convention).
+    scored = doc_b.join(F.broadcast(weights), "bucket", "left").withColumn(
         "cw",
-        (F.col("c").cast("double") * F.col("weight")).cast(
-            "decimal(28,12)"
-        ),
+        (
+            F.col("c").cast("double")
+            * F.coalesce(F.col("weight"), F.lit(float(missing_weight)))
+        ).cast("decimal(28,12)"),
     )
     per = scored.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
@@ -926,7 +945,13 @@ def weighted_sample(
         .select(
             F.col("grp").alias(group_col),
             F.col("id").alias(id_col),
-            F.col("__w").cast("long").alias("weight"),
+            # default weight (token count) is integral -> long; a
+            # user-supplied weight column keeps its fractional values
+            (
+                F.col("__w").cast("long")
+                if weight_col is None
+                else F.col("__w")
+            ).alias("weight"),
             F.round("__key", 6).alias("es_key"),
             F.col("__rn").alias("sample_rank"),
         )

@@ -916,6 +916,7 @@ def ivfpq_search(
     corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC search against a prebuilt (vec_id, list_id, codes) index:
     per probed list each query builds an m × k_sub lookup table once
@@ -973,9 +974,15 @@ def ivfpq_search(
         approx = approx + F.element_at(
             F.col(f"__t{j}"), F.element_at(F.col("codes"), j + 1) + 1
         )
+    # exclude_self drops candidates whose id equals the query id —
+    # correct when queries are drawn from the indexed corpus (q117);
+    # pass False when query ids live in an unrelated id space, or a
+    # numerically-colliding corpus vector would be wrongly excluded.
+    scored = index.join(F.broadcast(q_tabs), "list_id")
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
     scored = (
-        index.join(F.broadcast(q_tabs), "list_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
+        scored
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -439,7 +439,10 @@ def write_training_shards(
     ).cast("int")
     from big_data_project_datapipeline_spark.functions.text import token_count
 
-    staged = df.withColumn("shard", shard)
+    # persist around the two actions (manifest aggregate + shard write)
+    # so the corpus is scanned/tokenized once, and both read the same
+    # snapshot even if the input directory is concurrently appended
+    staged = df.withColumn("shard", shard).persist()
     manifest_rows = (
         staged.groupBy("shard")
         .agg(
@@ -455,12 +458,15 @@ def write_training_shards(
         .partitionBy("shard")
     )
     data_path = os.path.join(root, "data")
-    if fmt == "json":
-        out.json(data_path)
-    elif fmt == "parquet":
-        out.parquet(data_path)
-    else:
-        raise ValueError(f"unsupported fmt: {fmt}")
+    try:
+        if fmt == "json":
+            out.json(data_path)
+        elif fmt == "parquet":
+            out.parquet(data_path)
+        else:
+            raise ValueError(f"unsupported fmt: {fmt}")
+    finally:
+        staged.unpersist()
     manifest = {
         "n_shards": n_shards,
         "format": fmt,
@@ -489,13 +495,25 @@ def delete_where(
     that actually contain matching rows (one pruned scan), rewrite ONLY
     those partitions without the matches (dynamic partition overwrite),
     and leave every other partition's files untouched. Returns the
-    number of rows deleted.
+    number of rows deleted (rows where ``condition`` is TRUE — a NULL
+    predicate result keeps the row, SQL DELETE semantics).
 
     This is DELETE-emulation over plain parquet, the same posture as
     merge_into_partitioned's MERGE emulation: at 100 TB the point is
     that a purge touches O(partitions containing the subject), never
     the store. ``condition`` is a boolean Column over the store's
-    schema."""
+    schema.
+
+    Two failure modes of the naive version are handled explicitly
+    (both found by review, pinned by tests): a partition whose rows
+    ALL match produces no output rows, and dynamic overwrite cannot
+    rewrite an empty partition — its directory is removed directly
+    (local-FS path semantics, the compact_parquet caveat; on object
+    stores emit a delete marker instead); and ``~condition`` alone
+    would also drop NULL-evaluating rows, so the keep filter is
+    ``~condition OR condition IS NULL``."""
+    import shutil
+
     existing = spark.read.parquet(path)
     touched = [
         r[0]
@@ -506,9 +524,25 @@ def delete_where(
     ]
     if not touched:
         return 0
-    slice_ = existing.filter(F.col(partition_col).isin(touched))
-    n_before = slice_.count()
-    kept = slice_.filter(~condition)
-    n_after = kept.count()
-    write_partitioned(kept, path, [partition_col])
-    return n_before - n_after
+    slice_ = existing.filter(F.col(partition_col).isin(touched)).persist()
+    try:
+        # one pass for both counts; materializes the cache the rewrite
+        # reads from (so the write never scans the files it replaces)
+        stats = slice_.agg(
+            F.sum(F.when(condition, 1).otherwise(0)).alias("matched")
+        ).first()
+        kept = slice_.filter(~condition | condition.isNull())
+        kept_parts = {
+            r[0] for r in kept.select(partition_col).distinct().collect()
+        }
+        if kept_parts:
+            write_partitioned(kept, path, [partition_col])
+    finally:
+        slice_.unpersist()
+    for p in touched:
+        if p not in kept_parts:
+            shutil.rmtree(
+                os.path.join(path, f"{partition_col}={p}"),
+                ignore_errors=True,
+            )
+    return int(stats["matched"] or 0)

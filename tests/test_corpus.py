@@ -470,3 +470,45 @@ def test_weighted_sample_is_length_biased(spark):
     out = CO.weighted_sample(df, k=20, group_col="source")
     heavy = sum(1 for r in out.collect() if r.weight == 50)
     assert heavy >= 16  # 100 heavy vs 100 light at 50x weight
+
+
+def test_dsir_weight_table_is_complete_over_buckets(spark):
+    # Incremental-store case: scoring docs whose tokens hash to buckets
+    # the count store never saw must still apply smoothing, not drop
+    # tokens/docs in the scoring join.
+    store_docs = spark.createDataFrame(
+        [(0, "tgt", "aa bb"), (1, "raw", "aa cc")],
+        "doc_id long, source string, text string",
+    )
+    counts = CO.dsir_bucket_counts(store_docs, "tgt", n_buckets=32)
+    weights = CO.dsir_weights_from_counts(counts, 32, alpha=1.0)
+    assert weights.count() == 32  # complete, not just observed buckets
+    # candidates with entirely NEW vocabulary still get scored
+    new_docs = spark.createDataFrame(
+        [(9, "zz qq ww")], "doc_id long, text string"
+    )
+    out = CO.dsir_score_docs(new_docs, weights, n_buckets=32).collect()
+    assert len(out) == 1 and out[0].n_tokens == 3
+
+
+def test_hashed_logit_sparse_weights_keep_docs(spark):
+    # A sparse trained weight table must not drop tokens or docs;
+    # unseen buckets contribute missing_weight.
+    df = spark.createDataFrame([(0, "only new tokens here")],
+                               "doc_id long, text string")
+    empty_w = spark.createDataFrame([], "bucket int, weight double")
+    out = CO.hashed_logit_score(
+        df, empty_w, bias=0.25, n_buckets=16, missing_weight=0.0
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_tokens == 4 and out[0].logit == pytest.approx(0.25)
+
+
+def test_weighted_sample_fractional_weights_preserved(spark):
+    df = spark.createDataFrame(
+        [(0, "g", "x", 0.75), (1, "g", "y", 0.25)],
+        "doc_id long, source string, text string, score double",
+    )
+    out = {r.doc_id: r.weight
+           for r in CO.weighted_sample(df, k=2, weight_col="score").collect()}
+    assert out == {0: 0.75, 1: 0.25}  # not truncated to 0

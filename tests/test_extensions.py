@@ -964,3 +964,25 @@ def test_ivfpq_split_pipeline_matches_oneshot(spark, tmp_path):
     assert split == oneshot
     # the persisted index is hive-partitioned by list for probe pruning
     assert any(d.startswith("list_id=") for d in os.listdir(ipath))
+
+
+def test_ivfpq_search_exclude_self_flag(spark):
+    # With an unrelated query id space, exclude_self=False must allow a
+    # corpus vector whose id collides with the query id to be returned.
+    from big_data_project_datapipeline_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = SIM.ivfpq_train(emb, n_lists=8)
+    index = SIM.ivfpq_encode(emb, model)
+    # query vector IS corpus vector 7, carrying the colliding id 7
+    q7 = emb.filter("vec_id = 7")
+    incl = SIM.ivfpq_search(
+        index, model, q7, k=3, corpus=emb, refine=4, exclude_self=False
+    ).collect()
+    # its exact match (distance 0) must now appear at rank 1 as itself
+    top = min(incl, key=lambda r: r.rank)
+    assert top.neighbor_id == 7 and top.approx_dist == 0.0
+    excl = SIM.ivfpq_search(
+        index, model, q7, k=3, corpus=emb, refine=4, exclude_self=True
+    ).collect()
+    assert all(r.neighbor_id != 7 for r in excl)

@@ -346,3 +346,30 @@ def test_delete_where_touches_only_matching_partitions(spark, tmp_path):
     assert sinks.delete_where(
         spark, path, F.col("user") == 999, partition_col="day"
     ) == 0
+
+
+def test_delete_where_fully_matching_partition_and_nulls(spark, tmp_path):
+    # Review regressions: (1) a partition whose rows ALL match must be
+    # emptied (dynamic overwrite alone cannot rewrite an empty
+    # partition); (2) a NULL predicate result must KEEP the row (SQL
+    # DELETE semantics), not delete it.
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [
+            (1, 1, "d0"), (2, 1, "d0"),          # d0: all match user=1
+            (3, 1, "d1"), (4, 2, "d1"),          # d1: mixed
+            (5, None, "d1"),                      # NULL user: must stay
+            (6, 3, "d2"),                         # d2: untouched
+        ],
+        "id long, user long, day string",
+    )
+    sinks.write_partitioned(df, path, ["day"])
+    n = sinks.delete_where(
+        spark, path, F.col("user") == 1, partition_col="day"
+    )
+    assert n == 3  # ids 1, 2, 3 — NOT the NULL row
+    back = spark.read.parquet(path)
+    assert sorted(r.id for r in back.collect()) == [4, 5, 6]
+    import os
+
+    assert not os.path.exists(os.path.join(path, "day=d0"))  # emptied

@@ -61,6 +61,7 @@ def main() -> int:
             violations.append(f"{name}: row-at-a-time PythonUDF")
         if scans_all_cols:
             report[name]["wide_scans"] = scans_all_cols
+            violations.append(f"{name}: unpruned wide scan")
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(report),
