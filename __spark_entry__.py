@@ -2502,6 +2502,40 @@ def q130_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q131_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token entropy (nats via ln/LN2 -> bits) and effective
+    vocabulary size 2^H — the source-level sibling of q104's per-doc
+    diversity: how many tokens a source "really" uses once frequency
+    is accounted for. One explode + two map-side-combinable aggregates;
+    c*ln c terms round-9-then-decimal (q97 device)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("token")
+    )
+    tc = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    clog = F.round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 9
+    ).cast("decimal(18,9)")
+    agg = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(clog).cast("double").alias("__clog"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    h_bits = (F.log(nd) - F.col("__clog") / nd) / F.lit(CO.LN2)
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_distinct",
+        F.round(h_bits, 6).alias("entropy_bits"),
+        F.round(F.exp((F.log(nd) - F.col("__clog") / nd)), 6).alias(
+            "effective_vocab"
+        ),
+    )
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2669,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_rfm_segments": q128_rfm_segments,
         "q129_ship_latency": q129_ship_latency,
         "q130_lang_confusion": q130_lang_confusion,
+        "q131_source_entropy": q131_source_entropy,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -5176,6 +5211,28 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(c.n_docs AS DOUBLE) / CAST(t.t AS DOUBLE), 6)
                    AS frac_of_lang
         FROM cells c JOIN totals t ON c.lang = t.lang
+    """
+    out["q131_source_entropy"] = f"""
+        WITH tok AS (
+            SELECT source, unnest({tokens_sql}) AS token FROM documents),
+        tc AS (
+            SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, token),
+        agg AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE)
+                                       * ln(CAST(c AS DOUBLE)), 9)
+                                 AS DECIMAL(18,9))) AS DOUBLE) AS clog
+            FROM tc GROUP BY source)
+        SELECT source, n_tokens, n_distinct,
+               ROUND((ln(CAST(n_tokens AS DOUBLE))
+                      - clog / CAST(n_tokens AS DOUBLE))
+                     / {CO.LN2!r}, 6) AS entropy_bits,
+               ROUND(exp(ln(CAST(n_tokens AS DOUBLE))
+                         - clog / CAST(n_tokens AS DOUBLE)), 6)
+                   AS effective_vocab
+        FROM agg
     """
     out["q107_market_share"] = """
         WITH joined AS (

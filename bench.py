@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "q128_rfm_segments",
     "q129_ship_latency",
     "q130_lang_confusion",
+    "q131_source_entropy",
 ]
 
 
