@@ -221,10 +221,22 @@ def main() -> None:
         out["baseline_total"] = round(sum(baseline[k] for k in common), 3)
         out["common_total"] = round(sum(timings[k] for k in common), 3)
         out["n_new_queries"] = len(timings) - len(common)
+        # Noise-normalized regression flags: the host shows sustained
+        # 20-40% noisy-neighbor slowdowns that inflate EVERY query
+        # uniformly against a quiet-window baseline. The run's median
+        # now/baseline ratio estimates that ambient factor; a query is
+        # flagged only when it is 1.5x slower than the ambient-adjusted
+        # expectation (and raw-1.5x, so a uniformly fast run flags
+        # nothing spurious either).
+        ratios = sorted(timings[k] / baseline[k] for k in common if baseline[k] > 0)
+        ambient = ratios[len(ratios) // 2] if ratios else 1.0
+        out["ambient_ratio"] = round(ambient, 3)
         out["regressions"] = {
             k: {"now": v, "baseline": baseline[k]}
             for k, v in timings.items()
-            if k in baseline and v > 1.5 * baseline[k]
+            if k in baseline
+            and v > 1.5 * baseline[k]
+            and v > 1.5 * max(ambient, 1.0) * baseline[k]
         }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
