@@ -617,6 +617,65 @@ def substring_windows(
     )
 
 
+def window_gram_firsts(
+    df: DataFrame, window: int = 8, text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Shared prelude of the substring-dedup family: staged token frame,
+    stride-1 window-grams, and the corpus-wide first-occurrence decision
+    groupBy(gram).agg(count, min(struct)) — map-side combine absorbs hot
+    boilerplate grams (never a per-gram row_number window). Returns
+    (base, wins, firsts)."""
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    wins = substring_windows(base, id_col, window)
+    firsts = wins.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+    )
+    return base, wins, firsts
+
+
+def scrub_marked_occurrences(
+    base: DataFrame, dup_occ: DataFrame, window: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared scrub + reassembly of the substring-dedup family: expand
+    each duplicate window occurrence (id, pos) to its covered token
+    positions (overlaps merge via distinct), mark them on the
+    position-exploded token stream, and reassemble per doc. Output:
+    (id, n_tokens, n_removed, text_dedup)."""
+    removed = dup_occ.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + window - 1)
+        ).alias("tpos"),
+    ).distinct()
+    tok_pos = base.select(
+        F.col(id_col), F.posexplode("toks").alias("tpos", "tok")
+    ).withColumn("tpos", F.col("tpos").cast("long"))
+    marked = tok_pos.join(
+        removed.withColumn("rm", F.lit(True)), [id_col, "tpos"], "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("tok").alias("n_tokens"),
+        F.coalesce(F.sum(F.col("rm").cast("long")), F.lit(0)).alias(
+            "n_removed"
+        ),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rm").isNull(), F.struct("tpos", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+
+
 def exact_substring_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -652,14 +711,7 @@ def exact_substring_dedup(
     Output per doc (docs with no tokens drop, as in chunk_dedup):
     (doc_id, n_tokens, n_removed, text_dedup).
     """
-    base = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n", F.size("toks"))
-    wins = substring_windows(base, id_col, window)
-    firsts = wins.groupBy("w").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
-    )
+    base, wins, firsts = window_gram_firsts(df, window, text_col, id_col)
     dup_occ = (
         wins.join(firsts, "w")
         .filter(
@@ -671,35 +723,7 @@ def exact_substring_dedup(
         )
         .select(F.col(id_col), F.col("pos"))
     )
-    removed = dup_occ.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + window - 1)
-        ).alias("tpos"),
-    ).distinct()
-    tok_pos = base.select(
-        F.col(id_col), F.posexplode("toks").alias("tpos", "tok")
-    ).withColumn("tpos", F.col("tpos").cast("long"))
-    marked = tok_pos.join(
-        removed.withColumn("rm", F.lit(True)), [id_col, "tpos"], "left"
-    )
-    return marked.groupBy(id_col).agg(
-        F.count("tok").alias("n_tokens"),
-        F.coalesce(F.sum(F.col("rm").cast("long")), F.lit(0)).alias(
-            "n_removed"
-        ),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("rm").isNull(), F.struct("tpos", "tok"))
-                    )
-                ),
-                lambda x: x["tok"],
-            ),
-            " ",
-        ).alias("text_dedup"),
-    )
+    return scrub_marked_occurrences(base, dup_occ, window, id_col)
 
 
 def dup_span_coverage(

@@ -32,7 +32,6 @@ MODEL_FILE = "model.json"
 
 
 def maintain_ann_index(
-    spark: SparkSession,
     batch: DataFrame,
     store_dir: str,
     batch_id: str,
@@ -45,7 +44,9 @@ def maintain_ann_index(
     """One cron tick: train-and-freeze the model if this is the first
     batch (bounded-sample Lloyd, persisted as JSON), then map-only
     encode the batch into its own ``codes_<batch_id>/`` shard
-    (overwrite — replay-idempotent). Returns the model dict."""
+    (overwrite — replay-idempotent), hive-partitioned by list_id so
+    searches prune to the probed lists' files (the layout
+    ivfpq_encode's contract prescribes). Returns the model dict."""
     os.makedirs(store_dir, exist_ok=True)
     model_path = os.path.join(store_dir, MODEL_FILE)
     if os.path.exists(model_path):
@@ -62,7 +63,7 @@ def maintain_ann_index(
         SIM.save_ivfpq_model(model, model_path)
     SIM.ivfpq_encode(
         batch, model, id_col=id_col, vec_col=vec_col
-    ).write.mode("overwrite").parquet(
+    ).write.mode("overwrite").partitionBy("list_id").parquet(
         os.path.join(store_dir, f"codes_{batch_id}")
     )
     return model
@@ -83,7 +84,20 @@ def search_ann_index(
     ``corpus`` (the raw vectors of everything indexed) to enable the
     exact refine step; pure-ADC (refine=1) needs only the store."""
     model = SIM.load_ivfpq_model(os.path.join(store_dir, MODEL_FILE))
-    index = spark.read.parquet(os.path.join(store_dir, "codes_*"))
+    # per-shard reads + union: each shard is its own hive-partitioned
+    # root (list_id=N subdirs), and Spark's multi-root partition
+    # discovery rejects mixed structures — reading roots separately
+    # keeps list_id a real partition column, so probe filters prune
+    # files instead of scanning every shard fully
+    shard_paths = sorted(
+        os.path.join(store_dir, d)
+        for d in os.listdir(store_dir)
+        if d.startswith("codes_")
+    )
+    frames = [spark.read.parquet(p) for p in shard_paths]
+    index = frames[0]
+    for f in frames[1:]:
+        index = index.unionByName(f)
     return SIM.ivfpq_search(
         index,
         model,

@@ -73,15 +73,31 @@ def _fold_pending_deltas(
     merge_fn,
 ) -> DataFrame:
     """Shared fold: rebuild the base store as base ⊕ every landed delta
-    whose batch id is not in the _folded ledger, promote, and return the
+    whose batch id is not in the folded ledger, promote, and return the
     re-read store. merge_fn(prev, delta) must be an associative
-    aggregate merge over two already-collapsed frames."""
+    aggregate merge over two already-collapsed frames (the single call
+    receives the UNION of all pending deltas — sums over a union equal
+    chained pairwise merges, with one shuffle instead of N).
+
+    Crash safety (review fix): the ledger lives INSIDE the promoted
+    store directory (``counts/_folded.json``) and is written into the
+    tmp directory BEFORE the atomic rename, so the merged counts and
+    the folded-id set move in one filesystem operation — a crash
+    between "promote" and "record folded" can no longer double-count
+    every pending delta on the next tick (Spark ignores underscore-
+    prefixed files in a parquet directory). Folded delta shards are
+    pruned afterwards; the ledger alone prevents refolds, so a
+    replay-relanded shard is garbage-collected on the next fold."""
+    import json as _json
+    import shutil
+
     base_path = os.path.join(store_dir, "counts")
-    folded_path = os.path.join(store_dir, "_folded.txt")
+    ledger_name = "_folded.json"
     folded: set[str] = set()
-    if os.path.exists(folded_path):
-        with open(folded_path) as fh:
-            folded = {ln.strip() for ln in fh if ln.strip()}
+    ledger_path = os.path.join(base_path, ledger_name)
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as fh:
+            folded = set(_json.load(fh))
     deltas_root = os.path.join(store_dir, "deltas")
     pending = sorted(
         d
@@ -89,15 +105,29 @@ def _fold_pending_deltas(
         if d not in folded
         and os.path.isdir(os.path.join(deltas_root, d))
     )
-    merged = load_or_empty(spark, base_path, schema)
-    for d in pending:
-        delta = spark.read.schema(schema).parquet(
-            os.path.join(deltas_root, d)
-        )
-        merged = merge_fn(merged, delta)
-    promote_overwrite(merged, base_path)
-    with open(folded_path, "w") as fh:
-        fh.write("\n".join(sorted(folded | set(pending))) + "\n")
+    if pending:
+        merged = load_or_empty(spark, base_path, schema)
+        delta_frames = [
+            spark.read.schema(schema).parquet(os.path.join(deltas_root, d))
+            for d in pending
+        ]
+        union = delta_frames[0]
+        for f in delta_frames[1:]:
+            union = union.unionByName(f)
+        merged = merge_fn(merged, union)
+        # two-phase promote with the ledger riding in the SAME rename
+        tmp = base_path.rstrip("/") + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, ledger_name), "w") as fh:
+            _json.dump(sorted(folded | set(pending)), fh)
+        shutil.rmtree(base_path, ignore_errors=True)
+        os.replace(tmp, base_path)
+        folded |= set(pending)
+    # prune delta shards already recorded in the ledger (incl. shards
+    # re-landed by a replayed batch id — the ledger blocks refolds)
+    for d in os.listdir(deltas_root):
+        if d in folded:
+            shutil.rmtree(os.path.join(deltas_root, d), ignore_errors=True)
     return spark.read.schema(schema).parquet(base_path)
 
 

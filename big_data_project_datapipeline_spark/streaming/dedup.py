@@ -34,9 +34,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from big_data_project_datapipeline_spark.functions.dedup import (
-    substring_windows,
+    scrub_marked_occurrences,
+    window_gram_firsts,
 )
-from big_data_project_datapipeline_spark.functions.text import tokens
 
 
 def load_gram_index(
@@ -84,74 +84,42 @@ def apply_substring_dedup_batch(
     spark = batch_df.sparkSession
     seen = load_gram_index(spark, index_dir, exclude_batch_id=batch_id)
 
-    base = batch_df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("toks")
-    ).withColumn("n", F.size("toks"))
-    wins = substring_windows(base, id_col, window)
-    firsts = wins.groupBy("w").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first"),
+    # shared q99 machinery (functions/dedup.window_gram_firsts /
+    # scrub_marked_occurrences) — the only streaming-specific piece is
+    # the OR with the persistent seen-gram index
+    base, wins, firsts = window_gram_firsts(
+        batch_df, window, text_col, id_col
     )
-    flagged = (
-        wins.join(firsts, "w")
-        .join(seen.withColumn("__seen", F.lit(True)), "w", "left")
-        .withColumn(
-            "dup",
-            F.coalesce(F.col("__seen"), F.lit(False))
-            | (
-                (F.col("cnt") >= 2)
-                & ~(
-                    (F.col(id_col) == F.col(f"first.{id_col}"))
-                    & (F.col("pos") == F.col("first.pos"))
+    # firsts feeds BOTH writes this tick (deduped docs + gram shard);
+    # persist so the window explode + gram shuffle — the tick's most
+    # expensive stage — runs once, not once per action
+    firsts = firsts.persist()
+    try:
+        dup_occ = (
+            wins.join(firsts, "w")
+            .join(seen.withColumn("__seen", F.lit(True)), "w", "left")
+            .filter(
+                F.coalesce(F.col("__seen"), F.lit(False))
+                | (
+                    (F.col("cnt") >= 2)
+                    & ~(
+                        (F.col(id_col) == F.col(f"first.{id_col}"))
+                        & (F.col("pos") == F.col("first.pos"))
+                    )
                 )
-            ),
+            )
+            .select(F.col(id_col), F.col("pos"))
         )
-    )
-    removed = (
-        flagged.filter(F.col("dup"))
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + window - 1)
-            ).alias("tpos"),
+        deduped = scrub_marked_occurrences(base, dup_occ, window, id_col)
+        # per-batch subdirs: a replayed batch overwrites its own output
+        # and gram shard — idempotent, and the index is never read and
+        # appended in the same directory listing
+        deduped.write.mode("overwrite").parquet(f"{out_dir}/docs_{batch_id}")
+        firsts.select("w").write.mode("overwrite").parquet(
+            f"{index_dir}/grams_{batch_id}"
         )
-        .distinct()
-    )
-    tok_pos = base.select(
-        F.col(id_col), F.posexplode("toks").alias("tpos", "tok")
-    ).withColumn("tpos", F.col("tpos").cast("long"))
-    deduped = (
-        tok_pos.join(
-            removed.withColumn("rm", F.lit(True)), [id_col, "tpos"], "left"
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count("tok").alias("n_tokens"),
-            F.coalesce(F.sum(F.col("rm").cast("long")), F.lit(0)).alias(
-                "n_removed"
-            ),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("rm").isNull(), F.struct("tpos", "tok")
-                            )
-                        )
-                    ),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            ).alias("text_dedup"),
-        )
-    )
-    # per-batch subdirs: a replayed batch overwrites its own output and
-    # gram shard — idempotent, and the index is never read and appended
-    # in the same directory listing
-    deduped.write.mode("overwrite").parquet(f"{out_dir}/docs_{batch_id}")
-    firsts.select("w").write.mode("overwrite").parquet(
-        f"{index_dir}/grams_{batch_id}"
-    )
+    finally:
+        firsts.unpersist()
 
 
 def stream_substring_dedup(

@@ -10,7 +10,11 @@ max plus a high-value-event counter, emitted per batch with state carried
 forward).
 
 Scale: state is per-key and O(1) per key; keys are hash-partitioned across
-executors; timeouts evict idle keys (bounded state like a watermark).
+executors. Idle-key eviction is OPT-IN via ``idle_timeout_ms`` (processing-
+time timeout: a key whose state goes untouched that long is dropped,
+bounding total state like a watermark bounds windows); the default keeps
+every key, which is correct for running-forever totals but unbounded under
+key churn — pick per use case.
 """
 
 from __future__ import annotations
@@ -42,49 +46,69 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_user_state(
-    key: tuple,
-    batches: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Fold this micro-batch's rows for one user into the running state and
-    emit the updated totals."""
-    n, total, mx, n_high = (
-        state.get if state.exists else (0, 0.0, float("-inf"), 0)
-    )
-    for pdf in batches:
-        vals = pdf["value"].dropna()
-        n += len(pdf)
-        total += float(vals.sum())
-        if len(vals):
-            mx = max(mx, float(vals.max()))
-        n_high += int((vals > 150.0).sum())
-    state.update((n, total, mx, n_high))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_events": [n],
-            "total_value": [total],
-            "max_value": [None if mx == float("-inf") else mx],
-            "n_high": [n_high],
-        }
-    )
+def _make_update_user_state(idle_timeout_ms: int | None):
+    """Build the state-update function with the timeout BAKED IN as a
+    closure constant: the function ships to executor python workers by
+    pickle, so a driver-side module global would not propagate."""
+
+    def _update_user_state(
+        key: tuple,
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # With a processing-time timeout configured, a timed-out key's
+        # state is REMOVED (and nothing emitted) — the eviction half of
+        # the bounded-state story.
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, mx, n_high = (
+            state.get if state.exists else (0, 0.0, float("-inf"), 0)
+        )
+        for pdf in batches:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+            n_high += int((vals > 150.0).sum())
+        state.update((n, total, mx, n_high))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [None if mx == float("-inf") else mx],
+                "n_high": [n_high],
+            }
+        )
+
+    return _update_user_state
 
 
-def running_user_stats(stream: DataFrame) -> DataFrame:
+def running_user_stats(
+    stream: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user running statistics maintained across micro-batches.
 
     Works on a streaming DataFrame of (user_id, value, ...); each trigger
     emits one updated row per user seen in the batch ("update"-style
-    output). State never grows beyond one tuple per user.
-    """
+    output). State is one tuple per LIVE user: pass ``idle_timeout_ms``
+    to evict keys idle that long (bounded state under key churn);
+    default None keeps every key's totals forever."""
     return (
         stream.groupBy("user_id")
         .applyInPandasWithState(
-            _update_user_state,
+            _make_update_user_state(idle_timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if idle_timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )

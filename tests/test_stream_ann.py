@@ -18,16 +18,27 @@ def _waves(spark):
 def test_two_wave_index_equals_oneshot(spark, tmp_path):
     emb, w1, w2 = _waves(spark)
     store = str(tmp_path / "ann")
-    model = SA.maintain_ann_index(spark, w1, store, "t1", n_lists=8)
-    SA.maintain_ann_index(spark, w2, store, "t2", n_lists=8)
+    model = SA.maintain_ann_index(w1, store, "t1", n_lists=8)
+    SA.maintain_ann_index(w2, store, "t2", n_lists=8)
     # maintained index == one-shot encode of the union with the SAME
-    # (frozen, first-wave-trained) model
+    # (frozen, first-wave-trained) model; shards are hive-partitioned
+    # roots, so read them individually (the search path's convention)
+    import os
+
+    shards = [
+        spark.read.parquet(os.path.join(store, d))
+        for d in sorted(os.listdir(store))
+        if d.startswith("codes_")
+    ]
+    idx = shards[0]
+    for s in shards[1:]:
+        idx = idx.unionByName(s)
     got = sorted(
         map(
             tuple,
-            spark.read.parquet(store + "/codes_*")
-            .select("vec_id", "list_id", "codes")
-            .collect(),
+            idx.select(
+                "vec_id", idx.list_id.cast("int").alias("list_id"), "codes"
+            ).collect(),
         )
     )
     want = sorted(map(tuple, SIM.ivfpq_encode(emb, model).collect()))
@@ -46,7 +57,17 @@ def test_two_wave_index_equals_oneshot(spark, tmp_path):
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     _, w1, _ = _waves(spark)
     store = str(tmp_path / "ann")
-    SA.maintain_ann_index(spark, w1, store, "t1", n_lists=8)
-    n1 = spark.read.parquet(store + "/codes_*").count()
-    SA.maintain_ann_index(spark, w1, store, "t1", n_lists=8)  # replay
-    assert spark.read.parquet(store + "/codes_*").count() == n1
+    import os
+
+    SA.maintain_ann_index(w1, store, "t1", n_lists=8)
+
+    def store_count():
+        n = 0
+        for d in os.listdir(store):
+            if d.startswith("codes_"):
+                n += spark.read.parquet(os.path.join(store, d)).count()
+        return n
+
+    n1 = store_count()
+    SA.maintain_ann_index(w1, store, "t1", n_lists=8)  # replay
+    assert store_count() == n1

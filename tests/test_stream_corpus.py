@@ -128,3 +128,28 @@ def test_dsir_replayed_tick_is_idempotent(spark, tmp_path):
         for r in CO.dsir_bucket_counts(wave, "tgt", n_buckets=16).collect()
     }
     assert got == batch
+
+
+def test_fold_ledger_is_atomic_with_store_and_deltas_pruned(spark, store):
+    import json
+    import os
+
+    wave1 = _docs(spark, [(0, "a b")])
+    SC.maintain_token_counts(spark, wave1, store, batch_id="t1")
+    # ledger rides INSIDE the promoted store dir (atomic with the swap)
+    ledger = os.path.join(store, "counts", "_folded.json")
+    assert json.load(open(ledger)) == ["t1"]
+    assert not os.path.exists(os.path.join(store, "_folded.txt"))
+    # folded delta shards are pruned
+    assert os.listdir(os.path.join(store, "deltas")) == []
+    # second tick folds only its own delta and prunes it too
+    SC.maintain_token_counts(
+        spark, _docs(spark, [(1, "b c")]), store, batch_id="t2"
+    )
+    assert json.load(open(ledger)) == ["t1", "t2"]
+    assert os.listdir(os.path.join(store, "deltas")) == []
+    got = {
+        r.token: r.cnt
+        for r in spark.read.parquet(store + "/counts").collect()
+    }
+    assert got == {"a": 1, "b": 2, "c": 1}
