@@ -4135,10 +4135,12 @@ def oracle_sql() -> dict[str, str]:
             q AS (
                 SELECT vec_id, v, scale,
                        list_transform(v, x -> CASE WHEN scale > 0
-                           THEN CAST(floor(x / scale) AS BIGINT)
+                           THEN CAST(GREATEST(floor(x / scale), -127)
+                                     AS BIGINT)
                            ELSE 0 END) AS qv,
                        list_transform(v, x -> x - (CASE WHEN scale > 0
-                           THEN floor(x / scale) ELSE 0 END) * scale) AS dv
+                           THEN GREATEST(floor(x / scale), -127)
+                           ELSE 0 END) * scale) AS dv
                 FROM s)
             SELECT vec_id, len(v) AS dim, scale,
                    CAST(list_sum(qv) AS BIGINT) AS sum_q,

@@ -43,8 +43,17 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def safe_div(num: Column, den: Column) -> Column:
+    """num/den with zero-denominator -> 0.0: Spark 4 runs ANSI mode by
+    default, so a bare division aborts the whole job on the first
+    zero-norm vector (padding row, failed encode) — rank it neutral
+    instead of crashing the ranking (review fix, reproduced under this
+    session's config)."""
+    return F.when(den != 0.0, num / den).otherwise(F.lit(0.0))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return safe_div(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -79,9 +88,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
+            safe_div(
+                dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
             ).alias("cosine_sim"),
         )
     )
@@ -121,11 +130,15 @@ def quantize_int8_metrics(
     scale = (F.col("__absmax") / F.lit(127.0)).alias("scale")
     staged = staged.select(id_col, "__v", scale)
     s = F.col("scale")
+    # clamp at -127: floor(x/scale) can land on -128 when rounding error
+    # pushes -absmax/scale a hair below -127 (review fix, ~14% of absmax
+    # values) — the symmetric-int8 contract is [-127, 127]
     q = F.transform(
         F.col("__v"),
-        lambda x: F.when(s > 0, F.floor(x.cast("double") / s)).otherwise(
-            F.lit(0)
-        ).cast("long"),
+        lambda x: F.when(
+            s > 0,
+            F.greatest(F.floor(x.cast("double") / s), F.lit(-127)),
+        ).otherwise(F.lit(0)).cast("long"),
     )
     staged = staged.select(id_col, "__v", "scale", q.alias("__q"))
     err_sq = F.aggregate(
@@ -187,7 +200,18 @@ def srp_bucket(
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+    # zip_with null-pads a length mismatch -> proj NULL -> every bit 0:
+    # a wrong ``dim`` would silently send the WHOLE corpus to bucket 0
+    # and degenerate the bucketed join into an all-pairs cross (review
+    # fix) — fail loudly per row instead
+    return F.when(F.size(vec) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"srp_bucket: dim={dim} but vector has length "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
 
 
 def blocked_cosine_pairs(
@@ -216,10 +240,11 @@ def blocked_cosine_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
+    id_type = df.schema[id_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("left_id", T.LongType()),
-            T.StructField("right_id", T.LongType()),
+            T.StructField("left_id", id_type),
+            T.StructField("right_id", id_type),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
         + [df.schema[c] for c in block_cols]
@@ -265,6 +290,11 @@ def _lloyd_fit(
     picks the (deterministic) starting point."""
     import numpy as np
 
+    if not sample:
+        raise ValueError(
+            "quantizer training sample is empty — is the corpus empty "
+            "or fully filtered?"
+        )
     pts = np.asarray(sample, dtype=np.float64)
     k = min(k, len(pts))
     first = seed % len(pts)
@@ -320,13 +350,7 @@ def ivf_topk(
 
     def sq_dist_to(center: list[float]) -> Column:
         plane = F.lit([float(x) for x in center])  # one py4j call, not dim
-        return F.aggregate(
-            F.zip_with(
-                F.col(vec_col), plane, lambda x, c: (x.cast("double") - c) ** 2
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        return _sqd(F.col(vec_col).cast("array<double>"), plane)
 
     dists = F.array(
         *[
@@ -353,9 +377,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm"))
+            safe_div(
+                dot(F.col("q_vec"), F.col("c_vec")),
+                F.col("q_norm") * F.col("c_norm"),
             ).alias("cosine_sim"),
         )
     )
@@ -396,7 +420,7 @@ def ann_topk_lsh(
     full vector, so a "query batch" that is really a second corpus
     would exceed executor memory: bucket-join both sides unsalted (drop
     the broadcast hint) for the symmetric all-pairs regime — that is
-    what ``embedding_near_duplicates`` already implements. Guarded here
+    what ``blocked_cosine_pairs`` (the q32 path) already implements. Guarded here
     rather than silently: > ``_LSH_BROADCAST_MAX_QUERIES`` raises.
     """
     n_queries = queries.count()
@@ -405,31 +429,38 @@ def ann_topk_lsh(
             f"ann_topk_lsh broadcasts the query side: {n_queries} queries "
             f"x {n_tables} tables = {n_queries * n_tables} broadcast rows "
             f"exceeds the {_LSH_BROADCAST_MAX_QUERIES} guard. For "
-            f"corpus-vs-corpus similarity use embedding_near_duplicates "
+            f"corpus-vs-corpus similarity use blocked_cosine_pairs "
             f"(bucketed, no broadcast) or raise the guard explicitly."
         )
     buckets = F.array(
         *[srp_bucket(F.col(vec_col), num_bits, dim, t) for t in range(n_tables)]
     )
-    expand = lambda d, idc, vc: (  # noqa: E731
+    # norms are projected BELOW the join (once per row) — the cosine()
+    # helper would refold each side's norm once per CANDIDATE PAIR
+    # (review fix; same device as cosine_topk/ivf_topk)
+    expand = lambda d, idc, vc, nc: (  # noqa: E731
         d.select(
             F.col(id_col).alias(idc),
             F.col(vec_col).alias(vc),
+            l2_norm(F.col(vec_col)).alias(nc),
             F.posexplode(buckets).alias("__table", "__bucket"),
         )
     )
-    q = expand(queries, "query_id", "q_vec")
-    c = expand(corpus, "neighbor_id", "c_vec")
+    q = expand(queries, "query_id", "q_vec", "q_norm")
+    c = expand(corpus, "neighbor_id", "c_vec", "c_norm")
     cands = (
         c.join(F.broadcast(q), ["__table", "__bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_norm", "c_norm")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("q_vec"), F.col("c_vec")).alias("cosine_sim"),
+        safe_div(
+            dot(F.col("q_vec"), F.col("c_vec")),
+            F.col("q_norm") * F.col("c_norm"),
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -501,6 +532,14 @@ def pca_project(
     from pyspark.sql.functions import pandas_udf
 
     mean, comps, _ = pca_fit(corpus, k, id_col, vec_col, sample_cap)
+    if len(comps) < k:
+        # pca_fit can only return min(k, dim) components; indexing
+        # __pc[i] past that would die with an opaque ANSI
+        # INVALID_ARRAY_INDEX mid-job (review fix) — fail up front
+        raise ValueError(
+            f"k={k} exceeds the {len(comps)} fit components "
+            f"(embedding dim limits the basis)"
+        )
     mean_arr = np.asarray(mean)
     w = np.asarray(comps)  # k × dim
 
@@ -545,6 +584,12 @@ def kmeans_assign_relational(
     the agg sense: row_number over k=constant rows per point; update is
     one (cluster,pos) aggregate). Returns (id, cluster, dist2) of the
     final assignment.
+
+    Known semantic (mirrored EXACTLY by the q89 unrolled-CTE oracle —
+    change both sides together): a cluster that loses every member
+    DROPS from the centroid update, so k can shrink across sweeps;
+    _lloyd_fit's keep-previous-center policy is the driver-side
+    alternative when a fixed k matters more than oracle checkability.
     """
     pts = corpus.select(
         F.col(id_col).alias("pid"),
@@ -692,14 +737,7 @@ def pq_encode(
     def sub_dists(j: int, cb: list[list[float]]) -> Column:
         sv = F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
         cents = F.array(*[F.lit([float(x) for x in c]) for c in cb])
-        return F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(sv, c, lambda x, cc: (x - cc) ** 2),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        return F.transform(cents, lambda c: _sqd(sv, c))
 
     staged = df.select(
         F.col(id_col),

@@ -986,3 +986,74 @@ def test_ivfpq_search_exclude_self_flag(spark):
         index, model, q7, k=3, corpus=emb, refine=4, exclude_self=True
     ).collect()
     assert all(r.neighbor_id != 7 for r in excl)
+
+
+def test_cosine_zero_norm_vector_does_not_crash(spark):
+    # Spark 4 ANSI mode: a bare division would abort the job on the
+    # first zero-norm vector (review fix) — it must rank neutral (0.0).
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = SIM.cosine_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    sims = {r.neighbor_id: r.cosine_sim for r in out}
+    assert sims[2] == 0.0  # zero-norm corpus row scored neutral, no crash
+    # zero-norm QUERY also survives
+    out2 = SIM.cosine_topk(df, df.filter("vec_id = 2"), k=2).collect()
+    assert all(r.cosine_sim == 0.0 for r in out2)
+
+
+def test_srp_bucket_dim_mismatch_raises(spark):
+    import pytest as _pytest
+    from pyspark.errors import SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>"
+    )
+    bad = df.select(SIM.srp_bucket(F.col("embedding"), 2, dim=64).alias("b"))
+    with _pytest.raises(Exception, match="srp_bucket: dim=64"):
+        bad.collect()
+
+
+def test_quantize_int8_never_emits_minus_128(spark):
+    # floor(-absmax/scale) can hit -128 for ~14% of absmax values —
+    # pinned on a known-bad absmax (review fix).
+    df = spark.createDataFrame(
+        [(0, [2.8357193047241087, -2.8357193047241087])],
+        "vec_id long, embedding array<double>",
+    )
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        quantize_int8_metrics,
+    )
+
+    r = quantize_int8_metrics(df).collect()[0]
+    assert r.n_sat == 2 and r.sum_q == 0  # +127 and -127, not -128
+
+
+def test_pca_project_k_exceeding_dim_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="exceeds"):
+        SIM.pca_project(df, k=5)
+
+
+def test_lloyd_fit_empty_sample_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        SIM._lloyd_fit([], k=4)
+
+
+def test_blocked_cosine_pairs_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a", 0, [1.0, 0.0]), ("b", 0, [1.0, 0.0]), ("c", 1, [0.0, 1.0])],
+        "vec_id string, label int, embedding array<float>",
+    )
+    rows = SIM.blocked_cosine_pairs(
+        df, ["label"], threshold=0.5
+    ).collect()
+    assert {(r.left_id, r.right_id) for r in rows} == {("a", "b")}
