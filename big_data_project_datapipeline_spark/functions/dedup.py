@@ -49,12 +49,7 @@ def token_hash_set(text: Column) -> Column:
     arrays are ~2.6× faster than on string arrays (measured), Jaccard is
     preserved (both engines hash identically, so a collision — ~2⁻⁶⁰ —
     would affect both sides the same way)."""
-    return F.array_distinct(
-        F.transform(
-            tokens(text),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-        )
-    )
+    return F.array_distinct(F.transform(tokens(text), hash60))
 
 
 def shingles_from_tokens(toks: Column, k: int = 5) -> Column:
@@ -165,9 +160,7 @@ def universal_hash_params(seed: int) -> tuple[int, int]:
 def token_hash31(tok: Column) -> Column:
     """31-bit md5-derived token hash — the shared base for all minhash
     components (ONE digest per distinct token, not one per (token, seed))."""
-    return (
-        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long") % UH_PRIME
-    )
+    return hash60(tok) % UH_PRIME
 
 
 def _uh_lambda(seed: int):
@@ -251,7 +244,11 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
+    # docs with no tokens have all-NULL signatures; concat_ws skips
+    # NULLs, so they would ALL share the '' band key in EVERY band — an
+    # O(empty_docs^2) bucket blow-up on blank-page-heavy crawls (review
+    # fix). They have no content to match on: exclude them up front.
+    banded = signatures.filter(F.col("mh0").isNotNull()).select(
         F.col(id_col), *[F.col(c) for c in extra], F.explode(bands).alias("bk")
     ).select(
         id_col, *extra, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
@@ -294,10 +291,14 @@ def jaccard_pairs(
         .select(
             "left_id",
             "right_id",
-            (
+            # zero-union guard: two empty-token docs would otherwise
+            # abort the job under ANSI mode (review fix) — define their
+            # similarity as 0.0
+            F.when(
+                F.size(F.array_union("l_toks", "r_toks")) > 0,
                 F.size(F.array_intersect("l_toks", "r_toks")).cast("double")
-                / F.size(F.array_union("l_toks", "r_toks"))
-            ).alias("jaccard"),
+                / F.size(F.array_union("l_toks", "r_toks")),
+            ).otherwise(F.lit(0.0)).alias("jaccard"),
         )
     )
 
@@ -774,9 +775,13 @@ def dup_span_coverage(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("dup_tokens").alias("dup_tokens"),
-        F.round(F.sum("dup_tokens") / F.sum("n_tokens"), 6).alias(
-            "dup_token_frac"
-        ),
+        F.round(
+            F.when(
+                F.sum("n_tokens") > 0,
+                F.sum("dup_tokens") / F.sum("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
         F.sum((F.col("dup_tokens") > 0).cast("long")).alias("docs_affected"),
         F.round(
             F.sum((F.col("dup_tokens") > 0).cast("long")) / F.count(F.lit(1)),

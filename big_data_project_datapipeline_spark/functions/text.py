@@ -167,7 +167,10 @@ def shingle_fingerprint(text: Column, k: int = 3) -> Column:
     shingles = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))
     )
-    return F.array_min(shingles)
+    # NULL text stays NULL (normalized_fingerprint's convention) —
+    # greatest() skipping the NULL size would otherwise alias missing
+    # docs with genuinely-empty ones under md5('') (review fix)
+    return F.when(text.isNotNull(), F.array_min(shingles))
 
 
 def winnow_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
@@ -363,6 +366,12 @@ def add_repetition_metrics(
     raw strings: a hashed variant (60-bit md5, the engine's portable
     digest) was measured 1.6× SLOWER end-to-end — the per-gram md5 costs
     more than the narrower shuffle saves at word-gram sizes.
+    
+
+    Output semantics (documented per review): zero-token docs emit NO
+    row (the gram explode has nothing to emit — join back with a left
+    join if every doc must appear), and docs too short for a bigram/
+    trigram carry NULL for those fractions.
     """
     from . import dedup as D  # local import to avoid a module cycle
 
@@ -464,7 +473,9 @@ def bm25_topk(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
 ) -> DataFrame:
-    """Okapi BM25 keyword search: top-k documents for a bag of query terms.
+    """Okapi BM25 keyword search: top-k documents for a bag of query terms
+    (lowercased on entry — the corpus tokenizer lowercases, so a
+    raw-cased query term would silently contribute zero matches).
 
     idf uses the Lucene-style ln(1 + (N - df + 0.5)/(df + 0.5)) (always
     positive); the tf saturation uses the standard k1/b length
@@ -488,7 +499,7 @@ def bm25_topk(
     )
     tf = (
         staged.select(doc_id_col, F.explode("__toks").alias("token"))
-        .filter(F.col("token").isin(list(query_terms)))
+        .filter(F.col("token").isin([t.lower() for t in query_terms]))
         .groupBy(doc_id_col, "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -552,7 +563,7 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     staged = df.withColumn("__toks", tokens(t))
     tk = F.col("__toks")
-    return staged.withColumns(
+    with_stats = staged.withColumns(
         {
             "n_tokens": token_count(t, tk),
             "n_bpe_tokens": bpe_token_count(t),
@@ -561,11 +572,26 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "punct_ratio": punct_ratio(t),
             "stopword_ratio_en": stopword_ratio(t, "en", tk),
             "uppercase_ratio": uppercase_ratio(t),
-            "quality_score": quality_score(t, tk),
             "predicted_lang": predicted_lang(t, tk),
             "fingerprint": normalized_fingerprint(t),
         }
-    ).drop("__toks")
+    )
+    # quality_score recomposed from the JUST-materialized stats — calling
+    # quality_score(t, tk) here would re-expand the punct regex, stopword
+    # filter, and token-length fold a second time per row (no CSE across
+    # a select list; review fix). Same arithmetic on the same doubles —
+    # bit-identical to the inline form (oracle-pinned).
+    quality = (
+        F.lit(0.25) * (F.col("n_tokens") >= 5).cast("double")
+        + F.lit(0.25)
+        * (
+            (F.coalesce(F.col("avg_token_len"), F.lit(0.0)) >= 2.0)
+            & (F.coalesce(F.col("avg_token_len"), F.lit(0.0)) <= 12.0)
+        ).cast("double")
+        + F.lit(0.25) * (F.col("punct_ratio") <= 0.2).cast("double")
+        + F.lit(0.25) * (F.col("stopword_ratio_en") >= 0.05).cast("double")
+    )
+    return with_stats.withColumn("quality_score", quality).drop("__toks")
 
 
 def unigram_logprob_scores(
@@ -688,9 +714,10 @@ def chunk_documents(
     reassembled chunk text.
 
     Chunk count is ``1 + ceil((n - chunk_tokens) / stride)`` for
-    n > chunk_tokens else 1, computed in integer arithmetic
-    (``(n - chunk_tokens + stride - 1) div stride``) so both engines
-    agree bit-exactly; empty documents emit no chunks.
+    n > chunk_tokens else 1, computed as a double division truncated to
+    long — identical to integer div for every token count below 2^53
+    (any real document), and the oracle SQL performs the same
+    truncation; empty documents emit no chunks.
 
     Scale: map-only — tokenize once (staged array; never re-split per
     derived expression), sequence → explode over chunk starts, slice +

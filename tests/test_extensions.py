@@ -1057,3 +1057,51 @@ def test_blocked_cosine_pairs_string_ids(spark):
         df, ["label"], threshold=0.5
     ).collect()
     assert {(r.left_id, r.right_id) for r in rows} == {("a", "b")}
+
+
+def test_minhash_pipeline_survives_empty_docs(spark):
+    # Review regressions: empty/whitespace/null docs must neither crash
+    # the jaccard verify (0/0 under ANSI) nor flood one LSH bucket with
+    # all-pairs candidates.
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real text here okay"),
+         (5, ""), (6, "real text here fine")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.minhash_dedup_decision(
+        df, num_hashes=16, band_size=2, threshold=0.5
+    ).collect()}
+    # empty docs are kept as-is (nothing to match on), not paired
+    for i in (1, 2, 3, 5):
+        assert out[i].is_kept == 1 and out[i].dup_of is None
+    # the real near-dup pair still resolves
+    assert out[6].dup_of == 4 or out[6].is_kept == 1
+
+
+def test_dup_span_coverage_all_empty_group(spark):
+    df = spark.createDataFrame(
+        [(1, "", "g1"), (2, "  ", "g1"), (3, "a b c d e f g h i j", "g2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in D.dup_span_coverage(df, window=3).collect()}
+    assert out["g1"].dup_token_frac == 0.0  # no ANSI crash, defined 0
+
+
+def test_shingle_fingerprint_null_vs_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.fp for r in df.select(
+        "doc_id", TX.shingle_fingerprint(F.col("text")).alias("fp")
+    ).collect()}
+    assert rows[1] is None            # missing text stays NULL
+    assert rows[2] is not None        # empty text keeps a fingerprint
+
+
+def test_bm25_query_terms_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "spark pipeline engine"), (2, "other words entirely")],
+        "doc_id long, text string",
+    )
+    out = TX.bm25_topk(df, ["Spark", "PIPELINE"], k=2).collect()
+    assert out and out[0].doc_id == 1 and out[0].bm25 > 0
