@@ -5099,7 +5099,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_intervals,
                    CAST(SUM(gap_s) AS BIGINT) AS s,
-                   CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss,
+                   CAST(SUM(CAST(gap_s AS DECIMAL(19,0))
+                            * CAST(gap_s AS DECIMAL(19,0))) AS DOUBLE)
+                       AS ss,
                    CAST(MIN(CASE WHEN 2 * i >= n THEN gap_s END)
                         AS BIGINT) AS median_gap_s
             FROM ranked GROUP BY event_type)

@@ -51,6 +51,13 @@ def asof_join(
     """
     if direction not in ("nearest", "backward", "forward"):
         raise ValueError(f"unknown direction {direction!r}")
+    if tolerance_seconds <= 0:
+        # floor(ts/0.0) would null every bucket and silently match
+        # NOTHING (review fix); exact-timestamp matching is a plain
+        # equi-join, not an as-of join
+        raise ValueError(
+            f"tolerance_seconds must be > 0, got {tolerance_seconds}"
+        )
     right_on = right_on or on
     payload = [c for c in right.columns if c != right_on]
     # A right payload column shadowing a left column would emit two

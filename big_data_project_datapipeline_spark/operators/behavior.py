@@ -385,10 +385,14 @@ def inter_event_stats(
     # lower-median element: first i with 2i >= n (integer arithmetic —
     # no float rank, no interpolation; the grouped_lower_median
     # convention)
+    # gap_s*gap_s in long arithmetic overflows at ~3e9-second gaps
+    # (epoch-0 artifacts); exact decimal products keep the moments
+    # order-independent AND unbounded (review fix, oracle mirrored)
+    g_dec = F.col("gap_s").cast("decimal(19,0)")
     agg = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum("gap_s").alias("__s"),
-        F.sum(F.col("gap_s") * F.col("gap_s")).alias("__ss"),
+        F.sum(g_dec * g_dec).alias("__ss"),
         F.min(
             F.when(2 * F.col("__i") >= F.col("__n"), F.col("gap_s"))
         ).alias("median_gap_s"),

@@ -15,6 +15,16 @@ materialization dwarfs the cache it frees), so the contract here is:
   the handle don't leak past the result's lifetime. (Unpersist on an
   already-stopped session is swallowed — finalizers can run at
   interpreter shutdown.)
+
+CALLER CONTRACT (review note): hold the RETURNED DataFrame alive until
+your terminal action. A chained temporary — ``pagerank(e).select(...)
+.count()`` — drops the result object mid-expression, the finalizer
+fires, and the derived plan recomputes every unpersisted intermediate.
+Bind it first (``pr = pagerank(e); pr.select(...).count()``), or call
+``release_caches(pr)`` yourself when done. Unpersist is lazy-safe
+(plans stay CORRECT either way — this is a performance contract, not a
+correctness one), which is why GC-tie is an acceptable default for the
+leak it prevents.
 """
 
 from __future__ import annotations

@@ -28,10 +28,20 @@ def anti_join_delta(
 ) -> DataFrame:
     """Rows of ``new`` whose key is absent from ``previous`` (F5/J5).
 
-    ``left_anti`` has null-safe-enough semantics for our keys (a null key in
-    ``new`` survives unless matched; pandas ``isin`` treats NaN the same way).
+    NULL-SAFE on the keys (eqNullSafe join condition): a plain left_anti
+    equi-join never matches null keys, so a null-keyed row that already
+    landed in the sink would re-survive the anti join on EVERY later run
+    and duplicate monotonically (review fix). pandas ``isin`` — the
+    reference semantics — matches NaT to NaT, which eqNullSafe mirrors.
     """
-    return new.join(previous.select(*keys), on=list(keys), how="left_anti")
+    prev = previous.select(
+        *[F.col(k).alias(f"__prev_{k}") for k in keys]
+    ).dropDuplicates()
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__prev_{k}"))
+        cond = c if cond is None else (cond & c)
+    return new.join(prev, on=cond, how="left_anti")
 
 
 def load_or_empty(
@@ -47,8 +57,15 @@ def load_or_empty(
         if fmt == "csv":
             return reader.csv(path, header=True)
         return reader.format(fmt).load(path)
-    except AnalysisException:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as e:
+        # ONLY the path-missing bootstrap case may fall back to empty:
+        # swallowing every AnalysisException (corrupt footer, bad fmt)
+        # would make an established sink look like a first run and
+        # re-append the whole input (review fix)
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return spark.createDataFrame([], schema)
+        raise
 
 
 AGG_STATE_COLS = ["n", "sum_dec", "vmin", "vmax", "users_hll"]

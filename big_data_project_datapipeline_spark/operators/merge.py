@@ -41,7 +41,29 @@ def _merge(
     tagged = low.withColumn(_PRIORITY, F.lit(0)).unionByName(
         high.withColumn(_PRIORITY, F.lit(1)), allowMissingColumns=True
     )
-    order = [F.col(_PRIORITY).desc()] + [F.col(c).asc_nulls_last() for c in tiebreak]
+    # Deterministic even with INTRA-side duplicate keys: after priority
+    # and the caller's tiebreak, fall back to every remaining column in
+    # a fixed order — without it, two same-priority rows tie completely
+    # and row_number picks whichever arrives first (partitioning-
+    # dependent), the exact nondeterminism this module exists to forbid
+    # (review fix).
+    from pyspark.sql import types as T
+
+    orderable = (
+        T.StringType, T.NumericType, T.TimestampType, T.TimestampNTZType,
+        T.DateType, T.BooleanType, T.BinaryType,
+    )
+    fallback = [
+        f.name
+        for f in sorted(tagged.schema.fields, key=lambda f: f.name)
+        if f.name not in keys and f.name not in tiebreak
+        and f.name != _PRIORITY and isinstance(f.dataType, orderable)
+    ]
+    order = (
+        [F.col(_PRIORITY).desc()]
+        + [F.col(c).asc_nulls_last() for c in tiebreak]
+        + [F.col(f"`{c}`").asc_nulls_last() for c in fallback]
+    )
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         tagged.withColumn(_RN, F.row_number().over(w))

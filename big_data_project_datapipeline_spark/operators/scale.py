@@ -41,12 +41,13 @@ def zscore_scale(
     if not present:
         return df
     if stats is None:
-        filled = [F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c) for c in present]
-        row = df.select(*filled).agg(
-            *[F.avg(c).alias(f"m_{c}") for c in present],
-            *[F.stddev_pop(c).alias(f"s_{c}") for c in present],
-        ).first()
-        stats = {c: (row[f"m_{c}"], row[f"s_{c}"]) for c in present}
+        stats = compute_stats(df, present)  # one aggregate job (shared fit)
+    else:
+        # caller-supplied stats may also be drift-tolerant: a column in
+        # df but absent from the fit frame has no stats row — skip it
+        # (symmetric with the df-side filter) instead of KeyError-ing
+        # mid-plan (review fix)
+        present = [c for c in present if c in stats]
     out = df
     for c in present:
         mean, std = stats[c]

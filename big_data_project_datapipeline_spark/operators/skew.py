@@ -41,7 +41,18 @@ def salted_join(
     With ``hot_keys`` given, only those keys pay the replication cost; all
     other rows join on a single salt bucket. Without it, every key is
     salted (full ``salt``× replication of ``small``).
+
+    Only ``inner``/``left``/``left_semi`` are legal: any join that can
+    emit UNMATCHED small-side rows (right/full/right_semi/...) would
+    emit every one of its ``salt`` replicas after the salt column drops
+    (review fix) — an unsalted join is the correct tool there.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only: how={how!r} "
+            f"would duplicate unmatched replicated small-side rows"
+        )
     if hot_keys is not None:
         hot = F.col(on).isin(list(hot_keys))
         large_salt = F.when(

@@ -94,3 +94,14 @@ def test_right_payload_collision_raises(spark, frames):
     # right payload column named like the left key column → must raise
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, shadowing, on="datetime", right_on="ts")
+
+
+def test_asof_zero_tolerance_rejected(spark):
+    import pytest
+
+    from big_data_project_datapipeline_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1,)], "datetime long")
+    with pytest.raises(ValueError, match="tolerance_seconds"):
+        asof_join(df, df.withColumnRenamed("datetime", "dt2"),
+                  right_on="dt2", tolerance_seconds=0)

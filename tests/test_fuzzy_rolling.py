@@ -148,3 +148,34 @@ def test_rolling_partitions_do_not_leak(spark):
     }
     assert out[1].roll_n == 1 and out[1].roll_mean == 100.0
     assert out[3].roll_n == 2 and out[3].roll_mean == 2.0
+
+
+def test_gap_fill_multi_unit_step_keeps_off_grid_observations(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from big_data_project_datapipeline_spark.operators.temporal_fill import (
+        gap_fill_locf,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        ("s", t0, 1.0),
+        # off-grid observation at 10:07 — with date_trunc('minute')
+        # bucketing this row fell off the 30-minute grid and its value
+        # was silently lost (review regression)
+        ("s", t0 + dt.timedelta(minutes=7), 5.0),
+        ("s", t0 + dt.timedelta(minutes=65), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "series string, ts timestamp, value double")
+    out = {
+        r.slot: (r.value, r.filled)
+        for r in gap_fill_locf(df, "series", step="30 minutes").collect()
+    }
+    # grid anchored at 10:00 (minute-truncated min): 10:00, 10:30, 11:00
+    assert len(out) == 3
+    # 10:07 lands in the 10:00 slot: mean(1.0, 5.0) = 3.0, observed
+    assert out[t0] == (3.0, 0)
+    assert out[t0 + dt.timedelta(minutes=30)] == (3.0, 1)  # LOCF carry
+    assert out[t0 + dt.timedelta(minutes=60)] == (9.0, 0)

@@ -104,3 +104,17 @@ def test_aggregate_state_merge_equals_full_recompute(spark):
         assert m[k]["vmin"] == f[k]["vmin"] and m[k]["vmax"] == f[k]["vmax"]
         assert m[k]["mean"] == f[k]["mean"]
         assert m[k]["approx_distinct"] == f[k]["approx_distinct"]
+
+
+def test_anti_join_delta_null_keys_do_not_reaccumulate(spark):
+    from big_data_project_datapipeline_spark.operators.incremental import (
+        anti_join_delta,
+    )
+
+    prev = spark.createDataFrame([(None,), (1,)], "k long")
+    new = spark.createDataFrame([(None, "a"), (1, "b"), (2, "c")],
+                                "k long, v string")
+    out = anti_join_delta(new, prev, keys=("k",)).collect()
+    # pandas-isin semantics: the null key already in the sink matches,
+    # so only the genuinely new key survives
+    assert [(r.k, r.v) for r in out] == [(2, "c")]

@@ -59,3 +59,24 @@ def test_schema_widening_union(spark):
     assert set(out.columns) == {"datetime", "v", "extra"}
     row = {r["datetime"].hour: r for r in out.collect()}
     assert row[0]["extra"] is None and row[1]["extra"] == "x"
+
+
+def test_merge_deterministic_with_intra_side_duplicate_keys(spark):
+    from big_data_project_datapipeline_spark.operators.merge import (
+        upsert_keep_last,
+    )
+
+    # two NEW rows share the key and the (empty) tiebreak — the keeper
+    # must be decided by the value fallback, identically on every run
+    existing = spark.createDataFrame([(1, "old")], "k long, v string")
+    new = spark.createDataFrame(
+        [(1, "zzz"), (1, "aaa"), (2, "solo")], "k long, v string"
+    )
+    outs = {
+        tuple(sorted(map(tuple, upsert_keep_last(existing, new, keys=("k",)).collect())))
+        for _ in range(3)
+    }
+    assert len(outs) == 1  # identical across repeated plans
+    rows = dict(next(iter(outs)))
+    assert rows[1] == "aaa"  # ascending-value fallback picks 'aaa'
+    assert rows[2] == "solo"

@@ -70,3 +70,14 @@ def test_key_skew_profile_hand_computed(spark):
     assert r["max_over_mean"] == pytest.approx(6 / (10 / 3), abs=1e-6)
     want_h = -sum(p * math.log(p) for p in (0.6, 0.3, 0.1))
     assert r["entropy"] == pytest.approx(want_h, abs=1e-6)
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    import pytest
+
+    from big_data_project_datapipeline_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame([(1, "x")], "k long, a string")
+    small = spark.createDataFrame([(2, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="duplicate unmatched"):
+        salted_join(large, small, on="k", how="full")
