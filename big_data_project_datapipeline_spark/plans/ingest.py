@@ -56,6 +56,15 @@ def merge_all_sources(
     # J4: stamp the single-row snapshot onto every row. The mix row is O(1);
     # crossJoin(broadcast(...)) keeps it plan-side with no shuffle.
     mix_payload = generation_mix.drop(ts_col)
+    # an EMPTY mix payload (API returned no generationmix block) would
+    # cross-join the whole day down to zero rows and silently discard
+    # every other source (review fix) — fail loudly like the reference's
+    # column assignment would; the frame is O(1), so the count is free
+    if mix_payload.count() == 0:
+        raise ValueError(
+            "merge_all_sources: generation-mix payload is empty — "
+            "refusing to annihilate the day's merged grid"
+        )
     return merged.crossJoin(F.broadcast(mix_payload))
 
 

@@ -78,8 +78,25 @@ def merge_into_partitioned(
         touched = [
             r[0] for r in new.select(partition_col).distinct().collect()
         ]
-        existing_slice = existing.filter(F.col(partition_col).isin(touched))
+        # isin() never matches NULL: without the isNull branch, existing
+        # rows in the null partition are excluded from the merge while
+        # dynamic overwrite still rewrites __HIVE_DEFAULT_PARTITION__ —
+        # silent data loss (review fix, reproduced)
+        non_null = [t for t in touched if t is not None]
+        cond = F.col(partition_col).isin(non_null)
+        if any(t is None for t in touched):
+            cond = cond | F.col(partition_col).isNull()
+        existing_slice = existing.filter(cond).persist()
+        # materialize the slice BEFORE the overwrite: the merged plan
+        # otherwise reads the very files the committer replaces (the
+        # delete_where guard, applied here too)
+        existing_slice.count()
         merged = upsert_keep_last(existing_slice, new, keys=keys)
+        try:
+            write_partitioned(merged, path, [partition_col])
+        finally:
+            existing_slice.unpersist()
+        return
     write_partitioned(merged, path, [partition_col])
 
 
@@ -98,7 +115,16 @@ def write_bucketed(
     # a crashed prior run can leave the managed location behind with no
     # catalog entry — saveAsTable refuses to reuse it, so clear it
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    loc = os.path.join(warehouse.removeprefix("file:"), table_name)
+    # the metastore lowercases table names and nests db-qualified tables
+    # under <db>.db/ — the verbatim join missed the leftover directory
+    # this guard exists to clear (review fix)
+    parts = table_name.lower().split(".")
+    rel = (
+        os.path.join(f"{parts[0]}.db", parts[1])
+        if len(parts) == 2
+        else parts[0]
+    )
+    loc = os.path.join(warehouse.removeprefix("file:"), rel)
     if os.path.exists(loc):
         import shutil
 
@@ -119,13 +145,27 @@ def promote_overwrite(df: DataFrame, path: str) -> None:
     import shutil
 
     tmp = path.rstrip("/") + ".tmp"
+    old = path.rstrip("/") + ".promote.old"
+    # recover a prior crash: a stale .old with no live store IS the
+    # store (crashed between the two renames) — restore it first
+    if os.path.exists(old) and not os.path.exists(path):
+        os.replace(old, path)
+    shutil.rmtree(old, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
+    # never a window with NO store at path: rename the live store aside,
+    # swap the tmp in, and only then drop the backup (review fix — the
+    # previous rmtree-then-replace order lost the store on a crash
+    # between the two steps, with only .tmp left behind)
+    if os.path.exists(path):
+        os.replace(path, old)
     try:
         os.replace(tmp, path)
     except OSError:
+        if os.path.exists(old):  # restore before the slow fallback
+            os.replace(old, path)
         df.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(path)
         shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def export_csv(df: DataFrame, path: str) -> None:
@@ -310,8 +350,18 @@ def compact_parquet(
     intact store. Returns the new file count.
     """
     import math
-    import os
     import shutil
+
+    back = path.rstrip("/") + ".compact.old"
+    # Crash-artifact recovery (review fix): a prior run killed between
+    # the two swap renames leaves the data ONLY in .compact.old (restore
+    # it); one killed after the swap but before cleanup leaves a stale
+    # .compact.old next to a healthy store (drop it). Without this, the
+    # next compaction tick fails forever on the leftover directory.
+    if os.path.exists(back) and not os.path.exists(path):
+        os.rename(back, path)
+    shutil.rmtree(back, ignore_errors=True)
+    shutil.rmtree(path.rstrip("/") + ".compact.tmp", ignore_errors=True)
 
     part_cols = sorted(
         {
@@ -342,7 +392,6 @@ def compact_parquet(
             f"compact_parquet: rewrite of {path} lost rows; aborted "
             f"before swap, source untouched"
         )
-    back = path.rstrip("/") + ".compact.old"
     os.rename(path, back)
     os.rename(tmp, path)
     try:
@@ -467,6 +516,13 @@ def write_training_shards(
             raise ValueError(f"unsupported fmt: {fmt}")
     finally:
         staged.unpersist()
+    if any(r["shard"] is None for r in manifest_rows):
+        staged.unpersist()
+        raise ValueError(
+            "write_training_shards: null doc ids present — they cannot "
+            "be sharded deterministically (md5(NULL) is NULL); drop or "
+            "key them first"
+        )
     manifest = {
         "n_shards": n_shards,
         "format": fmt,
@@ -475,7 +531,7 @@ def write_training_shards(
             for r in sorted(manifest_rows, key=lambda r: r["shard"])
         },
         "total_rows": int(sum(r["n_rows"] for r in manifest_rows)),
-        "total_tokens": int(sum(r["n_tokens"] for r in manifest_rows)),
+        "total_tokens": int(sum(r["n_tokens"] or 0 for r in manifest_rows)),
     }
     tmp = os.path.join(root, "._MANIFEST.tmp")
     with open(tmp, "w") as fh:
@@ -524,7 +580,13 @@ def delete_where(
     ]
     if not touched:
         return 0
-    slice_ = existing.filter(F.col(partition_col).isin(touched)).persist()
+    # isin() never matches NULL — subject rows in the null partition
+    # would be silently skipped while reporting 0 (review fix)
+    non_null = [t for t in touched if t is not None]
+    cond = F.col(partition_col).isin(non_null)
+    if any(t is None for t in touched):
+        cond = cond | F.col(partition_col).isNull()
+    slice_ = existing.filter(cond).persist()
     try:
         # one pass for both counts; materializes the cache the rewrite
         # reads from (so the write never scans the files it replaces)
@@ -541,8 +603,10 @@ def delete_where(
         slice_.unpersist()
     for p in touched:
         if p not in kept_parts:
-            shutil.rmtree(
-                os.path.join(path, f"{partition_col}={p}"),
-                ignore_errors=True,
+            dirname = (
+                f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+                if p is None
+                else f"{partition_col}={p}"
             )
+            shutil.rmtree(os.path.join(path, dirname), ignore_errors=True)
     return int(stats["matched"] or 0)

@@ -210,6 +210,14 @@ def write_payload_dir(payloads: dict[str, Any], payload_dir: str) -> None:
     for name in ("weather", "air_quality", "generation_mix", "prices"):
         with open(os.path.join(payload_dir, f"{name}.json"), "w") as fh:
             json.dump(payloads[name], fh)
+    # clear stale carbon shards first: the ingest CLI globs carbon_*.json,
+    # and a run that fetched FEWER payloads than the previous one would
+    # otherwise leave a prior day's file to be ingested as fresh (review
+    # fix)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(payload_dir, "carbon_*.json")):
+        os.remove(stale)
     for i, payload in enumerate(payloads.get("carbon", [])):
         with open(os.path.join(payload_dir, f"carbon_{i}.json"), "w") as fh:
             json.dump(payload, fh)

@@ -50,8 +50,17 @@ def normalize_parallel_arrays(
     block = payload.get(section) or {}
     times = block.get(ts_key) or []
     arrays = {out: (block.get(src) or []) for src, out in mapping.items()}
+    # float() coercion: real APIs emit JSON integers (humidity 55, not
+    # 55.0) and createDataFrame's DoubleType verifier REJECTS python int
+    # (review fix, reproduced on live-shaped payloads)
+    def _num(x):
+        return float(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else x
+
     rows = [
-        tuple([times[i]] + [arr[i] if i < len(arr) else None for arr in arrays.values()])
+        tuple(
+            [times[i]]
+            + [_num(arr[i]) if i < len(arr) else None for arr in arrays.values()]
+        )
         for i in range(len(times))
     ]
     schema = T.StructType(
@@ -120,7 +129,13 @@ def normalize_carbon_records(
     """S3: union of per-day record-list payloads → flat typed rows."""
     records: list[Any] = []
     for p in payloads:
-        records.extend(p.get("data") or [])
+        for r in p.get("data") or []:
+            inten = dict(r.get("intensity") or {})
+            for k in ("actual", "forecast"):
+                v = inten.get(k)
+                if isinstance(v, int) and not isinstance(v, bool):
+                    inten[k] = float(v)  # DoubleType rejects python int
+            records.append({**r, "intensity": inten})
     df = spark.createDataFrame(records, CARBON_RECORD) if records else (
         spark.createDataFrame([], CARBON_RECORD)
     )
@@ -145,8 +160,11 @@ def normalize_generation_mix(
             T.StructField("perc", T.DoubleType(), True),
         ]
     )
+    def _numf(x):
+        return float(x) if isinstance(x, (int, float)) and not isinstance(x, bool) else x
+
     df = spark.createDataFrame(
-        [(r.get("fuel"), r.get("perc")) for r in mix], schema
+        [(r.get("fuel"), _numf(r.get("perc"))) for r in mix], schema
     ).withColumn("datetime", lenient_iso_timestamp(F.lit(ts)))
     df = df.withColumn("fuel", F.regexp_replace(F.lower("fuel"), " ", "_"))
     return pivot_records(
@@ -171,7 +189,13 @@ def normalize_prices(
     results = payload.get("results") or []
     df = spark.createDataFrame(
         [
-            (r.get("valid_from"), r.get("value_inc_vat"))
+            (
+                r.get("valid_from"),
+                float(r["value_inc_vat"])
+                if isinstance(r.get("value_inc_vat"), (int, float))
+                and not isinstance(r.get("value_inc_vat"), bool)
+                else r.get("value_inc_vat"),
+            )
             for r in results
         ],
         T.StructType(

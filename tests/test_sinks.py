@@ -373,3 +373,66 @@ def test_delete_where_fully_matching_partition_and_nulls(spark, tmp_path):
     import os
 
     assert not os.path.exists(os.path.join(path, "day=d0"))  # emptied
+
+
+def test_merge_into_partitioned_null_partition_preserved(spark, tmp_path):
+    # Review regression (reproduced): existing rows in the NULL partition
+    # must survive a merge that touches that partition.
+    path = str(tmp_path / "store")
+    first = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", None)], "k long, v string, date string"
+    )
+    sinks.write_partitioned(first, path, ["date"])
+    new = spark.createDataFrame([(3, "c", None)], "k long, v string, date string")
+    sinks.merge_into_partitioned(new, path, keys=["k"], partition_col="date")
+    got = sorted((r.k, r.v) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_delete_where_null_partition_rows(spark, tmp_path):
+    path = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, 1, None), (2, 2, None), (3, 1, "d1")],
+        "id long, user long, date string",
+    )
+    sinks.write_partitioned(df, path, ["date"])
+    n = sinks.delete_where(spark, path, F.col("user") == 1, "date")
+    assert n == 2  # the null-partition subject row is found and purged
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == [2]
+
+
+def test_promote_overwrite_recovers_from_crash_artifacts(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "store")
+    df1 = spark.createDataFrame([(1,)], "x long")
+    sinks.promote_overwrite(df1, path)
+    # simulate a crash between the two renames: store moved aside, no live dir
+    os.replace(path, path + ".promote.old")
+    df2 = spark.createDataFrame([(2,)], "x long")
+    sinks.promote_overwrite(df2, path)  # must recover, then promote
+    assert [r.x for r in spark.read.parquet(path).collect()] == [2]
+    assert not os.path.exists(path + ".promote.old")
+
+
+def test_compact_recovers_from_stale_backup(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "store")
+    spark.range(100).write.parquet(path)
+    # simulate crash right after the first swap rename
+    os.replace(path, path + ".compact.old")
+    n = sinks.compact_parquet(spark, path)
+    assert n >= 1
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + ".compact.old")
+
+
+def test_training_shards_null_doc_id_rejected(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(None, "some text"), (1, "more text")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="null doc ids"):
+        sinks.write_training_shards(df, str(tmp_path / "x"), n_shards=2)

@@ -125,3 +125,42 @@ def test_schema_drift_reports_all_changes(spark):
         assert_schema(df, expected)
     # identical schema: clean
     assert schema_drift(expected, expected) == []
+
+
+def test_normalizers_accept_integer_json_values(spark):
+    # Real APIs emit JSON integers; DoubleType schemas must coerce, not
+    # crash (review regression, reproduced on live-shaped payloads).
+    from big_data_project_datapipeline_spark.sources.json_payloads import (
+        normalize_carbon_records,
+        normalize_generation_mix,
+        normalize_parallel_arrays,
+        normalize_prices,
+    )
+
+    w = normalize_parallel_arrays(
+        spark,
+        {"hourly": {"time": ["2024-01-01T00:00"], "temperature_2m": [7]}},
+        "hourly",
+        {"temperature_2m": "temperature_C"},
+    )
+    assert w.collect()[0].temperature_C == 7.0
+    c = normalize_carbon_records(
+        spark,
+        [{"data": [{"from": "2024-01-01T00:00Z", "to": "2024-01-01T00:30Z",
+                    "intensity": {"actual": 263, "forecast": 270,
+                                  "index": "high"}}]}],
+    )
+    row = c.collect()[0]
+    assert row.carbon_intensity_actual == 263.0
+    g = normalize_generation_mix(
+        spark,
+        {"data": {"from": "2024-01-01T00:00Z",
+                  "generationmix": [{"fuel": "wind", "perc": 40}]}},
+    )
+    assert g.collect()[0]["uk_gen_wind_%"] == 40.0
+    p = normalize_prices(
+        spark,
+        {"results": [{"valid_from": "2024-01-01T00:00:00Z",
+                      "value_inc_vat": 25}]},
+    )
+    assert p.collect()[0]['retail_price_£_per_kWh'] == 0.25
