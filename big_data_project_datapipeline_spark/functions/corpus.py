@@ -591,7 +591,13 @@ def bigram_logprob_scores(
     hapax-heavy and unbounded — the tf_idf/bigram_model reasoning);
     w1 totals join the vocab-bounded pair-count frame, where AQE
     skew-join absorbs hot head words. Decimal accumulation of c*ln p
-    (q62 device), round(6) on exposed surfaces."""
+    (q62 device), round(6) on exposed surfaces.
+
+    Cost note (review): the exact vocabulary size V costs a SECOND
+    corpus tokenize (the pair staging cannot supply doc-final tokens of
+    1-token docs). At 100 TB read V off the incrementally maintained
+    token-count store (streaming/corpus.maintain_token_counts) instead
+    of recomputing it here."""
     toks = TX.tokens(F.col(text_col))
     staged = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("__t")

@@ -38,8 +38,14 @@ def target_encode_loo(
     targets. round(6) output on exact decimal sums.
     """
     dec = F.col(target_col).cast("decimal(18,4)")
+    # NaN targets are excluded like NULLs: the decimal cast nulls NaN
+    # inside the sum while count() would still count the row, biasing
+    # every LOO encode in the category (review fix, reproduced)
+    valid = F.col(target_col).isNotNull() & ~F.isnan(
+        F.col(target_col).cast("double")
+    )
     cat = (
-        df.filter(F.col(target_col).isNotNull())
+        df.filter(valid)
         .groupBy(*category_cols)
         .agg(
             F.count(F.lit(1)).alias("__cat_n"),
@@ -50,10 +56,7 @@ def target_encode_loo(
     loo = (F.col("__cat_s") - F.col(target_col)) / (F.col("__cat_n") - 1)
     return joined.withColumn(
         out_col,
-        F.when(
-            F.col(target_col).isNotNull() & (F.col("__cat_n") > 1),
-            F.round(loo, 6),
-        ),
+        F.when(valid & (F.col("__cat_n") > 1), F.round(loo, 6)),
     ).drop("__cat_n", "__cat_s")
 
 
@@ -67,11 +70,15 @@ def hashed_token_counts(
     token-occurrence count, bucket = md5-derived bigint % n_buckets.
     Token multiplicity counts (this is a count vector, not a set).
     """
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        _md5_bucket,
+    )
+
     tok = F.explode(tokens(F.col(text_col))).alias("tok")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-        % n_buckets
-    ).alias("bucket")
+    # shared engine-portable bucket recipe (corpus._md5_bucket) — three
+    # inline copies of the md5 device had already drifted risk (review);
+    # cast back to long to keep this function's published schema
+    bucket = _md5_bucket(F.col("tok"), n_buckets).cast("long").alias("bucket")
     return (
         df.select(doc_id_col, tok)
         .select(doc_id_col, bucket)

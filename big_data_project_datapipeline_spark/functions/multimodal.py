@@ -53,8 +53,16 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
-    b"RIFF": "audio/wav",
     b"\x1aE\xdf\xa3": "video/webm",
+}
+
+# RIFF is a CONTAINER: the format tag at offset 8 decides the media kind
+# (WAVE audio, WEBP image, 'AVI ' video) — mapping the 4-byte prefix
+# straight to audio/wav misrouted WebP/AVI payloads (review fix).
+_RIFF_KINDS = {
+    b"WAVE": "audio/wav",
+    b"WEBP": "image/webp",
+    b"AVI ": "video/avi",
 }
 
 
@@ -77,6 +85,8 @@ def decode_image(content: bytes):
 def _sniff(content: bytes | None) -> str | None:
     if content is None:
         return None
+    if content[:4] == b"RIFF":
+        return _RIFF_KINDS.get(content[8:12], "application/riff")
     for magic, kind in _MAGIC.items():
         if content[: len(magic)] == magic:
             return kind
@@ -103,6 +113,13 @@ def extract_media_features(df: DataFrame, content_col: str = "content") -> DataF
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             contents = pdf[content_col]
+            # ONE digest per item (md5 + both fake dims derive from it)
+            # — the previous per-column calls hashed multi-MB blobs
+            # three times each (review fix; output bit-identical)
+            digests = [
+                hashlib.md5(c).digest() if c is not None else None
+                for c in contents
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -110,12 +127,17 @@ def extract_media_features(df: DataFrame, content_col: str = "content") -> DataF
                         len(c) if c is not None else None for c in contents
                     ],
                     "md5": [
-                        hashlib.md5(c).hexdigest() if c is not None else None
-                        for c in contents
+                        d.hex() if d is not None else None for d in digests
                     ],
                     "sniffed_kind": [_sniff(c) for c in contents],
-                    "width": [_fake_dims(c)[0] for c in contents],
-                    "height": [_fake_dims(c)[1] for c in contents],
+                    "width": [
+                        16 * (1 + d[0] % 64) if d is not None else None
+                        for d in digests
+                    ],
+                    "height": [
+                        16 * (1 + d[1] % 64) if d is not None else None
+                        for d in digests
+                    ],
                 }
             )
 
@@ -199,6 +221,8 @@ def sample_video_frames(
     the output is ``n_frames×`` the input row count with no shuffle —
     repartition AFTER sampling if downstream needs balance.
     """
+    if fps <= 0:
+        raise ValueError(f"fps must be > 0, got {fps}")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -53,14 +53,14 @@ def grouped_quantiles_pandas(
     a semantics Spark's approx_percentile doesn't offer exactly)."""
     schema = T.StructType(
         [df.schema[group_col]]
-        + [T.StructField(f"q{int(q * 100)}", T.DoubleType(), True) for q in quantiles]
+        + [T.StructField(f"q{round(q * 100)}", T.DoubleType(), True) for q in quantiles]
     )
 
     def _q(pdf: pd.DataFrame) -> pd.DataFrame:
         vals = pdf[value_col].dropna()
         row = {group_col: [pdf[group_col].iloc[0]]}
         for q in quantiles:
-            row[f"q{int(q * 100)}"] = [
+            row[f"q{round(q * 100)}"] = [
                 float(vals.quantile(q)) if len(vals) else None
             ]
         return pd.DataFrame(row)

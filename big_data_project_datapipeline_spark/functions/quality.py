@@ -76,7 +76,7 @@ def fixed_bin_histogram(
         F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
     ).cast("int")
     out = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
         .groupBy(*group_cols, bin_id.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -117,8 +117,13 @@ def welch_ttest(
             F.sum(F.when(cond, dec * dec)).cast("double").alias(f"__ss_{tag}"),
         ]
 
+    # NaN is excluded like NULL: the decimal cast nulls NaN inside the
+    # sums while count() would still count the row, fabricating moments
+    # (review fix — same rule applied to histogram/trend/anomalies/gini)
     base = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col))
+        )
         .groupBy(*by)
         .agg(*arm(False, "a"), *arm(True, "b"))
     )
@@ -192,7 +197,7 @@ def mad_outlier_summary(
     back to the row stream.
     """
     med = grouped_lower_median(df, by, value_col, "median")
-    rows = df.filter(F.col(value_col).isNotNull()).join(
+    rows = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).join(
         F.broadcast(med), list(by) if by else None, "inner" if by else "cross"
     )
     dev = rows.withColumn(
@@ -229,7 +234,7 @@ def grouped_rank_elements(
     requested quantile (conditional mins share the cum frame).
     """
     g = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
         .groupBy(*by, F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
@@ -278,7 +283,7 @@ def robust_scale(
         value_col,
         [(1, 4, "p25"), (1, 2, "p50"), (3, 4, "p75")],
     )
-    joined = df.filter(F.col(value_col).isNotNull()).join(
+    joined = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).join(
         F.broadcast(qs), list(by) if by else None, "inner" if by else "cross"
     )
     iqr = F.col("p75") - F.col("p25")
@@ -309,7 +314,7 @@ def seasonal_anomalies(
     hour = F.hour(F.col(ts_col)).alias("__hh")
     dec = F.col(value_col).cast("decimal(18,4)")
     cells = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
         .groupBy(*by, hour)
         .agg(
             F.count(F.lit(1)).alias("__n"),
@@ -325,7 +330,7 @@ def seasonal_anomalies(
         mean.alias("__mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("__std"),
     )
-    rows = df.filter(F.col(value_col).isNotNull()).withColumn(
+    rows = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).withColumn(
         "__hh", F.hour(F.col(ts_col))
     )
     joined = rows.join(F.broadcast(base), [*by, "__hh"])
@@ -362,7 +367,7 @@ def equal_frequency_bins(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     w = Window.partitionBy(*by).orderBy(*order)
-    binned = df.filter(F.col(value_col).isNotNull()).withColumn(
+    binned = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).withColumn(
         "bin", F.ntile(n_bins).over(w)
     )
     return binned.groupBy(*by, "bin").agg(
@@ -436,8 +441,15 @@ def grouped_linear_trend(
     xd = x.cast("decimal(28,0)")
     yd = F.col(value_col).cast("decimal(18,4)")
     xy = (x.cast("double") * F.col(value_col)).cast("decimal(28,6)")
+    # null/NaN x rows must ALSO drop: they are skipped by the x-moment
+    # sums but would inflate n and __sy, silently corrupting the fit
+    # (review fix, reproduced: slope -1.5 where the valid rows define 1.0)
     g = (
-        df.filter(F.col(value_col).isNotNull())
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+            & x.isNotNull()
+        )
         .groupBy(*by)
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -487,7 +499,7 @@ def gini_dispersion(
     Scale shape: one window sort per group (the honest cost of exact
     order statistics — same posture as equal_frequency_bins) plus one
     map-side-combinable aggregate."""
-    base = df.filter(F.col(value_col).isNotNull()).select(
+    base = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("x"),
         F.col(id_col).alias("id"),

@@ -544,3 +544,59 @@ def test_rfm_segments_deterministic_quintiles(spark):
     assert (bot.r_score, bot.f_score, bot.m_score) == (1, 1, 1)
     assert bot.segment == "hibernating"
     assert out[10].recency_days == 0 and out[1].recency_days == 9
+
+
+def test_nan_values_excluded_from_moments(spark):
+    # Review regressions (reproduced): NaN counted in n but nulled by the
+    # decimal cast fabricated moments across welch/trend/encode/histogram.
+    import math
+
+    from big_data_project_datapipeline_spark.functions.encode import (
+        target_encode_loo,
+    )
+    from big_data_project_datapipeline_spark.functions.quality import (
+        fixed_bin_histogram,
+        grouped_linear_trend,
+        welch_ttest,
+    )
+
+    nan = float("nan")
+    # welch: NaN row in arm A must not count
+    df = spark.createDataFrame(
+        [(1, 1.0, False), (2, nan, False), (3, 3.0, False),
+         (4, 2.0, True), (5, 4.0, True)],
+        "id long, value double, flag boolean",
+    )
+    w = welch_ttest(df, "value", F.col("flag")).collect()[0]
+    assert w.n_a == 2 and w.mean_a == pytest.approx(2.0)
+    # histogram: NaN must not land in bin 0
+    h = fixed_bin_histogram(
+        spark.createDataFrame([(1.0,), (nan,), (9.0,)], "value double"),
+        "value", lo=0.0, hi=10.0, n_bins=5,
+    ).collect()
+    assert sum(r.n for r in h) == 2
+    # LOO encode: NaN target excluded from category stats
+    e = target_encode_loo(
+        spark.createDataFrame(
+            [("a", 2.0), ("a", nan), ("a", 4.0)], "cat string, value double"
+        ),
+        ["cat"], "value",
+    ).collect()
+    by_val = {r.value if r.value == r.value else "nan": r.te_loo for r in e}
+    assert by_val[4.0] == pytest.approx(2.0)
+    assert by_val[2.0] == pytest.approx(4.0)
+    assert by_val["nan"] is None
+    # trend: null-x rows fully excluded
+    import datetime as dt
+    t = grouped_linear_trend(
+        spark.createDataFrame(
+            [("g", dt.datetime(2024, 1, 1), 0.0),
+             ("g", dt.datetime(2024, 1, 2), 1.0),
+             ("g", None, 5.0)],
+            "g string, ts timestamp, value double",
+        ),
+        x=F.unix_millis(F.col("ts")),
+        value_col="value", by=["g"],
+    ).collect()[0]
+    assert t.n == 2 and t.slope_per_unit == pytest.approx(1.0)
+    assert t.pearson_r == pytest.approx(1.0)
