@@ -55,7 +55,10 @@ from big_data_project_datapipeline_spark.operators.asof import asof_join
 from big_data_project_datapipeline_spark.operators.fuzzy import (
     blocked_levenshtein_pairs,
 )
-from big_data_project_datapipeline_spark.operators.market import copurchase_lift
+from big_data_project_datapipeline_spark.operators.market import (
+    copurchase_lift,
+    frequent_triples,
+)
 from big_data_project_datapipeline_spark.operators.skew import key_skew_profile
 from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
 from big_data_project_datapipeline_spark.operators.rolling import (
@@ -2536,6 +2539,18 @@ def q131_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q132_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top frequent item TRIPLES by basket support (the size-3 Apriori
+    level above q79's pairs): triples generate map-side from each
+    order's sorted distinct-part array — never a 3-way self-join of the
+    item stream (operators/market.frequent_triples)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_triples(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_count=2, top_n=50,
+    )
+
+
 def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
@@ -2704,6 +2719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_ship_latency": q129_ship_latency,
         "q130_lang_confusion": q130_lang_confusion,
         "q131_source_entropy": q131_source_entropy,
+        "q132_frequent_triples": q132_frequent_triples,
         # rows-only additions (training not SQL-expressible, like q93)
         "q109_pq_audit": q109_pq_audit,
         "q117_ann_ivfpq": q117_ann_ivfpq,
@@ -5237,6 +5253,24 @@ def oracle_sql() -> dict[str, str]:
                          - clog / CAST(n_tokens AS DOUBLE)), 6)
                    AS effective_vocab
         FROM agg
+    """
+    out["q132_frequent_triples"] = """
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+            FROM lineitem),
+        tri AS (
+            SELECT a.p AS item_a, b.p AS item_b, c.p AS item_c
+            FROM op a
+            JOIN op b ON a.k = b.k AND a.p < b.p
+            JOIN op c ON b.k = c.k AND b.p < c.p),
+        counts AS (
+            SELECT item_a, item_b, item_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_baskets
+            FROM tri GROUP BY item_a, item_b, item_c
+            HAVING COUNT(*) >= 2)
+        SELECT item_a, item_b, item_c, n_baskets
+        FROM counts
+        ORDER BY n_baskets DESC, item_a, item_b, item_c LIMIT 50
     """
     out["q107_market_share"] = """
         WITH joined AS (

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "q129_ship_latency",
     "q130_lang_confusion",
     "q131_source_entropy",
+    "q132_frequent_triples",
 ]
 
 

@@ -111,3 +111,70 @@ def copurchase_lift(
     # GC, or operators.caching.release_caches) instead of pinning
     # executor memory for the session lifetime.
     return attach_cache_release(result, (baskets,))
+
+
+def frequent_triples(
+    lines: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_count: int = 2,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top frequent unordered item TRIPLES with basket support — the
+    size-3 sibling of copurchase_lift's pairs (the next Apriori level a
+    recommender actually mines).
+
+    Scale shape: the same basket device — ONE shuffle builds the sorted
+    per-basket distinct-item array, then triples generate MAP-SIDE from
+    index combinations over that array (a 3-way self-join on the basket
+    key would shuffle the item stream three times for the identical
+    multiset). Per-basket cost is C(k,3), bounded by basket size — cap
+    giant baskets upstream like the pair op documents. One map-side-
+    combinable count per triple, TakeOrderedAndProject head.
+    """
+    baskets = (
+        lines.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .filter(F.size("items") >= 3)
+    )
+    n = F.size("items")
+    # index bounds guarantee ascending sequences (Spark's sequence(a, b)
+    # DESCENDS when a > b, which would emit j <= i and out-of-range
+    # element_at under ANSI): i in [1, n-2], j in [i+1, n-1], k in [j+1, n]
+    idx = F.sequence(F.lit(1), n - 2)
+    # triples as struct(i<j<k) over the sorted array — flatten of
+    # nested transforms, all JVM-side
+    triples = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.flatten(
+                F.transform(
+                    F.sequence(i + 1, n - 1),
+                    lambda j: F.transform(
+                        F.sequence(j + 1, n),
+                        lambda k: F.struct(
+                            F.element_at(F.col("items"), i).alias("a"),
+                            F.element_at(F.col("items"), j).alias("b"),
+                            F.element_at(F.col("items"), k).alias("c"),
+                        ),
+                    ),
+                )
+            ),
+        )
+    )
+    exploded = baskets.select(F.explode(triples).alias("t")).select(
+        F.col("t.a").alias("item_a"),
+        F.col("t.b").alias("item_b"),
+        F.col("t.c").alias("item_c"),
+    )
+    counts = (
+        exploded.groupBy("item_a", "item_b", "item_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_count)
+    )
+    return counts.orderBy(
+        F.desc("n_baskets"), "item_a", "item_b", "item_c"
+    ).limit(top_n)

@@ -600,3 +600,22 @@ def test_nan_values_excluded_from_moments(spark):
     ).collect()[0]
     assert t.n == 2 and t.slope_per_unit == pytest.approx(1.0)
     assert t.pearson_r == pytest.approx(1.0)
+
+
+def test_frequent_triples_hand_computed(spark):
+    from big_data_project_datapipeline_spark.operators.market import (
+        frequent_triples,
+    )
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (1, "d"),
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "a"), (3, "b"), (3, "x"),
+            (4, "a"), (4, "b")]  # pairs only — no triple
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = frequent_triples(df, "basket", "item", min_count=2).collect()
+    assert [(r.item_a, r.item_b, r.item_c, r.n_baskets) for r in out] == [
+        ("a", "b", "c", 2)
+    ]
+    # min_count=1 surfaces every triple of the 4-item basket: C(4,3)=4
+    all_t = frequent_triples(df, "basket", "item", min_count=1).collect()
+    assert sum(1 for r in all_t if r.n_baskets == 1) == 4
