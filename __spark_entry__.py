@@ -2798,6 +2798,82 @@ def q117_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q133_collapse_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-clone collapse THEN pairwise SimHash near-dup (functions/
+    dedup.collapsed_near_duplicates) — the CCNet/RefinedWeb stage order
+    and the measured mitigation for the clone-quadratic pair blow-up in
+    SCALING.md's 10x smoke: pairs are found between clone-group
+    REPRESENTATIVES only, each carrying its group size."""
+    d = _t(spark, sf_dir, "documents")
+    return D.collapsed_near_duplicates(d, max_distance=3, bits=32)
+
+
+def q134_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021; functions/
+    text.gopher_quality_flags) — per-doc word-count / mean-word-length
+    / symbol / bullet / ellipsis / alpha-fraction / stopword rules and
+    the keep conjunction. Every ratio is an integer cross-
+    multiplication: exact in both engines, zero division guards
+    needed. The standard 50-word floor genuinely discriminates on this
+    corpus (token counts span 10–100, median ≈ 55)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.gopher_quality_flags(d)
+
+
+def q135_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth V(N)=K·N^beta (functions/
+    corpus.heaps_law): per-doc cumulative token/type checkpoints + the
+    log-log OLS fit as constant columns. First-occurrence-by-min-doc_id
+    turns the stateful "types seen so far" scan into two relational
+    groupBys."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.heaps_law(d)
+
+
+def q136_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (functions/text.
+    readability_scores) with the deterministic vowel-group syllable
+    proxy — dictionary-free, ANSI-reproducible; zero-word docs
+    excluded (explicit empty-text story doubling as the division
+    guard)."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.readability_scores(d)
+
+
+def q137_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped value-concentration report: parts whose revenue
+    exceeds 1.25x the MEAN part revenue, with their global share. (Q11's
+    fixed fraction must be rescaled per SF to stay non-degenerate — a
+    mean-multiple threshold is the scale-invariant form, discriminating
+    at every SF.) The correlated HAVING-over-global-scalar decorrelates
+    into one per-part aggregate (1 shuffle on l_partkey) + one
+    O(1)-output total/count re-aggregated from the per-part frame
+    (never a second lineitem scan) broadcast back. The threshold
+    compares value*4*n_parts > 5*total entirely in DECIMAL x integer —
+    exact, no float boundary wobble; only the reported share divides in
+    double, expression-order mirrored by the oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("__val"))
+    tot = per_part.agg(
+        F.sum("__val").alias("__tot"),
+        F.count(F.lit(1)).alias("__np"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(F.col("__val") * (F.col("__np") * 4) > F.col("__tot") * 5)
+        .select(
+            "l_partkey",
+            F.col("__val").cast("double").alias("part_revenue"),
+            F.round(
+                F.col("__val").cast("double") / F.col("__tot").cast("double"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -2809,13 +2885,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vs exact, Bessel/variance bounds, sketch error bounds, PQ-vs-
     # baseline MSE; the oracle is the exact-SQL expectation of the
     # emitted booleans + exact counts/percentiles, so zero `no_oracle`
-    # rows are possible in any rotation). The remaining 12 slots hold
+    # rows are possible in any rotation). The ROUND-4 ADDITIONS
+    # q133–q137 (collapse-then-neardup, Gopher rules, Heaps law,
+    # readability, Q11-shaped share) take five of the remaining slots
+    # so the driver certifies them immediately; the last seven hold
     # already-certified representatives spanning the operator families
-    # (both SURVEY §3 composites q37/q92, dedup q20/q21/q51/q99, ANN
-    # exact q25, multimodal q54, text q59, joins q06/q08, scaling q11).
-    # Positions 51+ were certified green in rounds 1-3
-    # (CORRECTNESS_r0{1,2,3}.json) and stay bit-checked locally at both
-    # gate SFs every round (tools/compare_oracle.py).
+    # (both SURVEY §3 composites q37/q92, dedup q21/q51/q99, ANN exact
+    # q25, multimodal q54, text q59). Positions 51+ were certified
+    # green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) and stay
+    # bit-checked locally at both gate SFs every round
+    # (tools/compare_oracle.py).
     return {
         "q92_feature_pipeline": q92_feature_pipeline,
         "q100_dup_coverage": q100_dup_coverage,
@@ -2855,13 +2934,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_pca": q91_pca,
         "q93_ann_ivf": q93_ann_ivf,
         "q94_approx_stats": q94_approx_stats,
+        "q133_collapse_neardup": q133_collapse_neardup,
+        "q134_gopher_rules": q134_gopher_rules,
+        "q135_heaps_law": q135_heaps_law,
+        "q136_readability": q136_readability,
+        "q137_part_value_share": q137_part_value_share,
         "q37_ingest_pipeline": q37_ingest_pipeline,
         "q99_substring_dedup": q99_substring_dedup,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q06_full_outer_hourly": q06_full_outer_hourly,
-        "q08_asof_nearest": q08_asof_nearest,
-        "q11_zscore": q11_zscore,
-        "q20_exact_dedup": q20_exact_dedup,
         "q21_minhash_lsh": q21_minhash_lsh,
         "q25_cosine_topk": q25_cosine_topk,
         "q51_dup_clusters": q51_dup_clusters,
@@ -2869,6 +2948,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_scrub_pii": q59_scrub_pii,
         # --- positions 51+ (certified in rounds 1-3; still
         # bit-checked locally at sf0.001 + sf0.01 every round) ---
+        "q01_pricing_summary": q01_pricing_summary,
+        "q06_full_outer_hourly": q06_full_outer_hourly,
+        "q08_asof_nearest": q08_asof_nearest,
+        "q11_zscore": q11_zscore,
+        "q20_exact_dedup": q20_exact_dedup,
         "q02_regional_revenue": q02_regional_revenue,
         "q03_top_customers": q03_top_customers,
         "q04_priority_semi": q04_priority_semi,
@@ -5018,9 +5102,11 @@ def oracle_sql() -> dict[str, str]:
                          AS norm
               FROM documents)
     """
-    simhash_sigs_cte = f"""toks AS (
+    # table-parametric so q115 (raw corpus) and q133 (clone-collapsed
+    # representatives CTE) share one signature definition
+    simhash_sigs_cte_for = lambda src: f"""toks AS (
             SELECT doc_id, unnest(list_distinct({tokens_sql})) AS tok
-            FROM documents),
+            FROM {src}),
         h AS (
             SELECT doc_id,
                    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
@@ -5034,7 +5120,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST({' + '.join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))} AS BIGINT) AS simhash
             FROM votes)"""
     out["q115_simhash_neardup"] = f"""
-        WITH {simhash_sigs_cte},
+        WITH {simhash_sigs_cte_for("documents")},
         blocks AS (
             SELECT doc_id, simhash, blk,
                    (simhash >> (blk * 8)) & 255 AS val
@@ -5576,5 +5662,163 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, COUNT(*) AS n_vectors, TRUE AS mse_ok,
                TRUE AS beats_mean_baseline, TRUE AS util_ok
         FROM embeddings GROUP BY label
+    """
+    # q133: exact-clone collapse -> SimHash near-dup over representatives
+    # (shares the signature CTE with q115 via the table parameter)
+    out["q133_collapse_neardup"] = f"""
+        WITH grp AS (
+            SELECT COALESCE(md5(text), '__null_text__') AS fp,
+                   MIN(doc_id) AS doc_id, COUNT(*) AS n_clones
+            FROM documents GROUP BY 1),
+        reps AS (
+            SELECT g.doc_id, d.text, g.n_clones
+            FROM grp g JOIN documents d USING (doc_id)),
+        {simhash_sigs_cte_for("reps")},
+        blocks AS (
+            SELECT doc_id, simhash, blk,
+                   (simhash >> (blk * 8)) & 255 AS val
+            FROM sigs CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(blk)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM blocks a JOIN blocks b
+              ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming,
+               ca.n_clones AS clones_a, cb.n_clones AS clones_b
+        FROM cand
+        JOIN grp ca ON cand.id_a = ca.doc_id
+        JOIN grp cb ON cand.id_b = cb.doc_id
+        WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """
+    # q134: every ratio rule is an integer cross-multiplication — no
+    # float surface at all, booleans + exact counts hash directly
+    out["q134_gopher_rules"] = f"""
+        WITH staged AS (
+            SELECT doc_id, {tokens_sql} AS tk,
+                   string_split(text, chr(10)) AS ln,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym
+            FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(tk) AS nw,
+                   list_sum(list_transform(tk, t -> length(t))) AS chars,
+                   len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                       AS alpha_w,
+                   len(list_distinct(list_intersect(tk,
+                       ['the','be','to','of','and','that','have','with'])))
+                       AS stop_hits,
+                   len(ln) AS nl,
+                   len(list_filter(ln, l -> regexp_matches(trim(l),
+                       '^[-*•]'))) AS bullet_l,
+                   len(list_filter(ln, l -> regexp_matches(trim(l),
+                       '(\\.\\.\\.|…)$'))) AS ellipsis_l,
+                   sym
+            FROM staged)
+        SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+               nw >= 50 AND nw <= 100000 AS words_ok,
+               chars >= 3 * nw AND chars <= 10 * nw AND nw > 0
+                   AS mean_len_ok,
+               sym * 10 <= nw AS symbol_ok,
+               bullet_l * 10 <= nl * 9 AS bullet_ok,
+               ellipsis_l * 10 <= nl * 3 AS ellipsis_ok,
+               alpha_w * 5 >= nw * 4 AS alpha_ok,
+               stop_hits >= 2 AS stopword_ok,
+               (nw >= 50 AND nw <= 100000)
+                   AND (chars >= 3 * nw AND chars <= 10 * nw AND nw > 0)
+                   AND (sym * 10 <= nw)
+                   AND (bullet_l * 10 <= nl * 9)
+                   AND (ellipsis_l * 10 <= nl * 3)
+                   AND (alpha_w * 5 >= nw * 4)
+                   AND (stop_hits >= 2) AS keep
+        FROM m
+    """
+    # q135: Heaps-law curve (exact integer checkpoints) + the q103
+    # round-9-then-decimal OLS, expression order mirrored
+    out["q135_heaps_law"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({tokens_sql}) AS token FROM documents),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id),
+        firsts AS (
+            SELECT token, MIN(doc_id) AS doc_id FROM tok GROUP BY token),
+        new_types AS (
+            SELECT doc_id, COUNT(*) AS n FROM firsts GROUP BY doc_id),
+        base AS (
+            SELECT p.doc_id, p.n_tokens, COALESCE(n.n, 0) AS new_types
+            FROM per_doc p LEFT JOIN new_types n USING (doc_id)),
+        curve AS (
+            SELECT doc_id,
+                   CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types
+            FROM base
+            WINDOW w AS (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        m AS (
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(ROUND(ln(CAST(cum_types AS DOUBLE)), 9)
+                       AS DECIMAL(18,9))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))
+                       * CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))
+                       * CAST(ROUND(ln(CAST(cum_types AS DOUBLE)), 9)
+                           AS DECIMAL(18,9))) AS DOUBLE) AS sxy
+            FROM curve),
+        fit AS (
+            SELECT ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+                       AS heaps_beta,
+                   ROUND(exp((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                       / CAST(n AS DOUBLE)), 6) AS heaps_k
+            FROM m)
+        SELECT doc_id, cum_tokens, cum_types, heaps_beta, heaps_k
+        FROM curve CROSS JOIN fit
+    """
+    # q136: Flesch with the vowel-group syllable proxy; zero-word docs
+    # excluded (division guard); expression order mirrored
+    out["q136_readability"] = f"""
+        WITH staged AS (
+            SELECT doc_id, {tokens_sql} AS tk,
+                   GREATEST(len(list_filter(
+                       regexp_split_to_array(text, '[.!?]+\\s+'),
+                       s -> trim(s) <> '')), 1) AS ns
+            FROM documents),
+        m AS (
+            SELECT doc_id, ns, len(tk) AS nw,
+                   list_sum(list_transform(tk, t -> GREATEST(
+                       len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+                       AS syl
+            FROM staged WHERE len(tk) > 0)
+        SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+               CAST(nw AS BIGINT) AS n_words,
+               CAST(syl AS BIGINT) AS n_syllables,
+               ROUND(206.835
+                     - 1.015 * (CAST(nw AS DOUBLE) / CAST(ns AS DOUBLE))
+                     - 84.6 * (CAST(syl AS DOUBLE) / CAST(nw AS DOUBLE)),
+                     6) AS flesch
+        FROM m
+    """
+    # q137: Q11-shaped decorrelated HAVING-over-global-total with a
+    # scale-invariant mean-multiple threshold, compared entirely in
+    # DECIMAL x integer; only the reported share divides in double
+    out["q137_part_value_share"] = """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(10,2))
+                       * (CAST(1 AS DECIMAL(10,2))
+                          - CAST(l_discount AS DECIMAL(10,2)))) AS val
+            FROM lineitem GROUP BY l_partkey),
+        tot AS (SELECT SUM(val) AS t, COUNT(*) AS np FROM per_part)
+        SELECT l_partkey, CAST(val AS DOUBLE) AS part_revenue,
+               ROUND(CAST(val AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                   AS revenue_share
+        FROM per_part CROSS JOIN tot
+        WHERE val * (np * 4) > t * 5
     """
     return out

@@ -155,6 +155,11 @@ BENCH_QUERIES = [
     "q130_lang_confusion",
     "q131_source_entropy",
     "q132_frequent_triples",
+    "q133_collapse_neardup",
+    "q134_gopher_rules",
+    "q135_heaps_law",
+    "q136_readability",
+    "q137_part_value_share",
 ]
 
 

@@ -962,3 +962,78 @@ def weighted_sample(
             F.col("__rn").alias("sample_rank"),
         )
     )
+
+
+def heaps_law(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) = K·N^beta over the corpus
+    read in ``id_col`` order: per-doc checkpoints of the cumulative
+    token count N and cumulative distinct-type count V, with the
+    log-log OLS fit (heaps_beta, heaps_k) attached as constant columns.
+    Natural language sits near beta ≈ 0.4–0.6; templated/synthetic text
+    shows up as a kinked or early-saturating curve (the growth-side
+    sibling of the q103 Zipf head check).
+
+    Relational device: "types seen so far" needs NO stateful scan — a
+    type's first occurrence is min(doc_id) over its postings, so
+    per-doc new-type counts are one groupBy(token) → groupBy(first_doc)
+    pair, and both cumulative curves are one ordered window over the
+    already-collapsed O(docs) per-doc frame. Docs with zero tokens
+    contribute nothing and emit no checkpoint (explicit empty-text
+    story; the oracle mirrors by deriving docs from the exploded
+    tokens).
+
+    Determinism/parity: cum_tokens/cum_types are exact integers; the
+    OLS accumulates round(ln·, 9)-then-decimal terms (the q103 device)
+    and only the final closed-form slope/intercept runs in double, in
+    an expression order the oracle mirrors token-for-token.
+
+    Scale shape: explode → two map-side-combinable groupBys; the
+    single-partition window covers the O(docs) collapsed frame only —
+    at extreme doc counts checkpoint on a coarser prefix key (e.g.
+    every Nth doc) before the window; the fit itself is O(1) output.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("doc_id"))
+    new_types = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__new")
+    )
+    base = per_doc.join(new_types, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("__new"), F.lit(0)).alias("__new"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = base.select(
+        "doc_id",
+        F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("__new").over(w).cast("long").alias("cum_types"),
+    )
+    dec = "decimal(18,9)"
+    x = F.round(F.log(F.col("cum_tokens").cast("double")), 9).cast(dec)
+    y = F.round(F.log(F.col("cum_types").cast("double")), 9).cast(dec)
+    m = curve.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x * x).cast("double").alias("__sxx"),
+        F.sum(x * y).cast("double").alias("__sxy"),
+    )
+    nd = F.col("__n").cast("double")
+    beta = (nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        nd * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    fit = m.select(
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("__sy") - beta * F.col("__sx")) / nd), 6
+        ).alias("heaps_k"),
+    )
+    return curve.crossJoin(F.broadcast(fit))

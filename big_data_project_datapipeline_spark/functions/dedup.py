@@ -841,3 +841,58 @@ def chunk_dedup(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("kept").cast("long")).alias("n_kept"),
     )
+
+
+def collapsed_near_duplicates(
+    df: DataFrame,
+    max_distance: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-clone collapse BEFORE pairwise near-dup — the stage order
+    CCNet/RefinedWeb pipelines use, and the measured mitigation for the
+    quadratic clone blow-up documented in SCALING.md ("Measured decade
+    scale-up": pairwise SimHash spilled 28.7 GB at 10x on a clone-heavy
+    corpus because every organic near-pair multiplies by
+    clones_a x clones_b).
+
+    Byte-identical texts group on md5 (NULL text keyed separately —
+    never aliased to the empty string, the shingle_fingerprint lesson);
+    the min-id member represents the group; the COMPLETE pigeonhole
+    SimHash pair search (simhash_near_duplicates) runs over
+    REPRESENTATIVES only; each side carries its clone-group size so
+    coverage math (pairs x clones_a x clones_b) needs no pair
+    expansion. Output: (id_a, id_b, hamming, clones_a, clones_b),
+    ids ascending within the pair.
+
+    Scale shape: one md5 groupBy (skew-free — uniform hash keys), one
+    id-equi-join to fetch representative text deterministically (never
+    first()-nondeterminism), then the near-dup op's equi-join index.
+    Pair output is quadratic only in DISTINCT near-dup texts, no
+    longer in clone multiplicity.
+    """
+    fp = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    groups = df.groupBy(fp.alias("__fp")).agg(
+        F.min(F.col(id_col)).alias(id_col),
+        F.count(F.lit(1)).cast("long").alias("n_clones"),
+    )
+    reps = groups.select(id_col, "n_clones").join(
+        df.select(id_col, text_col), id_col
+    )
+    pairs = simhash_near_duplicates(
+        reps,
+        max_distance=max_distance,
+        bits=bits,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    ca = groups.select(
+        F.col(id_col).alias("id_a"), F.col("n_clones").alias("clones_a")
+    )
+    cb = groups.select(
+        F.col(id_col).alias("id_b"), F.col("n_clones").alias("clones_b")
+    )
+    return pairs.join(ca, "id_a").join(cb, "id_b").select(
+        "id_a", "id_b", "hamming", "clones_a", "clones_b"
+    )

@@ -765,3 +765,152 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+# Gopher's required-stopword list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", quality-filtering appendix): a document must
+# contain at least 2 of these to look like running English prose.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule battery (Rae et al. 2021): the classic
+    heuristic document filter for LLM pretraining corpora. Per doc:
+
+    * ``words_ok`` — word count in [min_words, max_words];
+    * ``mean_len_ok`` — mean word length in [min_mean_len,
+      max_mean_len] characters;
+    * ``symbol_ok`` — '#'/ellipsis symbol-to-word ratio <= 0.1;
+    * ``bullet_ok`` — <= 90% of lines start with a bullet;
+    * ``ellipsis_ok`` — <= 30% of lines end with an ellipsis;
+    * ``alpha_ok`` — >= 80% of words contain an alphabetic char;
+    * ``stopword_ok`` — >= min_stopword_hits distinct required
+      stopwords present;
+    * ``keep`` — conjunction of all rules.
+
+    Every ratio rule is expressed as an INTEGER cross-multiplication
+    (hits*10 <= n_words, chars <= 10*n_words, ...) — exact in both
+    engines, no float parity surface, and no division to guard (the
+    ANSI zero-guard standing rule satisfied by construction: a
+    zero-word doc simply fails words_ok and the multiplications stay
+    defined). Map-only: the token array and line array are
+    materialized once per row and every rule reads those siblings
+    (no expression re-expansion — the q58 CSE lesson).
+    """
+    tk = tokens(F.col(text_col))
+    lines = F.split(F.col(text_col), r"\n")
+    staged = df.select(
+        F.col(id_col),
+        tk.alias("__tk"),
+        lines.alias("__ln"),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r"#|\.\.\.|…"), 0
+            )
+        ).alias("__sym"),
+    )
+    n_words = F.size("__tk")
+    total_chars = F.aggregate(
+        F.transform("__tk", lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    alpha_words = F.size(
+        F.filter("__tk", lambda t: t.rlike("[a-z]"))
+    )
+    stop_hits = F.size(
+        F.array_intersect("__tk", F.lit(GOPHER_STOPWORDS))
+    )
+    n_lines = F.size("__ln")
+    bullet_lines = F.size(
+        F.filter("__ln", lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            "__ln", lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")
+        )
+    )
+    flags = {
+        "words_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_len_ok": (total_chars >= min_mean_len * n_words)
+        & (total_chars <= max_mean_len * n_words)
+        & (n_words > 0),
+        "symbol_ok": F.col("__sym") * 10 <= n_words,
+        "bullet_ok": bullet_lines * 10 <= n_lines * 9,
+        "ellipsis_ok": ellipsis_lines * 10 <= n_lines * 3,
+        "alpha_ok": alpha_words * 5 >= n_words * 4,
+        "stopword_ok": stop_hits >= min_stopword_hits,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return staged.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic
+    vowel-group syllable proxy: syllables(word) = max(1, number of
+    [aeiouy]+ runs) — the standard dictionary-free approximation, and
+    exactly reproducible in ANSI SQL (no hyphenation library).
+    Sentences split on terminal punctuation + whitespace (the q98
+    Java∩RE2 pattern, no lookbehind), clamped to >= 1 so punctuation-
+    free fragments count as one sentence.
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    round(6); docs with zero words are EXCLUDED (explicit empty-text
+    story — a readability score of '' is meaningless, and the filter
+    doubles as the ANSI division guard). Map-only, one pass; the token
+    array is materialized once and each word's syllable count comes
+    from one regexp_extract_all per word.
+    """
+    tk = tokens(F.col(text_col))
+    sents = F.filter(
+        F.split(F.col(text_col), r"[.!?]+\s+"),
+        lambda s: F.trim(s) != "",
+    )
+    staged = df.select(
+        F.col(id_col),
+        tk.alias("__tk"),
+        F.greatest(F.size(sents), F.lit(1)).alias("__ns"),
+    ).filter(F.size("__tk") > 0)
+    syl = F.aggregate(
+        F.transform(
+            "__tk",
+            lambda t: F.greatest(
+                F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nw = F.size("__tk").cast("double")
+    ns = F.col("__ns").cast("double")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (nw / ns)
+        - F.lit(84.6) * (F.col("__syl").cast("double") / nw)
+    )
+    return staged.withColumn("__syl", syl).select(
+        F.col(id_col),
+        F.col("__ns").cast("long").alias("n_sentences"),
+        F.size("__tk").cast("long").alias("n_words"),
+        F.col("__syl").alias("n_syllables"),
+        F.round(fre, 6).alias("flesch"),
+    )

@@ -1,0 +1,168 @@
+"""Round-4 additions: Gopher quality rules, readability, Heaps law,
+clone-collapsed near-dup. Crafted degenerate inputs included per the
+standing rule (empty text, NULL text, zero-word docs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions.corpus import heaps_law
+from big_data_project_datapipeline_spark.functions.dedup import (
+    collapsed_near_duplicates,
+    simhash_near_duplicates,
+)
+from big_data_project_datapipeline_spark.functions.text import (
+    gopher_quality_flags,
+    readability_scores,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs back to "
+    "the barn because it wants to be fed with fresh corn that the farmer "
+    "left out in the yard while he went off to town to buy more seed for "
+    "the spring planting season which starts soon after the last frost "
+    "melts away from the fields and the ground warms enough to work"
+)  # 67 words, prose-like, stopword-rich
+
+
+class TestGopherRules:
+    def test_good_doc_keeps(self, spark):
+        out = gopher_quality_flags(_docs(spark, [(1, GOOD)])).first()
+        assert out["keep"] and out["n_words"] == 67
+
+    def test_short_doc_fails_words_only(self, spark):
+        out = gopher_quality_flags(
+            _docs(spark, [(1, "the cat sat on the mat and that was that")])
+        ).first()
+        assert not out["words_ok"] and not out["keep"]
+        assert out["stopword_ok"]  # the/and/that present
+
+    def test_no_stopwords_fails(self, spark):
+        text = " ".join(["lorem ipsum dolor sit amet"] * 13)  # 65 words
+        out = gopher_quality_flags(_docs(spark, [(1, text)])).first()
+        assert out["words_ok"] and not out["stopword_ok"] and not out["keep"]
+
+    def test_symbol_heavy_fails_symbol_rule(self, spark):
+        text = GOOD + " " + "# " * 10  # 10 hashes over 72 words > 10%
+        out = gopher_quality_flags(_docs(spark, [(1, text)])).first()
+        assert not out["symbol_ok"]
+
+    def test_bullet_lines_fail(self, spark):
+        # 10 lines, all bullets -> bullet fraction 1.0 > 0.9
+        text = "\n".join(f"- item {i} of the list" for i in range(10))
+        out = gopher_quality_flags(_docs(spark, [(1, text)])).first()
+        assert not out["bullet_ok"]
+
+    def test_numeric_words_fail_alpha_rule(self, spark):
+        # 30 alpha words + 40 pure-number words -> alpha fraction 43%
+        text = ("the cat sat " * 10) + ("12 34 56 78 " * 10)
+        out = gopher_quality_flags(_docs(spark, [(1, text)])).first()
+        assert out["words_ok"] and not out["alpha_ok"]
+
+    def test_empty_text_defined_everywhere(self, spark):
+        out = gopher_quality_flags(_docs(spark, [(1, "")])).first()
+        assert out["n_words"] == 0
+        assert not out["words_ok"] and not out["mean_len_ok"]
+        assert not out["keep"]
+        # ratio rules are cross-multiplications: defined at zero words
+        assert out["symbol_ok"] and out["alpha_ok"]
+
+
+class TestReadability:
+    def test_hand_computed_flesch(self, spark):
+        # "the cat sat. it ran fast." -> 2 sentences, 6 words,
+        # syllables: the=1 cat=1 sat=1 it=1 ran=1 fast=1 -> 6
+        # FRE = 206.835 - 1.015*3 - 84.6*1 = 119.19
+        out = readability_scores(
+            _docs(spark, [(1, "the cat sat. it ran fast.")])
+        ).first()
+        assert out["n_sentences"] == 2 and out["n_words"] == 6
+        assert out["n_syllables"] == 6
+        assert abs(out["flesch"] - 119.19) < 1e-6
+
+    def test_vowel_groups_and_clamp(self, spark):
+        # "queueing" -> ueuei = 2 groups (ueuei split by q? u-e-u-e-i-ng:
+        # groups 'ueuei'? letters: q,u,e,u,e,i,n,g -> one run 'ueuei'
+        # => 1; "rhythm" has no aeiouy vowels except y: 'y' => 1;
+        # "xyzzy" -> y, y => 2
+        out = readability_scores(
+            _docs(spark, [(1, "queueing rhythm xyzzy")])
+        ).first()
+        assert out["n_syllables"] == 1 + 1 + 2
+        assert out["n_sentences"] == 1  # clamped, no terminal punct
+
+    def test_zero_word_docs_excluded(self, spark):
+        out = readability_scores(_docs(spark, [(1, ""), (2, "   ")]))
+        assert out.count() == 0
+
+
+class TestHeapsLaw:
+    def test_hand_computed_curve(self, spark):
+        rows = [
+            (1, "a b a"),        # tokens 3, new types a,b = 2
+            (2, "b c"),          # tokens 2, new types c = 1
+            (3, "a b c"),        # tokens 3, new types 0
+            (4, "d"),            # tokens 1, new types d = 1
+        ]
+        out = {
+            r["doc_id"]: (r["cum_tokens"], r["cum_types"])
+            for r in heaps_law(_docs(spark, rows)).collect()
+        }
+        assert out == {1: (3, 2), 2: (5, 3), 3: (8, 3), 4: (9, 4)}
+
+    def test_fit_recovers_powerlaw(self, spark):
+        # each doc introduces exactly 2 new types over 4 tokens ->
+        # V = N/2 exactly: beta ~ 1, K ~ 0.5
+        rows = [
+            (i, f"t{2*i} t{2*i+1} t{2*i} t{2*i+1}") for i in range(1, 41)
+        ]
+        r = heaps_law(_docs(spark, rows)).first()
+        assert abs(r["heaps_beta"] - 1.0) < 1e-6
+        assert abs(r["heaps_k"] - 0.5) < 1e-6
+
+    def test_zero_token_docs_emit_no_checkpoint(self, spark):
+        out = heaps_law(_docs(spark, [(1, "a b"), (2, ""), (3, "c")]))
+        assert [r["doc_id"] for r in out.orderBy("doc_id").collect()] == [1, 3]
+
+
+class TestCollapsedNearDup:
+    def test_clone_groups_collapse_to_one_pair(self, spark):
+        # two near-dup texts (1 of 60 tokens differs -> hamming 1),
+        # each cloned 3x: naive pairwise -> 9 cross pairs + 2*3 exact
+        # pairs; collapsed -> exactly ONE rep pair carrying clone counts
+        base = [f"w{i}" for i in range(60)]
+        a = " ".join(base)
+        b = " ".join(base[:-1] + ["cat"])
+        rows = [(i, a) for i in (1, 2, 3)] + [(i, b) for i in (10, 11, 12)]
+        out = collapsed_near_duplicates(_docs(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["id_a"], r["id_b"]) == (1, 10)
+        assert (r["clones_a"], r["clones_b"]) == (3, 3)
+        # same hamming the uncollapsed op reports for the rep pair
+        raw = simhash_near_duplicates(_docs(spark, [(1, a), (10, b)])).first()
+        assert r["hamming"] == raw["hamming"]
+
+    def test_null_text_not_aliased_to_empty(self, spark):
+        rows = [(1, None), (2, ""), (3, None)]
+        groups = (
+            collapsed_near_duplicates(_docs(spark, rows))
+        )
+        # no signatures (no tokens) -> no pairs; but the collapse must
+        # not have merged NULL with '' (would still be 0 pairs, so
+        # check the grouping directly)
+        assert groups.count() == 0
+        d = _docs(spark, rows)
+        fp = F.coalesce(F.md5(F.col("text")), F.lit("__null_text__"))
+        sizes = sorted(
+            r["n"]
+            for r in d.groupBy(fp.alias("f"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        assert sizes == [1, 2]
