@@ -2874,6 +2874,98 @@ def q137_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q138_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (functions/dedup.
+    containment_duplicates): |A∩B|/min(|A|,|B|) >= 0.8 over distinct
+    token sets with rare-token inverted-index blocking — the
+    quote/extraction/superset catcher symmetric Jaccard (q22) misses.
+    Integer cross-multiplied threshold; hot tokens excluded by
+    construction so no block exceeds C(max_df, 2) pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return D.containment_duplicates(d)
+
+
+def q139_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promo revenue share per ship month: one
+    lineitem pass with a broadcast part dim and a conditional
+    decimal-exact revenue split (the q107 device) — never two scans.
+    Output keyed by (ship_year, ship_month) integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(10,2)") * (
+        F.lit(1).cast("decimal(10,2)") - F.col("l_discount").cast("decimal(10,2)")
+    )
+    zero = F.lit(0).cast("decimal(21,4)")
+    agg = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo_revenue"),
+        )
+    )
+    return agg.select(
+        "ship_year",
+        "ship_month",
+        F.round("total_revenue", 2).alias("total_revenue"),
+        F.round("promo_revenue", 2).alias("promo_revenue"),
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+def q140_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card report (the "datasheet" a curation run
+    publishes): doc/token counts, Gopher keep rate, exact-duplicate
+    rate (fraction of docs whose byte-identical text occurs more than
+    once corpus-wide), and the dominant language (deterministic
+    count-then-name argmax). Composes the battery operators
+    relationally — every input is a collapsed O(docs) or
+    O(sources x langs) frame, joined on the source key."""
+    d = _t(spark, sf_dir, "documents")
+    flags = TX.gopher_quality_flags(d).select("doc_id", "keep")
+    fp = F.coalesce(F.md5(F.col("text")), F.lit("__null_text__"))
+    clones = d.groupBy(fp.alias("__fp")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    per_doc = (
+        d.select(
+            "doc_id",
+            "source",
+            F.size(TX.tokens(F.col("text"))).cast("long").alias("__nt"),
+            fp.alias("__fp"),
+        )
+        .join(flags, "doc_id")
+        .join(clones, "__fp")
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.round(F.avg(F.col("keep").cast("int").cast("double")), 6).alias(
+            "gopher_keep_rate"
+        ),
+        F.round(
+            F.avg((F.col("__n") > 1).cast("int").cast("double")), 6
+        ).alias("exact_dup_rate"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("__c"))
+    wl = Window.partitionBy("source").orderBy(
+        F.desc("__c"), F.asc("lang")
+    )
+    top_lang = (
+        lc.withColumn("__rn", F.row_number().over(wl))
+        .filter(F.col("__rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return base.join(top_lang, "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -2939,15 +3031,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_heaps_law": q135_heaps_law,
         "q136_readability": q136_readability,
         "q137_part_value_share": q137_part_value_share,
+        "q138_containment_dedup": q138_containment_dedup,
+        "q139_promo_share": q139_promo_share,
+        "q140_dataset_card": q140_dataset_card,
         "q37_ingest_pipeline": q37_ingest_pipeline,
         "q99_substring_dedup": q99_substring_dedup,
-        "q21_minhash_lsh": q21_minhash_lsh,
-        "q25_cosine_topk": q25_cosine_topk,
-        "q51_dup_clusters": q51_dup_clusters,
         "q54_media_features": q54_media_features,
         "q59_scrub_pii": q59_scrub_pii,
         # --- positions 51+ (certified in rounds 1-3; still
         # bit-checked locally at sf0.001 + sf0.01 every round) ---
+        "q21_minhash_lsh": q21_minhash_lsh,
+        "q25_cosine_topk": q25_cosine_topk,
+        "q51_dup_clusters": q51_dup_clusters,
         "q01_pricing_summary": q01_pricing_summary,
         "q06_full_outer_hourly": q06_full_outer_hourly,
         "q08_asof_nearest": q08_asof_nearest,
@@ -5820,5 +5915,128 @@ def oracle_sql() -> dict[str, str]:
                    AS revenue_share
         FROM per_part CROSS JOIN tot
         WHERE val * (np * 4) > t * 5
+    """
+    # q138: containment over hashed 3-shingle sets with rare-shingle
+    # blocking; integer-exact threshold, display division mirrored
+    out["q138_containment_dedup"] = f"""
+        WITH staged AS (
+            SELECT doc_id, {tokens_sql} AS tk FROM documents),
+        tok AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       list_transform(range(1, len(tk) - 1),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]),
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))))
+                   AS token
+            FROM staged WHERE len(tk) >= 3),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id),
+        rare AS (
+            SELECT token FROM tok GROUP BY token
+            HAVING COUNT(*) BETWEEN 2 AND 5),
+        rt AS (SELECT doc_id, token FROM tok
+               WHERE token IN (SELECT token FROM rare)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM rt a JOIN rt b ON a.token = b.token
+                                AND a.doc_id < b.doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS inter_size
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.id_a
+            WHERE EXISTS (SELECT 1 FROM tok tb
+                          WHERE tb.doc_id = c.id_b
+                            AND tb.token = ta.token)
+            GROUP BY c.id_a, c.id_b)
+        SELECT i.id_a, i.id_b, i.inter_size,
+               sa.sz AS size_a, sb.sz AS size_b,
+               ROUND(CAST(i.inter_size AS DOUBLE)
+                     / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6)
+                   AS containment
+        FROM inter i
+        JOIN sizes sa ON i.id_a = sa.doc_id
+        JOIN sizes sb ON i.id_b = sb.doc_id
+        WHERE i.inter_size * 5 >= 4 * LEAST(sa.sz, sb.sz)
+    """
+    # q139: Q14-shaped conditional decimal split, one pass
+    out["q139_promo_share"] = """
+        WITH j AS (
+            SELECT year(l_shipdate) AS ship_year,
+                   month(l_shipdate) AS ship_month,
+                   CAST(l_extendedprice AS DECIMAL(10,2))
+                       * (CAST(1 AS DECIMAL(10,2))
+                          - CAST(l_discount AS DECIMAL(10,2))) AS rev,
+                   p_type
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        agg AS (
+            SELECT ship_year, ship_month,
+                   CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+                   CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                            ELSE CAST(0 AS DECIMAL(21,4)) END) AS DOUBLE)
+                       AS promo_revenue
+            FROM j GROUP BY ship_year, ship_month)
+        SELECT ship_year, ship_month,
+               ROUND(total_revenue, 2) AS total_revenue,
+               ROUND(promo_revenue, 2) AS promo_revenue,
+               ROUND(100.0 * promo_revenue / total_revenue, 6)
+                   AS promo_share_pct
+        FROM agg
+    """
+    # q140: dataset card — composes the gopher battery (integer
+    # cross-multiplied rules), md5 clone groups and a deterministic
+    # count-then-name language argmax
+    out["q140_dataset_card"] = f"""
+        WITH staged AS (
+            SELECT doc_id, source, lang, {tokens_sql} AS tk,
+                   string_split(text, chr(10)) AS ln,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym,
+                   COALESCE(md5(text), '__null_text__') AS fp
+            FROM documents),
+        m AS (
+            SELECT doc_id, source, lang, fp, len(tk) AS nw,
+                   list_sum(list_transform(tk, t -> length(t))) AS chars,
+                   len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                       AS alpha_w,
+                   len(list_distinct(list_intersect(tk,
+                       ['the','be','to','of','and','that','have','with'])))
+                       AS stop_hits,
+                   len(ln) AS nl,
+                   len(list_filter(ln, l -> regexp_matches(trim(l),
+                       '^[-*•]'))) AS bullet_l,
+                   len(list_filter(ln, l -> regexp_matches(trim(l),
+                       '(\\.\\.\\.|…)$'))) AS ellipsis_l,
+                   sym
+            FROM staged),
+        keepers AS (
+            SELECT doc_id, source, lang, fp, nw,
+                   CAST((nw >= 50 AND nw <= 100000)
+                       AND (chars >= 3 * nw AND chars <= 10 * nw AND nw > 0)
+                       AND (sym * 10 <= nw)
+                       AND (bullet_l * 10 <= nl * 9)
+                       AND (ellipsis_l * 10 <= nl * 3)
+                       AND (alpha_w * 5 >= nw * 4)
+                       AND (stop_hits >= 2) AS INT) AS keep
+            FROM m),
+        clones AS (SELECT fp, COUNT(*) AS n FROM keepers GROUP BY fp),
+        base AS (
+            SELECT k.source, COUNT(*) AS n_docs,
+                   CAST(SUM(k.nw) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(CAST(k.keep AS DOUBLE)), 6)
+                       AS gopher_keep_rate,
+                   ROUND(AVG(CAST(CASE WHEN c.n > 1 THEN 1 ELSE 0 END
+                       AS DOUBLE)), 6) AS exact_dup_rate
+            FROM keepers k JOIN clones c USING (fp)
+            GROUP BY k.source),
+        lc AS (
+            SELECT source, lang, COUNT(*) AS c
+            FROM keepers GROUP BY source, lang),
+        top_lang AS (
+            SELECT source, lang AS top_lang
+            FROM (SELECT source, lang,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                             ORDER BY c DESC, lang ASC) AS rn
+                  FROM lc) WHERE rn = 1)
+        SELECT b.source, b.n_docs, b.n_tokens, b.gopher_keep_rate,
+               b.exact_dup_rate, t.top_lang
+        FROM base b JOIN top_lang t USING (source)
     """
     return out

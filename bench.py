@@ -160,6 +160,9 @@ BENCH_QUERIES = [
     "q135_heaps_law",
     "q136_readability",
     "q137_part_value_share",
+    "q138_containment_dedup",
+    "q139_promo_share",
+    "q140_dataset_card",
 ]
 
 

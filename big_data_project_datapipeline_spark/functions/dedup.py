@@ -896,3 +896,89 @@ def collapsed_near_duplicates(
     return pairs.join(ca, "id_a").join(cb, "id_b").select(
         "id_a", "id_b", "hamming", "clones_a", "clones_b"
     )
+
+
+def containment_duplicates(
+    df: DataFrame,
+    min_containment_num: int = 4,
+    min_containment_den: int = 5,
+    max_shingle_df: int = 5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment dedup (Broder's containment coefficient):
+    pairs where |A∩B| / min(|A|,|B|) >= num/den over DISTINCT word
+    k-shingle sets — catches quotes, extractions and supersets that
+    symmetric Jaccard misses (a 50-token doc fully embedded in a
+    5000-token doc has Jaccard ~0.01 but containment 1.0, which is
+    also why MinHash LSH is the WRONG blocker here: its collision
+    probability tracks Jaccard). Shingles, not raw tokens: on a
+    small-vocabulary corpus every token is hot and token-level sets
+    carry no signal, while k-gram shingle space stays discriminative
+    (the q22 lesson).
+
+    Blocking: rare-shingle inverted index — docs sharing at least one
+    shingle with document frequency in [2, max_shingle_df] become
+    candidates. Complete for any pair sharing a rare shingle; pairs
+    overlapping ONLY in boilerplate-class shingles are not duplicates
+    in any useful sense (documented recall bound, mirrored exactly by
+    the oracle). Hot shingles are EXCLUDED by construction, so no
+    block exceeds C(max_shingle_df, 2) pairs — the classic ER blocking
+    bound, skew-proof at any corpus size.
+
+    The threshold is an integer cross-multiplication
+    (inter * den >= num * min_size — exact, no float boundary); the
+    reported containment divides in double for display only.
+    Output: (id_a, id_b, inter_size, size_a, size_b, containment).
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__tk")
+    )
+    tok = staged.select(
+        "doc_id",
+        F.explode(shingle_hash_set_from_tokens(F.col("__tk"), k)).alias(
+            "token"
+        ),
+    )
+    sizes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    rare = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_shingle_df))
+        .select("token")
+    )
+    rt = tok.join(rare, "token", "left_semi")
+    cand = (
+        rt.select(F.col("doc_id").alias("id_a"), "token")
+        .join(rt.select(F.col("doc_id").alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a_tok = tok.select(F.col("doc_id").alias("id_a"), "token")
+    b_tok = tok.select(F.col("doc_id").alias("id_b"), "token")
+    inter = (
+        cand.join(a_tok, "id_a")
+        .join(b_tok, ["id_b", "token"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_size"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("size_b"))
+    scored = inter.join(sa, "id_a").join(sb, "id_b")
+    min_sz = F.least(F.col("size_a"), F.col("size_b"))
+    return scored.filter(
+        F.col("inter_size") * min_containment_den >= min_containment_num * min_sz
+    ).select(
+        "id_a",
+        "id_b",
+        "inter_size",
+        "size_a",
+        "size_b",
+        F.round(F.col("inter_size").cast("double") / min_sz.cast("double"), 6).alias(
+            "containment"
+        ),
+    )

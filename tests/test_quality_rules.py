@@ -166,3 +166,45 @@ class TestCollapsedNearDup:
             .collect()
         )
         assert sizes == [1, 2]
+
+
+class TestContainmentDedup:
+    def test_embedded_quote_detected(self, spark):
+        from big_data_project_datapipeline_spark.functions.dedup import (
+            containment_duplicates,
+        )
+        # B is a 10-token excerpt of the 40-token A: Jaccard ~0.2 but
+        # containment 1.0 -> caught. C shares nothing -> no pair.
+        a_toks = [f"u{i}" for i in range(40)]
+        b_toks = a_toks[5:15]
+        c_toks = [f"v{i}" for i in range(30)]
+        d = _docs(
+            spark,
+            [(1, " ".join(a_toks)), (2, " ".join(b_toks)), (3, " ".join(c_toks))],
+        )
+        out = containment_duplicates(d).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        # 10 tokens -> 8 distinct 3-shingles, all present in A
+        assert r["inter_size"] == 8 and r["size_b"] == 8
+        assert r["containment"] == 1.0
+
+    def test_hot_shingles_excluded_from_blocking(self, spark):
+        from big_data_project_datapipeline_spark.functions.dedup import (
+            containment_duplicates,
+        )
+        # the same text in 10 docs: every shingle has df 10 > max_df 5,
+        # so blocking finds NO candidates (exact clones are the
+        # exact-dedup stage's job, not containment's) — the bound that
+        # keeps hot boilerplate from creating quadratic blocks.
+        text = " ".join(f"w{i}" for i in range(20))
+        d = _docs(spark, [(i, text) for i in range(10)])
+        assert containment_duplicates(d).count() == 0
+
+    def test_short_docs_no_shingles_no_crash(self, spark):
+        from big_data_project_datapipeline_spark.functions.dedup import (
+            containment_duplicates,
+        )
+        d = _docs(spark, [(1, "a b"), (2, "a b"), (3, None), (4, "")])
+        assert containment_duplicates(d).count() == 0
