@@ -44,6 +44,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     fixed_bin_histogram,
     grouped_linear_trend,
     mad_outlier_summary,
+    psi_drift,
     robust_scale,
     seasonal_anomalies,
     welch_ttest,
@@ -2966,6 +2967,69 @@ def q140_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(top_lang, "source")
 
 
+def q141_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift per event type between the
+    first and second half of the event window (functions/quality.
+    psi_drift — reference-frozen equal-width bins, Laplace-smoothed
+    terms, round-9-then-decimal PSI sum). Split at the fixed
+    2024-01-16 boundary (the corpus spans 2024-01-01..30)."""
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(
+        ev, F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+
+
+def q142_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 8-gram novelty (functions/corpus.ngram_novelty): the
+    fraction of a doc's distinct word 8-grams first seen in this doc —
+    the dedup-aware per-doc contribution signal complementing q99
+    (span removal) and q100 (corpus coverage)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.ngram_novelty(d, k=8)
+
+
+def q143_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier per part: unit cost per
+    (part, supplier) from observed lineitems, then the per-part argmin
+    with a deterministic (cost, suppkey) tie-break — the correlated
+    MIN-subquery decorrelated into one aggregate + one struct-min (the
+    q42 argmax device, no join-back, no window). Supplier dim
+    broadcast for the name.
+
+    PARITY TRAP (learned here): ``round(price/qty, 4)`` is NOT
+    cross-engine stable — Spark rounds the double's shortest decimal
+    STRING (27.65725 → .6573 HALF_UP) while DuckDB rounds the binary
+    double (27.657249999... → .6572). Unit cost is therefore exact
+    integer micros via floor division (price_cents*100 div qty) — no
+    float rounding anywhere; the display double is micros/10000.0,
+    the same IEEE division in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    staged = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("__cents"),
+        F.col("l_quantity").cast("long").alias("__qty"),
+    )
+    ps = staged.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.expr("__cents * 100 div __qty")).alias("__cost_micros")
+    )
+    best = ps.groupBy("l_partkey").agg(
+        F.min(F.struct(F.col("__cost_micros"), F.col("l_suppkey"))).alias("__b")
+    )
+    return (
+        best.select(
+            "l_partkey",
+            (F.col("__b.__cost_micros").cast("double") / F.lit(10000.0)).alias(
+                "min_unit_cost"
+            ),
+            F.col("__b.l_suppkey").alias("s_suppkey"),
+        )
+        .join(F.broadcast(s), "s_suppkey")
+        .select("l_partkey", "min_unit_cost", "s_suppkey", "s_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3034,12 +3098,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_containment_dedup": q138_containment_dedup,
         "q139_promo_share": q139_promo_share,
         "q140_dataset_card": q140_dataset_card,
+        "q141_psi_drift": q141_psi_drift,
+        "q142_ngram_novelty": q142_ngram_novelty,
+        "q143_min_cost_supplier": q143_min_cost_supplier,
         "q37_ingest_pipeline": q37_ingest_pipeline,
+        # --- positions 51+ (certified in rounds 1-3; still
+        # bit-checked locally at sf0.001 + sf0.01 every round) ---
         "q99_substring_dedup": q99_substring_dedup,
         "q54_media_features": q54_media_features,
         "q59_scrub_pii": q59_scrub_pii,
-        # --- positions 51+ (certified in rounds 1-3; still
-        # bit-checked locally at sf0.001 + sf0.01 every round) ---
         "q21_minhash_lsh": q21_minhash_lsh,
         "q25_cosine_topk": q25_cosine_topk,
         "q51_dup_clusters": q51_dup_clusters,
@@ -6038,5 +6105,104 @@ def oracle_sql() -> dict[str, str]:
         SELECT b.source, b.n_docs, b.n_tokens, b.gopher_keep_rate,
                b.exact_dup_rate, t.top_lang
         FROM base b JOIN top_lang t USING (source)
+    """
+    # q141: PSI with reference-frozen bins, Laplace smoothing, and the
+    # round-9-then-decimal term sum; bin/term expression order mirrored
+    out["q141_psi_drift"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 'ref' ELSE 'cur' END AS side
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        ranges AS (
+            SELECT grp, MIN(v) AS rmin, MAX(v) AS rmax
+            FROM clean WHERE side = 'ref' GROUP BY grp),
+        binned AS (
+            SELECT c.grp, c.side,
+                   CAST(COALESCE(LEAST(GREATEST(FLOOR(
+                       (c.v - r.rmin) * 10 / NULLIF(r.rmax - r.rmin, 0.0)),
+                       0), 9), 0) AS INT) AS bin
+            FROM clean c JOIN ranges r USING (grp)),
+        counts AS (
+            SELECT grp, side, bin, COUNT(*) AS c
+            FROM binned GROUP BY grp, side, bin),
+        grid AS (
+            SELECT grp, unnest(range(0, 10)) AS bin FROM ranges),
+        full_f AS (
+            SELECT g.grp, g.bin,
+                   COALESCE(r.c, 0) AS cr, COALESCE(u.c, 0) AS cc
+            FROM grid g
+            LEFT JOIN (SELECT grp, bin, c FROM counts WHERE side = 'ref') r
+                   USING (grp, bin)
+            LEFT JOIN (SELECT grp, bin, c FROM counts WHERE side = 'cur') u
+                   USING (grp, bin)),
+        tot AS (
+            SELECT grp, SUM(cr) AS n_ref, SUM(cc) AS n_cur
+            FROM full_f GROUP BY grp),
+        terms AS (
+            SELECT f.grp, t.n_ref, t.n_cur,
+                   CAST(ROUND(
+                       ((CAST(cr AS DOUBLE) + 0.5)
+                            / (CAST(n_ref AS DOUBLE) + 5.0)
+                        - (CAST(cc AS DOUBLE) + 0.5)
+                            / (CAST(n_cur AS DOUBLE) + 5.0))
+                       * (ln((CAST(cr AS DOUBLE) + 0.5)
+                             / (CAST(n_ref AS DOUBLE) + 5.0))
+                          - ln((CAST(cc AS DOUBLE) + 0.5)
+                               / (CAST(n_cur AS DOUBLE) + 5.0))), 9)
+                       AS DECIMAL(18,9)) AS term
+            FROM full_f f JOIN tot t USING (grp))
+        SELECT grp AS event_type,
+               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+               CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        FROM terms GROUP BY grp
+    """
+    # q142: first-occurrence-by-min-doc-id novelty over hashed 8-grams
+    out["q142_ngram_novelty"] = f"""
+        WITH staged AS (
+            SELECT doc_id, {tokens_sql} AS tk FROM documents),
+        grams AS (
+            SELECT doc_id, unnest(list_distinct(list_transform(
+                       list_transform(range(1, len(tk) - 6),
+                           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                || ' ' || tk[i+3] || ' ' || tk[i+4]
+                                || ' ' || tk[i+5] || ' ' || tk[i+6]
+                                || ' ' || tk[i+7]),
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))))
+                   AS g
+            FROM staged WHERE len(tk) >= 8),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+        firsts AS (
+            SELECT g, MIN(doc_id) AS doc_id FROM grams GROUP BY g),
+        novel AS (
+            SELECT doc_id, COUNT(*) AS n FROM firsts GROUP BY doc_id)
+        SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+               CAST(COALESCE(v.n, 0) AS BIGINT) AS n_novel,
+               ROUND(CAST(COALESCE(v.n, 0) AS DOUBLE)
+                     / CAST(p.n_grams AS DOUBLE), 6) AS novelty_rate
+        FROM per_doc p LEFT JOIN novel v USING (doc_id)
+    """
+    # q143: Q2-shaped correlated-MIN decorrelated into agg + struct-min;
+    # unit cost as exact integer micros (floor division) — the
+    # round(double,4) string-vs-binary rounding trap avoided entirely
+    out["q143_min_cost_supplier"] = """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100)
+                       // CAST(l_quantity AS BIGINT)) AS cost_micros
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+        best AS (
+            SELECT l_partkey, cost_micros, l_suppkey
+            FROM (SELECT l_partkey, cost_micros, l_suppkey,
+                         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                             ORDER BY cost_micros ASC, l_suppkey ASC) AS rn
+                  FROM ps) WHERE rn = 1)
+        SELECT b.l_partkey,
+               CAST(b.cost_micros AS DOUBLE) / 10000.0 AS min_unit_cost,
+               b.l_suppkey AS s_suppkey, s.s_name
+        FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
     """
     return out

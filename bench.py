@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "q138_containment_dedup",
     "q139_promo_share",
     "q140_dataset_card",
+    "q141_psi_drift",
+    "q142_ngram_novelty",
+    "q143_min_cost_supplier",
 ]
 
 

@@ -1037,3 +1037,65 @@ def heaps_law(
         ).alias("heaps_k"),
     )
     return curve.crossJoin(F.broadcast(fit))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word k-grams whose corpus-wide first occurrence (min doc_id) is
+    this doc — the doc-granular "how much new text does this document
+    contribute" diagnostic behind dedup-aware sampling (a doc full of
+    previously-seen 8-grams is boilerplate/quotation even if no single
+    pair-level duplicate fires). Complements q99 (which REMOVES
+    repeated spans) and q100 (corpus-level coverage) with a per-doc
+    keep/downweight signal.
+
+    Same relational device as heaps_law: first occurrence = min(doc_id)
+    over the gram's postings — no stateful corpus scan. Docs with fewer
+    than k tokens have no k-grams and are excluded (explicit
+    short-text story, mirrored by the oracle). novelty_rate divides
+    n_novel by n_grams which is >= 1 by construction of the explode.
+
+    Scale shape: one explode of distinct gram hashes (60-bit md5 — the
+    portable digest), two map-side-combinable groupBys, one join on
+    the collapsed O(docs) frames.
+    """
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        shingle_hash_set_from_tokens,
+    )
+
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), TX.tokens(F.col(text_col)).alias("__tk")
+    )
+    grams = staged.select(
+        "doc_id",
+        F.explode(shingle_hash_set_from_tokens(F.col("__tk"), k)).alias("g"),
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("doc_id"))
+    novel = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__novel")
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("__novel"), F.lit(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+    )

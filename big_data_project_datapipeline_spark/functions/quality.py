@@ -581,3 +581,110 @@ def weighted_percentile_elements(
             F.min(F.when(hit, F.col(value_col))).alias(f"p{p}")
         )
     return staged.groupBy(*gcols).agg(*aggs)
+
+
+def psi_drift(
+    df: DataFrame,
+    split_expr,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index per group between a reference and a
+    current population (``split_expr`` boolean column: True = reference)
+    — the standard ML-ops drift monitor for numeric features.
+    PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over ``n_bins`` equal-width
+    bins derived from the REFERENCE min/max (the convention: bins are
+    frozen on the reference so current-population shift is what moves
+    the index), with add-``smoothing`` Laplace terms so empty bins stay
+    finite. Rule of thumb: < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted.
+
+    Determinism/parity: NaN is excluded like NULL (values feed moments
+    — the standing rule); the bin expression guards the zero-width
+    reference range with nullif and clamps out-of-range current values
+    into the edge bins; each PSI term is rounded to 9 decimals and
+    summed as DECIMAL (order-independent — the q97/q120 device); only
+    the per-term double arithmetic runs in float, expression-order
+    mirrored by the oracle.
+
+    Scale shape: one pass to get per-group reference ranges (O(groups)
+    broadcast back), one pass binning both populations (map-side
+    combinable groupBy on (group, side, bin)), then the O(groups x
+    bins) complete frame — bins materialize from a sequence explode so
+    empty bins exist for the smoothing terms. Never a per-row window.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        F.when(split_expr, F.lit("ref")).otherwise(F.lit("cur")).alias("side"),
+    )
+    ranges = (
+        clean.filter(F.col("side") == "ref")
+        .groupBy("grp")
+        .agg(F.min("v").alias("rmin"), F.max("v").alias("rmax"))
+    )
+    binned = clean.join(F.broadcast(ranges), "grp").select(
+        "grp",
+        "side",
+        F.coalesce(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col("v") - F.col("rmin"))
+                        * n_bins
+                        / F.nullif(F.col("rmax") - F.col("rmin"), F.lit(0.0))
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("grp", "side", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    grid = (
+        ranges.select("grp")
+        .select("grp", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
+    )
+    ref_c = counts.filter(F.col("side") == "ref").select(
+        "grp", "bin", F.col("c").alias("cr")
+    )
+    cur_c = counts.filter(F.col("side") == "cur").select(
+        "grp", "bin", F.col("c").alias("cc")
+    )
+    full = (
+        grid.join(ref_c, ["grp", "bin"], "left")
+        .join(cur_c, ["grp", "bin"], "left")
+        .select(
+            "grp",
+            "bin",
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+            F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
+        )
+    )
+    tot = full.groupBy("grp").agg(
+        F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    s = float(smoothing)
+    denom_add = s * n_bins
+    with_tot = full.join(F.broadcast(tot), "grp")
+    p = (F.col("cr").cast("double") + F.lit(s)) / (
+        F.col("n_ref").cast("double") + F.lit(denom_add)
+    )
+    q = (F.col("cc").cast("double") + F.lit(s)) / (
+        F.col("n_cur").cast("double") + F.lit(denom_add)
+    )
+    term = F.round((p - q) * (F.log(p) - F.log(q)), 9).cast("decimal(18,9)")
+    out = with_tot.groupBy("grp").agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.round(F.sum(term).cast("double"), 6).alias("psi"),
+    )
+    return out.select(F.col("grp").alias(group_col), "n_ref", "n_cur", "psi")
