@@ -44,6 +44,9 @@ from big_data_project_datapipeline_spark.functions.quality import (
     fixed_bin_histogram,
     grouped_linear_trend,
     mad_outlier_summary,
+    benford_audit,
+    ks_drift,
+    mean_shift_scan,
     psi_drift,
     robust_scale,
     seasonal_anomalies,
@@ -3030,6 +3033,102 @@ def q143_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q144_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift per event type across the q141 split
+    boundary (functions/quality.ks_drift): ECDF max-gap on the
+    collapsed per-(group, value) count frame — cumulative sums stay
+    exact longs, so the statistic is bit-stable with no binning
+    choices. The nonparametric twin of q141's PSI."""
+    ev = _t(spark, sf_dir, "events")
+    return ks_drift(
+        ev, F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+
+
+def q145_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of extended price per return flag
+    (functions/quality.benford_audit): leading digit taken from the
+    integer-cents STRING (never log10/pow on the double — engines
+    disagree in ULPs near powers of ten), ln-form expected shares,
+    round-9-then-decimal chi-square."""
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(
+        li, value_col="l_extendedprice", group_col="l_returnflag"
+    )
+
+
+def q146_balance_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-capital report: customers whose
+    balance exceeds the global positive-balance average AND who placed
+    no order in the final stretch of the order window (>= 2001-01-01
+    — every customer in this corpus has SOME order, so "never ordered"
+    is vacuous; recency-dormancy is the non-degenerate reading),
+    aggregated per nation. Devices: the scalar avg is a 1-row
+    crossJoin(broadcast(agg)) with the sum carried in DECIMAL
+    (order-independent) and the mean as one IEEE division; the
+    dormancy predicate is a left_anti equi-join against the
+    date-filtered orders (filter pushed to the scan — the q05
+    incremental device); the nation dim is broadcast."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avg_row = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(avg_row)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    dormant = rich.join(
+        o, rich["c_custkey"] == o["o_custkey"], "left_anti"
+    )
+    return (
+        dormant.join(
+            F.broadcast(n), dormant["c_nationkey"] == n["n_nationkey"]
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(28,12)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("total_bal"),
+        )
+    )
+
+
+def q147_mean_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint mean-shift scan per event type
+    (functions/quality.mean_shift_scan): the (ts, event_id)-ordered
+    split maximizing |prefix mean − suffix mean|, via one DECIMAL
+    prefix-sum window + struct-argmax — the CUSUM-family detector with
+    no all-splits self-join."""
+    ev = _t(spark, sf_dir, "events")
+    return mean_shift_scan(ev)
+
+
+def q148_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-cap curation report (functions/corpus.
+    domain_cap_report, cap=50): the RefinedWeb-style "no domain
+    dominates" rule — docs kept/dropped under a keep-longest-50 cap
+    and the char share the kept set retains, per source."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.domain_cap_report(d, cap=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3102,8 +3201,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q142_ngram_novelty": q142_ngram_novelty,
         "q143_min_cost_supplier": q143_min_cost_supplier,
         "q37_ingest_pipeline": q37_ingest_pipeline,
-        # --- positions 51+ (certified in rounds 1-3; still
-        # bit-checked locally at sf0.001 + sf0.01 every round) ---
+        # --- positions 51+ ---
+        # First the round-4 additions that no longer fit the 50-entry
+        # prefix (the 38 contract-pinned rotation slots + q133-q143 +
+        # q37 fill it): certified locally at both gate SFs this round,
+        # first in line for the round-5 prefix rotation.
+        "q144_ks_drift": q144_ks_drift,
+        "q145_benford_audit": q145_benford_audit,
+        "q146_balance_anti": q146_balance_anti,
+        "q147_mean_shift": q147_mean_shift,
+        "q148_domain_cap": q148_domain_cap,
+        # Then entries certified in rounds 1-3; still bit-checked
+        # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
         "q54_media_features": q54_media_features,
         "q59_scrub_pii": q59_scrub_pii,
@@ -6204,5 +6313,185 @@ def oracle_sql() -> dict[str, str]:
                CAST(b.cost_micros AS DOUBLE) / 10000.0 AS min_unit_cost,
                b.l_suppkey AS s_suppkey, s.s_name
         FROM best b JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    """
+    # q144: KS on the collapsed per-(group, value) frame — exact long
+    # cumsums, two IEEE divisions, identical literal threshold coeff
+    out["q144_ks_drift"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END AS is_ref
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        per_v AS (
+            SELECT grp, v, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+            FROM clean GROUP BY grp, v),
+        tot AS (
+            SELECT grp, CAST(SUM(cr) AS BIGINT) AS n_ref,
+                   CAST(SUM(cc) AS BIGINT) AS n_cur
+            FROM per_v GROUP BY grp),
+        cum AS (
+            SELECT grp,
+                   SUM(cr) OVER w AS ccr, SUM(cc) OVER w AS ccc
+            FROM per_v
+            WINDOW w AS (PARTITION BY grp ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        d AS (
+            SELECT c.grp, t.n_ref, t.n_cur,
+                   ABS(CAST(ccr AS DOUBLE)
+                           / NULLIF(CAST(n_ref AS DOUBLE), 0.0)
+                       - CAST(ccc AS DOUBLE)
+                           / NULLIF(CAST(n_cur AS DOUBLE), 0.0)) AS diff
+            FROM cum c JOIN tot t USING (grp)),
+        agg AS (
+            SELECT grp, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+                   MAX(diff) AS ks_raw
+            FROM d GROUP BY grp)
+        SELECT grp AS event_type,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               ROUND(ks_raw, 6) AS ks,
+               COALESCE(ks_raw > 1.3581015157406195
+                   * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                          / NULLIF(CAST(n_ref AS DOUBLE)
+                                   * CAST(n_cur AS DOUBLE), 0.0)),
+                   FALSE) AS drifted
+        FROM agg
+    """
+    # q145: leading digit from the integer-cents string; ln-form
+    # Benford expectation; round-9-then-decimal chi-square terms
+    out["q145_benford_audit"] = """
+        WITH staged AS (
+            SELECT l_returnflag AS grp,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+            WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
+        digits AS (
+            SELECT grp,
+                   CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM staged),
+        counts AS (
+            SELECT grp, digit, COUNT(*) AS c
+            FROM digits GROUP BY grp, digit),
+        grid AS (
+            SELECT grp, unnest(range(1, 10)) AS digit
+            FROM (SELECT DISTINCT grp FROM counts)),
+        full_f AS (
+            SELECT g.grp, g.digit, COALESCE(c.c, 0) AS c
+            FROM grid g LEFT JOIN counts c USING (grp, digit)),
+        tot AS (
+            SELECT grp, CAST(SUM(c) AS BIGINT) AS n
+            FROM full_f GROUP BY grp),
+        terms AS (
+            SELECT f.grp, f.digit, f.c, t.n,
+                   ln(1.0 + 1.0 / CAST(f.digit AS DOUBLE)) / ln(10.0)
+                       AS exp_raw,
+                   CAST(ROUND(
+                       (CAST(f.c AS DOUBLE)
+                        - CAST(t.n AS DOUBLE)
+                            * (ln(1.0 + 1.0 / CAST(f.digit AS DOUBLE))
+                               / ln(10.0)))
+                       * (CAST(f.c AS DOUBLE)
+                          - CAST(t.n AS DOUBLE)
+                              * (ln(1.0 + 1.0 / CAST(f.digit AS DOUBLE))
+                                 / ln(10.0)))
+                       / (CAST(t.n AS DOUBLE)
+                          * (ln(1.0 + 1.0 / CAST(f.digit AS DOUBLE))
+                             / ln(10.0))), 9) AS DECIMAL(18,9)) AS term
+            FROM full_f f JOIN tot t USING (grp)),
+        chi AS (
+            SELECT grp, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+            FROM terms GROUP BY grp)
+        SELECT t.grp AS l_returnflag, t.digit,
+               CAST(t.c AS BIGINT) AS n_obs,
+               ROUND(CAST(t.c AS DOUBLE)
+                     / NULLIF(CAST(t.n AS DOUBLE), 0.0), 6) AS obs_share,
+               ROUND(t.exp_raw, 6) AS exp_share,
+               h.chi2
+        FROM terms t JOIN chi h USING (grp)
+    """
+    # q146: Q22-shaped — decimal-carried scalar avg, NOT EXISTS as the
+    # anti-join, nation dim join
+    out["q146_balance_anti"] = """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS a
+            FROM customer WHERE c_acctbal > 0.0),
+        rich AS (
+            SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+            FROM customer c, avg_bal WHERE c.c_acctbal > a),
+        dormant AS (
+            SELECT * FROM rich r
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = r.c_custkey
+                                AND o.o_orderdate >=
+                                    TIMESTAMP '2001-01-01 00:00:00'))
+        SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,12)))
+                          AS DOUBLE), 6) AS total_bal
+        FROM dormant d JOIN nation n ON d.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """
+    # q147: decimal prefix-sum window + row_number argmax (diff DESC,
+    # k ASC — the struct-max tie-break mirrored)
+    out["q147_mean_shift"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, ts, event_id AS id,
+                   CAST(value AS DECIMAL(18,4)) AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        cum AS (
+            SELECT grp, ts,
+                   SUM(v) OVER w AS cumv,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                        ORDER BY ts, id) AS BIGINT) AS k
+            FROM clean
+            WINDOW w AS (PARTITION BY grp ORDER BY ts, id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS total
+            FROM clean GROUP BY grp),
+        interior AS (
+            SELECT c.grp, t.n, c.ts, c.k,
+                   CAST(c.cumv AS DOUBLE) / CAST(c.k AS DOUBLE) AS ml,
+                   CAST(t.total - c.cumv AS DOUBLE)
+                       / CAST(t.n - c.k AS DOUBLE) AS mr
+            FROM cum c JOIN tot t USING (grp)
+            WHERE c.k < t.n),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                       ORDER BY ABS(ml - mr) DESC, k ASC) AS rn
+            FROM interior)
+        SELECT grp AS event_type, n, k AS split_k, ts AS split_ts,
+               ROUND(ml, 6) AS mean_left, ROUND(mr, 6) AS mean_right,
+               ROUND(ABS(ml - mr), 6) AS shift
+        FROM ranked WHERE rn = 1
+    """
+    # q148: keep-longest-cap rank (len DESC, doc_id ASC) + exact long
+    # char sums; one IEEE division at the surface
+    out["q148_domain_cap"] = """
+        WITH staged AS (
+            SELECT source AS src, doc_id,
+                   CAST(COALESCE(n_chars, 0) AS BIGINT) AS len
+            FROM documents),
+        ranked AS (
+            SELECT src, doc_id, len,
+                   ROW_NUMBER() OVER (PARTITION BY src
+                       ORDER BY len DESC, doc_id ASC) AS rk
+            FROM staged),
+        agg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN rk <= 50 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(SUM(len) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN rk <= 50 THEN len ELSE 0 END)
+                        AS BIGINT) AS kept_chars
+            FROM ranked GROUP BY src)
+        SELECT src AS source, n_docs, n_kept,
+               CAST(n_docs - n_kept AS BIGINT) AS n_dropped,
+               ROUND(CAST(kept_chars AS DOUBLE)
+                     / NULLIF(CAST(total_chars AS DOUBLE), 0.0), 6)
+                   AS kept_char_share
+        FROM agg
     """
     return out

@@ -166,6 +166,11 @@ BENCH_QUERIES = [
     "q141_psi_drift",
     "q142_ngram_novelty",
     "q143_min_cost_supplier",
+    "q144_ks_drift",
+    "q145_benford_audit",
+    "q146_balance_anti",
+    "q147_mean_shift",
+    "q148_domain_cap",
 ]
 
 

@@ -1099,3 +1099,62 @@ def ngram_novelty(
             ).alias("novelty_rate"),
         )
     )
+
+
+def domain_cap_report(
+    df: DataFrame,
+    cap: int = 50,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source document-cap curation summary (the RefinedWeb /
+    C4-style "no domain dominates the corpus" rule): keep at most
+    ``cap`` docs per source, preferring longer documents with a
+    deterministic (length DESC, id ASC) order, and report what the cap
+    does to each source — docs kept/dropped and the share of the
+    source's characters the kept set retains (the decision-support
+    grain; the kept doc-id set itself is recoverable by re-running the
+    same rank filter).
+
+    Determinism/parity: the rank order (length DESC, id ASC) is
+    unique; char sums accumulate as exact longs; the share is one IEEE
+    double division rounded at the surface. NULL lengths count as 0
+    (they still occupy a slot — the cap is about doc COUNT pressure).
+
+    Scale shape: one per-source window (top-cap rank) over the
+    O(docs) frame, then one map-side-combinable groupBy — never a
+    driver-side per-domain loop. At 100 TB the window's per-key state
+    is O(1) and the heavy-domain skew lands on the sort, which AQE
+    splits.
+    """
+    staged = df.select(
+        F.col(source_col).alias("src"),
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.col(length_col), F.lit(0)).cast("long").alias("len"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("len").desc(), F.col("doc_id"))
+    )
+    ranked = staged.select("src", "doc_id", "len", rk.alias("__rk"))
+    out = ranked.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("__rk") <= cap, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("len").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("__rk") <= cap, F.col("len")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+    return out.select(
+        F.col("src").alias(source_col),
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).cast("long").alias("n_dropped"),
+        F.round(
+            F.col("kept_chars").cast("double")
+            / F.nullif(F.col("total_chars").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("kept_char_share"),
+    )

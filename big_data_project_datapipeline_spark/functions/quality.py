@@ -688,3 +688,254 @@ def psi_drift(
         F.round(F.sum(term).cast("double"), 6).alias("psi"),
     )
     return out.select(F.col("grp").alias(group_col), "n_ref", "n_cur", "psi")
+
+
+def ks_drift(
+    df: DataFrame,
+    split_expr,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    alpha_coeff: float = 1.3581015157406195,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per group between a
+    reference and a current population (``split_expr`` boolean: True =
+    reference) — the nonparametric complement to :func:`psi_drift`
+    (PSI needs binning choices; KS compares the full ECDFs).
+    KS = max_v |F_ref(v) − F_cur(v)|, with ``drifted`` flagging
+    KS > c(α)·sqrt((n+m)/(n·m)) for α = 0.05
+    (c = sqrt(−ln(0.025)/2) ≈ 1.3581, passed as a literal so both
+    engines parse the identical double).
+
+    Determinism/parity: NaN excluded like NULL; the ECDF is computed
+    on the COLLAPSED per-(group, value) count frame — cumulative sums
+    are exact longs, the only float ops are the final two divisions
+    and the abs/max over identical IEEE values, so the statistic is
+    bit-stable without rounding tricks (round(6) on the exposed
+    surface only). Groups missing one side emit NULL ks / false
+    drifted (nullif guards).
+
+    Scale shape: one map-side-combinable groupBy collapses to distinct
+    values, one per-group window over the collapsed frame (O(distinct
+    values), not O(rows)), one broadcast of the O(groups) totals.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__is_ref"),
+    )
+    per_v = clean.groupBy("grp", "v").agg(
+        F.sum("__is_ref").cast("long").alias("cr"),
+        F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("cc"),
+    )
+    tot = per_v.groupBy("grp").agg(
+        F.sum("cr").cast("long").alias("n_ref"),
+        F.sum("cc").cast("long").alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_v.select(
+        "grp",
+        F.sum("cr").over(w).alias("ccr"),
+        F.sum("cc").over(w).alias("ccc"),
+    )
+    d = cum.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("ccr").cast("double")
+            / F.nullif(F.col("n_ref").cast("double"), F.lit(0.0))
+            - F.col("ccc").cast("double")
+            / F.nullif(F.col("n_cur").cast("double"), F.lit(0.0))
+        ).alias("__diff"),
+    )
+    out = d.groupBy("grp").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("__diff").alias("__ks"),
+    )
+    thresh = F.lit(alpha_coeff) * F.sqrt(
+        (F.col("n_ref").cast("double") + F.col("n_cur").cast("double"))
+        / F.nullif(
+            F.col("n_ref").cast("double") * F.col("n_cur").cast("double"),
+            F.lit(0.0),
+        )
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_ref",
+        "n_cur",
+        F.round(F.col("__ks"), 6).alias("ks"),
+        F.coalesce(F.col("__ks") > thresh, F.lit(False)).alias("drifted"),
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Benford first-significant-digit audit per group — the classic
+    fraud/synthetic-data screen: observed leading-digit shares of a
+    positive monetary column vs the Benford expectation
+    P(d) = ln(1 + 1/d)/ln(10), plus the group-level chi-square
+    statistic (8 dof) repeated on each digit row.
+
+    Determinism/parity: the leading digit comes from the DECIMAL-CENTS
+    STRING — ``substr(cast(round(x*100) as bigint), 1, 1)`` — never
+    from log10/pow on the double (engines disagree in ULPs near exact
+    powers of ten) and never from double→string (shortest-repr vs %g).
+    Non-positive cents rows are excluded. The expected share is the
+    ln-form expression evaluated identically by both engines (ln is
+    bit-identical cross-engine; log10 is not). Chi-square terms are
+    round(9)-then-DECIMAL summed (order-independent).
+
+    Scale shape: map-only digit extraction, one groupBy on (group,
+    digit), then the O(groups × 9) complete grid via sequence explode
+    (zero-count digits must exist for the chi-square).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    staged = df.select(
+        F.col(group_col).alias("grp"), cents.alias("__cents")
+    ).filter(F.col("__cents") > 0)
+    digits = staged.select(
+        "grp",
+        F.substring(F.col("__cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit"),
+    )
+    counts = digits.groupBy("grp", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        counts.select("grp")
+        .distinct()
+        .select(
+            "grp", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+        )
+    )
+    full = grid.join(counts, ["grp", "digit"], "left").select(
+        "grp", "digit", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    tot = full.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    with_tot = full.join(F.broadcast(tot), "grp")
+    exp_share = F.log(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    ) / F.log(F.lit(10.0))
+    n_d = F.col("n").cast("double")
+    expected = n_d * exp_share
+    term = F.round(
+        (F.col("c").cast("double") - expected)
+        * (F.col("c").cast("double") - expected)
+        / expected,
+        9,
+    ).cast("decimal(18,9)")
+    staged2 = with_tot.select(
+        "grp",
+        "digit",
+        "c",
+        "n",
+        F.round(exp_share, 6).alias("exp_share"),
+        F.round(
+            F.col("c").cast("double") / F.nullif(n_d, F.lit(0.0)), 6
+        ).alias("obs_share"),
+        term.alias("__term"),
+    )
+    chi2 = staged2.groupBy("grp").agg(
+        F.round(F.sum("__term").cast("double"), 6).alias("chi2")
+    )
+    return (
+        staged2.join(F.broadcast(chi2), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "digit",
+            F.col("c").alias("n_obs"),
+            "obs_share",
+            "exp_share",
+            "chi2",
+        )
+    )
+
+
+def mean_shift_scan(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Offline changepoint scan per group: the split index k (1 ≤ k <
+    n, by (ts, id) order) that maximizes |mean(v[1..k]) −
+    mean(v[k+1..n])| — the single-changepoint mean-shift detector
+    (CUSUM family) over an event series, reduced to one prefix-sum
+    window plus a struct-argmax.
+
+    Determinism/parity: values accumulate as DECIMAL(18,4) (the q125
+    ledger device — both engines round the double to the same decimal)
+    so every prefix sum and the total are exact; means are IEEE double
+    divisions of identical decimals; the argmax tie-breaks on smaller
+    k via max(struct(diff, −k)). NaN/NULL excluded up front.
+    Single-row groups have no interior split and are absent.
+
+    Scale shape: one per-group sort feeding one window (prefix sum +
+    row_number share it), one broadcast of the O(groups) totals, one
+    struct-argmax groupBy. Per-key window state is O(1); never an
+    all-splits self-join.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        v.cast("decimal(18,4)").alias("__v"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("__ts", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = clean.select(
+        "grp",
+        "__ts",
+        F.sum("__v").over(w).alias("__cum"),
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("__ts", "__id"))
+        .cast("long")
+        .alias("__k"),
+    )
+    tot = clean.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").alias("__total"),
+    )
+    interior = cum.join(F.broadcast(tot), "grp").filter(F.col("__k") < F.col("n"))
+    mean_l = F.col("__cum").cast("double") / F.col("__k").cast("double")
+    mean_r = (F.col("__total") - F.col("__cum")).cast("double") / (
+        F.col("n") - F.col("__k")
+    ).cast("double")
+    scored = interior.select(
+        "grp",
+        "n",
+        F.struct(
+            F.abs(mean_l - mean_r).alias("diff"),
+            (-F.col("__k")).alias("negk"),
+            F.col("__ts").alias("ts"),
+            mean_l.alias("ml"),
+            mean_r.alias("mr"),
+        ).alias("__s"),
+    )
+    best = scored.groupBy("grp").agg(
+        F.max("n").alias("n"), F.max("__s").alias("__b")
+    )
+    return best.select(
+        F.col("grp").alias(group_col),
+        "n",
+        (-F.col("__b.negk")).cast("long").alias("split_k"),
+        F.col("__b.ts").alias("split_ts"),
+        F.round(F.col("__b.ml"), 6).alias("mean_left"),
+        F.round(F.col("__b.mr"), 6).alias("mean_right"),
+        F.round(F.abs(F.col("__b.ml") - F.col("__b.mr")), 6).alias("shift"),
+    )

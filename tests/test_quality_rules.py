@@ -292,3 +292,156 @@ class TestNgramNovelty:
         d = _docs(spark, [(1, "a b c d e f g"), (2, "a b c d e f g h")])
         out = ngram_novelty(d, k=8).collect()
         assert [r["doc_id"] for r in out] == [2]
+
+
+class TestKsDrift:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+
+    def test_identical_samples_ks_zero(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        rows = [("a", t, float(v)) for v in range(50) for t in (ref_t, cur_t)]
+        out = ks_drift(
+            self._ev(spark, rows),
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        ).first()
+        assert out["ks"] == 0.0 and not out["drifted"]
+
+    def test_disjoint_samples_ks_one(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        rows = [("a", ref_t, float(v)) for v in range(30)] + [
+            ("a", cur_t, float(v + 1000)) for v in range(30)
+        ]
+        out = ks_drift(
+            self._ev(spark, rows),
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        ).first()
+        assert out["ks"] == 1.0 and out["drifted"]
+
+    def test_one_sided_group_null_ks_false_drift(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift,
+        )
+        ref_t = dt.datetime(2024, 1, 1)
+        rows = [("a", ref_t, 1.0), ("a", ref_t, float("nan")), ("a", ref_t, None)]
+        out = ks_drift(
+            self._ev(spark, rows),
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        ).first()
+        assert out["n_ref"] == 1 and out["n_cur"] == 0
+        assert out["ks"] is None and out["drifted"] is False
+
+
+class TestBenfordAudit:
+    def test_digit_extraction_and_grid(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            benford_audit,
+        )
+        # 12.34 -> cents 1234 -> digit 1; 0.05 -> 5 -> digit 5;
+        # 987.0 -> 98700 -> digit 9; zero/negative excluded
+        df = spark.createDataFrame(
+            [("g", 12.34), ("g", 0.05), ("g", 987.0), ("g", 0.0), ("g", -5.0)],
+            "grp string, v double",
+        )
+        out = {r["digit"]: r for r in benford_audit(df, "v", "grp").collect()}
+        assert len(out) == 9  # complete 1..9 grid, zeros included
+        assert out[1]["n_obs"] == 1 and out[5]["n_obs"] == 1 and out[9]["n_obs"] == 1
+        assert out[2]["n_obs"] == 0
+        assert abs(out[1]["exp_share"] - 0.30103) < 1e-5
+        assert out[1]["chi2"] == out[9]["chi2"] > 0
+
+    def test_benford_like_data_small_chi2(self, spark):
+        import math
+        from big_data_project_datapipeline_spark.functions.quality import (
+            benford_audit,
+        )
+        # counts proportional to Benford probabilities -> tiny chi2
+        rows = []
+        for d in range(1, 10):
+            n = round(1000 * math.log10(1 + 1 / d))
+            rows += [("g", float(d))] * n
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = benford_audit(df, "v", "grp").first()
+        assert out["chi2"] < 1.0
+
+
+class TestMeanShiftScan:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, event_id long, value double"
+        )
+
+    def test_clean_step_found(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            mean_shift_scan,
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", t0 + dt.timedelta(minutes=i), i, 1.0 if i < 20 else 9.0)
+            for i in range(40)
+        ]
+        out = mean_shift_scan(self._ev(spark, rows)).first()
+        assert out["split_k"] == 20
+        assert out["mean_left"] == 1.0 and out["mean_right"] == 9.0
+        assert out["shift"] == 8.0
+
+    def test_single_row_group_absent_nan_excluded(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            mean_shift_scan,
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("solo", t0, 1, 5.0),
+            ("ok", t0, 2, 1.0),
+            ("ok", t0 + dt.timedelta(minutes=1), 3, 3.0),
+            ("ok", t0 + dt.timedelta(minutes=2), 4, float("nan")),
+        ]
+        out = {r["event_type"]: r for r in mean_shift_scan(self._ev(spark, rows)).collect()}
+        assert "solo" not in out  # no interior split
+        assert out["ok"]["n"] == 2 and out["ok"]["split_k"] == 1
+
+
+class TestDomainCap:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_chars long"
+        )
+
+    def test_cap_and_share(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            domain_cap_report,
+        )
+        rows = [(i, "big", 10 * (i + 1)) for i in range(5)] + [
+            (100, "small", 7)
+        ]
+        out = {
+            r["source"]: r
+            for r in domain_cap_report(self._docs(spark, rows), cap=3).collect()
+        }
+        # big: keeps the 3 longest (50+40+30=120 of 150)
+        assert out["big"]["n_kept"] == 3 and out["big"]["n_dropped"] == 2
+        assert out["big"]["kept_char_share"] == 0.8
+        assert out["small"]["n_kept"] == 1 and out["small"]["kept_char_share"] == 1.0
+
+    def test_null_lengths_occupy_slots(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            domain_cap_report,
+        )
+        rows = [(1, "s", None), (2, "s", None), (3, "s", 10)]
+        out = domain_cap_report(self._docs(spark, rows), cap=2).first()
+        assert out["n_docs"] == 3 and out["n_kept"] == 2
+        # longest first: the real doc is kept, one NULL-length doc too
+        assert out["kept_char_share"] == 1.0
