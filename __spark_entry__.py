@@ -47,6 +47,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     benford_audit,
     ks_drift,
     mean_shift_scan,
+    mutual_information,
     psi_drift,
     robust_scale,
     seasonal_anomalies,
@@ -3129,6 +3130,16 @@ def q148_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.domain_cap_report(d, cap=50)
 
 
+def q149_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information / per-cell PMI between document language and
+    source (functions/quality.mutual_information): the
+    feature-association measure over two categoricals — exact-count
+    windows over the collapsed cell frame, ln-only PMI,
+    round-9-then-decimal MI sum."""
+    d = _t(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3211,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q146_balance_anti": q146_balance_anti,
         "q147_mean_shift": q147_mean_shift,
         "q148_domain_cap": q148_domain_cap,
+        "q149_mutual_info": q149_mutual_info,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -6493,5 +6505,35 @@ def oracle_sql() -> dict[str, str]:
                      / NULLIF(CAST(total_chars AS DOUBLE), 0.0), 6)
                    AS kept_char_share
         FROM agg
+    """
+    # q149: window marginals over the collapsed cell frame, ln-only
+    # PMI with mirrored operand order, round-9-then-decimal MI sum
+    out["q149_mutual_info"] = """
+        WITH cells AS (
+            SELECT lang AS x, source AS y, COUNT(*) AS c_xy
+            FROM documents GROUP BY lang, source),
+        joined AS (
+            SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy,
+                   CAST(SUM(c_xy) OVER (PARTITION BY x) AS BIGINT) AS c_x,
+                   CAST(SUM(c_xy) OVER (PARTITION BY y) AS BIGINT) AS c_y,
+                   CAST(SUM(c_xy) OVER () AS BIGINT) AS n
+            FROM cells),
+        terms AS (
+            SELECT x, y, c_xy,
+                   ln(CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)
+                      / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+                       AS pmi_raw,
+                   CAST(ROUND(
+                       CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE)
+                       * ln(CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)
+                            / (CAST(c_x AS DOUBLE)
+                               * CAST(c_y AS DOUBLE))), 9)
+                       AS DECIMAL(18,9)) AS term
+            FROM joined),
+        mi AS (
+            SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi FROM terms)
+        SELECT t.x AS lang, t.y AS source,
+               t.c_xy AS n_xy, ROUND(t.pmi_raw, 6) AS pmi, mi.mi
+        FROM terms t CROSS JOIN mi
     """
     return out

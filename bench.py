@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "q146_balance_anti",
     "q147_mean_shift",
     "q148_domain_cap",
+    "q149_mutual_info",
 ]
 
 

@@ -583,6 +583,26 @@ def weighted_percentile_elements(
     return staged.groupBy(*gcols).agg(*aggs)
 
 
+def psi_bin(v, rmin, rmax, n_bins: int = 10):
+    """The PSI equal-width bin expression (shared by :func:`psi_drift`
+    and the streaming monitor so both bin identically): floor over the
+    reference-frozen range, out-of-range values clamped into the edge
+    bins, zero-width range collapsed to bin 0 via nullif+coalesce."""
+    return (
+        F.coalesce(
+            F.least(
+                F.greatest(
+                    F.floor((v - rmin) * n_bins / F.nullif(rmax - rmin, F.lit(0.0))),
+                    F.lit(0),
+                ),
+                F.lit(n_bins - 1),
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+    )
+
+
 def psi_drift(
     df: DataFrame,
     split_expr,
@@ -629,22 +649,9 @@ def psi_drift(
     binned = clean.join(F.broadcast(ranges), "grp").select(
         "grp",
         "side",
-        F.coalesce(
-            F.least(
-                F.greatest(
-                    F.floor(
-                        (F.col("v") - F.col("rmin"))
-                        * n_bins
-                        / F.nullif(F.col("rmax") - F.col("rmin"), F.lit(0.0))
-                    ),
-                    F.lit(0),
-                ),
-                F.lit(n_bins - 1),
-            ),
-            F.lit(0),
-        )
-        .cast("int")
-        .alias("bin"),
+        psi_bin(
+            F.col("v"), F.col("rmin"), F.col("rmax"), n_bins
+        ).alias("bin"),
     )
     counts = binned.groupBy("grp", "side", "bin").agg(
         F.count(F.lit(1)).alias("c")
@@ -669,6 +676,23 @@ def psi_drift(
             F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
         )
     )
+    return psi_from_bin_counts(
+        full, group_col=group_col, n_bins=n_bins, smoothing=smoothing
+    )
+
+
+def psi_from_bin_counts(
+    full: DataFrame,
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI from an already-binned complete count frame (grp, bin, cr,
+    cc) — the shared tail of :func:`psi_drift`, split out so the
+    streaming monitor (streaming/drift.py), which maintains the SAME
+    (group, bin) counts as mergeable fold state, produces bit-equal
+    PSI to the batch operator. Expects every (grp, bin) cell present
+    (zeros included) — the Laplace terms need the empty bins."""
     tot = full.groupBy("grp").agg(
         F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
     )
@@ -938,4 +962,62 @@ def mean_shift_scan(
         F.round(F.col("__b.ml"), 6).alias("mean_left"),
         F.round(F.col("__b.mr"), 6).alias("mean_right"),
         F.round(F.abs(F.col("__b.ml") - F.col("__b.mr")), 6).alias("shift"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, with the
+    per-cell pointwise MI (PMI) — the feature-association /
+    collocation measure: MI = Σ_xy p(x,y)·ln(p(x,y)/(p(x)p(y))),
+    PMI(x,y) = ln(n·c_xy/(c_x·c_y)). Emitted at the observed-cell
+    grain (empty cells contribute exactly 0 to MI, so the observed
+    support IS the sum's support) with the total MI repeated per row.
+
+    Determinism/parity: all counts are exact longs; each PMI is one
+    ln of one IEEE ratio of exact counts (ln is bit-identical across
+    engines); MI terms are round(9)-then-DECIMAL summed
+    (order-independent). NULL categories are kept as their own level
+    (they survive groupBy keys).
+
+    Scale shape: one groupBy on (x, y) collapses to the cell frame;
+    marginals and the total are WINDOW sums over that collapsed frame
+    (never rescans of the data, and window partitions treat NULL as
+    one group — no NULL-key equi-join loss). The single-partition
+    global window is over O(cells) rows only, never the raw data.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    joined = cells.select(
+        "x",
+        "y",
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("x")).cast("long").alias("c_x"),
+        F.sum("c_xy").over(Window.partitionBy("y")).cast("long").alias("c_y"),
+        F.sum("c_xy").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    pmi = F.log(
+        F.col("n").cast("double")
+        * F.col("c_xy").cast("double")
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    term = F.round(
+        F.col("c_xy").cast("double") / F.col("n").cast("double") * pmi, 9
+    ).cast("decimal(18,9)")
+    staged = joined.select(
+        "x", "y", "c_xy", F.round(pmi, 6).alias("pmi"), term.alias("__term")
+    )
+    mi = staged.agg(
+        F.round(F.sum("__term").cast("double"), 6).alias("mi")
+    )
+    return staged.crossJoin(F.broadcast(mi)).select(
+        F.col("x").alias(x_col),
+        F.col("y").alias(y_col),
+        F.col("c_xy").alias("n_xy"),
+        "pmi",
+        "mi",
     )

@@ -445,3 +445,42 @@ class TestDomainCap:
         assert out["n_docs"] == 3 and out["n_kept"] == 2
         # longest first: the real doc is kept, one NULL-length doc too
         assert out["kept_char_share"] == 1.0
+
+
+class TestMutualInformation:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "x string, y string")
+
+    def test_independent_mi_zero(self, spark):
+        import itertools
+        from big_data_project_datapipeline_spark.functions.quality import (
+            mutual_information,
+        )
+        # uniform product distribution -> MI exactly 0
+        rows = list(itertools.product(["a", "b"], ["u", "v", "w"])) * 4
+        out = mutual_information(self._df(spark, rows), "x", "y").first()
+        assert out["mi"] == 0.0
+
+    def test_perfect_dependence_mi_ln_k(self, spark):
+        import math
+        from big_data_project_datapipeline_spark.functions.quality import (
+            mutual_information,
+        )
+        # y determined by x over 4 equiprobable levels -> MI = ln(4)
+        rows = [(c, c.upper()) for c in "abcd" for _ in range(10)]
+        out = mutual_information(self._df(spark, rows), "x", "y").collect()
+        assert len(out) == 4
+        assert abs(out[0]["mi"] - math.log(4)) < 1e-6
+        assert all(abs(r["pmi"] - math.log(4)) < 1e-5 for r in out)
+
+    def test_null_category_is_a_level_not_lost(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            mutual_information,
+        )
+        rows = [(None, "u"), (None, "u"), ("a", "v"), ("a", "v")]
+        out = mutual_information(self._df(spark, rows), "x", "y").collect()
+        # NULL x is its own level: 2 cells, each perfectly predictive
+        assert len(out) == 2
+        assert all(r["n_xy"] == 2 for r in out)
+        import math
+        assert all(abs(r["mi"] - math.log(2)) < 1e-6 for r in out)
