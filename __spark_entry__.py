@@ -49,6 +49,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     mean_shift_scan,
     mutual_information,
     psi_drift,
+    trimmed_winsor_summary,
     robust_scale,
     seasonal_anomalies,
     welch_ttest,
@@ -3140,6 +3141,50 @@ def q149_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_information(d, "lang", "source")
 
 
+def q150_robust_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed and winsorized mean of extended price per return
+    flag (functions/quality.trimmed_winsor_summary): integer-rank
+    trim bounds, decimal sums, and the winsorized sum derived EXACTLY
+    as sum_kept + k*lo + k*hi — no second clamping pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return trimmed_winsor_summary(
+        li, value_col="l_extendedprice", group_cols=["l_returnflag"]
+    )
+
+
+def q151_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-order revenue per return flag: lines
+    whose quantity is below half their PART's average quantity, with
+    the Q17 avg-yearly division. The correlated AVG subquery is
+    decorrelated into one per-part aggregate rejoined on l_partkey
+    (equi-join, AQE-planned; the aggregate side is O(parts), far
+    smaller than the fact). Parity: the per-part mean is a DECIMAL sum
+    over an IEEE division; the 0.5x threshold compare runs on
+    identical doubles in both engines; revenue sums in DECIMAL."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__aq")
+    )
+    small = li.join(pa, "l_partkey").filter(
+        F.col("l_quantity") < F.lit(0.5) * F.col("__aq")
+    )
+    return small.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_small"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,12)")).cast(
+                "double"
+            )
+            / F.lit(7.0),
+            6,
+        ).alias("avg_yearly"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3223,6 +3268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_mean_shift": q147_mean_shift,
         "q148_domain_cap": q148_domain_cap,
         "q149_mutual_info": q149_mutual_info,
+        "q150_robust_means": q150_robust_means,
+        "q151_small_order_revenue": q151_small_order_revenue,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -6535,5 +6582,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.x AS lang, t.y AS source,
                t.c_xy AS n_xy, ROUND(t.pmi_raw, 6) AS pmi, mi.mi
         FROM terms t CROSS JOIN mi
+    """
+    # q150: integer-rank trim window, decimal sums, winsorized sum as
+    # the exact sum_kept + k*lo + k*hi identity
+    out["q150_robust_means"] = """
+        WITH staged AS (
+            SELECT l_returnflag AS grp, l_extendedprice AS v
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+              AND NOT isnan(l_extendedprice)),
+        ranked AS (
+            SELECT grp, v,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v)
+                        AS BIGINT) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+            FROM staged),
+        agg AS (
+            SELECT grp, MAX(n) AS n,
+                   MAX(n * 10 // 100) AS k_trim,
+                   CAST(SUM(CASE WHEN rk > n * 10 // 100
+                                  AND rk <= n - n * 10 // 100
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_kept,
+                   SUM(CASE WHEN rk > n * 10 // 100
+                             AND rk <= n - n * 10 // 100
+                            THEN CAST(v AS DECIMAL(28,12)) END) AS sum_kept,
+                   MIN(CASE WHEN rk > n * 10 // 100
+                             AND rk <= n - n * 10 // 100
+                            THEN v END) AS lo,
+                   MAX(CASE WHEN rk > n * 10 // 100
+                             AND rk <= n - n * 10 // 100
+                            THEN v END) AS hi
+            FROM ranked GROUP BY grp)
+        SELECT grp AS l_returnflag, n, k_trim, lo, hi,
+               ROUND(CAST(sum_kept AS DOUBLE)
+                     / NULLIF(CAST(cnt_kept AS DOUBLE), 0.0), 6)
+                   AS trimmed_mean,
+               ROUND(CAST(sum_kept
+                          + CAST(lo AS DECIMAL(28,12)) * k_trim
+                          + CAST(hi AS DECIMAL(28,12)) * k_trim AS DOUBLE)
+                     / NULLIF(CAST(n AS DOUBLE), 0.0), 6) AS winsor_mean
+        FROM agg
+    """
+    # q151: Q17-shaped correlated AVG decorrelated into agg + rejoin;
+    # decimal-carried means and revenue
+    out["q151_small_order_revenue"] = """
+        WITH pa AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(28,12))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS aq
+            FROM lineitem GROUP BY l_partkey),
+        small AS (
+            SELECT l.l_returnflag, l.l_extendedprice
+            FROM lineitem l JOIN pa USING (l_partkey)
+            WHERE l.l_quantity < 0.5 * pa.aq)
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_small,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,12)))
+                          AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM small GROUP BY l_returnflag
     """
     return out

@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "q147_mean_shift",
     "q148_domain_cap",
     "q149_mutual_info",
+    "q150_robust_means",
+    "q151_small_order_revenue",
 ]
 
 

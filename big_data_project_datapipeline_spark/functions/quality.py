@@ -1021,3 +1021,84 @@ def mutual_information(
         "pmi",
         "mi",
     )
+
+
+def trimmed_winsor_summary(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    trim_pct: int = 10,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Robust per-group location summary: the ``trim_pct``-trimmed
+    mean (drop the k = floor(n·pct/100) smallest and largest values)
+    and the winsorized mean (CLAMP those k values to the surviving
+    min/max instead of dropping them) — the outlier-robust
+    complements to q78's MAD flags and q82's robust scaler.
+
+    Determinism/parity: k is integer arithmetic (``n*pct div 100``);
+    membership comes from a per-group row_number over the value order
+    (ties are interchangeable for every emitted statistic, so the
+    tie order is irrelevant); sums accumulate in DECIMAL(28,12); the
+    winsorized sum is derived EXACTLY as sum_kept + k·lo + k·hi in
+    decimal (lo/hi are the surviving boundary ELEMENTS — never an
+    interpolated percentile), so no second clamping pass exists at
+    all. Means are final IEEE divisions, rounded at the surface.
+    NaN/NULL excluded up front.
+
+    Scale shape: one per-group sort feeding one window, one
+    map-side-combinable groupBy — the q126 posture. At 100 TB with
+    heavy groups, the production variant derives k-bounds from a
+    quantile sketch and clamps in a map-only pass; this exact form is
+    the oracle-checkable reference semantics.
+    """
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    staged = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *gcols, v.alias("__v")
+    )
+    w = Window.partitionBy(*gcols).orderBy("__v")
+    ranked = staged.select(
+        *gcols,
+        "__v",
+        F.row_number().over(w).cast("long").alias("__rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*gcols))
+        .cast("long")
+        .alias("__n"),
+    )
+    k = F.expr(f"__n * {int(trim_pct)} div 100")
+    kept = (F.col("__rk") > k) & (F.col("__rk") <= F.col("__n") - k)
+    vdec = F.col("__v").cast("decimal(28,12)")
+    agg = ranked.groupBy(*gcols).agg(
+        F.max("__n").alias("n"),
+        F.max(k).alias("k_trim"),
+        F.sum(F.when(kept, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__cnt_kept"),
+        F.sum(F.when(kept, vdec)).alias("__sum_kept"),
+        F.min(F.when(kept, F.col("__v"))).alias("lo"),
+        F.max(F.when(kept, F.col("__v"))).alias("hi"),
+    )
+    win_sum = (
+        F.col("__sum_kept")
+        + F.col("lo").cast("decimal(28,12)") * F.col("k_trim")
+        + F.col("hi").cast("decimal(28,12)") * F.col("k_trim")
+    )
+    return agg.select(
+        *gcols,
+        "n",
+        "k_trim",
+        "lo",
+        "hi",
+        F.round(
+            F.col("__sum_kept").cast("double")
+            / F.nullif(F.col("__cnt_kept").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(
+            win_sum.cast("double")
+            / F.nullif(F.col("n").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("winsor_mean"),
+    )

@@ -484,3 +484,53 @@ class TestMutualInformation:
         assert all(r["n_xy"] == 2 for r in out)
         import math
         assert all(abs(r["mi"] - math.log(2)) < 1e-6 for r in out)
+
+
+class TestTrimmedWinsor:
+    def _df(self, spark, vals, grp="g"):
+        return spark.createDataFrame(
+            [(grp, float(v)) for v in vals], "grp string, v double"
+        )
+
+    def test_hand_computed(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            trimmed_winsor_summary,
+        )
+        # 10 values 1..9 + outlier 1000; trim 10% -> k=1: drop 1 and
+        # 1000; kept 2..9 -> trimmed mean 5.5; winsorized: clamp 1->2,
+        # 1000->9 -> (44 + 2 + 9)/10 = 5.5
+        out = trimmed_winsor_summary(
+            self._df(spark, [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]),
+            value_col="v",
+            group_cols=["grp"],
+        ).first()
+        assert out["n"] == 10 and out["k_trim"] == 1
+        assert out["lo"] == 2.0 and out["hi"] == 9.0
+        assert out["trimmed_mean"] == 5.5
+        assert out["winsor_mean"] == 5.5
+
+    def test_small_group_no_trim(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            trimmed_winsor_summary,
+        )
+        # n=5, k=0: both means are the plain mean
+        out = trimmed_winsor_summary(
+            self._df(spark, [1, 2, 3, 4, 5]),
+            value_col="v",
+            group_cols=["grp"],
+        ).first()
+        assert out["k_trim"] == 0
+        assert out["trimmed_mean"] == out["winsor_mean"] == 3.0
+
+    def test_nan_null_excluded(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            trimmed_winsor_summary,
+        )
+        df = spark.createDataFrame(
+            [("g", 1.0), ("g", 2.0), ("g", float("nan")), ("g", None)],
+            "grp string, v double",
+        )
+        out = trimmed_winsor_summary(
+            df, value_col="v", group_cols=["grp"]
+        ).first()
+        assert out["n"] == 2 and out["trimmed_mean"] == 1.5
