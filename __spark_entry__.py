@@ -48,6 +48,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     ks_drift,
     mean_shift_scan,
     mutual_information,
+    grouped_auc,
     psi_drift,
     trimmed_winsor_summary,
     robust_scale,
@@ -3185,6 +3186,22 @@ def q151_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q152_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of discount as a ranker for returned lines, per line
+    status (functions/quality.grouped_auc): tie-corrected
+    Mann-Whitney U over the collapsed per-(group, score) frame —
+    exact integer doubled-unit arithmetic, one final IEEE division.
+    Heavy score ties (discount has 11 distinct values) are exactly the
+    case the tie correction exists for."""
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_auc(
+        li,
+        score_col="l_discount",
+        label_expr=F.col("l_returnflag") == "R",
+        group_cols=["l_linestatus"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3270,6 +3287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_mutual_info": q149_mutual_info,
         "q150_robust_means": q150_robust_means,
         "q151_small_order_revenue": q151_small_order_revenue,
+        "q152_auc": q152_auc,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -6639,5 +6657,36 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,12)))
                           AS DOUBLE) / 7.0, 6) AS avg_yearly
         FROM small GROUP BY l_returnflag
+    """
+    # q152: tie-corrected Mann-Whitney AUC on the collapsed
+    # per-(group, score) frame; integer doubled units until the final
+    # division
+    out["q152_auc"] = """
+        WITH staged AS (
+            SELECT l_linestatus AS g, l_discount AS s,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+            FROM lineitem
+            WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)),
+        per_s AS (
+            SELECT g, s, CAST(SUM(pos) AS BIGINT) AS cp,
+                   CAST(SUM(1 - pos) AS BIGINT) AS cn
+            FROM staged GROUP BY g, s),
+        contrib AS (
+            SELECT g, cp, cn,
+                   CAST(cp * (2 * (CAST(SUM(cn) OVER w AS BIGINT) - cn)
+                              + cn) AS BIGINT) AS c2
+            FROM per_s
+            WINDOW w AS (PARTITION BY g ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        agg AS (
+            SELECT g, CAST(SUM(cp) AS BIGINT) AS n_pos,
+                   CAST(SUM(cn) AS BIGINT) AS n_neg,
+                   CAST(SUM(c2) AS BIGINT) AS c2
+            FROM contrib GROUP BY g)
+        SELECT g AS l_linestatus, n_pos, n_neg,
+               ROUND(CAST(c2 AS DOUBLE)
+                     / NULLIF(2.0 * CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE), 0.0), 6) AS auc
+        FROM agg
     """
     return out

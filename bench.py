@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "q149_mutual_info",
     "q150_robust_means",
     "q151_small_order_revenue",
+    "q152_auc",
 ]
 
 

@@ -1102,3 +1102,77 @@ def trimmed_winsor_summary(
             6,
         ).alias("winsor_mean"),
     )
+
+
+def grouped_auc(
+    df: DataFrame,
+    score_col: str,
+    label_expr,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """ROC-AUC of ``score_col`` as a ranker for the boolean
+    ``label_expr``, per group — the Mann–Whitney U form with the
+    standard tie correction (tied scores contribute half): AUC =
+    Σ_v n_pos(v)·(N_neg(<v) + n_neg(v)/2) / (N_pos·N_neg), computed
+    over the COLLAPSED per-(group, score) count frame.
+
+    Determinism/parity: every term is exact integer arithmetic in
+    doubled units (contrib2 = n_pos·(2·cum_neg_below + n_neg) keeps
+    the half-tie credit integral); the single float op is the final
+    division by 2·N_pos·N_neg, rounded at the surface. Groups missing
+    a class emit NULL auc (nullif guard). NaN/NULL scores excluded.
+
+    Scale shape: one map-side-combinable groupBy collapses rows to
+    distinct scores, one per-group window over that collapsed frame
+    (O(distinct scores), not O(rows)) — the q144 ECDF posture.
+    """
+    gcols = list(group_cols)
+    s = F.col(score_col)
+    staged = df.filter(s.isNotNull() & ~F.isnan(s)).select(
+        *gcols,
+        s.alias("__s"),
+        F.when(label_expr, F.lit(1)).otherwise(F.lit(0)).alias("__pos"),
+    )
+    per_s = staged.groupBy(*gcols, "__s").agg(
+        F.sum("__pos").cast("long").alias("cp"),
+        F.sum(F.lit(1) - F.col("__pos")).cast("long").alias("cn"),
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    contrib = per_s.select(
+        *gcols,
+        "cp",
+        "cn",
+        (
+            F.col("cp")
+            * (
+                F.lit(2) * (F.sum("cn").over(w) - F.col("cn"))
+                + F.col("cn")
+            )
+        )
+        .cast("long")
+        .alias("__contrib2"),
+    )
+    agg = contrib.groupBy(*gcols).agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+        F.sum("__contrib2").cast("long").alias("__c2"),
+    )
+    return agg.select(
+        *gcols,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("__c2").cast("double")
+            / F.nullif(
+                F.lit(2.0)
+                * F.col("n_pos").cast("double")
+                * F.col("n_neg").cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("auc"),
+    )

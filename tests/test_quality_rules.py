@@ -534,3 +534,53 @@ class TestTrimmedWinsor:
             df, value_col="v", group_cols=["grp"]
         ).first()
         assert out["n"] == 2 and out["trimmed_mean"] == 1.5
+
+
+class TestGroupedAuc:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, s double, y int")
+
+    def test_perfect_separation(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_auc,
+        )
+        rows = [("a", float(v), 0) for v in range(5)] + [
+            ("a", float(v + 10), 1) for v in range(5)
+        ]
+        out = grouped_auc(
+            self._df(spark, rows), "s", F.col("y") == 1, ["g"]
+        ).first()
+        assert out["auc"] == 1.0 and out["n_pos"] == 5 and out["n_neg"] == 5
+
+    def test_all_tied_is_half(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_auc,
+        )
+        rows = [("a", 1.0, 1)] * 3 + [("a", 1.0, 0)] * 7
+        out = grouped_auc(
+            self._df(spark, rows), "s", F.col("y") == 1, ["g"]
+        ).first()
+        assert out["auc"] == 0.5
+
+    def test_hand_computed_with_ties(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_auc,
+        )
+        # scores: neg at 1, pos at 2, one of each at 3
+        # pairs: (pos2,neg1)=1, (pos2,neg3)=0, (pos3,neg1)=1,
+        # (pos3,neg3)=0.5 -> AUC = 2.5/4
+        rows = [("a", 1.0, 0), ("a", 2.0, 1), ("a", 3.0, 1), ("a", 3.0, 0)]
+        out = grouped_auc(
+            self._df(spark, rows), "s", F.col("y") == 1, ["g"]
+        ).first()
+        assert out["auc"] == 0.625
+
+    def test_single_class_group_null(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_auc,
+        )
+        rows = [("a", 1.0, 1), ("a", 2.0, 1)]
+        out = grouped_auc(
+            self._df(spark, rows), "s", F.col("y") == 1, ["g"]
+        ).first()
+        assert out["n_neg"] == 0 and out["auc"] is None
