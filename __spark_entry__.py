@@ -48,7 +48,9 @@ from big_data_project_datapipeline_spark.functions.quality import (
     ks_drift,
     mean_shift_scan,
     mutual_information,
+    grouped_acf,
     grouped_auc,
+    grouped_ols2,
     psi_drift,
     trimmed_winsor_summary,
     robust_scale,
@@ -3202,6 +3204,30 @@ def q152_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q153_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form least squares per return flag
+    (functions/quality.grouped_ols2): extended price on quantity and
+    discount — normal equations from ten decimal-exact moments in ONE
+    aggregate pass, Cramer-solved in doubles, with R2."""
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_ols2(
+        li,
+        y_col="l_extendedprice",
+        x1_col="l_quantity",
+        x2_col="l_discount",
+        group_cols=["l_returnflag"],
+    )
+
+
+def q154_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type autocorrelation at lags 1-3
+    (functions/quality.grouped_acf): lag windows sharing one sort,
+    stack-unpivoted pairs, decimal-exact Pearson moments per
+    (group, lag)."""
+    ev = _t(spark, sf_dir, "events")
+    return grouped_acf(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3288,6 +3314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q150_robust_means": q150_robust_means,
         "q151_small_order_revenue": q151_small_order_revenue,
         "q152_auc": q152_auc,
+        "q153_ols2": q153_ols2,
+        "q154_acf": q154_acf,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -6657,6 +6685,92 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,12)))
                           AS DOUBLE) / 7.0, 6) AS avg_yearly
         FROM small GROUP BY l_returnflag
+    """
+    # q153: ten decimal-exact moments, Cramer 2x2 solve in doubles
+    # with mirrored expression order
+    out["q153_ols2"] = """
+        WITH m AS (
+            SELECT l_returnflag AS g,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                            * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                            * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
+                            * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                            * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(19,4))
+                            * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s2y,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                            * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+              AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+              AND l_discount IS NOT NULL AND NOT isnan(l_discount)
+            GROUP BY l_returnflag),
+        c AS (
+            SELECT g, n, s1, s2, sy,
+                   s11 - s1 * s1 / n AS c11,
+                   s12 - s1 * s2 / n AS c12,
+                   s22 - s2 * s2 / n AS c22,
+                   s1y - s1 * sy / n AS c1y,
+                   s2y - s2 * sy / n AS c2y,
+                   syy - sy * sy / n AS cyy
+            FROM m),
+        sol AS (
+            SELECT g, n, s1, s2, sy, c1y, c2y, cyy,
+                   (c22 * c1y - c12 * c2y)
+                       / NULLIF(c11 * c22 - c12 * c12, 0.0) AS b1,
+                   (c11 * c2y - c12 * c1y)
+                       / NULLIF(c11 * c22 - c12 * c12, 0.0) AS b2
+            FROM c)
+        SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+               ROUND((sy - b1 * s1 - b2 * s2) / n, 6) AS b0,
+               ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+               ROUND((b1 * c1y + b2 * c2y) / NULLIF(cyy, 0.0), 6) AS r2
+        FROM sol
+    """
+    # q154: lag windows + UNION-ALL pair branches, q39 moment device
+    out["q154_acf"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, ts, event_id AS id, value AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        wide AS (
+            SELECT grp, v AS x,
+                   LAG(v, 1) OVER w AS l1,
+                   LAG(v, 2) OVER w AS l2,
+                   LAG(v, 3) OVER w AS l3
+            FROM clean
+            WINDOW w AS (PARTITION BY grp ORDER BY ts, id)),
+        pairs AS (
+            SELECT grp, 1 AS lag, x, l1 AS y FROM wide WHERE l1 IS NOT NULL
+            UNION ALL
+            SELECT grp, 2 AS lag, x, l2 AS y FROM wide WHERE l2 IS NOT NULL
+            UNION ALL
+            SELECT grp, 3 AS lag, x, l3 AS y FROM wide WHERE l3 IS NOT NULL),
+        m AS (
+            SELECT grp, lag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(18,4))
+                            * CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(18,4))
+                            * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(18,4))
+                            * CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+            FROM pairs GROUP BY grp, lag)
+        SELECT grp AS event_type, CAST(lag AS INT) AS lag,
+               CAST(n AS BIGINT) AS n_pairs,
+               ROUND((n * sxy - sx * sy)
+                     / NULLIF(sqrt(n * sxx - sx * sx)
+                              * sqrt(n * syy - sy * sy), 0.0), 6) AS acf
+        FROM m
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "q150_robust_means",
     "q151_small_order_revenue",
     "q152_auc",
+    "q153_ols2",
+    "q154_acf",
 ]
 
 

@@ -1176,3 +1176,144 @@ def grouped_auc(
             6,
         ).alias("auc"),
     )
+
+
+def grouped_ols2(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-feature least squares per group, solved in closed form from
+    the normal equations — the multi-feature extension of q97's
+    single-feature trend: y = b0 + b1·x1 + b2·x2 with the 2×2 system
+    inverted symbolically (Cramer), plus R².
+
+    Determinism/parity: the ten raw moments (n, Σx1, Σx2, Σy, Σx1²,
+    Σx1x2, Σx2², Σx1y, Σx2y, Σy²) accumulate as DECIMAL(18,4)
+    products — exact, hence order-independent across partitions (the
+    q39 device; Spark's native regr_* aggregates are double
+    accumulations and are not). Everything after is double algebra on
+    identical exact inputs, expression-order mirrored by the oracle.
+    Singular groups (det 0 — collinear or constant features) emit
+    NULL coefficients via nullif. NaN/NULL rows excluded.
+
+    Scale shape: ONE map-side-combinable aggregate pass — no second
+    pass, no windows, no matrix library; the closed form keeps the
+    whole fit inside whole-stage codegen.
+    """
+    gcols = list(group_cols)
+    yv, x1v, x2v = F.col(y_col), F.col(x1_col), F.col(x2_col)
+    clean = df.filter(
+        yv.isNotNull()
+        & ~F.isnan(yv)
+        & x1v.isNotNull()
+        & ~F.isnan(x1v)
+        & x2v.isNotNull()
+        & ~F.isnan(x2v)
+    )
+    y = yv.cast("decimal(18,4)")
+    x1 = x1v.cast("decimal(18,4)")
+    x2 = x2v.cast("decimal(18,4)")
+    m = clean.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).cast("double").alias("s1"),
+        F.sum(x2).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x1 * x1).cast("double").alias("s11"),
+        F.sum(x1 * x2).cast("double").alias("s12"),
+        F.sum(x2 * x2).cast("double").alias("s22"),
+        F.sum(x1 * y).cast("double").alias("s1y"),
+        F.sum(x2 * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    S11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    S12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    S22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    S1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    S2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    Syy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = S11 * S22 - S12 * S12
+    b1 = (S22 * S1y - S12 * S2y) / F.nullif(det, F.lit(0.0))
+    b2 = (S11 * S2y - S12 * S1y) / F.nullif(det, F.lit(0.0))
+    b0 = (F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2")) / n
+    r2 = (b1 * S1y + b2 * S2y) / F.nullif(Syy, F.lit(0.0))
+    return m.select(
+        *gcols,
+        n.cast("long").alias("n"),
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def grouped_acf(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Autocorrelation function per group for lags 1..``max_lag``: the
+    Pearson correlation of the (x_t, x_{t−k}) lagged pairs in (ts, id)
+    order — the pairwise-ACF variant (each lag standardizes over its
+    own pair set; the classical fixed-global-mean estimator differs in
+    the tails, and THIS form is the one expressible as exact moments).
+
+    Determinism/parity: one lag window per k sharing one per-group
+    sort; pairs unpivot via ``stack`` into (group, lag) long form; the
+    six co-moments accumulate as DECIMAL(18,4) products (the q39
+    device — order-independent), and the Pearson algebra runs on
+    identical exact doubles in both engines. Lags beyond a group's
+    length yield no pairs and emit no row. NaN/NULL excluded up front.
+
+    Scale shape: one per-group sort feeds all lag columns, one
+    map-side-combinable groupBy on (group, lag) — never a self-join
+    on shifted copies.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        v.alias("__v"),
+    )
+    w = Window.partitionBy("grp").orderBy("__ts", "__id")
+    lag_cols = [
+        F.lag("__v", k).over(w).alias(f"__l{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    wide = clean.select("grp", "__v", *lag_cols)
+    stack_args = ", ".join(
+        f"{k}, __l{k}" for k in range(1, max_lag + 1)
+    )
+    pairs = wide.select(
+        "grp",
+        F.col("__v").alias("x"),
+        F.expr(f"stack({max_lag}, {stack_args}) as (lag, y)"),
+    ).filter(F.col("y").isNotNull())
+    xd = F.col("x").cast("decimal(18,4)")
+    yd = F.col("y").cast("decimal(18,4)")
+    m = pairs.groupBy("grp", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    return m.select(
+        F.col("grp").alias(group_col),
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        F.round(
+            (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6
+        ).alias("acf"),
+    )

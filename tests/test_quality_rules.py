@@ -584,3 +584,85 @@ class TestGroupedAuc:
             self._df(spark, rows), "s", F.col("y") == 1, ["g"]
         ).first()
         assert out["n_neg"] == 0 and out["auc"] is None
+
+
+class TestGroupedOls2:
+    def test_recovers_exact_plane(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_ols2,
+        )
+        # y = 2 + 3*x1 - 4*x2 exactly, x1/x2 not collinear
+        rows = [
+            ("g", float(x1), float(x2), 2.0 + 3.0 * x1 - 4.0 * x2)
+            for x1 in range(6)
+            for x2 in range(4)
+        ]
+        df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+        out = grouped_ols2(df, "y", "x1", "x2", ["g"]).first()
+        assert abs(out["b0"] - 2.0) < 1e-6
+        assert abs(out["b1"] - 3.0) < 1e-6
+        assert abs(out["b2"] + 4.0) < 1e-6
+        assert abs(out["r2"] - 1.0) < 1e-6
+
+    def test_collinear_features_null(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_ols2,
+        )
+        rows = [("g", float(v), 2.0 * v, float(v)) for v in range(10)]
+        df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+        out = grouped_ols2(df, "y", "x1", "x2", ["g"]).first()
+        assert out["b1"] is None and out["b2"] is None
+
+    def test_nan_rows_excluded(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_ols2,
+        )
+        rows = [("g", 1.0, 1.0, 1.0), ("g", 2.0, 1.5, 2.0),
+                ("g", 3.0, 0.5, 3.0), ("g", float("nan"), 1.0, 9.0),
+                ("g", 1.0, None, 9.0)]
+        df = spark.createDataFrame(rows, "g string, x1 double, x2 double, y double")
+        assert grouped_ols2(df, "y", "x1", "x2", ["g"]).first()["n"] == 3
+
+
+class TestGroupedAcf:
+    def _ev(self, spark, vals, grp="a"):
+        import datetime as dt
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (grp, t0 + dt.timedelta(minutes=i), i, float(v))
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, event_id long, value double"
+        )
+
+    def test_alternating_series_lag_signs(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_acf,
+        )
+        # perfect alternation: lag1 = -1, lag2 = +1
+        out = {
+            r["lag"]: r
+            for r in grouped_acf(self._ev(spark, [1, -1] * 10)).collect()
+        }
+        assert out[1]["acf"] == -1.0 and out[1]["n_pairs"] == 19
+        assert out[2]["acf"] == 1.0
+
+    def test_short_group_emits_only_feasible_lags(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_acf,
+        )
+        # 3 points: lag1 has 2 pairs, lag2 has 1 (constant denom ->
+        # NULL acf), lag3 none
+        out = {
+            r["lag"]: r for r in grouped_acf(self._ev(spark, [1, 2, 4])).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[2]["n_pairs"] == 1 and out[2]["acf"] is None
+
+    def test_constant_series_null_acf(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_acf,
+        )
+        out = grouped_acf(self._ev(spark, [5.0] * 10)).collect()
+        assert all(r["acf"] is None for r in out)
