@@ -36,16 +36,27 @@ def main() -> None:
         # every pair 10x support (an artificial density explosion, not a
         # scale-up) — disjoint copies keep organic density at 10x rows.
         "lineitem": ("l_orderkey", "l_partkey"),
+        # events: 10x the series so the window family (q144 KS ECDF,
+        # q147 changepoint scan, q41/q125-class) measures real row
+        # growth. Copies shift both ids; `value` gets a per-copy 1e-7
+        # jitter so DISTINCT values grow ~10x like organic continuous
+        # data would (clone values would otherwise collapse in the
+        # per-(group, value) frames and understate shuffle growth).
+        "events": ("event_id", "user_id"),
     }
     for table, keys in specs.items():
         src = f"{SRC}/{table}.parquet"
         cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         parts = []
         for c in range(COPIES):
-            sel = ", ".join(
-                f"{col} + {c * SHIFT} AS {col}" if col in keys else col
-                for col in cols
-            )
+            def col_sel(col, c=c, keys=keys, table=table):
+                if col in keys:
+                    return f"{col} + {c * SHIFT} AS {col}"
+                if table == "events" and col == "value":
+                    return f"value + {c} * 0.0000001 AS value"
+                return col
+
+            sel = ", ".join(col_sel(col) for col in cols)
             parts.append(f"SELECT {sel} FROM '{src}'")
         union = " UNION ALL ".join(parts)
         dst = f"{OUT}/{table}.parquet"
@@ -54,8 +65,7 @@ def main() -> None:
         print(f"{table}: {n} rows -> {dst}")
     # The remaining tables are read by the gate loaders but not by the
     # smoke queries — symlink them so load_table finds a complete dir.
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "events"]:
+    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
         link = f"{OUT}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{t}.parquet", link)
