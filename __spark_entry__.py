@@ -48,6 +48,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     ks_drift,
     mean_shift_scan,
     mutual_information,
+    fk_orphan_report,
     grouped_acf,
     grouped_auc,
     grouped_ols2,
@@ -3228,6 +3229,77 @@ def q154_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_acf(ev)
 
 
+def q155_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the star schema
+    (functions/quality.fk_orphan_report): orphan/NULL-FK counts for
+    every fact-dimension link — NULL FKs reported separately, never
+    silently counted as orphans (the NULL-key anti-join trap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    pt = _t(spark, sf_dir, "part")
+    na = _t(spark, sf_dir, "nation")
+    return fk_orphan_report(
+        [
+            ("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey"),
+            ("lineitem.suppkey", li, "l_suppkey", su, "s_suppkey"),
+            ("lineitem.partkey", li, "l_partkey", pt, "p_partkey"),
+            ("orders.custkey", o, "o_custkey", c, "c_custkey"),
+            ("customer.nationkey", c, "c_nationkey", na, "n_nationkey"),
+        ]
+    )
+
+
+def q156_day_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-completeness / freshness audit per event type: which
+    calendar days of the corpus-wide span have data, which are
+    missing, and the freshness watermark — the load-monitoring twin of
+    q29's column audit. The day grid materializes from one global
+    (min, max) 1-row frame crossJoined (broadcast) into the distinct
+    types, exploded by day sequence; presence is a left join against
+    the DISTINCT (type, day) frame. All counts exact; day is
+    date_trunc (TIMESTAMP, never DATE — the pandas-dtype trap)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    span = days.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = days.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    obs = days.distinct().withColumn("present", F.lit(1))
+    flags = grid.join(obs, ["event_type", "day"], "left").select(
+        "event_type", F.coalesce(F.col("present"), F.lit(0)).alias("p")
+    )
+    agg = flags.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("days_expected"),
+        F.sum("p").cast("long").alias("days_present"),
+    )
+    last = ev.groupBy("event_type").agg(F.max("ts").alias("last_seen"))
+    return (
+        agg.join(last, "event_type")
+        .select(
+            "event_type",
+            "days_expected",
+            "days_present",
+            (F.col("days_expected") - F.col("days_present"))
+            .cast("long")
+            .alias("days_missing"),
+            F.round(
+                F.col("days_present").cast("double")
+                / F.col("days_expected").cast("double"),
+                6,
+            ).alias("completeness"),
+            "last_seen",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3316,6 +3388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_auc": q152_auc,
         "q153_ols2": q153_ols2,
         "q154_acf": q154_acf,
+        "q155_fk_integrity": q155_fk_integrity,
+        "q156_day_completeness": q156_day_completeness,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -6771,6 +6845,92 @@ def oracle_sql() -> dict[str, str]:
                      / NULLIF(sqrt(n * sxx - sx * sx)
                               * sqrt(n * syy - sy * sy), 0.0), 6) AS acf
         FROM m
+    """
+    # q155: NOT-EXISTS orphan counts per relation, NULL FKs separate
+    out["q155_fk_integrity"] = """
+        WITH rel AS (
+            SELECT 'lineitem.orderkey' AS relation,
+                   (SELECT COUNT(*) FROM lineitem) AS n_child,
+                   (SELECT COUNT(*) FROM lineitem
+                    WHERE l_orderkey IS NULL) AS n_null_fk,
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM orders o
+                           WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.suppkey',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM supplier s
+                           WHERE s.s_suppkey = l.l_suppkey))
+            UNION ALL
+            SELECT 'lineitem.partkey',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM part p
+                           WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'orders.custkey',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'customer.nationkey',
+                   (SELECT COUNT(*) FROM customer),
+                   (SELECT COUNT(*) FROM customer
+                    WHERE c_nationkey IS NULL),
+                   (SELECT COUNT(*) FROM customer c
+                    WHERE c.c_nationkey IS NOT NULL AND NOT EXISTS
+                          (SELECT 1 FROM nation n
+                           WHERE n.n_nationkey = c.c_nationkey)))
+        SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+               CAST(n_null_fk AS BIGINT) AS n_null_fk,
+               CAST(n_orphans AS BIGINT) AS n_orphans,
+               ROUND(CAST(n_orphans AS DOUBLE)
+                     / NULLIF(CAST(n_child - n_null_fk AS DOUBLE), 0.0), 6)
+                   AS orphan_rate
+        FROM rel
+    """
+    # q156: global-span day grid vs distinct observed days; TIMESTAMP
+    # day keys (never DATE)
+    out["q156_day_completeness"] = """
+        WITH days AS (
+            SELECT event_type, date_trunc('day', ts) AS day FROM events),
+        span AS (
+            SELECT MIN(day) AS d0, MAX(day) AS d1 FROM days),
+        types AS (SELECT DISTINCT event_type FROM days),
+        grid AS (
+            SELECT t.event_type, unnest(generate_series(s.d0, s.d1,
+                       INTERVAL 1 DAY)) AS day
+            FROM types t CROSS JOIN span s),
+        obs AS (SELECT DISTINCT event_type, day FROM days),
+        flags AS (
+            SELECT g.event_type,
+                   CASE WHEN o.day IS NULL THEN 0 ELSE 1 END AS p
+            FROM grid g LEFT JOIN obs o
+              ON g.event_type = o.event_type AND g.day = o.day),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS days_expected,
+                   CAST(SUM(p) AS BIGINT) AS days_present
+            FROM flags GROUP BY event_type),
+        last AS (
+            SELECT event_type, MAX(ts) AS last_seen
+            FROM events GROUP BY event_type)
+        SELECT a.event_type, a.days_expected, a.days_present,
+               CAST(a.days_expected - a.days_present AS BIGINT)
+                   AS days_missing,
+               ROUND(CAST(a.days_present AS DOUBLE)
+                     / CAST(a.days_expected AS DOUBLE), 6) AS completeness,
+               l.last_seen
+        FROM agg a JOIN last l USING (event_type)
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

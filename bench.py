@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "q152_auc",
     "q153_ols2",
     "q154_acf",
+    "q155_fk_integrity",
+    "q156_day_completeness",
 ]
 
 

@@ -1028,7 +1028,6 @@ def trimmed_winsor_summary(
     value_col: str,
     group_cols: Sequence[str],
     trim_pct: int = 10,
-    id_col: str | None = None,
 ) -> DataFrame:
     """Robust per-group location summary: the ``trim_pct``-trimmed
     mean (drop the k = floor(n·pct/100) smallest and largest values)
@@ -1317,3 +1316,66 @@ def grouped_acf(
             (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6
         ).alias("acf"),
     )
+
+
+def fk_orphan_report(
+    relations: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit across fact→dimension links: for
+    each (name, child, fk_col, parent, pk_col) relation emit child
+    row count, NULL-FK count, orphan count (non-NULL FK with no
+    parent), and the orphan rate — the standing data-quality gate a
+    warehouse runs after every load.
+
+    NULL story (the standing isin/NULL-key rule): a NULL FK is NOT an
+    orphan — it falls out of any equi-join and would silently inflate
+    the orphan count; it is filtered first and reported in its own
+    column.
+
+    Scale shape per relation: one aggregate over the child, one
+    left_anti against the parent's DISTINCT keys (broadcast when the
+    dimension is small, shuffle otherwise — exactly the join the load
+    itself would do), one 1-row × 1-row crossJoin to assemble the
+    report row. Relations union into one O(relations) frame.
+    """
+    rows = []
+    for name, child, fk, parent, pk in relations:
+        fkc = F.col(fk)
+        stats = child.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count(F.when(fkc.isNull(), F.lit(1)))
+            .cast("long")
+            .alias("n_null_fk"),
+        )
+        orphans = (
+            child.filter(fkc.isNotNull())
+            .select(fkc.alias("__fk"))
+            .join(
+                parent.select(F.col(pk).alias("__pk")).distinct(),
+                F.col("__fk") == F.col("__pk"),
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+        )
+        rows.append(
+            stats.crossJoin(orphans).select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_null_fk",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double")
+                    / F.nullif(
+                        (F.col("n_child") - F.col("n_null_fk")).cast(
+                            "double"
+                        ),
+                        F.lit(0.0),
+                    ),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

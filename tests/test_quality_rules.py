@@ -666,3 +666,39 @@ class TestGroupedAcf:
         )
         out = grouped_acf(self._ev(spark, [5.0] * 10)).collect()
         assert all(r["acf"] is None for r in out)
+
+
+class TestFkOrphanReport:
+    def test_orphans_and_null_fks_separated(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            fk_orphan_report,
+        )
+        child = spark.createDataFrame(
+            [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+        )
+        parent = spark.createDataFrame([(10,), (20,)], "pk long")
+        out = fk_orphan_report([("c.fk", child, "fk", parent, "pk")]).first()
+        # fk=99 is the one orphan; the NULL fk is NOT an orphan
+        assert out["n_child"] == 4 and out["n_null_fk"] == 1
+        assert out["n_orphans"] == 1
+        assert abs(out["orphan_rate"] - 1 / 3) < 1e-6
+
+    def test_all_null_children_rate_null(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            fk_orphan_report,
+        )
+        child = spark.createDataFrame([(1, None), (2, None)], "id long, fk long")
+        parent = spark.createDataFrame([(10,)], "pk long")
+        out = fk_orphan_report([("c.fk", child, "fk", parent, "pk")]).first()
+        assert out["n_orphans"] == 0 and out["orphan_rate"] is None
+
+    def test_multiple_relations_union(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            fk_orphan_report,
+        )
+        child = spark.createDataFrame([(1, 10)], "id long, fk long")
+        parent = spark.createDataFrame([(10,)], "pk long")
+        out = fk_orphan_report(
+            [("a", child, "fk", parent, "pk"), ("b", child, "fk", parent, "pk")]
+        ).collect()
+        assert sorted(r["relation"] for r in out) == ["a", "b"]
