@@ -3012,7 +3012,13 @@ def q143_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micros via floor division (price_cents*100 div qty) — no
     float rounding anywhere; the display double is micros/10000.0,
     the same IEEE division in both engines."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & ~F.isnan(F.col("l_quantity"))
+        & (F.col("l_quantity") > 0)
+        & F.col("l_extendedprice").isNotNull()
+        & ~F.isnan(F.col("l_extendedprice"))
+    )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     staged = li.select(
         "l_partkey",
@@ -6481,7 +6487,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, l_suppkey,
                    MIN((CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100)
                        // CAST(l_quantity AS BIGINT)) AS cost_micros
-            FROM lineitem GROUP BY l_partkey, l_suppkey),
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+              AND l_quantity > 0
+              AND l_extendedprice IS NOT NULL
+              AND NOT isnan(l_extendedprice)
+            GROUP BY l_partkey, l_suppkey),
         best AS (
             SELECT l_partkey, cost_micros, l_suppkey
             FROM (SELECT l_partkey, cost_micros, l_suppkey,
@@ -6544,7 +6555,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag AS grp,
                    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
             FROM lineitem
-            WHERE CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
+            WHERE l_extendedprice IS NOT NULL
+              AND NOT isnan(l_extendedprice)
+              AND abs(l_extendedprice) < 9.0e16
+              AND CAST(ROUND(l_extendedprice * 100) AS BIGINT) > 0),
         digits AS (
             SELECT grp,
                    CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
@@ -6576,7 +6590,7 @@ def oracle_sql() -> dict[str, str]:
                                  / ln(10.0)))
                        / (CAST(t.n AS DOUBLE)
                           * (ln(1.0 + 1.0 / CAST(f.digit AS DOUBLE))
-                             / ln(10.0))), 9) AS DECIMAL(18,9)) AS term
+                             / ln(10.0))), 9) AS DECIMAL(28,9)) AS term
             FROM full_f f JOIN tot t USING (grp)),
         chi AS (
             SELECT grp, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS chi2
@@ -6947,15 +6961,16 @@ def oracle_sql() -> dict[str, str]:
             FROM staged GROUP BY g, s),
         contrib AS (
             SELECT g, cp, cn,
-                   CAST(cp * (2 * (CAST(SUM(cn) OVER w AS BIGINT) - cn)
-                              + cn) AS BIGINT) AS c2
+                   CAST(cp AS DECIMAL(18,0))
+                       * CAST(2 * (CAST(SUM(cn) OVER w AS BIGINT) - cn)
+                              + cn AS DECIMAL(19,0)) AS c2
             FROM per_s
             WINDOW w AS (PARTITION BY g ORDER BY s
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         agg AS (
             SELECT g, CAST(SUM(cp) AS BIGINT) AS n_pos,
                    CAST(SUM(cn) AS BIGINT) AS n_neg,
-                   CAST(SUM(c2) AS BIGINT) AS c2
+                   SUM(c2) AS c2
             FROM contrib GROUP BY g)
         SELECT g AS l_linestatus, n_pos, n_neg,
                ROUND(CAST(c2 AS DOUBLE)

@@ -822,10 +822,16 @@ def benford_audit(
     digit), then the O(groups × 9) complete grid via sequence explode
     (zero-count digits must exist for the chi-square).
     """
-    cents = F.round(F.col(value_col) * 100).cast("long")
-    staged = df.select(
-        F.col(group_col).alias("grp"), cents.alias("__cents")
-    ).filter(F.col("__cents") > 0)
+    v = F.col(value_col)
+    cents = F.round(v * 100).cast("long")
+    # NaN/Infinity/huge guard BEFORE the ANSI long cast (review fix:
+    # a single NaN row would abort the job with CAST_INVALID_INPUT;
+    # |v| >= 9e16 cents would overflow the cast)
+    staged = (
+        df.filter(v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(9.0e16)))
+        .select(F.col(group_col).alias("grp"), cents.alias("__cents"))
+        .filter(F.col("__cents") > 0)
+    )
     digits = staged.select(
         "grp",
         F.substring(F.col("__cents").cast("string"), 1, 1)
@@ -852,12 +858,15 @@ def benford_audit(
     ) / F.log(F.lit(10.0))
     n_d = F.col("n").cast("double")
     expected = n_d * exp_share
+    # decimal(28,9): chi-square terms are unbounded (O(n) per group)
+    # unlike the PSI terms — 18,9 would overflow ANSI-fatally exactly
+    # when the deviation signal is strongest (review fix)
     term = F.round(
         (F.col("c").cast("double") - expected)
         * (F.col("c").cast("double") - expected)
         / expected,
         9,
-    ).cast("decimal(18,9)")
+    ).cast("decimal(28,9)")
     staged2 = with_tot.select(
         "grp",
         "digit",
@@ -1079,10 +1088,14 @@ def trimmed_winsor_summary(
         F.min(F.when(kept, F.col("__v"))).alias("lo"),
         F.max(F.when(kept, F.col("__v"))).alias("hi"),
     )
+    # (26,12) x (11,0) -> precision 26+11+1 = 38: stays inside Spark's
+    # decimal cap, so the product is EXACT — (28,12) x long would need
+    # precision 49 and be silently rounded to scale 6 (review fix)
+    kd = F.col("k_trim").cast("decimal(11,0)")
     win_sum = (
         F.col("__sum_kept")
-        + F.col("lo").cast("decimal(28,12)") * F.col("k_trim")
-        + F.col("hi").cast("decimal(28,12)") * F.col("k_trim")
+        + F.col("lo").cast("decimal(26,12)") * kd
+        + F.col("hi").cast("decimal(26,12)") * kd
     )
     return agg.select(
         *gcols,
@@ -1141,24 +1154,25 @@ def grouped_auc(
         .orderBy("__s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # (18,0) x (19,0) decimal product + decimal sum: contrib2 can reach
+    # 2n^2 per group, overflowing int64 (ANSI-fatally) near ~3e9 rows
+    # per group (review fix) — decimals carry it to ~1e37
     contrib = per_s.select(
         *gcols,
         "cp",
         "cn",
         (
-            F.col("cp")
+            F.col("cp").cast("decimal(18,0)")
             * (
                 F.lit(2) * (F.sum("cn").over(w) - F.col("cn"))
                 + F.col("cn")
-            )
-        )
-        .cast("long")
-        .alias("__contrib2"),
+            ).cast("decimal(19,0)")
+        ).alias("__contrib2"),
     )
     agg = contrib.groupBy(*gcols).agg(
         F.sum("cp").cast("long").alias("n_pos"),
         F.sum("cn").cast("long").alias("n_neg"),
-        F.sum("__contrib2").cast("long").alias("__c2"),
+        F.sum("__contrib2").alias("__c2"),
     )
     return agg.select(
         *gcols,
@@ -1338,6 +1352,8 @@ def fk_orphan_report(
     itself would do), one 1-row × 1-row crossJoin to assemble the
     report row. Relations union into one O(relations) frame.
     """
+    if not relations:
+        raise ValueError("fk_orphan_report: relations must be non-empty")
     rows = []
     for name, child, fk, parent, pk in relations:
         fkc = F.col(fk)

@@ -702,3 +702,36 @@ class TestFkOrphanReport:
             [("a", child, "fk", parent, "pk"), ("b", child, "fk", parent, "pk")]
         ).collect()
         assert sorted(r["relation"] for r in out) == ["a", "b"]
+
+
+class TestReviewHardening:
+    def test_benford_nan_inf_rows_excluded_not_fatal(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            benford_audit,
+        )
+        df = spark.createDataFrame(
+            [("g", 12.34), ("g", float("nan")), ("g", float("inf")),
+             ("g", float("-inf")), ("g", 1e18), ("g", None)],
+            "grp string, v double",
+        )
+        out = {r["digit"]: r for r in benford_audit(df, "v", "grp").collect()}
+        # only the one clean row survives; the job does not abort
+        assert out[1]["n_obs"] == 1 and sum(r["n_obs"] for r in out.values()) == 1
+
+    def test_auc_contrib_survives_large_counts(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_auc,
+        )
+        # decimal accumulation path sanity on a skewed-tie frame
+        rows = [("a", 1.0, 0)] * 500 + [("a", 2.0, 1)] * 500
+        df = spark.createDataFrame(rows, "g string, s double, y int")
+        out = grouped_auc(df, "s", F.col("y") == 1, ["g"]).first()
+        assert out["auc"] == 1.0
+
+    def test_fk_report_empty_relations_raises(self, spark):
+        import pytest
+        from big_data_project_datapipeline_spark.functions.quality import (
+            fk_orphan_report,
+        )
+        with pytest.raises(ValueError):
+            fk_orphan_report([])

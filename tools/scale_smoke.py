@@ -20,7 +20,11 @@ import __spark_entry__ as E
 from big_data_project_datapipeline_spark.session import get_spark
 
 QUERIES = ["q99_substring_dedup", "q115_simhash_neardup",
-           "q117_ann_ivfpq", "q121_triangle_count"]
+           "q117_ann_ivfpq", "q121_triangle_count",
+           # drift/window family (SCALING.md second decade table;
+           # needs the 10x jittered events from make_scale_smoke.py)
+           "q141_psi_drift", "q144_ks_drift", "q147_mean_shift",
+           "q154_acf", "q142_ngram_novelty", "q150_robust_means"]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".scale_smoke/sf1")]
 
 
