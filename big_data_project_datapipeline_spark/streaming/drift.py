@@ -183,3 +183,46 @@ def psi_report(
     return psi_from_bin_counts(
         full, group_col=group_col, n_bins=n_bins, smoothing=smoothing
     )
+
+
+def stream_drift_monitor(
+    spark: SparkSession,
+    events_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    query_name: str = "engine_stream_drift",
+):
+    """Structured-Streaming front end for the drift store: an
+    availableNow drain over a landed events directory — every parquet
+    file not yet seen by the checkpoint flows through one
+    maintain_drift_counts tick (keyed by the streaming batch id, so a
+    replayed batch overwrites its delta instead of double-counting —
+    the same idempotence contract the cron entry point has).
+
+    freeze_reference must have run once against this store first; the
+    (checkpoint_dir, store_dir) pair is ONE unit of state — batch ids
+    are unique per checkpoint, so never pair a fresh checkpoint with
+    an existing delta store.
+    """
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: maintain_drift_counts(
+                batch_df.sparkSession,
+                batch_df,
+                store_dir,
+                f"b{batch_id}",
+                value_col=value_col,
+                group_col=group_col,
+                n_bins=n_bins,
+            )
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -94,3 +94,34 @@ def test_unknown_group_and_nan_dropped(spark, store):
     rep = {r["event_type"]: r for r in SD.psi_report(spark, store).collect()}
     assert rep["a"]["n_cur"] == 1
     assert "ghost" not in rep
+
+
+def test_structured_stream_drain_matches_batch(spark, store, tmp_path):
+    """availableNow readStream drain over a landed events dir produces
+    the same report as the batch operator on the union, and a second
+    drain with the SAME checkpoint is a no-op (no double-count)."""
+    ref = _ev(spark, _ref_rows())
+    wave = _ev(spark, [("a", CUR_T, float(v) + 20.0) for v in range(30)])
+    events_dir = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    wave.write.mode("overwrite").parquet(events_dir)
+    SD.freeze_reference(ref, store)
+    q = SD.stream_drift_monitor(spark, events_dir, store, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in SD.psi_report(spark, store).collect()
+    }
+    expected = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in psi_drift(ref.unionByName(wave), _split()).collect()
+    }
+    assert got == expected
+    # re-drain: checkpoint already saw every file -> state unchanged
+    q2 = SD.stream_drift_monitor(spark, events_dir, store, ckpt)
+    q2.awaitTermination(120)
+    got2 = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["psi"])
+        for r in SD.psi_report(spark, store).collect()
+    }
+    assert got2 == got
