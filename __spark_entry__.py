@@ -45,6 +45,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     grouped_linear_trend,
     mad_outlier_summary,
     benford_audit,
+    emd_drift,
     ks_drift,
     mean_shift_scan,
     mutual_information,
@@ -3306,6 +3307,18 @@ def q156_day_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q157_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover's) drift per event type across the
+    q141/q144 split (functions/quality.emd_drift): exact segment-wise
+    |ECDF gap| x value-gap integral over the collapsed distinct-value
+    frame — magnitude-aware where KS is worst-gap-only. Completes the
+    drift-metric family (PSI q141 / KS q144 / EMD)."""
+    ev = _t(spark, sf_dir, "events")
+    return emd_drift(
+        ev, F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3396,6 +3409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_acf": q154_acf,
         "q155_fk_integrity": q155_fk_integrity,
         "q156_day_completeness": q156_day_completeness,
+        "q157_emd_drift": q157_emd_drift,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -6945,6 +6959,45 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(a.days_expected AS DOUBLE), 6) AS completeness,
                l.last_seen
         FROM agg a JOIN last l USING (event_type)
+    """
+    # q157: ECDF segment integral; exact long cumsums, round-9-decimal
+    # segment terms, lead() riding the same per-group sort
+    out["q157_emd_drift"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END AS is_ref
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        per_v AS (
+            SELECT grp, v, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+            FROM clean GROUP BY grp, v),
+        tot AS (
+            SELECT grp, CAST(SUM(cr) AS BIGINT) AS n_ref,
+                   CAST(SUM(cc) AS BIGINT) AS n_cur
+            FROM per_v GROUP BY grp),
+        cum AS (
+            SELECT grp, v,
+                   SUM(cr) OVER wc AS ccr, SUM(cc) OVER wc AS ccc,
+                   LEAD(v, 1) OVER wl AS vnext
+            FROM per_v
+            WINDOW wc AS (PARTITION BY grp ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wl AS (PARTITION BY grp ORDER BY v)),
+        seg AS (
+            SELECT c.grp, t.n_ref, t.n_cur,
+                   CAST(ROUND(
+                       ABS(CAST(ccr AS DOUBLE)
+                               / NULLIF(CAST(n_ref AS DOUBLE), 0.0)
+                           - CAST(ccc AS DOUBLE)
+                               / NULLIF(CAST(n_cur AS DOUBLE), 0.0))
+                       * (vnext - v), 9) AS DECIMAL(28,9)) AS term
+            FROM cum c JOIN tot t USING (grp))
+        SELECT grp AS event_type,
+               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+               CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS emd
+        FROM seg GROUP BY grp
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -179,6 +179,8 @@ BENCH_QUERIES = [
     "q154_acf",
     "q155_fk_integrity",
     "q156_day_completeness",
+    "q157_emd_drift",
+    "q157_emd_drift",
 ]
 
 

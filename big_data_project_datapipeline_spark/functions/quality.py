@@ -1395,3 +1395,75 @@ def fk_orphan_report(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def emd_drift(
+    df: DataFrame,
+    split_expr,
+    value_col: str = "value",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """1-D earth-mover's (Wasserstein-1) drift per group between a
+    reference and a current population: EMD = ∫|F_ref − F_cur| dv,
+    evaluated exactly as Σ |F_ref(v_i) − F_cur(v_i)|·(v_{i+1} − v_i)
+    over consecutive distinct values — the magnitude-aware complement
+    to :func:`ks_drift` (KS reports the worst gap, EMD how much mass
+    moved how far).
+
+    Determinism/parity: same collapsed per-(group, value) ECDF frame
+    as KS (cumulative sums exact longs); each segment term is two IEEE
+    divisions, one subtraction, one multiplication on identical
+    doubles, then round(9)-DECIMAL summed (order-independent). The
+    last distinct value has no segment (lead is NULL) and contributes
+    nothing — both ECDFs are 1 there anyway. One-sided groups emit
+    NULL emd.
+
+    Scale shape: identical to ks_drift — one map-side-combinable
+    collapse, one per-group window over distinct values (the lead
+    rides the same sort as the cumsum).
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__is_ref"),
+    )
+    per_v = clean.groupBy("grp", "v").agg(
+        F.sum("__is_ref").cast("long").alias("cr"),
+        F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("cc"),
+    )
+    tot = per_v.groupBy("grp").agg(
+        F.sum("cr").cast("long").alias("n_ref"),
+        F.sum("cc").cast("long").alias("n_cur"),
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lead = Window.partitionBy("grp").orderBy("v")
+    cum = per_v.select(
+        "grp",
+        "v",
+        F.sum("cr").over(w_cum).alias("ccr"),
+        F.sum("cc").over(w_cum).alias("ccc"),
+        F.lead("v", 1).over(w_lead).alias("__vnext"),
+    )
+    seg = cum.join(F.broadcast(tot), "grp")
+    fr = F.col("ccr").cast("double") / F.nullif(
+        F.col("n_ref").cast("double"), F.lit(0.0)
+    )
+    fc = F.col("ccc").cast("double") / F.nullif(
+        F.col("n_cur").cast("double"), F.lit(0.0)
+    )
+    term = F.round(
+        F.abs(fr - fc) * (F.col("__vnext") - F.col("v")), 9
+    ).cast("decimal(28,9)")
+    out = seg.groupBy("grp").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(F.sum(term).cast("double"), 6).alias("emd"),
+    )
+    return out.select(
+        F.col("grp").alias(group_col), "n_ref", "n_cur", "emd"
+    )

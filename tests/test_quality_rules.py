@@ -735,3 +735,44 @@ class TestReviewHardening:
         )
         with pytest.raises(ValueError):
             fk_orphan_report([])
+
+
+class TestEmdDrift:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+
+    def test_pure_shift_emd_equals_offset(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            emd_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        # cur = ref + 5.0 pointwise -> W1 distance is exactly 5.0
+        rows = [("a", ref_t, float(v)) for v in range(20)] + [
+            ("a", cur_t, float(v) + 5.0) for v in range(20)
+        ]
+        out = emd_drift(
+            self._ev(spark, rows),
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+        ).first()
+        assert out["emd"] == 5.0
+
+    def test_identical_zero_and_one_sided_null(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            emd_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        rows = [("same", t, float(v)) for v in range(10) for t in (ref_t, cur_t)]
+        rows += [("onesided", ref_t, 1.0), ("onesided", ref_t, 2.0)]
+        out = {
+            r["event_type"]: r
+            for r in emd_drift(
+                self._ev(spark, rows),
+                F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+            ).collect()
+        }
+        assert out["same"]["emd"] == 0.0
+        assert out["onesided"]["emd"] is None
