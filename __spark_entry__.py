@@ -45,6 +45,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     grouped_linear_trend,
     mad_outlier_summary,
     benford_audit,
+    bootstrap_mean_ci,
     emd_drift,
     ks_drift,
     mean_shift_scan,
@@ -3319,6 +3320,22 @@ def q157_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q158_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 95% CI for the mean event value
+    per type (functions/quality.bootstrap_mean_ci): md5-derived
+    replicate weights (reproducible on any engine/partitioning, zero
+    RNG state), decimal weighted sums, nearest-rank element bounds
+    over 100 replicate means."""
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev,
+        value_col="value",
+        group_cols=["event_type"],
+        id_col="event_id",
+        n_replicates=100,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3410,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_fk_integrity": q155_fk_integrity,
         "q156_day_completeness": q156_day_completeness,
         "q157_emd_drift": q157_emd_drift,
+        "q158_bootstrap_ci": q158_bootstrap_ci,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -6998,6 +7016,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(n_cur) AS BIGINT) AS n_cur,
                ROUND(CAST(SUM(term) AS DOUBLE), 6) AS emd
         FROM seg GROUP BY grp
+    """
+    # q158: md5-uniform Poisson weights (shared CDF literal text),
+    # decimal weighted sums, nearest-rank element CI bounds
+    out["q158_bootstrap_ci"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, CAST(event_id AS VARCHAR) AS id,
+                   value AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        seeded AS (
+            SELECT grp, v,
+                   CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT)
+                       % 2147483646 + 1 AS seed
+            FROM clean),
+        rep AS (
+            SELECT grp, v, seed, unnest(range(0, 100)) AS b FROM seeded),
+        uni AS (
+            SELECT grp, b, v,
+                   CAST([1, 48271, 182605794, 1291394886, 1914720637, 2078669041, 407355683, 1105902161, 854716505, 564586691, 1596680831, 192302371, 1203428207, 1250328747, 1738531149, 1271135913, 1098894339, 1882556969, 2136927794, 1559527823, 2075782095, 638022372, 914937185, 1931656580, 1402304087, 1936030137, 2064876628, 353718330, 1842513780, 1947433875, 631416347, 2010567813, 890442452, 662405787, 1105724094, 849178936, 1696049367, 1479919876, 1168816941, 1272185027, 201068705, 1308858262, 928270262, 1287522347, 1814467857, 1057382352, 1659675143, 153892771, 412013968, 480194461, 1675824860, 180318217, 389431516, 1324346645, 1243696899, 1587659744, 674592135, 942409124, 884730203, 1951824771, 2130959757, 1239222494, 352020689, 1500063655, 719080959, 978785428, 163677341, 276590098, 374787159, 948709761, 80100956, 1082682476, 1003765604, 1243427070, 1447645967, 200599677, 143244144, 1788215331, 837051536, 409875951, 355190910, 2058462609, 2127735996, 243877847, 1869683330, 1336273608, 1444510476, 1318652553, 1262088783, 324062450, 547639202, 1715708819, 1273555394, 1925544752, 583514338, 425095546, 580853881, 851194519, 206008598, 1391748448][b + 1] * seed % 2147483647 AS DOUBLE)
+                       / 2147483647.0 AS u
+            FROM rep),
+        wtd AS (
+            SELECT grp, b, v,
+                   CASE
+                     WHEN u < 0.36787944117144233 THEN 0
+                     WHEN u < 0.7357588823428847 THEN 1
+                     WHEN u < 0.9196986029286058 THEN 2
+                     WHEN u < 0.9810118431238462 THEN 3
+                     WHEN u < 0.9963401531726563 THEN 4
+                     WHEN u < 0.9994058151824183 THEN 5
+                     WHEN u < 0.9999167588507119 THEN 6
+                     WHEN u < 0.9999897508033253 THEN 7
+                     WHEN u < 0.9999988747974177 THEN 8
+                     ELSE 9 END AS w
+            FROM uni),
+        means AS (
+            SELECT grp, b,
+                   CAST(SUM(CAST(v AS DECIMAL(19,4))
+                            * CAST(w AS DECIMAL(9,0))) AS DOUBLE)
+                       / CAST(SUM(w) AS DOUBLE) AS mb
+            FROM wtd GROUP BY grp, b HAVING SUM(w) > 0),
+        ranked AS (
+            SELECT grp, mb,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                        ORDER BY mb, b) AS BIGINT) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+            FROM means),
+        ci AS (
+            SELECT grp, CAST(MAX(m) AS BIGINT) AS n_replicates,
+                   MIN(CASE WHEN rk = m * 5 // 200 + 1 THEN mb END) AS lo,
+                   MIN(CASE WHEN rk = m - m * 5 // 200 THEN mb END) AS hi
+            FROM ranked GROUP BY grp),
+        base AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS meanv
+            FROM clean GROUP BY grp)
+        SELECT b.grp AS event_type, b.n, ROUND(b.meanv, 6) AS mean,
+               c.n_replicates, ROUND(c.lo, 6) AS ci_lo,
+               ROUND(c.hi, 6) AS ci_hi
+        FROM base b JOIN ci c USING (grp)
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

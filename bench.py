@@ -180,7 +180,9 @@ BENCH_QUERIES = [
     "q155_fk_integrity",
     "q156_day_completeness",
     "q157_emd_drift",
+    "q158_bootstrap_ci",
     "q157_emd_drift",
+    "q158_bootstrap_ci",
 ]
 
 

@@ -1467,3 +1467,147 @@ def emd_drift(
     return out.select(
         F.col("grp").alias(group_col), "n_ref", "n_cur", "emd"
     )
+
+
+# Poisson(1) CDF thresholds for the md5-uniform inverse-CDF draw in
+# bootstrap_mean_ci. Shared literal TEXT with the SQL oracle — both
+# engines parse the identical doubles, so every weight is identical.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+    0.9999988747974177,
+)
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_col: str,
+    n_replicates: int = 100,
+    alpha_pct: int = 5,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the per-group mean
+    — error bars for any aggregate metric without collecting data or
+    keeping RNG state. The Poisson bootstrap (Chamandy et al.): each
+    row's weight in replicate b is Poisson(1)-distributed, drawn by
+    inverse-CDF from a DETERMINISTIC uniform — md5(id) seeds a
+    counter-based minstd stream whose b-th draw is the closed form
+    (48271^b mod M)·seed mod M — so the resample is reproducible on
+    any engine, any partitioning, any retry, with zero seed plumbing.
+
+    Determinism/parity: the seed is the portable 60-bit md5 prefix
+    (the engine-portable hash device) folded into [1, M−1]; the
+    per-replicate multipliers are precomputed literals and every draw
+    is one exact int64 multiply+mod ((M−1)² < 2^63) mirrored verbatim
+    by the oracle; the CDF thresholds are shared literal text; weighted sums accumulate in
+    DECIMAL; replicate means are IEEE divisions; the CI bounds are
+    nearest-rank ELEMENTS of the replicate means (never interpolated),
+    with (mean, b) ordering so ties are deterministic. Replicates
+    whose weights all drew 0 (tiny groups) vanish, and ranks derive
+    from the surviving count. NaN/NULL excluded.
+
+    Scale shape: one explode (×B) over the rows — embarrassingly
+    map-parallel — then a map-side-combinable groupBy to O(groups × B)
+    replicate means and an O(B) window per group. At 100 TB you bound
+    B, not the data.
+    """
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        *gcols,
+        F.col(id_col).cast("string").alias("__id"),
+        v.alias("__v"),
+    )
+    # ONE md5 per row (not per replicate — measured 13x the whole
+    # query's cost at B=100), then B counter-based minstd draws by the
+    # closed form x_b = (48271^b mod M)·seed mod M, M = 2^31−1: the
+    # multipliers are B precomputed literals, the per-replicate work is
+    # one int64 multiply+mod (exact in both engines; (M−1)² < 2^63),
+    # and the whole stream stays reproducible with zero RNG state.
+    M = 2147483647
+    mults = []
+    a = 1
+    for _ in range(n_replicates):
+        mults.append(a)
+        a = (a * 48271) % M
+    seed = (
+        F.conv(F.substring(F.md5(F.col("__id")), 1, 15), 16, 10)
+        .cast("long")
+        % F.lit(M - 1)
+        + F.lit(1)
+    )
+    seeded = clean.select(*gcols, "__v", seed.alias("__seed"))
+    rep = seeded.select(
+        *gcols,
+        "__v",
+        "__seed",
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b"),
+    )
+    mult_arr = F.array(*[F.lit(m) for m in mults])
+    u = (
+        (F.element_at(mult_arr, F.col("b") + 1) * F.col("__seed"))
+        % F.lit(M)
+    ).cast("double") / F.lit(float(M))
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    weighted = rep.select(
+        *gcols,
+        "b",
+        w.cast("long").alias("__w"),
+        F.col("__v").cast("decimal(18,4)").alias("__vd"),
+    )
+    means = (
+        weighted.groupBy(*gcols, "b")
+        .agg(
+            F.sum("__w").cast("long").alias("__nw"),
+            F.sum(F.col("__vd") * F.col("__w").cast("decimal(9,0)")).alias(
+                "__sw"
+            ),
+        )
+        .filter(F.col("__nw") > 0)
+        .select(
+            *gcols,
+            "b",
+            (
+                F.col("__sw").cast("double") / F.col("__nw").cast("double")
+            ).alias("__mb"),
+        )
+    )
+    w_rank = Window.partitionBy(*gcols).orderBy("__mb", "b")
+    ranked = means.select(
+        *gcols,
+        "__mb",
+        F.row_number().over(w_rank).cast("long").alias("__rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(*gcols))
+        .cast("long")
+        .alias("__m"),
+    )
+    k_lo = F.expr(f"__m * {int(alpha_pct)} div 200") + F.lit(1)
+    k_hi = F.col("__m") - F.expr(f"__m * {int(alpha_pct)} div 200")
+    ci = ranked.groupBy(*gcols).agg(
+        F.max("__m").cast("long").alias("n_replicates"),
+        F.min(F.when(F.col("__rk") == k_lo, F.col("__mb"))).alias("__lo"),
+        F.min(F.when(F.col("__rk") == k_hi, F.col("__mb"))).alias("__hi"),
+    )
+    base = clean.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.col("__v").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("__mean"),
+    )
+    return base.join(ci, gcols).select(
+        *gcols,
+        "n",
+        F.round(F.col("__mean"), 6).alias("mean"),
+        "n_replicates",
+        F.round(F.col("__lo"), 6).alias("ci_lo"),
+        F.round(F.col("__hi"), 6).alias("ci_hi"),
+    )

@@ -776,3 +776,39 @@ class TestEmdDrift:
         }
         assert out["same"]["emd"] == 0.0
         assert out["onesided"]["emd"] is None
+
+
+class TestBootstrapCi:
+    def test_ci_brackets_mean_and_tightens(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            bootstrap_mean_ci,
+        )
+        rows = [("g", i, float(i % 10)) for i in range(500)]
+        df = spark.createDataFrame(rows, "grp string, id long, v double")
+        out = bootstrap_mean_ci(
+            df, "v", ["grp"], "id", n_replicates=50
+        ).first()
+        assert out["n"] == 500 and out["n_replicates"] == 50
+        assert out["ci_lo"] <= out["mean"] <= out["ci_hi"]
+        # 0..9 uniform: mean 4.5, CI half-width should be well under 1
+        assert out["ci_hi"] - out["ci_lo"] < 1.0
+
+    def test_deterministic_across_partitionings(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            bootstrap_mean_ci,
+        )
+        rows = [("g", i, float(i)) for i in range(100)]
+        df1 = spark.createDataFrame(rows, "grp string, id long, v double")
+        df2 = df1.repartition(7)
+        a = bootstrap_mean_ci(df1, "v", ["grp"], "id", 30).first()
+        b = bootstrap_mean_ci(df2, "v", ["grp"], "id", 30).first()
+        assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+
+    def test_constant_data_degenerate_ci(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            bootstrap_mean_ci,
+        )
+        rows = [("g", i, 7.0) for i in range(50)]
+        df = spark.createDataFrame(rows, "grp string, id long, v double")
+        out = bootstrap_mean_ci(df, "v", ["grp"], "id", 40).first()
+        assert out["ci_lo"] == out["ci_hi"] == out["mean"] == 7.0
