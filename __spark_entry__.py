@@ -3336,6 +3336,16 @@ def q158_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q159_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-distinctive vocabulary per language via weighted log-odds
+    with informative Dirichlet prior (functions/corpus.class_log_odds,
+    Monroe et al. 2008): corpus-prior shrinkage + per-term variance
+    z-scoring — the corpus-comparison statistic TF-IDF approximates
+    badly for rare terms. Top-5 per language, ranked on round(6) z."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.class_log_odds(d, class_col="lang", top_k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3428,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_day_completeness": q156_day_completeness,
         "q157_emd_drift": q157_emd_drift,
         "q158_bootstrap_ci": q158_bootstrap_ci,
+        "q159_log_odds": q159_log_odds,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7077,6 +7088,51 @@ def oracle_sql() -> dict[str, str]:
                c.n_replicates, ROUND(c.lo, 6) AS ci_lo,
                ROUND(c.hi, 6) AS ci_hi
         FROM base b JOIN ci c USING (grp)
+    """
+    # q159: Monroe informative-Dirichlet log-odds; ln-only, exact-long
+    # counts, rank on round(6) z with token tie-break
+    out["q159_log_odds"] = f"""
+        WITH toks AS (
+            SELECT lang AS cls, unnest({tokens_sql}) AS token
+            FROM documents),
+        cls AS (
+            SELECT cls, token, COUNT(*) AS y
+            FROM toks GROUP BY cls, token),
+        gl AS (
+            SELECT token, CAST(SUM(y) AS BIGINT) AS g
+            FROM cls GROUP BY token),
+        ctot AS (
+            SELECT cls, CAST(SUM(y) AS BIGINT) AS nc
+            FROM cls GROUP BY cls),
+        tot AS (SELECT CAST(SUM(y) AS BIGINT) AS nn FROM cls),
+        scored AS (
+            SELECT c.cls, c.token, CAST(c.y AS BIGINT) AS y,
+                   ROUND(
+                       (ln((CAST(c.y AS DOUBLE) + CAST(g.g AS DOUBLE))
+                           / NULLIF(CAST(t.nc AS DOUBLE)
+                                    + CAST(n.nn AS DOUBLE)
+                                    - CAST(c.y AS DOUBLE)
+                                    - CAST(g.g AS DOUBLE), 0.0))
+                        - ln((CAST(g.g - c.y AS DOUBLE)
+                              + CAST(g.g AS DOUBLE))
+                             / NULLIF((CAST(n.nn AS DOUBLE)
+                                       - CAST(t.nc AS DOUBLE))
+                                      + CAST(n.nn AS DOUBLE)
+                                      - CAST(g.g - c.y AS DOUBLE)
+                                      - CAST(g.g AS DOUBLE), 0.0)))
+                       / sqrt(1.0 / (CAST(c.y AS DOUBLE)
+                                     + CAST(g.g AS DOUBLE))
+                              + 1.0 / (CAST(g.g - c.y AS DOUBLE)
+                                       + CAST(g.g AS DOUBLE))), 6) AS z
+            FROM cls c JOIN gl g USING (token)
+            JOIN ctot t USING (cls) CROSS JOIN tot n),
+        ranked AS (
+            SELECT cls, token, y, z,
+                   ROW_NUMBER() OVER (PARTITION BY cls
+                       ORDER BY z DESC NULLS LAST, token ASC) AS rk
+            FROM scored)
+        SELECT cls AS lang, token, y, z, CAST(rk AS INT) AS rank
+        FROM ranked WHERE rk <= 5
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -181,8 +181,10 @@ BENCH_QUERIES = [
     "q156_day_completeness",
     "q157_emd_drift",
     "q158_bootstrap_ci",
+    "q159_log_odds",
     "q157_emd_drift",
     "q158_bootstrap_ci",
+    "q159_log_odds",
 ]
 
 

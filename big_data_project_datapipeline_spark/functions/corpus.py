@@ -1158,3 +1158,87 @@ def domain_cap_report(
             6,
         ).alias("kept_char_share"),
     )
+
+
+def class_log_odds(
+    df: DataFrame,
+    class_col: str = "lang",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Class-distinctive terms via weighted log-odds with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008) — the
+    corpus-comparison statistic that fixes what TF-IDF and raw
+    log-odds get wrong for rare words: the prior (here the corpus-wide
+    token counts, α_w = g_w, α0 = N) shrinks low-evidence terms toward
+    the corpus, and each score is z-standardized by its estimated
+    variance 1/(y+α) + 1/(y_rest+α). Emits the top-``top_k``
+    highest-z terms per class.
+
+    Determinism/parity: all counts exact longs; the two ln() terms are
+    the only transcendentals (ln is bit-identical cross-engine; the
+    log2/log10 forms are NOT); ranking is on the round(6) z with a
+    token tie-break so ULP noise cannot flip cross-engine order (the
+    q57 device). Zero denominators (degenerate single-class corpora)
+    are nullif-guarded into NULL z, which sorts last.
+
+    Scale shape: one explode + map-side-combinable groupBy to the
+    (class, token) frame; the global/token marginals are collapses of
+    THAT frame joined back on token (vocab join stays a shuffle join —
+    web-scale vocabularies are hapax-heavy, never broadcast); class
+    totals and N are O(classes)/O(1) broadcasts; the top-k rank
+    windows over per-class score frames.
+    """
+    toks = df.select(
+        F.col(class_col).alias("cls"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    )
+    cls_counts = toks.groupBy("cls", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    glob = cls_counts.groupBy("token").agg(
+        F.sum("y").cast("long").alias("g")
+    )
+    ctot = cls_counts.groupBy("cls").agg(
+        F.sum("y").cast("long").alias("nc")
+    )
+    tot = cls_counts.agg(F.sum("y").cast("long").alias("N"))
+    j = (
+        cls_counts.join(glob, "token")
+        .join(F.broadcast(ctot), "cls")
+        .crossJoin(F.broadcast(tot))
+    )
+    y_d = F.col("y").cast("double")
+    g_d = F.col("g").cast("double")
+    nc_d = F.col("nc").cast("double")
+    n_d = F.col("N").cast("double")
+    rest_y_d = (F.col("g") - F.col("y")).cast("double")
+    delta = F.log(
+        (y_d + g_d) / F.nullif(nc_d + n_d - y_d - g_d, F.lit(0.0))
+    ) - F.log(
+        (rest_y_d + g_d)
+        / F.nullif((n_d - nc_d) + n_d - rest_y_d - g_d, F.lit(0.0))
+    )
+    var = F.lit(1.0) / (y_d + g_d) + F.lit(1.0) / (rest_y_d + g_d)
+    scored = j.select(
+        "cls",
+        "token",
+        "y",
+        F.round(delta / F.sqrt(var), 6).alias("z"),
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.col("z").desc_nulls_last(), F.col("token").asc()
+    )
+    return (
+        scored.select(
+            "cls", "token", "y", "z", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= top_k)
+        .select(
+            F.col("cls").alias(class_col),
+            "token",
+            "y",
+            "z",
+            F.col("rk").cast("int").alias("rank"),
+        )
+    )

@@ -512,3 +512,29 @@ def test_weighted_sample_fractional_weights_preserved(spark):
     out = {r.doc_id: r.weight
            for r in CO.weighted_sample(df, k=2, weight_col="score").collect()}
     assert out == {0: 0.75, 1: 0.25}  # not truncated to 0
+
+
+class TestClassLogOdds:
+    def test_distinctive_terms_surface(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            class_log_odds,
+        )
+        # 'cat' dominates class a, 'dog' class b; 'the' is shared
+        rows = [(i, "the cat " * 10, "a") for i in range(5)] + [
+            (i + 10, "the dog " * 10, "b") for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = class_log_odds(df, class_col="lang", top_k=2).collect()
+        top = {(r["lang"], r["rank"]): r["token"] for r in out}
+        assert top[("a", 1)] == "cat" and top[("b", 1)] == "dog"
+        za = {r["token"]: r["z"] for r in out if r["lang"] == "a"}
+        assert za["cat"] > za.get("the", -999)
+
+    def test_shared_terms_near_zero(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            class_log_odds,
+        )
+        rows = [(1, "x y z", "a"), (2, "x y z", "b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = class_log_odds(df, class_col="lang", top_k=5).collect()
+        assert all(abs(r["z"]) < 1e-6 for r in out)
