@@ -47,6 +47,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     benford_audit,
     bootstrap_mean_ci,
     emd_drift,
+    km_survival,
     ks_drift,
     mean_shift_scan,
     mutual_information,
@@ -3346,6 +3347,38 @@ def q159_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.class_log_odds(d, class_col="lang", top_k=5)
 
 
+def q160_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: per-user duration from
+    first signup to first subsequent purchase, right-censored at a
+    2-day horizon (functions/quality.km_survival). The product
+    estimator runs as exp of a round-9-decimal cumulative sum of ln
+    terms over the COLLAPSED distinct-duration frame; the
+    everyone-converts time is special-cased (Spark ln(0)=NULL vs
+    DuckDB -inf)."""
+    ev = _t(spark, sf_dir, "events")
+    s_u = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("tp"))
+        .join(s_u, "user_id")
+        .filter(F.col("tp") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("tp").alias("tp"))
+    )
+    H = 172800
+    diff = F.col("tp").cast("long") - F.col("t0").cast("long")
+    converted = F.col("tp").isNotNull() & (diff <= F.lit(H))
+    dur = s_u.join(fp, "user_id", "left").select(
+        F.when(converted, diff).otherwise(F.lit(H)).alias("dur"),
+        converted.cast("int").alias("evt"),
+    )
+    return km_survival(dur)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3439,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q157_emd_drift": q157_emd_drift,
         "q158_bootstrap_ci": q158_bootstrap_ci,
         "q159_log_odds": q159_log_odds,
+        "q160_km_conversion": q160_km_conversion,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7133,6 +7167,53 @@ def oracle_sql() -> dict[str, str]:
             FROM scored)
         SELECT cls AS lang, token, y, z, CAST(rk AS INT) AS rank
         FROM ranked WHERE rk <= 5
+    """
+    # q160: KM product as exp of decimal-cumsummed ln terms; the
+    # d==n_risk time special-cased (ln(0): NULL in Spark, -inf DuckDB)
+    out["q160_km_conversion"] = """
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+        fp AS (
+            SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s.t0
+            GROUP BY e.user_id),
+        dur AS (
+            SELECT s.user_id,
+                   CASE WHEN fp.tp IS NOT NULL
+                         AND date_diff('second', s.t0, fp.tp) <= 172800
+                        THEN date_diff('second', s.t0, fp.tp)
+                        ELSE 172800 END AS t,
+                   CASE WHEN fp.tp IS NOT NULL
+                         AND date_diff('second', s.t0, fp.tp) <= 172800
+                        THEN 1 ELSE 0 END AS evt
+            FROM s LEFT JOIN fp USING (user_id)),
+        per_t AS (
+            SELECT t, SUM(evt) AS d, SUM(1 - evt) AS c
+            FROM dur GROUP BY t),
+        tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS nn FROM per_t),
+        staged AS (
+            SELECT t, d, c,
+                   CAST(n.nn - (SUM(d + c) OVER w - (d + c)) AS BIGINT)
+                       AS n_risk
+            FROM per_t CROSS JOIN tot n
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+        curved AS (
+            SELECT t, d, c, n_risk,
+                   SUM(CASE WHEN d < n_risk THEN
+                       CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE)), 9)
+                            AS DECIMAL(28,9)) END)
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+            FROM staged)
+        SELECT t AS dur, n_risk, CAST(d AS BIGINT) AS n_events,
+               CAST(c AS BIGINT) AS n_censored,
+               CASE WHEN d = n_risk THEN 0.0
+                    ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
+        FROM curved WHERE d > 0
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -182,9 +182,11 @@ BENCH_QUERIES = [
     "q157_emd_drift",
     "q158_bootstrap_ci",
     "q159_log_odds",
+    "q160_km_conversion",
     "q157_emd_drift",
     "q158_bootstrap_ci",
     "q159_log_odds",
+    "q160_km_conversion",
 ]
 
 

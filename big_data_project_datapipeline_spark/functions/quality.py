@@ -1611,3 +1611,78 @@ def bootstrap_mean_ci(
         F.round(F.col("__lo"), 6).alias("ci_lo"),
         F.round(F.col("__hi"), 6).alias("ci_hi"),
     )
+
+
+def km_survival(
+    df: DataFrame,
+    dur_col: str = "dur",
+    event_col: str = "evt",
+) -> DataFrame:
+    """Kaplan–Meier survival estimator over a (duration, event) frame
+    (event=1 observed, 0 right-censored): S(t_i) = Π_{t_j ≤ t_i}
+    (1 − d_j/n_j) — time-to-event analysis (conversion latency, churn,
+    failure) computed relationally.
+
+    Determinism/parity: collapse to distinct times FIRST (counts per
+    duration), so the ordered windows run over O(distinct times); the
+    product becomes exp(Σ ln(1 − d/n)) with each ln term round(9)-
+    DECIMAL cumsummed (exact at every prefix; ln bit-identical
+    cross-engine, exp stable under the round(6) surface). The
+    everyone-dies time (d = n_at_risk) would be ln(0) — NULL in Spark
+    but −inf in DuckDB — so it is special-cased to survival 0
+    explicitly in both engines. Censor-only times contribute to the
+    risk set but emit no row (KM convention).
+
+    Scale shape: one map-side-combinable collapse, then single-ordered
+    windows over the distinct-time frame — O(distinct durations), not
+    O(subjects); the global window is on the collapsed frame only.
+    """
+    e = F.col(event_col).cast("long")
+    per_t = df.groupBy(F.col(dur_col).alias("t")).agg(
+        F.sum(e).alias("d"),
+        F.sum(F.lit(1) - e).alias("c"),
+    )
+    n_row = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("__N"))
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = per_t.crossJoin(F.broadcast(n_row)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("__N")
+            - (F.sum(F.col("d") + F.col("c")).over(w) - (F.col("d") + F.col("c")))
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ),
+            9,
+        ).cast("decimal(28,9)"),
+    )
+    curved = staged.select(
+        "t",
+        "d",
+        "c",
+        "n_risk",
+        F.sum(term).over(w).alias("__cum"),
+    )
+    return (
+        curved.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias(dur_col),
+            F.col("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.when(F.col("d") == F.col("n_risk"), F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("__cum").cast("double")), 6))
+            .alias("survival"),
+        )
+    )

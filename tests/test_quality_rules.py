@@ -812,3 +812,36 @@ class TestBootstrapCi:
         df = spark.createDataFrame(rows, "grp string, id long, v double")
         out = bootstrap_mean_ci(df, "v", ["grp"], "id", 40).first()
         assert out["ci_lo"] == out["ci_hi"] == out["mean"] == 7.0
+
+
+class TestKmSurvival:
+    def _d(self, spark, rows):
+        return spark.createDataFrame(rows, "dur long, evt int")
+
+    def test_textbook_curve(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            km_survival,
+        )
+        # classic: events at t=1 (n=5), t=3 (n=3); censored at t=2, t=4
+        rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0)]
+        out = {r["dur"]: r for r in km_survival(self._d(spark, rows)).collect()}
+        assert set(out) == {1, 3}  # censor-only times emit no row
+        assert out[1]["n_risk"] == 5 and abs(out[1]["survival"] - 0.8) < 1e-6
+        # S(3) = 0.8 * (1 - 2/3) = 0.266667
+        assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 2
+        assert abs(out[3]["survival"] - 0.266667) < 1e-6
+
+    def test_everyone_dies_reaches_zero(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            km_survival,
+        )
+        rows = [(1, 1), (2, 1), (3, 1)]
+        out = {r["dur"]: r["survival"] for r in km_survival(self._d(spark, rows)).collect()}
+        assert out[3] == 0.0
+
+    def test_all_censored_empty_curve(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            km_survival,
+        )
+        rows = [(5, 0), (9, 0)]
+        assert km_survival(self._d(spark, rows)).count() == 0
