@@ -56,6 +56,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     grouped_auc,
     grouped_ols2,
     psi_drift,
+    snapshot_diff,
     trimmed_winsor_summary,
     robust_scale,
     seasonal_anomalies,
@@ -3379,6 +3380,34 @@ def q160_km_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_survival(dur)
 
 
+def q161_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (functions/quality.snapshot_diff):
+    classify orders between the pre-2000 snapshot and the full table
+    as added/removed/modified/unchanged via keyed full-outer join +
+    sentinel-separated md5 fingerprints. On this corpus the older
+    snapshot is a strict subset (added + unchanged only); the
+    modified/removed arms are pinned by unit tests."""
+    raw = _t(spark, sf_dir, "orders")
+    # doubles are pre-rendered to exact integer cents: double->string
+    # differs cross-engine (the q143 trap), so fingerprints would
+    # spuriously read 'modified'
+    full = raw.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    old = full.filter(
+        F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return snapshot_diff(
+        old,
+        full,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "price_cents"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3473,6 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_bootstrap_ci": q158_bootstrap_ci,
         "q159_log_odds": q159_log_odds,
         "q160_km_conversion": q160_km_conversion,
+        "q161_snapshot_diff": q161_snapshot_diff,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7214,6 +7244,36 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN d = n_risk THEN 0.0
                     ELSE ROUND(exp(CAST(cum AS DOUBLE)), 6) END AS survival
         FROM curved WHERE d > 0
+    """
+    # q161: keyed full-outer diff with sentinel-separated md5
+    # fingerprints (concat_ws skips NULLs -> coalesce sentinels)
+    out["q161_snapshot_diff"] = """
+        WITH old AS (
+            SELECT o_orderkey,
+                   md5(concat_ws('<|>',
+                       COALESCE(CAST(o_orderstatus AS VARCHAR), '<null>'),
+                       COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), '<null>')))
+                       AS fp_old
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+        new_s AS (
+            SELECT o_orderkey,
+                   md5(concat_ws('<|>',
+                       COALESCE(CAST(o_orderstatus AS VARCHAR), '<null>'),
+                       COALESCE(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                    AS VARCHAR), '<null>')))
+                       AS fp_new
+            FROM orders),
+        j AS (
+            SELECT o.fp_old, n.fp_new
+            FROM old o FULL OUTER JOIN new_s n USING (o_orderkey))
+        SELECT CASE WHEN fp_old IS NULL THEN 'added'
+                    WHEN fp_new IS NULL THEN 'removed'
+                    WHEN fp_old = fp_new THEN 'unchanged'
+                    ELSE 'modified' END AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM j GROUP BY 1
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

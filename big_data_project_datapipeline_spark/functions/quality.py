@@ -1686,3 +1686,65 @@ def km_survival(
             .alias("survival"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style diff of two snapshots of one table: per-key
+    added / removed / modified / unchanged classification — the
+    regression gate a pipeline runs between yesterday's output and
+    today's (the relational core of data-diff tools).
+
+    Determinism/parity: rows match on key; change detection compares
+    an md5 over the ``compare_cols`` rendered through concat_ws with a
+    NULL sentinel (concat_ws SKIPS nulls, so ('a', NULL) and ('a')
+    would collide without it — every column is coalesced to a sentinel
+    first, and a unit separator keeps ('ab','c') ≠ ('a','bc')).
+    Classification is NULL-flag logic on the full-outer join, never
+    value comparison of possibly-NULL keys. CALLER CONTRACT: raw
+    double columns must be pre-rendered to a stable form (e.g. exact
+    integer cents) before fingerprinting — double→string is NOT
+    cross-engine stable (shortest-repr vs %g).
+
+    Scale shape: one full-outer shuffle join on the key (the minimal
+    possible cost — both sides must meet), map-only hashing, one
+    map-side-combinable count rollup. For repeated diffs at 100 TB,
+    bucket both snapshots on the key to make the join zero-exchange
+    (sinks.write_bucketed).
+    """
+    kcols = list(key_cols)
+
+    def fingerprint(df):
+        rendered = [
+            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+            for c in compare_cols
+        ]
+        return F.md5(F.concat_ws("<|>", *rendered))
+    o = old.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(kcols)],
+        fingerprint(old).alias("__fp_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk{i}") for i, k in enumerate(kcols)],
+        fingerprint(new).alias("__fp_new"),
+    )
+    cond = None
+    for i in range(len(kcols)):
+        c = F.col(f"__k{i}").eqNullSafe(F.col(f"__nk{i}"))
+        cond = c if cond is None else (cond & c)
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return (
+        joined.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

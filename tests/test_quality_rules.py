@@ -845,3 +845,55 @@ class TestKmSurvival:
         )
         rows = [(5, 0), (9, 0)]
         assert km_survival(self._d(spark, rows)).count() == 0
+
+
+class TestSnapshotDiff:
+    def _t(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, a string, b long")
+
+    def test_all_four_classes(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            snapshot_diff,
+        )
+        old = self._t(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30)])
+        new = self._t(spark, [(1, "x", 10), (2, "y", 99), (4, "w", 40)])
+        out = {
+            r["change_type"]: r["n"]
+            for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+        }
+        assert out == {"unchanged": 1, "modified": 1, "removed": 1, "added": 1}
+
+    def test_null_value_not_aliased_to_missing(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            snapshot_diff,
+        )
+        # (NULL, 'x') vs ('x', NULL): concat_ws would collide without
+        # the per-column sentinel
+        old = self._t(spark, [(1, None, None)])
+        new1 = self._t(spark, [(1, None, None)])
+        out_same = {
+            r["change_type"]: r["n"]
+            for r in snapshot_diff(old, new1, ["k"], ["a", "b"]).collect()
+        }
+        assert out_same == {"unchanged": 1}
+        mixed_old = spark.createDataFrame([(1, None, "x")], "k long, a string, b string")
+        mixed_new = spark.createDataFrame([(1, "x", None)], "k long, a string, b string")
+        out_mix = {
+            r["change_type"]: r["n"]
+            for r in snapshot_diff(mixed_old, mixed_new, ["k"], ["a", "b"]).collect()
+        }
+        assert out_mix == {"modified": 1}
+
+    def test_null_key_matches_null_key(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            snapshot_diff,
+        )
+        old = self._t(spark, [(None, "x", 1)])
+        new = self._t(spark, [(None, "x", 1)])
+        out = {
+            r["change_type"]: r["n"]
+            for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+        }
+        # eqNullSafe join: NULL key rows pair up instead of exploding
+        # into one added + one removed
+        assert out == {"unchanged": 1}
