@@ -7089,7 +7089,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT grp AS event_type,
                CAST(MAX(n_ref) AS BIGINT) AS n_ref,
                CAST(MAX(n_cur) AS BIGINT) AS n_cur,
-               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS emd
+               CASE WHEN MAX(n_ref) > 0 AND MAX(n_cur) > 0
+                    THEN ROUND(COALESCE(CAST(SUM(term) AS DOUBLE), 0.0), 6)
+               END AS emd
         FROM seg GROUP BY grp
     """
     # q158: md5-uniform Poisson weights (shared CDF literal text),

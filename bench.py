@@ -184,11 +184,6 @@ BENCH_QUERIES = [
     "q159_log_odds",
     "q160_km_conversion",
     "q161_snapshot_diff",
-    "q157_emd_drift",
-    "q158_bootstrap_ci",
-    "q159_log_odds",
-    "q160_km_conversion",
-    "q161_snapshot_diff",
 ]
 
 

@@ -714,6 +714,33 @@ def psi_from_bin_counts(
     return out.select(F.col("grp").alias(group_col), "n_ref", "n_cur", "psi")
 
 
+def _ecdf_frames(df, split_expr, value_col, group_col):
+    """Shared two-sample ECDF scaffolding for ks_drift / emd_drift:
+    clean NaN/NULL, collapse to per-(group, distinct value) ref/cur
+    counts, per-group totals, and the shared cumulative window.
+    Returns (per_v, tot, w)."""
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        v.alias("v"),
+        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__is_ref"),
+    )
+    per_v = clean.groupBy("grp", "v").agg(
+        F.sum("__is_ref").cast("long").alias("cr"),
+        F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("cc"),
+    )
+    tot = per_v.groupBy("grp").agg(
+        F.sum("cr").cast("long").alias("n_ref"),
+        F.sum("cc").cast("long").alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_v, tot, w
+
+
 def ks_drift(
     df: DataFrame,
     split_expr,
@@ -742,25 +769,7 @@ def ks_drift(
     values, one per-group window over the collapsed frame (O(distinct
     values), not O(rows)), one broadcast of the O(groups) totals.
     """
-    v = F.col(value_col)
-    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
-        F.col(group_col).alias("grp"),
-        v.alias("v"),
-        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__is_ref"),
-    )
-    per_v = clean.groupBy("grp", "v").agg(
-        F.sum("__is_ref").cast("long").alias("cr"),
-        F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("cc"),
-    )
-    tot = per_v.groupBy("grp").agg(
-        F.sum("cr").cast("long").alias("n_ref"),
-        F.sum("cc").cast("long").alias("n_cur"),
-    )
-    w = (
-        Window.partitionBy("grp")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    per_v, tot, w = _ecdf_frames(df, split_expr, value_col, group_col)
     cum = per_v.select(
         "grp",
         F.sum("cr").over(w).alias("ccr"),
@@ -1422,25 +1431,7 @@ def emd_drift(
     collapse, one per-group window over distinct values (the lead
     rides the same sort as the cumsum).
     """
-    v = F.col(value_col)
-    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
-        F.col(group_col).alias("grp"),
-        v.alias("v"),
-        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__is_ref"),
-    )
-    per_v = clean.groupBy("grp", "v").agg(
-        F.sum("__is_ref").cast("long").alias("cr"),
-        F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("cc"),
-    )
-    tot = per_v.groupBy("grp").agg(
-        F.sum("cr").cast("long").alias("n_ref"),
-        F.sum("cc").cast("long").alias("n_cur"),
-    )
-    w_cum = (
-        Window.partitionBy("grp")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    per_v, tot, w_cum = _ecdf_frames(df, split_expr, value_col, group_col)
     w_lead = Window.partitionBy("grp").orderBy("v")
     cum = per_v.select(
         "grp",
@@ -1462,10 +1453,21 @@ def emd_drift(
     out = seg.groupBy("grp").agg(
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
-        F.round(F.sum(term).cast("double"), 6).alias("emd"),
+        F.sum(term).cast("double").alias("__emd_raw"),
     )
+    # A two-sided group with ONE distinct value has no segments (lead
+    # is NULL) but IS comparable with zero drift — emit 0.0, reserving
+    # NULL for genuinely one-sided groups (review fix; ks_drift's 0.0
+    # for the same input is the model).
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
     return out.select(
-        F.col("grp").alias(group_col), "n_ref", "n_cur", "emd"
+        F.col("grp").alias(group_col),
+        "n_ref",
+        "n_cur",
+        F.when(
+            both,
+            F.round(F.coalesce(F.col("__emd_raw"), F.lit(0.0)), 6),
+        ).alias("emd"),
     )
 
 
@@ -1718,19 +1720,22 @@ def snapshot_diff(
     """
     kcols = list(key_cols)
 
-    def fingerprint(df):
-        rendered = [
-            F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
-            for c in compare_cols
-        ]
-        return F.md5(F.concat_ws("<|>", *rendered))
+    fingerprint = F.md5(
+        F.concat_ws(
+            "<|>",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                for c in compare_cols
+            ],
+        )
+    )
     o = old.select(
         *[F.col(k).alias(f"__k{i}") for i, k in enumerate(kcols)],
-        fingerprint(old).alias("__fp_old"),
+        fingerprint.alias("__fp_old"),
     )
     n = new.select(
         *[F.col(k).alias(f"__nk{i}") for i, k in enumerate(kcols)],
-        fingerprint(new).alias("__fp_new"),
+        fingerprint.alias("__fp_new"),
     )
     cond = None
     for i in range(len(kcols)):

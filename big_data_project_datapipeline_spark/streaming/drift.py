@@ -194,6 +194,7 @@ def stream_drift_monitor(
     group_col: str = "event_type",
     n_bins: int = 10,
     query_name: str = "engine_stream_drift",
+    schema=None,
 ):
     """Structured-Streaming front end for the drift store: an
     availableNow drain over a landed events directory — every parquet
@@ -206,8 +207,14 @@ def stream_drift_monitor(
     (checkpoint_dir, store_dir) pair is ONE unit of state — batch ids
     are unique per checkpoint, so never pair a fresh checkpoint with
     an existing delta store.
+
+    Pass ``schema`` explicitly to start the monitor BEFORE the first
+    file lands (review fix: the eager batch-read inference below
+    throws on an empty/absent landing dir — a valid zero-file drain
+    otherwise).
     """
-    schema = spark.read.parquet(events_dir).schema
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     return (
         stream.writeStream.foreachBatch(

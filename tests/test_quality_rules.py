@@ -767,6 +767,8 @@ class TestEmdDrift:
         ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
         rows = [("same", t, float(v)) for v in range(10) for t in (ref_t, cur_t)]
         rows += [("onesided", ref_t, 1.0), ("onesided", ref_t, 2.0)]
+        # two-sided but single distinct value: comparable, zero drift
+        rows += [("const", t, 5.0) for t in (ref_t, cur_t) for _ in range(3)]
         out = {
             r["event_type"]: r
             for r in emd_drift(
@@ -776,6 +778,7 @@ class TestEmdDrift:
         }
         assert out["same"]["emd"] == 0.0
         assert out["onesided"]["emd"] is None
+        assert out["const"]["emd"] == 0.0  # review fix: not NULL
 
 
 class TestBootstrapCi:
