@@ -24,7 +24,10 @@ QUERIES = ["q99_substring_dedup", "q115_simhash_neardup",
            # drift/window family (SCALING.md second decade table;
            # needs the 10x jittered events from make_scale_smoke.py)
            "q141_psi_drift", "q144_ks_drift", "q147_mean_shift",
-           "q154_acf", "q142_ngram_novelty", "q150_robust_means"]
+           "q154_acf", "q142_ngram_novelty", "q150_robust_means",
+           # stats/eval family (SCALING.md third decade table)
+           "q152_auc", "q158_bootstrap_ci", "q159_log_odds",
+           "q160_km_conversion"]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".scale_smoke/sf1")]
 
 
