@@ -3408,6 +3408,16 @@ def q161_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q162_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training (functions/corpus.negative_pairs): md5-bucket blocks,
+    fixed pseudo-random within-block order, circular (pos+j mod n)
+    partners via an equi-join — exactly k reproducible negatives per
+    doc with zero RNG state."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.negative_pairs(d, k=3, n_buckets=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3503,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_log_odds": q159_log_odds,
         "q160_km_conversion": q160_km_conversion,
         "q161_snapshot_diff": q161_snapshot_diff,
+        "q162_negative_pairs": q162_negative_pairs,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7276,6 +7287,34 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'modified' END AS change_type,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM j GROUP BY 1
+    """
+    # q162: md5-bucket circular in-batch negatives; portable 60-bit
+    # hash, exact integer position arithmetic
+    out["q162_negative_pairs"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) AS h
+            FROM documents),
+        bucketed AS (
+            SELECT id, h, CAST(h % 64 AS INT) AS bkt FROM base),
+        pos AS (
+            SELECT id, bkt,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY bkt
+                        ORDER BY h, id) - 1 AS BIGINT) AS pos,
+                   CAST(COUNT(*) OVER (PARTITION BY bkt) AS BIGINT) AS nb
+            FROM bucketed),
+        anchors AS (
+            SELECT id, bkt, unnest(range(1, 4)) AS j, pos, nb
+            FROM pos),
+        shifted AS (
+            SELECT id, bkt, CAST(j AS INT) AS j,
+                   (pos + j) % nb AS npos, pos AS apos
+            FROM anchors)
+        SELECT s.id AS doc_id, s.j AS rank, p.id AS neg_doc_id
+        FROM shifted s JOIN pos p
+          ON s.bkt = p.bkt AND s.npos = p.pos
+        WHERE s.npos <> s.apos
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

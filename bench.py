@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "q159_log_odds",
     "q160_km_conversion",
     "q161_snapshot_diff",
+    "q162_negative_pairs",
 ]
 
 

@@ -1242,3 +1242,78 @@ def class_log_odds(
             F.col("rk").cast("int").alias("rank"),
         )
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int = 3,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training: every document gets exactly ``k`` pseudo-random negative
+    partners, reproducible on any engine/partitioning with zero RNG
+    state. Docs are md5-hashed into ``n_buckets`` blocks (the "batch"),
+    ordered within the block by (hash, id) — a fixed pseudo-random
+    shuffle — and each doc pairs with the j-th circular successor
+    (position + j mod block size), the relational form of in-batch
+    negatives.
+
+    Determinism/parity: the 60-bit md5 prefix is the engine-portable
+    hash; bucket and position arithmetic is exact integer; self-pairs
+    (blocks smaller than j+1) are filtered, so tiny blocks yield fewer
+    than k negatives (documented edge; at corpus scale blocks are
+    thousands of docs). Circular pairing is an equi-join on
+    (bucket, position) — never a window lead with a lost tail.
+
+    Scale shape: one map-only hash, one per-bucket window
+    (O(block) rows each), one equi-join on (bucket, position) — the
+    pair fan-out is exactly k×docs, never quadratic.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = df.select(F.col(id_col).alias("id"), h.alias("__h")).select(
+        "id", "__h", (F.col("__h") % F.lit(n_buckets)).cast("int").alias("bkt")
+    )
+    w = Window.partitionBy("bkt").orderBy("__h", "id")
+    pos = base.select(
+        "id",
+        "bkt",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("bkt"))
+        .cast("long")
+        .alias("nb"),
+    )
+    anchors = pos.select(
+        "id",
+        "bkt",
+        "nb",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        F.col("pos").alias("__apos"),
+    ).select(
+        "id",
+        "bkt",
+        "j",
+        ((F.col("__apos") + F.col("j")) % F.col("nb")).alias("__npos"),
+        "__apos",
+    )
+    partners = pos.select(
+        F.col("bkt").alias("pbkt"),
+        F.col("pos").alias("ppos"),
+        F.col("id").alias("neg_id"),
+    )
+    return (
+        anchors.join(
+            partners,
+            (F.col("bkt") == F.col("pbkt"))
+            & (F.col("__npos") == F.col("ppos")),
+        )
+        .filter(F.col("__npos") != F.col("__apos"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("j").cast("int").alias("rank"),
+            F.col("neg_id").alias(f"neg_{id_col}"),
+        )
+    )

@@ -538,3 +538,43 @@ class TestClassLogOdds:
         df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
         out = class_log_odds(df, class_col="lang", top_k=5).collect()
         assert all(abs(r["z"]) < 1e-6 for r in out)
+
+
+class TestNegativePairs:
+    def _d(self, spark, n):
+        return spark.createDataFrame(
+            [(i, "t", "en", "s", 1) for i in range(n)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def test_exactly_k_per_doc_no_self(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            negative_pairs,
+        )
+        out = negative_pairs(self._d(spark, 200), k=3, n_buckets=4).collect()
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], []).append(r["neg_doc_id"])
+            assert r["neg_doc_id"] != r["doc_id"]
+        assert len(per) == 200 and all(len(v) == 3 for v in per.values())
+        # negatives are distinct partners per anchor
+        assert all(len(set(v)) == 3 for v in per.values())
+
+    def test_deterministic_across_partitionings(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            negative_pairs,
+        )
+        d = self._d(spark, 100)
+        a = sorted(map(tuple, negative_pairs(d, k=2).collect()))
+        b = sorted(map(tuple, negative_pairs(d.repartition(7), k=2).collect()))
+        assert a == b
+
+    def test_tiny_block_fewer_negatives_not_self(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            negative_pairs,
+        )
+        # 2 docs, 1 bucket, k=3: (pos+2)%2 and one of the others hit
+        # self and are filtered -> each doc gets 2 pairs max
+        out = negative_pairs(self._d(spark, 2), k=3, n_buckets=1).collect()
+        assert all(r["neg_doc_id"] != r["doc_id"] for r in out)
+        assert len(out) == 4  # j=1 and j=3 survive; j=2 is self
