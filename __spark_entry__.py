@@ -3418,6 +3418,16 @@ def q162_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.negative_pairs(d, k=3, n_buckets=64)
 
 
+def q163_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive positive pairs by split-document views (inverse
+    cloze shape; functions/corpus.positive_pairs): integer-half token
+    split, md5 view fingerprints — map-only, zero shuffle. With q162's
+    negatives this completes the deterministic contrastive dataset
+    builder."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.positive_pairs(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3514,6 +3524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_km_conversion": q160_km_conversion,
         "q161_snapshot_diff": q161_snapshot_diff,
         "q162_negative_pairs": q162_negative_pairs,
+        "q163_positive_pairs": q163_positive_pairs,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7315,6 +7326,21 @@ def oracle_sql() -> dict[str, str]:
         FROM shifted s JOIN pos p
           ON s.bkt = p.bkt AND s.npos = p.pos
         WHERE s.npos <> s.apos
+    """
+    # q163: integer-half token split + md5 view fingerprints
+    out["q163_positive_pairs"] = f"""
+        WITH staged AS (
+            SELECT doc_id, {tokens_sql} AS tk FROM documents),
+        ok AS (SELECT doc_id, tk FROM staged WHERE len(tk) >= 2)
+        SELECT doc_id,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(tk) // 2 AS BIGINT) AS anchor_len,
+               CAST(len(tk) - len(tk) // 2 AS BIGINT) AS positive_len,
+               md5(array_to_string(tk[1 : len(tk) // 2], ' '))
+                   AS anchor_md5,
+               md5(array_to_string(tk[len(tk) // 2 + 1 : len(tk)], ' '))
+                   AS positive_md5
+        FROM ok
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

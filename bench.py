@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "q160_km_conversion",
     "q161_snapshot_diff",
     "q162_negative_pairs",
+    "q163_positive_pairs",
 ]
 
 

@@ -1317,3 +1317,41 @@ def negative_pairs(
             F.col("neg_id").alias(f"neg_{id_col}"),
         )
     )
+
+
+def positive_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contrastive POSITIVE pairs by split-document views (the
+    inverse-cloze-task shape): each doc with ≥ 2 tokens yields one
+    (anchor, positive) pair — the first and second halves of its token
+    stream — fingerprinted and length-annotated; trainers join these
+    with :func:`negative_pairs` partners for a complete contrastive
+    dataset, all deterministic and engine-reproducible.
+
+    Determinism/parity: the split point is integer ``n div 2``; views
+    are re-joined with single spaces and md5-fingerprinted (payload
+    text itself stays out of the frame — the fingerprint is the
+    dedup/join key). Docs with < 2 tokens have no second view and are
+    excluded (mirrored by the oracle).
+
+    Scale shape: map-only (tokenize, slice, hash) — no shuffle at all.
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"),
+        TX.tokens(F.col(text_col)).alias("__tk"),
+    ).filter(F.size("__tk") >= 2)
+    n = F.size("__tk")
+    half = F.expr("size(__tk) div 2")
+    a = F.slice(F.col("__tk"), F.lit(1), half)
+    b = F.slice(F.col("__tk"), half + F.lit(1), n - half)
+    return staged.select(
+        "doc_id",
+        F.size("__tk").cast("long").alias("n_tokens"),
+        half.cast("long").alias("anchor_len"),
+        (n - half).cast("long").alias("positive_len"),
+        F.md5(F.concat_ws(" ", a)).alias("anchor_md5"),
+        F.md5(F.concat_ws(" ", b)).alias("positive_md5"),
+    )

@@ -578,3 +578,22 @@ class TestNegativePairs:
         out = negative_pairs(self._d(spark, 2), k=3, n_buckets=1).collect()
         assert all(r["neg_doc_id"] != r["doc_id"] for r in out)
         assert len(out) == 4  # j=1 and j=3 survive; j=2 is self
+
+
+class TestPositivePairs:
+    def test_split_halves_and_fingerprints(self, spark):
+        import hashlib
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            positive_pairs,
+        )
+        d = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "x y"), (3, "solo"), (4, None), (5, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in positive_pairs(d).collect()}
+        assert set(out) == {1, 2}  # <2-token docs excluded
+        r = out[1]
+        assert (r["anchor_len"], r["positive_len"]) == (2, 3)
+        assert r["anchor_md5"] == hashlib.md5(b"a b").hexdigest()
+        assert r["positive_md5"] == hashlib.md5(b"c d e").hexdigest()
+        assert out[2]["anchor_md5"] == hashlib.md5(b"x").hexdigest()
