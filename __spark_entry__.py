@@ -56,6 +56,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     grouped_auc,
     grouped_ols2,
     psi_drift,
+    seasonal_mase,
     snapshot_diff,
     trimmed_winsor_summary,
     robust_scale,
@@ -3428,6 +3429,16 @@ def q163_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.positive_pairs(d)
 
 
+def q164_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE per event type on the hourly count grid
+    (functions/quality.seasonal_mase, season = 24 h): exact integer
+    absolute errors over a complete sequence-exploded hour grid, one
+    final ratio — the scale-free "is there exploitable seasonality"
+    forecasting baseline."""
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_mase(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3525,6 +3536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_snapshot_diff": q161_snapshot_diff,
         "q162_negative_pairs": q162_negative_pairs,
         "q163_positive_pairs": q163_positive_pairs,
+        "q164_mase": q164_mase,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7341,6 +7353,51 @@ def oracle_sql() -> dict[str, str]:
                md5(array_to_string(tk[len(tk) // 2 + 1 : len(tk)], ' '))
                    AS positive_md5
         FROM ok
+    """
+    # q164: complete hour grid, positional lags = time shifts, exact
+    # integer |errors|, one final ratio
+    out["q164_mase"] = """
+        WITH hours AS (
+            SELECT event_type AS grp, date_trunc('hour', ts) AS h
+            FROM events),
+        counts AS (
+            SELECT grp, h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM hours GROUP BY grp, h),
+        span AS (
+            SELECT grp, MIN(h) AS h0, MAX(h) AS h1
+            FROM counts GROUP BY grp),
+        grid AS (
+            SELECT grp, unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                       AS h
+            FROM span),
+        full_g AS (
+            SELECT g.grp, g.h, COALESCE(c.c, 0) AS c
+            FROM grid g LEFT JOIN counts c USING (grp, h)),
+        lagged AS (
+            SELECT grp, c,
+                   LAG(c, 1) OVER w AS l1,
+                   LAG(c, 24) OVER w AS ls
+            FROM full_g
+            WINDOW w AS (PARTITION BY grp ORDER BY h)),
+        agg AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_hours,
+                   CAST(SUM(ABS(c - ls)) AS BIGINT) AS se,
+                   CAST(COUNT(ls) AS BIGINT) AS sn,
+                   CAST(SUM(ABS(c - l1)) AS BIGINT) AS ne,
+                   CAST(COUNT(l1) AS BIGINT) AS nn
+            FROM lagged GROUP BY grp)
+        SELECT grp AS event_type, n_hours,
+               ROUND(CAST(se AS DOUBLE)
+                     / NULLIF(CAST(sn AS DOUBLE), 0.0), 6) AS seasonal_mae,
+               ROUND(CAST(ne AS DOUBLE)
+                     / NULLIF(CAST(nn AS DOUBLE), 0.0), 6) AS naive_mae,
+               ROUND((CAST(se AS DOUBLE)
+                      / NULLIF(CAST(sn AS DOUBLE), 0.0))
+                     / NULLIF(CAST(ne AS DOUBLE)
+                              / NULLIF(CAST(nn AS DOUBLE), 0.0), 0.0), 6)
+                   AS mase
+        FROM agg
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

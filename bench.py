@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "q161_snapshot_diff",
     "q162_negative_pairs",
     "q163_positive_pairs",
+    "q164_mase",
 ]
 
 

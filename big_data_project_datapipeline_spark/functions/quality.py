@@ -1753,3 +1753,85 @@ def snapshot_diff(
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def seasonal_mase(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    season_hours: int = 24,
+) -> DataFrame:
+    """Forecast-evaluation baseline per group: MASE of the
+    seasonal-naive forecast (this hour = same hour yesterday) on the
+    hourly event-count series, scaled by the one-step-naive MAE — the
+    standard scale-free test of whether a series has exploitable
+    seasonality (MASE < 1: seasonal-naive beats last-value).
+
+    Determinism/parity: the series is the q13 tumbling-hour COUNT grid
+    (exact longs; missing hours count 0 via a sequence-exploded
+    complete grid per group over the group's own span); lags are
+    positional over the complete grid so they equal time-shifts;
+    absolute errors are integer |Δ|, summed as longs; the single float
+    op is the final ratio of two exact means. Groups whose span is
+    shorter than the season emit NULL mase (nullif).
+
+    Scale shape: one map-side-combinable hour collapse, a per-group
+    sequence-exploded grid (O(span-hours)), one per-group window sort
+    for the two lags — all over the collapsed O(groups × hours) frame.
+    """
+    hours = df.select(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+    )
+    counts = hours.groupBy("grp", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    span = counts.groupBy("grp").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select(
+        "grp",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    full = grid.join(counts, ["grp", "h"], "left").select(
+        "grp", "h", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    lagged = full.select(
+        "grp",
+        "c",
+        F.lag("c", 1).over(w).alias("l1"),
+        F.lag("c", season_hours).over(w).alias("ls"),
+    )
+    agg = lagged.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum(F.abs(F.col("c") - F.col("ls"))).cast("long").alias("__se"),
+        F.count(F.col("ls")).cast("long").alias("__sn"),
+        F.sum(F.abs(F.col("c") - F.col("l1"))).cast("long").alias("__ne"),
+        F.count(F.col("l1")).cast("long").alias("__nn"),
+    )
+    mase = (
+        F.col("__se").cast("double")
+        / F.nullif(F.col("__sn").cast("double"), F.lit(0.0))
+    ) / F.nullif(
+        F.col("__ne").cast("double")
+        / F.nullif(F.col("__nn").cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_hours",
+        F.round(
+            F.col("__se").cast("double")
+            / F.nullif(F.col("__sn").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("seasonal_mae"),
+        F.round(
+            F.col("__ne").cast("double")
+            / F.nullif(F.col("__nn").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("naive_mae"),
+        F.round(mase, 6).alias("mase"),
+    )

@@ -900,3 +900,48 @@ class TestSnapshotDiff:
         # eqNullSafe join: NULL key rows pair up instead of exploding
         # into one added + one removed
         assert out == {"unchanged": 1}
+
+
+class TestSeasonalMase:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+    def test_perfect_seasonality_mase_zero(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            seasonal_mase,
+        )
+        # identical 24h pattern repeated 3 days: seasonal error 0
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for day in range(3):
+            for h in range(24):
+                n = 1 + (h % 4)  # varying within-day pattern
+                rows += [("a", t0 + dt.timedelta(days=day, hours=h))] * n
+        out = seasonal_mase(self._ev(spark, rows)).first()
+        assert out["seasonal_mae"] == 0.0 and out["mase"] == 0.0
+        assert out["naive_mae"] > 0
+
+    def test_short_group_null_mase(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            seasonal_mase,
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("b", t0 + dt.timedelta(hours=h)) for h in range(5)]
+        out = seasonal_mase(self._ev(spark, rows)).first()
+        # span < 24h: no seasonal lag pairs -> NULL mase
+        assert out["mase"] is None and out["n_hours"] == 5
+
+    def test_missing_hours_count_zero(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            seasonal_mase,
+        )
+        t0 = dt.datetime(2024, 1, 1)
+        # events only at hour 0 and hour 2: grid fills hour 1 with 0
+        rows = [("c", t0), ("c", t0 + dt.timedelta(hours=2))]
+        out = seasonal_mase(self._ev(spark, rows)).first()
+        assert out["n_hours"] == 3
+        # naive errors: |0-1| + |1-0| = 2 over 2 pairs
+        assert out["naive_mae"] == 1.0
