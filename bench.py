@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "q162_negative_pairs",
     "q163_positive_pairs",
     "q164_mase",
+    "q165_stratified_ate",
 ]
 
 

@@ -1835,3 +1835,92 @@ def seasonal_mase(
         ).alias("naive_mae"),
         F.round(mase, 6).alias("mase"),
     )
+
+
+def stratified_ate(
+    df: DataFrame,
+    outcome_col: str,
+    treatment_expr,
+    strata_cols: Sequence[str],
+) -> DataFrame:
+    """Stratified average-treatment-effect estimate: within each
+    stratum the treated-vs-control difference of outcome means, and
+    the overall ATE as the stratum-size-weighted combination — the
+    exact-matching / post-stratification causal baseline (the
+    count-based propensity case of IPW). Complements q77's Welch test
+    (which answers "is there a difference"; this answers "how big,
+    after de-confounding on the strata").
+
+    Determinism/parity: per-(stratum, arm) outcome sums accumulate in
+    DECIMAL (order-independent); means and the per-stratum diff are
+    IEEE ops on exact inputs; the overall ATE sums the per-stratum
+    (n_s/N)·diff_s terms round(9)-then-DECIMAL (the chi-square
+    device). Strata missing an arm contribute NULL diff and are
+    EXCLUDED from the weighted sum (their weight is excluded from the
+    denominator too — the estimand is over comparable strata). NaN
+    outcomes excluded.
+
+    Scale shape: ONE map-side-combinable aggregate over (strata, arm
+    flags as conditional sums), then O(strata) arithmetic — no second
+    data pass, no windows.
+    """
+    gcols = list(strata_cols)
+    y = F.col(outcome_col)
+    clean = df.filter(y.isNotNull() & ~F.isnan(y)).select(
+        *gcols,
+        y.alias("__y"),
+        F.when(treatment_expr, F.lit(1)).otherwise(F.lit(0)).alias("__t"),
+    )
+    dec = F.col("__y").cast("decimal(18,4)")
+    per_s = clean.groupBy(*gcols).agg(
+        F.sum(F.when(F.col("__t") == 1, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_treated"),
+        F.sum(F.when(F.col("__t") == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_control"),
+        F.sum(F.when(F.col("__t") == 1, dec)).alias("__st"),
+        F.sum(F.when(F.col("__t") == 0, dec)).alias("__sc"),
+    )
+    mt = F.col("__st").cast("double") / F.nullif(
+        F.col("n_treated").cast("double"), F.lit(0.0)
+    )
+    mc = F.col("__sc").cast("double") / F.nullif(
+        F.col("n_control").cast("double"), F.lit(0.0)
+    )
+    scored = per_s.select(
+        *gcols,
+        "n_treated",
+        "n_control",
+        F.round(mt, 6).alias("mean_treated"),
+        F.round(mc, 6).alias("mean_control"),
+        (mt - mc).alias("__diff"),
+        (F.col("n_treated") + F.col("n_control")).cast("long").alias("__ns"),
+    )
+    # weighted combine over comparable strata only
+    comparable = F.col("__diff").isNotNull()
+    tot = scored.agg(
+        F.sum(F.when(comparable, F.col("__ns"))).cast("long").alias("__N")
+    )
+    with_n = scored.crossJoin(F.broadcast(tot))
+    term = F.round(
+        F.col("__ns").cast("double")
+        / F.nullif(F.col("__N").cast("double"), F.lit(0.0))
+        * F.col("__diff"),
+        9,
+    ).cast("decimal(28,9)")
+    ate = with_n.filter(comparable).agg(
+        F.round(F.sum(term).cast("double"), 6).alias("ate")
+    )
+    return (
+        with_n.crossJoin(F.broadcast(ate))
+        .select(
+            *gcols,
+            "n_treated",
+            "n_control",
+            "mean_treated",
+            "mean_control",
+            F.round(F.col("__diff"), 6).alias("diff"),
+            "ate",
+        )
+    )

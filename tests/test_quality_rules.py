@@ -945,3 +945,38 @@ class TestSeasonalMase:
         assert out["n_hours"] == 3
         # naive errors: |0-1| + |1-0| = 2 over 2 pairs
         assert out["naive_mae"] == 1.0
+
+
+class TestStratifiedAte:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "s string, y double, t int")
+
+    def test_known_effect_recovered(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            stratified_ate,
+        )
+        # stratum A: control mean 10, treated 12 (+2); stratum B:
+        # control 20, treated 23 (+3); sizes 20 vs 10 -> ATE = (20*2 +
+        # 10*3)/30 = 2.333333
+        rows = (
+            [("A", 10.0, 0)] * 10 + [("A", 12.0, 1)] * 10
+            + [("B", 20.0, 0)] * 5 + [("B", 23.0, 1)] * 5
+        )
+        out = stratified_ate(
+            self._df(spark, rows), "y", F.col("t") == 1, ["s"]
+        ).collect()
+        per = {r["s"]: r for r in out}
+        assert per["A"]["diff"] == 2.0 and per["B"]["diff"] == 3.0
+        assert all(abs(r["ate"] - 2.333333) < 1e-6 for r in out)
+
+    def test_one_armed_stratum_excluded_from_ate(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            stratified_ate,
+        )
+        rows = [("A", 1.0, 0), ("A", 3.0, 1), ("C", 99.0, 1), ("C", 99.0, 1)]
+        out = {r["s"]: r for r in stratified_ate(
+            self._df(spark, rows), "y", F.col("t") == 1, ["s"]
+        ).collect()}
+        # C has no control arm: NULL diff, and ATE = A's diff alone
+        assert out["C"]["diff"] is None
+        assert out["A"]["ate"] == out["C"]["ate"] == 2.0
