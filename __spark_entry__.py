@@ -56,6 +56,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     grouped_auc,
     grouped_ols2,
     psi_drift,
+    quantile_normalize,
     seasonal_mase,
     snapshot_diff,
     stratified_ate,
@@ -3455,6 +3456,16 @@ def q165_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of event values across event types
+    (functions/quality.quantile_normalize): per-group ranks mapped to
+    pooled-distribution ELEMENTS via exact integer ceiling positions —
+    the source-harmonization transform for mixed-distribution
+    corpora."""
+    ev = _t(spark, sf_dir, "events")
+    return quantile_normalize(ev)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3554,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_positive_pairs": q163_positive_pairs,
         "q164_mase": q164_mase,
         "q165_stratified_ate": q165_stratified_ate,
+        "q166_quantile_normalize": q166_quantile_normalize,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7463,6 +7475,31 @@ def oracle_sql() -> dict[str, str]:
                ROUND(s.mt - s.mc, 6) AS diff,
                a.ate
         FROM scored s CROSS JOIN ate a
+    """
+    # q166: unique (v, id) orders both rankings; exact integer ceiling
+    # target positions; pooled element join
+    out["q166_quantile_normalize"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, event_id AS id, value AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        ranked AS (
+            SELECT grp, id, v,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                        ORDER BY v, id) AS BIGINT) AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS ng,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS nn
+            FROM clean),
+        pooled AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY v, id) AS BIGINT) AS p,
+                   v AS pooled_v
+            FROM clean)
+        SELECT r1.grp AS event_type, r1.id AS event_id, r1.v AS value,
+               p1.pooled_v AS normalized
+        FROM (SELECT grp, id, v,
+                     LEAST(nn, GREATEST(1, (r * nn + ng - 1) // ng)) AS tp
+              FROM ranked) r1
+        JOIN pooled p1 ON r1.tp = p1.p
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "q163_positive_pairs",
     "q164_mase",
     "q165_stratified_ate",
+    "q166_quantile_normalize",
 ]
 
 

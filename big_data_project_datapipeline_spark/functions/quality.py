@@ -1924,3 +1924,74 @@ def stratified_ate(
             "ate",
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Quantile normalization across groups: each row's value is
+    replaced by the POOLED distribution's element at the same quantile
+    position — the batch-effect-correction transform (microarray
+    heritage, now source-harmonization in mixed-corpus pipelines):
+    after it, every group has pointwise-identical marginal
+    distributions up to rank granularity.
+
+    Determinism/parity: within-group rank and pooled rank both order
+    by (value, id) — unique, so ties are deterministic; the target
+    pooled position is exact integer ceiling arithmetic
+    ((r·N + n_g − 1) div n_g, clamped to [1, N]); the mapped value is
+    a pooled ELEMENT (never interpolated). NaN/NULL excluded.
+
+    Scale shape: per-group windows for ranks, ONE global window for
+    the pooled order (single partition over all rows — the exact form
+    is the oracle-checkable reference semantics; at 100 TB swap the
+    pooled rank for binned quantiles, the q84 device), then an
+    equi-join on the integer position.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+    )
+    wg = Window.partitionBy("grp").orderBy("v", "id")
+    ranked = clean.select(
+        "grp",
+        "id",
+        "v",
+        F.row_number().over(wg).cast("long").alias("__r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("grp"))
+        .cast("long")
+        .alias("__ng"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("long").alias("__N"),
+    )
+    pooled = clean.select(
+        F.row_number()
+        .over(Window.orderBy("v", "id"))
+        .cast("long")
+        .alias("__p"),
+        F.col("v").alias("__pooled_v"),
+    )
+    target = F.least(
+        F.col("__N"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(__r * __N + __ng - 1) div __ng"),
+        ),
+    )
+    return (
+        ranked.select("grp", "id", "v", target.alias("__tp"))
+        .join(pooled, F.col("__tp") == F.col("__p"))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("id").alias(id_col),
+            F.col("v").alias(value_col),
+            F.col("__pooled_v").alias("normalized"),
+        )
+    )

@@ -980,3 +980,47 @@ class TestStratifiedAte:
         # C has no control arm: NULL diff, and ATE = A's diff alone
         assert out["C"]["diff"] is None
         assert out["A"]["ate"] == out["C"]["ate"] == 2.0
+
+
+class TestQuantileNormalize:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(rows, "event_type string, event_id long, value double")
+
+    def test_groups_become_identical_marginals(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            quantile_normalize,
+        )
+        # two groups of equal size with shifted distributions
+        rows = [("a", i, float(i)) for i in range(10)] + [
+            ("b", 100 + i, float(i) + 1000.0) for i in range(10)
+        ]
+        out = quantile_normalize(self._ev(spark, rows)).collect()
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r["event_type"], []).append(r["normalized"])
+        # after normalization both groups carry the same multiset of
+        # pooled elements (every other pooled rank)
+        assert sorted(by_grp["a"]) == sorted(by_grp["b"])
+
+    def test_rank_order_preserved_within_group(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            quantile_normalize,
+        )
+        rows = [("a", i, float(100 - i)) for i in range(20)] + [
+            ("b", 100 + i, float(i)) for i in range(5)
+        ]
+        out = [
+            (r["value"], r["normalized"])
+            for r in quantile_normalize(self._ev(spark, rows)).collect()
+            if r["event_type"] == "a"
+        ]
+        out.sort()
+        norm = [n for _, n in out]
+        assert norm == sorted(norm)  # monotone mapping
+
+    def test_nan_null_excluded(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            quantile_normalize,
+        )
+        rows = [("a", 1, 1.0), ("a", 2, float("nan")), ("a", 3, None)]
+        assert quantile_normalize(self._ev(spark, rows)).count() == 1
