@@ -51,6 +51,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     ks_drift,
     mean_shift_scan,
     mutual_information,
+    point_in_time_labels,
     fk_orphan_report,
     grouped_acf,
     grouped_auc,
@@ -3466,6 +3467,24 @@ def q166_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(ev)
 
 
+def q167_pit_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training table
+    (functions/quality.point_in_time_labels): per (user, weekly
+    cutoff), 7-day lookback features and a 7-day-horizon purchase
+    label, with the leakage contract (features never peek past the
+    cutoff) enforced by half-open interval arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    return point_in_time_labels(
+        ev,
+        cutoffs=[
+            "2024-01-08 00:00:00",
+            "2024-01-15 00:00:00",
+            "2024-01-22 00:00:00",
+        ],
+        label_expr=F.col("event_type") == "purchase",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3566,6 +3585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_mase": q164_mase,
         "q165_stratified_ate": q165_stratified_ate,
         "q166_quantile_normalize": q166_quantile_normalize,
+        "q167_pit_labels": q167_pit_labels,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7500,6 +7520,38 @@ def oracle_sql() -> dict[str, str]:
                      LEAST(nn, GREATEST(1, (r * nn + ng - 1) // ng)) AS tp
               FROM ranked) r1
         JOIN pooled p1 ON r1.tp = p1.p
+    """
+    # q167: broadcast cutoff fan-out, half-open interval membership,
+    # decimal feature sums, exact 0/1 label max
+    out["q167_pit_labels"] = """
+        WITH cuts AS (
+            SELECT unnest([TIMESTAMP '2024-01-08 00:00:00',
+                           TIMESTAMP '2024-01-15 00:00:00',
+                           TIMESTAMP '2024-01-22 00:00:00']) AS cutoff),
+        fanned AS (
+            SELECT e.user_id AS uid, e.ts AS t, e.value AS v,
+                   CASE WHEN e.event_type = 'purchase'
+                        THEN 1 ELSE 0 END AS is_label_event,
+                   c.cutoff
+            FROM events e CROSS JOIN cuts c),
+        agg AS (
+            SELECT uid, cutoff,
+                   CAST(SUM(CASE WHEN t > cutoff - INTERVAL 7 DAY
+                                  AND t <= cutoff
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_events_lb,
+                   SUM(CASE WHEN t > cutoff - INTERVAL 7 DAY
+                             AND t <= cutoff
+                            THEN CAST(v AS DECIMAL(18,4)) END) AS val_lb,
+                   CAST(MAX(CASE WHEN t > cutoff
+                                  AND t <= cutoff + INTERVAL 7 DAY
+                                 THEN is_label_event ELSE 0 END) AS INT)
+                       AS label
+            FROM fanned GROUP BY uid, cutoff)
+        SELECT uid AS user_id, cutoff, n_events_lb,
+               ROUND(COALESCE(CAST(val_lb AS DOUBLE), 0.0), 6) AS value_lb,
+               label
+        FROM agg WHERE n_events_lb > 0
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "q164_mase",
     "q165_stratified_ate",
     "q166_quantile_normalize",
+    "q167_pit_labels",
 ]
 
 

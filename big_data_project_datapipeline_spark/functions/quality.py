@@ -1995,3 +1995,73 @@ def quantile_normalize(
             F.col("__pooled_v").alias("normalized"),
         )
     )
+
+
+def point_in_time_labels(
+    df: DataFrame,
+    cutoffs: Sequence[str],
+    label_expr,
+    lookback_days: int = 7,
+    horizon_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Leakage-free training-table construction: for each (user,
+    cutoff) the FEATURES aggregate strictly from the lookback window
+    (cutoff − L, cutoff] and the LABEL strictly from the future
+    horizon (cutoff, cutoff + H] — the point-in-time-correctness
+    contract that prevents the classic target-leakage bug (features
+    peeking past the cutoff). Rows exist only for users with lookback
+    support (no all-zero feature rows fabricated for never-seen
+    users).
+
+    Determinism/parity: cutoffs are literal timestamps; window
+    membership is pure timestamp comparison (half-open intervals,
+    boundary ON the cutoff belongs to the lookback — pinned by test);
+    feature sums accumulate in DECIMAL; the label is an exact MAX of
+    0/1. NaN values count toward event counts but not value sums
+    (decimal cast nulls NaN — the welch_ttest rule).
+
+    Scale shape: ONE crossJoin with the broadcast O(cutoffs) grid
+    (fan-out = |cutoffs|, a constant), one map-side-combinable groupBy
+    on (user, cutoff) with conditional aggregates — never a per-cutoff
+    job loop, never a self-join on time.
+    """
+    ev = df.select(
+        F.col(user_col).alias("uid"),
+        F.col(ts_col).alias("t"),
+        F.col(value_col).alias("v"),
+        label_expr.cast("int").alias("__is_label_event"),
+    )
+    cut_arr = F.array(
+        *[F.lit(c).cast("timestamp") for c in cutoffs]
+    )
+    fanned = ev.select(
+        "uid", "t", "v", "__is_label_event", F.explode(cut_arr).alias("cutoff")
+    )
+    lb_lo = F.col("cutoff") - F.expr(f"interval {int(lookback_days)} days")
+    hz_hi = F.col("cutoff") + F.expr(f"interval {int(horizon_days)} days")
+    in_lookback = (F.col("t") > lb_lo) & (F.col("t") <= F.col("cutoff"))
+    in_horizon = (F.col("t") > F.col("cutoff")) & (F.col("t") <= hz_hi)
+    agg = fanned.groupBy("uid", "cutoff").agg(
+        F.sum(F.when(in_lookback, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_events_lb"),
+        F.sum(F.when(in_lookback, F.col("v").cast("decimal(18,4)")))
+        .alias("__val_lb"),
+        F.max(
+            F.when(in_horizon, F.col("__is_label_event")).otherwise(F.lit(0))
+        )
+        .cast("int")
+        .alias("label"),
+    )
+    return agg.filter(F.col("n_events_lb") > 0).select(
+        F.col("uid").alias(user_col),
+        "cutoff",
+        "n_events_lb",
+        F.round(
+            F.coalesce(F.col("__val_lb").cast("double"), F.lit(0.0)), 6
+        ).alias("value_lb"),
+        "label",
+    )

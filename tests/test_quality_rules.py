@@ -1024,3 +1024,54 @@ class TestQuantileNormalize:
         )
         rows = [("a", 1, 1.0), ("a", 2, float("nan")), ("a", 3, None)]
         assert quantile_normalize(self._ev(spark, rows)).count() == 1
+
+
+class TestPointInTimeLabels:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string, value double"
+        )
+
+    def test_leakage_contract_boundaries(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            point_in_time_labels,
+        )
+        cutoff = "2024-01-08 00:00:00"
+        c = dt.datetime(2024, 1, 8)
+        rows = [
+            # exactly ON the cutoff -> lookback (half-open (c-L, c])
+            (1, c, "view", 2.0),
+            # 1s after cutoff, purchase -> horizon -> label 1, NOT a feature
+            (1, c + dt.timedelta(seconds=1), "purchase", 9.0),
+            # user 2: lookback feature, no horizon purchase -> label 0
+            (2, c - dt.timedelta(days=1), "view", 3.0),
+            # user 3: only a horizon event, no lookback -> NO row
+            (3, c + dt.timedelta(days=1), "purchase", 1.0),
+            # user 4: event before lookback window -> NO row
+            (4, c - dt.timedelta(days=8), "view", 1.0),
+        ]
+        out = {
+            r["user_id"]: r
+            for r in point_in_time_labels(
+                self._ev(spark, rows), [cutoff],
+                F.col("event_type") == "purchase",
+            ).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1]["n_events_lb"] == 1 and out[1]["value_lb"] == 2.0
+        assert out[1]["label"] == 1  # future purchase labels, never feeds
+        assert out[2]["label"] == 0
+
+    def test_nan_value_counts_but_does_not_sum(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            point_in_time_labels,
+        )
+        c = dt.datetime(2024, 1, 8)
+        rows = [(1, c, "view", float("nan")), (1, c, "view", 5.0)]
+        out = point_in_time_labels(
+            self._ev(spark, rows), ["2024-01-08 00:00:00"],
+            F.col("event_type") == "purchase",
+        ).first()
+        assert out["n_events_lb"] == 2 and out["value_lb"] == 5.0
