@@ -3485,6 +3485,88 @@ def q167_pit_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q168_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation of the exact cosine retriever (q25's machinery,
+    k=10): per query, same-label relevance -> reciprocal rank and
+    binary nDCG@10. The ln-discount ratio cancels the log base, so
+    DCG/IDCG is ln-only (no log2 — the cross-engine trap); both sums
+    are round-9-decimal (order-independent); IDCG sums the ideal
+    prefix 1..n_rel over the same rank column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    topk = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    labels = emb.select("vec_id", "label")
+    j = (
+        topk.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("__ql"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("__nl"),
+                )
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("__ql") == F.col("__nl"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("query_id")
+    staged = j.select(
+        "query_id",
+        "rank",
+        "rel",
+        F.sum("rel").over(wq).cast("long").alias("__nrel"),
+    )
+    dcg_term = F.round(
+        F.col("rel").cast("double")
+        / F.log(F.col("rank").cast("double") + F.lit(1.0)),
+        9,
+    ).cast("decimal(18,9)")
+    idcg_term = F.when(
+        F.col("rank") <= F.col("__nrel"),
+        F.round(
+            F.lit(1.0) / F.log(F.col("rank").cast("double") + F.lit(1.0)), 9
+        ).cast("decimal(18,9)"),
+    )
+    out = staged.groupBy("query_id").agg(
+        F.max("__nrel").alias("n_rel"),
+        F.round(
+            F.coalesce(
+                F.lit(1.0)
+                / F.min(F.when(F.col("rel") == 1, F.col("rank"))).cast(
+                    "double"
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rr"),
+        F.sum(dcg_term).alias("__dcg"),
+        F.sum(idcg_term).alias("__idcg"),
+    )
+    return out.select(
+        "query_id",
+        "n_rel",
+        "rr",
+        F.round(
+            F.col("__dcg").cast("double")
+            / F.nullif(F.col("__idcg").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("ndcg"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3586,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_stratified_ate": q165_stratified_ate,
         "q166_quantile_normalize": q166_quantile_normalize,
         "q167_pit_labels": q167_pit_labels,
+        "q168_retrieval_eval": q168_retrieval_eval,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7552,6 +7635,49 @@ def oracle_sql() -> dict[str, str]:
                ROUND(COALESCE(CAST(val_lb AS DOUBLE), 0.0), 6) AS value_lb,
                label
         FROM agg WHERE n_events_lb > 0
+    """
+    # q168: q25's exact retriever + same-label relevance; ln-only
+    # discount (base cancels in DCG/IDCG), round-9-decimal sums
+    out["q168_retrieval_eval"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                          label AS ql
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                     label AS nl
+              FROM embeddings),
+        scored AS (
+            SELECT q.query_id, q.ql, c.neighbor_id, c.nl,
+                   list_dot_product(q.qv, c.cv)
+                       / (sqrt(list_dot_product(q.qv, q.qv))
+                          * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+            FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+        ranked AS (
+            SELECT query_id,
+                   CASE WHEN ql = nl THEN 1 ELSE 0 END AS rel,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored),
+        topk AS (SELECT * FROM ranked WHERE rank <= 10),
+        staged AS (
+            SELECT query_id, rank, rel,
+                   CAST(SUM(rel) OVER (PARTITION BY query_id) AS BIGINT)
+                       AS nrel
+            FROM topk),
+        agg AS (
+            SELECT query_id, MAX(nrel) AS n_rel,
+                   ROUND(COALESCE(1.0 / CAST(MIN(CASE WHEN rel = 1
+                       THEN rank END) AS DOUBLE), 0.0), 6) AS rr,
+                   SUM(CAST(ROUND(CAST(rel AS DOUBLE)
+                       / ln(CAST(rank AS DOUBLE) + 1.0), 9)
+                       AS DECIMAL(18,9))) AS dcg,
+                   SUM(CASE WHEN rank <= nrel THEN
+                       CAST(ROUND(1.0 / ln(CAST(rank AS DOUBLE) + 1.0), 9)
+                            AS DECIMAL(18,9)) END) AS idcg
+            FROM staged GROUP BY query_id)
+        SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel, rr,
+               ROUND(CAST(dcg AS DOUBLE)
+                     / NULLIF(CAST(idcg AS DOUBLE), 0.0), 6) AS ndcg
+        FROM agg
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "q165_stratified_ate",
     "q166_quantile_normalize",
     "q167_pit_labels",
+    "q168_retrieval_eval",
 ]
 
 

@@ -1075,3 +1075,45 @@ class TestPointInTimeLabels:
             F.col("event_type") == "purchase",
         ).first()
         assert out["n_events_lb"] == 2 and out["value_lb"] == 5.0
+
+
+class TestRetrievalEval:
+    def test_metrics_from_known_rankings(self, spark):
+        """Drive the q168 metric tail on a hand-built ranked frame by
+        monkeypatch-free recomputation: verify RR and binary nDCG
+        formulas on crafted relevance patterns."""
+        from pyspark.sql import Window
+        rows = (
+            # query 1: relevant at ranks 2 and 3 of 3
+            [(1, 1, 0), (1, 2, 1), (1, 3, 1)]
+            # query 2: nothing relevant
+            + [(2, 1, 0), (2, 2, 0), (2, 3, 0)]
+        )
+        j = spark.createDataFrame(rows, "query_id long, rank int, rel int")
+        wq = Window.partitionBy("query_id")
+        staged = j.select(
+            "query_id", "rank", "rel",
+            F.sum("rel").over(wq).cast("long").alias("nrel"),
+        )
+        import math
+        dcg_term = F.round(
+            F.col("rel").cast("double") / F.log(F.col("rank").cast("double") + F.lit(1.0)), 9
+        ).cast("decimal(18,9)")
+        idcg_term = F.when(
+            F.col("rank") <= F.col("nrel"),
+            F.round(F.lit(1.0) / F.log(F.col("rank").cast("double") + F.lit(1.0)), 9).cast("decimal(18,9)"),
+        )
+        out = {
+            r["query_id"]: r
+            for r in staged.groupBy("query_id").agg(
+                F.max("nrel").alias("n_rel"),
+                F.round(F.coalesce(F.lit(1.0) / F.min(F.when(F.col("rel") == 1, F.col("rank"))).cast("double"), F.lit(0.0)), 6).alias("rr"),
+                F.sum(dcg_term).alias("dcg"),
+                F.sum(idcg_term).alias("idcg"),
+            ).collect()
+        }
+        assert out[1]["rr"] == 0.5
+        dcg = 1 / math.log(3) + 1 / math.log(4)
+        idcg = 1 / math.log(2) + 1 / math.log(3)
+        assert abs(float(out[1]["dcg"]) / float(out[1]["idcg"]) - dcg / idcg) < 1e-6
+        assert out[2]["rr"] == 0.0 and out[2]["idcg"] is None
