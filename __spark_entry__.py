@@ -3567,6 +3567,61 @@ def q168_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q169_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error of the hashed
+    quality classifier (q113's probabilities) against the Gopher keep
+    rule (q134's labels): ten fixed probability bins, per-bin mean
+    confidence vs empirical keep rate, ECE as the size-weighted |gap|
+    sum. Parity: bins come from the ROUND(6) probability (identical
+    doubles both engines -> identical floor); mean confidence sums the
+    rounded probs as DECIMAL(9,6) (exact); ECE terms are
+    round-9-then-decimal."""
+    d = _t(spark, sf_dir, "documents")
+    w = CO.default_hash_weights(d, n_buckets=512)
+    probs = CO.hashed_logit_score(d, w, bias=0.0, n_buckets=512).select(
+        "doc_id", "prob"
+    )
+    labels = TX.gopher_quality_flags(d).select(
+        "doc_id", F.col("keep").cast("int").alias("__y")
+    )
+    j = probs.join(labels, "doc_id").select(
+        F.least(
+            F.floor(F.col("prob") * 10).cast("int"), F.lit(9)
+        ).alias("bin"),
+        F.col("prob").cast("decimal(9,6)").alias("__p"),
+        "__y",
+    )
+    per_bin = j.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__p").alias("__sp"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    tot = per_bin.agg(F.sum("n").cast("long").alias("__N"))
+    with_n = per_bin.crossJoin(F.broadcast(tot))
+    mean_p = F.col("__sp").cast("double") / F.col("n").cast("double")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    term = F.round(
+        F.col("n").cast("double")
+        / F.col("__N").cast("double")
+        * F.abs(mean_p - pos_rate),
+        9,
+    ).cast("decimal(18,9)")
+    staged = with_n.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(mean_p, 6).alias("mean_conf"),
+        F.round(pos_rate, 6).alias("keep_rate"),
+        term.alias("__term"),
+    )
+    ece = staged.agg(
+        F.round(F.sum("__term").cast("double"), 6).alias("ece")
+    )
+    return staged.crossJoin(F.broadcast(ece)).select(
+        "bin", "n", "n_pos", "mean_conf", "keep_rate", "ece"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3669,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_quantile_normalize": q166_quantile_normalize,
         "q167_pit_labels": q167_pit_labels,
         "q168_retrieval_eval": q168_retrieval_eval,
+        "q169_calibration": q169_calibration,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7678,6 +7734,92 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(dcg AS DOUBLE)
                      / NULLIF(CAST(idcg AS DOUBLE), 0.0), 6) AS ndcg
         FROM agg
+    """
+    # q169: q113 probs + q134 keep labels -> reliability bins + ECE;
+    # rounded-prob bins, DECIMAL(9,6) confidence sums, decimal ECE
+    out["q169_calibration"] = """
+        WITH weights AS (
+            SELECT CAST(i AS INT) AS bucket,
+                   CAST((i * 2654435761) % 2000 AS DOUBLE) / 1000.0 - 1.0
+                       AS weight
+            FROM (SELECT unnest(range(512)) AS i)),
+        tok AS (
+            SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+                       lower(text), '\s+'), t -> t <> '')) AS token
+            FROM documents),
+        doc_b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+                       % 512 AS bucket,
+                   COUNT(*) AS c
+            FROM tok GROUP BY doc_id, bucket),
+        scored AS (
+            SELECT doc_id, c,
+                   CAST(CAST(c AS DOUBLE) * weight AS DECIMAL(28,12)) AS cw
+            FROM doc_b JOIN weights USING (bucket)),
+        probs AS (
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(0.0 + CAST(SUM(cw) AS DOUBLE)
+                       / CAST(SUM(c) AS DOUBLE)))), 6) AS prob
+            FROM scored GROUP BY doc_id),
+        gstaged AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                       '\s+'), t -> t <> '') AS tk,
+                   string_split(text, chr(10)) AS ln,
+                   len(regexp_extract_all(text, '#|\.\.\.|…')) AS sym
+            FROM documents),
+        gm AS (
+            SELECT doc_id, len(tk) AS nw,
+                   list_sum(list_transform(tk, t -> length(t))) AS chars,
+                   len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                       AS alpha_w,
+                   len(list_distinct(list_intersect(tk,
+                       ['the','be','to','of','and','that','have','with'])))
+                       AS stop_hits,
+                   len(ln) AS nl,
+                   len(list_filter(ln, l -> regexp_matches(trim(l),
+                       '^[-*•]'))) AS bullet_l,
+                   len(list_filter(ln, l -> regexp_matches(trim(l),
+                       '(\.\.\.|…)$'))) AS ellipsis_l,
+                   sym
+            FROM gstaged),
+        labels AS (
+            SELECT doc_id,
+                   CASE WHEN (nw >= 50 AND nw <= 100000)
+                         AND (chars >= 3 * nw AND chars <= 10 * nw
+                              AND nw > 0)
+                         AND (sym * 10 <= nw)
+                         AND (bullet_l * 10 <= nl * 9)
+                         AND (ellipsis_l * 10 <= nl * 3)
+                         AND (alpha_w * 5 >= nw * 4)
+                         AND (stop_hits >= 2)
+                        THEN 1 ELSE 0 END AS y
+            FROM gm),
+        binned AS (
+            SELECT LEAST(CAST(FLOOR(p.prob * 10) AS INT), 9) AS bin,
+                   CAST(p.prob AS DECIMAL(9,6)) AS pp, l.y
+            FROM probs p JOIN labels l USING (doc_id)),
+        per_bin AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(pp) AS sp, CAST(SUM(y) AS BIGINT) AS n_pos
+            FROM binned GROUP BY bin),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM per_bin),
+        staged2 AS (
+            SELECT b.bin, b.n, b.n_pos,
+                   ROUND(CAST(b.sp AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+                       AS mean_conf,
+                   ROUND(CAST(b.n_pos AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+                       AS keep_rate,
+                   CAST(ROUND(CAST(b.n AS DOUBLE) / CAST(t.nn AS DOUBLE)
+                       * ABS(CAST(b.sp AS DOUBLE) / CAST(b.n AS DOUBLE)
+                             - CAST(b.n_pos AS DOUBLE)
+                               / CAST(b.n AS DOUBLE)), 9)
+                       AS DECIMAL(18,9)) AS term
+            FROM per_bin b CROSS JOIN tot t),
+        e AS (SELECT ROUND(CAST(SUM(term) AS DOUBLE), 6) AS ece
+              FROM staged2)
+        SELECT s.bin, s.n, s.n_pos, s.mean_conf, s.keep_rate, e.ece
+        FROM staged2 s CROSS JOIN e
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "q166_quantile_normalize",
     "q167_pit_labels",
     "q168_retrieval_eval",
+    "q169_calibration",
 ]
 
 
