@@ -7745,7 +7745,7 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(range(512)) AS i)),
         tok AS (
             SELECT doc_id, unnest(list_filter(regexp_split_to_array(
-                       lower(text), '\s+'), t -> t <> '')) AS token
+                       lower(text), '\\s+'), t -> t <> '')) AS token
             FROM documents),
         doc_b AS (
             SELECT doc_id,
@@ -7764,9 +7764,9 @@ def oracle_sql() -> dict[str, str]:
             FROM scored GROUP BY doc_id),
         gstaged AS (
             SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-                       '\s+'), t -> t <> '') AS tk,
+                       '\\s+'), t -> t <> '') AS tk,
                    string_split(text, chr(10)) AS ln,
-                   len(regexp_extract_all(text, '#|\.\.\.|…')) AS sym
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS sym
             FROM documents),
         gm AS (
             SELECT doc_id, len(tk) AS nw,
@@ -7780,7 +7780,7 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(ln, l -> regexp_matches(trim(l),
                        '^[-*•]'))) AS bullet_l,
                    len(list_filter(ln, l -> regexp_matches(trim(l),
-                       '(\.\.\.|…)$'))) AS ellipsis_l,
+                       '(\\.\\.\\.|…)$'))) AS ellipsis_l,
                    sym
             FROM gstaged),
         labels AS (
