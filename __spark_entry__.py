@@ -3622,6 +3622,57 @@ def q169_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q170_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift: total-variation distance between each
+    source's language distribution and the corpus-wide one —
+    TV = 1/2 Σ |p_src(lang) − p_corpus(lang)|, the categorical member
+    of the drift family (PSI q141 / KS q144 / EMD q157 cover numeric).
+    Exact long counts on the collapsed (source, lang) cell frame;
+    window marginals (NULL-safe, the q149 device); |Δ| terms
+    round-9-then-decimal summed."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wsrc = Window.partitionBy("source")
+    wlang = Window.partitionBy("lang")
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "source",
+        "lang",
+        "c",
+        F.sum("c").over(wsrc).cast("long").alias("__ns"),
+        F.sum("c").over(wlang).cast("long").alias("__nl"),
+        F.sum("c").over(wall).cast("long").alias("__N"),
+    )
+    term = F.round(
+        F.abs(
+            F.col("c").cast("double") / F.col("__ns").cast("double")
+            - F.col("__nl").cast("double") / F.col("__N").cast("double")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    # NOTE: languages absent from a source contribute p_corpus(lang)
+    # to the sum — add the missing mass exactly as (1 - covered corpus
+    # share): Σ_absent q = 1 - Σ_present q, all in the same decimal
+    # term stream
+    present_q = F.round(
+        F.col("__nl").cast("double") / F.col("__N").cast("double"), 9
+    ).cast("decimal(18,9)")
+    agg = staged.groupBy("source").agg(
+        F.max("__ns").alias("n_docs"),
+        F.sum(term).alias("__sum_present"),
+        F.sum(present_q).alias("__covered_q"),
+    )
+    tv = (
+        F.col("__sum_present").cast("double")
+        + (F.lit(1.0) - F.col("__covered_q").cast("double"))
+    ) / F.lit(2.0)
+    return agg.select(
+        "source", "n_docs", F.round(tv, 6).alias("tv_distance")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
@@ -3725,6 +3776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_pit_labels": q167_pit_labels,
         "q168_retrieval_eval": q168_retrieval_eval,
         "q169_calibration": q169_calibration,
+        "q170_tv_distance": q170_tv_distance,
         # Then entries certified in rounds 1-3; still bit-checked
         # locally at sf0.001 + sf0.01 every round.
         "q99_substring_dedup": q99_substring_dedup,
@@ -7820,6 +7872,34 @@ def oracle_sql() -> dict[str, str]:
               FROM staged2)
         SELECT s.bin, s.n, s.n_pos, s.mean_conf, s.keep_rate, e.ece
         FROM staged2 s CROSS JOIN e
+    """
+    # q170: collapsed cells, window marginals, |delta| decimal terms,
+    # absent-language mass as (1 - covered corpus share)
+    out["q170_tv_distance"] = """
+        WITH cells AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents GROUP BY source, lang),
+        staged AS (
+            SELECT source, lang, c,
+                   CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS ns,
+                   CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS nl,
+                   CAST(SUM(c) OVER () AS BIGINT) AS nn
+            FROM cells),
+        agg AS (
+            SELECT source, MAX(ns) AS n_docs,
+                   SUM(CAST(ROUND(ABS(CAST(c AS DOUBLE)
+                           / CAST(ns AS DOUBLE)
+                           - CAST(nl AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+                       AS DECIMAL(18,9))) AS sum_present,
+                   SUM(CAST(ROUND(CAST(nl AS DOUBLE)
+                           / CAST(nn AS DOUBLE), 9)
+                       AS DECIMAL(18,9))) AS covered_q
+            FROM staged GROUP BY source)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               ROUND((CAST(sum_present AS DOUBLE)
+                      + (1.0 - CAST(covered_q AS DOUBLE))) / 2.0, 6)
+                   AS tv_distance
+        FROM agg
     """
     # q152: tie-corrected Mann-Whitney AUC on the collapsed
     # per-(group, score) frame; integer doubled units until the final

@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "q167_pit_labels",
     "q168_retrieval_eval",
     "q169_calibration",
+    "q170_tv_distance",
 ]
 
 

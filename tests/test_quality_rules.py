@@ -1117,3 +1117,36 @@ class TestRetrievalEval:
         idcg = 1 / math.log(2) + 1 / math.log(3)
         assert abs(float(out[1]["dcg"]) / float(out[1]["idcg"]) - dcg / idcg) < 1e-6
         assert out[2]["rr"] == 0.0 and out[2]["idcg"] is None
+
+
+class TestTvDistanceDevice:
+    """q170's TV formula on a crafted frame: verify the absent-mass
+    identity (languages a source lacks contribute their corpus share)."""
+
+    def test_hand_computed_tv(self, spark):
+        from pyspark.sql import Window
+        # source A: 3 en; source B: 1 en, 2 fr.
+        # corpus: en 4/6, fr 2/6.
+        # A: |1 - 4/6|/... TV_A = (|1-2/3| + |0-1/3|)/2 = 1/3
+        # B: (|1/3-2/3| + |2/3-1/3|)/2 = 1/3
+        d = spark.createDataFrame(
+            [(1, "A", "en"), (2, "A", "en"), (3, "A", "en"),
+             (4, "B", "en"), (5, "B", "fr"), (6, "B", "fr")],
+            "doc_id long, source string, lang string",
+        )
+        cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("c"))
+        staged = cells.select(
+            "source", "lang", "c",
+            F.sum("c").over(Window.partitionBy("source")).cast("long").alias("ns"),
+            F.sum("c").over(Window.partitionBy("lang")).cast("long").alias("nl"),
+            F.sum("c").over(Window.partitionBy()).cast("long").alias("nn"),
+        )
+        term = F.round(F.abs(F.col("c").cast("double")/F.col("ns").cast("double")
+                             - F.col("nl").cast("double")/F.col("nn").cast("double")), 9).cast("decimal(18,9)")
+        pq = F.round(F.col("nl").cast("double")/F.col("nn").cast("double"), 9).cast("decimal(18,9)")
+        agg = staged.groupBy("source").agg(
+            F.sum(term).alias("sp"), F.sum(pq).alias("cq"))
+        out = {r["source"]: round((float(r["sp"]) + (1.0 - float(r["cq"]))) / 2.0, 6)
+               for r in agg.collect()}
+        assert abs(out["A"] - 1/3) < 1e-6
+        assert abs(out["B"] - 1/3) < 1e-6
