@@ -1,0 +1,115 @@
+"""operators.prefix: the distributed zipWithIndex device must be
+bit-identical to the single-partition global window it replaces
+(ranks, running sums, and the arithmetic ntile reconstruction) —
+the round-5 scale fix for q166/q128/q135 rests on this equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.operators.prefix import (
+    ntile_from_rank,
+    partitioned_prefix,
+)
+
+
+def _frame(spark, n=97):
+    # Deterministic pseudo-random values with ties, unique id tiebreak.
+    return spark.range(n).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") * 37 % 11).cast("double").alias("v"),
+        (F.col("id") * 13 % 7).cast("long").alias("w"),
+    )
+
+
+class TestPartitionedPrefix:
+    def test_rank_matches_global_row_number(self, spark):
+        df = _frame(spark)
+        got = {
+            r["id"]: r["rk"]
+            for r in partitioned_prefix(
+                df, ["v", "id"], rank_col="rk", num_partitions=8
+            ).collect()
+        }
+        want = {
+            r["id"]: r["rk"]
+            for r in df.select(
+                "id", F.row_number().over(Window.orderBy("v", "id")).alias("rk")
+            ).collect()
+        }
+        assert got == want
+
+    def test_running_sum_matches_global_window(self, spark):
+        df = _frame(spark)
+        w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+        want = {
+            r["id"]: r["cs"]
+            for r in df.select("id", F.sum("w").over(w).alias("cs")).collect()
+        }
+        got = {
+            r["id"]: r["w__cum"]
+            for r in partitioned_prefix(
+                df, ["id"], sum_cols=["w"], num_partitions=8
+            ).collect()
+        }
+        assert got == want
+
+    def test_single_row_and_empty(self, spark):
+        one = _frame(spark, 1)
+        row = partitioned_prefix(
+            one, ["id"], sum_cols=["w"], rank_col="rk", num_partitions=4
+        ).collect()
+        assert len(row) == 1 and row[0]["rk"] == 1 and row[0]["w__cum"] == 0
+        empty = _frame(spark).filter(F.lit(False))
+        assert (
+            partitioned_prefix(empty, ["id"], rank_col="rk").count() == 0
+        )
+
+    def test_more_partitions_than_rows(self, spark):
+        df = _frame(spark, 3)
+        got = sorted(
+            r["rk"]
+            for r in partitioned_prefix(
+                df, ["id"], rank_col="rk", num_partitions=16
+            ).collect()
+        )
+        assert got == [1, 2, 3]
+
+    def test_requires_order_cols(self, spark):
+        with pytest.raises(ValueError):
+            partitioned_prefix(_frame(spark), [])
+
+
+class TestNtileFromRank:
+    @pytest.mark.parametrize("n", [1, 2, 4, 5, 6, 7, 13, 50])
+    @pytest.mark.parametrize("tiles", [2, 5])
+    def test_matches_window_ntile(self, spark, n, tiles):
+        df = _frame(spark, n)
+        want = {
+            r["id"]: r["t"]
+            for r in df.select(
+                "id",
+                F.ntile(tiles)
+                .over(Window.orderBy("v", "id"))
+                .alias("t"),
+            ).collect()
+        }
+        ranked = partitioned_prefix(
+            df, ["v", "id"], rank_col="rk", num_partitions=4
+        ).crossJoin(
+            F.broadcast(
+                df.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+            )
+        )
+        got = {
+            r["id"]: r["t"]
+            for r in ranked.select(
+                "id",
+                ntile_from_rank(F.col("rk"), F.col("__n"), tiles).alias(
+                    "t"
+                ),
+            ).collect()
+        }
+        assert got == want
