@@ -3692,81 +3692,25 @@ def q170_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
-    # entries. ROUND-4 ROTATION (VERDICT r3 item #1): the prefix now
-    # certifies the 33 round-3 additions q100-q132 (all previously past
-    # the cap: locally bit-green at sf0.001 + sf0.01 but never
-    # driver-certified) plus the four formerly rows-only approximate
-    # queries q90/q91/q93/q94 — which, together with q109/q117, are now
-    # ORACLE-BACKED via in-plan property gates (VERDICT item #3: recall
-    # vs exact, Bessel/variance bounds, sketch error bounds, PQ-vs-
-    # baseline MSE; the oracle is the exact-SQL expectation of the
-    # emitted booleans + exact counts/percentiles, so zero `no_oracle`
-    # rows are possible in any rotation). The ROUND-4 ADDITIONS
-    # q133–q137 (collapse-then-neardup, Gopher rules, Heaps law,
-    # readability, Q11-shaped share) take five of the remaining slots
-    # so the driver certifies them immediately; the last seven hold
-    # already-certified representatives spanning the operator families
-    # (both SURVEY §3 composites q37/q92, dedup q21/q51/q99, ANN exact
-    # q25, multimodal q54, text q59). Positions 51+ were certified
-    # green in rounds 1-3 (CORRECTNESS_r0{1,2,3}.json) and stay
-    # bit-checked locally at both gate SFs every round
-    # (tools/compare_oracle.py).
+    # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
+    # certifies all 27 never-driver-sampled round-4 additions
+    # q144–q170 (drift/eval/stats/curation families — bit-green in the
+    # judge's independent sweep but with zero driver rows until now),
+    # plus every query whose plan changed this round (q128 RFM, q135
+    # Heaps, q166 quantile-normalize: the distributed-prefix rewrites;
+    # q117 IVFPQ: the cost trim) so the driver re-certifies the new
+    # plans immediately. The remaining slots hold the two SURVEY §3
+    # composites (q37/q92 — re-certified every round) and family
+    # representatives spanning the operator surface (property-gated
+    # approximate family q90/q91/q93/q94, dedup q20/q21/q51/q99/q133/
+    # q138, ANN exact q25, multimodal q54, text q23/q59, graph q87/
+    # q121, drift q141, TPC-H core q01). The four-times-certified
+    # q100–q132 block rotates to positions 51+; every entry there was
+    # green in a prior round's CORRECTNESS file and stays bit-checked
+    # locally at both gate SFs every round (tools/compare_oracle.py,
+    # tools/certify.py).
     return {
         "q92_feature_pipeline": q92_feature_pipeline,
-        "q100_dup_coverage": q100_dup_coverage,
-        "q101_bigram_model": q101_bigram_model,
-        "q102_token_budget_sample": q102_token_budget_sample,
-        "q103_zipf_fit": q103_zipf_fit,
-        "q104_token_diversity": q104_token_diversity,
-        "q105_source_similarity": q105_source_similarity,
-        "q106_tokenizer_fertility": q106_tokenizer_fertility,
-        "q107_market_share": q107_market_share,
-        "q108_oov_rate": q108_oov_rate,
-        "q109_pq_audit": q109_pq_audit,
-        "q110_curation_report": q110_curation_report,
-        "q111_dsir_importance": q111_dsir_importance,
-        "q112_bigram_perplexity": q112_bigram_perplexity,
-        "q113_quality_classifier": q113_quality_classifier,
-        "q114_normalize_text": q114_normalize_text,
-        "q115_simhash_neardup": q115_simhash_neardup,
-        "q116_temperature_mix": q116_temperature_mix,
-        "q117_ann_ivfpq": q117_ann_ivfpq,
-        "q118_bpe_pair_stats": q118_bpe_pair_stats,
-        "q119_canonical_selection": q119_canonical_selection,
-        "q120_corpus_drift": q120_corpus_drift,
-        "q121_triangle_count": q121_triangle_count,
-        "q122_lone_late_supplier": q122_lone_late_supplier,
-        "q123_weighted_sample": q123_weighted_sample,
-        "q124_gini_dispersion": q124_gini_dispersion,
-        "q125_running_balance": q125_running_balance,
-        "q126_weighted_percentiles": q126_weighted_percentiles,
-        "q127_inter_event_stats": q127_inter_event_stats,
-        "q128_rfm_segments": q128_rfm_segments,
-        "q129_ship_latency": q129_ship_latency,
-        "q130_lang_confusion": q130_lang_confusion,
-        "q131_source_entropy": q131_source_entropy,
-        "q132_frequent_triples": q132_frequent_triples,
-        "q90_ann_lsh": q90_ann_lsh,
-        "q91_pca": q91_pca,
-        "q93_ann_ivf": q93_ann_ivf,
-        "q94_approx_stats": q94_approx_stats,
-        "q133_collapse_neardup": q133_collapse_neardup,
-        "q134_gopher_rules": q134_gopher_rules,
-        "q135_heaps_law": q135_heaps_law,
-        "q136_readability": q136_readability,
-        "q137_part_value_share": q137_part_value_share,
-        "q138_containment_dedup": q138_containment_dedup,
-        "q139_promo_share": q139_promo_share,
-        "q140_dataset_card": q140_dataset_card,
-        "q141_psi_drift": q141_psi_drift,
-        "q142_ngram_novelty": q142_ngram_novelty,
-        "q143_min_cost_supplier": q143_min_cost_supplier,
-        "q37_ingest_pipeline": q37_ingest_pipeline,
-        # --- positions 51+ ---
-        # First the round-4 additions that no longer fit the 50-entry
-        # prefix (the 38 contract-pinned rotation slots + q133-q143 +
-        # q37 fill it): certified locally at both gate SFs this round,
-        # first in line for the round-5 prefix rotation.
         "q144_ks_drift": q144_ks_drift,
         "q145_benford_audit": q145_benford_audit,
         "q146_balance_anti": q146_balance_anti,
@@ -3794,19 +3738,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_retrieval_eval": q168_retrieval_eval,
         "q169_calibration": q169_calibration,
         "q170_tv_distance": q170_tv_distance,
-        # Then entries certified in rounds 1-3; still bit-checked
-        # locally at sf0.001 + sf0.01 every round.
+        "q37_ingest_pipeline": q37_ingest_pipeline,
+        "q128_rfm_segments": q128_rfm_segments,
+        "q135_heaps_law": q135_heaps_law,
+        "q117_ann_ivfpq": q117_ann_ivfpq,
+        "q133_collapse_neardup": q133_collapse_neardup,
+        "q138_containment_dedup": q138_containment_dedup,
+        "q90_ann_lsh": q90_ann_lsh,
+        "q91_pca": q91_pca,
+        "q93_ann_ivf": q93_ann_ivf,
+        "q94_approx_stats": q94_approx_stats,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_minhash_lsh": q21_minhash_lsh,
         "q99_substring_dedup": q99_substring_dedup,
+        "q51_dup_clusters": q51_dup_clusters,
+        "q25_cosine_topk": q25_cosine_topk,
         "q54_media_features": q54_media_features,
         "q59_scrub_pii": q59_scrub_pii,
-        "q21_minhash_lsh": q21_minhash_lsh,
-        "q25_cosine_topk": q25_cosine_topk,
-        "q51_dup_clusters": q51_dup_clusters,
+        "q23_text_stats": q23_text_stats,
+        "q87_pagerank": q87_pagerank,
+        "q121_triangle_count": q121_triangle_count,
+        "q141_psi_drift": q141_psi_drift,
         "q01_pricing_summary": q01_pricing_summary,
+        # --- positions 51+ ---
+        # The round-3 block q100–q132, driver-certified in round 4
+        # (CORRECTNESS_r04.json) and rotated out to make room for
+        # q144–q170; still bit-checked locally at both gate SFs every
+        # round.
+        "q100_dup_coverage": q100_dup_coverage,
+        "q101_bigram_model": q101_bigram_model,
+        "q102_token_budget_sample": q102_token_budget_sample,
+        "q103_zipf_fit": q103_zipf_fit,
+        "q104_token_diversity": q104_token_diversity,
+        "q105_source_similarity": q105_source_similarity,
+        "q106_tokenizer_fertility": q106_tokenizer_fertility,
+        "q107_market_share": q107_market_share,
+        "q108_oov_rate": q108_oov_rate,
+        "q109_pq_audit": q109_pq_audit,
+        "q110_curation_report": q110_curation_report,
+        "q111_dsir_importance": q111_dsir_importance,
+        "q112_bigram_perplexity": q112_bigram_perplexity,
+        "q113_quality_classifier": q113_quality_classifier,
+        "q114_normalize_text": q114_normalize_text,
+        "q115_simhash_neardup": q115_simhash_neardup,
+        "q116_temperature_mix": q116_temperature_mix,
+        "q118_bpe_pair_stats": q118_bpe_pair_stats,
+        "q119_canonical_selection": q119_canonical_selection,
+        "q120_corpus_drift": q120_corpus_drift,
+        "q122_lone_late_supplier": q122_lone_late_supplier,
+        "q123_weighted_sample": q123_weighted_sample,
+        "q124_gini_dispersion": q124_gini_dispersion,
+        "q125_running_balance": q125_running_balance,
+        "q126_weighted_percentiles": q126_weighted_percentiles,
+        "q127_inter_event_stats": q127_inter_event_stats,
+        "q129_ship_latency": q129_ship_latency,
+        "q130_lang_confusion": q130_lang_confusion,
+        "q131_source_entropy": q131_source_entropy,
+        "q132_frequent_triples": q132_frequent_triples,
+        "q134_gopher_rules": q134_gopher_rules,
+        "q136_readability": q136_readability,
+        "q137_part_value_share": q137_part_value_share,
+        "q139_promo_share": q139_promo_share,
+        "q140_dataset_card": q140_dataset_card,
+        "q142_ngram_novelty": q142_ngram_novelty,
+        "q143_min_cost_supplier": q143_min_cost_supplier,
+        # Then entries certified in rounds 1-3; still bit-checked
+        # locally at sf0.001 + sf0.01 every round.
         "q06_full_outer_hourly": q06_full_outer_hourly,
         "q08_asof_nearest": q08_asof_nearest,
         "q11_zscore": q11_zscore,
-        "q20_exact_dedup": q20_exact_dedup,
         "q02_regional_revenue": q02_regional_revenue,
         "q03_top_customers": q03_top_customers,
         "q04_priority_semi": q04_priority_semi,
@@ -3823,7 +3823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_distinct_users": q18_distinct_users,
         "q19_string_projections": q19_string_projections,
         "q22_ngram_jaccard": q22_ngram_jaccard,
-        "q23_text_stats": q23_text_stats,
         "q24_lang_quality_summary": q24_lang_quality_summary,
         "q26_embedding_stats": q26_embedding_stats,
         "q27_union_by_name": q27_union_by_name,
@@ -3882,7 +3881,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_equal_freq_bins": q84_equal_freq_bins,
         "q85_target_encode": q85_target_encode,
         "q86_feature_hashing": q86_feature_hashing,
-        "q87_pagerank": q87_pagerank,
         "q88_chi_square": q88_chi_square,
         "q89_kmeans": q89_kmeans,
         "q95_dup_cluster_sizes": q95_dup_cluster_sizes,

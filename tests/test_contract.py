@@ -31,23 +31,25 @@ def test_gate_prefix_rotation_invariants():
     """The driver certifies only the FIRST 50 queries() entries — pin
     the rotation rules so a reorder can't silently waste the gate:
     at least 50 entries, every prefix entry oracle-backed, the
-    composite feature pipeline (q92) re-certified every round, and the
-    round-4 rotation itself (q100-q132 + the property-gated
-    approximate family occupy certified slots; nothing the driver has
-    never checked sits past the cap)."""
+    composite pipelines (q92/q37) re-certified every round, and the
+    round-5 rotation itself (the 27 previously never-driver-sampled
+    round-4 additions q144–q170 occupy certified slots, as does every
+    query whose plan was rewritten this round — q128/q135/q166
+    distributed-prefix, q117 trim; nothing the driver has never
+    checked sits past the cap)."""
     names = list(entrymod.queries())
     assert len(names) >= 50
     prefix = set(names[:50])
     assert "q92_feature_pipeline" in prefix
-    # round 4: zero no_oracle rows possible — every prefix entry has an
-    # oracle (the approximate family via property gates)
+    assert "q37_ingest_pipeline" in prefix
+    # round 4 closed this: every prefix entry has an oracle (the
+    # approximate family via property gates)
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
-    # round-4 rotation: the 33 round-3 additions (never driver-checked
-    # before r4) and the formerly rows-only approximate family must
-    # occupy certified slots
-    must_certify = {f"q{i}_" for i in range(100, 133)} | {
-        "q90_", "q91_", "q93_", "q94_",
+    # round-5 rotation: q144–q170 (never driver-checked before r5) and
+    # the round-5 plan rewrites must occupy certified slots
+    must_certify = {f"q{i}_" for i in range(144, 171)} | {
+        "q128_", "q135_", "q117_",
     }
     stranded = [
         n
