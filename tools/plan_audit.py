@@ -8,7 +8,11 @@ cartesian products — and verify the global hygiene rules:
   ride along);
 - no row-at-a-time PythonUDF on any oracle-backed path (ArrowEvalPython
   is permitted in the explicitly-Arrow extension ops);
-- every parquet scan prunes columns (ReadSchema never *).
+- every parquet scan prunes columns (ReadSchema never *);
+- no UNPARTITIONED Window node (single-partition global sort — the
+  100 TB scale-killer the round-4 verdict flagged) outside an explicit
+  allowlist of provably-bounded frames (rank-after-limit(k), collapsed
+  O(steps)/O(distinct-t) frames).
 
 Writes PLAN_AUDIT.json next to the repo root and prints a summary line.
 Plans are BUILT, not executed — the audit runs in seconds.
@@ -42,6 +46,68 @@ FEATURES = [
 ]
 
 
+# Queries allowed to carry an unpartitioned Window, each over a frame
+# PROVABLY bounded before the window (adjudicated in VERDICT r4 "What's
+# wrong" / round-5 detector work). The list is intentionally EXACT —
+# only queries whose current plan carries such a window, so any newly
+# introduced global window fails the audit and forces a conscious
+# adjudication here. Anything whose frame grows with the data is a
+# violation, full stop (the distributed alternative is
+# operators/prefix.partitioned_prefix).
+GLOBAL_WINDOW_ALLOWLIST = {
+    "q67_funnel",  # O(funnel steps) collapsed frame (behavior.py)
+    "q71_bm25_search",  # rank after limit(k) candidate cut
+    "q89_kmeans",  # seed selection after limit(k)
+    "q96_key_skew_profile",  # rank after limit(top_n) TakeOrdered cut
+    "q103_zipf_fit",  # rank over limit(100) head
+    "q160_km_conversion",  # O(distinct event times) survival frame
+}
+
+
+def _bracket_groups(rest: str) -> list[str]:
+    groups, depth, cur = [], 0, ""
+    for ch in rest:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window-family nodes with an EMPTY partition spec.
+
+    ``WindowExec`` prints ``Window [funcs], [partSpec], [orderSpec]``
+    — when unpartitioned the partSpec group is simply OMITTED, leaving
+    two top-level bracket groups with the last being a sort spec
+    (ASC/DESC markers). ``WindowGroupLimit`` prints
+    ``[partSpec], [orderSpec], fn, k, mode`` — there TWO groups is the
+    partitioned form, and an unpartitioned one prints an empty first
+    group ``[]``. Both shapes verified against Spark 4.1 plans."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if m:
+            groups = _bracket_groups(m.group(1))
+            if len(groups) == 2 and re.search(
+                r"\b(ASC|DESC)\b", groups[1]
+            ):
+                n += 1
+            continue
+        m = re.search(r"\bWindowGroupLimit (\[.*)$", line)
+        if m and _bracket_groups(m.group(1))[0].strip() == "":
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-audit")
@@ -62,6 +128,13 @@ def main() -> int:
         if scans_all_cols:
             report[name]["wide_scans"] = scans_all_cols
             violations.append(f"{name}: unpruned wide scan")
+        gw = _unpartitioned_windows(plan)
+        if gw:
+            report[name]["global_windows"] = gw
+            if name not in GLOBAL_WINDOW_ALLOWLIST:
+                violations.append(
+                    f"{name}: unpartitioned Window x{gw} (not allowlisted)"
+                )
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(report),
