@@ -7557,8 +7557,14 @@ def oracle_sql() -> dict[str, str]:
                        AS fp_new
             FROM orders),
         j AS (
+            -- IS NOT DISTINCT FROM = Spark's eqNullSafe: a NULL key
+            -- matches a NULL key (both engines would then classify the
+            -- pair unchanged/modified, never added+removed) — keeps the
+            -- oracle aligned with snapshot_diff's NULL-as-a-real-key
+            -- semantics even though o_orderkey is non-null today
             SELECT o.fp_old, n.fp_new
-            FROM old o FULL OUTER JOIN new_s n USING (o_orderkey))
+            FROM old o FULL OUTER JOIN new_s n
+              ON o.o_orderkey IS NOT DISTINCT FROM n.o_orderkey)
         SELECT CASE WHEN fp_old IS NULL THEN 'added'
                     WHEN fp_new IS NULL THEN 'removed'
                     WHEN fp_old = fp_new THEN 'unchanged'
@@ -7587,8 +7593,9 @@ def oracle_sql() -> dict[str, str]:
             FROM pos),
         shifted AS (
             SELECT id, bkt, CAST(j AS INT) AS j,
-                   (pos + j) % nb AS npos, pos AS apos
-            FROM anchors)
+                   (pos + j) % nb AS npos, pos AS apos, nb
+            FROM anchors
+            WHERE j <= nb - 1)
         SELECT s.id AS doc_id, s.j AS rank, p.id AS neg_doc_id
         FROM shifted s JOIN pos p
           ON s.bkt = p.bkt AND s.npos = p.pos

@@ -1268,11 +1268,15 @@ def negative_pairs(
     negatives.
 
     Determinism/parity: the 60-bit md5 prefix is the engine-portable
-    hash; bucket and position arithmetic is exact integer; self-pairs
-    (blocks smaller than j+1) are filtered, so tiny blocks yield fewer
-    than k negatives (documented edge; at corpus scale blocks are
-    thousands of docs). Circular pairing is an equi-join on
-    (bucket, position) — never a window lead with a lost tail.
+    hash; bucket and position arithmetic is exact integer; shifts are
+    capped at the block size (j ≤ nb−1), which simultaneously removes
+    self-pairs (j ≡ 0 mod nb) and DUPLICATE partners (j and j+nb alias
+    the same successor — the r4 advice fix: a repeated partner would
+    silently overweight it in downstream contrastive training), so
+    tiny blocks yield min(k, nb−1) DISTINCT negatives (documented
+    edge; at corpus scale blocks are thousands of docs). Circular
+    pairing is an equi-join on (bucket, position) — never a window
+    lead with a lost tail.
 
     Scale shape: one map-only hash, one per-bucket window
     (O(block) rows each), one equi-join on (bucket, position) — the
@@ -1294,18 +1298,22 @@ def negative_pairs(
         .cast("long")
         .alias("nb"),
     )
-    anchors = pos.select(
-        "id",
-        "bkt",
-        "nb",
-        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
-        F.col("pos").alias("__apos"),
-    ).select(
-        "id",
-        "bkt",
-        "j",
-        ((F.col("__apos") + F.col("j")) % F.col("nb")).alias("__npos"),
-        "__apos",
+    anchors = (
+        pos.select(
+            "id",
+            "bkt",
+            "nb",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+            F.col("pos").alias("__apos"),
+        )
+        .filter(F.col("j") <= F.col("nb") - F.lit(1))
+        .select(
+            "id",
+            "bkt",
+            "j",
+            ((F.col("__apos") + F.col("j")) % F.col("nb")).alias("__npos"),
+            "__apos",
+        )
     )
     partners = pos.select(
         F.col("bkt").alias("pbkt"),

@@ -1099,12 +1099,20 @@ def trimmed_winsor_summary(
     )
     # (26,12) x (11,0) -> precision 26+11+1 = 38: stays inside Spark's
     # decimal cap, so the product is EXACT — (28,12) x long would need
-    # precision 49 and be silently rounded to scale 6 (review fix)
+    # precision 49 and be silently rounded to scale 6 (review fix).
+    # The ADDITIONS must stay exact too: (38,12)+(38,12) would need
+    # precision 39, which Spark's precision-loss rule caps at (38,11)
+    # — rounding the 12th fractional digit while DuckDB keeps scale 12
+    # (r4 advice). Downcasting each addend to (36,12) (headroom 10^24,
+    # far above any 100 TB sum of prices) makes the chain
+    # (36,12)+(36,12)->(37,12), +(36,12)->(38,12): uncapped, EXACT,
+    # bit-matching the oracle at full scale.
     kd = F.col("k_trim").cast("decimal(11,0)")
+    a12 = "decimal(36,12)"
     win_sum = (
-        F.col("__sum_kept")
-        + F.col("lo").cast("decimal(26,12)") * kd
-        + F.col("hi").cast("decimal(26,12)") * kd
+        F.col("__sum_kept").cast(a12)
+        + (F.col("lo").cast("decimal(26,12)") * kd).cast(a12)
+        + (F.col("hi").cast("decimal(26,12)") * kd).cast(a12)
     )
     return agg.select(
         *gcols,
@@ -1706,10 +1714,14 @@ def snapshot_diff(
     NULL sentinel (concat_ws SKIPS nulls, so ('a', NULL) and ('a')
     would collide without it — every column is coalesced to a sentinel
     first, and a unit separator keeps ('ab','c') ≠ ('a','bc')).
-    Classification is NULL-flag logic on the full-outer join, never
-    value comparison of possibly-NULL keys. CALLER CONTRACT: raw
-    double columns must be pre-rendered to a stable form (e.g. exact
-    integer cents) before fingerprinting — double→string is NOT
+    Classification is NULL-flag logic on the full-outer join; keys
+    match via eqNullSafe, i.e. NULL is treated as a REAL key value (a
+    NULL-keyed row pair classifies unchanged/modified, never
+    added+removed — and multiple NULL-keyed rows per side cross-match
+    as one key). SQL mirrors must join with IS NOT DISTINCT FROM, not
+    USING, to reproduce this (r4 advice; q161 does). CALLER CONTRACT:
+    raw double columns must be pre-rendered to a stable form (e.g.
+    exact integer cents) before fingerprinting — double→string is NOT
     cross-engine stable (shortest-repr vs %g).
 
     Scale shape: one full-outer shuffle join on the key (the minimal

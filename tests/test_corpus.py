@@ -569,15 +569,21 @@ class TestNegativePairs:
         b = sorted(map(tuple, negative_pairs(d.repartition(7), k=2).collect()))
         assert a == b
 
-    def test_tiny_block_fewer_negatives_not_self(self, spark):
+    def test_tiny_block_distinct_negatives_not_self(self, spark):
         from big_data_project_datapipeline_spark.functions.corpus import (
             negative_pairs,
         )
-        # 2 docs, 1 bucket, k=3: (pos+2)%2 and one of the others hit
-        # self and are filtered -> each doc gets 2 pairs max
+        # 2 docs, 1 bucket, k=3: shifts are capped at nb-1 = 1, so each
+        # doc gets exactly ONE pair (its only possible partner) — j=2
+        # would be self and j=3 would DUPLICATE the j=1 partner (the r4
+        # advice defect this pins as fixed).
         out = negative_pairs(self._d(spark, 2), k=3, n_buckets=1).collect()
         assert all(r["neg_doc_id"] != r["doc_id"] for r in out)
-        assert len(out) == 4  # j=1 and j=3 survive; j=2 is self
+        assert len(out) == 2
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], []).append(r["neg_doc_id"])
+        assert all(len(v) == len(set(v)) == 1 for v in per.values())
 
 
 class TestPositivePairs:
