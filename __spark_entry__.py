@@ -875,8 +875,22 @@ def _ann_recall_gate(
     is deterministic, so the booleans reproduce bit-for-bit for a given
     dataset. The exact side reuses q25's machinery: queries broadcast,
     one corpus scan — the gate stays linear in the corpus.
+
+    Cost note (r4 verdict item #7): the gate consumes both ``ann`` and
+    ``exact`` TWICE (hit-join + best-score branch). Without a persist,
+    the whole upstream pipeline — IVFPQ train/encode/search, LSH
+    banding, exact scan — executes once per consumer (AQE makes
+    exchange reuse across branches unreliable). Both frames collapse
+    to O(queries·k) rows, so they are persisted and their lifetime
+    tied to the result (operators/caching idiom); measured ~30% off
+    q117's solo wall at sf0.1.
     """
-    exact = SIM.cosine_topk(emb, queries_df, k=k)
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
+
+    exact = SIM.cosine_topk(emb, queries_df, k=k).persist()
+    ann = ann.persist()
     qids = queries_df.select(F.col("vec_id").alias("query_id"))
     hits = (
         ann.select("query_id", "neighbor_id")
@@ -932,9 +946,10 @@ def _ann_recall_gate(
     mean_ok = per_q.agg(
         (F.avg("__recall") >= F.lit(min_mean_recall)).alias("mean_recall_ok")
     )
-    return per_q.crossJoin(F.broadcast(mean_ok)).select(
+    result = per_q.crossJoin(F.broadcast(mean_ok)).select(
         "query_id", "opt_bound_ok", "mean_recall_ok"
     )
+    return attach_cache_release(result, [ann, exact])
 
 
 def q90_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

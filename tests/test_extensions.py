@@ -1105,3 +1105,53 @@ def test_bm25_query_terms_case_insensitive(spark):
     )
     out = TX.bm25_topk(df, ["Spark", "PIPELINE"], k=2).collect()
     assert out and out[0].doc_id == 1 and out[0].bm25 > 0
+
+
+def test_dvec_expr_bit_equals_lit(spark):
+    """The F.expr-string literal builders (plan-build fast path) must be
+    BIT-identical to per-element F.lit construction — repr() is
+    shortest-round-trip and Spark's D-suffix literal parses via
+    Double.parseDouble, so every IEEE double survives, including
+    negative zero, denormals, and exponent forms."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        _dmat_expr,
+        _dvec_expr,
+    )
+
+    tricky = [
+        0.1,
+        -0.0,
+        1e-300,
+        5e-324,
+        1.7976931348623157e308,
+        -2.5,
+        1 / 3,
+        123456789.123456789,
+    ]
+    mat = [tricky, [x / 7 for x in tricky]]
+    row = spark.range(1).select(
+        _dvec_expr(tricky).alias("v"),
+        F.array(*[F.lit(float(x)) for x in tricky]).alias("vl"),
+        _dmat_expr(mat).alias("m"),
+    ).first()
+    bits = lambda xs: [struct.pack(">d", x) for x in xs]  # noqa: E731
+    assert bits(row["v"]) == bits(row["vl"]) == bits(tricky)
+    assert [bits(r) for r in row["m"]] == [bits(r) for r in mat]
+
+
+def test_dvec_expr_rejects_non_finite():
+    import math
+
+    import pytest as _pytest
+
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        _dvec_sql,
+    )
+
+    for bad in (math.inf, -math.inf, math.nan):
+        with _pytest.raises(ValueError):
+            _dvec_sql([1.0, bad])
