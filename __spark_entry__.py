@@ -2655,6 +2655,9 @@ def q128_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile_from_rank reconstruction — bit-identical bucket assignment
     (Spark/DuckDB ntile semantics reproduced exactly), zero
     unpartitioned windows, so the ntile-based oracle is unchanged."""
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
     from big_data_project_datapipeline_spark.operators.prefix import (
         ntile_from_rank,
         partitioned_prefix,
@@ -2669,12 +2672,15 @@ def q128_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("monetary"),
     )
     maxd = per.agg(F.max("__last").alias("__maxd"))
+    # The collapsed per-customer frame feeds three rank passes + the
+    # final join (4 consumers) — persist it so the orders aggregate
+    # runs once (prefix.py cost contract).
     base = per.crossJoin(F.broadcast(maxd)).select(
         F.col("o_custkey").alias("custkey"),
         F.datediff(F.col("__maxd"), F.col("__last")).alias("recency_days"),
         "frequency",
         "monetary",
-    )
+    ).persist()
     n_cust = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
 
     def dim_rank(order_expr, rank_name):
@@ -2711,9 +2717,10 @@ def q128_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(total >= 5, "at_risk")
         .otherwise("hibernating")
     )
-    return scored.withColumn("rfm_total", total.cast("int")).withColumn(
+    out = scored.withColumn("rfm_total", total.cast("int")).withColumn(
         "segment", label
     )
+    return attach_cache_release(out, [base])
 
 
 def q129_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1013,17 +1013,23 @@ def heaps_law(
         "n_tokens",
         F.coalesce(F.col("__new"), F.lit(0)).alias("__new"),
     )
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
     from big_data_project_datapipeline_spark.operators.prefix import (
         partitioned_prefix,
     )
 
+    # The curve feeds both the OLS moment aggregate and the output
+    # frame — persist it so the explode + groupBys + prefix passes run
+    # once (prefix.py cost contract).
     curve = partitioned_prefix(
         base, ["doc_id"], sum_cols=["n_tokens", "__new"]
     ).select(
         "doc_id",
         F.col("n_tokens__cum").cast("long").alias("cum_tokens"),
         F.col("__new__cum").cast("long").alias("cum_types"),
-    )
+    ).persist()
     dec = "decimal(18,9)"
     x = F.round(F.log(F.col("cum_tokens").cast("double")), 9).cast(dec)
     y = F.round(F.log(F.col("cum_types").cast("double")), 9).cast(dec)
@@ -1044,7 +1050,7 @@ def heaps_law(
             F.exp((F.col("__sy") - beta * F.col("__sx")) / nd), 6
         ).alias("heaps_k"),
     )
-    return curve.crossJoin(F.broadcast(fit))
+    return attach_cache_release(curve.crossJoin(F.broadcast(fit)), [curve])
 
 
 def ngram_novelty(

@@ -1967,16 +1967,22 @@ def quantile_normalize(
     aggregate broadcast back, not an unpartitioned count window.
     Finish with an equi-join on the integer position.
     """
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
     from big_data_project_datapipeline_spark.operators.prefix import (
         partitioned_prefix,
     )
 
     v = F.col(value_col)
+    # Three consumers (N aggregate, within-group ranks, pooled prefix)
+    # — persist the cleaned projection so the source scans once
+    # (prefix.py cost contract; spills to disk if it outgrows memory).
     clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         F.col(group_col).alias("grp"),
         F.col(id_col).alias("id"),
         v.alias("v"),
-    )
+    ).persist()
     n_total = clean.agg(F.count(F.lit(1)).cast("long").alias("__N"))
     wg = Window.partitionBy("grp").orderBy("v", "id")
     ranked = clean.select(
@@ -1999,7 +2005,7 @@ def quantile_normalize(
             F.expr("(__r * __N + __ng - 1) div __ng"),
         ),
     )
-    return (
+    out = (
         ranked.select("grp", "id", "v", target.alias("__tp"))
         .join(pooled, F.col("__tp") == F.col("__p"))
         .select(
@@ -2009,6 +2015,7 @@ def quantile_normalize(
             F.col("__pooled_v").alias("normalized"),
         )
     )
+    return attach_cache_release(out, [clean])
 
 
 def point_in_time_labels(

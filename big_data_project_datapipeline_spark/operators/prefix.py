@@ -52,6 +52,13 @@ def partitioned_prefix(
     column) so the total order — and therefore every rank and running
     sum — is deterministic regardless of partition boundaries.
 
+    COST CONTRACT: the repartitioned input is scanned TWICE (totals
+    pass + emit pass — inherent to the two-pass device) and
+    repartitionByRange adds a sampling job. Callers whose input is
+    expensive to recompute should persist it first (the q128/q135/q166
+    pattern: persist the collapsed frame, attach_cache_release on the
+    final result).
+
     Adds ``rank_col`` (1-based global row_number, LongType) if
     requested and ``<c>__cum`` (inclusive running sum over the total
     order) for each ``c`` in ``sum_cols``. Sum columns should be
@@ -60,12 +67,19 @@ def partitioned_prefix(
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
-    n = num_partitions or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    part = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    # No explicit partition count unless the caller pins one: an
+    # explicit n disables AQE's partition coalescing for the range
+    # exchange, and a collapsed frame shuffled into 32 near-empty
+    # partitions pays ~2.5x in task overhead (measured on the q128
+    # frame at sf0.1: 2.6 s -> 1.1 s). AQE only merges ADJACENT range
+    # partitions, so contiguity — and therefore rank correctness —
+    # is preserved either way.
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).withColumn("__pid", F.spark_partition_id())
     aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")] + [
         F.sum(c).alias(f"__s_{c}") for c in sum_cols
     ]

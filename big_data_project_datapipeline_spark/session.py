@@ -43,6 +43,16 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true). The r5
+        # experiment with false (honor the 64 MB advisory size, often
+        # recommended for clusters) measured SLOWER here in a clean
+        # both-orders A/B on a quiet host: q121 2.9->5.2 s, q132
+        # 1.6->4.3 s, q87 1.8->3.2 s, q126 1.4->2.7 s solo at sf0.1 —
+        # with 32 local threads and kilobyte partitions, extra tasks
+        # are nearly free while coalescing to 1-2 tasks serializes the
+        # CPU-heavy collapsed stages (wedge joins, percentile sorts).
+        # On a real multi-executor cluster the trade can flip;
+        # re-measure there before changing it (NOTES_r5.md).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -27,7 +27,9 @@ QUERIES = ["q99_substring_dedup", "q115_simhash_neardup",
            "q154_acf", "q142_ngram_novelty", "q150_robust_means",
            # stats/eval family (SCALING.md third decade table)
            "q152_auc", "q158_bootstrap_ci", "q159_log_odds",
-           "q160_km_conversion"]
+           "q160_km_conversion",
+           # round-5 heavy additions (VERDICT r4 item #6)
+           "q133_collapse_neardup", "q138_containment_dedup"]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".scale_smoke/sf1")]
 
 
@@ -47,6 +49,10 @@ def shuffle_totals() -> tuple[int, int]:
 
 
 def main() -> None:
+    # optional argv filter: run only the named queries (fresh rows for
+    # an existing SCALING.md table without re-measuring the rest)
+    only = set(sys.argv[1:])
+    queries = [q for q in QUERIES if not only or q in only]
     spark = get_spark(extra_conf={"spark.ui.enabled": "true"})
     qs = E.queries()
     rows = []
@@ -55,7 +61,7 @@ def main() -> None:
         qs["q20_exact_dedup"](spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
-        for name in QUERIES:
+        for name in queries:
             w0, s0 = shuffle_totals()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -74,7 +80,7 @@ def main() -> None:
     print("\n| query | sf0.1 s | sf1 s | x | sf0.1 shufMB | sf1 shufMB | x | spill sf1 MB |")
     print("|---|---|---|---|---|---|---|---|")
     by = {(r["query"], r["sf"]): r for r in rows}
-    for q in QUERIES:
+    for q in queries:
         a, b = by[(q, "sf0.1")], by[(q, "sf1")]
         tx = round(b["sec"] / a["sec"], 1) if a["sec"] else float("nan")
         sx = round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 1) if a["shuffle_write_mb"] else float("nan")
