@@ -49,6 +49,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     emd_drift,
     km_survival,
     ks_drift,
+    ks_drift_binned,
     mean_shift_scan,
     mutual_information,
     point_in_time_labels,
@@ -3712,6 +3713,22 @@ def q170_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q171_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram KS drift — the PRODUCTION variant q144's scale notes
+    promise for continuous 100 TB columns (functions/
+    quality.ks_drift_binned): equal-width bins from one min/max
+    aggregate, O(groups × bins) state, KS evaluated at bin boundaries
+    (provably ≤ the exact KS — binning is conservative, pinned by
+    test). Same split boundary and α as q144 so the two statistics
+    are directly comparable."""
+    ev = _t(spark, sf_dir, "events")
+    return ks_drift_binned(
+        ev,
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        n_bins=64,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -3783,6 +3800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_psi_drift": q141_psi_drift,
         "q01_pricing_summary": q01_pricing_summary,
         # --- positions 51+ ---
+        # Round-5 addition: the q144 production variant — locally
+        # bit-checked at both gate SFs this round, first in line for
+        # the round-6 prefix rotation.
+        "q171_ks_drift_binned": q171_ks_drift_binned,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -6959,6 +6980,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_ref AS BIGINT) AS n_ref,
                CAST(n_cur AS BIGINT) AS n_cur,
                ROUND(ks_raw, 6) AS ks,
+               COALESCE(ks_raw > 1.3581015157406195
+                   * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
+                          / NULLIF(CAST(n_ref AS DOUBLE)
+                                   * CAST(n_cur AS DOUBLE), 0.0)),
+                   FALSE) AS drifted
+        FROM agg
+    """
+    # q171: histogram KS — equal-width bins from one min/max pass;
+    # identical IEEE bucket expression both engines, exact long cumsums
+    out["q171_ks_drift_binned"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END AS is_ref
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        span AS (
+            SELECT grp, MIN(v) AS lo, MAX(v) AS hi
+            FROM clean GROUP BY grp),
+        bucketed AS (
+            SELECT c.grp,
+                   CASE WHEN s.hi > s.lo
+                        THEN CAST(LEAST(63, FLOOR((c.v - s.lo)
+                                 / (s.hi - s.lo) * 64.0)) AS INT)
+                        ELSE 0 END AS b,
+                   c.is_ref
+            FROM clean c JOIN span s USING (grp)),
+        per_b AS (
+            SELECT grp, b, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+            FROM bucketed GROUP BY grp, b),
+        tot AS (
+            SELECT grp, CAST(SUM(cr) AS BIGINT) AS n_ref,
+                   CAST(SUM(cc) AS BIGINT) AS n_cur
+            FROM per_b GROUP BY grp),
+        cum AS (
+            SELECT grp,
+                   SUM(cr) OVER w AS ccr, SUM(cc) OVER w AS ccc
+            FROM per_b
+            WINDOW w AS (PARTITION BY grp ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        d AS (
+            SELECT c.grp, t.n_ref, t.n_cur,
+                   ABS(CAST(ccr AS DOUBLE)
+                           / NULLIF(CAST(n_ref AS DOUBLE), 0.0)
+                       - CAST(ccc AS DOUBLE)
+                           / NULLIF(CAST(n_cur AS DOUBLE), 0.0)) AS diff
+            FROM cum c JOIN tot t USING (grp)),
+        agg AS (
+            SELECT grp, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+                   MAX(diff) AS ks_raw
+            FROM d GROUP BY grp)
+        SELECT grp AS event_type,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(64 AS INT) AS n_bins,
+               ROUND(ks_raw, 6) AS ks_binned,
                COALESCE(ks_raw > 1.3581015157406195
                    * sqrt((CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE))
                           / NULLIF(CAST(n_ref AS DOUBLE)

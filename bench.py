@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "q168_retrieval_eval",
     "q169_calibration",
     "q170_tv_distance",
+    "q171_ks_drift_binned",
 ]
 
 

@@ -807,6 +807,122 @@ def ks_drift(
     )
 
 
+def ks_drift_binned(
+    df: DataFrame,
+    split_expr,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 64,
+    alpha_coeff: float = 1.3581015157406195,
+) -> DataFrame:
+    """Histogram (fixed-bin) two-sample KS drift per group — the
+    PRODUCTION variant of :func:`ks_drift` for continuous 100 TB
+    columns, where distinct values ≈ rows and the exact ECDF's
+    per-(group, value) frame stops being "collapsed" (the caveat
+    SCALING.md records against q144). Values are bucketed into
+    ``n_bins`` equal-WIDTH bins over the group's pooled [min, max]
+    span; KS is the max CDF gap evaluated at bin boundaries. Because
+    bin-boundary CDF values equal the true ECDFs at those points,
+    binned KS ≤ exact KS always (max over a subset of evaluation
+    points — pinned by test), i.e. the binning can only make the
+    test more conservative, never inflate drift.
+
+    Equal-width (not equal-frequency) is deliberate: the boundaries
+    come from ONE min/max aggregate — no sort, no quantile sketch,
+    no second pass — which is also what lets a streaming monitor
+    freeze them as literals (the q141/streaming-PSI convention).
+
+    Determinism/parity: NaN excluded like NULL; the bucket index is
+    ``least(n_bins-1, floor((v-min)/span*n_bins))`` evaluated in
+    IEEE double — both engines compute the identical bits, and the
+    degenerate span == 0 group collapses to bucket 0 under an
+    explicit guard (never a division by zero under ANSI). Cumulative
+    counts are exact longs; the only float ops are the final two
+    divisions + abs/max (the q144 posture); round(6) surface.
+    Groups missing one side emit NULL ks / false drifted.
+
+    Scale shape: one broadcast O(groups) min/max aggregate, one
+    map-only bucket pass, one map-side-combinable groupBy to
+    O(groups × n_bins), one per-group window over that bounded frame.
+    State is O(groups × n_bins) regardless of input size.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
+        F.col(group_col).alias("grp"),
+        v.cast("double").alias("v"),
+        F.when(split_expr, F.lit(1)).otherwise(F.lit(0)).alias("__is_ref"),
+    )
+    span = clean.groupBy("grp").agg(
+        F.min("v").alias("__lo"), F.max("v").alias("__hi")
+    )
+    width_ok = F.col("__hi") > F.col("__lo")
+    bucket = F.when(
+        width_ok,
+        F.least(
+            F.lit(int(n_bins) - 1),
+            F.floor(
+                (F.col("v") - F.col("__lo"))
+                / (F.col("__hi") - F.col("__lo"))
+                * F.lit(float(n_bins))
+            ),
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    per_b = (
+        clean.join(F.broadcast(span), "grp")
+        .select("grp", bucket.alias("b"), "__is_ref")
+        .groupBy("grp", "b")
+        .agg(
+            F.sum("__is_ref").cast("long").alias("cr"),
+            F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("cc"),
+        )
+    )
+    tot = per_b.groupBy("grp").agg(
+        F.sum("cr").cast("long").alias("n_ref"),
+        F.sum("cc").cast("long").alias("n_cur"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_b.select(
+        "grp",
+        F.sum("cr").over(w).alias("ccr"),
+        F.sum("cc").over(w).alias("ccc"),
+    )
+    d = cum.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("ccr").cast("double")
+            / F.nullif(F.col("n_ref").cast("double"), F.lit(0.0))
+            - F.col("ccc").cast("double")
+            / F.nullif(F.col("n_cur").cast("double"), F.lit(0.0))
+        ).alias("__diff"),
+    )
+    out = d.groupBy("grp").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("__diff").alias("__ks"),
+    )
+    thresh = F.lit(alpha_coeff) * F.sqrt(
+        (F.col("n_ref").cast("double") + F.col("n_cur").cast("double"))
+        / F.nullif(
+            F.col("n_ref").cast("double") * F.col("n_cur").cast("double"),
+            F.lit(0.0),
+        )
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n_ref",
+        "n_cur",
+        F.lit(int(n_bins)).alias("n_bins"),
+        F.round(F.col("__ks"), 6).alias("ks_binned"),
+        F.coalesce(F.col("__ks") > thresh, F.lit(False)).alias("drifted"),
+    )
+
+
 def benford_audit(
     df: DataFrame,
     value_col: str,

@@ -294,6 +294,108 @@ class TestNgramNovelty:
         assert [r["doc_id"] for r in out] == [2]
 
 
+class TestKsDriftBinned:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+
+    def _split(self):
+        return F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+
+    def test_hand_computed_two_bins(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift_binned,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        # span [0, 10], 2 bins -> boundary at 5. ref: 3 low, 1 high;
+        # cur: 1 low, 3 high. CDF gap at bin 0 = |3/4 - 1/4| = 0.5.
+        rows = [
+            ("a", ref_t, 0.0), ("a", ref_t, 1.0), ("a", ref_t, 2.0),
+            ("a", ref_t, 10.0),
+            ("a", cur_t, 3.0), ("a", cur_t, 6.0), ("a", cur_t, 7.0),
+            ("a", cur_t, 8.0),
+        ]
+        out = ks_drift_binned(
+            self._ev(spark, rows), self._split(), n_bins=2
+        ).first()
+        assert out["n_ref"] == 4 and out["n_cur"] == 4
+        assert out["n_bins"] == 2 and out["ks_binned"] == 0.5
+
+    def test_binned_never_exceeds_exact(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift,
+            ks_drift_binned,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        # deterministic pseudo-random shifted samples, two groups
+        rows = []
+        for g in ("a", "b"):
+            for i in range(200):
+                rows.append((g, ref_t, float((i * 37) % 101)))
+                rows.append((g, cur_t, float((i * 53) % 97) + 9.5))
+        df = self._ev(spark, rows)
+        exact = {
+            r["event_type"]: r["ks"]
+            for r in ks_drift(df, self._split()).collect()
+        }
+        for nb in (2, 8, 64):
+            binned = {
+                r["event_type"]: r["ks_binned"]
+                for r in ks_drift_binned(
+                    df, self._split(), n_bins=nb
+                ).collect()
+            }
+            for g in exact:
+                # round(6) on both surfaces -> allow one ulp of rounding
+                assert binned[g] <= exact[g] + 1e-6, (g, nb)
+
+    def test_constant_group_single_bucket(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift_binned,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        rows = [("a", ref_t, 7.0)] * 3 + [("a", cur_t, 7.0)] * 5
+        out = ks_drift_binned(
+            self._ev(spark, rows), self._split(), n_bins=8
+        ).first()
+        # zero span -> everything in bucket 0 -> identical binned CDFs
+        assert out["ks_binned"] == 0.0 and not out["drifted"]
+
+    def test_one_sided_group_null_ks(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift_binned,
+        )
+        ref_t = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", ref_t, 1.0),
+            ("a", ref_t, float("nan")),
+            ("a", ref_t, None),
+        ]
+        out = ks_drift_binned(
+            self._ev(spark, rows), self._split(), n_bins=8
+        ).first()
+        assert out["n_ref"] == 1 and out["n_cur"] == 0
+        assert out["ks_binned"] is None and out["drifted"] is False
+
+    def test_max_value_lands_in_last_bin(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            ks_drift_binned,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        # ref all at min, cur all at max: with any bin count the gap is 1
+        rows = [("a", ref_t, 0.0)] * 4 + [("a", cur_t, 4.0)] * 4
+        out = ks_drift_binned(
+            self._ev(spark, rows), self._split(), n_bins=4
+        ).first()
+        assert out["ks_binned"] == 1.0 and out["drifted"]
+
+
 class TestKsDrift:
     def _ev(self, spark, rows):
         return spark.createDataFrame(
