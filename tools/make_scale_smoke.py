@@ -43,6 +43,12 @@ def main() -> None:
         # data would (clone values would otherwise collapse in the
         # per-(group, value) frames and understate shuffle growth).
         "events": ("event_id", "user_id"),
+        # orders: 10x customers for the per-entity aggregate family
+        # (q128 RFM distributed ranks). Shifting o_custkey keeps each
+        # copy's customers disjoint, so the collapsed per-customer
+        # frame genuinely grows 10x; o_totalprice gets the same 1e-7
+        # per-copy jitter as events.value so rank keys stay ~distinct.
+        "orders": ("o_orderkey", "o_custkey"),
     }
     for table, keys in specs.items():
         src = f"{SRC}/{table}.parquet"
@@ -54,6 +60,8 @@ def main() -> None:
                     return f"{col} + {c * SHIFT} AS {col}"
                 if table == "events" and col == "value":
                     return f"value + {c} * 0.0000001 AS value"
+                if table == "orders" and col == "o_totalprice":
+                    return f"o_totalprice + {c} * 0.0000001 AS o_totalprice"
                 return col
 
             sel = ", ".join(col_sel(col) for col in cols)
@@ -65,7 +73,7 @@ def main() -> None:
         print(f"{table}: {n} rows -> {dst}")
     # The remaining tables are read by the gate loaders but not by the
     # smoke queries — symlink them so load_table finds a complete dir.
-    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         link = f"{OUT}/{t}.parquet"
         if not os.path.exists(link):
             os.symlink(f"{SRC}/{t}.parquet", link)

@@ -29,7 +29,10 @@ QUERIES = ["q99_substring_dedup", "q115_simhash_neardup",
            "q152_auc", "q158_bootstrap_ci", "q159_log_odds",
            "q160_km_conversion",
            # round-5 heavy additions (VERDICT r4 item #6)
-           "q133_collapse_neardup", "q138_containment_dedup"]
+           "q133_collapse_neardup", "q138_containment_dedup",
+           # round-5 distributed-prefix rewrites + binned KS
+           "q128_rfm_segments", "q135_heaps_law",
+           "q166_quantile_normalize", "q171_ks_drift_binned"]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".scale_smoke/sf1")]
 
 
