@@ -48,6 +48,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     bootstrap_mean_ci,
     emd_drift,
     km_survival,
+    jsd_drift,
     ks_drift,
     ks_drift_binned,
     mean_shift_scan,
@@ -3729,6 +3730,21 @@ def q171_ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q172_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence drift per event type (functions/
+    quality.jsd_drift) over the SAME reference-frozen equal-width bins
+    and 2024-01-16 split as q141's PSI — completing the divergence
+    family (PSI/KS/KS-binned/EMD/TV) with the bounded symmetric member:
+    0 ≤ JSD ≤ ln 2, finite on disjoint supports, so alerting can
+    normalize it to 0..1 where PSI's unbounded scale needs rule-of-
+    thumb cutoffs. Same O(groups x bins) state; never a per-row
+    window."""
+    ev = _t(spark, sf_dir, "events")
+    return jsd_drift(
+        ev, F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -3804,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-checked at both gate SFs this round, first in line for
         # the round-6 prefix rotation.
         "q171_ks_drift_binned": q171_ks_drift_binned,
+        "q172_jsd_drift": q172_jsd_drift,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -7042,6 +7059,60 @@ def oracle_sql() -> dict[str, str]:
                                    * CAST(n_cur AS DOUBLE), 0.0)),
                    FALSE) AS drifted
         FROM agg
+    """
+    # q172: JSD over the q141 PSI binning — identical smoothed p/q
+    # doubles, ln-form terms round-9-then-decimal, bounded by ln 2
+    out["q172_jsd_drift"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 'ref' ELSE 'cur' END AS side
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        ranges AS (
+            SELECT grp, MIN(v) AS rmin, MAX(v) AS rmax
+            FROM clean WHERE side = 'ref' GROUP BY grp),
+        binned AS (
+            SELECT c.grp, c.side,
+                   CAST(COALESCE(LEAST(GREATEST(FLOOR(
+                       (c.v - r.rmin) * 10 / NULLIF(r.rmax - r.rmin, 0.0)),
+                       0), 9), 0) AS INT) AS bin
+            FROM clean c JOIN ranges r USING (grp)),
+        counts AS (
+            SELECT grp, side, bin, COUNT(*) AS c
+            FROM binned GROUP BY grp, side, bin),
+        grid AS (
+            SELECT grp, unnest(range(0, 10)) AS bin FROM ranges),
+        full_f AS (
+            SELECT g.grp, g.bin,
+                   COALESCE(r.c, 0) AS cr, COALESCE(u.c, 0) AS cc
+            FROM grid g
+            LEFT JOIN (SELECT grp, bin, c FROM counts WHERE side = 'ref') r
+                   USING (grp, bin)
+            LEFT JOIN (SELECT grp, bin, c FROM counts WHERE side = 'cur') u
+                   USING (grp, bin)),
+        tot AS (
+            SELECT grp, SUM(cr) AS n_ref, SUM(cc) AS n_cur
+            FROM full_f GROUP BY grp),
+        probs AS (
+            SELECT f.grp, t.n_ref, t.n_cur,
+                   (CAST(cr AS DOUBLE) + 0.5)
+                       / (CAST(n_ref AS DOUBLE) + 5.0) AS p,
+                   (CAST(cc AS DOUBLE) + 0.5)
+                       / (CAST(n_cur AS DOUBLE) + 5.0) AS q
+            FROM full_f f JOIN tot t USING (grp)),
+        terms AS (
+            SELECT grp, n_ref, n_cur,
+                   CAST(ROUND(
+                       0.5 * p * (ln(2.0 * p) - ln(p + q))
+                       + 0.5 * q * (ln(2.0 * q) - ln(p + q)), 9)
+                       AS DECIMAL(18,9)) AS term
+            FROM probs)
+        SELECT grp AS event_type,
+               CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+               CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd
+        FROM terms GROUP BY grp
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

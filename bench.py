@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q169_calibration",
     "q170_tv_distance",
     "q171_ks_drift_binned",
+    "q172_jsd_drift",
 ]
 
 

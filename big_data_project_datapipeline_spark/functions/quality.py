@@ -635,6 +635,25 @@ def psi_drift(
     bins) complete frame — bins materialize from a sequence explode so
     empty bins exist for the smoothing terms. Never a per-row window.
     """
+    full = _drift_bin_counts(df, split_expr, value_col, group_col, n_bins)
+    return psi_from_bin_counts(
+        full, group_col=group_col, n_bins=n_bins, smoothing=smoothing
+    )
+
+
+def _drift_bin_counts(
+    df: DataFrame,
+    split_expr,
+    value_col: str,
+    group_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """Shared equal-width-bin scaffold for the divergence family
+    (:func:`psi_drift` / :func:`jsd_drift`): clean NaN/NULL, freeze
+    per-group bin ranges on the REFERENCE min/max, bin both
+    populations with :func:`psi_bin`, and return the COMPLETE
+    O(groups x bins) count frame (grp, bin, cr, cc) — zeros included,
+    so downstream smoothing terms see every cell."""
     v = F.col(value_col)
     clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         F.col(group_col).alias("grp"),
@@ -676,9 +695,7 @@ def psi_drift(
             F.coalesce(F.col("cc"), F.lit(0)).alias("cc"),
         )
     )
-    return psi_from_bin_counts(
-        full, group_col=group_col, n_bins=n_bins, smoothing=smoothing
-    )
+    return full
 
 
 def psi_from_bin_counts(
@@ -712,6 +729,66 @@ def psi_from_bin_counts(
         F.round(F.sum(term).cast("double"), 6).alias("psi"),
     )
     return out.select(F.col("grp").alias(group_col), "n_ref", "n_cur", "psi")
+
+
+def jsd_drift(
+    df: DataFrame,
+    split_expr,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Jensen-Shannon divergence per group between a reference and a
+    current population over the SAME equal-width reference-frozen bins
+    as :func:`psi_drift` (shared scaffold, so PSI and JSD read off one
+    binning convention and are directly comparable):
+
+        JSD(p, q) = 0.5 Σ_i p_i ln(2 p_i / (p_i + q_i))
+                  + 0.5 Σ_i q_i ln(2 q_i / (p_i + q_i))
+
+    with the same add-``smoothing`` Laplace terms. Unlike PSI, JSD is
+    BOUNDED: 0 ≤ JSD ≤ ln 2 ≈ 0.6931 (nats), symmetric in (p, q), and
+    finite even for disjoint supports — the property that makes it the
+    drift score of choice when downstream alerting needs a normalized
+    0..1 scale (divide by ln 2). Identical smoothed histograms give
+    exactly 0.
+
+    Determinism/parity: each bin's term is rounded to 9 decimals and
+    summed as DECIMAL (order-independent — the q97/q120 device); only
+    the per-term double arithmetic runs in float, expression-order
+    mirrored by the q172 oracle. NaN/NULL handling, bin clamping and
+    the zero-width-range guard are inherited from the shared scaffold.
+
+    Scale shape: identical to PSI — one O(groups) range pass, one
+    map-side-combinable (group, side, bin) count, then O(groups x
+    bins) state. Never a per-row window.
+    """
+    full = _drift_bin_counts(df, split_expr, value_col, group_col, n_bins)
+    tot = full.groupBy("grp").agg(
+        F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
+    )
+    s = float(smoothing)
+    denom_add = s * n_bins
+    with_tot = full.join(F.broadcast(tot), "grp")
+    p = (F.col("cr").cast("double") + F.lit(s)) / (
+        F.col("n_ref").cast("double") + F.lit(denom_add)
+    )
+    q = (F.col("cc").cast("double") + F.lit(s)) / (
+        F.col("n_cur").cast("double") + F.lit(denom_add)
+    )
+    m = p + q
+    term = F.round(
+        F.lit(0.5) * p * (F.log(F.lit(2.0) * p) - F.log(m))
+        + F.lit(0.5) * q * (F.log(F.lit(2.0) * q) - F.log(m)),
+        9,
+    ).cast("decimal(18,9)")
+    out = with_tot.groupBy("grp").agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.round(F.sum(term).cast("double"), 6).alias("jsd"),
+    )
+    return out.select(F.col("grp").alias(group_col), "n_ref", "n_cur", "jsd")
 
 
 def _ecdf_frames(df, split_expr, value_col, group_col):

@@ -272,6 +272,98 @@ class TestPsiDrift:
         assert 0.0 <= out["psi"] < 0.1
 
 
+class TestJsdDrift:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+
+    def _split(self):
+        return F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+
+    def test_identical_counts_exactly_zero(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            jsd_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        # Equal n per side: smoothed p_i == q_i in every bin, so every
+        # term is ln(1) = 0 EXACTLY (not just small) — unlike PSI with
+        # unequal n, there is no Laplace floor here.
+        rows = [("a", t, float(v)) for v in range(50) for t in (ref_t, cur_t)]
+        out = jsd_drift(self._ev(spark, rows), self._split()).first()
+        assert out["n_ref"] == 50 and out["n_cur"] == 50
+        assert out["jsd"] == 0.0
+
+    def test_symmetric_in_ref_cur(self, spark):
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            jsd_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        # Asymmetric payload with equal counts per side (JSD's symmetry
+        # is in the distributions p/q; the BINS are frozen on the
+        # reference side, so symmetry only holds when both sides share
+        # min/max — pin the range with sentinel rows).
+        rows = (
+            [("a", ref_t, 0.0), ("a", ref_t, 100.0)]
+            + [("a", cur_t, 0.0), ("a", cur_t, 100.0)]
+            + [("a", ref_t, float(v)) for v in range(10, 40)]
+            + [("a", cur_t, float(v)) for v in range(60, 90)]
+        )
+        fwd = jsd_drift(self._ev(spark, rows), self._split()).first()
+        rev = jsd_drift(self._ev(spark, rows), ~self._split()).first()
+        assert fwd["jsd"] == rev["jsd"] > 0.0
+
+    def test_disjoint_bounded_by_ln2(self, spark):
+        import math
+        import datetime as dt
+        from big_data_project_datapipeline_spark.functions.quality import (
+            jsd_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        rows = (
+            [("a", ref_t, 0.0), ("a", ref_t, 100.0)]
+            + [("a", ref_t, 1.0)] * 200
+            + [("a", cur_t, 99.0)] * 200
+        )
+        out = jsd_drift(self._ev(spark, rows), self._split()).first()
+        assert 0.5 < out["jsd"] <= math.log(2.0)
+
+    def test_matches_numpy_reference(self, spark):
+        import datetime as dt
+        import numpy as np
+        from big_data_project_datapipeline_spark.functions.quality import (
+            jsd_drift,
+        )
+        ref_t, cur_t = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 20)
+        rng_ref = [0.0, 1.0, 2.0, 3.0, 9.0, 9.5, 4.4, 5.5, 6.1, 7.7]
+        rng_cur = [0.5, 1.5, 8.8, 9.0, 9.2, 9.9, 12.0, -3.0, 5.0, 6.6]
+        rows = [("a", ref_t, v) for v in rng_ref] + [
+            ("a", cur_t, v) for v in rng_cur
+        ]
+        out = jsd_drift(self._ev(spark, rows), self._split()).first()
+        # numpy mirror: 10 equal-width bins on the REF range, clamp,
+        # 0.5-Laplace smoothing, nats.
+        lo, hi = min(rng_ref), max(rng_ref)
+        def hist(vals):
+            b = np.clip(
+                np.floor((np.array(vals) - lo) * 10 / (hi - lo)), 0, 9
+            ).astype(int)
+            return np.bincount(b, minlength=10)
+        p = (hist(rng_ref) + 0.5) / (10 + 5.0)
+        q = (hist(rng_cur) + 0.5) / (10 + 5.0)
+        m = p + q
+        expect = np.sum(
+            np.round(
+                0.5 * p * (np.log(2 * p) - np.log(m))
+                + 0.5 * q * (np.log(2 * q) - np.log(m)),
+                9,
+            )
+        )
+        assert out["jsd"] == round(float(expect), 6)
+
+
 class TestNgramNovelty:
     def test_first_doc_fully_novel_clone_zero(self, spark):
         from big_data_project_datapipeline_spark.functions.corpus import (
