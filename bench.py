@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "q171_ks_drift_binned",
     "q172_jsd_drift",
     "q173_allpairs_jaccard",
+    "q174_average_precision",
 ]
 
 

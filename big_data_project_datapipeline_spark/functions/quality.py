@@ -1401,6 +1401,94 @@ def grouped_auc(
     )
 
 
+def grouped_average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_expr,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of ``score_col`` as a ranker for the boolean
+    ``label_expr``, per group — the PR-space counterpart to
+    :func:`grouped_auc`: under heavy class imbalance ROC-AUC saturates
+    (the FPR denominator is the huge negative class) while AP stays
+    anchored to precision, which is why retrieval/filter tuning reads
+    AP. Threshold-sweep definition (sklearn's
+    ``average_precision_score``): AP = Σ_k (R_k − R_{k−1})·P_k over
+    distinct-score thresholds, which over tie blocks collapses to
+
+        AP = (1/N_pos) Σ_v n_pos(v) · cumP(v) / (cumP(v) + cumN(v))
+
+    with cum counts taken over scores >= v (descending). Tie-correct
+    and deterministic: tied scores form ONE threshold, so no
+    row-order dependence anywhere. Also emits ``prevalence`` =
+    N_pos/N — the AP of a random ranker, the floor to read ``ap``
+    against (a perfect ranker scores 1.0 regardless of imbalance).
+
+    Determinism/parity: the term numerator n_pos(v)·cumP(v) is exact
+    integer (decimal-carried, same overflow posture as grouped_auc);
+    one IEEE division per distinct score, rounded at 9 and summed as
+    DECIMAL (order-independent), one final division by N_pos rounded
+    at 6. Groups with zero positives emit NULL ap (nullif guard).
+    NaN/NULL scores excluded.
+
+    Scale shape: one map-side-combinable groupBy collapses rows to
+    distinct scores, one per-group window over that collapsed frame
+    (O(distinct scores), not O(rows)) — the q144 ECDF posture.
+    """
+    gcols = list(group_cols)
+    s = F.col(score_col)
+    staged = df.filter(s.isNotNull() & ~F.isnan(s)).select(
+        *gcols,
+        s.alias("__s"),
+        F.when(label_expr, F.lit(1)).otherwise(F.lit(0)).alias("__pos"),
+    )
+    per_s = staged.groupBy(*gcols, "__s").agg(
+        F.sum("__pos").cast("long").alias("cp"),
+        F.sum(F.lit(1) - F.col("__pos")).cast("long").alias("cn"),
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_s.select(
+        *gcols,
+        "cp",
+        "cn",
+        F.sum("cp").over(w).alias("__cump"),
+        (F.sum("cp").over(w) + F.sum("cn").over(w)).alias("__cumt"),
+    )
+    term = F.round(
+        (
+            F.col("cp").cast("decimal(18,0)")
+            * F.col("__cump").cast("decimal(19,0)")
+        ).cast("double")
+        / F.col("__cumt").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    agg = cum.groupBy(*gcols).agg(
+        F.sum("cp").cast("long").alias("n_pos"),
+        F.sum("cn").cast("long").alias("n_neg"),
+        F.sum(term).alias("__tsum"),
+    )
+    return agg.select(
+        *gcols,
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.col("__tsum").cast("double")
+            / F.nullif(F.col("n_pos").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("ap"),
+        F.round(
+            F.col("n_pos").cast("double")
+            / (F.col("n_pos") + F.col("n_neg")).cast("double"),
+            6,
+        ).alias("prevalence"),
+    )
+
+
 def grouped_ols2(
     df: DataFrame,
     y_col: str,

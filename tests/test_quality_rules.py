@@ -883,6 +883,77 @@ class TestGroupedAuc:
         assert out["n_neg"] == 0 and out["auc"] is None
 
 
+class TestAveragePrecision:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "g string, s double, y int")
+
+    def _ap(self, spark, rows):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            grouped_average_precision,
+        )
+        return grouped_average_precision(
+            self._df(spark, rows), "s", F.col("y") == 1, ["g"]
+        ).first()
+
+    def test_perfect_ranker_is_one(self, spark):
+        rows = [("a", float(v), 0) for v in range(5)] + [
+            ("a", float(v + 10), 1) for v in range(5)
+        ]
+        out = self._ap(spark, rows)
+        assert out["ap"] == 1.0 and out["prevalence"] == 0.5
+
+    def test_all_tied_equals_prevalence(self, spark):
+        # one tie block: AP collapses to P/(P+N) — the random floor
+        rows = [("a", 1.0, 1)] * 3 + [("a", 1.0, 0)] * 7
+        out = self._ap(spark, rows)
+        assert out["ap"] == 0.3 and out["prevalence"] == 0.3
+
+    def test_hand_computed_with_ties(self, spark):
+        # desc blocks: s=3 (1 pos, 1 neg) -> cumP 1, cumT 2;
+        # s=2 (1 pos) -> cumP 2, cumT 3; s=1 (1 neg) -> no pos.
+        # AP = (1*(1/2) + 1*(2/3)) / 2 = 7/12
+        rows = [("a", 1.0, 0), ("a", 2.0, 1), ("a", 3.0, 1), ("a", 3.0, 0)]
+        out = self._ap(spark, rows)
+        assert out["ap"] == round(7.0 / 12.0, 6)
+
+    def test_matches_sklearn_formula_random(self, spark):
+        import random
+        rng = random.Random(174)
+        rows = [
+            ("a", float(rng.randrange(8)), int(rng.random() < 0.3))
+            for _ in range(200)
+        ]
+        out = self._ap(spark, rows)
+        # threshold-sweep mirror in plain python
+        from collections import defaultdict
+        blocks = defaultdict(lambda: [0, 0])
+        for _, s, y in rows:
+            blocks[s][y] += 1
+        cump = cumt = 0
+        npos = sum(v[1] for v in blocks.values())
+        ap = 0.0
+        for s in sorted(blocks, reverse=True):
+            neg, pos = blocks[s]
+            cump += pos
+            cumt += pos + neg
+            ap += round(pos * cump / cumt, 9)
+        assert out["ap"] == round(ap / npos, 6)
+
+    def test_no_positives_null(self, spark):
+        rows = [("a", 1.0, 0), ("a", 2.0, 0)]
+        out = self._ap(spark, rows)
+        assert out["n_pos"] == 0 and out["ap"] is None
+
+    def test_worst_ranker_hand_value(self, spark):
+        # all negs above all (tied) pos: the single pos block sees
+        # cumP=5, cumT=10 -> AP = 5*(5/10)/5 = 0.5
+        rows = [("a", float(v + 10), 0) for v in range(5)] + [
+            ("a", 0.0, 1) for _ in range(5)
+        ]
+        out = self._ap(spark, rows)
+        assert out["ap"] == 0.5
+
+
 class TestGroupedOls2:
     def test_recovers_exact_plane(self, spark):
         from big_data_project_datapipeline_spark.functions.quality import (
