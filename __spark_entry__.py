@@ -70,7 +70,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     welch_ttest,
 )
 from big_data_project_datapipeline_spark.operators import graph as G
-from big_data_project_datapipeline_spark.operators.graph import pagerank
+from big_data_project_datapipeline_spark.operators.graph import hits, pagerank
 from big_data_project_datapipeline_spark.operators import behavior as BV
 from big_data_project_datapipeline_spark.operators.asof import asof_join
 from big_data_project_datapipeline_spark.operators.fuzzy import (
@@ -2145,6 +2145,55 @@ def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 3) -> str:
     )
 
 
+def _hits_oracle_sql(n_iter: int = 3) -> str:
+    """DuckDB twin of operators/graph.hits over the q175 directed
+    customer→part graph — unnormalized sweeps unrolled into CTEs with
+    the SAME decimal(28,12) contribution casts, L1-normalized once at
+    the end by scalar-subquery sums (the Spark side folds the same two
+    sums in as literals from one action on the persisted frame)."""
+    parts = [
+        """
+        WITH edges AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+        h0 AS (SELECT node, 1.0 AS h FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        a{k} AS (
+            SELECT e.dst AS node,
+                   CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DOUBLE) AS a
+            FROM edges e JOIN h{k - 1} h ON e.src = h.node
+            GROUP BY e.dst),
+        h{k} AS (
+            SELECT e.src AS node,
+                   CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DOUBLE) AS h
+            FROM edges e JOIN a{k} a ON e.dst = a.node
+            GROUP BY e.src)""")
+    parts.append(f"""
+        state AS (
+            SELECT nodes.node, COALESCE(h.h, 0.0) AS h,
+                   COALESCE(a.a, 0.0) AS a
+            FROM nodes
+            LEFT JOIN h{n_iter} h ON nodes.node = h.node
+            LEFT JOIN a{n_iter} a ON nodes.node = a.node),
+        norms AS (
+            SELECT CAST(SUM(CAST(h AS DECIMAL(28,12))) AS DOUBLE) AS sh,
+                   CAST(SUM(CAST(a AS DECIMAL(28,12))) AS DOUBLE) AS sa
+            FROM state)""")
+    return (
+        ",".join(parts)
+        + """
+        SELECT s.node, ROUND(s.h / n.sh, 6) AS hub,
+               ROUND(s.a / n.sa, 6) AS auth
+        FROM state s CROSS JOIN norms n"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 5-way join + aggregate at sf0.001 (scan/filter/join/agg)."""
     return q02_regional_revenue(spark, "/root/testdata/sf0.001")
@@ -3782,6 +3831,30 @@ def q174_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q175_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration HITS over the DIRECTED customer→part purchase
+    graph (operators/graph.hits): hubs = customers buying many
+    widely-bought parts, authorities = parts bought by strong hubs —
+    the mutual-reinforcement ranking q87's single PageRank vector
+    cannot express (q87 symmetrizes this same graph; HITS keeps the
+    direction and scores both roles). Node ids namespaced custkey·2 /
+    partkey·2+1 as in q87 so the two outputs join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ed = (
+        o.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    return hits(ed, n_iter=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -3860,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_jsd_drift": q172_jsd_drift,
         "q173_allpairs_jaccard": q173_allpairs_jaccard,
         "q174_average_precision": q174_average_precision,
+        "q175_hits": q175_hits,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -4810,6 +4884,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q80_trailing_ewma": _ewma_oracle_sql(),
         "q87_pagerank": _pagerank_oracle_sql(),
+        "q175_hits": _hits_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
         "q98_sentence_stats": f"""
             WITH st AS (

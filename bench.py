@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "q172_jsd_drift",
     "q173_allpairs_jaccard",
     "q174_average_precision",
+    "q175_hits",
 ]
 
 

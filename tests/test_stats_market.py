@@ -313,6 +313,47 @@ def test_pagerank_caches_release_with_result(spark):
     assert n_cached() == before  # finalizer released on GC
 
 
+def test_hits_bipartite_hand_computed(spark):
+    from big_data_project_datapipeline_spark.operators.graph import hits
+
+    # directed bipartite: buyers {0,1} -> items {10, 11, 12};
+    # 0 buys all three, 1 buys only 10. 10 is the strongest authority
+    # (both buyers), 0 the strongest hub (all items).
+    ed = [(0, 10), (0, 11), (0, 12), (1, 10)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    out = {r["node"]: r for r in hits(edges, n_iter=3).collect()}
+    # hand-iterate unnormalized, then L1-normalize once (the op's
+    # exact contract)
+    h = {n: 1.0 for n in (0, 1, 10, 11, 12)}
+    a = {}
+    for _ in range(3):
+        a = {10: h[0] + h[1], 11: h[0], 12: h[0], 0: 0.0, 1: 0.0}
+        h = {0: a[10] + a[11] + a[12], 1: a[10], 10: 0.0, 11: 0.0, 12: 0.0}
+    sh, sa = sum(h.values()), sum(a.values())
+    for n in (0, 1, 10, 11, 12):
+        assert out[n]["hub"] == round(h[n] / sh, 6), n
+        assert out[n]["auth"] == round(a[n] / sa, 6), n
+    # roles separate cleanly on a bipartite graph
+    assert out[0]["hub"] > out[1]["hub"] > 0.0
+    assert out[10]["auth"] > out[11]["auth"] == out[12]["auth"]
+    assert out[10]["hub"] == 0.0 and out[0]["auth"] == 0.0
+
+
+def test_hits_l1_normalized_and_duplicate_edges(spark):
+    from big_data_project_datapipeline_spark.operators.graph import hits
+
+    # duplicate edges collapse (distinct) — a doubled edge must not
+    # double its contribution
+    ed = [(0, 10), (0, 10), (1, 10), (1, 11)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    out = hits(edges, n_iter=2).collect()
+    assert sum(r["hub"] for r in out) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r["auth"] for r in out) == pytest.approx(1.0, abs=1e-5)
+    by = {r["node"]: r for r in out}
+    # 0 and 1 both point at 10; 1 also at 11 -> 1 is the wider hub
+    assert by[1]["hub"] > by[0]["hub"]
+
+
 def test_chi_square_hand_computed(spark):
     from big_data_project_datapipeline_spark.functions.quality import (
         chi_square_contingency,
