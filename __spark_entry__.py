@@ -25,6 +25,7 @@ from big_data_project_datapipeline_spark.functions import corpus as CO
 from big_data_project_datapipeline_spark.functions import dedup as D
 from big_data_project_datapipeline_spark.functions import multimodal as MM
 from big_data_project_datapipeline_spark.functions import similarity as SIM
+from big_data_project_datapipeline_spark.functions import sketches as SK
 from big_data_project_datapipeline_spark.functions import text as TX
 from big_data_project_datapipeline_spark.functions.temporal import (
     day_of_week,
@@ -3855,6 +3856,85 @@ def q175_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(ed, n_iter=3)
 
 
+def q176_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-register HyperLogLog distinct-user estimate per event
+    type (functions/sketches.hll_registers/hll_estimate, p=6 → 64
+    registers) — q94's HLL is Spark's engine-private sketch and can
+    only be PROPERTY-gated; this one builds the registers from md5, so
+    the whole sketch state and the estimator output are bit-identical
+    in DuckDB and the driver's value-hash gate certifies the estimate
+    itself (exact-integer harmonic sum, one IEEE division, ln
+    small-range correction). Registers merge by max across shards —
+    the mergeable-state posture q94 cannot expose. Exact distinct and
+    relative error ride along for calibration."""
+    ev = _t(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, "user_id", ["event_type"], p=6)
+    est = SK.hll_estimate(regs, ["event_type"], p=6)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "m",
+        "n_empty",
+        F.col("estimate").alias("hll_users"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_users").cast("double"))
+            / F.nullif(F.col("exact_users").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def q177_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter probe per event type (functions/
+    sketches.countmin_counters/countmin_lookup, 3×32 Carter-Wegman
+    counters): estimate the top user's event count from the fixed
+    O(d·w) mergeable counter state and report the overcount vs the
+    exact count (cm >= exact always — collisions only add, the
+    one-sided error that makes CM safe for keep/drop thresholds at
+    100 TB where per-key state is impossible). Counters, probe hashes
+    and the min-read are all md5/integer arithmetic — bit-identical
+    in the SQL mirror."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("exact_n").desc(), F.col("user_id").asc()
+    )
+    probes = (
+        cnt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_type", "user_id", "exact_n")
+    )
+    counters = SK.countmin_counters(
+        ev, "user_id", ["event_type"], depth=3, width=32
+    )
+    lk = SK.countmin_lookup(
+        counters,
+        probes.select("event_type", "user_id"),
+        "user_id",
+        ["event_type"],
+        depth=3,
+        width=32,
+    )
+    return probes.join(lk, ["event_type", "user_id"]).select(
+        "event_type",
+        F.col("user_id").alias("top_user"),
+        "exact_n",
+        F.col("cm_estimate").alias("cm_n"),
+        (F.col("cm_estimate") - F.col("exact_n")).alias("overcount"),
+        F.lit(3).alias("depth"),
+        F.lit(32).alias("width"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -3934,6 +4014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_allpairs_jaccard": q173_allpairs_jaccard,
         "q174_average_precision": q174_average_precision,
         "q175_hits": q175_hits,
+        "q176_hll_distinct": q176_hll_distinct,
+        "q177_countmin": q177_countmin,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -7253,6 +7335,107 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(union_size AS DOUBLE), 6) AS jaccard
         FROM pairs WHERE 5 * inter_size >= 3 * union_size
         ORDER BY left_id, right_id
+    """
+    # q176: explicit-register HLL — md5 top-6-bit buckets, bin()
+    # bit-length ranks, EXACT long harmonic sum (2^(55-r) terms), one
+    # IEEE division + ln correction; every register bit-identical
+    from big_data_project_datapipeline_spark.functions.sketches import (
+        hll_alpha,
+    )
+
+    hll_scale = float(hll_alpha(6) * 64 * 64 * (1 << 55))
+    out["q176_hll_distinct"] = f"""
+        WITH staged AS (
+            SELECT event_type AS grp,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS h
+            FROM events WHERE user_id IS NOT NULL),
+        regs0 AS (
+            SELECT grp, h >> 54 AS bucket,
+                   CASE WHEN h % {1 << 54} = 0 THEN 55
+                        ELSE 54 - length(bin(h % {1 << 54})) + 1
+                   END AS rk
+            FROM staged),
+        regs AS (
+            SELECT grp, bucket, MAX(rk) AS r
+            FROM regs0 GROUP BY grp, bucket),
+        grid AS (
+            SELECT grp, unnest(range(0, 64)) AS bucket
+            FROM (SELECT DISTINCT grp FROM regs)),
+        full_r AS (
+            SELECT g.grp, g.bucket, COALESCE(r.r, 0) AS r
+            FROM grid g LEFT JOIN regs r USING (grp, bucket)),
+        agg AS (
+            SELECT grp,
+                   SUM(CAST(1 AS BIGINT) << (55 - r)) AS isum,
+                   SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n_empty
+            FROM full_r GROUP BY grp),
+        est AS (
+            SELECT grp, n_empty,
+                   {hll_scale!r} / CAST(isum AS DOUBLE) AS raw
+            FROM agg),
+        corr AS (
+            SELECT grp, n_empty,
+                   CASE WHEN raw <= 160.0 AND n_empty > 0
+                        THEN 64.0 * ln(64.0 / CAST(n_empty AS DOUBLE))
+                        ELSE raw END AS e
+            FROM est),
+        exact AS (
+            SELECT event_type AS grp,
+                   COUNT(DISTINCT user_id) AS exact_users
+            FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+        SELECT c.grp AS event_type, 64 AS m,
+               CAST(c.n_empty AS BIGINT) AS n_empty,
+               ROUND(c.e, 6) AS hll_users,
+               CAST(x.exact_users AS BIGINT) AS exact_users,
+               ROUND(abs(ROUND(c.e, 6) - CAST(x.exact_users AS DOUBLE))
+                     / NULLIF(CAST(x.exact_users AS DOUBLE), 0.0), 6)
+                   AS rel_err
+        FROM corr c JOIN exact x USING (grp)
+    """
+    # q177: count-min — same Carter-Wegman (a,b) family as the MinHash
+    # CTEs; counters, probe hashes and min-read all integer arithmetic
+    cm_ab = [universal_hash_params(i) for i in range(3)]
+    cm_cells = " UNION ALL ".join(
+        f"SELECT grp, user_id, {i} AS sketch_row, "
+        f"((h * {a} + {b}) % {UH_PRIME}) % 32 AS bucket FROM staged"
+        for i, (a, b) in enumerate(cm_ab)
+    )
+    out["q177_countmin"] = f"""
+        WITH staged AS (
+            SELECT event_type AS grp, user_id,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % {UH_PRIME} AS h
+            FROM events WHERE user_id IS NOT NULL),
+        cells AS ({cm_cells}),
+        counters AS (
+            SELECT grp, sketch_row, bucket, COUNT(*) AS c
+            FROM cells GROUP BY grp, sketch_row, bucket),
+        cnt AS (
+            SELECT grp, user_id, COUNT(*) AS n
+            FROM staged GROUP BY grp, user_id),
+        probe AS (
+            SELECT grp, user_id, n FROM (
+                SELECT grp, user_id, n,
+                       ROW_NUMBER() OVER (PARTITION BY grp
+                           ORDER BY n DESC, user_id ASC) AS rn
+                FROM cnt) WHERE rn = 1),
+        pcells AS (
+            SELECT DISTINCT c.grp, c.user_id, c.sketch_row, c.bucket
+            FROM cells c JOIN probe p
+              ON c.grp = p.grp AND c.user_id = p.user_id),
+        est AS (
+            SELECT p.grp, p.user_id, MIN(k.c) AS cm
+            FROM pcells p JOIN counters k
+              ON p.grp = k.grp AND p.sketch_row = k.sketch_row
+             AND p.bucket = k.bucket
+            GROUP BY p.grp, p.user_id)
+        SELECT p.grp AS event_type, p.user_id AS top_user,
+               CAST(p.n AS BIGINT) AS exact_n,
+               CAST(e.cm AS BIGINT) AS cm_n,
+               CAST(e.cm - p.n AS BIGINT) AS overcount,
+               3 AS depth, 32 AS width
+        FROM probe p JOIN est e ON p.grp = e.grp AND p.user_id = e.user_id
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

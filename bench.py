@@ -198,6 +198,8 @@ BENCH_QUERIES = [
     "q173_allpairs_jaccard",
     "q174_average_precision",
     "q175_hits",
+    "q176_hll_distinct",
+    "q177_countmin",
 ]
 
 

@@ -1,0 +1,302 @@
+"""Mergeable sketch primitives with CROSS-ENGINE DETERMINISM.
+
+Spark ships HLL/quantile sketches (q94 uses them, gated by
+approx-vs-exact error properties, because their register internals are
+engine-private and can never hash-match an oracle). This module takes
+the other route: build the sketches from EXPLICIT md5-derived registers
+so the full sketch state — not just a property of it — is bit-identical
+in any engine that can compute md5, and the driver's value-hash gate
+certifies the estimator itself.
+
+Why sketches at all: at 100 TB you cannot keep per-key state for
+cardinality ("distinct users per segment") or frequency ("is this key a
+heavy hitter") questions. Both sketches here are FIXED-SIZE per group
+and MERGEABLE — HLL registers merge by elementwise max, count-min
+counters by elementwise sum — so per-partition/per-day/per-shard states
+combine associatively into the global answer (the property that makes
+them streamable and shard-parallel; pinned by unit tests).
+
+- **HyperLogLog** (Flajolet et al. 2007): 60-bit md5 hash; top ``p``
+  bits pick one of m = 2^p buckets, the register keeps the max
+  leading-zero rank of the remaining q = 60 − p bits. The harmonic-mean
+  estimate Σ 2^−R is accumulated as the EXACT integer Σ 2^(q+1−R)
+  (≤ m·2^(q+1), fits a long), so the only IEEE ops are the final
+  division and the small-range ln correction — order-independent by
+  construction, no decimal rounding anywhere.
+- **Count-min** (Cormode & Muthukrishnan 2005): ``depth`` Carter-Wegman
+  universal hash rows (the shared dedup.universal_hash_params family)
+  over ``width`` counters; point lookup = min over rows, which can only
+  OVERestimate (collisions add, never subtract) — the one-sided error
+  that makes CM safe for keep/drop thresholds.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions.dedup import (
+    UH_PRIME,
+    universal_hash_params,
+)
+
+
+def key_hash60(key: Column) -> Column:
+    """Engine-portable 60-bit hash of any key column: md5 of its string
+    rendering (DuckDB: CAST(('0x' || substr(md5(CAST(k AS VARCHAR)),
+    1, 15)) AS BIGINT)). Uniform, deterministic, identical everywhere
+    md5 is."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hll_alpha(p: int) -> float:
+    """Flajolet's bias-correction constant for m = 2^p registers."""
+    m = 1 << p
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    p: int = 6,
+) -> DataFrame:
+    """The COMPLETE per-group HLL register frame (group..., bucket, r):
+    m = 2^p rows per group, r = max leading-zero rank observed in the
+    bucket (0 for never-hit buckets). This frame IS the mergeable
+    sketch state: registers of a union are the elementwise MAX of the
+    parts' registers (pinned by test) — ship it between shards/days
+    and re-estimate after a max-merge.
+
+    Scale shape: one map-side-combinable groupBy on (group, bucket) —
+    max() partials combine per partition, so the shuffle carries at
+    most m rows per (partition, group) no matter the row count — then
+    the O(groups × m) grid completion. Duplicates need no pre-distinct
+    pass: a repeated key recomputes the same rank and max() absorbs it.
+
+    Rank device, all exact integer: bucket = h div 2^q (top p bits),
+    w = h mod 2^q, rank = q − bitlength(w) + 1 with w = 0 → q + 1;
+    bitlength via length(bin(w)) — Spark and DuckDB both render
+    minimal binary strings (verified), so the registers are
+    bit-identical across engines.
+    """
+    gcols = list(group_cols)
+    q = 60 - p
+    m = 1 << p
+    two_q = 1 << q
+    h = key_hash60(F.col(key_col))
+    staged = df.filter(F.col(key_col).isNotNull()).select(
+        *gcols, h.alias("__h")
+    )
+    wrem = F.col("__h") % F.lit(two_q)
+    rank = F.when(wrem == 0, F.lit(q + 1)).otherwise(
+        F.lit(q) - F.length(F.bin(wrem)) + 1
+    )
+    # bucket = top p bits via shiftright — NOT `/`, which is double
+    # division in Spark and loses exactness past 2^53
+    regs = (
+        staged.select(
+            *gcols,
+            F.shiftright(F.col("__h"), q).cast("int").alias("bucket"),
+            rank.cast("int").alias("__rk"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("__rk").alias("r"))
+    )
+    grid = (
+        regs.select(*gcols)
+        .distinct()
+        .select(
+            *gcols,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("bucket"),
+        )
+    )
+    return grid.join(regs, [*gcols, "bucket"], "left").select(
+        *gcols,
+        "bucket",
+        F.coalesce(F.col("r"), F.lit(0)).cast("int").alias("r"),
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: Sequence[str] = (),
+    p: int = 6,
+) -> DataFrame:
+    """Harmonic-mean cardinality estimate from a COMPLETE register
+    frame: E = α_m · m² / Σ_j 2^(−R_j), with Flajolet's small-range
+    correction E ≤ 2.5m ∧ V empty buckets > 0 → m·ln(m/V). The
+    harmonic sum is the exact long Σ 2^(q+1−R_j) (every term a power
+    of two ≤ 2^(q+1); m·2^(q+1) < 2^63 for every practical p), so
+    partition order cannot perturb a bit; the only IEEE ops are one
+    division and the correction's ln."""
+    gcols = list(group_cols)
+    q = 60 - p
+    m = 1 << p
+    # exact power-of-two term: 2^(q+1-r), r in [0, q+1]. SQL-form
+    # shiftleft — the PySpark wrapper only takes a literal shift.
+    term = F.expr(f"shiftleft(cast(1 as bigint), {q + 1} - r)")
+    agg = regs.groupBy(*gcols).agg(
+        F.sum(term).alias("__isum"),
+        F.sum(F.when(F.col("r") == 0, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_empty"
+        ),
+    )
+    scale = float(hll_alpha(p) * m * m * (1 << (q + 1)))
+    raw = F.lit(scale) / F.col("__isum").cast("double")
+    corrected = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_empty") > 0),
+        F.lit(float(m))
+        * F.log(F.lit(float(m)) / F.col("n_empty").cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *gcols,
+        F.lit(m).alias("m"),
+        F.col("n_empty").cast("long").alias("n_empty"),
+        F.round(corrected, 6).alias("estimate"),
+    )
+
+
+def countmin_counters(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 3,
+    width: int = 32,
+) -> DataFrame:
+    """The COMPLETE per-group count-min counter frame (group...,
+    sketch_row, bucket, c): ``depth`` × ``width`` cells per group,
+    cell (i, j) counting rows whose i-th universal hash lands on j.
+    Mergeable by elementwise SUM (pinned by test). Fixed O(d·w) state
+    per group regardless of key cardinality — the point at 100 TB.
+
+    Hash row i: ((a_i·h + b_i) mod P) mod width over the md5-derived
+    31-bit key hash, with the same public Carter-Wegman (a, b) family
+    the MinHash pipeline uses — deterministic and engine-portable.
+
+    Scale shape: the depth hash columns compute map-side and stack
+    into (row, bucket) pairs BEFORE the single map-side-combinable
+    groupBy, so the shuffle carries at most d·w rows per (partition,
+    group); then the O(groups × d·w) grid completion."""
+    gcols = list(group_cols)
+    h31 = (key_hash60(F.col(key_col)) % F.lit(UH_PRIME)).alias("__h")
+    staged = df.filter(F.col(key_col).isNotNull()).select(*gcols, h31)
+    stacked = staged.select(
+        *gcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sketch_row"),
+                        (
+                            (F.col("__h") * F.lit(universal_hash_params(i)[0])
+                             + F.lit(universal_hash_params(i)[1]))
+                            % F.lit(UH_PRIME)
+                            % F.lit(width)
+                        ).cast("int").alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__rb"),
+    ).select(
+        *gcols,
+        F.col("__rb.sketch_row").alias("sketch_row"),
+        F.col("__rb.bucket").alias("bucket"),
+    )
+    counters = stacked.groupBy(*gcols, "sketch_row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        counters.select(*gcols)
+        .distinct()
+        .select(
+            *gcols,
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias(
+                "sketch_row"
+            ),
+        )
+        .select(
+            *gcols,
+            "sketch_row",
+            F.explode(F.sequence(F.lit(0), F.lit(width - 1))).alias("bucket"),
+        )
+        .select(
+            *gcols,
+            "sketch_row",
+            F.col("bucket").cast("int").alias("bucket"),
+        )
+    )
+    return grid.join(
+        counters.select(
+            *gcols,
+            "sketch_row",
+            F.col("bucket").cast("int").alias("bucket"),
+            "c",
+        ),
+        [*gcols, "sketch_row", "bucket"],
+        "left",
+    ).select(
+        *gcols,
+        F.col("sketch_row").cast("int").alias("sketch_row"),
+        "bucket",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c"),
+    )
+
+
+def countmin_lookup(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 3,
+    width: int = 32,
+) -> DataFrame:
+    """Point-frequency estimates for a SMALL probe frame (group...,
+    key): min over sketch rows of the probed counter — the count-min
+    read path. Guaranteed >= the true count (collisions only add).
+    The probe frame is broadcast; the counter frame is filtered to the
+    probed cells by the join, so the lookup is O(probes · depth)."""
+    gcols = list(group_cols)
+    h31 = (key_hash60(F.col(key_col)) % F.lit(UH_PRIME)).alias("__h")
+    staged = probes.select(*gcols, F.col(key_col), h31)
+    cells = staged.select(
+        *gcols,
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sketch_row"),
+                        (
+                            (F.col("__h") * F.lit(universal_hash_params(i)[0])
+                             + F.lit(universal_hash_params(i)[1]))
+                            % F.lit(UH_PRIME)
+                            % F.lit(width)
+                        ).cast("int").alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("__rb"),
+    ).select(
+        *gcols,
+        key_col,
+        F.col("__rb.sketch_row").alias("sketch_row"),
+        F.col("__rb.bucket").alias("bucket"),
+    )
+    return (
+        counters.join(F.broadcast(cells), [*gcols, "sketch_row", "bucket"])
+        .groupBy(*gcols, key_col)
+        .agg(F.min("c").cast("long").alias("cm_estimate"))
+    )
