@@ -32,7 +32,10 @@ QUERIES = ["q99_substring_dedup", "q115_simhash_neardup",
            "q133_collapse_neardup", "q138_containment_dedup",
            # round-5 distributed-prefix rewrites + binned KS
            "q128_rfm_segments", "q135_heaps_law",
-           "q166_quantile_normalize", "q171_ks_drift_binned"]
+           "q166_quantile_normalize", "q171_ks_drift_binned",
+           # round-5 additions: drift/similarity/graph/sketch families
+           "q172_jsd_drift", "q173_allpairs_jaccard", "q175_hits",
+           "q176_hll_distinct", "q177_countmin"]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".scale_smoke/sf1")]
 
 
