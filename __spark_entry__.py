@@ -3935,6 +3935,70 @@ def q177_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q178_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap estimates between event types from KMV
+    bottom-k sketches (functions/sketches.kmv_sketch/kmv_pair_overlap,
+    k=256) — the set-expression sketch HLL registers cannot provide:
+    the k smallest md5 hashes are a uniform sample of each user set,
+    the union's bottom-k samples A ∪ B, and the fraction present in
+    both sketches estimates Jaccard/intersection (Beyer et al. 2007).
+    The Spark plan uses the HLL-guided threshold prefilter (pass-1
+    cardinality estimate → keep only h <= τ — millions of keys never
+    reach the per-group sort); the oracle computes the UNFILTERED
+    bottom-k, so a green row proves the prefilter clipped nothing.
+    Exact intersections and relative error ride along."""
+    ev = _t(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, "user_id", ["event_type"], k=256, hll_p=8)
+    ov = SK.kmv_pair_overlap(sk, "event_type", k=256)
+    tu = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    ex = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("grp_a"),
+            F.col("b.event_type").alias("grp_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    return (
+        ov.join(ex, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "k",
+            "n_union_sample",
+            "jaccard_est",
+            "inter_est",
+            F.coalesce(F.col("exact_inter"), F.lit(0))
+            .cast("long")
+            .alias("exact_inter"),
+            F.round(
+                F.abs(
+                    F.col("inter_est")
+                    - F.coalesce(F.col("exact_inter"), F.lit(0)).cast(
+                        "double"
+                    )
+                )
+                / F.nullif(
+                    F.coalesce(F.col("exact_inter"), F.lit(0)).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -4016,6 +4080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_hits": q175_hits,
         "q176_hll_distinct": q176_hll_distinct,
         "q177_countmin": q177_countmin,
+        "q178_kmv_overlap": q178_kmv_overlap,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -7436,6 +7501,79 @@ def oracle_sql() -> dict[str, str]:
                CAST(e.cm - p.n AS BIGINT) AS overcount,
                3 AS depth, 32 AS width
         FROM probe p JOIN est e ON p.grp = e.grp AND p.user_id = e.user_id
+    """
+    # q178: KMV pair overlap — UNFILTERED bottom-k (no threshold
+    # prefilter: a clipped Spark sketch can never match this), same
+    # order-statistic estimator and expression order
+    kmv_scale = float(255 * (1 << 60))
+    out["q178_kmv_overlap"] = f"""
+        WITH staged AS (
+            SELECT DISTINCT event_type AS g,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS h
+            FROM events WHERE user_id IS NOT NULL),
+        sk AS (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM staged) WHERE rn <= 256),
+        gs AS (SELECT DISTINCT g FROM sk),
+        pairs AS (
+            SELECT a.g AS ga, b.g AS gb
+            FROM gs a JOIN gs b ON a.g < b.g),
+        side_a AS (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON p.ga = s.g),
+        side_b AS (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON p.gb = s.g),
+        un AS (
+            SELECT DISTINCT ga, gb, h FROM (
+                SELECT * FROM side_a UNION ALL SELECT * FROM side_b)),
+        samp AS (
+            SELECT ga, gb, h FROM (
+                SELECT ga, gb, h,
+                       ROW_NUMBER() OVER (PARTITION BY ga, gb
+                           ORDER BY h) AS rn
+                FROM un) WHERE rn <= 256),
+        flagged AS (
+            SELECT s.ga, s.gb, s.h,
+                   CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                        THEN 1 ELSE 0 END AS in_both
+            FROM samp s
+            LEFT JOIN side_a a
+              ON s.ga = a.ga AND s.gb = a.gb AND s.h = a.h
+            LEFT JOIN side_b b
+              ON s.ga = b.ga AND s.gb = b.gb AND s.h = b.h),
+        agg AS (
+            SELECT ga, gb,
+                   CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+                   CAST(SUM(in_both) AS BIGINT) AS nboth,
+                   MAX(h) AS hk
+            FROM flagged GROUP BY ga, gb),
+        est AS (
+            SELECT ga, gb, n_union_sample, nboth,
+                   CASE WHEN n_union_sample >= 256
+                        THEN {kmv_scale!r} / CAST(hk AS DOUBLE)
+                        ELSE CAST(n_union_sample AS DOUBLE) END AS du,
+                   CAST(nboth AS DOUBLE)
+                       / CAST(n_union_sample AS DOUBLE) AS rho
+            FROM agg),
+        du2 AS (SELECT DISTINCT event_type AS g, user_id
+                FROM events WHERE user_id IS NOT NULL),
+        exact AS (
+            SELECT a.g AS ga, b.g AS gb, COUNT(*) AS exact_inter
+            FROM du2 a JOIN du2 b
+              ON a.user_id = b.user_id AND a.g < b.g
+            GROUP BY a.g, b.g)
+        SELECT e.ga AS grp_a, e.gb AS grp_b, 256 AS k,
+               e.n_union_sample,
+               ROUND(e.rho, 6) AS jaccard_est,
+               ROUND(e.rho * e.du, 6) AS inter_est,
+               CAST(COALESCE(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+               ROUND(abs(ROUND(e.rho * e.du, 6)
+                         - CAST(COALESCE(x.exact_inter, 0) AS DOUBLE))
+                     / NULLIF(CAST(COALESCE(x.exact_inter, 0) AS DOUBLE),
+                              0.0), 6) AS rel_err
+        FROM est e LEFT JOIN exact x ON e.ga = x.ga AND e.gb = x.gb
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

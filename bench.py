@@ -200,6 +200,7 @@ BENCH_QUERIES = [
     "q175_hits",
     "q176_hll_distinct",
     "q177_countmin",
+    "q178_kmv_overlap",
 ]
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from big_data_project_datapipeline_spark.functions.dedup import (
@@ -164,6 +164,179 @@ def hll_estimate(
         F.lit(m).alias("m"),
         F.col("n_empty").cast("long").alias("n_empty"),
         F.round(corrected, 6).alias("estimate"),
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+    hll_p: int = 8,
+    safety: int = 8,
+) -> DataFrame:
+    """Per-group KMV sketch (Beyer et al., SIGMOD 2007): the ``k``
+    smallest DISTINCT 60-bit md5 hash values, as rows (group..., h).
+    The third sketch of the family, and the one that supports SET
+    EXPRESSIONS: the bottom-k of a union is the bottom-k of the parts'
+    sketches (merge law, pinned by test), and because the sketch is a
+    uniform sample of the key space, overlap fractions inside it
+    estimate Jaccard/intersection sizes — what HLL registers cannot do.
+
+    Scale device — HLL-guided threshold prefilter: a naive bottom-k
+    ranks EVERY distinct hash of a group through that group's window
+    partition (O(distinct) per task — the q166-class defect at 100 TB
+    when groups have billions of keys). Instead pass 1 estimates each
+    group's cardinality D̂ from this module's own HLL registers
+    (p=``hll_p``: ±~6.5%), pass 2 keeps only h <= τ = safety·k·2^60/D̂
+    (expected ``safety``·k survivors per group — millions of keys never
+    reach the sort), and the window ranks the tiny survivor frame.
+    EXACTNESS is preserved, not approximated: the true k-th smallest
+    hash sits at ~k·2^60/D, so τ clips it only if the HLL estimate is
+    ``safety``× too high — beyond any HLL tail at p=8 (and the q178
+    oracle computes the UNFILTERED bottom-k, so a clipped sketch can
+    never go green). Groups with D̂ below the threshold keep everything
+    (τ caps at 2^60) and the sketch degrades gracefully to the exact
+    distinct set.
+
+    Returns at most k rows per group: (group..., h) with h ascending
+    rank implied by value order.
+    """
+    gcols = list(group_cols)
+    two60 = 1 << 60
+    staged = df.filter(F.col(key_col).isNotNull()).select(
+        *gcols, key_hash60(F.col(key_col)).alias("h")
+    )
+    est = hll_estimate(
+        hll_registers(df, key_col, gcols, p=hll_p), gcols, p=hll_p
+    ).select(
+        *gcols,
+        F.least(
+            F.lit(float(two60)),
+            F.lit(float(safety * k) * float(two60))
+            / F.greatest(F.col("estimate"), F.lit(1.0)),
+        ).alias("__tau"),
+    )
+    survivors = (
+        staged.join(F.broadcast(est), gcols)
+        .filter(F.col("h").cast("double") <= F.col("__tau"))
+        .select(*gcols, "h")
+        .distinct()
+    )
+    w = Window.partitionBy(*gcols).orderBy("h")
+    return (
+        survivors.select(*gcols, "h", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= k)
+        .select(*gcols, "h")
+    )
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame,
+    group_cols: Sequence[str] = (),
+    k: int = 256,
+) -> DataFrame:
+    """Cardinality from a KMV sketch: D̂ = (k−1)·2^60 / h_(k) when the
+    sketch is full (the k-th order statistic of a uniform sample), or
+    the EXACT sketch size when the group has fewer than k distinct
+    keys (the sketch then holds every hash). One IEEE division."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").alias("__hk"),
+    )
+    full = F.col("n_sketch") >= k
+    est = F.when(
+        full,
+        F.lit(float((k - 1) * (1 << 60))) / F.col("__hk").cast("double"),
+    ).otherwise(F.col("n_sketch").cast("double"))
+    return agg.select(
+        *gcols, "n_sketch", F.round(est, 6).alias("estimate")
+    )
+
+
+def kmv_pair_overlap(
+    sketch: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between every two groups of a KMV
+    sketch frame (Beyer et al.'s union trick): for a pair (A, B), the
+    k smallest of S_A ∪ S_B form a uniform sample L of A ∪ B, so
+    D̂_union comes from L's k-th order statistic and the fraction ρ of
+    L present in BOTH sketches estimates Jaccard — intersection ≈
+    ρ·D̂_union. When |L| < k both sketches were complete and every
+    number is exact. Output: (grp_a, grp_b, k, n_union_sample,
+    jaccard_est, inter_est).
+
+    The group list is collected once (bounded O(groups) — the k-means
+    centroid precedent) to build the pair frame as literals; every
+    join after that is an equi-join on (pair, h) over O(k) rows per
+    pair."""
+    spark = sketch.sparkSession
+    groups = sorted(
+        r["g"] for r in sketch.select(
+            F.col(group_col).alias("g")
+        ).distinct().collect()
+    )
+    pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
+    if not pairs:
+        return spark.createDataFrame(
+            [], f"grp_a string, grp_b string, k int, n_union_sample long, "
+            f"jaccard_est double, inter_est double"
+        )
+    pf = spark.createDataFrame(pairs, ["grp_a", "grp_b"])
+    s = sketch.select(F.col(group_col).alias("g"), "h")
+    side_a = pf.join(s, F.col("grp_a") == F.col("g")).select(
+        "grp_a", "grp_b", "h"
+    )
+    side_b = pf.join(s, F.col("grp_b") == F.col("g")).select(
+        "grp_a", "grp_b", "h"
+    )
+    union = side_a.unionByName(side_b).distinct()
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    sample = union.select(
+        "grp_a", "grp_b", "h", F.row_number().over(w).alias("__rn")
+    ).filter(F.col("__rn") <= k)
+    in_a = side_a.select("grp_a", "grp_b", "h").withColumn(
+        "__ina", F.lit(1)
+    )
+    in_b = side_b.select("grp_a", "grp_b", "h").withColumn(
+        "__inb", F.lit(1)
+    )
+    flagged = (
+        sample.join(in_a, ["grp_a", "grp_b", "h"], "left")
+        .join(in_b, ["grp_a", "grp_b", "h"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "h",
+            (
+                F.coalesce(F.col("__ina"), F.lit(0))
+                * F.coalesce(F.col("__inb"), F.lit(0))
+            ).alias("__both"),
+        )
+    )
+    agg = flagged.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sample"),
+        F.sum("__both").cast("long").alias("__nboth"),
+        F.max("h").alias("__hk"),
+    )
+    full = F.col("n_union_sample") >= k
+    d_union = F.when(
+        full,
+        F.lit(float((k - 1) * (1 << 60))) / F.col("__hk").cast("double"),
+    ).otherwise(F.col("n_union_sample").cast("double"))
+    rho = F.col("__nboth").cast("double") / F.col(
+        "n_union_sample"
+    ).cast("double")
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        F.lit(k).alias("k"),
+        "n_union_sample",
+        F.round(rho, 6).alias("jaccard_est"),
+        F.round(rho * d_union, 6).alias("inter_est"),
     )
 
 

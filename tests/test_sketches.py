@@ -111,6 +111,93 @@ class TestHll:
         assert once == thrice
 
 
+class TestKmv:
+    def _sketch_set(self, spark, keys, k=64):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_sketch,
+        )
+        rows = kmv_sketch(
+            _kv(spark, keys), "k", ["grp"], k=k, hll_p=6
+        ).collect()
+        return sorted(r["h"] for r in rows)
+
+    def test_matches_unfiltered_bottom_k(self, spark):
+        # D=300 vs k=64: the HLL-guided prefilter must clip nothing
+        keys = list(range(300))
+        want = sorted(_h60(x) for x in keys)[:64]
+        assert self._sketch_set(spark, keys, k=64) == want
+
+    def test_small_group_keeps_everything(self, spark):
+        keys = [1, 2, 3, 4, 5]
+        assert self._sketch_set(spark, keys, k=64) == sorted(
+            _h60(x) for x in keys
+        )
+
+    def test_merge_law_bottom_k_of_parts(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_sketch,
+        )
+        from pyspark.sql import Window
+
+        a, b = list(range(0, 500)), list(range(250, 800))
+        sa = kmv_sketch(_kv(spark, a), "k", ["grp"], k=64, hll_p=6)
+        sb = kmv_sketch(_kv(spark, b), "k", ["grp"], k=64, hll_p=6)
+        w = Window.partitionBy("grp").orderBy("h")
+        merged = (
+            sa.unionByName(sb)
+            .distinct()
+            .select("grp", "h", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 64)
+        )
+        got = sorted(r["h"] for r in merged.collect())
+        assert got == self._sketch_set(spark, a + b, k=64)
+
+    def test_distinct_estimate_exact_small_and_close_large(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_distinct_estimate,
+            kmv_sketch,
+        )
+        small = kmv_sketch(_kv(spark, list(range(40))), "k", ["grp"], k=64)
+        out = kmv_distinct_estimate(small, ["grp"], k=64).first()
+        assert out["n_sketch"] == 40 and out["estimate"] == 40.0
+        big = kmv_sketch(
+            _kv(spark, list(range(5000))), "k", ["grp"], k=256
+        )
+        est = kmv_distinct_estimate(big, ["grp"], k=256).first()["estimate"]
+        assert abs(est - 5000) / 5000 < 0.2  # typical ~1/sqrt(k) = 6%
+
+    def test_pair_overlap_exact_when_sketches_complete(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_pair_overlap,
+            kmv_sketch,
+        )
+        rows = [("a", k) for k in range(30)] + [
+            ("b", k) for k in range(20, 50)
+        ]
+        df = spark.createDataFrame(rows, "grp string, k long")
+        sk = kmv_sketch(df, "k", ["grp"], k=256)
+        out = kmv_pair_overlap(sk, "grp", k=256).first()
+        # |A|=30, |B|=30, inter=10, union=50 — everything fits in k
+        assert out["n_union_sample"] == 50
+        assert out["jaccard_est"] == 0.2
+        assert out["inter_est"] == 10.0
+
+    def test_pair_overlap_estimates_large_overlap(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_pair_overlap,
+            kmv_sketch,
+        )
+        rows = [("a", k) for k in range(4000)] + [
+            ("b", k) for k in range(2000, 6000)
+        ]
+        df = spark.createDataFrame(rows, "grp string, k long")
+        sk = kmv_sketch(df, "k", ["grp"], k=256)
+        out = kmv_pair_overlap(sk, "grp", k=256).first()
+        # true: union 6000, inter 2000, J = 1/3
+        assert abs(out["inter_est"] - 2000) / 2000 < 0.35
+        assert abs(out["jaccard_est"] - 1 / 3) < 0.12
+
+
 class TestCountMin:
     def test_row_sums_count_every_row(self, spark):
         keys = [1, 1, 1, 2, 2, 3, 4, 5, 5, 5]
