@@ -3999,6 +3999,75 @@ def q178_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q179_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit (functions/sketches.
+    bloom_positions/bloom_probe, 16384 bits × 3 hashes): build each
+    event type's filter from FIRST-half users, probe SECOND-half
+    users, and report measured vs theoretical false-positive rate —
+    the returning-visitor screen that replaces a 100 TB distinct-user
+    join with O(min(m, d·n)) mergeable bits per group. No false
+    negatives by construction (n_maybe always covers every truly
+    present probe); fpr_theory = (1 − e^(−d·n/m))³ rides along so the
+    measured rate is interpretable. The filter, probes and verdicts
+    are all md5/integer arithmetic — the oracle value-hashes the
+    VERDICT COUNTS, not just an error bound."""
+    ev = _t(spark, sf_dir, "events")
+    split = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp")
+    first = ev.filter(split)
+    second = ev.filter(~split)
+    bits = SK.bloom_positions(
+        first, "user_id", ["event_type"], m_bits=16384, depth=3
+    )
+    probes = (
+        second.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    verdicts = SK.bloom_probe(
+        bits, probes, "user_id", ["event_type"], m_bits=16384, depth=3
+    )
+    truth = (
+        first.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    n_keys = truth.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    per = verdicts.join(
+        truth.withColumn("__present", F.lit(1)),
+        ["event_type", "user_id"],
+        "left",
+    )
+    agg = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.coalesce(F.col("__present"), F.lit(0)))
+        .cast("long")
+        .alias("n_present"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_maybe"),
+    )
+    lam = F.lit(3.0) * F.col("n_keys").cast("double") / F.lit(16384.0)
+    one_minus = F.lit(1.0) - F.exp(-lam)
+    return agg.join(n_keys, "event_type").select(
+        "event_type",
+        "n_keys",
+        "n_probes",
+        "n_present",
+        "n_maybe",
+        F.round(
+            (F.col("n_maybe") - F.col("n_present")).cast("double")
+            / F.nullif(
+                (F.col("n_probes") - F.col("n_present")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("fpr"),
+        F.round(one_minus * one_minus * one_minus, 6).alias("fpr_theory"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -4081,6 +4150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_hll_distinct": q176_hll_distinct,
         "q177_countmin": q177_countmin,
         "q178_kmv_overlap": q178_kmv_overlap,
+        "q179_bloom_membership": q179_bloom_membership,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -7574,6 +7644,73 @@ def oracle_sql() -> dict[str, str]:
                      / NULLIF(CAST(COALESCE(x.exact_inter, 0) AS DOUBLE),
                               0.0), 6) AS rel_err
         FROM est e LEFT JOIN exact x ON e.ga = x.ga AND e.gb = x.gb
+    """
+    # q179: Bloom membership — sparse distinct bit positions, probe
+    # cells keep hash-row multiplicity (a key whose d hashes collide
+    # still needs ALL its cells matched), verdict = nhit == depth
+    bl_cells = " UNION ALL ".join(
+        f"SELECT grp, user_id, ((h * {a} + {b}) % {UH_PRIME}) % 16384"
+        f" AS pos FROM {{src}}"
+        for a, b in cm_ab
+    )
+    out["q179_bloom_membership"] = f"""
+        WITH firsth AS (
+            SELECT event_type AS grp, user_id,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % {UH_PRIME} AS h
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        secondh AS (
+            SELECT DISTINCT event_type AS grp, user_id,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) % {UH_PRIME} AS h
+            FROM events
+            WHERE user_id IS NOT NULL
+              AND NOT (ts < TIMESTAMP '2024-01-16 00:00:00')),
+        bits AS (
+            SELECT DISTINCT grp, pos FROM (
+                {bl_cells.format(src='firsth')})),
+        pcells AS ({bl_cells.format(src='secondh')}),
+        hits AS (
+            SELECT p.grp, p.user_id, COUNT(*) AS nhit
+            FROM pcells p JOIN bits b
+              ON p.grp = b.grp AND p.pos = b.pos
+            GROUP BY p.grp, p.user_id),
+        truth AS (
+            SELECT DISTINCT grp, user_id FROM firsth),
+        verdicts AS (
+            SELECT s.grp, s.user_id,
+                   COALESCE(h.nhit, 0) = 3 AS maybe,
+                   CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS present
+            FROM (SELECT DISTINCT grp, user_id FROM secondh) s
+            LEFT JOIN hits h
+              ON s.grp = h.grp AND s.user_id = h.user_id
+            LEFT JOIN truth t
+              ON s.grp = t.grp AND s.user_id = t.user_id),
+        agg AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_probes,
+                   CAST(SUM(present) AS BIGINT) AS n_present,
+                   CAST(SUM(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_maybe
+            FROM verdicts GROUP BY grp),
+        nk AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_keys FROM truth
+            GROUP BY grp)
+        SELECT a.grp AS event_type, k.n_keys, a.n_probes, a.n_present,
+               a.n_maybe,
+               ROUND(CAST(a.n_maybe - a.n_present AS DOUBLE)
+                     / NULLIF(CAST(a.n_probes - a.n_present AS DOUBLE),
+                              0.0), 6) AS fpr,
+               ROUND((1.0 - exp(-(3.0 * CAST(k.n_keys AS DOUBLE)
+                                  / 16384.0)))
+                     * (1.0 - exp(-(3.0 * CAST(k.n_keys AS DOUBLE)
+                                    / 16384.0)))
+                     * (1.0 - exp(-(3.0 * CAST(k.n_keys AS DOUBLE)
+                                    / 16384.0))), 6) AS fpr_theory
+        FROM agg a JOIN nk k ON a.grp = k.grp
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

@@ -201,6 +201,7 @@ BENCH_QUERIES = [
     "q176_hll_distinct",
     "q177_countmin",
     "q178_kmv_overlap",
+    "q179_bloom_membership",
 ]
 
 

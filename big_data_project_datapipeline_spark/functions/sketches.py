@@ -427,6 +427,100 @@ def countmin_counters(
     )
 
 
+def bloom_positions(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    m_bits: int = 16384,
+    depth: int = 3,
+) -> DataFrame:
+    """Per-group Bloom filter (Bloom 1970) as the SPARSE set of set bit
+    positions (group..., pos): each key sets ``depth`` Carter-Wegman
+    positions in an ``m_bits`` array; the frame holds at most
+    min(m, d·n_keys) rows per group. Mergeable by union+distinct
+    (bitwise OR — pinned by test), which also makes it streamable on
+    the delta-store machinery. One map-side explode + distinct; no
+    per-key state survives.
+
+    Spark's own bloomFilter lives driver-side in DataFrameStatFunctions
+    and its bit array is engine-private; this one is relational,
+    groupable, and bit-identical in any engine with md5 — the q179
+    oracle value-hashes membership VERDICTS, not just error bounds."""
+    gcols = list(group_cols)
+    h31 = (key_hash60(F.col(key_col)) % F.lit(UH_PRIME)).alias("__h")
+    staged = df.filter(F.col(key_col).isNotNull()).select(*gcols, h31)
+    return (
+        staged.select(
+            *gcols,
+            F.explode(
+                F.array(
+                    *[
+                        (
+                            (F.col("__h") * F.lit(universal_hash_params(i)[0])
+                             + F.lit(universal_hash_params(i)[1]))
+                            % F.lit(UH_PRIME)
+                            % F.lit(m_bits)
+                        ).cast("int")
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str] = (),
+    m_bits: int = 16384,
+    depth: int = 3,
+) -> DataFrame:
+    """Membership verdicts for a probe frame (group..., key): ``maybe``
+    is true iff ALL ``depth`` probed positions are set — no false
+    negatives ever, false positives at the classic (1 − e^(−d·n/m))^d
+    rate. The probe positions explode map-side; one left-semi-shaped
+    join against the sparse bit frame and a count-equals-depth check
+    per probe."""
+    gcols = list(group_cols)
+    h31 = (key_hash60(F.col(key_col)) % F.lit(UH_PRIME)).alias("__h")
+    staged = probes.select(*gcols, F.col(key_col), h31)
+    cells = staged.select(
+        *gcols,
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    (
+                        (F.col("__h") * F.lit(universal_hash_params(i)[0])
+                         + F.lit(universal_hash_params(i)[1]))
+                        % F.lit(UH_PRIME)
+                        % F.lit(m_bits)
+                    ).cast("int")
+                    for i in range(depth)
+                ]
+            )
+        ).alias("pos"),
+    )
+    hits = (
+        cells.join(bits, [*gcols, "pos"], "left_semi")
+        .groupBy(*gcols, key_col)
+        .agg(F.count(F.lit(1)).alias("__nhit"))
+    )
+    return (
+        staged.select(*gcols, key_col)
+        .distinct()
+        .join(hits, [*gcols, key_col], "left")
+        .select(
+            *gcols,
+            key_col,
+            (F.coalesce(F.col("__nhit"), F.lit(0)) == depth).alias("maybe"),
+        )
+    )
+
+
 def countmin_lookup(
     counters: DataFrame,
     probes: DataFrame,

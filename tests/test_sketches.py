@@ -198,6 +198,56 @@ class TestKmv:
         assert abs(out["jaccard_est"] - 1 / 3) < 0.12
 
 
+class TestBloom:
+    def _bits(self, spark, keys, m=256, d=3):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            bloom_positions,
+        )
+        return bloom_positions(
+            _kv(spark, keys), "k", ["grp"], m_bits=m, depth=d
+        )
+
+    def _probe(self, spark, bits, keys, m=256, d=3):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            bloom_probe,
+        )
+        probes = _kv(spark, keys).distinct()
+        out = bloom_probe(bits, probes, "k", ["grp"], m_bits=m, depth=d)
+        return {r["k"]: r["maybe"] for r in out.collect()}
+
+    def test_no_false_negatives_ever(self, spark):
+        keys = list(range(200))
+        # tiny array, heavy collisions — members must still ALL pass
+        bits = self._bits(spark, keys, m=64)
+        got = self._probe(spark, bits, keys, m=64)
+        assert all(got[k] for k in keys)
+
+    def test_nonmembers_mostly_rejected_when_sparse(self, spark):
+        keys = list(range(20))
+        bits = self._bits(spark, keys, m=4096)
+        got = self._probe(spark, bits, list(range(1000, 1200)), m=4096)
+        # theoretical fpr at d=3, n=20, m=4096 is ~1e-7; 200 probes
+        assert sum(got.values()) == 0
+
+    def test_merge_is_bitwise_or(self, spark):
+        a, b = list(range(0, 50)), list(range(25, 80))
+        merged = (
+            self._bits(spark, a)
+            .unionByName(self._bits(spark, b))
+            .distinct()
+        )
+        full = self._bits(spark, a + b)
+        assert (
+            merged.exceptAll(full).count() == 0
+            and full.exceptAll(merged).count() == 0
+        )
+
+    def test_sparse_bound(self, spark):
+        keys = list(range(10))
+        bits = self._bits(spark, keys, m=4096, d=3)
+        assert bits.count() <= 30  # at most d*n positions
+
+
 class TestCountMin:
     def test_row_sums_count_every_row(self, spark):
         keys = [1, 1, 1, 2, 2, 3, 4, 5, 5, 5]
