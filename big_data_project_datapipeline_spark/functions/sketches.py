@@ -486,7 +486,11 @@ def bloom_probe(
     per probe."""
     gcols = list(group_cols)
     h31 = (key_hash60(F.col(key_col)) % F.lit(UH_PRIME)).alias("__h")
-    staged = probes.select(*gcols, F.col(key_col), h31)
+    # dedupe BEFORE exploding cells: a duplicated probe row would
+    # multiply its cells and push nhit past depth, flipping a true
+    # member to False (review fix — the nhit == depth check relies on
+    # exactly one cell set per hash row)
+    staged = probes.select(*gcols, F.col(key_col), h31).distinct()
     cells = staged.select(
         *gcols,
         key_col,
@@ -511,7 +515,6 @@ def bloom_probe(
     )
     return (
         staged.select(*gcols, key_col)
-        .distinct()
         .join(hits, [*gcols, key_col], "left")
         .select(
             *gcols,

@@ -242,6 +242,24 @@ class TestBloom:
             and full.exceptAll(merged).count() == 0
         )
 
+    def test_duplicate_probe_rows_still_match(self, spark):
+        # regression: duplicated probe rows used to multiply cells and
+        # push nhit past depth, flipping true members to False
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            bloom_probe,
+        )
+        keys = list(range(30))
+        bits = self._bits(spark, keys, m=1024)
+        probes = _kv(spark, [5, 5, 5, 6, 9999])  # dup members + one miss
+        out = {
+            r["k"]: r["maybe"]
+            for r in bloom_probe(
+                bits, probes, "k", ["grp"], m_bits=1024, depth=3
+            ).collect()
+        }
+        assert out[5] and out[6] and not out[9999]
+        assert len(out) == 3  # verdicts deduped
+
     def test_sparse_bound(self, spark):
         keys = list(range(10))
         bits = self._bits(spark, keys, m=4096, d=3)

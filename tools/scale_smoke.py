@@ -35,7 +35,8 @@ QUERIES = ["q99_substring_dedup", "q115_simhash_neardup",
            "q166_quantile_normalize", "q171_ks_drift_binned",
            # round-5 additions: drift/similarity/graph/sketch families
            "q172_jsd_drift", "q173_allpairs_jaccard", "q175_hits",
-           "q176_hll_distinct", "q177_countmin"]
+           "q176_hll_distinct", "q177_countmin",
+           "q178_kmv_overlap", "q179_bloom_membership"]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".scale_smoke/sf1")]
 
 
