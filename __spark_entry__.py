@@ -2195,6 +2195,96 @@ def _hits_oracle_sql(n_iter: int = 3) -> str:
     )
 
 
+def _markov_attr_oracle_sql(horizon: int = 12) -> str:
+    """DuckDB twin of operators/behavior.markov_removal_attribution —
+    the fixed-horizon value iteration unrolled into CTEs with the SAME
+    decimal(28,12) term casts and unrounded probability divisions."""
+    parts = [
+        """
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS prior_conv
+            FROM events WHERE user_id IS NOT NULL),
+        journey AS (
+            SELECT * FROM ordered WHERE prior_conv = 0),
+        pairs AS (
+            SELECT COALESCE(LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id),
+                   'START') AS src,
+                   event_type AS dst
+            FROM journey),
+        tails AS (
+            SELECT event_type AS src, 'NULL' AS dst FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM journey) WHERE rn = 1 AND event_type <> 'purchase'),
+        counts AS (
+            SELECT src, dst, COUNT(*) AS n FROM (
+                SELECT src, dst FROM pairs
+                UNION ALL SELECT src, dst FROM tails)
+            GROUP BY src, dst),
+        tot AS (SELECT src, SUM(n) AS t FROM counts GROUP BY src),
+        trans AS (
+            SELECT c.src, c.dst,
+                   CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+            FROM counts c JOIN tot t USING (src)),
+        chans AS (
+            SELECT DISTINCT dst AS var FROM counts
+            WHERE dst NOT IN ('purchase', 'NULL')),
+        variants AS (
+            SELECT var FROM chans UNION ALL SELECT 'none'),
+        tv AS (
+            SELECT v.var, t.src,
+                   CASE WHEN t.dst = v.var THEN 'NULL' ELSE t.dst END
+                       AS dst,
+                   t.p
+            FROM variants v CROSS JOIN trans t),
+        states AS (SELECT DISTINCT var, src AS s FROM tv),
+        v0 AS (SELECT var, s, 0.0 AS v FROM states)"""
+    ]
+    for k in range(1, horizon + 1):
+        parts.append(f"""
+        s{k} AS (
+            SELECT tv.var, tv.src,
+                   CAST(SUM(CAST(tv.p * (CASE
+                       WHEN tv.dst = 'purchase' THEN 1.0
+                       WHEN tv.dst = 'NULL' THEN 0.0
+                       ELSE COALESCE(vv.v, 0.0) END)
+                       AS DECIMAL(28,12))) AS DOUBLE) AS v
+            FROM tv LEFT JOIN v{k - 1} vv
+              ON tv.var = vv.var AND tv.dst = vv.s
+            GROUP BY tv.var, tv.src),
+        v{k} AS (
+            SELECT st.var, st.s, COALESCE(sm.v, 0.0) AS v
+            FROM states st LEFT JOIN s{k} sm
+              ON st.var = sm.var AND st.s = sm.src)""")
+    parts.append(f"""
+        starts AS (
+            SELECT var, v FROM v{horizon} WHERE s = 'START'),
+        fullp AS (SELECT v AS pf FROM starts WHERE var = 'none'),
+        eff AS (
+            SELECT s.var AS channel, f.pf, s.v AS pr,
+                   1.0 - s.v / NULLIF(f.pf, 0.0) AS re
+            FROM starts s CROSS JOIN fullp f WHERE s.var <> 'none'),
+        tre AS (
+            SELECT CAST(SUM(CAST(re AS DECIMAL(28,12))) AS DOUBLE)
+                AS tre FROM eff)""")
+    return (
+        ",".join(parts)
+        + """
+        SELECT e.channel, ROUND(e.pf, 6) AS p_conv,
+               ROUND(e.pr, 6) AS p_conv_removed,
+               ROUND(e.re, 6) AS removal_effect,
+               ROUND(e.re / NULLIF(t.tre, 0.0), 6) AS attribution_share
+        FROM eff e CROSS JOIN tre t"""
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 5-way join + aggregate at sf0.001 (scan/filter/join/agg)."""
     return q02_regional_revenue(spark, "/root/testdata/sf0.001")
@@ -4068,6 +4158,21 @@ def q179_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q180_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven multi-touch attribution by Markov removal effects
+    (operators/behavior.markov_removal_attribution, horizon 12):
+    first-conversion journeys START→…→purchase/NULL, fixed-horizon
+    value iteration for the chain's conversion probability, one
+    re-run per channel with its inbound transitions redirected to
+    NULL, shares normalized over the removable channels. The
+    principled counterpart to q81's last-touch on the same event
+    stream — assisting clicks/views finally get credit proportional
+    to how much conversion actually depends on them. Oracle unrolls
+    the same 12 iterations into CTEs with identical decimal casts."""
+    ev = _t(spark, sf_dir, "events")
+    return BV.markov_removal_attribution(ev, conv_state="purchase")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -4151,6 +4256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_countmin": q177_countmin,
         "q178_kmv_overlap": q178_kmv_overlap,
         "q179_bloom_membership": q179_bloom_membership,
+        "q180_markov_attribution": q180_markov_attribution,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -5102,6 +5208,7 @@ def oracle_sql() -> dict[str, str]:
         "q80_trailing_ewma": _ewma_oracle_sql(),
         "q87_pagerank": _pagerank_oracle_sql(),
         "q175_hits": _hits_oracle_sql(),
+        "q180_markov_attribution": _markov_attr_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
         "q98_sentence_stats": f"""
             WITH st AS (

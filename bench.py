@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "q177_countmin",
     "q178_kmv_overlap",
     "q179_bloom_membership",
+    "q180_markov_attribution",
 ]
 
 

@@ -227,3 +227,84 @@ def test_inter_event_stats_subsecond_truncation(spark):
     )
     out = inter_event_stats(df).collect()
     assert len(out) == 1 and out[0].median_gap_s == 0
+
+
+class TestMarkovRemovalAttribution:
+    def _attr(self, spark, journeys, horizon=12):
+        from big_data_project_datapipeline_spark.operators.behavior import (
+            markov_removal_attribution,
+        )
+        rows, eid = [], 0
+        for uid, seq in enumerate(journeys):
+            for i, et in enumerate(seq):
+                rows.append(
+                    (eid, _ts(f"2024-01-01T00:{i:02d}:00"), uid, et, 1.0)
+                )
+                eid += 1
+        out = markov_removal_attribution(
+            _events(spark, rows), conv_state="purchase", horizon=horizon
+        )
+        return {r["channel"]: r for r in out.collect()}
+
+    def test_single_channel_full_credit(self, spark):
+        # A: click -> purchase; B: click -> (drop). P(conv) = 0.5;
+        # removing click severs everything -> effect 1, share 1.
+        got = self._attr(spark, [["click", "purchase"], ["click"]])
+        assert set(got) == {"click"}
+        r = got["click"]
+        assert r["p_conv"] == 0.5 and r["p_conv_removed"] == 0.0
+        assert r["removal_effect"] == 1.0
+        assert r["attribution_share"] == 1.0
+
+    def test_assisting_channel_gets_equal_credit(self, spark):
+        # view assists every conversion (view -> click -> purchase);
+        # removing EITHER channel kills the path -> equal shares, and
+        # last-touch would have given view nothing.
+        got = self._attr(
+            spark, [["view", "click", "purchase"], ["view"]]
+        )
+        assert set(got) == {"view", "click"}
+        assert got["view"]["removal_effect"] == 1.0
+        assert got["click"]["removal_effect"] == 1.0
+        assert got["view"]["attribution_share"] == 0.5
+        assert got["click"]["attribution_share"] == 0.5
+        assert got["view"]["p_conv"] == 0.5
+
+    def test_journeys_truncate_at_first_conversion(self, spark):
+        # events after the first purchase (incl. a 'view') must not
+        # create states or transitions
+        got = self._attr(
+            spark, [["click", "purchase", "view", "purchase"]]
+        )
+        assert set(got) == {"click"}
+        assert got["click"]["p_conv"] == 1.0
+
+    def test_fixed_horizon_cuts_deep_chains(self, spark):
+        # conversion sits 16 steps from START but horizon is 12:
+        # fixed-horizon probability is exactly 0, shares NULL-guarded
+        chain = [f"c{i}" for i in range(15)] + ["purchase"]
+        got = self._attr(spark, [chain], horizon=12)
+        assert got["c0"]["p_conv"] == 0.0
+        assert got["c0"]["attribution_share"] is None
+        # at horizon 16 the same chain converts with certainty
+        got16 = self._attr(spark, [chain], horizon=16)
+        assert got16["c0"]["p_conv"] == 1.0
+
+    def test_partial_dependence_weights_shares(self, spark):
+        # two converting paths: direct click->purchase and assisted
+        # view->click->purchase; removing view only kills one path
+        got = self._attr(
+            spark,
+            [["click", "purchase"], ["view", "click", "purchase"]],
+        )
+        # full chain: START -> click (1/2) / view (1/2);
+        # click -> purchase always; view -> click always => p_conv = 1
+        assert got["click"]["p_conv"] == 1.0
+        # removing view: START->view path dies => p = 1/2, effect 1/2
+        assert got["view"]["removal_effect"] == 0.5
+        # removing click kills both paths
+        assert got["click"]["removal_effect"] == 1.0
+        assert got["click"]["attribution_share"] == round(
+            (1.0) / 1.5, 6
+        )
+        assert got["view"]["attribution_share"] == round(0.5 / 1.5, 6)
