@@ -4173,6 +4173,73 @@ def q180_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BV.markov_removal_attribution(ev, conv_state="purchase")
 
 
+def q181_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users (WAU) per event type per day from
+    DAILY HLL register states (functions/sketches.rolling_hll_distinct)
+    — the canonical sketch-merge production report: each key is hashed
+    once into its day's registers, and every report day max-merges at
+    most 7 register frames (O(groups × days × 64) rows move) where the
+    exact rolling COUNT(DISTINCT) rescans every key per report day.
+    Exact WAU and relative error ride along for calibration; the
+    register fan-out, merge, and estimator are bit-identical in the
+    SQL mirror."""
+    ev = _t(spark, sf_dir, "events")
+    est = SK.rolling_hll_distinct(
+        ev, "user_id", "event_type", "ts", window_days=7, p=6
+    )
+    du = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(
+            "event_type",
+            F.to_date(F.col("ts")).alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    fan = du.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+        "user_id",
+    )
+    days = du.select("event_type", "day").distinct()
+    scoped = fan.join(
+        days.select("event_type", F.col("day").alias("tday")),
+        ["event_type", "tday"],
+        "left_semi",
+    )
+    exact = scoped.groupBy("event_type", "tday").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_wau")
+    )
+    return (
+        est.join(
+            exact.select(
+                "event_type", F.col("tday").alias("day"), "exact_wau"
+            ),
+            ["event_type", "day"],
+        )
+        .select(
+            "event_type",
+            # timestamp, not DATE: the q53 dtype-kind lesson (DATE
+            # arrives as python objects in pandas, datetime64 from the
+            # oracle)
+            F.col("day").cast("timestamp").alias("day"),
+            "n_days_merged",
+            F.col("estimate").alias("wau_est"),
+            "exact_wau",
+            F.round(
+                F.abs(
+                    F.col("estimate")
+                    - F.col("exact_wau").cast("double")
+                )
+                / F.nullif(F.col("exact_wau").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-5 ROTATION (VERDICT r4 item #1): the prefix now
@@ -4257,6 +4324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_kmv_overlap": q178_kmv_overlap,
         "q179_bloom_membership": q179_bloom_membership,
         "q180_markov_attribution": q180_markov_attribution,
+        "q181_rolling_hll": q181_rolling_hll,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -7818,6 +7886,87 @@ def oracle_sql() -> dict[str, str]:
                      * (1.0 - exp(-(3.0 * CAST(k.n_keys AS DOUBLE)
                                     / 16384.0))), 6) AS fpr_theory
         FROM agg a JOIN nk k ON a.grp = k.grp
+    """
+    # q181: daily HLL registers fanned out to their 7 report days,
+    # max-merged, same estimator tail as q176; exact trailing distinct
+    # via the same fan-out for calibration
+    out["q181_rolling_hll"] = f"""
+        WITH staged AS (
+            SELECT event_type AS grp, CAST(ts AS DATE) AS d,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS h,
+                   user_id
+            FROM events WHERE user_id IS NOT NULL),
+        regs0 AS (
+            SELECT grp, d, h >> 54 AS bucket,
+                   CASE WHEN h % {1 << 54} = 0 THEN 55
+                        ELSE 54 - length(bin(h % {1 << 54})) + 1
+                   END AS rk
+            FROM staged),
+        dayregs AS (
+            SELECT grp, d, bucket, MAX(rk) AS r
+            FROM regs0 GROUP BY grp, d, bucket),
+        days AS (SELECT DISTINCT grp, d FROM staged),
+        fan AS (
+            SELECT dr.grp, dr.d + CAST(off.i AS INTEGER) AS tday,
+                   dr.d AS srcday,
+                   dr.bucket, dr.r
+            FROM dayregs dr
+            CROSS JOIN (SELECT unnest(range(0, 7)) AS i) off),
+        scoped AS (
+            SELECT f.* FROM fan f
+            JOIN days dy ON f.grp = dy.grp AND f.tday = dy.d),
+        merged AS (
+            SELECT grp, tday, bucket, MAX(r) AS r
+            FROM scoped GROUP BY grp, tday, bucket),
+        nsrc AS (
+            SELECT grp, tday, COUNT(DISTINCT srcday) AS n_days_merged
+            FROM scoped GROUP BY grp, tday),
+        grid AS (
+            SELECT grp, tday, unnest(range(0, 64)) AS bucket
+            FROM (SELECT DISTINCT grp, tday FROM merged)),
+        full_r AS (
+            SELECT g.grp, g.tday, g.bucket, COALESCE(m.r, 0) AS r
+            FROM grid g LEFT JOIN merged m
+              ON g.grp = m.grp AND g.tday = m.tday
+             AND g.bucket = m.bucket),
+        agg AS (
+            SELECT grp, tday,
+                   SUM(CAST(1 AS BIGINT) << (55 - r)) AS isum,
+                   SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS n_empty
+            FROM full_r GROUP BY grp, tday),
+        est AS (
+            SELECT grp, tday, n_empty,
+                   {hll_scale!r} / CAST(isum AS DOUBLE) AS raw
+            FROM agg),
+        corr AS (
+            SELECT grp, tday,
+                   CASE WHEN raw <= 160.0 AND n_empty > 0
+                        THEN 64.0 * ln(64.0 / CAST(n_empty AS DOUBLE))
+                        ELSE raw END AS e
+            FROM est),
+        exfan AS (
+            SELECT du.grp, du.d + CAST(off.i AS INTEGER) AS tday,
+                   du.user_id
+            FROM (SELECT DISTINCT grp, d, user_id FROM staged) du
+            CROSS JOIN (SELECT unnest(range(0, 7)) AS i) off),
+        exact AS (
+            SELECT f.grp, f.tday,
+                   COUNT(DISTINCT f.user_id) AS exact_wau
+            FROM exfan f
+            JOIN days dy ON f.grp = dy.grp AND f.tday = dy.d
+            GROUP BY f.grp, f.tday)
+        SELECT c.grp AS event_type,
+               CAST(c.tday AS TIMESTAMP) AS day,
+               CAST(n.n_days_merged AS BIGINT) AS n_days_merged,
+               ROUND(c.e, 6) AS wau_est,
+               CAST(x.exact_wau AS BIGINT) AS exact_wau,
+               ROUND(abs(ROUND(c.e, 6) - CAST(x.exact_wau AS DOUBLE))
+                     / NULLIF(CAST(x.exact_wau AS DOUBLE), 0.0), 6)
+                   AS rel_err
+        FROM corr c
+        JOIN nsrc n ON c.grp = n.grp AND c.tday = n.tday
+        JOIN exact x ON c.grp = x.grp AND c.tday = x.tday
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

@@ -203,6 +203,7 @@ BENCH_QUERIES = [
     "q178_kmv_overlap",
     "q179_bloom_membership",
     "q180_markov_attribution",
+    "q181_rolling_hll",
 ]
 
 

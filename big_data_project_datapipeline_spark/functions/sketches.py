@@ -170,6 +170,77 @@ def hll_estimate(
     )
 
 
+def rolling_hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    date_col: str,
+    window_days: int = 7,
+    p: int = 6,
+) -> DataFrame:
+    """Trailing-window distinct counts (the DAU/WAU/MAU report) from
+    DAILY HLL register states — the canonical sketch-merge pattern:
+    compute each (group, day)'s m registers ONCE, then every day's
+    trailing ``window_days`` estimate is a max-merge of at most
+    ``window_days`` register frames. A rolling exact COUNT(DISTINCT)
+    rescans every key in the window per report day (O(days × window ×
+    keys)); this touches each key once and then moves only O(groups ×
+    days × m) register rows.
+
+    The window merge is a map-side fan-out, not a range join: each
+    (group, day) register row replicates to the ``window_days`` report
+    days it serves (explode over a date sequence), then one
+    map-side-combinable max-groupBy per (group, report day, bucket).
+    Report days are restricted to days the group actually has events
+    (deterministic contract, mirrored by the oracle).
+
+    Returns (group, day, n_days_merged, estimate) via the SAME
+    estimator tail as q176 — bit-identical cross-engine.
+    """
+    day = F.to_date(F.col(date_col)).alias("__day")
+    staged = df.select(F.col(group_col).alias("__grp"), day, F.col(key_col))
+    regs = hll_registers(staged, key_col, ["__grp", "__day"], p=p)
+    fan = regs.select(
+        "__grp",
+        F.explode(
+            F.sequence(
+                F.col("__day"),
+                F.date_add(F.col("__day"), window_days - 1),
+            )
+        ).alias("__tday"),
+        F.col("__day").alias("__srcday"),
+        "bucket",
+        "r",
+    )
+    days = staged.select("__grp", "__day").distinct()
+    scoped = fan.join(
+        days.select(
+            "__grp", F.col("__day").alias("__tday")
+        ),
+        ["__grp", "__tday"],
+        "left_semi",
+    )
+    merged = scoped.groupBy("__grp", "__tday", "bucket").agg(
+        F.max("r").cast("int").alias("r")
+    )
+    n_src = (
+        scoped.select("__grp", "__tday", "__srcday")
+        .distinct()
+        .groupBy("__grp", "__tday")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days_merged"))
+    )
+    est = hll_estimate(merged, ["__grp", "__tday"], p=p)
+    return (
+        est.join(n_src, ["__grp", "__tday"])
+        .select(
+            F.col("__grp").alias(group_col),
+            F.col("__tday").alias("day"),
+            "n_days_merged",
+            "estimate",
+        )
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     key_col: str,

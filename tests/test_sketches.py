@@ -111,6 +111,69 @@ class TestHll:
         assert once == thrice
 
 
+class TestRollingHll:
+    def _ev(self, spark, rows):
+        import datetime as dt
+
+        return spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 1, d, 12, 0), u)
+                for d, u in rows
+            ],
+            "event_type string, ts timestamp, user_id long",
+        )
+
+    def _roll(self, spark, rows, window_days=7):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            rolling_hll_distinct,
+        )
+        out = rolling_hll_distinct(
+            self._ev(spark, rows),
+            "user_id",
+            "event_type",
+            "ts",
+            window_days=window_days,
+            p=6,
+        ).collect()
+        return {r["day"].day: r for r in out}
+
+    def test_trailing_merge_equals_batch_union(self, spark):
+        # day 1: users 0..99, day 3: users 50..149. Day 3's trailing
+        # estimate must BIT-equal the batch estimate over the union.
+        rows = [(1, u) for u in range(100)] + [
+            (3, u) for u in range(50, 150)
+        ]
+        got = self._roll(spark, rows)
+        union_est = hll_estimate(
+            hll_registers(
+                _kv(spark, list(range(150))), "k", ["grp"], p=6
+            ),
+            ["grp"],
+            p=6,
+        ).first()["estimate"]
+        assert got[3]["estimate"] == union_est
+        assert got[3]["n_days_merged"] == 2
+        # day 1 sees only itself
+        assert got[1]["n_days_merged"] == 1
+        day1_est = hll_estimate(
+            hll_registers(
+                _kv(spark, list(range(100))), "k", ["grp"], p=6
+            ),
+            ["grp"],
+            p=6,
+        ).first()["estimate"]
+        assert got[1]["estimate"] == day1_est
+
+    def test_gap_days_not_reported_window_expires(self, spark):
+        rows = [(1, 1), (2, 2), (12, 3)]
+        got = self._roll(spark, rows)
+        # days 3..11 have no events -> no report rows
+        assert set(got) == {1, 2, 12}
+        # day 12 is past day 2 + 6 -> window expired, only its own day
+        assert got[12]["n_days_merged"] == 1
+        assert got[2]["n_days_merged"] == 2
+
+
 class TestKmv:
     def _sketch_set(self, spark, keys, k=64):
         from big_data_project_datapipeline_spark.functions.sketches import (
