@@ -36,7 +36,8 @@ QUERIES = ["q99_substring_dedup", "q115_simhash_neardup",
            # round-5 additions: drift/similarity/graph/sketch families
            "q172_jsd_drift", "q173_allpairs_jaccard", "q175_hits",
            "q176_hll_distinct", "q177_countmin",
-           "q178_kmv_overlap", "q179_bloom_membership"]
+           "q178_kmv_overlap", "q179_bloom_membership",
+           "q180_markov_attribution", "q181_rolling_hll"]
 SFS = [("sf0.1", "/root/testdata/sf0.1"), ("sf1", ".scale_smoke/sf1")]
 
 
