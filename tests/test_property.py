@@ -313,3 +313,92 @@ def test_simhash_neardup_complete_on_random_corpora(spark, seeds, d):
         for r in D.simhash_near_duplicates(df, max_distance=d).collect()
     }
     assert got == want  # complete AND exact for any block-compatible d
+
+
+# --- round-5: AllPairs prefix filtering is EXACT on arbitrary corpora ---
+
+_vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense overlaps
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_vocab), min_size=1, max_size=10),
+        min_size=2,
+        max_size=10,
+    ),
+    thr=st.sampled_from([(1, 3), (1, 2), (2, 3), (4, 5)]),
+)
+def test_allpairs_jaccard_matches_brute_force(spark, docs, thr):
+    """The prefix filter must produce EXACTLY the brute-force pair set
+    at any threshold on any corpus — k=1 shingles (unigram sets) so
+    tiny random docs still overlap densely, hitting the regime where
+    every token is hot (prefixes carry common tokens; the filter's
+    completeness proof has no slack to hide in)."""
+    import hashlib
+
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        allpairs_jaccard,
+    )
+
+    num, den = thr
+    d = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["left_id"], r["right_id"], r["inter_size"], r["union_size"])
+        for r in allpairs_jaccard(
+            d, threshold_num=num, threshold_den=den, k=1
+        ).collect()
+    }
+    sets = {
+        i: {
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for t in toks
+        }
+        for i, toks in enumerate(docs)
+    }
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if den * inter >= num * union:
+                    want.add((a, b, inter, union))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=150,
+    )
+)
+def test_hll_registers_match_python_on_random_keys(spark, keys):
+    """Register frame == the python md5 mirror for arbitrary key lists
+    (duplicates, negatives — the string-rendering edge both engines
+    must agree on)."""
+    import hashlib
+
+    from big_data_project_datapipeline_spark.functions.sketches import (
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("g", k) for k in keys], "grp string, k long"
+    )
+    got = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(df, "k", ["grp"], p=6).collect()
+    }
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        b, w = h >> 54, h % (1 << 54)
+        rk = 55 if w == 0 else 54 - w.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rk)
+    assert got == {b: regs.get(b, 0) for b in range(64)}
