@@ -4311,9 +4311,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_psi_drift": q141_psi_drift,
         "q01_pricing_summary": q01_pricing_summary,
         # --- positions 51+ ---
-        # Round-5 addition: the q144 production variant — locally
-        # bit-checked at both gate SFs this round, first in line for
-        # the round-6 prefix rotation.
+        # Round-5 additions q171–q181 (binned KS, JSD, AllPairs exact
+        # similarity join, average precision, HITS, explicit-register
+        # HLL, count-min, KMV overlap, Bloom membership, Markov
+        # removal attribution, rolling HLL) — every one bit-checked
+        # against a full-strength SQL oracle at BOTH gate SFs this
+        # round (tools/certify.py CERTIFIED), first in line for the
+        # round-6 prefix rotation (see NOTES_r5.md rotation plan).
         "q171_ks_drift_binned": q171_ks_drift_binned,
         "q172_jsd_drift": q172_jsd_drift,
         "q173_allpairs_jaccard": q173_allpairs_jaccard,
