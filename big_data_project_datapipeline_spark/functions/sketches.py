@@ -198,7 +198,14 @@ def rolling_hll_distinct(
     estimator tail as q176 — bit-identical cross-engine.
     """
     day = F.to_date(F.col(date_col)).alias("__day")
-    staged = df.select(F.col(group_col).alias("__grp"), day, F.col(key_col))
+    # NULL keys are filtered HERE, before the report-day set is built
+    # (ADVICE r5): hll_registers drops them anyway, but a (group, day)
+    # whose events were ALL null-keyed must not become a report day —
+    # the day contract and the register contract derive from the same
+    # filtered frame, matching the oracle's null-filtered day set.
+    staged = df.filter(F.col(key_col).isNotNull()).select(
+        F.col(group_col).alias("__grp"), day, F.col(key_col)
+    )
     regs = hll_registers(staged, key_col, ["__grp", "__day"], p=p)
     fan = regs.select(
         "__grp",
@@ -559,14 +566,20 @@ def bloom_probe(
     negatives ever, false positives at the classic (1 − e^(−d·n/m))^d
     rate. The probe positions explode map-side; one left-semi-shaped
     join against the sparse bit frame and a count-equals-depth check
-    per probe."""
+    per probe. NULL probe keys are filtered (ADVICE r5) — the writer
+    (:func:`bloom_positions`) never hashes NULLs, so probing one
+    previously produced a meaningless maybe=False row."""
     gcols = list(group_cols)
     h31 = (key_hash60(F.col(key_col)) % F.lit(UH_PRIME)).alias("__h")
     # dedupe BEFORE exploding cells: a duplicated probe row would
     # multiply its cells and push nhit past depth, flipping a true
     # member to False (review fix — the nhit == depth check relies on
     # exactly one cell set per hash row)
-    staged = probes.select(*gcols, F.col(key_col), h31).distinct()
+    staged = (
+        probes.filter(F.col(key_col).isNotNull())
+        .select(*gcols, F.col(key_col), h31)
+        .distinct()
+    )
     cells = staged.select(
         *gcols,
         key_col,
@@ -612,10 +625,19 @@ def countmin_lookup(
     key): min over sketch rows of the probed counter — the count-min
     read path. Guaranteed >= the true count (collisions only add).
     The probe frame is broadcast; the counter frame is filtered to the
-    probed cells by the join, so the lookup is O(probes · depth)."""
+    probed cells by the join, so the lookup is O(probes · depth).
+
+    Read contract (ADVICE r5): a probe whose group has NO counter
+    frame returns the correct estimate 0 (the sketch of an empty
+    stream counts nothing) instead of silently vanishing — the final
+    left join from the probe frame guarantees one output row per
+    distinct probe. NULL probe keys are filtered, matching the writer
+    (:func:`countmin_counters` drops NULL keys before hashing)."""
     gcols = list(group_cols)
     h31 = (key_hash60(F.col(key_col)) % F.lit(UH_PRIME)).alias("__h")
-    staged = probes.select(*gcols, F.col(key_col), h31)
+    staged = probes.filter(F.col(key_col).isNotNull()).select(
+        *gcols, F.col(key_col), h31
+    )
     cells = staged.select(
         *gcols,
         key_col,
@@ -641,8 +663,24 @@ def countmin_lookup(
         F.col("__rb.sketch_row").alias("sketch_row"),
         F.col("__rb.bucket").alias("bucket"),
     )
-    return (
+    hits = (
         counters.join(F.broadcast(cells), [*gcols, "sketch_row", "bucket"])
         .groupBy(*gcols, key_col)
-        .agg(F.min("c").cast("long").alias("cm_estimate"))
+        .agg(F.min("c").alias("__cm"))
+    )
+    # counter frames are COMPLETE grids (countmin_counters coalesces
+    # every cell to 0), so a probe that found no cells belongs to a
+    # never-sketched group: estimate exactly 0. Both sides of this
+    # final join are O(probes).
+    return (
+        staged.select(*gcols, key_col)
+        .distinct()
+        .join(F.broadcast(hits), [*gcols, key_col], "left")
+        .select(
+            *gcols,
+            key_col,
+            F.coalesce(F.col("__cm"), F.lit(0))
+            .cast("long")
+            .alias("cm_estimate"),
+        )
     )

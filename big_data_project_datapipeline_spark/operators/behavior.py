@@ -515,7 +515,30 @@ def markov_removal_attribution(
     from decimal import ROUND_HALF_UP, Decimal
 
     q12 = Decimal(1).scaleb(-12)
+    if conv_state in ("START", "NULL"):
+        raise ValueError(
+            "conv_state collides with a reserved sentinel state "
+            f"({conv_state!r}); rename the conversion event"
+        )
     trows = [(r["src"], r["dst"], r["p"]) for r in trans.collect()]
+    # Sentinel-collision guard (ADVICE r5): the chain reserves 'START'
+    # and 'NULL' as virtual states. A REAL event named 'NULL' would
+    # silently become an absorbing non-conversion state, and a real
+    # 'START' would merge with the virtual source. Detection is free
+    # at this bounded collect: the virtual START is never a dst (it
+    # only emits), and the virtual NULL never emits (every real
+    # non-conversion state appears as some transition's src — either
+    # it precedes another event or it heads a terminal tail edge).
+    if any(d == "START" for _, d, _ in trows):
+        raise ValueError(
+            "observed event_type 'START' collides with the reserved "
+            "journey-source sentinel; namespace your states"
+        )
+    if any(s == "NULL" for s, _, _ in trows):
+        raise ValueError(
+            "observed event_type 'NULL' collides with the reserved "
+            "non-conversion sentinel; namespace your states"
+        )
     srcs = sorted({s for s, _, _ in trows})
     channels = sorted(
         {d for _, d, _ in trows if d not in (conv_state, "NULL")}

@@ -124,9 +124,18 @@ def hits(
     per sweep; contributions are cast DECIMAL(28,12) (the pagerank
     order-independence device — partition order cannot wiggle bits)
     and Spark/DuckDB both widen the SUM to (38,12), so 3 sweeps stay
-    exact-representable up to ~1e12-degree-product graphs. At higher
-    ``n_iter`` normalize per sweep instead (persist + fold the scalar
-    as a literal per pass) before the products approach 1e26.
+    exact-representable up to ~1e12-degree-product graphs. That bound
+    is ENFORCED, not just documented (ADVICE r5): with ``n_iter > 3``
+    the hub frame is L1-normalized after every sweep (one bounded
+    action per sweep; the scalar folds in as a literal, so the final
+    direction is unchanged in exact arithmetic), and on the
+    unnormalized ≤3-sweep fast path the final bounded action also
+    reads max(|h|), max(|a|) and raises if any score reached 1e15 —
+    within 10x of decimal(28,12)'s 1e16 ceiling, where Spark's
+    non-ANSI overflow-to-NULL would next silently drop sum terms.
+    (Scores are nonnegative and their maxima are monotone across
+    sweeps — every max-hub node has an out-edge and vice versa — so
+    the final maxima witness the whole run in the no-overflow case.)
 
     Scale: the :func:`pagerank` shape with one twist — HITS alternates
     its message-pass join key (auth pass joins edges on src, hub pass
@@ -156,6 +165,8 @@ def hits(
     # 11.4 s -> ~7 s warm at sf0.1).
     hubs = nodes.select("node", F.lit(1.0).alias("h"))
     auths = None
+    per_sweep_norm = n_iter > 3
+    sweep_persists: list[DataFrame] = []
     for _ in range(n_iter):
         auths = (
             e_src.join(hubs.withColumnRenamed("node", src), src)
@@ -175,6 +186,22 @@ def hits(
             .groupBy("node")
             .agg(F.sum("w").cast("double").alias("h"))
         )
+        if per_sweep_norm:
+            # overflow guard for deep runs: rescale the carrier frame
+            # to L1 = 1 after every sweep so per-sweep growth is
+            # bounded by the edge count, never the degree-product
+            # power. One bounded O(nodes) action; the scalar folds in
+            # as a literal, keeping the remaining plan literal-free.
+            hubs = hubs.persist()
+            sweep_persists.append(hubs)
+            s = hubs.agg(
+                F.sum(F.col("h").cast("decimal(28,12)"))
+                .cast("double")
+                .alias("s")
+            ).first()["s"]
+            hubs = hubs.select(
+                "node", (F.col("h") / F.lit(s or 1.0)).alias("h")
+            )
     state = (
         nodes.join(hubs, "node", "left")
         .join(auths, "node", "left")
@@ -188,7 +215,18 @@ def hits(
     sums = state.agg(
         F.sum(F.col("h").cast("decimal(28,12)")).cast("double").alias("sh"),
         F.sum(F.col("a").cast("decimal(28,12)")).cast("double").alias("sa"),
+        F.max(F.abs(F.col("h"))).alias("mh"),
+        F.max(F.abs(F.col("a"))).alias("ma"),
     ).first()
+    if not per_sweep_norm and max(sums["mh"] or 0.0, sums["ma"] or 0.0) >= 1e15:
+        raise ValueError(
+            "hits(): unnormalized scores reached 1e15 — within 10x of "
+            "the decimal(28,12) ceiling where Spark's non-ANSI "
+            "overflow-to-NULL silently drops sum terms. This graph's "
+            "degree products are too hot for the unnormalized "
+            f"{n_iter}-sweep fast path; rerun with n_iter > 3 "
+            "(per-sweep normalization) or pre-scale the graph."
+        )
     sh = sums["sh"] or 1.0
     sa = sums["sa"] or 1.0
     out = state.select(
@@ -196,7 +234,9 @@ def hits(
         F.round(F.col("h") / F.lit(sh), 6).alias("hub"),
         F.round(F.col("a") / F.lit(sa), 6).alias("auth"),
     )
-    return attach_cache_release(out, (e_src, e_dst, nodes, state))
+    return attach_cache_release(
+        out, (e_src, e_dst, nodes, state, *sweep_persists)
+    )
 
 
 def triangle_count(

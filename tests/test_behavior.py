@@ -308,3 +308,47 @@ class TestMarkovRemovalAttribution:
             (1.0) / 1.5, 6
         )
         assert got["view"]["attribution_share"] == round(0.5 / 1.5, 6)
+
+
+class TestMarkovSentinelGuards:
+    """ADVICE r5: 'START'/'NULL' are reserved chain states — a REAL
+    event named either must fail loudly, not silently corrupt the
+    chain (a real 'NULL' would become an absorbing non-conversion
+    state)."""
+
+    def _events(self, spark, journeys):
+        rows, eid = [], 0
+        for uid, seq in enumerate(journeys):
+            for i, et in enumerate(seq):
+                rows.append((eid, _ts(f"2024-01-01T00:{i:02d}:00"), uid, et, 1.0))
+                eid += 1
+        return _events(spark, rows)
+
+    def _run(self, spark, journeys, **kw):
+        from big_data_project_datapipeline_spark.operators.behavior import (
+            markov_removal_attribution,
+        )
+
+        return markov_removal_attribution(
+            self._events(spark, journeys), **kw
+        ).collect()
+
+    def test_real_null_event_raises(self, spark):
+        with pytest.raises(ValueError, match="'NULL' collides"):
+            self._run(
+                spark,
+                [["click", "NULL", "purchase"], ["click"]],
+                conv_state="purchase",
+            )
+
+    def test_real_start_event_raises(self, spark):
+        with pytest.raises(ValueError, match="'START' collides"):
+            self._run(
+                spark,
+                [["START", "purchase"], ["click"]],
+                conv_state="purchase",
+            )
+
+    def test_sentinel_conv_state_raises(self, spark):
+        with pytest.raises(ValueError, match="conv_state collides"):
+            self._run(spark, [["click"]], conv_state="NULL")

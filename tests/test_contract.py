@@ -32,11 +32,11 @@ def test_gate_prefix_rotation_invariants():
     the rotation rules so a reorder can't silently waste the gate:
     at least 50 entries, every prefix entry oracle-backed, the
     composite pipelines (q92/q37) re-certified every round, and the
-    round-5 rotation itself (the 27 previously never-driver-sampled
-    round-4 additions q144–q170 occupy certified slots, as does every
-    query whose plan was rewritten this round — q128/q135/q166
-    distributed-prefix, q117 trim; nothing the driver has never
-    checked sits past the cap)."""
+    round-6 rotation itself (the 11 previously never-driver-sampled
+    round-5 additions q171–q181 occupy certified slots, as does every
+    query whose contract was touched by the ADVICE r5 fixes — q175/
+    q177/q179/q180/q181; nothing the driver has never checked sits
+    past the cap)."""
     names = list(entrymod.queries())
     assert len(names) >= 50
     prefix = set(names[:50])
@@ -46,11 +46,9 @@ def test_gate_prefix_rotation_invariants():
     # approximate family via property gates)
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
-    # round-5 rotation: q144–q170 (never driver-checked before r5) and
-    # the round-5 plan rewrites must occupy certified slots
-    must_certify = {f"q{i}_" for i in range(144, 171)} | {
-        "q128_", "q135_", "q117_",
-    }
+    # round-6 rotation: q171–q181 (never driver-checked before r6)
+    # must occupy certified slots
+    must_certify = {f"q{i}_" for i in range(171, 182)}
     stranded = [
         n
         for n in names[50:]

@@ -391,3 +391,70 @@ class TestCountMin:
         )
         rows = est.collect()
         assert len(rows) == 5 and all(r["cm_estimate"] == 4 for r in rows)
+
+
+class TestReadPathContracts:
+    """ADVICE r5 contract fixes: the sketch READ paths must agree with
+    their writers about NULL keys and missing groups."""
+
+    def test_countmin_lookup_missing_group_estimates_zero(self, spark):
+        df = _kv(spark, [1, 2, 3], grp="g")
+        c = countmin_counters(df, "k", ["grp"], depth=3, width=16)
+        probes = spark.createDataFrame(
+            [("g", 1), ("ghost", 1)], "grp string, k long"
+        )
+        got = {
+            (r["grp"], r["k"]): r["cm_estimate"]
+            for r in countmin_lookup(c, probes, "k", ["grp"], 3, 16).collect()
+        }
+        # the never-sketched group returns the CORRECT estimate 0
+        # (empty-stream sketch counts nothing), not a vanished row
+        assert got[("ghost", 1)] == 0
+        assert got[("g", 1)] >= 1
+
+    def test_countmin_lookup_null_probe_filtered(self, spark):
+        df = _kv(spark, [1, 2, 3], grp="g")
+        c = countmin_counters(df, "k", ["grp"], depth=3, width=16)
+        probes = spark.createDataFrame(
+            [("g", 1), ("g", None)], "grp string, k long"
+        )
+        rows = countmin_lookup(c, probes, "k", ["grp"], 3, 16).collect()
+        assert [r["k"] for r in rows] == [1]
+
+    def test_bloom_probe_null_key_filtered(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            bloom_positions,
+            bloom_probe,
+        )
+
+        df = _kv(spark, [1, 2, 3], grp="g")
+        bits = bloom_positions(df, "k", ["grp"], m_bits=256, depth=3)
+        probes = spark.createDataFrame(
+            [("g", 1), ("g", None)], "grp string, k long"
+        )
+        rows = bloom_probe(bits, probes, "k", ["grp"], 256, 3).collect()
+        # the writer never hashes NULLs, so the reader never answers
+        # for them — no meaningless maybe=False row
+        assert [(r["k"], r["maybe"]) for r in rows] == [(1, True)]
+
+    def test_rolling_hll_all_null_day_is_not_a_report_day(self, spark):
+        import datetime as dt
+
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            rolling_hll_distinct,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("a", dt.datetime(2024, 1, 1, 12), 1),
+                ("a", dt.datetime(2024, 1, 1, 13), 2),
+                # day 2: EVERY event null-keyed -> must not report
+                ("a", dt.datetime(2024, 1, 2, 12), None),
+            ],
+            "event_type string, ts timestamp, user_id long",
+        )
+        out = rolling_hll_distinct(
+            df, "user_id", "event_type", "ts", window_days=7, p=6
+        ).collect()
+        assert [r["day"].day for r in out] == [1]
+        assert out[0]["n_days_merged"] == 1

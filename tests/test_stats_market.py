@@ -660,3 +660,27 @@ def test_frequent_triples_hand_computed(spark):
     # min_count=1 surfaces every triple of the 4-item basket: C(4,3)=4
     all_t = frequent_triples(df, "basket", "item", min_count=1).collect()
     assert sum(1 for r in all_t if r.n_baskets == 1) == 4
+
+
+def test_hits_deep_run_normalizes_per_sweep(spark):
+    """ADVICE r5: n_iter > 3 routes through per-sweep L1 normalization
+    so scores can never approach the decimal(28,12) overflow-to-NULL
+    ceiling. Direction (and therefore the final normalized output,
+    up to round-6 wiggle in the last digit) must match the
+    hand-iterated power method."""
+    from big_data_project_datapipeline_spark.operators.graph import hits
+
+    ed = [(0, 10), (0, 11), (0, 12), (1, 10)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    out = {r["node"]: r for r in hits(edges, n_iter=5).collect()}
+    h = {n: 1.0 for n in (0, 1, 10, 11, 12)}
+    for _ in range(5):
+        a = {10: h[0] + h[1], 11: h[0], 12: h[0], 0: 0.0, 1: 0.0}
+        h = {0: a[10] + a[11] + a[12], 1: a[10], 10: 0.0, 11: 0.0, 12: 0.0}
+        sh = sum(h.values())
+        h = {n: v / sh for n, v in h.items()}
+    sh, sa = sum(h.values()), sum(a.values())
+    for n in (0, 1, 10, 11, 12):
+        assert out[n]["hub"] == pytest.approx(h[n] / sh, abs=2e-6), n
+        assert out[n]["auth"] == pytest.approx(a[n] / sa, abs=2e-6), n
+    assert sum(r["hub"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
