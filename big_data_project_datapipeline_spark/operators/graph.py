@@ -150,7 +150,14 @@ def hits(
         raise ValueError("n_iter must be >= 1")
     e0 = edges.select(src, dst).distinct()
     e_src = e0.repartition(F.col(src)).persist()
-    e_dst = e0.repartition(F.col(dst)).persist()
+    # The dst-partitioned copy derives from the CACHED src copy, not
+    # from e0: two independent persists of e0 each re-run the whole
+    # upstream lineage (edge-build join + distinct) on first
+    # materialization — profiled at sf1 as ~140 MB of duplicate
+    # shuffle, 18% of the query total (tools/profile_hits.py). Reading
+    # through e_src's InMemoryRelation computes the lineage once and
+    # charges only the unavoidable second repartition.
+    e_dst = e_src.repartition(F.col(dst)).persist()
     nodes = (
         e_src.select(F.col(src).alias("node"))
         .union(e_src.select(F.col(dst).alias("node")))
@@ -202,6 +209,14 @@ def hits(
             hubs = hubs.select(
                 "node", (F.col("h") / F.lit(s or 1.0)).alias("h")
             )
+    # The final auths frame has TWO consumers — the last hub half-sweep
+    # above and the state join below — and an unpersisted plan node
+    # with two consumers recomputes its whole upstream chain once per
+    # consumer: profiled as every loop stage appearing TWICE with
+    # identical bytes (tools/profile_hits.py; ~204 MB = half the loop
+    # shuffle at sf1). One O(nodes) persist runs the chain once; the
+    # hub pass fills the cache and the state join reads it.
+    auths = auths.persist()
     state = (
         nodes.join(hubs, "node", "left")
         .join(auths, "node", "left")
@@ -235,7 +250,7 @@ def hits(
         F.round(F.col("a") / F.lit(sa), 6).alias("auth"),
     )
     return attach_cache_release(
-        out, (e_src, e_dst, nodes, state, *sweep_persists)
+        out, (e_src, e_dst, nodes, auths, state, *sweep_persists)
     )
 
 
