@@ -125,6 +125,132 @@ def partitioned_prefix(
     return part.join(F.broadcast(offsets), "__pid").select(*sel)
 
 
+def grouped_prefix(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    group_col: str,
+    rank_col: str = "__rank",
+    group_rank_col: str = "__grank",
+    group_count_col: str = "__gcnt",
+) -> DataFrame:
+    """Global rank AND per-group rank (plus per-group total) from ONE
+    range exchange — the low-cardinality-group companion to
+    :func:`partitioned_prefix`.
+
+    The defect this exists for (found in the q166 sf10 smoke): a
+    ``Window.partitionBy(group)`` rank over an O(rows) frame is only
+    parallel up to the number of DISTINCT groups. With 5 event types,
+    5 tasks sort 1/5 of the corpus each — measured 133 MB of sort
+    spill at 10M rows, and a straggler funnel at 100 TB (each group is
+    one task regardless of cluster size). The plan-audit's
+    unpartitioned-window detector cannot flag it: the window IS
+    partitioned, just on a key whose cardinality doesn't scale with
+    the data.
+
+    Device: range-repartition on ``order_cols`` (a UNIQUE key — global
+    order = (partition id, within-partition order); within one
+    partition each group's rows are also contiguous in that order, so
+    per-group order = (partition id, within-partition-within-group
+    order)). One map-side-combinable totals pass counts rows per
+    (partition, group); exclusive prefixes over that O(P·G) frame —
+    per-pid for the global offsets, per-(group) ordered by pid for the
+    group offsets — are provably bounded windows (same allowlist
+    family as partitioned_prefix's). Broadcast back, emit both ranks
+    with two partition-LOCAL sorts (both windows partition by __pid —
+    uniform, high-card — never by the group).
+
+    CONTRACT: intended for group cardinalities where O(partitions ×
+    groups) stays a broadcastable frame (monitoring/report groups:
+    event types, sources, languages...). For high-cardinality groups
+    the plain ``Window.partitionBy(group)`` has no skew problem and
+    should be used directly.
+
+    Cost: the range-exchanged frame is scanned twice (totals + emit,
+    the partitioned_prefix contract — persist expensive inputs), and
+    the emit pass carries one hash(__pid) exchange + two local sorts.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(*cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = part.groupBy("__pid", group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    # ALL FOUR offset columns come from windows over this ONE O(P·G)
+    # totals frame, so `totals` has exactly one consumer and the range
+    # exchange under it is computed exactly twice (this offsets pass +
+    # the emit pass — the module's documented two-pass contract). An
+    # earlier draft split the global offset into its own groupBy
+    # branch; with two consumers the unpersisted totals lineage — and
+    # the O(rows) range exchange under it — ran once per consumer
+    # (the profiled HITS defect, tools/profile_stages.py: 3 identical
+    # 10M-row exchange stages at sf10 instead of 2).
+    #
+    # __off: rows in EARLIER partitions, any group — a range-frame
+    # exclusive prefix over pid (the range frame sums every row with
+    # a strictly smaller pid, so multiple group rows per pid need no
+    # per-pid pre-aggregate). pmod constant-partition device as in
+    # partitioned_prefix.
+    woff = (
+        Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1)))
+        .orderBy("__pid")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    # __goff: this group's rows in earlier partitions (bounded: <= P
+    # rows per group — the group key is only ever a window key on
+    # this tiny frame, never on the O(rows) frame).
+    wgrp = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wgall = Window.partitionBy(group_col)
+    # __gstart: where this group's block starts WITHIN its partition
+    # under a group-major sort — lets the emit pass derive the
+    # within-(pid, group) position from a row_number that partitions
+    # by __pid ALONE, so both emit windows share ONE hash(__pid)
+    # exchange (partitioning the second window by (__pid, group)
+    # would be a second O(rows) exchange; two partition-local sorts
+    # are the cheaper trade).
+    wstart = (
+        Window.partitionBy("__pid")
+        .orderBy(group_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joff = totals.select(
+        "__pid",
+        group_col,
+        F.coalesce(F.sum("__cnt").over(woff), F.lit(0).cast("long")).alias(
+            "__off"
+        ),
+        F.coalesce(F.sum("__cnt").over(wgrp), F.lit(0).cast("long")).alias(
+            "__goff"
+        ),
+        F.coalesce(F.sum("__cnt").over(wstart), F.lit(0).cast("long")).alias(
+            "__gstart"
+        ),
+        F.sum("__cnt").over(wgall).cast("long").alias(group_count_col),
+    )
+    wp = Window.partitionBy("__pid").orderBy(*order_cols)
+    wpo = Window.partitionBy("__pid").orderBy(group_col, *order_cols)
+    sel = [F.col(c) for c in df.columns]
+    sel.append(
+        (F.col("__off") + F.row_number().over(wp)).cast("long").alias(rank_col)
+    )
+    sel.append(
+        (
+            F.col("__goff")
+            + (F.row_number().over(wpo) - F.col("__gstart"))
+        )
+        .cast("long")
+        .alias(group_rank_col)
+    )
+    sel.append(F.col(group_count_col))
+    return part.join(F.broadcast(joff), ["__pid", group_col]).select(*sel)
+
+
 def _exact_div(num, den):
     """Exact integer division of long Columns (num assumed divisible by
     den): route through DECIMAL so no double rounding can wobble large

@@ -1,0 +1,107 @@
+"""Second-decade scale smoke (VERDICT r5 item #5): run the flagship
+devices at the derived sf1 (10x) AND sf10 (100x, built by
+tools/make_scale_smoke100.py) and report wall + shuffle-write bytes,
+so SCALING.md's linear-shuffle claims are measured over TWO decades.
+
+Queries: the three devices carrying the most weight — q166 quantile
+normalize (partitioned_prefix pooled rank), q173 AllPairs Jaccard
+(Bayardo prefix filter), q176 explicit-register HLL — plus the other
+two partitioned_prefix carriers q128 (RFM ntile) and q135 (Heaps
+cumsum).
+
+Usage: python tools/scale_smoke2.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as E
+from big_data_project_datapipeline_spark.session import get_spark
+
+QUERIES = [
+    "q166_quantile_normalize",
+    "q173_allpairs_jaccard",
+    "q176_hll_distinct",
+    "q128_rfm_segments",
+    "q135_heaps_law",
+]
+SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
+# sf1 lacks a replicated documents/orders variant with the sf10
+# scheme? No: make_scale_smoke.py's sf1 has documents (10 verbatim
+# copies), orders and events — all five queries run there. The
+# documents construction differs between decades (verbatim clones at
+# sf1, isomorphic token-renamed copies at sf10), so q173/q135 sf1->
+# sf10 rows are read against that difference (see SCALING.md).
+
+
+def rest(path: str):
+    with urllib.request.urlopen(f"http://localhost:4040/api/v1/{path}") as r:
+        return json.load(r)
+
+
+def shuffle_totals() -> tuple[int, int]:
+    app = rest("applications")[0]["id"]
+    w = s = 0
+    for st in rest(f"applications/{app}/stages?status=complete"):
+        w += st.get("shuffleWriteBytes", 0)
+        s += st.get("memoryBytesSpilled", 0) + st.get("diskBytesSpilled", 0)
+    return w, s
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    queries = [q for q in QUERIES if not only or q in only]
+    spark = get_spark(extra_conf={"spark.ui.enabled": "true"})
+    qs = E.queries()
+    rows = []
+    for sf_name, sf_dir in SFS:
+        # warm the JVM/codegen per SF so cold-start isn't charged
+        qs["q20_exact_dedup"](spark, "/root/testdata/sf0.1").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        for name in queries:
+            w0, s0 = shuffle_totals()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            el = time.perf_counter() - t0
+            w1, s1 = shuffle_totals()
+            rows.append(
+                {
+                    "query": name,
+                    "sf": sf_name,
+                    "sec": round(el, 2),
+                    "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+                    "spill_mb": round((s1 - s0) / 1e6, 1),
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+    print()
+    print("| query | sf1 s | sf10 s | x | sf1 shufMB | sf10 shufMB | x | spill sf10 MB |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name in queries:
+        a = next(r for r in rows if r["query"] == name and r["sf"] == "sf1")
+        b = next(r for r in rows if r["query"] == name and r["sf"] == "sf10")
+        tx = round(b["sec"] / a["sec"], 1) if a["sec"] else float("nan")
+        sx = (
+            round(b["shuffle_write_mb"] / a["shuffle_write_mb"], 1)
+            if a["shuffle_write_mb"]
+            else float("nan")
+        )
+        print(
+            f"| {name} | {a['sec']} | {b['sec']} | {tx} | "
+            f"{a['shuffle_write_mb']} | {b['shuffle_write_mb']} | {sx} | "
+            f"{b['spill_mb']} |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
