@@ -129,13 +129,22 @@ def grouped_prefix(
     df: DataFrame,
     order_cols: Sequence[str],
     group_col: str,
-    rank_col: str = "__rank",
-    group_rank_col: str = "__grank",
-    group_count_col: str = "__gcnt",
+    rank_col: str | None = "__rank",
+    group_rank_col: str | None = "__grank",
+    group_count_col: str | None = "__gcnt",
+    sum_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Global rank AND per-group rank (plus per-group total) from ONE
-    range exchange — the low-cardinality-group companion to
-    :func:`partitioned_prefix`.
+    """Global rank AND per-group rank / running sums (plus per-group
+    totals) from ONE range exchange — the low-cardinality-group
+    companion to :func:`partitioned_prefix`.
+
+    For each ``c`` in ``sum_cols`` the output carries ``<c>__gcum``
+    (inclusive running sum over the group's total order) and
+    ``<c>__gtot`` (the group's total) — the cumulative-distribution
+    shape every ECDF/Gini/Lorenz/weighted-percentile caller needs.
+    Sum columns should be integral or decimal so per-partition
+    reassociation is exact (the partitioned_prefix contract). Any of
+    the three name parameters may be None to skip that column.
 
     The defect this exists for (found in the q166 sf10 smoke): a
     ``Window.partitionBy(group)`` rank over an O(rows) frame is only
@@ -176,7 +185,8 @@ def grouped_prefix(
         "__pid", F.spark_partition_id()
     )
     totals = part.groupBy("__pid", group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("__cnt")
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
     )
     # ALL FOUR offset columns come from windows over this ONE O(P·G)
     # totals frame, so `totals` has exactly one consumer and the range
@@ -219,9 +229,9 @@ def grouped_prefix(
         .orderBy(group_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    joff = totals.select(
-        "__pid",
-        group_col,
+    off_sel = [
+        F.col("__pid"),
+        F.col(group_col),
         F.coalesce(F.sum("__cnt").over(woff), F.lit(0).cast("long")).alias(
             "__off"
         ),
@@ -231,23 +241,54 @@ def grouped_prefix(
         F.coalesce(F.sum("__cnt").over(wstart), F.lit(0).cast("long")).alias(
             "__gstart"
         ),
-        F.sum("__cnt").over(wgall).cast("long").alias(group_count_col),
-    )
+        F.sum("__cnt").over(wgall).cast("long").alias(
+            group_count_col or "__gcnt_unused"
+        ),
+    ]
+    for c in sum_cols:
+        sc = F.col(f"__s_{c}")
+        off_sel.append(
+            F.coalesce(F.sum(sc).over(wgrp), F.lit(0)).alias(f"__gsoff_{c}")
+        )
+        off_sel.append(
+            F.coalesce(F.sum(sc).over(wstart), F.lit(0)).alias(
+                f"__sstart_{c}"
+            )
+        )
+        off_sel.append(F.sum(sc).over(wgall).alias(f"{c}__gtot"))
+    joff = totals.select(*off_sel)
     wp = Window.partitionBy("__pid").orderBy(*order_cols)
     wpo = Window.partitionBy("__pid").orderBy(group_col, *order_cols)
+    wpos = wpo.rowsBetween(Window.unboundedPreceding, 0)
     sel = [F.col(c) for c in df.columns]
-    sel.append(
-        (F.col("__off") + F.row_number().over(wp)).cast("long").alias(rank_col)
-    )
-    sel.append(
-        (
-            F.col("__goff")
-            + (F.row_number().over(wpo) - F.col("__gstart"))
+    if rank_col is not None:
+        sel.append(
+            (F.col("__off") + F.row_number().over(wp))
+            .cast("long")
+            .alias(rank_col)
         )
-        .cast("long")
-        .alias(group_rank_col)
-    )
-    sel.append(F.col(group_count_col))
+    if group_rank_col is not None:
+        sel.append(
+            (
+                F.col("__goff")
+                + (F.row_number().over(wpo) - F.col("__gstart"))
+            )
+            .cast("long")
+            .alias(group_rank_col)
+        )
+    if group_count_col is not None:
+        sel.append(F.col(group_count_col))
+    for c in sum_cols:
+        # inclusive within-group running sum over the group's total
+        # order: earlier-partition group total + (group-major running
+        # sum within this partition − this group's block start sum)
+        sel.append(
+            (
+                F.col(f"__gsoff_{c}")
+                + (F.sum(F.col(c)).over(wpos) - F.col(f"__sstart_{c}"))
+            ).alias(f"{c}__gcum")
+        )
+        sel.append(F.col(f"{c}__gtot"))
     return part.join(F.broadcast(joff), ["__pid", group_col]).select(*sel)
 
 

@@ -113,3 +113,115 @@ class TestNtileFromRank:
             ).collect()
         }
         assert got == want
+
+
+def _gframe(spark, n=211):
+    # Deterministic frame with a LOW-CARDINALITY group key (the funnel
+    # class grouped_prefix exists for), value ties within and across
+    # groups, and a unique id tiebreak.
+    return spark.range(n).select(
+        F.col("id").cast("long").alias("id"),
+        F.concat(F.lit("g"), (F.col("id") % 5).cast("string")).alias("grp"),
+        (F.col("id") * 37 % 13).cast("double").alias("v"),
+        (F.col("id") * 13 % 7 + 1).cast("long").alias("w"),
+    )
+
+
+class TestGroupedPrefix:
+    """grouped_prefix must be bit-identical to the
+    Window.partitionBy(group) forms it replaces (the q166 sf10 fix)."""
+
+    def test_ranks_and_counts_match_group_windows(self, spark):
+        from big_data_project_datapipeline_spark.operators.prefix import (
+            grouped_prefix,
+        )
+
+        df = _gframe(spark)
+        got = {
+            r["id"]: r
+            for r in grouped_prefix(
+                df,
+                ["v", "id"],
+                "grp",
+                rank_col="p",
+                group_rank_col="r",
+                group_count_col="ng",
+            ).collect()
+        }
+        wg = Window.partitionBy("grp").orderBy("v", "id")
+        wa = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                F.row_number().over(wa).cast("long").alias("p"),
+                F.row_number().over(wg).cast("long").alias("r"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy("grp"))
+                .cast("long")
+                .alias("ng"),
+            ).collect()
+        }
+        assert len(got) == len(want)
+        for i, w in want.items():
+            g = got[i]
+            assert (g["p"], g["r"], g["ng"]) == (w["p"], w["r"], w["ng"]), i
+
+    def test_group_running_sums_match_group_windows(self, spark):
+        from big_data_project_datapipeline_spark.operators.prefix import (
+            grouped_prefix,
+        )
+
+        df = _gframe(spark)
+        got = {
+            r["id"]: r
+            for r in grouped_prefix(
+                df,
+                ["v", "id"],
+                "grp",
+                rank_col=None,
+                group_rank_col=None,
+                group_count_col=None,
+                sum_cols=["w"],
+            ).collect()
+        }
+        wgs = (
+            Window.partitionBy("grp")
+            .orderBy("v", "id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        want = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                F.sum("w").over(wgs).alias("w__gcum"),
+                F.sum("w").over(Window.partitionBy("grp")).alias("w__gtot"),
+            ).collect()
+        }
+        assert len(got) == len(want)
+        for i, w in want.items():
+            g = got[i]
+            assert (g["w__gcum"], g["w__gtot"]) == (
+                w["w__gcum"],
+                w["w__gtot"],
+            ), i
+
+    def test_single_group_and_empty(self, spark):
+        from big_data_project_datapipeline_spark.operators.prefix import (
+            grouped_prefix,
+        )
+
+        one = spark.createDataFrame(
+            [(1, "g", 2.0)], "id long, grp string, v double"
+        )
+        row = grouped_prefix(
+            one, ["v", "id"], "grp", rank_col="p", group_rank_col="r"
+        ).collect()[0]
+        assert (row["p"], row["r"], row["__gcnt"]) == (1, 1, 1)
+        empty = one.filter(F.lit(False))
+        assert (
+            grouped_prefix(
+                empty, ["v", "id"], "grp", rank_col="p"
+            ).count()
+            == 0
+        )
