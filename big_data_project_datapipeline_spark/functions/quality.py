@@ -358,17 +358,25 @@ def equal_frequency_bins(
     order, hence deterministic across engines — with per-bin count and
     value bounds.
 
-    Scale: one window sort per group partition feeds one aggregate.
-    ntile over a LOW-cardinality group key serializes each group through
-    one task — acceptable for summary stats; at extreme scale switch to
-    approx quantile cut points and a broadcast range join.
+    Scale (round-6 funnel fix): bin = ntile_from_rank over a
+    group_rank_frame per-group rank — ONE range exchange instead of an
+    ntile window partitioned by the LOW-cardinality group key, which
+    serialized each group through one task. Bit-identical to the
+    window ntile whenever (value, tiebreak) is a total order (Spark's
+    documented ntile split reproduced arithmetically).
     """
-    order = [F.col(value_col).asc()]
-    if tiebreak_col:
-        order.append(F.col(tiebreak_col).asc())
-    w = Window.partitionBy(*by).orderBy(*order)
-    binned = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).withColumn(
-        "bin", F.ntile(n_bins).over(w)
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+        ntile_from_rank,
+    )
+
+    order = [value_col] + ([tiebreak_col] if tiebreak_col else [])
+    clean = df.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col).cast("double"))
+    )
+    binned = group_rank_frame(clean, by, order).withColumn(
+        "bin", ntile_from_rank(F.col("__gr"), F.col("__gn"), n_bins)
     )
     return binned.groupBy(*by, "bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -496,18 +504,22 @@ def gini_dispersion(
     double with round(6) surfaces. Nulls are excluded (a null has no
     rank).
 
-    Scale shape: one window sort per group (the honest cost of exact
-    order statistics — same posture as equal_frequency_bins) plus one
-    map-side-combinable aggregate."""
+    Scale shape: the per-group rank comes from
+    operators/prefix.group_rank_frame (ONE range exchange, no
+    group-partitioned window — a low-cardinality group key would
+    otherwise serialize each group through one task; round-6 funnel
+    fix) plus one map-side-combinable aggregate."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     base = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).select(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("x"),
         F.col(id_col).alias("id"),
     )
-    w = Window.partitionBy("grp").orderBy("x", "id")
-    n_w = Window.partitionBy("grp")
-    ranked = base.withColumn("i", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(n_w)
+    ranked = group_rank_frame(
+        base, ["grp"], ["x", "id"], group_rank_col="i", group_count_col="n"
     )
     term = F.round(
         (2 * F.col("i") - F.col("n") - 1).cast("double") * F.col("x"), 9
@@ -555,27 +567,32 @@ def weighted_percentile_elements(
     are exact column elements, never interpolations (the q82/q38
     element convention).
 
-    Scale shape: one per-group sort window (shared by the cumulative
-    and total sums) + one map-side-combinable aggregate; group count
-    bounds the output."""
+    Scale shape (round-6 funnel fix): the per-group decimal cumsum
+    comes from operators/prefix.group_rank_frame — ONE range exchange
+    instead of a cumulative window partitioned by the LOW-cardinality
+    group key (which serialized each group through one task) — then
+    one map-side-combinable aggregate; group count bounds the output.
+    Per-partition decimal reassociation is exact, so the chosen
+    elements are bit-identical to the window form."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     gcols = list(group_cols)
-    order = [F.col(value_col)] + ([F.col(id_col)] if id_col else [])
-    w_cum = (
-        Window.partitionBy(*gcols)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*gcols)
-    wd = F.col(weight_col).cast("decimal(18,4)")
-    staged = (
+    order = [value_col] + ([id_col] if id_col else [])
+    staged = group_rank_frame(
         df.filter(F.col(value_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn("__cw", F.sum(wd).over(w_cum))
-        .withColumn("__W", F.sum(wd).over(w_all))
+        .withColumn("__wd", F.col(weight_col).cast("decimal(18,4)")),
+        gcols,
+        order,
+        group_rank_col=None,
+        group_count_col=None,
+        sum_cols=["__wd"],
     )
-    aggs = [F.sum(wd).cast("double").alias("total_weight")]
+    aggs = [F.sum("__wd").cast("double").alias("total_weight")]
     for p in percentiles:
         hit = (
-            F.col("__cw") * 100 >= F.col("__W") * int(p)
+            F.col("__wd__gcum") * 100 >= F.col("__wd__gtot") * int(p)
         )
         aggs.append(
             F.min(F.when(hit, F.col(value_col))).alias(f"p{p}")
@@ -794,8 +811,19 @@ def jsd_drift(
 def _ecdf_frames(df, split_expr, value_col, group_col):
     """Shared two-sample ECDF scaffolding for ks_drift / emd_drift:
     clean NaN/NULL, collapse to per-(group, distinct value) ref/cur
-    counts, per-group totals, and the shared cumulative window.
-    Returns (per_v, tot, w)."""
+    counts, then per-group cumulative counts + totals + the per-group
+    value rank in ONE group_rank_frame pass (round-6 funnel fix: for
+    continuous values the collapsed frame is still O(rows), and the
+    former cumulative window partitioned by the low-cardinality group
+    key serialized each group through one task; the totals also rode
+    a second consumer of the collapsed frame, recomputing it).
+    Returns one frame: (grp, v, cr, cc, ccr, ccc, n_ref, n_cur, __gr)
+    — cumulative/total counts exact longs, __gr the per-group ascending
+    value rank (emd's lead(v) becomes a rank+1 self-join)."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     v = F.col(value_col)
     clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         F.col(group_col).alias("grp"),
@@ -806,16 +834,24 @@ def _ecdf_frames(df, split_expr, value_col, group_col):
         F.sum("__is_ref").cast("long").alias("cr"),
         F.sum(F.lit(1) - F.col("__is_ref")).cast("long").alias("cc"),
     )
-    tot = per_v.groupBy("grp").agg(
-        F.sum("cr").cast("long").alias("n_ref"),
-        F.sum("cc").cast("long").alias("n_cur"),
+    return group_rank_frame(
+        per_v,
+        ["grp"],
+        ["v"],
+        group_rank_col="__gr",
+        group_count_col=None,
+        sum_cols=["cr", "cc"],
+    ).select(
+        "grp",
+        "v",
+        "cr",
+        "cc",
+        F.col("cr__gcum").alias("ccr"),
+        F.col("cc__gcum").alias("ccc"),
+        F.col("cr__gtot").alias("n_ref"),
+        F.col("cc__gtot").alias("n_cur"),
+        "__gr",
     )
-    w = (
-        Window.partitionBy("grp")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return per_v, tot, w
 
 
 def ks_drift(
@@ -843,16 +879,12 @@ def ks_drift(
     drifted (nullif guards).
 
     Scale shape: one map-side-combinable groupBy collapses to distinct
-    values, one per-group window over the collapsed frame (O(distinct
-    values), not O(rows)), one broadcast of the O(groups) totals.
+    values, then cumulative counts + totals from _ecdf_frames' single
+    group_rank_frame pass (one range exchange, no group-partitioned
+    window, no separate totals branch — round-6 funnel fix).
     """
-    per_v, tot, w = _ecdf_frames(df, split_expr, value_col, group_col)
-    cum = per_v.select(
-        "grp",
-        F.sum("cr").over(w).alias("ccr"),
-        F.sum("cc").over(w).alias("ccc"),
-    )
-    d = cum.join(F.broadcast(tot), "grp").select(
+    cum = _ecdf_frames(df, split_expr, value_col, group_col)
+    d = cum.select(
         "grp",
         "n_ref",
         "n_cur",
@@ -1345,9 +1377,17 @@ def grouped_auc(
     a class emit NULL auc (nullif guard). NaN/NULL scores excluded.
 
     Scale shape: one map-side-combinable groupBy collapses rows to
-    distinct scores, one per-group window over that collapsed frame
-    (O(distinct scores), not O(rows)) — the q144 ECDF posture.
+    distinct scores; the per-group cumulative negative count over that
+    collapsed frame comes from operators/prefix.group_rank_frame (ONE
+    range exchange — for CONTINUOUS scores the collapsed frame is
+    still O(rows), and a window partitioned by the low-cardinality
+    group key would serialize each group through one task; round-6
+    funnel fix).
     """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     gcols = list(group_cols)
     s = F.col(score_col)
     staged = df.filter(s.isNotNull() & ~F.isnan(s)).select(
@@ -1359,22 +1399,25 @@ def grouped_auc(
         F.sum("__pos").cast("long").alias("cp"),
         F.sum(F.lit(1) - F.col("__pos")).cast("long").alias("cn"),
     )
-    w = (
-        Window.partitionBy(*gcols)
-        .orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = group_rank_frame(
+        per_s,
+        gcols,
+        ["__s"],
+        group_rank_col=None,
+        group_count_col=None,
+        sum_cols=["cn"],
     )
     # (18,0) x (19,0) decimal product + decimal sum: contrib2 can reach
     # 2n^2 per group, overflowing int64 (ANSI-fatally) near ~3e9 rows
     # per group (review fix) — decimals carry it to ~1e37
-    contrib = per_s.select(
+    contrib = cum.select(
         *gcols,
         "cp",
         "cn",
         (
             F.col("cp").cast("decimal(18,0)")
             * (
-                F.lit(2) * (F.sum("cn").over(w) - F.col("cn"))
+                F.lit(2) * (F.col("cn__gcum") - F.col("cn"))
                 + F.col("cn")
             ).cast("decimal(19,0)")
         ).alias("__contrib2"),
@@ -1433,9 +1476,16 @@ def grouped_average_precision(
     NaN/NULL scores excluded.
 
     Scale shape: one map-side-combinable groupBy collapses rows to
-    distinct scores, one per-group window over that collapsed frame
-    (O(distinct scores), not O(rows)) — the q144 ECDF posture.
+    distinct scores; the per-group DESCENDING cum counts over that
+    collapsed frame derive from group_rank_frame's ascending running
+    sums (cum_desc = group_total − cum_asc + current, exact integer) —
+    ONE range exchange, no group-partitioned window (for CONTINUOUS
+    scores the collapsed frame is still O(rows); round-6 funnel fix).
     """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     gcols = list(group_cols)
     s = F.col(score_col)
     staged = df.filter(s.isNotNull() & ~F.isnan(s)).select(
@@ -1447,17 +1497,22 @@ def grouped_average_precision(
         F.sum("__pos").cast("long").alias("cp"),
         F.sum(F.lit(1) - F.col("__pos")).cast("long").alias("cn"),
     )
-    w = (
-        Window.partitionBy(*gcols)
-        .orderBy(F.col("__s").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    asc = group_rank_frame(
+        per_s,
+        gcols,
+        ["__s"],
+        group_rank_col=None,
+        group_count_col=None,
+        sum_cols=["cp", "cn"],
     )
-    cum = per_s.select(
+    cump = F.col("cp__gtot") - F.col("cp__gcum") + F.col("cp")
+    cumn = F.col("cn__gtot") - F.col("cn__gcum") + F.col("cn")
+    cum = asc.select(
         *gcols,
         "cp",
         "cn",
-        F.sum("cp").over(w).alias("__cump"),
-        (F.sum("cp").over(w) + F.sum("cn").over(w)).alias("__cumt"),
+        cump.alias("__cump"),
+        (cump + cumn).alias("__cumt"),
     )
     term = F.round(
         (
@@ -1717,19 +1772,22 @@ def emd_drift(
     NULL emd.
 
     Scale shape: identical to ks_drift — one map-side-combinable
-    collapse, one per-group window over distinct values (the lead
-    rides the same sort as the cumsum).
+    collapse, cumulative counts from _ecdf_frames' group_rank_frame
+    pass; the former lead(v) window is a (grp, rank+1) equi-join on
+    the persisted cum frame (round-6 funnel fix — no group-partitioned
+    window anywhere).
     """
-    per_v, tot, w_cum = _ecdf_frames(df, split_expr, value_col, group_col)
-    w_lead = Window.partitionBy("grp").orderBy("v")
-    cum = per_v.select(
-        "grp",
-        "v",
-        F.sum("cr").over(w_cum).alias("ccr"),
-        F.sum("cc").over(w_cum).alias("ccc"),
-        F.lead("v", 1).over(w_lead).alias("__vnext"),
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
     )
-    seg = cum.join(F.broadcast(tot), "grp")
+
+    cum = _ecdf_frames(df, split_expr, value_col, group_col).persist()
+    nxt = cum.select(
+        "grp",
+        (F.col("__gr") - 1).alias("__gr"),
+        F.col("v").alias("__vnext"),
+    )
+    seg = cum.join(nxt, ["grp", "__gr"], "left")
     fr = F.col("ccr").cast("double") / F.nullif(
         F.col("n_ref").cast("double"), F.lit(0.0)
     )
@@ -1749,7 +1807,7 @@ def emd_drift(
     # NULL for genuinely one-sided groups (review fix; ks_drift's 0.0
     # for the same input is the model).
     both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
-    return out.select(
+    res = out.select(
         F.col("grp").alias(group_col),
         "n_ref",
         "n_cur",
@@ -1758,6 +1816,7 @@ def emd_drift(
             F.round(F.coalesce(F.col("__emd_raw"), F.lit(0.0)), 6),
         ).alias("emd"),
     )
+    return attach_cache_release(res, [cum])
 
 
 # Poisson(1) CDF thresholds for the md5-uniform inverse-CDF draw in

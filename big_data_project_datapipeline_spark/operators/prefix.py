@@ -292,6 +292,70 @@ def grouped_prefix(
     return part.join(F.broadcast(joff), ["__pid", group_col]).select(*sel)
 
 
+def group_rank_frame(
+    df: DataFrame,
+    by: Sequence[str],
+    order_cols: Sequence[str],
+    group_rank_col: str | None = "__gr",
+    group_count_col: str | None = "__gn",
+    sum_cols: Sequence[str] = (),
+) -> DataFrame:
+    """`by`-sequence adapter over :func:`grouped_prefix` /
+    :func:`partitioned_prefix` — the drop-in replacement for the
+    ``Window.partitionBy(*by).orderBy(*order)`` rank/count/cumsum
+    trio on O(rows) frames whose group key has LOW cardinality (the
+    funnel class the round-6 sf10 smoke exposed: such a window is
+    parallel only up to the number of distinct groups).
+
+    - empty ``by``  → global: partitioned_prefix rank/cumsums, count
+      folded in from one broadcast 1-row aggregate;
+    - one column    → grouped_prefix directly;
+    - multiple cols → a composite struct key (structs order, group,
+      and join by field order in both Spark and the offsets windows),
+      dropped on output.
+
+    Output columns and semantics match grouped_prefix's.
+    """
+    bys = list(by)
+    if not bys:
+        out = partitioned_prefix(
+            df, order_cols, sum_cols=sum_cols, rank_col=group_rank_col
+        )
+        # align column names with grouped_prefix's; totals fold in
+        # from ONE broadcast 1-row aggregate over the input
+        for c in sum_cols:
+            out = out.withColumnRenamed(f"{c}__cum", f"{c}__gcum")
+        tot_aggs = []
+        if group_count_col is not None:
+            tot_aggs.append(
+                F.count(F.lit(1)).cast("long").alias(group_count_col)
+            )
+        tot_aggs.extend(F.sum(c).alias(f"{c}__gtot") for c in sum_cols)
+        if tot_aggs:
+            out = out.crossJoin(F.broadcast(df.agg(*tot_aggs)))
+        return out
+    if len(bys) == 1:
+        return grouped_prefix(
+            df,
+            order_cols,
+            bys[0],
+            rank_col=None,
+            group_rank_col=group_rank_col,
+            group_count_col=group_count_col,
+            sum_cols=sum_cols,
+        )
+    keyed = df.withColumn("__gkey", F.struct(*[F.col(c) for c in bys]))
+    return grouped_prefix(
+        keyed,
+        order_cols,
+        "__gkey",
+        rank_col=None,
+        group_rank_col=group_rank_col,
+        group_count_col=group_count_col,
+        sum_cols=sum_cols,
+    ).drop("__gkey")
+
+
 def _exact_div(num, den):
     """Exact integer division of long Columns (num assumed divisible by
     den): route through DECIMAL so no double rounding can wobble large
