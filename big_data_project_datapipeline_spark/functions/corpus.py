@@ -133,29 +133,39 @@ def token_budget_sample(
     training mix with hard per-source caps — reproducible across runs
     and engines because the admission order is md5(doc_id), not RNG.
 
-    Scale shape: one window per source (cumulative sum over the
-    md5-priority order). Sources parallelize across partitions; within
-    one giant source this is a per-key sort, which is the honest cost of
-    an exact sequential budget. If an approximate budget suffices at
-    100 TB, pre-bucket by priority range and binary-search the cutoff
-    bucket from per-bucket token subtotals instead — documented here,
-    not implemented, because the exact semantics are what the oracle
-    pins."""
+    Scale shape (round-6 funnel fix): the per-source cumulative sum
+    comes from operators/prefix.group_rank_frame (ONE range exchange)
+    instead of a window partitioned by the LOW-cardinality source key
+    — the window form serialized each source through one task, which
+    is exactly the giant-source case a budget sampler exists for.
+    Cumulative token counts are exact longs, so the admitted set is
+    bit-identical to the window form."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     staged = df.select(
         F.col(source_col).alias("source"),
         F.col(id_col).alias("doc_id"),
         F.size(TX.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
         _md5_priority(F.col(id_col)).alias("__pri"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("__pri", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     return (
-        staged.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= budget)
-        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        group_rank_frame(
+            staged,
+            ["source"],
+            ["__pri", "doc_id"],
+            group_rank_col=None,
+            group_count_col=None,
+            sum_cols=["n_tokens"],
+        )
+        .filter(F.col("n_tokens__gcum") <= budget)
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.col("n_tokens__gcum").alias("cum_tokens"),
+        )
     )
 
 
@@ -919,8 +929,13 @@ def weighted_sample(
     break on id.
 
     Scale shape: map-only key computation, then one per-group top-k
-    window over the group's rows — the honest cost of exact per-group
-    order statistics; groups parallelize across partitions."""
+    window. The low-cardinality group key is NOT a funnel here
+    (deliberately kept as a window in the round-6 funnel sweep):
+    Catalyst's WindowGroupLimit rewrites the ``row_number <= k``
+    filter into a map-side PARTIAL top-k before the exchange
+    (verified in-plan), so the shuffle and the per-group final sort
+    see at most k·partitions rows per group — strictly cheaper than a
+    range re-exchange of the full frame."""
     w = (
         F.col(weight_col).cast("double")
         if weight_col
@@ -1136,21 +1151,31 @@ def domain_cap_report(
     double division rounded at the surface. NULL lengths count as 0
     (they still occupy a slot — the cap is about doc COUNT pressure).
 
-    Scale shape: one per-source window (top-cap rank) over the
-    O(docs) frame, then one map-side-combinable groupBy — never a
-    driver-side per-domain loop. At 100 TB the window's per-key state
-    is O(1) and the heavy-domain skew lands on the sort, which AQE
-    splits.
+    Scale shape (round-6 funnel fix): the per-source top-cap rank
+    comes from operators/prefix.group_rank_frame over the NEGATED
+    length (exact long negation reverses the order) — one range
+    exchange instead of a window partitioned by the LOW-cardinality
+    source key, which serialized each source through one task (and a
+    heavy domain is exactly what a domain-cap rule exists for); then
+    one map-side-combinable groupBy — never a driver-side per-domain
+    loop.
     """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     staged = df.select(
         F.col(source_col).alias("src"),
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.col(length_col), F.lit(0)).cast("long").alias("len"),
+    ).withColumn("__nlen", -F.col("len"))
+    ranked = group_rank_frame(
+        staged,
+        ["src"],
+        ["__nlen", "doc_id"],
+        group_rank_col="__rk",
+        group_count_col=None,
     )
-    rk = F.row_number().over(
-        Window.partitionBy("src").orderBy(F.col("len").desc(), F.col("doc_id"))
-    )
-    ranked = staged.select("src", "doc_id", "len", rk.alias("__rk"))
     out = ranked.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.when(F.col("__rk") <= cap, 1).otherwise(0))
@@ -1240,6 +1265,12 @@ def class_log_odds(
         "y",
         F.round(delta / F.sqrt(var), 6).alias("z"),
     )
+    # Per-class top-k stays a WINDOW on purpose (round-6 funnel
+    # sweep): the ``row_number <= top_k`` filter triggers Catalyst's
+    # WindowGroupLimit map-side partial top-k, so the exchange and the
+    # per-class final sort see at most top_k·partitions rows per class
+    # — strictly cheaper than a range re-exchange of the full vocab
+    # frame.
     w = Window.partitionBy("cls").orderBy(
         F.col("z").desc_nulls_last(), F.col("token").asc()
     )
@@ -1284,25 +1315,34 @@ def negative_pairs(
     pairing is an equi-join on (bucket, position) — never a window
     lead with a lost tail.
 
-    Scale shape: one map-only hash, one per-bucket window
-    (O(block) rows each), one equi-join on (bucket, position) — the
-    pair fan-out is exactly k×docs, never quadratic.
+    Scale shape (round-6 funnel fix): one map-only hash; block
+    position + block size come from operators/prefix.group_rank_frame
+    (one range exchange — ``n_buckets`` is a FIXED low cardinality, so
+    the former per-bucket window serialized 1/n_buckets of the corpus
+    through one task); one equi-join on (bucket, position) — the pair
+    fan-out is exactly k×docs, never quadratic.
     """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     h = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     base = df.select(F.col(id_col).alias("id"), h.alias("__h")).select(
         "id", "__h", (F.col("__h") % F.lit(n_buckets)).cast("int").alias("bkt")
     )
-    w = Window.partitionBy("bkt").orderBy("__h", "id")
-    pos = base.select(
+    pos = group_rank_frame(
+        base,
+        ["bkt"],
+        ["__h", "id"],
+        group_rank_col="__rk1",
+        group_count_col="nb",
+    ).select(
         "id",
         "bkt",
-        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("bkt"))
-        .cast("long")
-        .alias("nb"),
+        (F.col("__rk1") - F.lit(1)).cast("long").alias("pos"),
+        F.col("nb").cast("long").alias("nb"),
     )
     anchors = (
         pos.select(

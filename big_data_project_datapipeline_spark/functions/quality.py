@@ -230,25 +230,34 @@ def grouped_rank_elements(
     pure integer arithmetic, so every engine picks the identical input
     element (q=1/2 reproduces grouped_lower_median exactly).
 
-    One distinct-value aggregate + ONE cumulative window serves every
-    requested quantile (conditional mins share the cum frame).
+    One distinct-value aggregate + ONE group_rank_frame pass serves
+    every requested quantile (round-6 funnel fix: for continuous
+    values the collapsed frame is still O(rows), and the former
+    cumulative window partitioned by the low-cardinality group key
+    serialized each group through one task).
     """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     g = (
         df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double")))
         .groupBy(*by, F.col(value_col).alias("__v"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    wcum = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("__v").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = group_rank_frame(
+        g,
+        by,
+        ["__v"],
+        group_rank_col=None,
+        group_count_col=None,
+        sum_cols=["__c"],
     )
-    wall = Window.partitionBy(*by)
-    n = F.sum("__c").over(wall)
-    staged = g.select(
+    n = F.col("__c__gtot")
+    staged = cum.select(
         *by,
         "__v",
-        F.sum("__c").over(wcum).alias("__cum"),
+        F.col("__c__gcum").alias("__cum"),
         *[
             F.floor((num * n + (den - 1)) / den).alias(f"__tgt_{alias}")
             for num, den, alias in quantiles
@@ -1148,11 +1157,17 @@ def mean_shift_scan(
     k via max(struct(diff, −k)). NaN/NULL excluded up front.
     Single-row groups have no interior split and are absent.
 
-    Scale shape: one per-group sort feeding one window (prefix sum +
-    row_number share it), one broadcast of the O(groups) totals, one
-    struct-argmax groupBy. Per-key window state is O(1); never an
-    all-splits self-join.
+    Scale shape (round-6 funnel fix): prefix sum, rank, group count
+    and group total all come from ONE group_rank_frame pass (one range
+    exchange — the former per-group sort window serialized each
+    low-cardinality group through one task, and the totals branch
+    consumed the cleaned frame a second time); then one struct-argmax
+    groupBy. Never an all-splits self-join.
     """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     v = F.col(value_col)
     clean = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         F.col(group_col).alias("grp"),
@@ -1160,27 +1175,17 @@ def mean_shift_scan(
         F.col(id_col).alias("__id"),
         v.cast("decimal(18,4)").alias("__v"),
     )
-    w = (
-        Window.partitionBy("grp")
-        .orderBy("__ts", "__id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = group_rank_frame(
+        clean,
+        ["grp"],
+        ["__ts", "__id"],
+        group_rank_col="__k",
+        group_count_col="n",
+        sum_cols=["__v"],
     )
-    cum = clean.select(
-        "grp",
-        "__ts",
-        F.sum("__v").over(w).alias("__cum"),
-        F.row_number()
-        .over(Window.partitionBy("grp").orderBy("__ts", "__id"))
-        .cast("long")
-        .alias("__k"),
-    )
-    tot = clean.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("__v").alias("__total"),
-    )
-    interior = cum.join(F.broadcast(tot), "grp").filter(F.col("__k") < F.col("n"))
-    mean_l = F.col("__cum").cast("double") / F.col("__k").cast("double")
-    mean_r = (F.col("__total") - F.col("__cum")).cast("double") / (
+    interior = cum.filter(F.col("__k") < F.col("n"))
+    mean_l = F.col("__v__gcum").cast("double") / F.col("__k").cast("double")
+    mean_r = (F.col("__v__gtot") - F.col("__v__gcum")).cast("double") / (
         F.col("n") - F.col("__k")
     ).cast("double")
     scored = interior.select(
@@ -1288,26 +1293,25 @@ def trimmed_winsor_summary(
     all. Means are final IEEE divisions, rounded at the surface.
     NaN/NULL excluded up front.
 
-    Scale shape: one per-group sort feeding one window, one
-    map-side-combinable groupBy — the q126 posture. At 100 TB with
-    heavy groups, the production variant derives k-bounds from a
-    quantile sketch and clamps in a map-only pass; this exact form is
-    the oracle-checkable reference semantics.
+    Scale shape (round-6 funnel fix): per-group rank + count from one
+    group_rank_frame pass (one range exchange — the former per-group
+    sort window serialized each low-cardinality group through one
+    task), one map-side-combinable groupBy — the q126 posture. At
+    100 TB with heavy groups, the production variant derives k-bounds
+    from a quantile sketch and clamps in a map-only pass; this exact
+    form is the oracle-checkable reference semantics.
     """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
     gcols = list(group_cols)
     v = F.col(value_col)
     staged = df.filter(v.isNotNull() & ~F.isnan(v)).select(
         *gcols, v.alias("__v")
     )
-    w = Window.partitionBy(*gcols).orderBy("__v")
-    ranked = staged.select(
-        *gcols,
-        "__v",
-        F.row_number().over(w).cast("long").alias("__rk"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy(*gcols))
-        .cast("long")
-        .alias("__n"),
+    ranked = group_rank_frame(
+        staged, gcols, ["__v"], group_rank_col="__rk", group_count_col="__n"
     )
     k = F.expr(f"__n * {int(trim_pct)} div 100")
     kept = (F.col("__rk") > k) & (F.col("__rk") <= F.col("__n") - k)
@@ -1648,20 +1652,40 @@ def grouped_acf(
         F.col(id_col).alias("__id"),
         v.alias("__v"),
     )
-    w = Window.partitionBy("grp").orderBy("__ts", "__id")
-    lag_cols = [
-        F.lag("__v", k).over(w).alias(f"__l{k}")
-        for k in range(1, max_lag + 1)
-    ]
-    wide = clean.select("grp", "__v", *lag_cols)
-    stack_args = ", ".join(
-        f"{k}, __l{k}" for k in range(1, max_lag + 1)
+    # Round-6 funnel fix: the lag pairs come from a per-group rank
+    # (group_rank_frame — one range exchange) and a (grp, rank − k)
+    # self-join instead of lag windows partitioned by the
+    # low-cardinality group key (which serialized each group through
+    # one task). The join key (grp, rank) is high-cardinality and
+    # uniform; the inner join drops out-of-range lags exactly like the
+    # windows' NULL filter. Pair sets — and therefore every moment —
+    # are identical ((ts, id) is a total order).
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
     )
-    pairs = wide.select(
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    ranked = group_rank_frame(
+        clean,
+        ["grp"],
+        ["__ts", "__id"],
+        group_rank_col="__r",
+        group_count_col=None,
+    ).persist()
+    lhs = ranked.select(
         "grp",
         F.col("__v").alias("x"),
-        F.expr(f"stack({max_lag}, {stack_args}) as (lag, y)"),
-    ).filter(F.col("y").isNotNull())
+        "__r",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    ).withColumn("__rt", F.col("__r") - F.col("lag"))
+    rhs = ranked.select(
+        "grp", F.col("__r").alias("__rt"), F.col("__v").alias("y")
+    )
+    pairs = lhs.join(rhs, ["grp", "__rt"])
     xd = F.col("x").cast("decimal(18,4)")
     yd = F.col("y").cast("decimal(18,4)")
     m = pairs.groupBy("grp", "lag").agg(
@@ -1675,7 +1699,7 @@ def grouped_acf(
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     denom = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
-    return m.select(
+    out = m.select(
         F.col("grp").alias(group_col),
         F.col("lag").cast("int").alias("lag"),
         n.cast("long").alias("n_pairs"),
@@ -1683,6 +1707,7 @@ def grouped_acf(
             (n * sxy - sx * sy) / F.nullif(denom, F.lit(0.0)), 6
         ).alias("acf"),
     )
+    return attach_cache_release(out, [ranked])
 
 
 def fk_orphan_report(

@@ -359,8 +359,12 @@ def inter_event_stats(
     never an interpolated percentile. Mean/std round(6) in double only
     at the end.
 
-    Scale shape: one per-user lag window, then one per-type sort window
-    over the O(events) gap frame + a map-side-combinable aggregate."""
+    Scale shape (round-6 funnel fix): one per-user lag window (user is
+    high-cardinality — no funnel), then the per-TYPE rank + count over
+    the O(events) gap frame from operators/prefix.group_rank_frame
+    (one range exchange — event types are LOW-cardinality, and the
+    former sort window serialized each type through one task) + a
+    map-side-combinable aggregate."""
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     gaps = (
         df.withColumn("__prev", F.lag(ts_col).over(w))
@@ -377,10 +381,16 @@ def inter_event_stats(
             ).cast("long").alias("gap_s"),
         )
     )
-    w_rank = Window.partitionBy("event_type").orderBy("gap_s")
-    w_all = Window.partitionBy("event_type")
-    ranked = gaps.withColumn("__i", F.row_number().over(w_rank)).withColumn(
-        "__n", F.count(F.lit(1)).over(w_all)
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    ranked = group_rank_frame(
+        gaps,
+        ["event_type"],
+        ["gap_s"],
+        group_rank_col="__i",
+        group_count_col="__n",
     )
     # lower-median element: first i with 2i >= n (integer arithmetic —
     # no float rank, no interpolation; the grouped_lower_median
