@@ -30,6 +30,14 @@ QUERIES = [
     "q176_hll_distinct",
     "q128_rfm_segments",
     "q135_heaps_law",
+    # round-6 funnel-sweep conversions (events-table carriers; q152
+    # AUC shares the device but reads lineitem, which the sf10
+    # dataset does not replicate)
+    "q124_gini_dispersion",
+    "q127_inter_event_stats",
+    "q154_acf",
+    "q147_mean_shift",
+    "q84_equal_freq_bins",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
