@@ -39,6 +39,8 @@ from big_data_project_datapipeline_spark.functions.encode import (
 )
 from big_data_project_datapipeline_spark.functions.quality import (
     gini_dispersion,
+    lorenz_concentration,
+    rrf_fusion,
     weighted_percentile_elements,
     chi_square_contingency,
     equal_frequency_bins,
@@ -4240,6 +4242,106 @@ def q181_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q182_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Lorenz) checkpoints per order priority:
+    customers ranked by total spend DESC, decile boundary rows with
+    the cumulative share of the priority's revenue held by the top
+    customers (functions/quality.lorenz_concentration — per-entity
+    decimal collapse, rank + running sum via the round-6
+    operators/prefix.group_rank_frame device, integer decile-boundary
+    explode). The curve-point companion to q124's Gini scalar."""
+    o = _t(spark, sf_dir, "orders")
+    return lorenz_concentration(
+        o, "o_totalprice", "o_custkey", "o_orderpriority", n_points=10
+    )
+
+
+def q183_kmv_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience set-DIFFERENCE estimates between event types
+    from the q178 KMV sketches (functions/sketches.kmv_set_difference)
+    — the set-algebra read Jaccard/intersection cannot answer: how
+    many users did A-but-never-B (audience exclusivity). The fraction
+    of the union bottom-k sample present only in A's sketch, scaled by
+    the union-cardinality estimate. Exact |A∖B| / |B∖A| ride along for
+    calibration; the oracle recomputes the UNFILTERED bottom-k, so a
+    green row also re-proves the HLL threshold prefilter clips
+    nothing."""
+    ev = _t(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, "user_id", ["event_type"], k=256, hll_p=8)
+    diff = SK.kmv_set_difference(sk, "event_type", k=256)
+    tu = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    cnts = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    inter = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("grp_a"),
+            F.col("b.event_type").alias("grp_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    ca = cnts.select(
+        F.col("event_type").alias("grp_a"), F.col("nd").alias("__nda")
+    )
+    cb = cnts.select(
+        F.col("event_type").alias("grp_b"), F.col("nd").alias("__ndb")
+    )
+    return (
+        diff.join(F.broadcast(ca), "grp_a")
+        .join(F.broadcast(cb), "grp_b")
+        .join(inter, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "k",
+            "n_union_sample",
+            "only_a_est",
+            "only_b_est",
+            "symdiff_est",
+            (F.col("__nda") - F.coalesce(F.col("exact_inter"), F.lit(0)))
+            .cast("long")
+            .alias("exact_only_a"),
+            (F.col("__ndb") - F.coalesce(F.col("exact_inter"), F.lit(0)))
+            .cast("long")
+            .alias("exact_only_b"),
+        )
+    )
+
+
+def q184_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two document rankings per language —
+    by token count and by type-token ratio (lexical-diversity proxy) —
+    fused top-5 via RRF = Σ 1/(60 + rank) (functions/quality.
+    rrf_fusion). Exercises BOTH round-6 funnel-triage outcomes in one
+    plan: the signal ranks feed a join (no WindowGroupLimit defense →
+    group_rank_frame), the final top-k is a plain <= k filter (WGL
+    bounds it map-side)."""
+    d = _t(spark, sf_dir, "documents")
+    tk = TX.tokens(F.col("text"))
+    feat = d.select(
+        "lang",
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(tk)).cast("double")
+            / F.size(tk).cast("double")
+        ).alias("ttr"),
+    ).filter(F.col("n_tokens") > 0)
+    return rrf_fusion(
+        feat, ["n_tokens", "ttr"], "doc_id", "lang", k=5, c=60
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-6 ROTATION (VERDICT r5 item #1): the prefix now
@@ -4327,6 +4429,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_cosine_topk": q25_cosine_topk,
         "q54_media_features": q54_media_features,
         "q59_scrub_pii": q59_scrub_pii,
+        # Round-6 additions (Lorenz concentration via group_rank_frame,
+        # KMV set difference, reciprocal-rank fusion) — full-strength
+        # SQL oracles, bit-checked locally at both gate SFs this round
+        # (tools/certify.py), first in line for the round-7 prefix
+        # rotation.
+        "q182_lorenz_curve": q182_lorenz_curve,
+        "q183_kmv_difference": q183_kmv_difference,
+        "q184_rrf_fusion": q184_rrf_fusion,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -7969,6 +8079,157 @@ def oracle_sql() -> dict[str, str]:
         FROM corr c
         JOIN nsrc n ON c.grp = n.grp AND c.tday = n.tday
         JOIN exact x ON c.grp = x.grp AND c.tday = x.tday
+    """
+    # q182: Lorenz checkpoints — decimal per-entity collapse, desc
+    # (spend, entity) total order, integer decile-boundary ranges
+    # (generate_series is empty when lo > hi, matching the Spark
+    # guard), one IEEE share division
+    out["q182_lorenz_curve"] = """
+        WITH per_e AS (
+            SELECT o_orderpriority AS grp, o_custkey AS ent,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS w
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT grp, ent, w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY grp ORDER BY w DESC, ent) AS r,
+                   COUNT(*) OVER (PARTITION BY grp) AS n,
+                   SUM(w) OVER (PARTITION BY grp ORDER BY w DESC, ent
+                                ROWS UNBOUNDED PRECEDING) AS cw,
+                   SUM(w) OVER (PARTITION BY grp) AS tw
+            FROM per_e),
+        pts AS (
+            SELECT grp, r, n, cw, tw,
+                   unnest(generate_series((10 * (r - 1)) // n + 1,
+                                          (10 * r) // n)) AS point
+            FROM ranked)
+        SELECT grp AS o_orderpriority,
+               CAST(point AS INT) AS point,
+               CAST(n AS BIGINT) AS n_entities,
+               CAST(r AS BIGINT) AS top_entities,
+               ROUND(CAST(cw AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+                   AS cum_value_share
+        FROM pts
+    """
+    # q183: KMV set difference — q178's union-sample scaffolding with
+    # per-side membership counts; the oracle's bottom-k is UNFILTERED
+    # (re-proving the HLL prefilter clips nothing); exact |A\B| from
+    # distinct counts minus the exact intersection
+    out["q183_kmv_difference"] = f"""
+        WITH staged AS (
+            SELECT DISTINCT event_type AS g,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 15)) AS BIGINT) AS h
+            FROM events WHERE user_id IS NOT NULL),
+        sk AS (
+            SELECT g, h FROM (
+                SELECT g, h,
+                       ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+                FROM staged) WHERE rn <= 256),
+        gs AS (SELECT DISTINCT g FROM sk),
+        pairs AS (
+            SELECT a.g AS ga, b.g AS gb
+            FROM gs a JOIN gs b ON a.g < b.g),
+        side_a AS (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON p.ga = s.g),
+        side_b AS (
+            SELECT p.ga, p.gb, s.h FROM pairs p JOIN sk s ON p.gb = s.g),
+        un AS (
+            SELECT DISTINCT ga, gb, h FROM (
+                SELECT * FROM side_a UNION ALL SELECT * FROM side_b)),
+        samp AS (
+            SELECT ga, gb, h FROM (
+                SELECT ga, gb, h,
+                       ROW_NUMBER() OVER (PARTITION BY ga, gb
+                           ORDER BY h) AS rn
+                FROM un) WHERE rn <= 256),
+        flagged AS (
+            SELECT s.ga, s.gb, s.h,
+                   CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END AS ia,
+                   CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS ib
+            FROM samp s
+            LEFT JOIN side_a a
+              ON s.ga = a.ga AND s.gb = a.gb AND s.h = a.h
+            LEFT JOIN side_b b
+              ON s.ga = b.ga AND s.gb = b.gb AND s.h = b.h),
+        agg AS (
+            SELECT ga, gb,
+                   CAST(COUNT(*) AS BIGINT) AS n_union_sample,
+                   CAST(SUM(ia) AS BIGINT) AS na,
+                   CAST(SUM(ib) AS BIGINT) AS nb,
+                   CAST(SUM(ia * ib) AS BIGINT) AS nboth,
+                   MAX(h) AS hk
+            FROM flagged GROUP BY ga, gb),
+        est AS (
+            SELECT ga, gb, n_union_sample, na, nb, nboth,
+                   CASE WHEN n_union_sample >= 256
+                        THEN {kmv_scale!r} / CAST(hk AS DOUBLE)
+                        ELSE CAST(n_union_sample AS DOUBLE) END AS du,
+                   CAST(na - nboth AS DOUBLE)
+                       / CAST(n_union_sample AS DOUBLE) AS fa,
+                   CAST(nb - nboth AS DOUBLE)
+                       / CAST(n_union_sample AS DOUBLE) AS fb
+            FROM agg),
+        du2 AS (SELECT DISTINCT event_type AS g, user_id
+                FROM events WHERE user_id IS NOT NULL),
+        cnts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS nd
+                 FROM du2 GROUP BY g),
+        exact AS (
+            SELECT a.g AS ga, b.g AS gb, COUNT(*) AS exact_inter
+            FROM du2 a JOIN du2 b
+              ON a.user_id = b.user_id AND a.g < b.g
+            GROUP BY a.g, b.g)
+        SELECT e.ga AS grp_a, e.gb AS grp_b, 256 AS k,
+               e.n_union_sample,
+               ROUND(e.fa * e.du, 6) AS only_a_est,
+               ROUND(e.fb * e.du, 6) AS only_b_est,
+               ROUND((e.fa + e.fb) * e.du, 6) AS symdiff_est,
+               CAST(ca.nd - COALESCE(x.exact_inter, 0) AS BIGINT)
+                   AS exact_only_a,
+               CAST(cb.nd - COALESCE(x.exact_inter, 0) AS BIGINT)
+                   AS exact_only_b
+        FROM est e
+        JOIN cnts ca ON e.ga = ca.g
+        JOIN cnts cb ON e.gb = cb.g
+        LEFT JOIN exact x ON e.ga = x.ga AND e.gb = x.gb
+    """
+    # q184: RRF fusion — two total-order ranks per lang (token count,
+    # type-token ratio), 1/(60+r) terms folded in signal order, fused
+    # top-5
+    out["q184_rrf_fusion"] = f"""
+        WITH toks AS (
+            SELECT lang, doc_id, {tokens_sql} AS tk
+            FROM documents),
+        feat AS (
+            SELECT lang, doc_id,
+                   CAST(length(tk) AS BIGINT) AS n_tokens,
+                   CAST(length(list_distinct(tk)) AS DOUBLE)
+                       / CAST(length(tk) AS DOUBLE) AS ttr
+            FROM toks WHERE length(tk) > 0),
+        ra AS (
+            SELECT lang, doc_id, n_tokens, ttr,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_tokens DESC, doc_id) AS rank_n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY ttr DESC, doc_id) AS rank_ttr
+            FROM feat),
+        sc AS (
+            SELECT lang, doc_id, rank_n_tokens, rank_ttr,
+                   1.0 / (60.0 + CAST(rank_n_tokens AS DOUBLE))
+                       + 1.0 / (60.0 + CAST(rank_ttr AS DOUBLE)) AS rrf
+            FROM ra),
+        top AS (
+            SELECT lang, doc_id, rank_n_tokens, rank_ttr, rrf,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY rrf DESC, doc_id) AS fr
+            FROM sc)
+        SELECT lang, doc_id,
+               CAST(fr AS INT) AS fused_rank,
+               ROUND(rrf, 6) AS rrf_score,
+               CAST(rank_n_tokens AS BIGINT) AS rank_n_tokens,
+               CAST(rank_ttr AS BIGINT) AS rank_ttr
+        FROM top WHERE fr <= 5
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     "q179_bloom_membership",
     "q180_markov_attribution",
     "q181_rolling_hll",
+    "q182_lorenz_curve",
+    "q183_kmv_difference",
+    "q184_rrf_fusion",
 ]
 
 

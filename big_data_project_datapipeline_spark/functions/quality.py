@@ -2456,3 +2456,154 @@ def point_in_time_labels(
         ).alias("value_lb"),
         "label",
     )
+
+
+def lorenz_concentration(
+    df: DataFrame,
+    value_col: str,
+    entity_col: str,
+    group_col: str,
+    n_points: int = 10,
+) -> DataFrame:
+    """Per-group Lorenz/concentration checkpoints: entities ranked by
+    their total value DESCENDING, reporting at each of ``n_points``
+    equally-spaced rank quantiles the cumulative share of the group's
+    value held by the top entities — the "top 10% of customers drive
+    X% of revenue" curve (the curve-point companion to
+    :func:`gini_dispersion`'s scalar).
+
+    Point d (1..n_points) reports the boundary entity at rank
+    ceil(d·n/n_points). A rank r serves every d with
+    n_points·(r−1) < d·n ≤ n_points·r — i.e. d in
+    (floor(n_points·(r−1)/n), floor(n_points·r/n)] — pure integer
+    arithmetic, so both engines pick identical boundary rows; empty
+    ranges explode to nothing (the sequence is guarded: Spark's
+    sequence(a, b) runs DESCENDING when a > b instead of empty).
+
+    Determinism/parity: per-entity totals accumulate in DECIMAL(18,4)
+    (the events-value device); the descending order (−total, entity)
+    is total (decimal negation exact); the cumulative share is ONE
+    IEEE division of exact decimals, round(6).
+
+    Scale shape: one map-side-combinable per-entity collapse, then
+    rank + running sum from operators/prefix.group_rank_frame (one
+    range exchange — the report group key is LOW-cardinality, the
+    round-6 funnel contract), then a map-only explode of O(n_points)
+    boundary markers. Output is O(groups × n_points).
+    """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    per_e = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("grp"), F.col(entity_col).alias("ent")
+        )
+        .agg(F.sum(F.col(value_col).cast("decimal(18,4)")).alias("__w"))
+    )
+    ranked = group_rank_frame(
+        per_e.withColumn("__nw", -F.col("__w")),
+        ["grp"],
+        ["__nw", "ent"],
+        group_rank_col="__r",
+        group_count_col="__n",
+        sum_cols=["__w"],
+    )
+    np_ = int(n_points)
+    lo = F.expr(f"({np_} * (__r - 1)) div __n")
+    hi = F.expr(f"({np_} * __r) div __n")
+    pts = ranked.select(
+        "grp",
+        "__r",
+        "__n",
+        "__w__gcum",
+        "__w__gtot",
+        F.explode(
+            F.when(hi >= lo + 1, F.sequence(lo + 1, hi)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ).alias("point"),
+    )
+    return pts.select(
+        F.col("grp").alias(group_col),
+        F.col("point").cast("int").alias("point"),
+        F.col("__n").alias("n_entities"),
+        F.col("__r").alias("top_entities"),
+        F.round(
+            F.col("__w__gcum").cast("double")
+            / F.col("__w__gtot").cast("double"),
+            6,
+        ).alias("cum_value_share"),
+    )
+
+
+def rrf_fusion(
+    df: DataFrame,
+    score_cols: Sequence[str],
+    item_col: str,
+    group_col: str,
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of multiple per-group rankings: each scoring signal ranks the
+    group's items DESCENDING (ties broken by item id), and the fused
+    score is Σ_s 1/(c + rank_s) — the standard score-free way to merge
+    heterogeneous retrievers (BM25 + dense, quality + freshness).
+    Returns the fused top-``k`` per group with each signal's rank.
+
+    Determinism/parity: ranks are integers from total orders
+    (−score, item) — descending by exact IEEE negation; the fused
+    score folds the 1/(c+r) terms in score_cols order, so both
+    engines evaluate the identical IEEE sequence; final order
+    (fused DESC, item) is total. round(6) on the surface.
+
+    Scale shape (the round-6 funnel contract, both sides): each
+    signal's rank feeds a JOIN — not a plain ``<= k`` filter — so it
+    gets NO WindowGroupLimit defense and must come from
+    operators/prefix.group_rank_frame (one range exchange per signal);
+    the FINAL top-k rank, by contrast, IS a plain filter, so it stays
+    a window and Catalyst's WindowGroupLimit bounds that exchange to
+    k·partitions rows per group.
+    """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(item_col).alias("item"),
+        *[F.col(s) for s in score_cols],
+    )
+    fused = None
+    for s in score_cols:
+        r = group_rank_frame(
+            base.select("grp", "item", F.col(s))
+            .filter(F.col(s).isNotNull())
+            .withColumn("__ns", -F.col(s)),
+            ["grp"],
+            ["__ns", "item"],
+            group_rank_col=f"rank_{s}",
+            group_count_col=None,
+        ).select("grp", "item", f"rank_{s}")
+        fused = r if fused is None else fused.join(r, ["grp", "item"])
+    expr = None
+    for s in score_cols:
+        term = F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{s}").cast("double"))
+        expr = term if expr is None else expr + term
+    scored = fused.select(
+        "grp", "item", *[f"rank_{s}" for s in score_cols],
+        expr.alias("__rrf"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("__rrf"), F.asc("item"))
+    return (
+        scored.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("item").alias(item_col),
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            F.round("__rrf", 6).alias("rrf_score"),
+            *[F.col(f"rank_{s}") for s in score_cols],
+        )
+    )

@@ -1518,3 +1518,83 @@ class TestTvDistanceDevice:
                for r in agg.collect()}
         assert abs(out["A"] - 1/3) < 1e-6
         assert abs(out["B"] - 1/3) < 1e-6
+
+
+class TestLorenzConcentration:
+    def test_hand_computed_quartiles(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            lorenz_concentration,
+        )
+
+        # one group, 4 customers with spends 40, 30, 20, 10 (total 100)
+        rows = [("g", c, v) for c, v in [(1, 40.0), (2, 30.0), (3, 20.0), (4, 10.0)]]
+        df = spark.createDataFrame(rows, "grp string, cust long, spend double")
+        out = {
+            r["point"]: r
+            for r in lorenz_concentration(
+                df, "spend", "cust", "grp", n_points=4
+            ).collect()
+        }
+        # rank r serves point d=r exactly (n == n_points): shares are
+        # the running 40/70/90/100 percent
+        assert [out[d]["cum_value_share"] for d in (1, 2, 3, 4)] == [
+            0.4,
+            0.7,
+            0.9,
+            1.0,
+        ]
+        assert all(out[d]["top_entities"] == d for d in (1, 2, 3, 4))
+        assert all(out[d]["n_entities"] == 4 for d in (1, 2, 3, 4))
+
+    def test_boundary_multiplicity_small_group(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            lorenz_concentration,
+        )
+
+        # 2 entities, 10 points: rank 1 serves points 1..5, rank 2
+        # serves 6..10 (ceil(d*2/10) mapping)
+        df = spark.createDataFrame(
+            [("g", 1, 75.0), ("g", 2, 25.0)],
+            "grp string, cust long, spend double",
+        )
+        out = lorenz_concentration(df, "spend", "cust", "grp", 10).collect()
+        got = {(r["point"], r["top_entities"]) for r in out}
+        assert got == {(d, 1) for d in range(1, 6)} | {
+            (d, 2) for d in range(6, 11)
+        }
+
+
+class TestRrfFusion:
+    def test_hand_computed_fusion(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            rrf_fusion,
+        )
+
+        # Signal a ranks 1,2,3 = items 10,20,30; signal b the reverse.
+        rows = [("g", 10, 3.0, 1.0), ("g", 20, 2.0, 2.0), ("g", 30, 1.0, 3.0)]
+        df = spark.createDataFrame(
+            rows, "grp string, item long, a double, b double"
+        )
+        out = {
+            r["item"]: r
+            for r in rrf_fusion(df, ["a", "b"], "item", "grp", k=3, c=60).collect()
+        }
+        # symmetric ranks -> equal rrf for 10 and 30; 20 has 1/62+1/62
+        assert out[10]["rank_a"] == 1 and out[10]["rank_b"] == 3
+        assert out[30]["rank_a"] == 3 and out[30]["rank_b"] == 1
+        assert out[10]["rrf_score"] == out[30]["rrf_score"]
+        # convexity of 1/x: 1/61 + 1/63 > 2/62, so the spread-rank
+        # items beat the middle one; their tie breaks on item id
+        assert out[10]["fused_rank"] == 1 and out[30]["fused_rank"] == 2
+        assert out[20]["fused_rank"] == 3
+
+    def test_top_k_cut(self, spark):
+        from big_data_project_datapipeline_spark.functions.quality import (
+            rrf_fusion,
+        )
+
+        rows = [("g", i, float(i), float(-i)) for i in range(1, 8)]
+        df = spark.createDataFrame(
+            rows, "grp string, item long, a double, b double"
+        )
+        assert rrf_fusion(df, ["a", "b"], "item", "grp", k=4).count() == 4

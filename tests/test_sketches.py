@@ -458,3 +458,61 @@ class TestReadPathContracts:
         ).collect()
         assert [r["day"].day for r in out] == [1]
         assert out[0]["n_days_merged"] == 1
+
+
+class TestKmvSetDifference:
+    """kmv_set_difference: with fewer than k distinct keys per group
+    the union sample is complete and every estimate is EXACT — pin
+    against hand-computed set algebra; plus the _kmv_pair_stats
+    invariant na + nb − nboth == n_union_sample."""
+
+    def _sketches(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_sketch,
+        )
+
+        # A = {1..10}, B = {6..20}: |A\B| = 5, |B\A| = 10, symdiff 15
+        rows = [("a", i) for i in range(1, 11)] + [
+            ("b", i) for i in range(6, 21)
+        ]
+        df = spark.createDataFrame(rows, "grp string, k long")
+        return kmv_sketch(df, "k", ["grp"], k=256, hll_p=6)
+
+    def test_exact_when_sample_complete(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_set_difference,
+        )
+
+        out = kmv_set_difference(self._sketches(spark), "grp", k=256).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["grp_a"], r["grp_b"]) == ("a", "b")
+        assert r["n_union_sample"] == 20
+        assert r["only_a_est"] == 5.0
+        assert r["only_b_est"] == 10.0
+        assert r["symdiff_est"] == 15.0
+
+    def test_pair_stats_partition_invariant(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            _kmv_pair_stats,
+        )
+
+        agg, s = _kmv_pair_stats(self._sketches(spark), "grp", 256)
+        r = agg.collect()[0]
+        # every union-sample member is in at least one side
+        assert r["__na"] + r["__nb"] - r["__nboth"] == r["n_union_sample"]
+        s.unpersist()
+
+    def test_single_group_empty(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_set_difference,
+            kmv_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2)], "grp string, k long"
+        )
+        out = kmv_set_difference(
+            kmv_sketch(df, "k", ["grp"], k=16), "grp", k=16
+        )
+        assert out.count() == 0
