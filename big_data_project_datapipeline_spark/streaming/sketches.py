@@ -142,3 +142,124 @@ def stream_hll_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+KMV_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType()),
+        T.StructField("h", T.LongType()),
+    ]
+)
+
+
+def _merge_kmv(k: int):
+    """Bottom-k merge law (Beyer et al. 2007): the bottom-k of a union
+    is the bottom-k of the parts' bottom-ks — union, dedupe, re-take
+    the k smallest per group. The per-group window input is bounded by
+    2k rows by construction (both parts are sketches), and the
+    ``row_number <= k`` filter gets Catalyst's WindowGroupLimit
+    map-side cut."""
+
+    def merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        u = prev.unionByName(delta).distinct()
+        w = Window.partitionBy("grp").orderBy("h")
+        return (
+            u.select("grp", "h", F.row_number().over(w).alias("__rn"))
+            .filter(F.col("__rn") <= k)
+            .select("grp", "h")
+        )
+
+    return merge
+
+
+def maintain_kmv_sketch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 256,
+    hll_p: int = 8,
+) -> DataFrame:
+    """One cron tick of the KMV audience sketch: the NEW batch's
+    bottom-k frame (the batch operator's own code path, HLL-prefilter
+    included — exact per batch, and the merge law keeps the fold
+    exact), landed under a batch-keyed delta subdir, then a bottom-k
+    fold of all pending deltas. The folded store serves EVERY KMV
+    read: distinct estimates (kmv_distinct_estimate), pairwise overlap
+    (kmv_pair_overlap) and set differences (kmv_set_difference) — the
+    streaming path to q178/q183's reports without rescanning
+    history."""
+    from big_data_project_datapipeline_spark.functions.sketches import (
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(batch_df, key_col, [group_col], k=k, hll_p=hll_p).select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col("h").cast("long").alias("h"),
+    )
+    delta_path = os.path.join(store_dir, "deltas", str(batch_id))
+    sk.write.mode("overwrite").parquet(delta_path)
+    return _fold_pending_deltas(spark, store_dir, KMV_SCHEMA, _merge_kmv(k))
+
+
+def kmv_report(
+    spark: SparkSession,
+    store_dir: str,
+    group_col: str = "event_type",
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-cardinality report from the folded KMV store alone —
+    the same estimator tail as the batch operator (bit-equal by
+    construction on the merged sketch)."""
+    from big_data_project_datapipeline_spark.functions.sketches import (
+        kmv_distinct_estimate,
+    )
+
+    sk = spark.read.schema(KMV_SCHEMA).parquet(
+        os.path.join(store_dir, "counts")
+    )
+    return kmv_distinct_estimate(sk, ["grp"], k=k).withColumnRenamed(
+        "grp", group_col
+    )
+
+
+def stream_kmv_monitor(
+    spark: SparkSession,
+    events_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_col: str = "event_type",
+    k: int = 256,
+    hll_p: int = 8,
+    query_name: str = "engine_stream_kmv",
+    schema=None,
+):
+    """availableNow drain maintaining the KMV store — the q178/q183
+    streaming front end, same idempotence contract as
+    stream_hll_monitor (batch-keyed delta overwrite + fold ledger)."""
+    if schema is None:
+        schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: maintain_kmv_sketch(
+                batch_df.sparkSession,
+                batch_df,
+                store_dir,
+                f"b{batch_id}",
+                key_col=key_col,
+                group_col=group_col,
+                k=k,
+                hll_p=hll_p,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

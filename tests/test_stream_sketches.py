@@ -102,3 +102,99 @@ def test_null_keys_dropped(spark, store):
     assert {
         r["event_type"]: (r["n_empty"], r["estimate"]) for r in rep
     } == _batch_estimate(spark, clean)
+
+
+class TestKmvMonitor:
+    """Incremental KMV (streaming/sketches.py): the bottom-k fold
+    after N ticks must be BIT-EQUAL to the batch sketch over the
+    union — including the set-expression reads and tick replay."""
+
+    def test_two_ticks_bit_equal_batch(self, spark, tmp_path):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_sketch,
+        )
+
+        store = str(tmp_path / "kmv_store")
+        wave1 = _ev(
+            spark, [("a", v) for v in range(300)] + [("b", 1), ("b", 2)]
+        )
+        wave2 = _ev(
+            spark,
+            [("a", v) for v in range(150, 500)] + [("b", 2), ("b", 3)],
+        )
+        SS.maintain_kmv_sketch(spark, wave1, store, "t1", k=64, hll_p=6)
+        SS.maintain_kmv_sketch(spark, wave2, store, "t2", k=64, hll_p=6)
+        import os
+
+        folded = {
+            (r["grp"], r["h"])
+            for r in spark.read.schema(SS.KMV_SCHEMA)
+            .parquet(os.path.join(store, "counts"))
+            .collect()
+        }
+        batch = {
+            (r["event_type"], r["h"])
+            for r in kmv_sketch(
+                wave1.unionByName(wave2),
+                "user_id",
+                ["event_type"],
+                k=64,
+                hll_p=6,
+            )
+            .withColumnRenamed("event_type", "grp")
+            .selectExpr("grp as event_type", "h")
+            .collect()
+        }
+        assert folded == batch
+
+    def test_report_and_difference_from_store(self, spark, tmp_path):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            kmv_set_difference,
+        )
+
+        store = str(tmp_path / "kmv_store2")
+        # A = {1..10}, B = {6..20}, split across two ticks
+        SS.maintain_kmv_sketch(
+            spark,
+            _ev(spark, [("a", i) for i in range(1, 6)]
+                + [("b", i) for i in range(6, 12)]),
+            store, "t1", k=64, hll_p=6,
+        )
+        SS.maintain_kmv_sketch(
+            spark,
+            _ev(spark, [("a", i) for i in range(6, 11)]
+                + [("b", i) for i in range(12, 21)]),
+            store, "t2", k=64, hll_p=6,
+        )
+        rep = {
+            r["event_type"]: r["estimate"]
+            for r in SS.kmv_report(spark, store, k=64).collect()
+        }
+        # below k -> exact
+        assert rep == {"a": 10.0, "b": 15.0}
+        import os
+
+        sk = spark.read.schema(SS.KMV_SCHEMA).parquet(
+            os.path.join(store, "counts")
+        )
+        d = kmv_set_difference(sk, "grp", k=64).collect()[0]
+        assert (d["only_a_est"], d["only_b_est"], d["symdiff_est"]) == (
+            5.0,
+            10.0,
+            15.0,
+        )
+
+    def test_replayed_tick_is_idempotent(self, spark, tmp_path):
+        store = str(tmp_path / "kmv_store3")
+        wave = _ev(spark, [("a", v) for v in range(100)])
+        SS.maintain_kmv_sketch(spark, wave, store, "t1", k=32, hll_p=6)
+        once = {
+            r["event_type"]: r["estimate"]
+            for r in SS.kmv_report(spark, store, k=32).collect()
+        }
+        SS.maintain_kmv_sketch(spark, wave, store, "t1", k=32, hll_p=6)
+        again = {
+            r["event_type"]: r["estimate"]
+            for r in SS.kmv_report(spark, store, k=32).collect()
+        }
+        assert once == again
