@@ -4342,6 +4342,23 @@ def q184_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantile estimates from the mergeable fixed-grid
+    histogram sketch (functions/sketches.histogram_quantile_estimate,
+    64 bins over the exact per-group span, psi_bin's shared binning
+    expression) — the quantile member of the sketch family. The
+    estimate is the lower edge of the first bin whose cumulative count
+    reaches the nearest-rank target; the true element provably lies in
+    that bin, so within_bound (|err| <= bin width) is an invariant the
+    value-hash gate certifies. Exact elements ride along for
+    calibration."""
+    ev = _t(spark, sf_dir, "events")
+    return SK.histogram_quantile_estimate(
+        ev, "value", ["event_type"], n_bins=64,
+        percentiles=(25, 50, 75, 90, 99),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness gate checks the FIRST 50
     # entries. ROUND-6 ROTATION (VERDICT r5 item #1): the prefix now
@@ -4437,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_lorenz_curve": q182_lorenz_curve,
         "q183_kmv_difference": q183_kmv_difference,
         "q184_rrf_fusion": q184_rrf_fusion,
+        "q185_quantile_sketch": q185_quantile_sketch,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -8230,6 +8248,96 @@ def oracle_sql() -> dict[str, str]:
                CAST(rank_n_tokens AS BIGINT) AS rank_n_tokens,
                CAST(rank_ttr AS BIGINT) AS rank_ttr
         FROM top WHERE fr <= 5
+    """
+    # q185: histogram-quantile sketch — psi_bin's clamped-floor grid
+    # over the exact per-group span, integer nearest-rank targets,
+    # estimate = first bin lower edge whose cum count reaches the
+    # target; exact elements + the |err| <= width invariant ride along
+    out["q185_quantile_sketch"] = """
+        WITH clean AS (
+            SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        bounds AS (
+            SELECT grp, MIN(v) AS rmin, MAX(v) AS rmax,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM clean GROUP BY grp),
+        binned AS (
+            SELECT c.grp,
+                   CAST(COALESCE(LEAST(GREATEST(FLOOR(
+                       (c.v - b.rmin) * 64 / NULLIF(b.rmax - b.rmin, 0.0)),
+                       0), 63), 0) AS INT) AS bin
+            FROM clean c JOIN bounds b USING (grp)),
+        counts AS (
+            SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS c
+            FROM binned GROUP BY grp, bin),
+        cum AS (
+            SELECT grp, bin,
+                   SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cumc
+            FROM counts),
+        est AS (
+            SELECT c.grp,
+                   MIN(CASE WHEN c.cumc >= (25 * b.n + 99) // 100
+                       THEN b.rmin + CAST(c.bin AS DOUBLE)
+                            * ((b.rmax - b.rmin) / 64.0) END) AS e25,
+                   MIN(CASE WHEN c.cumc >= (50 * b.n + 99) // 100
+                       THEN b.rmin + CAST(c.bin AS DOUBLE)
+                            * ((b.rmax - b.rmin) / 64.0) END) AS e50,
+                   MIN(CASE WHEN c.cumc >= (75 * b.n + 99) // 100
+                       THEN b.rmin + CAST(c.bin AS DOUBLE)
+                            * ((b.rmax - b.rmin) / 64.0) END) AS e75,
+                   MIN(CASE WHEN c.cumc >= (90 * b.n + 99) // 100
+                       THEN b.rmin + CAST(c.bin AS DOUBLE)
+                            * ((b.rmax - b.rmin) / 64.0) END) AS e90,
+                   MIN(CASE WHEN c.cumc >= (99 * b.n + 99) // 100
+                       THEN b.rmin + CAST(c.bin AS DOUBLE)
+                            * ((b.rmax - b.rmin) / 64.0) END) AS e99
+            FROM cum c JOIN bounds b USING (grp) GROUP BY c.grp),
+        ranked AS (
+            SELECT grp, v,
+                   ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn
+            FROM clean),
+        exact AS (
+            SELECT r.grp,
+                   MIN(CASE WHEN r.rn >= (25 * b.n + 99) // 100
+                       THEN r.v END) AS x25,
+                   MIN(CASE WHEN r.rn >= (50 * b.n + 99) // 100
+                       THEN r.v END) AS x50,
+                   MIN(CASE WHEN r.rn >= (75 * b.n + 99) // 100
+                       THEN r.v END) AS x75,
+                   MIN(CASE WHEN r.rn >= (90 * b.n + 99) // 100
+                       THEN r.v END) AS x90,
+                   MIN(CASE WHEN r.rn >= (99 * b.n + 99) // 100
+                       THEN r.v END) AS x99
+            FROM ranked r JOIN bounds b USING (grp) GROUP BY r.grp),
+        wide AS (
+            SELECT b.grp, b.n, (b.rmax - b.rmin) / 64.0 AS width,
+                   e.e25, e.e50, e.e75, e.e90, e.e99,
+                   x.x25, x.x50, x.x75, x.x90, x.x99
+            FROM bounds b
+            JOIN est e ON b.grp = e.grp
+            JOIN exact x ON b.grp = x.grp),
+        longf AS (
+            SELECT grp, n, width, 25 AS percentile, e25 AS e, x25 AS x
+            FROM wide
+            UNION ALL
+            SELECT grp, n, width, 50, e50, x50 FROM wide
+            UNION ALL
+            SELECT grp, n, width, 75, e75, x75 FROM wide
+            UNION ALL
+            SELECT grp, n, width, 90, e90, x90 FROM wide
+            UNION ALL
+            SELECT grp, n, width, 99, e99, x99 FROM wide)
+        SELECT grp AS event_type,
+               CAST(percentile AS INT) AS percentile,
+               n,
+               ROUND(width, 6) AS bin_width,
+               ROUND(e, 6) AS q_est,
+               x AS q_exact,
+               ROUND(ABS(e - x), 6) AS abs_err,
+               ABS(e - x) <= width AS within_bound
+        FROM longf
     """
     # q145: leading digit from the integer-cents string; ln-form
     # Benford expectation; round-9-then-decimal chi-square terms

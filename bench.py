@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "q182_lorenz_curve",
     "q183_kmv_difference",
     "q184_rrf_fusion",
+    "q185_quantile_sketch",
 ]
 
 

@@ -758,3 +758,124 @@ def countmin_lookup(
             .alias("cm_estimate"),
         )
     )
+
+
+def histogram_quantile_estimate(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_bins: int = 64,
+    percentiles: Sequence[int] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Quantile estimates from a MERGEABLE fixed-grid histogram sketch
+    — the quantile member of this module's sketch family (HLL =
+    distinct, count-min = frequency, Bloom = membership, KMV = set
+    algebra): per-group equi-width bin counts over the group's exact
+    [min, max] span are O(groups × n_bins) state that merges by
+    elementwise SUM (shards bin identically because the grid is frozen
+    by the bounds pass — the PSI-bin contract, and in fact the SAME
+    binning expression: functions/quality.psi_bin, shared with the
+    batch and streaming drift monitors).
+
+    Estimator: the p-th percentile estimate is the LOWER EDGE of the
+    first bin whose cumulative count reaches the nearest-rank target
+    ceil(p·n/100) (exact integer arithmetic, the
+    grouped_rank_elements convention). The true nearest-rank element
+    provably lies INSIDE that bin, so |error| <= bin width — emitted
+    as ``within_bound``, an invariant column the driver's value-hash
+    gate certifies. The exact element and absolute error ride along
+    for calibration (gate-scale columns; at 100 TB you ship the
+    estimator and the bound, which is the entire point of a quantile
+    sketch).
+
+    Determinism/parity: bin ids are psi_bin's clamped floor over
+    identical IEEE doubles; bin edges are rmin + bin·(rmax−rmin)/n —
+    the same expression text both engines parse; targets and
+    cumulative counts are exact integers. Zero-width groups (one
+    distinct value) collapse to bin 0 with estimate == exact == min.
+
+    Scale shape: one bounds aggregate (O(groups), broadcast back), one
+    map-side-combinable bin count, one window over the O(groups ×
+    n_bins) COLLAPSED frame (bounded — never the row stream), plus the
+    calibration-only exact pass (group_rank_frame device).
+    """
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_rank_elements,
+        psi_bin,
+    )
+
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull() & ~F.isnan(v.cast("double"))).select(
+        *gcols, v.cast("double").alias("__v")
+    )
+    bounds = clean.groupBy(*gcols).agg(
+        F.min("__v").alias("__rmin"),
+        F.max("__v").alias("__rmax"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    binned = (
+        clean.join(F.broadcast(bounds), gcols)
+        .groupBy(
+            *gcols,
+            psi_bin(
+                F.col("__v"), F.col("__rmin"), F.col("__rmax"), n_bins
+            ).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        *gcols, "bin", F.sum("c").over(wcum).alias("__cum")
+    ).join(F.broadcast(bounds), gcols)
+    width = (F.col("__rmax") - F.col("__rmin")) / F.lit(float(n_bins))
+    bin_lo = F.col("__rmin") + F.col("bin").cast("double") * width
+    est_aggs = [
+        F.max("__n").alias("n"),
+        F.max(width).alias("width"),
+    ]
+    for p in percentiles:
+        target = F.expr(f"({int(p)} * __n + 99) div 100")
+        est_aggs.append(
+            F.min(F.when(F.col("__cum") >= target, bin_lo)).alias(
+                f"__e{p}"
+            )
+        )
+    est = cum.groupBy(*gcols).agg(*est_aggs)
+    exact = grouped_rank_elements(
+        clean,
+        gcols,
+        "__v",
+        [(int(p), 100, f"__x{p}") for p in percentiles],
+    )
+    wide = est.join(exact, gcols) if gcols else est.crossJoin(exact)
+    stack_args = ", ".join(
+        f"{int(p)}, __e{p}, __x{p}" for p in percentiles
+    )
+    long = wide.select(
+        *gcols,
+        "n",
+        "width",
+        F.expr(
+            f"stack({len(list(percentiles))}, {stack_args}) "
+            "as (percentile, q_est, q_exact)"
+        ),
+    )
+    return long.select(
+        *gcols,
+        F.col("percentile").cast("int").alias("percentile"),
+        "n",
+        F.round("width", 6).alias("bin_width"),
+        F.round("q_est", 6).alias("q_est"),
+        F.col("q_exact"),
+        F.round(F.abs(F.col("q_est") - F.col("q_exact")), 6).alias(
+            "abs_err"
+        ),
+        (F.abs(F.col("q_est") - F.col("q_exact")) <= F.col("width")).alias(
+            "within_bound"
+        ),
+    )

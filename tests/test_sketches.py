@@ -516,3 +516,72 @@ class TestKmvSetDifference:
             kmv_sketch(df, "k", ["grp"], k=16), "grp", k=16
         )
         assert out.count() == 0
+
+
+class TestHistogramQuantile:
+    """histogram_quantile_estimate: the mergeable-state contract (bin
+    counts sum-merge across shards into the whole's counts), the
+    within-bound invariant, and the exact-collapse edge cases."""
+
+    def test_within_bound_always_and_exact_small(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            histogram_quantile_estimate,
+        )
+
+        rows = [("g", float(v)) for v in range(1, 101)] + [
+            ("h", 5.0) for _ in range(10)
+        ]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = histogram_quantile_estimate(
+            df, "v", ["grp"], n_bins=16, percentiles=(50, 90)
+        ).collect()
+        assert len(out) == 4
+        assert all(r["within_bound"] for r in out)
+        # zero-width group: estimate == exact == the single value
+        hrows = {r["percentile"]: r for r in out if r["grp"] == "h"}
+        assert hrows[50]["q_est"] == 5.0 and hrows[50]["q_exact"] == 5.0
+        assert hrows[50]["bin_width"] == 0.0
+
+    def test_bin_counts_merge_by_sum(self, spark):
+        """The sketch STATE (per-(group, bin) counts over a frozen
+        grid) merges by sum: binning two shards against the SAME
+        bounds and summing equals binning the union."""
+        from big_data_project_datapipeline_spark.functions.quality import (
+            psi_bin,
+        )
+
+        rows = [("g", float(v)) for v in range(200)]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        rmin, rmax, nb = F.lit(0.0), F.lit(199.0), 8
+        def counts(d):
+            return {
+                (r["grp"], r["bin"]): r["c"]
+                for r in d.groupBy(
+                    "grp", psi_bin(F.col("v"), rmin, rmax, nb).alias("bin")
+                )
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            }
+        whole = counts(df)
+        s1 = counts(df.filter(F.col("v") < 77))
+        s2 = counts(df.filter(F.col("v") >= 77))
+        merged = {k: s1.get(k, 0) + s2.get(k, 0) for k in set(s1) | set(s2)}
+        assert merged == whole
+
+    def test_median_estimate_lands_in_right_bin(self, spark):
+        from big_data_project_datapipeline_spark.functions.sketches import (
+            histogram_quantile_estimate,
+        )
+
+        # uniform 0..99, 10 bins of width 9.9: the rank-50 element is
+        # v=49; cum count first reaches 50 in bin 4 (v <= 49, i.e.
+        # v*10/99 < 5), whose lower edge is 4 * 9.9 = 39.6
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(100)], "grp string, v double"
+        )
+        r = histogram_quantile_estimate(
+            df, "v", ["grp"], n_bins=10, percentiles=(50,)
+        ).collect()[0]
+        assert r["q_exact"] == 49.0
+        assert abs(r["q_est"] - 39.6) < 1e-9
+        assert r["abs_err"] <= r["bin_width"]
