@@ -50,8 +50,17 @@ def main() -> None:
         "events": ("event_id", "user_id"),
         "documents": ("doc_id",),
         "orders": ("o_orderkey", "o_custkey"),
+        # q152 AUC reads lineitem; disjoint key shifts as in the sf1
+        # builder (l_partkey too — shared part ids across copies would
+        # multiply support densities artificially)
+        "lineitem": ("l_orderkey", "l_partkey"),
     }
+    import sys
+
+    only = set(sys.argv[1:])
     for table, keys in specs.items():
+        if only and table not in only:
+            continue
         src = f"{SRC}/{table}.parquet"
         cols = [
             r[0] for r in con.sql(f"DESCRIBE SELECT * FROM '{src}'").fetchall()
