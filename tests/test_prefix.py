@@ -225,3 +225,75 @@ class TestGroupedPrefix:
             ).count()
             == 0
         )
+
+
+def test_group_rank_frame_empty_by_matches_global(spark):
+    """group_rank_frame([]) — the global fallback — must match the
+    unpartitioned window forms (rank, cumsum, totals)."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    df = _frame(spark, 53)
+    got = {
+        r["id"]: r
+        for r in group_rank_frame(
+            df, [], ["v", "id"], group_rank_col="r",
+            group_count_col="n", sum_cols=["w"],
+        ).collect()
+    }
+    wa = Window.orderBy("v", "id")
+    was = wa.rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.row_number().over(wa).cast("long").alias("r"),
+            F.sum("w").over(was).alias("w__gcum"),
+        ).collect()
+    }
+    assert len(got) == 53
+    for i, w in want.items():
+        g = got[i]
+        assert (g["r"], g["w__gcum"], g["n"]) == (
+            w["r"],
+            w["w__gcum"],
+            53,
+        ), i
+        assert g["w__gtot"] == sum((j * 13) % 7 for j in range(53))
+
+
+def test_group_rank_frame_multi_col_group(spark):
+    """Multi-column group keys route through an ordered struct key and
+    must match the two-key window forms."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    df = spark.range(97).select(
+        F.col("id").cast("long").alias("id"),
+        (F.col("id") % 3).cast("string").alias("g1"),
+        (F.col("id") % 2).cast("string").alias("g2"),
+        (F.col("id") * 37 % 11).cast("double").alias("v"),
+    )
+    got = {
+        r["id"]: r
+        for r in group_rank_frame(
+            df, ["g1", "g2"], ["v", "id"],
+            group_rank_col="r", group_count_col="n",
+        ).collect()
+    }
+    wg = Window.partitionBy("g1", "g2").orderBy("v", "id")
+    want = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.row_number().over(wg).cast("long").alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("g1", "g2"))
+            .cast("long")
+            .alias("n"),
+        ).collect()
+    }
+    for i, w in want.items():
+        assert (got[i]["r"], got[i]["n"]) == (w["r"], w["n"]), i
