@@ -791,6 +791,24 @@ def jsd_drift(
     bins) state. Never a per-row window.
     """
     full = _drift_bin_counts(df, split_expr, value_col, group_col, n_bins)
+    return jsd_from_bin_counts(
+        full, group_col=group_col, n_bins=n_bins, smoothing=smoothing
+    )
+
+
+def jsd_from_bin_counts(
+    full: DataFrame,
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """JSD from an already-binned complete count frame (grp, bin, cr,
+    cc) — the shared tail of :func:`jsd_drift`, split out (the
+    psi_from_bin_counts pattern) so the streaming drift monitor
+    (streaming/drift.py), which maintains the SAME reference-frozen
+    (group, bin) counts as its PSI fold state, produces bit-equal JSD
+    to the batch operator from the stores alone. Expects every
+    (grp, bin) cell present (zeros included)."""
     tot = full.groupBy("grp").agg(
         F.sum("cr").alias("n_ref"), F.sum("cc").alias("n_cur")
     )

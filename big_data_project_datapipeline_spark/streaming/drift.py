@@ -233,3 +233,46 @@ def stream_drift_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def jsd_report(
+    spark: SparkSession,
+    store_dir: str,
+    group_col: str = "event_type",
+    n_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Jensen–Shannon drift from the SAME stores psi_report reads — the
+    batch q172 operator shares the reference-frozen binning convention
+    with PSI (one `_drift_bin_counts` scaffold), so its tail
+    (quality.jsd_from_bin_counts) runs bit-equal off the frozen
+    reference histogram ⊕ folded current counts, no raw-data rescans.
+    One store, two drift scores.
+
+    (Binned KS is deliberately NOT store-served: q171's convention
+    pools the [min, max] span over BOTH sides, and a frozen-reference
+    monitor cannot know the current side's bounds in advance — its
+    grid is reference-frozen by design.)"""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        jsd_from_bin_counts,
+    )
+
+    ref = spark.read.schema(REFERENCE_SCHEMA).parquet(
+        os.path.join(store_dir, "reference")
+    )
+    cur = spark.read.schema(CUR_SCHEMA).parquet(
+        os.path.join(store_dir, "counts")
+    )
+    full = (
+        ref.select("grp", "bin", "cr")
+        .join(cur, ["grp", "bin"], "left")
+        .select(
+            "grp",
+            "bin",
+            "cr",
+            F.coalesce(F.col("cc"), F.lit(0)).cast("long").alias("cc"),
+        )
+    )
+    return jsd_from_bin_counts(
+        full, group_col=group_col, n_bins=n_bins, smoothing=smoothing
+    )

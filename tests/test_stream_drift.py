@@ -125,3 +125,33 @@ def test_structured_stream_drain_matches_batch(spark, store, tmp_path):
         for r in SD.psi_report(spark, store).collect()
     }
     assert got2 == got
+
+
+def test_jsd_report_bit_equal_batch(spark, store):
+    """jsd_report reads the SAME stores as psi_report and must be
+    bit-equal to the batch q172 operator over the folded union —
+    one store, two drift scores."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        jsd_drift,
+    )
+
+    ref = _ev(spark, _ref_rows())
+    wave1 = _ev(spark, [("a", CUR_T, float(v) + 20.0) for v in range(30)])
+    wave2 = _ev(
+        spark,
+        [("a", CUR_T, float(v) + 55.0) for v in range(30)]
+        + [("b", CUR_T, -5.0), ("b", CUR_T, 99.0)],
+    )
+    SD.freeze_reference(ref, store)
+    SD.maintain_drift_counts(spark, wave1, store, batch_id="t1")
+    SD.maintain_drift_counts(spark, wave2, store, batch_id="t2")
+    got = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["jsd"])
+        for r in SD.jsd_report(spark, store).collect()
+    }
+    batch = ref.unionByName(wave1).unionByName(wave2)
+    expected = {
+        r["event_type"]: (r["n_ref"], r["n_cur"], r["jsd"])
+        for r in jsd_drift(batch, _split()).collect()
+    }
+    assert got == expected
