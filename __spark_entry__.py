@@ -8126,7 +8126,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(point AS INT) AS point,
                CAST(n AS BIGINT) AS n_entities,
                CAST(r AS BIGINT) AS top_entities,
-               ROUND(CAST(cw AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+               ROUND(CAST(cw AS DOUBLE) / NULLIF(CAST(tw AS DOUBLE), 0.0), 6)
                    AS cum_value_share
         FROM pts
     """

@@ -2548,9 +2548,14 @@ def lorenz_concentration(
         F.col("point").cast("int").alias("point"),
         F.col("__n").alias("n_entities"),
         F.col("__r").alias("top_entities"),
+        # nullif guard: a group whose values sum to exactly 0 divides
+        # by zero — Spark's non-ANSI division yields NULL, DuckDB's
+        # IEEE double division yields inf/NaN. NULL on both sides
+        # (mirrored NULLIF in the q182 oracle) is the cross-engine
+        # contract, matching the rest of this module (ADVICE r6).
         F.round(
             F.col("__w__gcum").cast("double")
-            / F.col("__w__gtot").cast("double"),
+            / F.nullif(F.col("__w__gtot").cast("double"), F.lit(0.0)),
             6,
         ).alias("cum_value_share"),
     )
@@ -2566,10 +2571,18 @@ def rrf_fusion(
 ) -> DataFrame:
     """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
     of multiple per-group rankings: each scoring signal ranks the
-    group's items DESCENDING (ties broken by item id), and the fused
-    score is Σ_s 1/(c + rank_s) — the standard score-free way to merge
+    group's items with a NON-NULL score DESCENDING (ties broken by
+    item id), and the fused score is Σ_s 1/(c + rank_s) over the
+    signals that rank the item — the standard score-free way to merge
     heterogeneous retrievers (BM25 + dense, quality + freshness).
     Returns the fused top-``k`` per group with each signal's rank.
+
+    NULL-score contract (ADVICE r6): an item NULL in one signal simply
+    lacks that signal's term (Cormack et al. sum over the runs
+    containing the document) — it stays in the fusion via the signals
+    that DO score it, its ``rank_<s>`` for the missing signal is NULL,
+    and the other signals' rank pools are unaffected. Only items NULL
+    in every signal drop out entirely.
 
     Determinism/parity: ranks are integers from total orders
     (−score, item) — descending by exact IEEE negation; the fused
@@ -2604,10 +2617,17 @@ def rrf_fusion(
             group_rank_col=f"rank_{s}",
             group_count_col=None,
         ).select("grp", "item", f"rank_{s}")
-        fused = r if fused is None else fused.join(r, ["grp", "item"])
+        # FULL outer: an item unranked by one signal keeps its other
+        # signals' terms (NULL-score contract above); name-list joins
+        # coalesce the key columns.
+        fused = r if fused is None else fused.join(r, ["grp", "item"], "full")
     expr = None
     for s in score_cols:
-        term = F.lit(1.0) / (F.lit(float(c)) + F.col(f"rank_{s}").cast("double"))
+        term = F.coalesce(
+            F.lit(1.0)
+            / (F.lit(float(c)) + F.col(f"rank_{s}").cast("double")),
+            F.lit(0.0),
+        )
         expr = term if expr is None else expr + term
     scored = fused.select(
         "grp", "item", *[f"rank_{s}" for s in score_cols],

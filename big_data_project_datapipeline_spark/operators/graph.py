@@ -31,6 +31,12 @@ from big_data_project_datapipeline_spark.operators.caching import (
     attach_cache_release,
 )
 
+# HITS contribution-accumulator type. Module-level so the overflow
+# regression test can shrink the ceiling and exercise the NULL-score
+# detector without a 1e8-edge graph; production value documented in
+# hits()'s docstring.
+_HITS_DEC = "decimal(28,12)"
+
 
 def pagerank(
     edges: DataFrame,
@@ -179,7 +185,7 @@ def hits(
             e_src.join(hubs.withColumnRenamed("node", src), src)
             .select(
                 F.col(dst).alias("node"),
-                F.col("h").cast("decimal(28,12)").alias("w"),
+                F.col("h").cast(_HITS_DEC).alias("w"),
             )
             .groupBy("node")
             .agg(F.sum("w").cast("double").alias("a"))
@@ -188,7 +194,7 @@ def hits(
             e_dst.join(auths.withColumnRenamed("node", dst), dst)
             .select(
                 F.col(src).alias("node"),
-                F.col("a").cast("decimal(28,12)").alias("w"),
+                F.col("a").cast(_HITS_DEC).alias("w"),
             )
             .groupBy("node")
             .agg(F.sum("w").cast("double").alias("h"))
@@ -202,7 +208,7 @@ def hits(
             hubs = hubs.persist()
             sweep_persists.append(hubs)
             s = hubs.agg(
-                F.sum(F.col("h").cast("decimal(28,12)"))
+                F.sum(F.col("h").cast(_HITS_DEC))
                 .cast("double")
                 .alias("s")
             ).first()["s"]
@@ -217,22 +223,45 @@ def hits(
     # shuffle at sf1). One O(nodes) persist runs the chain once; the
     # hub pass fills the cache and the state join reads it.
     auths = auths.persist()
+    # Presence markers distinguish a legitimate left-join miss (node
+    # with no in/out edges — score exactly 0) from an overflow-to-NULL
+    # score (node PRESENT in its frame with a NULL sum): the final-
+    # maxima guard below only witnesses the NO-overflow case (maxima
+    # are monotone across sweeps only while no sum term has been
+    # NULL-dropped — an INTERMEDIATE overflow can depress later scores
+    # below 1e15 and slip past it, ADVICE r6). The marker columns fold
+    # the NULL check into the existing state pass at zero extra jobs.
     state = (
-        nodes.join(hubs, "node", "left")
-        .join(auths, "node", "left")
+        nodes.join(hubs.withColumn("__hp", F.lit(1)), "node", "left")
+        .join(auths.withColumn("__ap", F.lit(1)), "node", "left")
         .select(
             "node",
             F.coalesce(F.col("h"), F.lit(0.0)).alias("h"),
             F.coalesce(F.col("a"), F.lit(0.0)).alias("a"),
+            (F.col("__hp").isNotNull() & F.col("h").isNull())
+            .cast("int")
+            .alias("__hnull"),
+            (F.col("__ap").isNotNull() & F.col("a").isNull())
+            .cast("int")
+            .alias("__anull"),
         )
         .persist()
     )
     sums = state.agg(
-        F.sum(F.col("h").cast("decimal(28,12)")).cast("double").alias("sh"),
-        F.sum(F.col("a").cast("decimal(28,12)")).cast("double").alias("sa"),
+        F.sum(F.col("h").cast(_HITS_DEC)).cast("double").alias("sh"),
+        F.sum(F.col("a").cast(_HITS_DEC)).cast("double").alias("sa"),
         F.max(F.abs(F.col("h"))).alias("mh"),
         F.max(F.abs(F.col("a"))).alias("ma"),
+        F.sum("__hnull").alias("nh"),
+        F.sum("__anull").alias("na"),
     ).first()
+    if (sums["nh"] or 0) + (sums["na"] or 0) > 0:
+        raise ValueError(
+            "hits(): NULL hub/auth scores after the sweep loop — a "
+            f"{_HITS_DEC} contribution sum overflowed mid-run (Spark's "
+            "non-ANSI overflow-to-NULL). Rerun with n_iter > 3 "
+            "(per-sweep normalization) or pre-scale the graph."
+        )
     if not per_sweep_norm and max(sums["mh"] or 0.0, sums["ma"] or 0.0) >= 1e15:
         raise ValueError(
             "hits(): unnormalized scores reached 1e15 — within 10x of "

@@ -168,6 +168,12 @@ def grouped_prefix(
     with two partition-LOCAL sorts (both windows partition by __pid —
     uniform, high-card — never by the group).
 
+    NULL group keys are ordinary groups (the Window.partitionBy and
+    GROUP BY semantics): the key is carried as a one-field struct so
+    the totals groupBy, offset windows, and emit join all treat NULL
+    null-safely (ADVICE r6 fix; a plain equi-join dropped NULL-group
+    rows the offsets pass had counted).
+
     CONTRACT: intended for group cardinalities where O(partitions ×
     groups) stays a broadcastable frame (monitoring/report groups:
     event types, sources, languages...). For high-cardinality groups
@@ -181,10 +187,24 @@ def grouped_prefix(
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
     cols = [F.col(c) for c in order_cols]
-    part = df.repartitionByRange(*cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # NULL-SAFE group key (ADVICE r6, high): the emit pass re-joins the
+    # offsets frame on the group key, and a plain equi-join drops NULL
+    # keys — while the offsets windows COUNT them (NULLS FIRST in the
+    # group-major sort), corrupting every later group's offsets. The
+    # Window.partitionBy forms this device replaces treat NULL as an
+    # ordinary group, and so do the DuckDB oracles' GROUP BYs. Wrapping
+    # the key in a one-field struct (never NULL; struct comparison and
+    # join equality treat NULL fields as equal — the same trick the
+    # multi-column group_rank_frame path already relies on) makes the
+    # groupBy, all four offset windows, and the emit join agree on NULL
+    # groups while staying a BroadcastHashJoin.
+    gk = "__gpk"
+    part = (
+        df.repartitionByRange(*cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(gk, F.struct(F.col(group_col)))
     )
-    totals = part.groupBy("__pid", group_col).agg(
+    totals = part.groupBy("__pid", gk).agg(
         F.count(F.lit(1)).cast("long").alias("__cnt"),
         *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
     )
@@ -212,11 +232,11 @@ def grouped_prefix(
     # rows per group — the group key is only ever a window key on
     # this tiny frame, never on the O(rows) frame).
     wgrp = (
-        Window.partitionBy(group_col)
+        Window.partitionBy(gk)
         .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wgall = Window.partitionBy(group_col)
+    wgall = Window.partitionBy(gk)
     # __gstart: where this group's block starts WITHIN its partition
     # under a group-major sort — lets the emit pass derive the
     # within-(pid, group) position from a row_number that partitions
@@ -226,12 +246,12 @@ def grouped_prefix(
     # are the cheaper trade).
     wstart = (
         Window.partitionBy("__pid")
-        .orderBy(group_col)
+        .orderBy(gk)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off_sel = [
         F.col("__pid"),
-        F.col(group_col),
+        F.col(gk),
         F.coalesce(F.sum("__cnt").over(woff), F.lit(0).cast("long")).alias(
             "__off"
         ),
@@ -258,7 +278,7 @@ def grouped_prefix(
         off_sel.append(F.sum(sc).over(wgall).alias(f"{c}__gtot"))
     joff = totals.select(*off_sel)
     wp = Window.partitionBy("__pid").orderBy(*order_cols)
-    wpo = Window.partitionBy("__pid").orderBy(group_col, *order_cols)
+    wpo = Window.partitionBy("__pid").orderBy(gk, *order_cols)
     wpos = wpo.rowsBetween(Window.unboundedPreceding, 0)
     sel = [F.col(c) for c in df.columns]
     if rank_col is not None:
@@ -289,7 +309,7 @@ def grouped_prefix(
             ).alias(f"{c}__gcum")
         )
         sel.append(F.col(f"{c}__gtot"))
-    return part.join(F.broadcast(joff), ["__pid", group_col]).select(*sel)
+    return part.join(F.broadcast(joff), ["__pid", gk]).select(*sel)
 
 
 def group_rank_frame(

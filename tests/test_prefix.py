@@ -206,6 +206,62 @@ class TestGroupedPrefix:
                 w["w__gtot"],
             ), i
 
+    def test_null_group_rows_kept_and_ranked(self, spark):
+        """ADVICE r6 (high): the emit join must be null-safe on the
+        group key — NULL-group rows are ordinary groups to the window
+        forms this device replaces AND to the DuckDB oracles' GROUP BY,
+        and the offsets pass counts them, so dropping them at the join
+        corrupted every later group's ranks/cumsums."""
+        from big_data_project_datapipeline_spark.operators.prefix import (
+            grouped_prefix,
+        )
+
+        df = _gframe(spark, 101).withColumn(
+            "grp",
+            F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(
+                F.col("grp")
+            ),
+        )
+        got = {
+            r["id"]: r
+            for r in grouped_prefix(
+                df,
+                ["v", "id"],
+                "grp",
+                rank_col="p",
+                group_rank_col="r",
+                group_count_col="ng",
+                sum_cols=["w"],
+            ).collect()
+        }
+        wg = Window.partitionBy("grp").orderBy("v", "id")
+        wgs = wg.rowsBetween(Window.unboundedPreceding, 0)
+        wa = Window.orderBy("v", "id")
+        want = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                F.row_number().over(wa).cast("long").alias("p"),
+                F.row_number().over(wg).cast("long").alias("r"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy("grp"))
+                .cast("long")
+                .alias("ng"),
+                F.sum("w").over(wgs).alias("w__gcum"),
+                F.sum("w").over(Window.partitionBy("grp")).alias("w__gtot"),
+            ).collect()
+        }
+        assert len(got) == len(want) == 101
+        for i, w in want.items():
+            g = got[i]
+            assert (
+                g["p"],
+                g["r"],
+                g["ng"],
+                g["w__gcum"],
+                g["w__gtot"],
+            ) == (w["p"], w["r"], w["ng"], w["w__gcum"], w["w__gtot"]), i
+
     def test_single_group_and_empty(self, spark):
         from big_data_project_datapipeline_spark.operators.prefix import (
             grouped_prefix,
@@ -295,5 +351,46 @@ def test_group_rank_frame_multi_col_group(spark):
             .alias("n"),
         ).collect()
     }
+    for i, w in want.items():
+        assert (got[i]["r"], got[i]["n"]) == (w["r"], w["n"]), i
+
+
+def test_group_rank_frame_multi_col_null_keys(spark):
+    """NULL fields inside a multi-column group key must form ordinary
+    groups (struct-key null-safety, the ADVICE r6 join fix)."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    df = spark.range(89).select(
+        F.col("id").cast("long").alias("id"),
+        F.when(F.col("id") % 3 == 0, F.lit(None))
+        .otherwise((F.col("id") % 3).cast("string"))
+        .alias("g1"),
+        F.when(F.col("id") % 5 == 0, F.lit(None))
+        .otherwise((F.col("id") % 2).cast("string"))
+        .alias("g2"),
+        (F.col("id") * 37 % 11).cast("double").alias("v"),
+    )
+    got = {
+        r["id"]: r
+        for r in group_rank_frame(
+            df, ["g1", "g2"], ["v", "id"],
+            group_rank_col="r", group_count_col="n",
+        ).collect()
+    }
+    wg = Window.partitionBy("g1", "g2").orderBy("v", "id")
+    want = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            F.row_number().over(wg).cast("long").alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("g1", "g2"))
+            .cast("long")
+            .alias("n"),
+        ).collect()
+    }
+    assert len(got) == 89
     for i, w in want.items():
         assert (got[i]["r"], got[i]["n"]) == (w["r"], w["n"]), i

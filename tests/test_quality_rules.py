@@ -1563,6 +1563,24 @@ class TestLorenzConcentration:
             (d, 2) for d in range(6, 11)
         }
 
+    def test_zero_total_group_yields_null_share(self, spark):
+        """ADVICE r6: a group whose values sum to exactly 0 must yield
+        NULL shares on both engines (nullif-guarded division), not a
+        Spark-NULL / DuckDB-inf parity break."""
+        from big_data_project_datapipeline_spark.functions.quality import (
+            lorenz_concentration,
+        )
+
+        df = spark.createDataFrame(
+            [("z", 1, 5.0), ("z", 2, -5.0), ("g", 1, 10.0)],
+            "grp string, cust long, spend double",
+        )
+        out = lorenz_concentration(df, "spend", "cust", "grp", 2).collect()
+        z = [r for r in out if r["grp"] == "z"]
+        g = [r for r in out if r["grp"] == "g"]
+        assert z and all(r["cum_value_share"] is None for r in z)
+        assert g and all(r["cum_value_share"] == 1.0 for r in g)
+
 
 class TestRrfFusion:
     def test_hand_computed_fusion(self, spark):
@@ -1598,3 +1616,33 @@ class TestRrfFusion:
             rows, "grp string, item long, a double, b double"
         )
         assert rrf_fusion(df, ["a", "b"], "item", "grp", k=4).count() == 4
+
+    def test_null_score_keeps_item_and_other_ranks(self, spark):
+        """ADVICE r6: an item NULL in one signal keeps the other
+        signals' terms (sum over runs containing the document) and must
+        not shift the other items' ranks in any signal."""
+        from big_data_project_datapipeline_spark.functions.quality import (
+            rrf_fusion,
+        )
+
+        # item 20 has no b score; a ranks 10,20,30 -> 1,2,3 and
+        # b ranks 10,30 -> 2,1 (unshifted by 20's absence)
+        rows = [
+            ("g", 10, 3.0, 1.0),
+            ("g", 20, 2.0, None),
+            ("g", 30, 1.0, 3.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "grp string, item long, a double, b double"
+        )
+        out = {
+            r["item"]: r
+            for r in rrf_fusion(
+                df, ["a", "b"], "item", "grp", k=3, c=60
+            ).collect()
+        }
+        assert set(out) == {10, 20, 30}
+        assert out[20]["rank_a"] == 2 and out[20]["rank_b"] is None
+        assert out[10]["rank_b"] == 2 and out[30]["rank_b"] == 1
+        assert out[20]["rrf_score"] == round(1.0 / 62.0, 6)
+        assert out[10]["rrf_score"] == round(1.0 / 61.0 + 1.0 / 62.0, 6)

@@ -684,3 +684,30 @@ def test_hits_deep_run_normalizes_per_sweep(spark):
         assert out[n]["hub"] == pytest.approx(h[n] / sh, abs=2e-6), n
         assert out[n]["auth"] == pytest.approx(a[n] / sa, abs=2e-6), n
     assert sum(r["hub"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_hits_mid_run_overflow_raises(spark, monkeypatch):
+    """ADVICE r6: an INTERMEDIATE decimal overflow NULL-drops sum terms
+    and can depress the final maxima below the 1e15 guard, so the fast
+    path must also detect NULL scores after the loop (a score NULL
+    while its node is PRESENT in the sum frame is overflow, never a
+    missing-edge zero). Under Spark 4's default ANSI mode an overflow
+    raises at execution instead, so the detector is defense-in-depth
+    for non-ANSI deployments — pinned off here to simulate one. The
+    accumulator width shrinks to decimal(4,2) (ceiling 99.99) so a
+    20-spoke star overflows on sweep 2: h(src) reaches 20, then
+    a(dst) = 400's next cast NULLs mid-run while every surviving
+    score stays far below any final-maxima threshold."""
+    from big_data_project_datapipeline_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_HITS_DEC", "decimal(4,2)")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        edges = spark.createDataFrame(
+            [(i, 100) for i in range(20)], "src long, dst long"
+        )
+        with pytest.raises(ValueError, match="NULL hub/auth"):
+            graph.hits(edges, n_iter=3).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
