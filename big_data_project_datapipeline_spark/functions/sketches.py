@@ -410,6 +410,7 @@ def _kmv_pair_stats(sketch: DataFrame, group_col: str, k: int):
     own the persisted frame (attach_cache_release on their result)."""
     spark = sketch.sparkSession
     s = sketch.select(F.col(group_col).alias("g"), "h").persist()
+    # collect-ok: O(distinct monitor groups), doubles as materialization
     groups = sorted(r["g"] for r in s.select("g").distinct().collect())
     pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1:]]
     if not pairs:

@@ -530,6 +530,7 @@ def markov_removal_attribution(
             "conv_state collides with a reserved sentinel state "
             f"({conv_state!r}); rename the conversion event"
         )
+    # collect-ok: O(states^2) transition matrix (bounded chain solve)
     trows = [(r["src"], r["dst"], r["p"]) for r in trans.collect()]
     # Sentinel-collision guard (ADVICE r5): the chain reserves 'START'
     # and 'NULL' as virtual states. A REAL event named 'NULL' would

@@ -75,6 +75,7 @@ def merge_into_partitioned(
         # mismatch) must propagate: treating it as "first write" would
         # dynamic-overwrite touched partitions with only the new rows and
         # silently drop the existing rows that should have been merged.
+        # collect-ok: O(distinct partition values) manifest
         touched = [
             r[0] for r in new.select(partition_col).distinct().collect()
         ]
@@ -571,6 +572,7 @@ def delete_where(
     import shutil
 
     existing = spark.read.parquet(path)
+    # collect-ok: O(distinct partition values) manifest
     touched = [
         r[0]
         for r in existing.filter(condition)

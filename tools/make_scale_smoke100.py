@@ -50,6 +50,10 @@ def main() -> None:
         "events": ("event_id", "user_id"),
         "documents": ("doc_id",),
         "orders": ("o_orderkey", "o_custkey"),
+        # q117 IVF-PQ third-decade smoke: 100x vectors; per-copy 1e-6
+        # component shift keeps copies distinct (organic-ish vector
+        # growth) while the 20 probe queries stay the copy-0 originals
+        "embeddings": ("vec_id",),
         # q152 AUC reads lineitem; disjoint key shifts as in the sf1
         # builder (l_partkey too — shared part ids across copies would
         # multiply support densities artificially)
@@ -75,6 +79,11 @@ def main() -> None:
                     return f"value + {c} * 1e-7 AS value"
                 if table == "orders" and col == "o_totalprice":
                     return f"o_totalprice + {c} * 1e-7 AS o_totalprice"
+                if table == "embeddings" and col == "embedding":
+                    return (
+                        f"CAST(list_transform(embedding, "
+                        f"x -> x + {c} * 1e-6) AS FLOAT[]) AS embedding"
+                    )
                 if table == "documents" and col == "text":
                     # bijective token rename per copy: isomorphic
                     # corpora, zero cross-copy shingle overlap

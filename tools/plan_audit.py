@@ -108,12 +108,51 @@ def _unpartitioned_windows(plan: str) -> int:
     return n
 
 
+_ACTION_RE = re.compile(r"\.(collect|first|toPandas)\(\)")
+# A driver-side materialization is acceptable only when the frame is
+# provably O(k): an aggregate (`.agg(`), an explicit `.limit(`, or a
+# site annotated `# collect-ok: <reason>` (low-cardinality contracts
+# like O(states²) Markov transitions or O(partitions) sink manifests).
+# The marker forces every new collect() to state its bound — the
+# invariant VERDICT r6 asked the audit to pin (item #6).
+_BOUNDED_RE = re.compile(r"\.agg\(|\.limit\(|collect-ok:")
+_LOOKBACK = 12
+
+
+def collect_site_violations(pkg_dir: str) -> list[str]:
+    """Scan package sources for unbounded driver materializations."""
+    bad: list[str] = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            with open(path, encoding="utf-8") as fh:
+                lines = fh.readlines()
+            for i, line in enumerate(lines):
+                if not _ACTION_RE.search(line):
+                    continue
+                ctx = "".join(lines[max(0, i - _LOOKBACK): i + 1])
+                if not _BOUNDED_RE.search(ctx):
+                    rel = os.path.relpath(path, os.path.dirname(pkg_dir))
+                    bad.append(
+                        f"collect-site: {rel}:{i + 1} driver "
+                        "materialization with no limit/agg/collect-ok "
+                        "marker in reach"
+                    )
+    return bad
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark(app_name="plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
-    violations: list[str] = []
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "big_data_project_datapipeline_spark",
+    )
+    violations: list[str] = collect_site_violations(pkg)
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()

@@ -38,6 +38,12 @@ QUERIES = [
     "q154_acf",
     "q147_mean_shift",
     "q84_equal_freq_bins",
+    # round-7 additions (VERDICT r6 item #5): the remaining heavy
+    # families not yet measured at the third decade
+    "q117_ann_ivfpq",
+    "q99_substring_dedup",
+    "q138_containment_dedup",
+    "q61_chunk_dedup",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
