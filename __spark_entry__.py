@@ -4433,6 +4433,18 @@ _GATE_PREFIX = [
 ]
 
 
+def q186_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep (functions/dedup.dedup_yield_curve):
+    per candidate Jaccard threshold, the doc- and token-level yield
+    the corpus keeps — the tuning curve read before fixing a dedup
+    threshold. Candidate-ancestor selection is threshold-independent,
+    so each row is the EXACT minhash_dedup_decision(threshold=t)
+    outcome; one LSH+verify pass, one conditional aggregate, map-only
+    explode to O(|thresholds|) rows."""
+    d = _t(spark, sf_dir, "documents")
+    return D.dedup_yield_curve(d, num_hashes=16, band_size=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -4510,6 +4522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_kmv_difference": q183_kmv_difference,
         "q184_rrf_fusion": q184_rrf_fusion,
         "q185_quantile_sketch": q185_quantile_sketch,
+        # Round-7 addition — bit-checked locally at both gate SFs,
+        # first in line for the round-8 prefix rotation.
+        "q186_dedup_yield_curve": q186_dedup_yield_curve,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -8187,6 +8202,38 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(cw AS DOUBLE) / NULLIF(CAST(tw AS DOUBLE), 0.0), 6)
                    AS cum_value_share
         FROM pts
+    """
+    # q186: dedup yield curve — the shared minhash CTE's verified
+    # frame (threshold-independent candidate ancestors, RAW jaccard),
+    # token counts, and one conditional aggregate per threshold;
+    # NULLIF mirrors the Spark-side zero-corpus guards
+    out["q186_dedup_yield_curve"] = f"""
+        WITH {minhash_cte},
+        tok AS (
+            SELECT doc_id,
+                   CAST(length({tokens_sql}) AS BIGINT) AS ntok
+            FROM documents),
+        best AS (
+            SELECT t.doc_id, t.ntok, v.jaccard
+            FROM tok t LEFT JOIN verified v ON t.doc_id = v.doc_id),
+        thr AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+        SELECT thr.threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN b.jaccard >= thr.threshold
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+               ROUND(CAST(COUNT(*) - SUM(CASE WHEN b.jaccard >= thr.threshold
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                     / NULLIF(CAST(COUNT(*) AS DOUBLE), 0.0), 6)
+                   AS docs_kept_frac,
+               CAST(SUM(b.ntok) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN b.jaccard >= thr.threshold
+                        THEN b.ntok ELSE 0 END) AS BIGINT) AS n_dup_tokens,
+               ROUND(CAST(SUM(b.ntok) - SUM(CASE WHEN b.jaccard >= thr.threshold
+                                            THEN b.ntok ELSE 0 END) AS DOUBLE)
+                     / NULLIF(CAST(SUM(b.ntok) AS DOUBLE), 0.0), 6)
+                   AS tokens_kept_frac
+        FROM best b CROSS JOIN thr
+        GROUP BY thr.threshold
     """
     # q183: KMV set difference — q178's union-sample scaffolding with
     # per-side membership counts; the oracle's bottom-k is UNFILTERED

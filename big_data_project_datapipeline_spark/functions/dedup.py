@@ -23,6 +23,8 @@ every step oracle-checkable.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -330,6 +332,49 @@ def minhash_dedup(
     )
 
 
+def _verified_ancestors(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    band_size: int,
+) -> DataFrame:
+    """Threshold-independent candidate-ancestor verify (the shared core
+    of :func:`minhash_dedup_decision` and :func:`dedup_yield_curve`):
+    band the signatures, bucket-min union-find approximation, exact
+    Jaccard verify of the <= n (doc -> ancestor) pairs. Returns
+    (left_id, right_id, jaccard) with RAW (unrounded) jaccard — the
+    column decisions compare against."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
+    )
+    bucket_min = banded.groupBy("band", "band_key").agg(
+        F.min(id_col).alias("bucket_min")
+    )
+    anc = (
+        banded.join(bucket_min, ["band", "band_key"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_min").alias("candidate_ancestor"))
+    )
+    cand_pairs = anc.filter(F.col("candidate_ancestor") < F.col(id_col)).select(
+        F.col("candidate_ancestor").alias("left_id"), F.col(id_col).alias("right_id")
+    )
+    return jaccard_pairs(df, cand_pairs, text_col, id_col)
+
+
 def minhash_dedup_decision(
     df: DataFrame,
     text_col: str = "text",
@@ -358,34 +403,7 @@ def minhash_dedup_decision(
     """
     if band_size is None:
         _, band_size = solve_banding(threshold, num_hashes)
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
-    n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key")
-    )
-    bucket_min = banded.groupBy("band", "band_key").agg(
-        F.min(id_col).alias("bucket_min")
-    )
-    anc = (
-        banded.join(bucket_min, ["band", "band_key"])
-        .groupBy(id_col)
-        .agg(F.min("bucket_min").alias("candidate_ancestor"))
-    )
-    cand_pairs = anc.filter(F.col("candidate_ancestor") < F.col(id_col)).select(
-        F.col("candidate_ancestor").alias("left_id"), F.col(id_col).alias("right_id")
-    )
-    verified = jaccard_pairs(df, cand_pairs, text_col, id_col)
+    verified = _verified_ancestors(df, text_col, id_col, num_hashes, band_size)
     return (
         df.select(id_col)
         .join(
@@ -405,6 +423,100 @@ def minhash_dedup_decision(
             .otherwise(F.lit(1))
             .alias("is_kept"),
         )
+    )
+
+
+def dedup_yield_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 8,
+    thresholds: Sequence[float] = (0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Near-dup threshold sweep: for each candidate Jaccard threshold,
+    the doc- and token-level yield the corpus would keep — the tuning
+    curve a pipeline reads BEFORE fixing its dedup threshold (too low
+    burns good data, too high ships near-dup clusters into training).
+
+    Exactness: :func:`minhash_dedup_decision`'s candidate-ancestor
+    selection is threshold-INDEPENDENT (bucket-min union-find, then
+    one exact-Jaccard verify per doc), so the docs dropped at
+    threshold t are exactly the docs whose verified ancestor jaccard
+    is >= t — the curve is the true per-threshold decision yield, not
+    a sample. Threshold compares are IEEE-exact cross-engine (same
+    division, same literal).
+
+    Scale shape: signatures -> LSH -> verify run ONCE (the O(n)
+    decision path); the sweep itself is ONE conditional aggregate
+    (2·|thresholds| sums, map-side combinable) collapsing to a single
+    row, then a map-only explode to O(|thresholds|) output rows.
+    Adding thresholds costs columns, not passes.
+    """
+    verified = _verified_ancestors(
+        df, text_col, id_col, num_hashes, band_size
+    )
+    # RAW jaccard (not the decision surface's round(6) copy): the drop
+    # decision at threshold t compares the exact verify division, so
+    # the curve and minhash_dedup_decision(threshold=t) agree bit-wise
+    # — and so does the oracle's unrounded compare.
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__ntok"),
+    ).join(
+        verified.select(F.col("right_id").alias(id_col), "jaccard"),
+        id_col,
+        "left",
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("__ntok"), F.lit(0)).cast("long").alias("n_tokens"),
+    ]
+    for i, t in enumerate(thresholds):
+        hit = F.col("jaccard") >= F.lit(float(t))
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"__d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(hit, F.col("__ntok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"__t{i}")
+        )
+    one = per_doc.agg(*aggs)
+    row = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(t)).alias("threshold"),
+                    F.col(f"__d{i}").alias("nd"),
+                    F.col(f"__t{i}").alias("nt"),
+                )
+                for i, t in enumerate(thresholds)
+            ]
+        )
+    )
+    # empty-corpus contract: SUMs over zero rows are NULL — coalesce to
+    # zero counts so the curve still reports its 5 threshold rows (a
+    # GROUP-BY SQL mirror emits zero rows instead; gate corpora are
+    # non-empty, and the divergence is pinned in the unit test)
+    nd = F.coalesce(F.col("r.nd"), F.lit(0).cast("long"))
+    nt = F.coalesce(F.col("r.nt"), F.lit(0).cast("long"))
+    return one.select("n_docs", "n_tokens", row.alias("r")).select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("n_docs"),
+        nd.alias("n_dup_docs"),
+        F.round(
+            (F.col("n_docs") - nd).cast("double")
+            / F.nullif(F.col("n_docs").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("docs_kept_frac"),
+        F.col("n_tokens"),
+        nt.alias("n_dup_tokens"),
+        F.round(
+            (F.col("n_tokens") - nt).cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("tokens_kept_frac"),
     )
 
 

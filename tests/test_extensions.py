@@ -294,6 +294,37 @@ def test_resolve_dup_clusters_chains(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_dedup_yield_curve_hand_computed(spark):
+    """Exact clone (J=1.0, LSH-guaranteed candidate) drops at every
+    threshold; the unique doc never does. Token yield = 8/13."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta eps"),
+            (2, "alpha beta gamma delta eps"),
+            (3, "xx yy zz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["threshold"]: r for r in D.dedup_yield_curve(df).collect()}
+    assert set(out) == {0.5, 0.6, 0.7, 0.8, 0.9}
+    for t, r in out.items():
+        assert r["n_docs"] == 3 and r["n_tokens"] == 13, t
+        assert r["n_dup_docs"] == 1 and r["n_dup_tokens"] == 5, t
+        assert r["docs_kept_frac"] == round(2 / 3, 6), t
+        assert r["tokens_kept_frac"] == round(8 / 13, 6), t
+
+
+def test_dedup_yield_curve_empty_corpus(spark):
+    """Zero-corpus guard: fractions are NULL (nullif), counts zero."""
+    df = spark.createDataFrame([], "doc_id long, text string")
+    rows = D.dedup_yield_curve(df).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_docs"] == 0 and r["n_dup_docs"] == 0
+        assert r["docs_kept_frac"] is None
+        assert r["tokens_kept_frac"] is None
+
+
 def test_resolve_dup_clusters_plan_growth_bounded(spark):
     """VERDICT r6 item #4: per-round localCheckpoint truncates the
     lineage to a LogicalRDD leaf, so the final plan stays O(1) in
