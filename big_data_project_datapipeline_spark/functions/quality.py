@@ -2602,10 +2602,18 @@ def rrf_fusion(
         group_rank_frame,
     )
 
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
+
+    # group_rank_frame scans its input twice (totals + emit, the
+    # module's two-pass contract), so |signals| rank frames would
+    # otherwise recompute the caller's upstream (q184: tokenization)
+    # 2x|signals| times — persist the projected base once.
     base = df.select(
         F.col(group_col).alias("grp"), F.col(item_col).alias("item"),
         *[F.col(s) for s in score_cols],
-    )
+    ).persist()
     fused = None
     for s in score_cols:
         r = group_rank_frame(
@@ -2634,7 +2642,7 @@ def rrf_fusion(
         expr.alias("__rrf"),
     )
     w = Window.partitionBy("grp").orderBy(F.desc("__rrf"), F.asc("item"))
-    return (
+    out = (
         scored.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= k)
         .select(
@@ -2645,3 +2653,4 @@ def rrf_fusion(
             *[F.col(f"rank_{s}") for s in score_cols],
         )
     )
+    return attach_cache_release(out, (base,))
