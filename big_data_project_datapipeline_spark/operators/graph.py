@@ -303,12 +303,17 @@ def triangle_count(
     (1 shuffle), orientation join, wedge self-join on the pivot, and a
     closing semi-join on the oriented edge set — every join is an
     equi-join on edge/vertex keys; no cartesian anywhere. ``canon``
-    and ``oriented`` are persisted: each has 3-4 plan consumers
-    (wedge sides, closing union, the count aggregates), and
-    unpersisted that nests the whole upstream edge build once per
-    consumer — 141 plan-string Exchanges in q121 before round 7
-    (VERDICT r6 item #4) and a post-shuffle recompute per consumer at
-    runtime."""
+    and ``oriented`` each have 3-4 plan consumers; they are
+    deliberately NOT persisted (VERDICT r6 item #4 adjudication):
+    Catalyst's ReusedExchange already computes each underlying shuffle
+    ONCE and shares its files across all consumers within the single
+    materializing action, so only cheap post-shuffle merge/map work
+    repeats — and the round-7 interleaved A/B at sf0.1 measured the
+    persisted variants consistently SLOWER (5.7-6.0 s vs 4.2-5.3 s;
+    cache write+read overhead exceeds the saved recompute, and at
+    100 TB an O(edges) cache adds memory pressure the reused shuffle
+    files don't). The 141-Exchange q121 plan STRING is repeated
+    printing of the same reused subtrees, not repeated execution."""
     a, b = F.col(src), F.col(dst)
     canon = (
         edges.select(
@@ -316,7 +321,6 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
     deg = (
         canon.select(F.col("u").alias("n"))
@@ -346,7 +350,6 @@ def triangle_count(
             .alias("e")
         )
         .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
-        .persist()
     )
     w1 = oriented.select(F.col("s").alias("p"), F.col("t").alias("x"))
     w2 = oriented.select(F.col("s").alias("p"), F.col("t").alias("y"))
@@ -361,7 +364,7 @@ def triangle_count(
         oriented.select(F.col("t").alias("x"), F.col("s").alias("y"))
     )
     tri = wedges.join(closing, ["x", "y"], "left_semi")
-    out = (
+    return (
         tri.agg(F.count(F.lit(1)).alias("n_triangles"))
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .crossJoin(
@@ -373,4 +376,3 @@ def triangle_count(
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
-    return attach_cache_release(out, (canon, oriented))
