@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q183_kmv_difference",
     "q184_rrf_fusion",
     "q185_quantile_sketch",
+    "q186_dedup_yield_curve",
 ]
 
 
