@@ -4445,6 +4445,33 @@ def q186_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_yield_curve(d, num_hashes=16, band_size=8)
 
 
+def q187_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph (general
+    graph with cycles — beyond q51's parent-forest pointer jumping):
+    min-label propagation fused with pointer jumping
+    (operators/graph.connected_components, hash-to-min family), edge
+    list persisted once, per-round state localCheckpoint-bounded.
+    Component label = smallest part id in the component (the q121
+    support>=2 co-purchase graph)."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return G.connected_components(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -4525,6 +4552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Round-7 addition — bit-checked locally at both gate SFs,
         # first in line for the round-8 prefix rotation.
         "q186_dedup_yield_curve": q186_dedup_yield_curve,
+        "q187_connected_components": q187_connected_components,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -8234,6 +8262,29 @@ def oracle_sql() -> dict[str, str]:
                    AS tokens_kept_frac
         FROM best b CROSS JOIN thr
         GROUP BY thr.threshold
+    """
+    # q187: connected components — recursive min-label walk over the
+    # symmetrized q121 co-purchase edge set; UNION-dedup terminates
+    # (finite (node, label) pairs), MIN per node = component minimum
+    out["q187_connected_components"] = """
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+            FROM lineitem),
+        raw_edges AS (
+            SELECT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+            GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        e AS (
+            SELECT DISTINCT src AS u, dst AS v
+            FROM raw_edges WHERE src <> dst),
+        sym AS (
+            SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        walk(node, comp) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT s.v, w.comp FROM walk w JOIN sym s ON w.node = s.u)
+        SELECT node, CAST(MIN(comp) AS BIGINT) AS component
+        FROM walk GROUP BY node
     """
     # q183: KMV set difference — q178's union-sample scaffolding with
     # per-side membership counts; the oracle's bottom-k is UNFILTERED

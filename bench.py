@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "q184_rrf_fusion",
     "q185_quantile_sketch",
     "q186_dedup_yield_curve",
+    "q187_connected_components",
 ]
 
 

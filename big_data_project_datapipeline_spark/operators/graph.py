@@ -283,6 +283,109 @@ def hits(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of a GENERAL undirected graph (cycles
+    welcome — the companion `functions/dedup.resolve_dup_clusters`
+    only handles parent forests): returns (node, component) where
+    ``component`` is the smallest node id in the node's component.
+    Input may carry either or both edge directions plus duplicates;
+    self-loops and NULL endpoints are dropped; nodes are DEFINED by
+    the edge set (isolated vertices aren't represented in an edge
+    list — union them in afterwards if needed).
+
+    Algorithm: min-label propagation fused with pointer jumping
+    (the hash-to-min family, Rastogi et al. 2012). Each round
+    1. pulls the min label across edges (one equi-join on the
+       symmetrized edge list + one map-side-combinable groupBy MIN —
+       the only O(edges) shuffle per round), then
+    2. pointer-jumps label(u) <- label(label(u)) (one O(nodes)
+       self-join), halving label-tree depth,
+    so rounds needed are O(log diameter), not O(diameter). Labels
+    only decrease and are always ids from the same component, so the
+    fixpoint is exactly the component minimum.
+
+    Scale shape: the symmetrized edge list is repartitioned on the
+    join key once and persisted (every round's propagate joins it —
+    the pagerank device); per-round state is O(nodes) and is
+    ``localCheckpoint``ed (round-7 finding: per-round caching cannot
+    bound the unrolled plan either way — leaked caches nest a level
+    per round, correctly-unpersisted caches re-inline upstream
+    lineage into dependents), so the plan stays O(1) at any depth and
+    old rounds free on GC. The convergence probe materializes the
+    round it checks.
+    """
+    a, b = F.col(src), F.col(dst)
+    e0 = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition(F.col("u"))
+        .persist()
+    )
+    parent = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nb_min = (
+            sym.join(
+                parent.select(
+                    F.col("node").alias("u"), F.col("comp").alias("nc")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("nc").alias("nb"))
+        )
+        pulled = (
+            parent.join(nb_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb"), F.col("comp"))
+                ).alias("comp"),
+                F.col("comp").alias("old_comp"),
+            )
+        )
+        jumped = (
+            pulled.alias("x")
+            .join(
+                pulled.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("cc")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("cc"), F.col("comp"))
+                ).alias("comp"),
+                F.col("x.old_comp").alias("old_comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
+        )
+        parent = jumped.select("node", "comp")
+        if changed == 0:
+            break
+    out = parent.select("node", F.col("comp").alias("component"))
+    return attach_cache_release(out, (sym,))
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -686,6 +686,51 @@ def test_hits_deep_run_normalizes_per_sweep(spark):
     assert sum(r["hub"] for r in out.values()) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_connected_components_general_graph(spark):
+    """Cycles (NOT a forest), chains, duplicate/reverse edges,
+    self-loops and NULL endpoints dropped; component = min node id."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    ed = [
+        (1, 2), (2, 3), (3, 1),          # cycle
+        (11, 10), (11, 12), (12, 11),    # chain with dup/reverse
+        (20, 21),                        # pair
+        (5, 5),                          # self-loop: dropped
+        (None, 7),                       # NULL endpoint: dropped
+    ]
+    df = spark.createDataFrame(ed, "src long, dst long")
+    got = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    ], got
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping must converge well under O(diameter) rounds: a
+    64-node path needs ~log2(64) pull+jump rounds, inside the default
+    max_iters=20; all labels collapse to 0. Plan stays O(1) via the
+    per-round localCheckpoint (the round-7 device)."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    out = connected_components(df)
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {i: 0 for i in range(64)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 6, plan.count("Exchange")
+
+
 def test_hits_mid_run_overflow_raises(spark, monkeypatch):
     """ADVICE r6: an INTERMEDIATE decimal overflow NULL-drops sum terms
     and can depress the final maxima below the 1e15 guard, so the fast
