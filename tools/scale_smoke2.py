@@ -44,6 +44,9 @@ QUERIES = [
     "q99_substring_dedup",
     "q138_containment_dedup",
     "q61_chunk_dedup",
+    # round-7 new queries
+    "q186_dedup_yield_curve",
+    "q187_connected_components",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
