@@ -4472,6 +4472,18 @@ def q187_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.connected_components(edges)
 
 
+def q188_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free split at near-dup-cluster granularity
+    (functions/dedup.cluster_aware_split): the split key is the md5
+    bucket of the q51 cluster root, so near-identical documents never
+    straddle train and eval — the refinement of q66's source-level
+    split for corpora where near-dups cross sources. Dedup decision +
+    pointer-jump resolve (checkpoint-bounded) + one map-only bucket
+    projection."""
+    d = _t(spark, sf_dir, "documents")
+    return D.cluster_aware_split(d, num_hashes=16, band_size=8, threshold=0.8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -4553,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first in line for the round-8 prefix rotation.
         "q186_dedup_yield_curve": q186_dedup_yield_curve,
         "q187_connected_components": q187_connected_components,
+        "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
         # q144–q170; still bit-checked locally at both gate SFs every
@@ -8262,6 +8275,32 @@ def oracle_sql() -> dict[str, str]:
                    AS tokens_kept_frac
         FROM best b CROSS JOIN thr
         GROUP BY thr.threshold
+    """
+    # q188: cluster-aware split — q51's recursive cluster resolution
+    # wrapped with q66's md5 dyadic bucket, keyed on the cluster root
+    out["q188_cluster_aware_split"] = f"""
+        WITH RECURSIVE {minhash_cte},
+        edges AS (
+            SELECT doc_id AS id, _anc AS parent
+            FROM verified WHERE jaccard >= 0.8),
+        chain(id, anc) AS (
+            SELECT id, parent FROM edges
+            UNION ALL
+            SELECT c.id, e.parent FROM chain c JOIN edges e ON c.anc = e.id),
+        roots AS (SELECT id, MIN(anc) AS root FROM chain GROUP BY id),
+        cl AS (
+            SELECT d.doc_id, COALESCE(r.root, d.doc_id) AS cluster_root
+            FROM documents d LEFT JOIN roots r ON d.doc_id = r.id),
+        b AS (
+            SELECT doc_id, cluster_root,
+                   CAST(('0x' || substr(md5(CAST(cluster_root AS VARCHAR)),
+                        1, 15)) AS BIGINT) % 100 AS bucket
+            FROM cl)
+        SELECT doc_id, cluster_root, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
     """
     # q187: connected components — recursive min-label walk over the
     # symmetrized q121 co-purchase edge set; UNION-dedup terminates

@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q185_quantile_sketch",
     "q186_dedup_yield_curve",
     "q187_connected_components",
+    "q188_cluster_aware_split",
 ]
 
 

@@ -598,6 +598,52 @@ def resolve_dup_clusters(
     return parent.select(F.col(id_col), F.col("p").alias("cluster_root"))
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.8,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Leakage-free train/val/test split at NEAR-DUP-CLUSTER
+    granularity: the split key is the md5 bucket of the cluster ROOT
+    (resolve_dup_clusters over minhash_dedup_decision), so
+    near-identical documents can never straddle train and eval — the
+    contamination a doc-level (or even source-level, when near-dups
+    cross sources) split ships silently. Singletons are their own
+    cluster and split independently; the bucket device is the q66
+    deterministic md5 dyadic split, applied to the root id.
+
+    Scale shape: the O(n)-decision dedup path + pointer-jumping
+    cluster resolve (both checkpoint-bounded), then one map-only
+    bucket projection — no shuffle beyond the dedup pipeline's own.
+    """
+    decision = minhash_dedup_decision(
+        df, text_col, id_col, num_hashes, band_size, threshold
+    )
+    clusters = resolve_dup_clusters(decision, id_col=id_col)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_root").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return clusters.select(
+        F.col(id_col),
+        "cluster_root",
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

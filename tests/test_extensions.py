@@ -325,6 +325,30 @@ def test_dedup_yield_curve_empty_corpus(spark):
         assert r["tokens_kept_frac"] is None
 
 
+def test_cluster_aware_split_no_leakage(spark):
+    """Every member of a near-dup cluster lands in the SAME split
+    (the leakage-free property), and buckets match the hand-computed
+    md5(root) device."""
+    import hashlib
+
+    rows = [
+        (1, "alpha beta gamma delta eps"),
+        (2, "alpha beta gamma delta eps"),   # clone of 1
+        (3, "alpha beta gamma delta eps"),   # clone of 1
+        (9, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in D.cluster_aware_split(df).collect()}
+    assert {got[i]["cluster_root"] for i in (1, 2, 3)} == {1}
+    assert len({got[i]["split"] for i in (1, 2, 3)}) == 1
+    assert got[9]["cluster_root"] == 9
+    for i in (1, 9):
+        want = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        assert got[i]["bucket"] == want, i
+        exp = "train" if want < 90 else ("val" if want < 95 else "test")
+        assert got[i]["split"] == exp, i
+
+
 def test_resolve_dup_clusters_plan_growth_bounded(spark):
     """VERDICT r6 item #4: per-round localCheckpoint truncates the
     lineage to a LogicalRDD leaf, so the final plan stays O(1) in
