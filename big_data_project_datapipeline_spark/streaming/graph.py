@@ -1,0 +1,140 @@
+"""Incremental connected components across cron ticks.
+
+At 100 TB you cannot re-run graph-wide CC (q187) over the full edge
+history on every arrival. The union-find merge property makes the
+incremental tick cheap: a component partition is fully encoded by its
+label assignment, so CC(star(old labels) ∪ new edges) equals CC(every
+edge ever seen) — each old component collapses to a star around its
+min-id root, new edges merge stars, and the min label of a merged
+component is the min over its parts. Per-tick cost is therefore
+O(previous nodes + batch edges), never O(edge history).
+
+State layout follows streaming/dedup.py's exactly-once story with one
+twist: labels are a REPLACED-not-appended state (a new edge can merge
+two old components and relabel old nodes), so each tick writes the
+FULL label table to its own ``labels_<batch_id>`` subdir and a reader
+takes the LATEST shard. A crashed-and-replayed batch reads the latest
+shard with id < its own (never the half-written output of the crashed
+attempt) and overwrites its own subdir — replay-idempotent. Old shards
+double as free time-travel; compact by deleting all but the newest.
+
+Semantics match operators/graph.connected_components: nodes are
+DEFINED by the (NULL-free, self-loop-free) edges seen so far; the
+component label is the smallest node id in the component. Stream ≡
+batch equality on any prefix of ticks is pinned in the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from big_data_project_datapipeline_spark.operators.graph import (
+    connected_components,
+)
+
+
+def load_labels(
+    spark: SparkSession,
+    labels_dir: str,
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
+    """Latest full label table (node, comp); empty frame on bootstrap.
+
+    ``exclude_batch_id`` restricts to shards with a SMALLER batch id —
+    a replayed batch must merge against the pre-batch state, not the
+    shard its crashed attempt wrote. Local-FS listing; an object-store
+    deployment swaps in the FileSystem API."""
+    import os
+
+    try:
+        ids = sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(labels_dir)
+            if d.startswith("labels_")
+        )
+    except (FileNotFoundError, ValueError):
+        ids = []
+    if exclude_batch_id is not None:
+        ids = [i for i in ids if i < exclude_batch_id]
+    if not ids:
+        return spark.createDataFrame([], "node long, comp long")
+    try:
+        return spark.read.parquet(
+            os.path.join(labels_dir, f"labels_{ids[-1]}")
+        ).select("node", "comp")
+    except AnalysisException:
+        return spark.createDataFrame([], "node long, comp long")
+
+
+def apply_cc_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    labels_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> None:
+    """One incremental CC tick: merge the batch's edges into the
+    stored partition and land the updated full label table. Also
+    callable directly on a batch frame (the stream ≡ batch
+    equivalence the tests pin)."""
+    spark = batch_df.sparkSession
+    prev = load_labels(spark, labels_dir, exclude_batch_id=batch_id)
+    clean = (
+        batch_df.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    # each old component rides in as a star around its root; the root
+    # self-edge (node == comp) is a self-loop CC drops, so singleton
+    # survival is restored by the node-completion join below
+    star = prev.select(F.col("node").alias("u"), F.col("comp").alias("v"))
+    merged = connected_components(
+        clean.unionByName(star), src="u", dst="v"
+    )
+    nodes = (
+        prev.select("node")
+        .unionByName(clean.select(F.col("u").alias("node")))
+        .unionByName(clean.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    labels = nodes.join(merged, "node", "left").select(
+        "node",
+        F.coalesce(F.col("component"), F.col("node")).alias("comp"),
+    )
+    labels.write.mode("overwrite").parquet(
+        f"{labels_dir}/labels_{batch_id}"
+    )
+
+
+def stream_connected_components(
+    spark: SparkSession,
+    edges_dir: str,
+    labels_dir: str,
+    checkpoint_dir: str,
+    src: str = "src",
+    dst: str = "dst",
+    query_name: str = "engine_stream_cc",
+) -> StreamingQuery:
+    """availableNow drain: every edges parquet file not yet seen by
+    the checkpoint flows through one incremental CC tick. The
+    (checkpoint_dir, labels_dir) pair is ONE unit of state — batch ids
+    are unique per checkpoint; recover by reusing the checkpoint."""
+    schema = spark.read.parquet(edges_dir).schema
+    stream = spark.readStream.schema(schema).parquet(edges_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: apply_cc_batch(
+                batch_df, batch_id, labels_dir, src, dst
+            )
+        )
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
