@@ -557,6 +557,11 @@ def resolve_dup_clusters(
     (not recomputable on executor loss) — on an unreliable cluster
     swap in ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()``.
     ``checkpoint_every=0`` keeps the all-cache shape (test hook).
+
+    Raises ``ValueError`` when the fixpoint is not reached within
+    ``max_iters`` rounds instead of returning silently non-canonical
+    roots (ADVICE r7) — with pointer jumping that means a >2^30-deep
+    chain or a cyclic (non-forest) input.
     """
     parent = decision.select(
         F.col(id_col),
@@ -595,6 +600,16 @@ def resolve_dup_clusters(
         parent = grand.select(id_col, "p")
         if changed == 0:
             break
+    else:
+        raise ValueError(
+            f"resolve_dup_clusters(): chains did not resolve within "
+            f"max_iters={max_iters} pointer-jumping rounds — returned "
+            "roots would be silently non-canonical (ADVICE r7). A "
+            "parent forest resolves in ~log2(chain depth) rounds, so "
+            "this indicates either a pathological >2^30-deep chain "
+            "(raise max_iters) or a CYCLIC input that is not a "
+            "forest — use operators.graph.connected_components."
+        )
     return parent.select(F.col(id_col), F.col("p").alias("cluster_root"))
 
 

@@ -134,14 +134,23 @@ def hits(
     is ENFORCED, not just documented (ADVICE r5): with ``n_iter > 3``
     the hub frame is L1-normalized after every sweep (one bounded
     action per sweep; the scalar folds in as a literal, so the final
-    direction is unchanged in exact arithmetic), and on the
-    unnormalized ≤3-sweep fast path the final bounded action also
-    reads max(|h|), max(|a|) and raises if any score reached 1e15 —
-    within 10x of decimal(28,12)'s 1e16 ceiling, where Spark's
-    non-ANSI overflow-to-NULL would next silently drop sum terms.
-    (Scores are nonnegative and their maxima are monotone across
-    sweeps — every max-hub node has an out-edge and vice versa — so
-    the final maxima witness the whole run in the no-overflow case.)
+    direction is unchanged in exact arithmetic), and overflow-to-NULL
+    under non-ANSI execution is detected EXACTLY via a sticky
+    per-node overflow flag threaded through every sweep (ADVICE r7:
+    the previous final-frame presence markers only witnessed NULLs
+    that SURVIVED to the last sweep — an intermediate NULL is dropped
+    by the next sweep's SUM and can heal into depressed-but-non-NULL
+    final scores). The flag costs one int column and two expressions
+    per sweep — zero extra jobs: a contribution row is flagged when
+    its input score is NULL, already-flagged, or NULLed by the
+    decimal cast, and a node's new flag ORs its inputs' flags with
+    the sum-overflow witness (``SUM`` returning NULL). Any flag
+    reaching the final state raises. The final bounded action also
+    still reads max(|h|), max(|a|) and raises at 1e15 — within 10x of
+    decimal(28,12)'s 1e16 ceiling — as an early warning BEFORE a
+    hotter graph or one more sweep would overflow. (Under Spark 4's
+    default ANSI mode the overflow raises at execution; both devices
+    are defense-in-depth for non-ANSI deployments.)
 
     Scale: the :func:`pagerank` shape with one twist — HITS alternates
     its message-pass join key (auth pass joins edges on src, hub pass
@@ -176,28 +185,51 @@ def hits(
     # coalesce-0 rows (two extra joins per sweep) changes no value —
     # the zero-fill happens ONCE on the final frames instead (measured
     # 11.4 s -> ~7 s warm at sf0.1).
-    hubs = nodes.select("node", F.lit(1.0).alias("h"))
+    hubs = nodes.select(
+        "node", F.lit(1.0).alias("h"), F.lit(0).alias("__hovf")
+    )
     auths = None
     per_sweep_norm = n_iter > 3
     sweep_persists: list[DataFrame] = []
-    for _ in range(n_iter):
-        auths = (
-            e_src.join(hubs.withColumnRenamed("node", src), src)
-            .select(
-                F.col(dst).alias("node"),
-                F.col("h").cast(_HITS_DEC).alias("w"),
+
+    def _sweep(ed, key, out_node, score_in, ovf_in, score_out, ovf_out):
+        # One half-sweep with the sticky overflow flag: a contribution
+        # row is flagged when its input score is NULL / already
+        # flagged / NULLed by the decimal cast (w NULL covers all
+        # three); the node's new flag ORs its inputs' flags with the
+        # sum-overflow witness (SUM over decimals returning NULL under
+        # non-ANSI). Same join + map-side-combinable groupBy as
+        # before — the flag adds expressions, not jobs or shuffles.
+        return (
+            ed.select(
+                F.col(out_node).alias("node"),
+                F.col(score_in).cast(_HITS_DEC).alias("w"),
+                F.greatest(
+                    F.col(ovf_in), F.col(score_in).cast(_HITS_DEC).isNull().cast("int")
+                ).alias("row_ovf"),
             )
             .groupBy("node")
-            .agg(F.sum("w").cast("double").alias("a"))
+            .agg(
+                F.sum("w").alias("raw"),
+                F.max("row_ovf").alias("in_ovf"),
+            )
+            .select(
+                "node",
+                F.col("raw").cast("double").alias(score_out),
+                F.greatest(
+                    F.col("in_ovf"), F.col("raw").isNull().cast("int")
+                ).alias(ovf_out),
+            )
         )
-        hubs = (
-            e_dst.join(auths.withColumnRenamed("node", dst), dst)
-            .select(
-                F.col(src).alias("node"),
-                F.col("a").cast(_HITS_DEC).alias("w"),
-            )
-            .groupBy("node")
-            .agg(F.sum("w").cast("double").alias("h"))
+
+    for _ in range(n_iter):
+        auths = _sweep(
+            e_src.join(hubs.withColumnRenamed("node", src), src),
+            src, dst, "h", "__hovf", "a", "__aovf",
+        )
+        hubs = _sweep(
+            e_dst.join(auths.withColumnRenamed("node", dst), dst),
+            dst, src, "a", "__aovf", "h", "__hovf",
         )
         if per_sweep_norm:
             # overflow guard for deep runs: rescale the carrier frame
@@ -213,7 +245,9 @@ def hits(
                 .alias("s")
             ).first()["s"]
             hubs = hubs.select(
-                "node", (F.col("h") / F.lit(s or 1.0)).alias("h")
+                "node",
+                (F.col("h") / F.lit(s or 1.0)).alias("h"),
+                "__hovf",
             )
     # The final auths frame has TWO consumers — the last hub half-sweep
     # above and the state join below — and an unpersisted plan node
@@ -223,27 +257,22 @@ def hits(
     # shuffle at sf1). One O(nodes) persist runs the chain once; the
     # hub pass fills the cache and the state join reads it.
     auths = auths.persist()
-    # Presence markers distinguish a legitimate left-join miss (node
-    # with no in/out edges — score exactly 0) from an overflow-to-NULL
-    # score (node PRESENT in its frame with a NULL sum): the final-
-    # maxima guard below only witnesses the NO-overflow case (maxima
-    # are monotone across sweeps only while no sum term has been
-    # NULL-dropped — an INTERMEDIATE overflow can depress later scores
-    # below 1e15 and slip past it, ADVICE r6). The marker columns fold
-    # the NULL check into the existing state pass at zero extra jobs.
+    # The sticky __hovf/__aovf flags arrive here having witnessed
+    # EVERY overflow-to-NULL event across all sweeps (including
+    # intermediate ones that healed into depressed-but-non-NULL final
+    # scores — the ADVICE r7 hole in the old final-frame presence
+    # markers). A left-join miss is a node with no in/out edges —
+    # score exactly 0, no sweep ever touched it — so its flag
+    # coalesces to 0.
     state = (
-        nodes.join(hubs.withColumn("__hp", F.lit(1)), "node", "left")
-        .join(auths.withColumn("__ap", F.lit(1)), "node", "left")
+        nodes.join(hubs, "node", "left")
+        .join(auths, "node", "left")
         .select(
             "node",
             F.coalesce(F.col("h"), F.lit(0.0)).alias("h"),
             F.coalesce(F.col("a"), F.lit(0.0)).alias("a"),
-            (F.col("__hp").isNotNull() & F.col("h").isNull())
-            .cast("int")
-            .alias("__hnull"),
-            (F.col("__ap").isNotNull() & F.col("a").isNull())
-            .cast("int")
-            .alias("__anull"),
+            F.coalesce(F.col("__hovf"), F.lit(0)).alias("__hnull"),
+            F.coalesce(F.col("__aovf"), F.lit(0)).alias("__anull"),
         )
         .persist()
     )
@@ -257,10 +286,12 @@ def hits(
     ).first()
     if (sums["nh"] or 0) + (sums["na"] or 0) > 0:
         raise ValueError(
-            "hits(): NULL hub/auth scores after the sweep loop — a "
-            f"{_HITS_DEC} contribution sum overflowed mid-run (Spark's "
-            "non-ANSI overflow-to-NULL). Rerun with n_iter > 3 "
-            "(per-sweep normalization) or pre-scale the graph."
+            "hits(): NULL hub/auth contribution detected during the "
+            f"sweeps — a {_HITS_DEC} cast or sum overflowed mid-run "
+            "(Spark's non-ANSI overflow-to-NULL; later sweeps silently "
+            "drop NULL terms, so final scores would be depressed). "
+            "Rerun with n_iter > 3 (per-sweep normalization) or "
+            "pre-scale the graph."
         )
     if not per_sweep_norm and max(sums["mh"] or 0.0, sums["ma"] or 0.0) >= 1e15:
         raise ValueError(
@@ -288,15 +319,22 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 20,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
 ) -> DataFrame:
     """Connected components of a GENERAL undirected graph (cycles
     welcome — the companion `functions/dedup.resolve_dup_clusters`
     only handles parent forests): returns (node, component) where
     ``component`` is the smallest node id in the node's component.
     Input may carry either or both edge directions plus duplicates;
-    self-loops and NULL endpoints are dropped; nodes are DEFINED by
-    the edge set (isolated vertices aren't represented in an edge
-    list — union them in afterwards if needed).
+    self-loops and NULL endpoints are dropped. By default nodes are
+    DEFINED by the edge set; pass the optional ``nodes`` frame (one
+    ``node_col`` column — e.g. the entity table's key column, which
+    at 100 TB always has degree-0 members an edge list can't
+    represent) to emit isolated vertices too, each as its own
+    singleton component. The isolated remainder joins in AFTER the
+    fixpoint (one anti-join + union), so the iteration loop never
+    carries degree-0 rows and the default plan is unchanged.
 
     Algorithm: min-label propagation fused with pointer jumping
     (the hash-to-min family, Rastogi et al. 2012). Each round
@@ -318,6 +356,13 @@ def connected_components(
     lineage into dependents), so the plan stays O(1) at any depth and
     old rounds free on GC. The convergence probe materializes the
     round it checks.
+
+    Raises ``ValueError`` if the fixpoint is not reached within
+    ``max_iters`` rounds (ADVICE r7: exhausting the budget silently
+    returned not-yet-merged labels). Pointer jumping needs ~log2 of
+    the label-tree depth rounds, so the default 20 covers any graph a
+    pathological input short of ~2^20 effective depth; raise
+    ``max_iters`` rather than trusting truncated labels.
     """
     a, b = F.col(src), F.col(dst)
     e0 = (
@@ -382,7 +427,22 @@ def connected_components(
         parent = jumped.select("node", "comp")
         if changed == 0:
             break
+    else:
+        raise ValueError(
+            f"connected_components(): labels did not converge within "
+            f"max_iters={max_iters} rounds — the returned components "
+            "would be silently under-merged. Raise max_iters "
+            "(pointer jumping needs ~log2(label-tree depth) rounds)."
+        )
     out = parent.select("node", F.col("comp").alias("component"))
+    if nodes is not None:
+        isolated = (
+            nodes.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(parent.select("node"), "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        out = out.unionByName(isolated)
     return attach_cache_release(out, (sym,))
 
 

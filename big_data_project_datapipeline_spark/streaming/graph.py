@@ -46,27 +46,41 @@ def load_labels(
     ``exclude_batch_id`` restricts to shards with a SMALLER batch id —
     a replayed batch must merge against the pre-batch state, not the
     shard its crashed attempt wrote. Local-FS listing; an object-store
-    deployment swaps in the FileSystem API."""
+    deployment swaps in the FileSystem API.
+
+    Robustness (ADVICE r7): stray entries that merely LOOK like shards
+    (``labels_old``, editor droppings) are skipped individually — one
+    unparseable name must not discard every real shard id and silently
+    reset accumulated component labels to bootstrap. Likewise an
+    unreadable NEWEST shard (half-deleted dir, missing footer) falls
+    back to the next-newest readable shard rather than to empty state:
+    stale-but-consistent labels merge correctly on the next tick,
+    while an empty frame would forget every past component."""
     import os
 
     try:
-        ids = sorted(
-            int(d.split("_", 1)[1])
-            for d in os.listdir(labels_dir)
-            if d.startswith("labels_")
-        )
-    except (FileNotFoundError, ValueError):
-        ids = []
+        entries = os.listdir(labels_dir)
+    except FileNotFoundError:
+        entries = []
+    ids: list[int] = []
+    for d in entries:
+        if not d.startswith("labels_"):
+            continue
+        try:
+            ids.append(int(d.split("_", 1)[1]))
+        except ValueError:
+            continue  # stray non-shard entry: skip it, keep the rest
+    ids.sort()
     if exclude_batch_id is not None:
         ids = [i for i in ids if i < exclude_batch_id]
-    if not ids:
-        return spark.createDataFrame([], "node long, comp long")
-    try:
-        return spark.read.parquet(
-            os.path.join(labels_dir, f"labels_{ids[-1]}")
-        ).select("node", "comp")
-    except AnalysisException:
-        return spark.createDataFrame([], "node long, comp long")
+    for i in reversed(ids):
+        try:
+            return spark.read.parquet(
+                os.path.join(labels_dir, f"labels_{i}")
+            ).select("node", "comp")
+        except AnalysisException:
+            continue  # unreadable shard: fall back to next-newest
+    return spark.createDataFrame([], "node long, comp long")
 
 
 def apply_cc_batch(

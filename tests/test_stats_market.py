@@ -756,3 +756,86 @@ def test_hits_mid_run_overflow_raises(spark, monkeypatch):
             graph.hits(edges, n_iter=3).collect()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_hits_intermediate_overflow_that_heals_raises(spark, monkeypatch):
+    """ADVICE r7: the old final-frame presence markers only saw NULLs
+    that SURVIVED to the last sweep. Here the overflow NULLs node
+    scores mid-run, but every final score is non-NULL (the NULL terms
+    were silently dropped by the next sweep's SUM, depressing values)
+    and the maxima sit far below 1e15 — the exact hole. The sticky
+    per-sweep overflow flag must still raise. Graph: a 20-spoke star
+    into 100 overflows decimal(4,2) at sweep 2's hub cast (a(100)=442
+    -> NULL), but node 50 also feeds 100 AND the cool node 200, so by
+    sweep 3 every hub/auth heals to a depressed non-NULL value
+    (hand-traced: spokes h=22, h(50)=44, a(100)=a(200)=22; true
+    values are far larger)."""
+    from big_data_project_datapipeline_spark.operators import graph
+
+    monkeypatch.setattr(graph, "_HITS_DEC", "decimal(4,2)")
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        ed = [(i, 100) for i in range(20)] + [(50, 100), (50, 200)]
+        edges = spark.createDataFrame(ed, "src long, dst long")
+        with pytest.raises(ValueError, match="overflowed mid-run"):
+            graph.hits(edges, n_iter=3).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+def test_connected_components_isolated_nodes(spark):
+    """VERDICT r7 item 4: the optional nodes= frame unions degree-0
+    vertices (a real entity table always has them) as singleton
+    components; edge-defined labels are unchanged; duplicate node
+    rows collapse; default call stays edge-defined."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame(
+        [(1,), (2,), (3,), (7,), (9,), (9,)], "id long"
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, nodes=nodes, node_col="id"
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 1), (3, 1), (7, 7), (9, 9)], got
+    # default: edge-defined only (q187's plan unchanged)
+    assert sorted(
+        r["node"] for r in connected_components(edges).collect()
+    ) == [1, 2, 3]
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """ADVICE r7: exhausting max_iters must raise, never silently
+    return under-merged labels. A 64-node path needs ~6 pull+jump
+    rounds; max_iters=2 cannot finish it."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(df, max_iters=2).collect()
+
+
+def test_resolve_dup_clusters_nonconvergence_raises(spark):
+    """ADVICE r7: same silent-exhaustion shape as CC — a chain deeper
+    than 2^max_iters must raise, not return non-canonical roots."""
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        resolve_dup_clusters,
+    )
+
+    # chain 0 <- 1 <- ... <- 40: depth 40 needs ~6 jumps; 2 is not enough
+    rows = [(0, None)] + [(i, i - 1) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, dup_of long")
+    with pytest.raises(ValueError, match="did not resolve"):
+        resolve_dup_clusters(df, max_iters=2).collect()

@@ -78,3 +78,30 @@ def test_bootstrap_empty_state(spark, tmp_path):
     assert _labels(spark, labels) == {}
     apply_cc_batch(_mk(spark, [(5, 6)]), 0, labels)
     assert _labels(spark, labels) == {5: 5, 6: 5}
+
+
+def test_stray_shardlike_entry_does_not_reset_state(spark, tmp_path):
+    """ADVICE r7: one unparseable 'labels_*' entry (labels_old, editor
+    droppings) must be skipped individually — the old whole-generator
+    try/except discarded EVERY shard id and silently returned
+    bootstrap (empty) state, forgetting all accumulated components."""
+    ldir = str(tmp_path / "labels")
+    apply_cc_batch(_mk(spark, WAVE1), 0, ldir)
+    (tmp_path / "labels" / "labels_old").mkdir()
+    (tmp_path / "labels" / "labels_9zz").mkdir()
+    assert _labels(spark, ldir) == _batch_cc(spark, WAVE1)
+
+
+def test_unreadable_newest_shard_falls_back_to_previous(spark, tmp_path):
+    """ADVICE r7: an unreadable NEWEST shard (half-deleted dir with no
+    parquet footer) must fall back to the next-newest readable shard —
+    stale-but-consistent labels re-merge on the next tick, while the
+    old behavior (empty frame) dropped every past component."""
+    ldir = str(tmp_path / "labels")
+    apply_cc_batch(_mk(spark, WAVE1), 0, ldir)
+    (tmp_path / "labels" / "labels_5").mkdir()  # empty: unreadable
+    assert _labels(spark, ldir) == _batch_cc(spark, WAVE1)
+    # and a tick replayed ON TOP of the broken shard still merges
+    # against readable state, not bootstrap
+    apply_cc_batch(_mk(spark, WAVE2), 6, ldir)
+    assert _labels(spark, ldir) == _batch_cc(spark, WAVE1 + WAVE2)
