@@ -44,9 +44,28 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed ``n_iter`` PageRank sweeps over a (src, dst) edge list
     (deduplicated internally). Returns (node, pr) with pr round(6).
+
+    ``checkpoint_every=k`` localCheckpoints the rank frame every k
+    iterations (the q119 lineage-cap device): the O(nodes) state
+    truncates to a LogicalRDD leaf, so the plan stays O(k) deep at
+    any sweep count and old rounds free on GC. Default ON (k=1) per
+    the round-8 interleaved sf0.1 A/B on the q87 co-purchase graph
+    (two sessions, best-of-2 each, clearCache between runs):
+    checkpointed 7.32/5.92 s vs unrolled 7.60/7.69 s best, and the
+    COLD first run is where the unrolled plan really pays — its
+    299-Exchange plan string costs planner/codegen time every fresh
+    session while the checkpointed plan is 0 post-loop Exchanges.
+    Values are bit-identical (checkpointing only snapshots the same
+    partitions). localCheckpoint is executor-local (not recomputable
+    on executor loss) — on an unreliable cluster swap in
+    ``setCheckpointDir`` + ``.checkpoint()``, or set k=0 to keep the
+    pure-lineage unrolled plan (ReusedExchange still shares each
+    shuffle within the single action, so k=0 only re-pays plan cost,
+    not execution).
     """
     e0 = edges.select(src, dst).distinct()
     # Fold the out-degree INTO the persisted edge frame once (one extra
@@ -75,7 +94,7 @@ def pagerank(
     n = nodes.count()
     base = F.lit((1.0 - damping) / n)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", src), src)
             .select(
@@ -96,6 +115,8 @@ def pagerank(
                 ).alias("pr"),
             )
         )
+        if checkpoint_every and (_i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
     out = ranks.select("node", F.round("pr", 6).alias("pr"))
     # The persisted edge/node frames must not pin executor memory for
     # the session lifetime; eager checkpointing here was measured 1.9x
@@ -110,6 +131,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 3,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed ``n_iter`` HITS sweeps (Kleinberg 1999) over a DIRECTED
     (src, dst) edge list (deduplicated internally): authority(v) =
@@ -160,6 +182,20 @@ def hits(
     every half-sweep one equi-join + one map-side-combinable groupBy
     that shuffles only the O(nodes) score frame — measured 11.4 s →
     ~7 s warm at sf0.1 for 3 sweeps.
+
+    ``checkpoint_every=1`` (default) localCheckpoints the hub frame
+    after every sweep — the q119 lineage-cap device, adjudicated for
+    HITS by the round-8 interleaved sf0.1 A/B (two sessions,
+    best-of-2 each, clearCache between runs): plan string 749 → 89
+    Exchanges, warm best 8.87/7.61 s vs unrolled 9.26/7.62 s, and the
+    COLD first run falls 14.7/13.5 s → 8.9/8.7 s because the
+    749-Exchange unrolled plan re-pays planner/codegen every fresh
+    session (execution itself was already shared via ReusedExchange —
+    the q121 finding — so the win is plan cost, not saved shuffles).
+    Values bit-identical. Deeper sweeps grow the unrolled plan
+    without bound; the checkpointed plan stays O(1). k=0 restores the
+    pure-lineage shape; on clusters with preemptible executors swap
+    in ``setCheckpointDir`` + ``.checkpoint()``.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
@@ -222,7 +258,7 @@ def hits(
             )
         )
 
-    for _ in range(n_iter):
+    for _i in range(n_iter):
         auths = _sweep(
             e_src.join(hubs.withColumnRenamed("node", src), src),
             src, dst, "h", "__hovf", "a", "__aovf",
@@ -231,6 +267,8 @@ def hits(
             e_dst.join(auths.withColumnRenamed("node", dst), dst),
             dst, src, "a", "__aovf", "h", "__hovf",
         )
+        if checkpoint_every and (_i + 1) % checkpoint_every == 0:
+            hubs = hubs.localCheckpoint()
         if per_sweep_norm:
             # overflow guard for deep runs: rescale the carrier frame
             # to L1 = 1 after every sweep so per-sweep growth is

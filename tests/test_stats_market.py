@@ -281,10 +281,14 @@ def test_pagerank_star_graph(spark):
 
 
 def test_pagerank_caches_release_with_result(spark):
-    """The persisted edge/node/degree frames must not outlive the result
-    (round-2 ADVICE): explicit release_caches frees them, and dropping
-    the result releases them automatically via the GC finalizer."""
+    """No persisted intermediate may outlive the result (round-2
+    ADVICE): the edge/node cache-manager entries free via
+    release_caches (explicitly) or the GC finalizer (automatically),
+    and the per-round localCheckpoint snapshots (round-8 default)
+    free via the ContextCleaner once nothing references them — poll
+    with JVM GC pokes, as the cleaner is asynchronous."""
     import gc
+    import time
 
     from big_data_project_datapipeline_spark.operators.caching import (
         release_caches,
@@ -294,23 +298,44 @@ def test_pagerank_caches_release_with_result(spark):
     def n_cached():
         return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+    def drains_to(target):
+        # <=, not ==: stale snapshots leaked by EARLIER tests in the
+        # session also drain during the poll, legitimately undershooting
+        for _ in range(60):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if n_cached() <= target:
+                return True
+            time.sleep(0.25)
+        return n_cached() <= target
+
     edges = spark.createDataFrame(
         [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
     )
     before = n_cached()
 
+    # NOTE: `cnt = out.count()` before the assert, never
+    # `assert out.count() == 3` — pytest's assertion rewriting parks
+    # the bound method (and therefore the DataFrame) in frame-local
+    # temporaries, which keeps the result alive past `del` and blocks
+    # the GC finalizer this test exists to exercise.
     out = pagerank(edges, n_iter=2)
-    assert out.count() == 3
+    cnt = out.count()
+    assert cnt == 3
     assert n_cached() > before  # caches materialized by the action
     release_caches(out)
-    assert n_cached() == before
+    # cache-manager entries are gone NOW; the final round's checkpoint
+    # snapshot legitimately lives as long as the result plan does
+    del out
+    assert drains_to(before), n_cached()
 
     out2 = pagerank(edges, n_iter=2)
-    assert out2.count() == 3
+    cnt = out2.count()
+    assert cnt == 3
     assert n_cached() > before
     del out2
     gc.collect()
-    assert n_cached() == before  # finalizer released on GC
+    assert drains_to(before), n_cached()  # finalizer + ContextCleaner
 
 
 def test_hits_bipartite_hand_computed(spark):
@@ -839,3 +864,38 @@ def test_resolve_dup_clusters_nonconvergence_raises(spark):
     df = spark.createDataFrame(rows, "doc_id long, dup_of long")
     with pytest.raises(ValueError, match="did not resolve"):
         resolve_dup_clusters(df, max_iters=2).collect()
+
+
+def test_pagerank_hits_checkpointed_plan_bounded(spark):
+    """Round-8 adjudication: the default checkpoint_every=1 keeps the
+    executed plan O(1) in sweep depth (q175's unrolled plan string had
+    reached 749 Exchanges — real planner/codegen cost per session even
+    though execution was shared via ReusedExchange). Values must be
+    bit-identical to the unrolled shape."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        hits,
+        pagerank,
+    )
+
+    ed = [(0, 10), (0, 11), (0, 12), (1, 10), (2, 11), (10, 2)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+
+    pr_c = pagerank(edges, n_iter=3)
+    pr_u = pagerank(edges, n_iter=3, checkpoint_every=0)
+    assert sorted(map(tuple, pr_c.collect())) == sorted(
+        map(tuple, pr_u.collect())
+    )
+    plan_c = pr_c._jdf.queryExecution().executedPlan().toString()
+    plan_u = pr_u._jdf.queryExecution().executedPlan().toString()
+    assert plan_c.count("Exchange") < plan_u.count("Exchange")
+    assert plan_c.count("Exchange") <= 10, plan_c.count("Exchange")
+
+    h_c = hits(edges, n_iter=3)
+    h_u = hits(edges, n_iter=3, checkpoint_every=0)
+    assert sorted(map(tuple, h_c.collect())) == sorted(
+        map(tuple, h_u.collect())
+    )
+    hplan_c = h_c._jdf.queryExecution().executedPlan().toString()
+    hplan_u = h_u._jdf.queryExecution().executedPlan().toString()
+    assert hplan_c.count("Exchange") < hplan_u.count("Exchange")
+    assert hplan_c.count("Exchange") <= 160, hplan_c.count("Exchange")
