@@ -4360,76 +4360,78 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Order matters: the driver's correctness gate checks the FIRST 50
-# queries() entries. ROUND-7 ROTATION (VERDICT r6 item #1, NOTES_r6
-# "Round-7 rotation plan"): the prefix certifies
+# queries() entries. ROUND-8 ROTATION (VERDICT r7 item #1, NOTES_r7
+# "Round-8 rotation plan"): the prefix certifies
 #   - the pinned composite pipelines q92/q37 (every round);
-#   - the four round-6 additions with zero driver rows (q182–q185);
-#   - every grouped_prefix/group_rank_frame consumer — their plans
-#     changed AGAIN this round with the null-safe struct group key
-#     (ADVICE r6 high fix), so all 19 funnel-sweep conversions need
-#     driver rows on the NEW plans, including the 8 the round-6 gate
-#     never saw (q38/q78/q82/q84/q102/q124/q126/q127);
-#   - q175 HITS (state join gained the overflow-NULL markers this
-#     round) and the graph/perf targets under active work this round
-#     (q87 pagerank, q121/q119 lineage-cap);
-#   - family representatives q128/q135/q23/q141/q01;
-#   - 16 oldest-certified r1–r3 entries (q02–q17) for re-certification.
-# The twice-certified q144–q170 remainder, q117/q133/q138, and the
-# round-6-certified q171–q181 block rotate to positions 51+; every
-# entry there was green in a prior round's CORRECTNESS file and stays
+#   - the three round-7 additions with zero driver rows (q186 dedup
+#     yield curve, q187 connected components, q188 cluster-aware
+#     split) — the only registry entries never driver-certified;
+#   - every plan round 8 touched: q175 HITS + q87 PageRank (sticky
+#     per-sweep overflow flags; per-sweep localCheckpoint now the
+#     measured default) and q51/q119 (resolve_dup_clusters gained the
+#     non-convergence guard);
+#   - 41 oldest-certified entries for re-certification: the full
+#     round-2 cohort (q18/q19/q22/q24/q26–q29/q32–q34/q36/q40–q44/
+#     q47/q49/q52/q53/q55–q58/q60/q61 — last driver rows six rounds
+#     ago) and the 14 oldest round-3 entries (q30/q31/q35/q39/q45/
+#     q46/q48/q50/q62–q67).
+# The twice-certified q01–q17 filler block (re-earned in r7), the
+# grouped_prefix consumers (all 19 re-certified on the struct-key
+# plans in r7), and q182–q185 rotate to positions 51+; every entry
+# there was green in a prior round's CORRECTNESS file and stays
 # bit-checked locally at both gate SFs every round
 # (tools/compare_oracle.py, tools/certify.py).
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
-    "q182_lorenz_curve",
-    "q183_kmv_difference",
-    "q184_rrf_fusion",
-    "q185_quantile_sketch",
-    "q38_percentiles",
-    "q78_mad_outliers",
-    "q82_robust_scale",
-    "q84_equal_freq_bins",
-    "q102_token_budget_sample",
-    "q124_gini_dispersion",
-    "q126_weighted_percentiles",
-    "q127_inter_event_stats",
-    "q144_ks_drift",
-    "q147_mean_shift",
-    "q148_domain_cap",
-    "q150_robust_means",
-    "q152_auc",
-    "q154_acf",
-    "q157_emd_drift",
-    "q162_negative_pairs",
-    "q163_positive_pairs",
-    "q166_quantile_normalize",
-    "q174_average_precision",
+    "q186_dedup_yield_curve",
+    "q187_connected_components",
+    "q188_cluster_aware_split",
     "q175_hits",
     "q87_pagerank",
-    "q121_triangle_count",
+    "q51_dup_clusters",
     "q119_canonical_selection",
-    "q128_rfm_segments",
-    "q135_heaps_law",
-    "q23_text_stats",
-    "q141_psi_drift",
-    "q01_pricing_summary",
-    "q02_regional_revenue",
-    "q03_top_customers",
-    "q04_priority_semi",
-    "q05_customers_without_orders",
-    "q06_full_outer_hourly",
-    "q07_upsert_keep_last",
-    "q08_asof_nearest",
-    "q09_temporal_features",
-    "q10_interaction_math",
-    "q11_zscore",
-    "q12_sessionize",
-    "q13_tumbling_hourly",
-    "q14_pivot_event_types",
-    "q15_window_rank",
-    "q16_running_total",
-    "q17_rollup",
+    "q18_distinct_users",
+    "q19_string_projections",
+    "q22_ngram_jaccard",
+    "q24_lang_quality_summary",
+    "q26_embedding_stats",
+    "q27_union_by_name",
+    "q28_lenient_casts",
+    "q29_range_report",
+    "q32_embedding_neardup",
+    "q33_simhash",
+    "q34_cube_summary",
+    "q36_top_tokens",
+    "q40_range_join",
+    "q41_window_analytics",
+    "q42_argmax",
+    "q43_winnow_fingerprints",
+    "q44_label_centroids",
+    "q47_stratified_sample",
+    "q49_nested_json",
+    "q52_salted_join",
+    "q53_twap",
+    "q55_boilerplate_shingles",
+    "q56_decontaminate",
+    "q57_tfidf_top_terms",
+    "q58_repetition_metrics",
+    "q60_quantize_embeddings",
+    "q61_chunk_dedup",
+    "q30_asof_backward",
+    "q31_grouped_zscore",
+    "q35_unpivot",
+    "q39_corr_covar",
+    "q45_dedup_then_join",
+    "q46_upsert_keep_first",
+    "q48_set_ops",
+    "q50_asof_forward",
+    "q62_lm_perplexity",
+    "q63_source_mix_rebalance",
+    "q64_semantic_dedup",
+    "q65_sequence_packing",
+    "q66_train_val_split",
+    "q67_funnel",
 ]
 
 

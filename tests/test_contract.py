@@ -32,13 +32,12 @@ def test_gate_prefix_rotation_invariants():
     the rotation rules so a reorder can't silently waste the gate:
     at least 50 entries, every prefix entry oracle-backed, the
     composite pipelines (q92/q37) re-certified every round, and the
-    round-7 rotation itself (the four round-6 additions q182–q185
-    with zero driver rows, plus every grouped_prefix consumer — whose
-    plans changed again this round with the null-safe struct group
-    key — including the 8 conversions the round-6 gate never saw on
-    their new plans, and q175 whose state join gained the
-    overflow-NULL markers; nothing the driver has never checked sits
-    past the cap)."""
+    round-8 rotation itself: the three round-7 additions q186–q188
+    (the only registry entries with zero driver rows), plus every
+    plan round 8 touched — q175/q87 (sticky per-sweep overflow flags
+    + measured per-sweep localCheckpoint default) and q51/q119
+    (resolve_dup_clusters non-convergence guard). Nothing the driver
+    has never checked sits past the cap."""
     names = list(entrymod.queries())
     assert len(names) >= 50
     prefix = set(names[:50])
@@ -48,15 +47,11 @@ def test_gate_prefix_rotation_invariants():
     # approximate family via property gates)
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
-    # round-7 rotation: the never-driver-certified round-6 additions,
-    # the 19 grouped_prefix consumers (null-safe struct-key plans),
-    # and q175 (overflow-marker state join) must occupy certified
-    # slots
+    # round-8 rotation: the never-driver-certified round-7 additions
+    # and every round-8-touched plan must occupy certified slots
     must_certify = {
-        "q182_", "q183_", "q184_", "q185_",
-        "q38_", "q78_", "q82_", "q84_", "q102_", "q124_", "q126_",
-        "q127_", "q144_", "q147_", "q148_", "q150_", "q152_", "q154_",
-        "q157_", "q162_", "q163_", "q166_", "q174_", "q175_",
+        "q186_", "q187_", "q188_",
+        "q175_", "q87_", "q51_", "q119_",
     }
     stranded = [
         n
