@@ -233,13 +233,54 @@ def main() -> None:
     # 4.0s solo). Running the full list twice decorrelates each query's
     # two samples by minutes, so min() actually strips the bursts.
     timings: dict[str, float] = {}
+
+    def run_once(name: str) -> None:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        el = time.perf_counter() - t0
+        timings[name] = round(min(timings.get(name, el), el), 3)
+
     for _ in range(2):
         for name in BENCH_QUERIES:
-            fn = queries[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            el = time.perf_counter() - t0
-            timings[name] = round(min(timings.get(name, el), el), 3)
+            run_once(name)
+
+    # Self-adjudication pass (round-8, VERDICT r7 item 6): queries still
+    # flagged after best-of-2 get ONE more sample at END of run, minutes
+    # after their first two. The round-7 driver artifact flagged 15
+    # queries confined to the q01-q27 front block at 1.5-2.0x — a burst
+    # covering the run's first minutes inflates BOTH interleaved samples
+    # of the early queries (pass 2 revisits them only ~2 min later), and
+    # every such flag so far has warm-solo'd back into its baseline band
+    # (q66/q49/q51/q119/q87 adjudications, rounds 6-7). The third sample
+    # lands after the full second pass, outside any front-of-run burst,
+    # so transient flags self-clear in the artifact instead of requiring
+    # a manual warm-solo session. Real regressions survive: a genuinely
+    # slower plan is slow in all three samples.
+    def flagged(base: dict[str, float]) -> list[str]:
+        common = [k for k in timings if k in base and base[k] > 0]
+        ratios = sorted(timings[k] / base[k] for k in common)
+        amb = ratios[len(ratios) // 2] if ratios else 1.0
+        return [
+            k
+            for k in common
+            if timings[k] > 1.5 * base[k]
+            and timings[k] > 1.5 * max(amb, 1.0) * base[k]
+        ]
+
+    base_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".benchmarks",
+        f"baseline_sf{sf}.json",
+    )
+    baseline: dict[str, float] = {}
+    adjudicated: list[str] = []
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            baseline = json.load(fh).get("queries", {})
+        adjudicated = flagged(baseline)
+        for name in adjudicated:
+            run_once(name)
 
     total = round(sum(timings.values()), 3)
     # The printed line must stay SHORT so the driver's capture can parse it
@@ -263,14 +304,7 @@ def main() -> None:
     # tools/save_bench_baseline.py). Machine noise between runs is ±20%, so
     # flag only >1.5× — the flag list rides in the JSON line; an empty list
     # is the healthy state.
-    base_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".benchmarks",
-        f"baseline_sf{sf}.json",
-    )
-    if os.path.exists(base_path):
-        with open(base_path) as fh:
-            baseline = json.load(fh).get("queries", {})
+    if baseline:
         # Compare like-for-like: totals over the queries PRESENT in the
         # baseline; newer queries (no baseline row yet) are counted
         # separately so a growing suite doesn't read as a regression.
@@ -288,6 +322,10 @@ def main() -> None:
         ratios = sorted(timings[k] / baseline[k] for k in common if baseline[k] > 0)
         ambient = ratios[len(ratios) // 2] if ratios else 1.0
         out["ambient_ratio"] = round(ambient, 3)
+        # names that got the end-of-run third sample; any still in
+        # "regressions" below survived self-adjudication and deserve a
+        # real look
+        out["n_adjudicated"] = len(adjudicated)
         out["regressions"] = {
             k: {"now": v, "baseline": baseline[k]}
             for k, v in timings.items()

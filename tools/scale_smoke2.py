@@ -47,6 +47,15 @@ QUERIES = [
     # round-7 new queries
     "q186_dedup_yield_curve",
     "q187_connected_components",
+    # round-8 (VERDICT r7 item #5): q188 composes the two heaviest
+    # checkpoint loops (dedup decision + resolve) — confirm the
+    # composition stays zero-spill/linear like its parts; q184 re-row
+    # at the post-persist plan; q175/q87 decade rows at the new
+    # per-sweep-localCheckpoint default
+    "q188_cluster_aware_split",
+    "q184_rrf_fusion",
+    "q175_hits",
+    "q87_pagerank",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
