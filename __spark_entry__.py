@@ -4387,6 +4387,7 @@ _GATE_PREFIX = [
     "q186_dedup_yield_curve",
     "q187_connected_components",
     "q188_cluster_aware_split",
+    "q189_cc_isolates",
     "q175_hits",
     "q87_pagerank",
     "q51_dup_clusters",
@@ -4431,7 +4432,6 @@ _GATE_PREFIX = [
     "q64_semantic_dedup",
     "q65_sequence_packing",
     "q66_train_val_split",
-    "q67_funnel",
 ]
 
 
@@ -4484,6 +4484,38 @@ def q188_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection."""
     d = _t(spark, sf_dir, "documents")
     return D.cluster_aware_split(d, num_hashes=16, band_size=8, threshold=0.8)
+
+
+def q189_cc_isolates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q187's co-purchase components over the FULL part universe
+    (operators/graph.connected_components with the round-8 ``nodes=``
+    frame): parts never co-purchased with support>=2 have no edge and
+    therefore no row in an edge-defined CC — here they surface as
+    singleton components via one post-fixpoint anti-join + union, the
+    shape a real entity table needs at 100 TB (degree-0 members are
+    the common case, and losing them silently biases any downstream
+    per-component aggregate). Edge-defined labels are bit-identical
+    to q187's."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    return G.connected_components(
+        edges, nodes=p.select("p_partkey"), node_col="p_partkey"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4567,6 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first in line for the round-8 prefix rotation.
         "q186_dedup_yield_curve": q186_dedup_yield_curve,
         "q187_connected_components": q187_connected_components,
+        "q189_cc_isolates": q189_cc_isolates,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -8326,6 +8359,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.v, w.comp FROM walk w JOIN sym s ON w.node = s.u)
         SELECT node, CAST(MIN(comp) AS BIGINT) AS component
         FROM walk GROUP BY node
+    """
+    # q189: q187's walk plus the degree-0 remainder of the part
+    # universe as singleton components (the nodes= frame's oracle)
+    out["q189_cc_isolates"] = """
+        WITH RECURSIVE op AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+            FROM lineitem),
+        raw_edges AS (
+            SELECT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+            GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        e AS (
+            SELECT DISTINCT src AS u, dst AS v
+            FROM raw_edges WHERE src <> dst),
+        sym AS (
+            SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+        walk(node, comp) AS (
+            SELECT DISTINCT u, u FROM sym
+            UNION
+            SELECT s.v, w.comp FROM walk w JOIN sym s ON w.node = s.u)
+        SELECT node, CAST(MIN(comp) AS BIGINT) AS component
+        FROM walk GROUP BY node
+        UNION ALL
+        SELECT CAST(p_partkey AS BIGINT) AS node,
+               CAST(p_partkey AS BIGINT) AS component
+        FROM part
+        WHERE p_partkey NOT IN (SELECT u FROM sym)
     """
     # q183: KMV set difference — q178's union-sample scaffolding with
     # per-side membership counts; the oracle's bottom-k is UNFILTERED

@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "q186_dedup_yield_curve",
     "q187_connected_components",
     "q188_cluster_aware_split",
+    "q189_cc_isolates",
 ]
 
 

@@ -267,7 +267,8 @@ def hits(
             e_dst.join(auths.withColumnRenamed("node", dst), dst),
             dst, src, "a", "__aovf", "h", "__hovf",
         )
-        if checkpoint_every and (_i + 1) % checkpoint_every == 0:
+        ckpted = checkpoint_every and (_i + 1) % checkpoint_every == 0
+        if ckpted:
             hubs = hubs.localCheckpoint()
         if per_sweep_norm:
             # overflow guard for deep runs: rescale the carrier frame
@@ -275,8 +276,12 @@ def hits(
             # bounded by the edge count, never the degree-product
             # power. One bounded O(nodes) action; the scalar folds in
             # as a literal, keeping the remaining plan literal-free.
-            hubs = hubs.persist()
-            sweep_persists.append(hubs)
+            # (A just-checkpointed frame is already materialized
+            # executor-side — persisting it again would only double
+            # the O(nodes) storage.)
+            if not ckpted:
+                hubs = hubs.persist()
+                sweep_persists.append(hubs)
             s = hubs.agg(
                 F.sum(F.col("h").cast(_HITS_DEC))
                 .cast("double")

@@ -12,7 +12,10 @@ customer) and the Heaps-law cumulative curve (cumsum over every doc).
 The classic fix is RDD ``zipWithIndex``: one pass for per-partition
 counts, a tiny driver-side prefix over O(partitions) offsets, one
 map-side pass adding the offset. This module is the DataFrame
-version, generalized to running sums:
+version, generalized to running sums (the ranged frame is pinned to
+ONE materialization via lazy localCheckpoint — repartitionByRange
+samples its boundaries per execution, so letting each pass run its
+own exchange corrupts the offset join; round-8 sf10 finding):
 
 1. ``repartitionByRange`` on the (unique) order key → each partition
    holds a contiguous, disjoint key range, so global order =
@@ -52,12 +55,13 @@ def partitioned_prefix(
     column) so the total order — and therefore every rank and running
     sum — is deterministic regardless of partition boundaries.
 
-    COST CONTRACT: the repartitioned input is scanned TWICE (totals
-    pass + emit pass — inherent to the two-pass device) and
-    repartitionByRange adds a sampling job. Callers whose input is
-    expensive to recompute should persist it first (the q128/q135/q166
-    pattern: persist the collapsed frame, attach_cache_release on the
-    final result).
+    COST CONTRACT: the ranged frame is materialized ONCE (lazy
+    localCheckpoint — a correctness requirement, see the inline
+    comment) and its blocks are read by both the totals pass and the
+    emit pass; repartitionByRange adds a sampling job. Callers whose
+    input is expensive to recompute may still persist it (the
+    q128/q135/q166 pattern) to keep the pre-exchange lineage warm for
+    their OTHER consumers.
 
     Adds ``rank_col`` (1-based global row_number, LongType) if
     requested and ``<c>__cum`` (inclusive running sum over the total
@@ -80,6 +84,22 @@ def partitioned_prefix(
         if num_partitions
         else df.repartitionByRange(*cols)
     ).withColumn("__pid", F.spark_partition_id())
+    # CORRECTNESS, not caching (round-8 sf10 finding): the totals pass
+    # and the emit pass below MUST see the SAME partition boundaries,
+    # but column pruning gives each consumer its own physical range
+    # exchange, and repartitionByRange SAMPLES its boundaries per
+    # execution with an RDD-id-derived seed — two executions can place
+    # boundaries differently (ties/sampling variance), after which the
+    # emit pass joins offsets computed in a different __pid space
+    # (observed at the sf10 smoke: thousands of wrong — even negative —
+    # group ranks in q184; invisible at the gate SFs, where AQE
+    # coalesces the tiny exchange to one partition). A lazy
+    # localCheckpoint pins ONE materialization that both passes read;
+    # the checkpointed blocks free via the ContextCleaner once every
+    # derived frame is garbage (the lifetime tied to the JVM reference
+    # graph — a GC-finalizer persist would be unsound here, since
+    # dropping an intermediate wrapper must not resample boundaries).
+    part = part.localCheckpoint(eager=False)
     aggs = [F.count(F.lit(1)).cast("long").alias("__cnt")] + [
         F.sum(c).alias(f"__s_{c}") for c in sum_cols
     ]
@@ -180,9 +200,10 @@ def grouped_prefix(
     the plain ``Window.partitionBy(group)`` has no skew problem and
     should be used directly.
 
-    Cost: the range-exchanged frame is scanned twice (totals + emit,
-    the partitioned_prefix contract — persist expensive inputs), and
-    the emit pass carries one hash(__pid) exchange + two local sorts.
+    Cost: the range-exchanged frame is materialized once (lazy
+    localCheckpoint — the partitioned_prefix correctness contract)
+    and read by the totals and emit passes; the emit pass carries one
+    hash(__pid) exchange + two local sorts.
     """
     if not order_cols:
         raise ValueError("order_cols must be non-empty")
@@ -199,24 +220,29 @@ def grouped_prefix(
     # groupBy, all four offset windows, and the emit join agree on NULL
     # groups while staying a BroadcastHashJoin.
     gk = "__gpk"
+    # Lazy localCheckpoint for the same reason as partitioned_prefix
+    # (see the comment there): the offsets pass and the emit pass must
+    # read ONE materialization of the range exchange — per-execution
+    # boundary sampling otherwise corrupts every offset join (the
+    # round-8 sf10 finding: negative group ranks in q184).
     part = (
         df.repartitionByRange(*cols)
         .withColumn("__pid", F.spark_partition_id())
         .withColumn(gk, F.struct(F.col(group_col)))
+        .localCheckpoint(eager=False)
     )
     totals = part.groupBy("__pid", gk).agg(
         F.count(F.lit(1)).cast("long").alias("__cnt"),
         *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
     )
     # ALL FOUR offset columns come from windows over this ONE O(P·G)
-    # totals frame, so `totals` has exactly one consumer and the range
-    # exchange under it is computed exactly twice (this offsets pass +
-    # the emit pass — the module's documented two-pass contract). An
-    # earlier draft split the global offset into its own groupBy
-    # branch; with two consumers the unpersisted totals lineage — and
-    # the O(rows) range exchange under it — ran once per consumer
-    # (the profiled HITS defect, tools/profile_stages.py: 3 identical
-    # 10M-row exchange stages at sf10 instead of 2).
+    # totals frame, so `totals` has exactly one consumer and the
+    # checkpointed ranged frame is read exactly twice (this offsets
+    # pass + the emit pass). An earlier draft split the global offset
+    # into its own groupBy branch; with two consumers the unpersisted
+    # totals lineage ran once per consumer (the profiled HITS defect,
+    # tools/profile_stages.py: 3 identical 10M-row exchange stages at
+    # sf10 instead of 2).
     #
     # __off: rows in EARLIER partitions, any group — a range-frame
     # exclusive prefix over pid (the range frame sums every row with

@@ -394,3 +394,53 @@ def test_group_rank_frame_multi_col_null_keys(spark):
     assert len(got) == 89
     for i, w in want.items():
         assert (got[i]["r"], got[i]["n"]) == (w["r"], w["n"]), i
+
+
+def test_ranged_frame_single_materialization_contract(spark):
+    """Round-8 sf10 finding: repartitionByRange SAMPLES its boundaries
+    per execution (RDD-id-seeded), and column pruning gives the totals
+    pass and the emit pass each their OWN physical range exchange — two
+    executions can disagree on boundaries, after which the emit join
+    reads offsets from a foreign __pid space (observed: thousands of
+    wrong, even negative, q184 group ranks at sf10; invisible at gate
+    SFs where AQE coalesces to one partition). The fix pins ONE lazy
+    localCheckpoint materialization both passes read. Structural pin:
+    the executed plan must contain ZERO RangePartitioning exchanges
+    (the ranged frame hides behind one pre-materialized ExistingRDD
+    leaf, so the plan CANNOT resample), and it must scan that leaf for
+    both passes."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        grouped_prefix,
+        partitioned_prefix,
+    )
+
+    rows = [(i, i % 7, (i * 37) % 1000) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, g long, v long")
+
+    out_g = grouped_prefix(
+        df, ["v", "id"], "g", rank_col="r", group_rank_col="gr",
+        group_count_col="gn", sum_cols=["v"],
+    )
+    out_g.count()
+    plan = out_g._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" not in plan, plan
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+
+    out_p = partitioned_prefix(df, ["v", "id"], rank_col="r", sum_cols=["v"])
+    out_p.count()
+    plan = out_p._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" not in plan, plan
+
+    # rank invariants survive repeated executions (each action re-reads
+    # the SAME checkpointed blocks — never a fresh boundary sample)
+    import pyspark.sql.functions as SF
+
+    for _ in range(3):
+        agg = out_g.agg(
+            SF.min("r").alias("lo"), SF.max("r").alias("hi"),
+            SF.countDistinct("r").alias("nd"), SF.count(SF.lit(1)).alias("n"),
+            SF.min("gr").alias("glo"),
+        ).first()
+        assert (agg["lo"], agg["hi"]) == (1, 5000)
+        assert agg["nd"] == agg["n"] == 5000
+        assert agg["glo"] == 1
