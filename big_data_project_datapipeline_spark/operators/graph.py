@@ -72,8 +72,25 @@ def pagerank(
     # long per edge row) — each iteration then needs a single join
     # (ranks) instead of two (ranks + deg); measured 27% faster at
     # sf0.1 and storage-neutral vs caching deg separately.
+    #
+    # sortWithinPartitions(src) makes the cached frame BOTH hash-
+    # partitioned AND sorted on the join key; InMemoryTableScan
+    # exposes the cached plan's outputPartitioning/outputOrdering, so
+    # every iteration's SortMergeJoin skips exchange AND sort on the
+    # O(edges) side — only the O(nodes) rank frame shuffles+sorts per
+    # sweep. Without it each sweep re-sorted the edge side: the
+    # round-8 sf10 attribution run measured 78 GB of external-sort
+    # spill across 3 iterations on the 60M-edge co-purchase graph
+    # (sort memory, not the edge build); the one-time sort at cache
+    # fill removes all of it. At gate SFs AQE broadcasts the rank
+    # side instead and the sort is simply unused — plan unchanged.
     deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = e0.join(deg, src).repartition(F.col(src)).persist()
+    e = (
+        e0.join(deg, src)
+        .repartition(F.col(src))
+        .sortWithinPartitions(src)
+        .persist()
+    )
     # nodes is an O(nodes) frame referenced by EVERY unrolled iteration
     # — persist it or the final plan recomputes the edge distinct once
     # per iteration.
@@ -200,7 +217,15 @@ def hits(
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     e0 = edges.select(src, dst).distinct()
-    e_src = e0.repartition(F.col(src)).persist()
+    # sortWithinPartitions: the cached copies expose partitioning AND
+    # ordering on their half-sweep join key, so each sweep's
+    # SortMergeJoin shuffles+sorts only the O(nodes) score frame (see
+    # pagerank — the round-8 sf10 attribution measured ~68 GB of
+    # per-sweep edge-side sort spill without this; at gate SFs AQE
+    # broadcasts the score side and the sort is unused).
+    e_src = (
+        e0.repartition(F.col(src)).sortWithinPartitions(src).persist()
+    )
     # The dst-partitioned copy derives from the CACHED src copy, not
     # from e0: two independent persists of e0 each re-run the whole
     # upstream lineage (edge-build join + distinct) on first
@@ -208,7 +233,9 @@ def hits(
     # shuffle, 18% of the query total (tools/profile_hits.py). Reading
     # through e_src's InMemoryRelation computes the lineage once and
     # charges only the unavoidable second repartition.
-    e_dst = e_src.repartition(F.col(dst)).persist()
+    e_dst = (
+        e_src.repartition(F.col(dst)).sortWithinPartitions(dst).persist()
+    )
     nodes = (
         e_src.select(F.col(src).alias("node"))
         .union(e_src.select(F.col(dst).alias("node")))
@@ -413,10 +440,14 @@ def connected_components(
         .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .filter(F.col("u") != F.col("v"))
     )
+    # partitioned AND sorted on the per-round join key (the pagerank
+    # round-8 device: the cached ordering lets every round's
+    # SortMergeJoin skip the O(edges)-side sort)
     sym = (
         e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .repartition(F.col("u"))
+        .sortWithinPartitions("u")
         .persist()
     )
     parent = (

@@ -1,0 +1,166 @@
+"""VALUE-level invariant checks at the derived sf1/sf10 decades.
+
+The round-8 lesson: wall-only decade rows can hide silently-wrong
+values — the prefix device returned thousands of corrupted (negative)
+group ranks at sf10 for two rounds while its sf10 wall/shuffle rows
+looked healthy, because DuckDB-oracle value checks only run at
+sf0.001/sf0.01 where AQE coalesces the range exchange to one partition
+and the boundary-resampling bug could not express itself. This tool
+closes that blind spot for the device families whose correctness is
+partition-shape-dependent: cheap O(1)-output invariants that must hold
+at ANY scale, run directly on the big derived corpora.
+
+Invariants (each is a property the gate-SF oracles prove exactly; here
+they witness the same algebra at decade scale):
+
+- prefix ranks: over any grouped_prefix/partitioned_prefix consumer
+  frame, global ranks are a permutation of 1..N and group ranks of
+  1..N_g (checked as min==1, max==count, countDistinct==count — a
+  permutation witness without materializing the frame).
+- rrf: every fused rank >= 1 (the q184 corruption fired exactly here)
+  and every rrf_score in (0, |signals|/(c+1)].
+- cluster split: every cluster maps to exactly ONE split and the
+  three fractions sum to 1.
+
+Usage: python tools/scale_validate.py [sf_dir ...]
+       (default: .scale_smoke/sf1 .scale_smoke/sf10)
+Prints one PASS/FAIL line per (check, sf) and exits nonzero on FAIL.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from big_data_project_datapipeline_spark.functions import text as TX
+from big_data_project_datapipeline_spark.functions.dedup import (
+    cluster_aware_split,
+)
+from big_data_project_datapipeline_spark.functions.quality import rrf_fusion
+from big_data_project_datapipeline_spark.operators.prefix import (
+    group_rank_frame,
+)
+from big_data_project_datapipeline_spark.session import get_spark
+from big_data_project_datapipeline_spark.tables import load_table
+
+
+def _docs_features(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    tk = TX.tokens(F.col("text"))
+    return d.select(
+        "lang",
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(tk)).cast("double")
+            / F.size(tk).cast("double")
+        ).alias("ttr"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def check_prefix_ranks(spark, sf_dir) -> list[str]:
+    """Permutation witness for grouped ranks over the q184-shaped
+    frame (the exact frame that carried the sf10 corruption)."""
+    feat = _docs_features(spark, sf_dir)
+    problems = []
+    for s in ("n_tokens", "ttr"):
+        r = group_rank_frame(
+            feat.select(
+                F.col("lang").alias("grp"),
+                F.col("doc_id").alias("item"),
+                F.col(s),
+            )
+            .filter(F.col(s).isNotNull())
+            .withColumn("__ns", -F.col(s)),
+            ["grp"],
+            ["__ns", "item"],
+            group_rank_col="gr",
+            group_count_col="gn",
+        )
+        agg = r.groupBy("grp").agg(
+            F.min("gr").alias("lo"),
+            F.max("gr").alias("hi"),
+            F.countDistinct("gr").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("gn").alias("gn"),
+        )
+        bad = agg.filter(
+            (F.col("lo") != 1)
+            | (F.col("hi") != F.col("n"))
+            | (F.col("nd") != F.col("n"))
+            | (F.col("gn") != F.col("n"))
+        ).count()
+        if bad:
+            problems.append(f"prefix[{s}]: {bad} groups violate rank permutation")
+    return problems
+
+
+def check_rrf(spark, sf_dir) -> list[str]:
+    feat = _docs_features(spark, sf_dir)
+    out = rrf_fusion(
+        feat, ["n_tokens", "ttr"], "doc_id", "lang", k=5, c=60
+    )
+    agg = out.agg(
+        F.min("rank_n_tokens").alias("r1"),
+        F.min("rank_ttr").alias("r2"),
+        F.min("rrf_score").alias("smin"),
+        F.max("rrf_score").alias("smax"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    problems = []
+    if agg["n"] == 0:
+        problems.append("rrf: empty output")
+    if (agg["r1"] or 0) < 1 or (agg["r2"] or 0) < 1:
+        problems.append(f"rrf: rank < 1 (r1={agg['r1']}, r2={agg['r2']})")
+    if not (0.0 < (agg["smin"] or -1) and (agg["smax"] or 9) <= 2.0 / 61.0 + 1e-12):
+        problems.append(f"rrf: score out of (0, 2/61] ({agg['smin']}, {agg['smax']})")
+    return problems
+
+
+def check_cluster_split(spark, sf_dir) -> list[str]:
+    d = load_table(spark, sf_dir, "documents")
+    out = cluster_aware_split(d, num_hashes=16, band_size=8, threshold=0.8)
+    problems = []
+    multi = (
+        out.groupBy("cluster_root")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    if multi:
+        problems.append(f"split: {multi} clusters straddle splits")
+    total = out.count()
+    per = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    if sum(per.values()) != total or total == 0:
+        problems.append(f"split: fractions do not partition ({per} vs {total})")
+    return problems
+
+
+CHECKS = [
+    ("prefix_ranks", check_prefix_ranks),
+    ("rrf", check_rrf),
+    ("cluster_split", check_cluster_split),
+]
+
+
+def main() -> int:
+    sf_dirs = sys.argv[1:] or [".scale_smoke/sf1", ".scale_smoke/sf10"]
+    spark = get_spark(app_name="scale-validate")
+    failures = 0
+    for sf_dir in sf_dirs:
+        for name, fn in CHECKS:
+            problems = fn(spark, sf_dir)
+            if problems:
+                failures += 1
+                print(f"FAIL {name} @ {sf_dir}: " + "; ".join(problems))
+            else:
+                print(f"PASS {name} @ {sf_dir}")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
