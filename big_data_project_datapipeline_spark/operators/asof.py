@@ -73,6 +73,15 @@ def asof_join(
     tol = float(tolerance_seconds)
     # Fractional-second epochs (cast ts→double keeps microseconds); a plain
     # unix_timestamp would truncate and shift tolerance/tie decisions.
+    #
+    # monotonically_increasing_id is partition-order-dependent, so the
+    # tagged frame must have exactly ONE consumer in the plan (it does:
+    # the candidate join below) — a second subtree reading `l` would
+    # re-evaluate the ids under its own partitioning and the window's
+    # per-left-row groups would mismatch (the round-8 prefix-device
+    # lesson: never join values derived from partition identity across
+    # two separate evaluations). Spark's indeterminate-stage rollback
+    # covers task retries within the single evaluation.
     l = left.withColumn(_LEFT_ID, F.monotonically_increasing_id()).withColumn(
         _BUCKET, F.floor(F.col(on).cast("double") / tol)
     )

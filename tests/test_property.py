@@ -402,3 +402,67 @@ def test_hll_registers_match_python_on_random_keys(spark, keys):
         rk = 55 if w == 0 else 54 - w.bit_length() + 1
         regs[b] = max(regs.get(b, 0), rk)
     assert got == {b: regs.get(b, 0) for b in range(64)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=20, max_size=120
+    ),
+    ngroups=st.sampled_from([1, 2, 5]),
+)
+def test_grouped_prefix_matches_window_under_forced_partitions(
+    spark, vals, ngroups
+):
+    """Round-8 property pin: grouped_prefix ≡ the window trio on random
+    tie-heavy frames while AQE coalescing is OFF — the multi-partition
+    range-exchange regime the boundary-resampling bug lived in (at
+    default settings small frames coalesce to one partition and the
+    device is trivially immune)."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        grouped_prefix,
+    )
+    from pyspark.sql import Window
+    import pyspark.sql.functions as SF
+
+    rows = [(i, i % ngroups, v) for i, (v) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, g long, v long")
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        got = (
+            grouped_prefix(
+                df, ["v", "id"], "g",
+                rank_col="r", group_rank_col="gr",
+                group_count_col="gn", sum_cols=["v"],
+            )
+            .orderBy("id")
+            .collect()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev
+        )
+    wg = Window.partitionBy("g").orderBy("v", "id")
+    wa = Window.orderBy("v", "id")
+    exp = (
+        df.withColumn("r", SF.row_number().over(wa))
+        .withColumn("gr", SF.row_number().over(wg))
+        .withColumn(
+            "gn", SF.count(SF.lit(1)).over(Window.partitionBy("g"))
+        )
+        .withColumn(
+            "v__gcum",
+            SF.sum("v").over(
+                wg.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "v__gtot", SF.sum("v").over(Window.partitionBy("g"))
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for a, b in zip(got, exp):
+        for c in ("id", "g", "v", "r", "gr", "gn", "v__gcum", "v__gtot"):
+            assert a[c] == b[c], (c, a, b)
