@@ -39,6 +39,7 @@ from big_data_project_datapipeline_spark.functions.encode import (
 )
 from big_data_project_datapipeline_spark.functions.quality import (
     gini_dispersion,
+    score_yield_curve,
     lorenz_concentration,
     rrf_fusion,
     weighted_percentile_elements,
@@ -2145,6 +2146,102 @@ def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 3) -> str:
     return (
         ",".join(parts)
         + f"\n        SELECT node, ROUND(pr, 6) AS pr FROM r{n_iter}"
+    )
+
+
+def _weighted_pagerank_oracle_sql(
+    damping: float = 0.85, n_iter: int = 3
+) -> str:
+    """DuckDB twin of pagerank(weight=) over the q190 support-weighted
+    co-purchase graph — same unrolled-CTE device as the unweighted
+    oracle, contribution = pr·w/wsum with the SAME decimal(28,12)
+    cast and left-associated IEEE evaluation order."""
+    om = 1.0 - damping
+    parts = [
+        f"""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+        raw AS (
+            SELECT a.p AS src, b.p AS dst, COUNT(*) AS n
+            FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+            GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        ed0 AS (
+            SELECT src, dst, n FROM raw
+            UNION ALL SELECT dst AS src, src AS dst, n FROM raw),
+        edges AS (
+            SELECT src, dst, CAST(SUM(n) AS BIGINT) AS w
+            FROM ed0 GROUP BY src, dst),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+        deg AS (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS wsum
+            FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS (
+            SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        c{k} AS (
+            SELECT e.dst AS node,
+                   CAST(r.pr * e.w / d.wsum AS DECIMAL(28,12)) AS w
+            FROM edges e
+            JOIN r{k - 1} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src),
+        s{k} AS (
+            SELECT node, CAST(SUM(w) AS DOUBLE) AS s
+            FROM c{k} GROUP BY node),
+        r{k} AS (
+            SELECT nodes.node,
+                   {om!r} / nn.n
+                       + {damping!r} * COALESCE(s.s, 0.0) AS pr
+            FROM nodes LEFT JOIN s{k} s ON nodes.node = s.node
+            CROSS JOIN nn)""")
+    return (
+        ",".join(parts)
+        + f"\n        SELECT node, ROUND(pr, 6) AS pr FROM r{n_iter}"
+    )
+
+
+def _kcore_oracle_sql(k: int = 3, n_rounds: int = 6) -> str:
+    """DuckDB twin of kcore_peel over the q192 co-purchase graph —
+    the fixed round count unrolled as chained CTEs (peel is idempotent
+    past the fixpoint, which the Spark side's check_converged
+    verifies)."""
+    # AS MATERIALIZED: each round references the previous round's CTE
+    # three times (edge scan + both keep joins); DuckDB inlines
+    # non-materialized CTEs per reference, so an unhinted 10-round
+    # chain expands to 3^10 lineitem scans and dies on file handles.
+    parts = [
+        """
+        WITH op AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS kk, l_partkey AS p FROM lineitem),
+        raw AS MATERIALIZED (
+            SELECT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.kk = b.kk AND a.p < b.p
+            GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM raw
+                UNION ALL SELECT dst AS u, src AS v FROM raw))"""
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+        k{r} AS MATERIALIZED (
+            SELECT u FROM (
+                SELECT u, COUNT(*) AS d FROM e{r - 1} GROUP BY u)
+            WHERE d >= {k}),
+        e{r} AS MATERIALIZED (
+            SELECT e.u, e.v FROM e{r - 1} e
+            JOIN k{r} a ON e.u = a.u
+            JOIN k{r} b ON e.v = b.u)""")
+    return (
+        ",".join(parts)
+        + f"""
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM e{n_rounds} GROUP BY u"""
     )
 
 
@@ -4388,6 +4485,9 @@ _GATE_PREFIX = [
     "q187_connected_components",
     "q188_cluster_aware_split",
     "q189_cc_isolates",
+    "q190_weighted_pagerank",
+    "q191_quality_yield_curve",
+    "q192_kcore",
     "q175_hits",
     "q87_pagerank",
     "q51_dup_clusters",
@@ -4429,9 +4529,6 @@ _GATE_PREFIX = [
     "q50_asof_forward",
     "q62_lm_perplexity",
     "q63_source_mix_rebalance",
-    "q64_semantic_dedup",
-    "q65_sequence_packing",
-    "q66_train_val_split",
 ]
 
 
@@ -4518,6 +4615,70 @@ def q189_cc_isolates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q121/q187 support>=2 part co-purchase edge list WITH the
+    support count kept as an edge weight (shared by q190/q192)."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+def q190_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-weighted PageRank over the symmetrized part co-purchase
+    graph (operators/graph.pagerank with the round-8 ``weight=``
+    contribution pr·w/Σw): parts co-bought more often pass more rank —
+    the weighting an unweighted q87 cannot express. Same decimal
+    order-independence device; one extra long per edge row."""
+    ed = _copurchase_support_edges(spark, sf_dir)
+    sym = ed.union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n")
+    )
+    return pagerank(sym, n_iter=3, weight="n")
+
+
+def q191_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff sweep (functions/quality.score_yield_curve): per
+    candidate quality_score threshold, the documents and tokens a
+    ``score >= t`` curation filter keeps — q186's tuning-curve read
+    for the QUALITY axis instead of the near-dup axis. One conditional
+    aggregate; thresholds cost columns, not passes."""
+    d = _t(spark, sf_dir, "documents")
+    tk = TX.tokens(F.col("text"))
+    scored = d.select(
+        TX.quality_score(F.col("text"), tk).alias("q"),
+        F.size(tk).cast("long").alias("__ntok"),
+    )
+    return score_yield_curve(
+        scored, "q", (0.25, 0.5, 0.75, 1.0), weight_col="__ntok"
+    )
+
+
+def q192_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-purchase graph (operators/graph.kcore_peel,
+    bounded-round peel with fixpoint guard): the subgraph where every
+    part keeps >= 2 strong co-purchase partners AFTER the degree-1
+    periphery is peeled away — the standard dense-cohort extraction an
+    edge filter alone cannot express (peeling cascades: removing a
+    leaf can expose a new leaf). Returns surviving (node,
+    degree-in-core). n_rounds=10 covers the measured fixpoints
+    (1/4/6 rounds at the three test SFs) with idempotent headroom;
+    the operator RAISES if 10 ever stops sufficing."""
+    ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    return G.kcore_peel(ed, k=2, n_rounds=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -4600,6 +4761,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_dedup_yield_curve": q186_dedup_yield_curve,
         "q187_connected_components": q187_connected_components,
         "q189_cc_isolates": q189_cc_isolates,
+        "q190_weighted_pagerank": q190_weighted_pagerank,
+        "q191_quality_yield_curve": q191_quality_yield_curve,
+        "q192_kcore": q192_kcore,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -5554,6 +5718,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q80_trailing_ewma": _ewma_oracle_sql(),
         "q87_pagerank": _pagerank_oracle_sql(),
+        "q190_weighted_pagerank": _weighted_pagerank_oracle_sql(),
+        "q192_kcore": _kcore_oracle_sql(k=2, n_rounds=10),
         "q175_hits": _hits_oracle_sql(),
         "q180_markov_attribution": _markov_attr_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
@@ -8283,6 +8449,65 @@ def oracle_sql() -> dict[str, str]:
     # frame (threshold-independent candidate ancestors, RAW jaccard),
     # token counts, and one conditional aggregate per threshold;
     # NULLIF mirrors the Spark-side zero-corpus guards
+    # q191: the q23 quality-score expression swept through the
+    # score_yield_curve device (one conditional aggregate; threshold
+    # compares are exact on the quarter-valued score)
+    out["q191_quality_yield_curve"] = f"""
+        WITH base AS (
+            SELECT text, {tokens_sql} AS toks,
+                   len(list_filter({tokens_sql}, t -> list_contains({en_stop}, t))) AS en_hits
+            FROM documents),
+        stats AS (
+            SELECT CAST(len(toks) AS BIGINT) AS ntok,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks)
+                   END AS atl,
+                   CASE WHEN length(text) > 0 THEN
+                       CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+                   ELSE 0.0 END AS pr,
+                   CASE WHEN len(toks) > 0 THEN
+                       CAST(en_hits AS DOUBLE) / len(toks) ELSE 0.0 END AS swr
+            FROM base),
+        scored AS (
+            SELECT ntok,
+                   0.25 * CAST(ntok >= 5 AS DOUBLE)
+                     + 0.25 * CAST(COALESCE(atl, 0.0) >= 2.0 AND COALESCE(atl, 0.0) <= 12.0 AS DOUBLE)
+                     + 0.25 * CAST(pr <= 0.2 AS DOUBLE)
+                     + 0.25 * CAST(swr >= 0.05 AS DOUBLE) AS q
+            FROM stats),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(ntok), 0) AS BIGINT) AS n_weight,
+               CAST(SUM(CASE WHEN q >= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+               CAST(SUM(CASE WHEN q >= 0.25 THEN ntok ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN q >= 0.5 THEN ntok ELSE 0 END) AS BIGINT) AS w1,
+               CAST(SUM(CASE WHEN q >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+               CAST(SUM(CASE WHEN q >= 0.75 THEN ntok ELSE 0 END) AS BIGINT) AS w2,
+               CAST(SUM(CASE WHEN q >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+               CAST(SUM(CASE WHEN q >= 1.0 THEN ntok ELSE 0 END) AS BIGINT) AS w3
+            FROM scored)
+        SELECT 0.25 AS threshold, n_rows, k0 AS rows_kept,
+               ROUND(CAST(k0 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w0 AS weight_kept,
+               ROUND(CAST(w0 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+        UNION ALL SELECT 0.5 AS threshold, n_rows, k1 AS rows_kept,
+               ROUND(CAST(k1 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w1 AS weight_kept,
+               ROUND(CAST(w1 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+        UNION ALL SELECT 0.75 AS threshold, n_rows, k2 AS rows_kept,
+               ROUND(CAST(k2 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w2 AS weight_kept,
+               ROUND(CAST(w2 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+        UNION ALL SELECT 1.0 AS threshold, n_rows, k3 AS rows_kept,
+               ROUND(CAST(k3 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w3 AS weight_kept,
+               ROUND(CAST(w3 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+    """
     out["q186_dedup_yield_curve"] = f"""
         WITH {minhash_cte},
         tok AS (

@@ -212,6 +212,9 @@ BENCH_QUERIES = [
     "q187_connected_components",
     "q188_cluster_aware_split",
     "q189_cc_isolates",
+    "q190_weighted_pagerank",
+    "q191_quality_yield_curve",
+    "q192_kcore",
 ]
 
 

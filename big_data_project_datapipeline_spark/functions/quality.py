@@ -2654,3 +2654,87 @@ def rrf_fusion(
         )
     )
     return attach_cache_release(out, (base,))
+
+
+def score_yield_curve(
+    df: DataFrame,
+    score_col: str,
+    thresholds: Sequence[float],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per candidate score threshold, the rows (and optional weight —
+    tokens, bytes, revenue) a ``score >= t`` filter would keep — the
+    tuning curve a curation pipeline reads BEFORE fixing a quality /
+    perplexity / classifier cutoff (the generic twin of
+    `dedup.dedup_yield_curve`, which sweeps the near-dup threshold).
+    NULL scores are dropped at every threshold (a filter predicate is
+    never true on NULL — the semantics the eventual filter will have).
+
+    Output: one row per threshold — (threshold, n_rows, rows_kept,
+    rows_kept_frac[, n_weight, weight_kept, weight_kept_frac]).
+
+    Scale shape: ONE conditional aggregate (|thresholds| · (1 or 2)
+    map-side-combinable sums) collapsing to a single row, then a
+    map-only explode to O(|thresholds|) rows — adding thresholds costs
+    columns, not passes. Threshold compares are plain IEEE ``>=`` on
+    the caller's score expression, so a SQL twin matches bit-wise.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    if weight_col is not None:
+        aggs.append(
+            F.coalesce(F.sum(weight_col), F.lit(0))
+            .cast("long")
+            .alias("n_weight")
+        )
+    for i, t in enumerate(thresholds):
+        hit = F.col(score_col) >= F.lit(float(t))
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(f"__k{i}")
+        )
+        if weight_col is not None:
+            aggs.append(
+                F.sum(F.when(hit, F.col(weight_col)).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"__w{i}")
+            )
+    one = df.agg(*aggs)
+    fields = [
+        F.struct(
+            F.lit(float(t)).alias("threshold"),
+            F.col(f"__k{i}").alias("rk"),
+            *(
+                [F.col(f"__w{i}").alias("wk")]
+                if weight_col is not None
+                else []
+            ),
+        )
+        for i, t in enumerate(thresholds)
+    ]
+    row = F.explode(F.array(*fields)).alias("r")
+    keep = ["n_rows"] + (["n_weight"] if weight_col is not None else [])
+    # empty-input contract (the dedup_yield_curve precedent): SUMs over
+    # zero rows are NULL — coalesce kept-counts to 0 so the curve still
+    # reports its |thresholds| rows with zero yields
+    rk = F.coalesce(F.col("r.rk"), F.lit(0).cast("long"))
+    out_cols = [
+        F.col("r.threshold").alias("threshold"),
+        F.col("n_rows"),
+        rk.alias("rows_kept"),
+        F.round(
+            rk.cast("double")
+            / F.nullif(F.col("n_rows").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("rows_kept_frac"),
+    ]
+    if weight_col is not None:
+        wk = F.coalesce(F.col("r.wk"), F.lit(0).cast("long"))
+        out_cols += [
+            F.col("n_weight"),
+            wk.alias("weight_kept"),
+            F.round(
+                wk.cast("double")
+                / F.nullif(F.col("n_weight").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("weight_kept_frac"),
+        ]
+    return one.select(*keep, row).select(*out_cols)

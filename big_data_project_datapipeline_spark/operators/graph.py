@@ -45,9 +45,17 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 3,
     checkpoint_every: int = 1,
+    weight: str | None = None,
 ) -> DataFrame:
     """Fixed ``n_iter`` PageRank sweeps over a (src, dst) edge list
     (deduplicated internally). Returns (node, pr) with pr round(6).
+
+    ``weight``: optional edge-weight column — contributions become
+    ``pr(src) · w(src,dst) / Σ_dst w(src,·)`` (duplicate (src,dst)
+    rows SUM their weights; integral weights recommended so the
+    weight totals are exact and only the one contribution division is
+    IEEE, the same parity budget as the unweighted ``pr/deg``).
+    Default None keeps the unweighted plan byte-identical.
 
     ``checkpoint_every=k`` localCheckpoints the rank frame every k
     iterations (the q119 lineage-cap device): the O(nodes) state
@@ -84,7 +92,17 @@ def pagerank(
     # (sort memory, not the edge build); the one-time sort at cache
     # fill removes all of it. At gate SFs AQE broadcasts the rank
     # side instead and the sort is simply unused — plan unchanged.
-    deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    if weight is not None:
+        # duplicate (src,dst) rows sum their weights; "deg" becomes the
+        # src's total outgoing weight so the unweighted loop body below
+        # is reused verbatim (contribution = pr·w/deg with w folded in)
+        e0 = (
+            edges.groupBy(src, dst)
+            .agg(F.sum(weight).alias("__w"))
+        )
+        deg = e0.groupBy(src).agg(F.sum("__w").alias("deg"))
+    else:
+        deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
     e = (
         e0.join(deg, src)
         .repartition(F.col(src))
@@ -111,12 +129,17 @@ def pagerank(
     n = nodes.count()
     base = F.lit((1.0 - damping) / n)
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    msg = (
+        (F.col("pr") * F.col("__w") / F.col("deg"))
+        if weight is not None
+        else (F.col("pr") / F.col("deg"))
+    )
     for _i in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", src), src)
             .select(
                 F.col(dst).alias("node"),
-                (F.col("pr") / F.col("deg")).cast("decimal(28,12)").alias("w"),
+                msg.cast("decimal(28,12)").alias("w"),
             )
         )
         sums = contrib.groupBy("node").agg(
@@ -518,6 +541,85 @@ def connected_components(
         )
         out = out.unionByName(isolated)
     return attach_cache_release(out, (sym,))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    n_rounds: int = 8,
+    check_converged: bool = True,
+) -> DataFrame:
+    """k-core of an undirected graph by bounded-round peeling: each
+    round drops every node with degree < k and every edge touching
+    one, the textbook iterative peel (Matula & Beck 1983; the
+    MapReduce shape of Montresor et al. 2013). Returns the surviving
+    (node, degree) rows — degree measured INSIDE the core, as k-core
+    semantics require. Input may carry either or both directions plus
+    duplicates; self-loops and NULL endpoints are dropped.
+
+    Runs EXACTLY ``n_rounds`` rounds (peeling is idempotent once the
+    fixpoint is reached, so extra rounds are free of semantic cost) —
+    a fixed round count keeps the operator bit-reproducible against a
+    round-unrolled SQL twin. With ``check_converged`` (default) a
+    final degree pass verifies the fixpoint and raises if one more
+    round would still drop nodes (the round-8 convergence-guard
+    contract: never silently return a not-yet-core superset); peeling
+    removes at least one node per non-converged round, so rounds
+    needed ≤ nodes, and real graphs converge in a handful.
+
+    Scale shape: each round is one map-side-combinable degree groupBy
+    + two semi-joins on the shrinking edge frame — all equi-joins on
+    uniform keys, O(edges_r) per round, monotonically non-increasing.
+    Per-round state is localCheckpoint-bounded (the q119 device), so
+    the plan stays O(1) at any depth.
+    """
+    a, b = F.col(src), F.col(dst)
+    e0 = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    cur = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(n_rounds):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("u")
+        )
+        # lazy: unlike the convergence-probed loops (CC/resolve),
+        # nothing materializes mid-loop here, so the rounds checkpoint
+        # in dependency order at the caller's single action
+        cur = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    if check_converged:
+        dropped = (
+            cur.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") < k)
+            .limit(1)
+            .count()
+        )
+        if dropped:
+            raise ValueError(
+                f"kcore_peel(): not at fixpoint after n_rounds="
+                f"{n_rounds} — one more round would still drop nodes, "
+                "so the survivors are a SUPERSET of the k-core. Raise "
+                "n_rounds (each non-converged round removes >= 1 node)."
+            )
+    return cur.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
 
 
 def triangle_count(

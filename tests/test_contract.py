@@ -50,7 +50,7 @@ def test_gate_prefix_rotation_invariants():
     # round-8 rotation: the never-driver-certified round-7 additions
     # and every round-8-touched plan must occupy certified slots
     must_certify = {
-        "q186_", "q187_", "q188_", "q189_",
+        "q186_", "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
         "q175_", "q87_", "q51_", "q119_",
     }
     stranded = [

@@ -903,3 +903,95 @@ def test_pagerank_hits_checkpointed_plan_bounded(spark):
     hplan_u = h_u._jdf.queryExecution().executedPlan().toString()
     assert hplan_c.count("Exchange") < hplan_u.count("Exchange")
     assert hplan_c.count("Exchange") <= 160, hplan_c.count("Exchange")
+
+
+def test_weighted_pagerank_hand_computed(spark):
+    """pagerank(weight=): contribution pr·w/Σw; duplicate (src,dst)
+    rows SUM their weights; unweighted call on the same graph differs
+    (weights matter)."""
+    from big_data_project_datapipeline_spark.operators.graph import pagerank
+
+    # 0 -> 1 (w 3), 0 -> 2 (w 1, as two dup rows 0.5+0.5? integral: 1),
+    # 1 -> 0 (w 2), 2 -> 0 (w 2); dup edge (0,1) split 2+1 must sum to 3
+    ed = [(0, 1, 2), (0, 1, 1), (0, 2, 1), (1, 0, 2), (2, 0, 2)]
+    edges = spark.createDataFrame(ed, "src long, dst long, n long")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges, n_iter=3, weight="n").collect()
+    }
+    pr = {0: 1 / 3, 1: 1 / 3, 2: 1 / 3}
+    for _ in range(3):
+        nxt = {
+            0: 0.15 / 3 + 0.85 * (pr[1] * 2 / 2 + pr[2] * 2 / 2),
+            1: 0.15 / 3 + 0.85 * (pr[0] * 3 / 4),
+            2: 0.15 / 3 + 0.85 * (pr[0] * 1 / 4),
+        }
+        pr = nxt
+    for n in (0, 1, 2):
+        assert out[n] == pytest.approx(pr[n], abs=1e-6), n
+    # weights change the answer vs unweighted on the same edge set
+    unw = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            spark.createDataFrame(
+                [(s, d) for s, d, _ in ed], "src long, dst long"
+            ),
+            n_iter=3,
+        ).collect()
+    }
+    assert unw[1] == unw[2] and out[1] > out[2]
+
+
+def test_kcore_peel_cascades_and_guard(spark):
+    """2-core: a pendant chain attached to a triangle peels away over
+    CASCADING rounds (removing a leaf exposes the next), the triangle
+    survives with in-core degree 2; insufficient n_rounds RAISES
+    (fixpoint guard), and check_converged=False returns the documented
+    superset."""
+    from big_data_project_datapipeline_spark.operators.graph import kcore_peel
+
+    # triangle 0-1-2 plus chain 2-3-4-5-6 (leaves peel one per round)
+    ed = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 6)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    got = sorted(
+        (r["node"], r["degree"])
+        for r in kcore_peel(edges, k=2, n_rounds=6).collect()
+    )
+    assert got == [(0, 2), (1, 2), (2, 2)], got
+    with pytest.raises(ValueError, match="not at fixpoint"):
+        kcore_peel(edges, k=2, n_rounds=1).collect()
+    sup = sorted(
+        r["node"]
+        for r in kcore_peel(
+            edges, k=2, n_rounds=1, check_converged=False
+        ).collect()
+    )
+    assert sup == [0, 1, 2, 3, 4, 5], sup  # leaf 6 peeled, rest pending
+
+
+def test_score_yield_curve_hand_computed(spark):
+    """Thresholds sweep one conditional aggregate: NULL scores drop at
+    every threshold; weight column sums only kept rows; empty input
+    still emits one zero-yield row per threshold."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        score_yield_curve,
+    )
+
+    rows = [(0.9, 10), (0.5, 20), (0.2, 40), (None, 8)]
+    df = spark.createDataFrame(rows, "s double, w long")
+    got = {
+        r["threshold"]: r
+        for r in score_yield_curve(
+            df, "s", (0.5, 0.8), weight_col="w"
+        ).collect()
+    }
+    assert got[0.5]["n_rows"] == 4 and got[0.5]["n_weight"] == 78
+    assert got[0.5]["rows_kept"] == 2 and got[0.5]["weight_kept"] == 30
+    assert got[0.5]["rows_kept_frac"] == 0.5
+    assert got[0.8]["rows_kept"] == 1 and got[0.8]["weight_kept"] == 10
+    assert got[0.8]["weight_kept_frac"] == round(10 / 78, 6)
+
+    empty = spark.createDataFrame([], "s double, w long")
+    erows = score_yield_curve(empty, "s", (0.5, 0.8), weight_col="w").collect()
+    assert len(erows) == 2
+    assert all(r["rows_kept"] == 0 and r["weight_kept"] == 0 for r in erows)
