@@ -280,66 +280,83 @@ def test_pagerank_star_graph(spark):
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-4)
 
 
-def test_pagerank_caches_release_with_result(spark):
+def test_pagerank_caches_release_with_result():
     """No persisted intermediate may outlive the result (round-2
-    ADVICE): the edge/node cache-manager entries free via
-    release_caches (explicitly) or the GC finalizer (automatically),
-    and the per-round localCheckpoint snapshots (round-8 default)
-    free via the ContextCleaner once nothing references them — poll
-    with JVM GC pokes, as the cleaner is asynchronous."""
-    import gc
-    import time
+    ADVICE): release_caches / the GC finalizer free the cache-manager
+    pair, and the per-round localCheckpoint snapshots (round-8
+    default) free via the ContextCleaner once unreferenced. Runs in
+    an ISOLATED subprocess JVM: in the shared suite session the
+    snapshots' JVM reachability is polluted by hundreds of earlier
+    executions (three count/id/budget-based revisions of this test
+    flaked on exactly that), while a fresh JVM makes the lifetime
+    deterministic — which is the contract under test, not suite-state
+    GC timing."""
+    import os
+    import subprocess
+    import sys
 
-    from big_data_project_datapipeline_spark.operators.caching import (
-        release_caches,
+    script = r"""
+import gc, sys, time
+from big_data_project_datapipeline_spark.operators.caching import release_caches
+from big_data_project_datapipeline_spark.operators.graph import pagerank
+from big_data_project_datapipeline_spark.session import get_spark
+
+spark = get_spark(app_name="lifetime-probe", master="local[2]",
+                  shuffle_partitions=2,
+                  extra_conf={"spark.driver.memory": "1g"})
+
+def ids():
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().toList().iterator()
+    out = set()
+    while it.hasNext():
+        out.add(it.next()._1())
+    return out
+
+def drain(mine, budget_s):
+    deadline = time.monotonic() + budget_s
+    while time.monotonic() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if not (ids() & mine):
+            return True
+        time.sleep(0.25)
+    return not (ids() & mine)
+
+edges = spark.createDataFrame([(0, 1), (1, 0), (1, 2), (2, 1)],
+                              "src long, dst long")
+before = ids()
+out = pagerank(edges, n_iter=2)
+assert out.count() == 3
+mine1 = ids() - before
+assert len(mine1) >= 4, mine1  # 2 cache entries + 2 round snapshots
+release_caches(out)
+freed = mine1 - ids()
+assert len(freed) >= 2, sorted(mine1 & ids())  # cache pair freed NOW
+del out
+
+before = ids()
+out2 = pagerank(edges, n_iter=2)
+assert out2.count() == 3
+mine2 = ids() - before
+assert len(mine2) >= 4, mine2
+del out2
+gc.collect()  # finalizer path
+
+assert drain(mine1 | mine2, 60), sorted(ids() & (mine1 | mine2))
+print("LIFETIME OK")
+"""
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
     )
-    from big_data_project_datapipeline_spark.operators.graph import pagerank
-
-    def n_cached():
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-
-    def drains_to(target):
-        # <=, not ==: stale snapshots leaked by EARLIER tests in the
-        # session also drain during the poll, legitimately undershooting
-        for _ in range(60):
-            gc.collect()
-            spark.sparkContext._jvm.System.gc()
-            if n_cached() <= target:
-                return True
-            time.sleep(0.25)
-        return n_cached() <= target
-
-    edges = spark.createDataFrame(
-        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
-    )
-    before = n_cached()
-
-    # NOTE: `cnt = out.count()` before the assert, never
-    # `assert out.count() == 3` — pytest's assertion rewriting parks
-    # the bound method (and therefore the DataFrame) in frame-local
-    # temporaries, which keeps the result alive past `del` and blocks
-    # the GC finalizer this test exists to exercise.
-    out = pagerank(edges, n_iter=2)
-    cnt = out.count()
-    assert cnt == 3
-    assert n_cached() > before  # caches materialized by the action
-    release_caches(out)
-    # cache-manager entries are gone NOW; the final round's checkpoint
-    # snapshot legitimately lives as long as the result plan does
-    del out
-    assert drains_to(before), n_cached()
-
-    # re-baseline: earlier tests' stale snapshots may have drained
-    # during phase 1's poll, so `before` can overshoot the current
-    # count in a full-suite run
-    before = n_cached()
-    out2 = pagerank(edges, n_iter=2)
-    cnt = out2.count()
-    assert cnt == 3
-    assert n_cached() > before
-    del out2
-    gc.collect()
-    assert drains_to(before), n_cached()  # finalizer + ContextCleaner
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "LIFETIME OK" in proc.stdout
 
 
 def test_hits_bipartite_hand_computed(spark):
