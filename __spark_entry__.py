@@ -2205,6 +2205,62 @@ def _weighted_pagerank_oracle_sql(
     )
 
 
+def _ppr_oracle_sql(damping: float = 0.85, n_iter: int = 3) -> str:
+    """DuckDB twin of personalized_pagerank over the q193 graph with
+    nation-0 customer seeds — unrolled CTEs, same decimal(28,12)
+    contribution cast, restart term as the same CASE expression and
+    IEEE 1.0/|S| division."""
+    om = 1.0 - damping
+    parts = [
+        """
+        WITH ed0 AS (
+            SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed0
+                UNION ALL SELECT dst, src FROM ed0)),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        seeds AS (
+            SELECT DISTINCT c_custkey * 2 AS node
+            FROM customer WHERE c_nationkey = 0),
+        sg AS (
+            SELECT n.node FROM nodes n JOIN seeds s ON n.node = s.node),
+        ns AS (SELECT COUNT(*) AS n FROM sg),
+        rst AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n
+                        ELSE 0.0 END AS r
+            FROM nodes n LEFT JOIN sg s ON n.node = s.node
+            CROSS JOIN ns),
+        r0 AS (SELECT node, r AS pr FROM rst)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(f"""
+        c{k} AS (
+            SELECT e.dst AS node,
+                   CAST(r.pr / d.deg AS DECIMAL(28,12)) AS w
+            FROM edges e
+            JOIN r{k - 1} r ON e.src = r.node
+            JOIN deg d ON e.src = d.src),
+        s{k} AS (
+            SELECT node, CAST(SUM(w) AS DOUBLE) AS s
+            FROM c{k} GROUP BY node),
+        r{k} AS (
+            SELECT rst.node,
+                   {om!r} * rst.r
+                       + {damping!r} * COALESCE(s.s, 0.0) AS pr
+            FROM rst LEFT JOIN s{k} s ON rst.node = s.node)""")
+    return (
+        ",".join(parts)
+        + f"\n        SELECT node, ROUND(pr, 6) AS pr FROM r{n_iter}"
+    )
+
+
 def _kcore_oracle_sql(k: int = 3, n_rounds: int = 6) -> str:
     """DuckDB twin of kcore_peel over the q192 co-purchase graph —
     the fixed round count unrolled as chained CTEs (peel is idempotent
@@ -4679,6 +4735,56 @@ def q192_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.kcore_peel(ed, k=2, n_rounds=10)
 
 
+def q193_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-personalized PageRank over the symmetrized customer–part
+    co-purchase graph (operators/graph.personalized_pagerank): the
+    teleport mass returns to nation-0 customers, so ranks measure
+    proximity TO that cohort — the related-items / seed-expansion
+    primitive q87's query-independent global rank cannot express.
+    Node ids namespaced custkey·2 / partkey·2+1 as in q87/q175."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    ed = (
+        o.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+    )
+    sym = ed.union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = c.filter(F.col("c_nationkey") == 0).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    return G.personalized_pagerank(sym, seeds, n_iter=3)
+
+
+def q194_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size / corpus-coverage curve per min-frequency
+    cutoff (functions/quality.score_yield_curve over the token
+    frequency table): for each candidate min-count c, how many vocab
+    entries survive (rows_kept) and what fraction of all corpus
+    tokens they cover (weight_kept_frac) — the curve a tokenizer /
+    vocab design reads before fixing a frequency floor. One explode +
+    one groupBy + one conditional aggregate; cutoffs cost columns,
+    not passes."""
+    d = _t(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    return score_yield_curve(
+        freqs, "freq", (2.0, 5.0, 10.0, 100.0), weight_col="freq"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -4764,6 +4870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_weighted_pagerank": q190_weighted_pagerank,
         "q191_quality_yield_curve": q191_quality_yield_curve,
         "q192_kcore": q192_kcore,
+        "q193_personalized_pagerank": q193_personalized_pagerank,
+        "q194_vocab_coverage_curve": q194_vocab_coverage_curve,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -5720,6 +5828,7 @@ def oracle_sql() -> dict[str, str]:
         "q87_pagerank": _pagerank_oracle_sql(),
         "q190_weighted_pagerank": _weighted_pagerank_oracle_sql(),
         "q192_kcore": _kcore_oracle_sql(k=2, n_rounds=10),
+        "q193_personalized_pagerank": _ppr_oracle_sql(),
         "q175_hits": _hits_oracle_sql(),
         "q180_markov_attribution": _markov_attr_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
@@ -8503,6 +8612,46 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CAST(w2 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
         FROM agg
         UNION ALL SELECT 1.0 AS threshold, n_rows, k3 AS rows_kept,
+               ROUND(CAST(k3 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w3 AS weight_kept,
+               ROUND(CAST(w3 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+    """
+    # q194: token-frequency vocabulary/coverage curve through the
+    # same conditional-aggregate device as q191
+    out["q194_vocab_coverage_curve"] = f"""
+        WITH freqs AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({tokens_sql}) AS tok FROM documents)
+            GROUP BY tok),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COALESCE(SUM(freq), 0) AS BIGINT) AS n_weight,
+               CAST(SUM(CASE WHEN freq >= 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS k0,
+               CAST(SUM(CASE WHEN freq >= 2.0 THEN freq ELSE 0 END) AS BIGINT) AS w0,
+               CAST(SUM(CASE WHEN freq >= 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+               CAST(SUM(CASE WHEN freq >= 5.0 THEN freq ELSE 0 END) AS BIGINT) AS w1,
+               CAST(SUM(CASE WHEN freq >= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+               CAST(SUM(CASE WHEN freq >= 10.0 THEN freq ELSE 0 END) AS BIGINT) AS w2,
+               CAST(SUM(CASE WHEN freq >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS k3,
+               CAST(SUM(CASE WHEN freq >= 100.0 THEN freq ELSE 0 END) AS BIGINT) AS w3
+            FROM freqs)
+        SELECT 2.0 AS threshold, n_rows, k0 AS rows_kept,
+               ROUND(CAST(k0 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w0 AS weight_kept,
+               ROUND(CAST(w0 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+        UNION ALL SELECT 5.0 AS threshold, n_rows, k1 AS rows_kept,
+               ROUND(CAST(k1 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w1 AS weight_kept,
+               ROUND(CAST(w1 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+        UNION ALL SELECT 10.0 AS threshold, n_rows, k2 AS rows_kept,
+               ROUND(CAST(k2 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
+               n_weight, w2 AS weight_kept,
+               ROUND(CAST(w2 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
+        FROM agg
+        UNION ALL SELECT 100.0 AS threshold, n_rows, k3 AS rows_kept,
                ROUND(CAST(k3 AS DOUBLE) / NULLIF(CAST(n_rows AS DOUBLE), 0.0), 6) AS rows_kept_frac,
                n_weight, w3 AS weight_kept,
                ROUND(CAST(w3 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac

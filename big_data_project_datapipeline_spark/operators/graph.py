@@ -166,6 +166,92 @@ def pagerank(
     return attach_cache_release(out, (e, nodes))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    damping: float = 0.85,
+    n_iter: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Fixed ``n_iter`` personalized-PageRank sweeps: the teleport
+    mass returns to the SEED set instead of the whole graph, so the
+    stationary direction measures proximity *to the seeds* — the
+    standard seed-expansion / related-items primitive a global
+    pagerank cannot express (its ranks are query-independent).
+    Returns (node, pr) with pr round(6).
+
+    Semantics: restart vector r(v) = 1/|S| for v in S (seeds
+    intersected with the graph's node set; duplicates collapse),
+    0 elsewhere; pr_0 = r; each sweep pr = (1-d)·r + d·M·pr with the
+    same simplified-textbook dangling treatment, decimal(28,12)
+    contribution accumulation, co-partitioned+sorted persisted edge
+    frame, and per-sweep localCheckpoint default as :func:`pagerank`
+    (all the round-8 adjudications inherit). |S| folds in as a
+    literal from one bounded count on the persisted seed-flagged node
+    frame — the q87 node-count device.
+
+    Raises ValueError when no seed is present in the graph (a PPR
+    over an empty restart set has no meaning; returning the zero
+    vector silently would hide a wiring bug upstream).
+    """
+    e0 = edges.select(src, dst).distinct()
+    deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
+    e = (
+        e0.join(deg, src)
+        .repartition(F.col(src))
+        .sortWithinPartitions(src)
+        .persist()
+    )
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col(src).alias("node"))
+        .union(e.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(seed_nodes.withColumn("__seed", F.lit(1)), "node", "left")
+        .select("node", F.coalesce(F.col("__seed"), F.lit(0)).alias("__seed"))
+        .persist()
+    )
+    ns = nodes.agg(F.sum("__seed").alias("s")).first()["s"] or 0
+    if ns == 0:
+        raise ValueError(
+            "personalized_pagerank(): no seed appears in the graph's "
+            "node set — the restart vector would be empty."
+        )
+    # restart term per node, folded as literals: seeds get 1/|S|
+    restart = F.when(
+        F.col("__seed") == 1, F.lit(1.0 / ns)
+    ).otherwise(F.lit(0.0))
+    ranks = nodes.select("node", restart.alias("pr"))
+    for _i in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", src), src)
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("pr") / F.col("deg")).cast("decimal(28,12)").alias("w"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum("w").cast("double").alias("s")
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * restart
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if checkpoint_every and (_i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    out = ranks.select("node", F.round("pr", 6).alias("pr"))
+    return attach_cache_release(out, (e, nodes))
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

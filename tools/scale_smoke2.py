@@ -56,6 +56,12 @@ QUERIES = [
     "q184_rrf_fusion",
     "q175_hits",
     "q87_pagerank",
+    # round-8 new graph/curation queries (q189 excluded: it reads the
+    # part table, which the sf10 builder does not replicate — its CC
+    # loop is q187's, already measured, plus one anti-join)
+    "q190_weighted_pagerank",
+    "q191_quality_yield_curve",
+    "q192_kcore",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
