@@ -4534,57 +4534,68 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # there was green in a prior round's CORRECTNESS file and stays
 # bit-checked locally at both gate SFs every round
 # (tools/compare_oracle.py, tools/certify.py).
+# Round-9 rotation (NOTES_r8 plan): q92/q37 pinned; the two round-8
+# additions that missed the r8 gate (q193/q194 — the only registry
+# entries without a driver row) plus every plan round 9 touched
+# (operators/graph.py: pagerank weight validation + PPR/CC
+# leak-on-raise + HITS auths persist ordering + NULL-node isolates
+# filter → q87/q175/q187/q189/q190); the 41 filler slots re-certify
+# the stalest cohorts — the full q64–q86 round-3 remainder (last
+# driver rows round 4) and q144–q161 from the twice-certified
+# q144–q170 block. q18–q63, q186/q188/q191/q192, q51/q119 (all
+# driver-green in r8) rotate past the cap; q162–q170 are next in
+# line for round 10.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
-    "q186_dedup_yield_curve",
+    "q193_personalized_pagerank",
+    "q194_vocab_coverage_curve",
+    "q87_pagerank",
+    "q175_hits",
     "q187_connected_components",
-    "q188_cluster_aware_split",
     "q189_cc_isolates",
     "q190_weighted_pagerank",
-    "q191_quality_yield_curve",
-    "q192_kcore",
-    "q175_hits",
-    "q87_pagerank",
-    "q51_dup_clusters",
-    "q119_canonical_selection",
-    "q18_distinct_users",
-    "q19_string_projections",
-    "q22_ngram_jaccard",
-    "q24_lang_quality_summary",
-    "q26_embedding_stats",
-    "q27_union_by_name",
-    "q28_lenient_casts",
-    "q29_range_report",
-    "q32_embedding_neardup",
-    "q33_simhash",
-    "q34_cube_summary",
-    "q36_top_tokens",
-    "q40_range_join",
-    "q41_window_analytics",
-    "q42_argmax",
-    "q43_winnow_fingerprints",
-    "q44_label_centroids",
-    "q47_stratified_sample",
-    "q49_nested_json",
-    "q52_salted_join",
-    "q53_twap",
-    "q55_boilerplate_shingles",
-    "q56_decontaminate",
-    "q57_tfidf_top_terms",
-    "q58_repetition_metrics",
-    "q60_quantize_embeddings",
-    "q61_chunk_dedup",
-    "q30_asof_backward",
-    "q31_grouped_zscore",
-    "q35_unpivot",
-    "q39_corr_covar",
-    "q45_dedup_then_join",
-    "q46_upsert_keep_first",
-    "q48_set_ops",
-    "q50_asof_forward",
-    "q62_lm_perplexity",
-    "q63_source_mix_rebalance",
+    "q64_semantic_dedup",
+    "q65_sequence_packing",
+    "q66_train_val_split",
+    "q67_funnel",
+    "q68_cohort_retention",
+    "q69_gap_fill_locf",
+    "q70_scd2",
+    "q71_bm25_search",
+    "q72_value_histogram",
+    "q73_fuzzy_match",
+    "q74_rolling_stats",
+    "q75_rag_chunks",
+    "q76_markov_transitions",
+    "q77_welch_ab",
+    "q78_mad_outliers",
+    "q79_copurchase_lift",
+    "q80_trailing_ewma",
+    "q81_attribution",
+    "q82_robust_scale",
+    "q83_seasonal_anomalies",
+    "q84_equal_freq_bins",
+    "q85_target_encode",
+    "q86_feature_hashing",
+    "q144_ks_drift",
+    "q145_benford_audit",
+    "q146_balance_anti",
+    "q147_mean_shift",
+    "q148_domain_cap",
+    "q149_mutual_info",
+    "q150_robust_means",
+    "q151_small_order_revenue",
+    "q152_auc",
+    "q153_ols2",
+    "q154_acf",
+    "q155_fk_integrity",
+    "q156_day_completeness",
+    "q157_emd_drift",
+    "q158_bootstrap_ci",
+    "q159_log_odds",
+    "q160_km_conversion",
+    "q161_snapshot_diff",
 ]
 
 

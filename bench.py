@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "q190_weighted_pagerank",
     "q191_quality_yield_curve",
     "q192_kcore",
+    "q193_personalized_pagerank",
+    "q194_vocab_coverage_curve",
 ]
 
 

@@ -109,6 +109,30 @@ def pagerank(
         .sortWithinPartitions(src)
         .persist()
     )
+    if weight is not None:
+        # Weight validation (ADVICE r8): a NULL weight NULLs the whole
+        # (src,dst) group sum, NULL/zero totals NULL the contribution
+        # (silently dropped from the rank SUM), and negative weights
+        # break the stochastic-matrix semantics — all three would ship
+        # silently-wrong ranks. One bounded O(1)-output action on the
+        # already-persisted edge frame (weighted path only; it doubles
+        # as the cache fill the node distinct below reads through).
+        w = e.agg(
+            F.sum(F.col("__w").isNull().cast("int")).alias("nnull"),
+            F.min("__w").alias("wmin"),
+        ).first()
+        if (w["nnull"] or 0) > 0 or (
+            w["wmin"] is not None and w["wmin"] <= 0
+        ):
+            e.unpersist()
+            raise ValueError(
+                "pagerank(weight=): edge weights must be non-NULL and "
+                f"strictly positive (saw nulls={w['nnull'] or 0}, "
+                f"min={w['wmin']}) — NULL/zero out-weight totals drop "
+                "contributions from the rank sums silently and "
+                "negative weights break the stochastic-matrix "
+                "semantics."
+            )
     # nodes is an O(nodes) frame referenced by EVERY unrolled iteration
     # — persist it or the final plan recomputes the edge distinct once
     # per iteration.
@@ -216,6 +240,10 @@ def personalized_pagerank(
     )
     ns = nodes.agg(F.sum("__seed").alias("s")).first()["s"] or 0
     if ns == 0:
+        # release before raising (ADVICE r8): the error path must not
+        # leak the two persisted frames for the session lifetime
+        e.unpersist()
+        nodes.unpersist()
         raise ValueError(
             "personalized_pagerank(): no seed appears in the graph's "
             "node set — the restart vector would be empty."
@@ -399,6 +427,21 @@ def hits(
             e_src.join(hubs.withColumnRenamed("node", src), src),
             src, dst, "h", "__hovf", "a", "__aovf",
         )
+        if _i == n_iter - 1:
+            # The final auths frame has TWO consumers — the hub
+            # half-sweep just below and the state join after the loop
+            # — and an unpersisted plan node with two consumers
+            # recomputes its whole upstream chain once per consumer
+            # (profiled: every loop stage TWICE with identical bytes,
+            # ~204 MB = half the loop shuffle at sf1,
+            # tools/profile_hits.py). Persist must happen HERE, before
+            # the half-sweep: with the default per-sweep
+            # localCheckpoint the final hubs materializes EAGERLY at
+            # the end of this iteration, so a post-loop persist would
+            # arrive after that job already re-ran the auths lineage
+            # uncached (ADVICE r8) — this way the checkpoint job
+            # itself fills the cache and the state join reads it.
+            auths = auths.persist()
         hubs = _sweep(
             e_dst.join(auths.withColumnRenamed("node", dst), dst),
             dst, src, "a", "__aovf", "h", "__hovf",
@@ -428,14 +471,8 @@ def hits(
                 (F.col("h") / F.lit(s or 1.0)).alias("h"),
                 "__hovf",
             )
-    # The final auths frame has TWO consumers — the last hub half-sweep
-    # above and the state join below — and an unpersisted plan node
-    # with two consumers recomputes its whole upstream chain once per
-    # consumer: profiled as every loop stage appearing TWICE with
-    # identical bytes (tools/profile_hits.py; ~204 MB = half the loop
-    # shuffle at sf1). One O(nodes) persist runs the chain once; the
-    # hub pass fills the cache and the state join reads it.
-    auths = auths.persist()
+    # (auths was persisted inside the loop, before the final hub
+    # half-sweep — see the comment there.)
     # The sticky __hovf/__aovf flags arrive here having witnessed
     # EVERY overflow-to-NULL event across all sweeps (including
     # intermediate ones that healed into depressed-but-non-NULL final
@@ -611,6 +648,9 @@ def connected_components(
         if changed == 0:
             break
     else:
+        # release before raising (ADVICE r8): the error path must not
+        # leak the persisted symmetrized edge frame
+        sym.unpersist()
         raise ValueError(
             f"connected_components(): labels did not converge within "
             f"max_iters={max_iters} rounds — the returned components "
@@ -621,6 +661,11 @@ def connected_components(
     if nodes is not None:
         isolated = (
             nodes.select(F.col(node_col).alias("node"))
+            # NULL node ids drop, matching the edge path's NULL-endpoint
+            # filter (ADVICE r8: a NULL here emitted a (NULL, NULL)
+            # singleton while the edge path silently dropped NULLs —
+            # inconsistent semantics for the same bad input)
+            .filter(F.col("node").isNotNull())
             .distinct()
             .join(parent.select("node"), "node", "left_anti")
             .select("node", F.col("node").alias("component"))

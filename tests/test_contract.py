@@ -22,6 +22,25 @@ def test_bench_covers_every_query():
     assert set(bench.BENCH_QUERIES) == set(entrymod.queries())
 
 
+def test_baseline_covers_every_query():
+    """Every registered query carries a committed sf0.1 baseline —
+    without one a perf regression is invisible to bench.py's flag
+    pass (the round-8 q193/q194 wiring gap, closed via
+    tools/certify.wiring_check; this is the pytest-side witness)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".benchmarks",
+        "baseline_sf0.1.json",
+    )
+    with open(path) as fh:
+        baseline = set(json.load(fh)["queries"])
+    missing = set(entrymod.queries()) - baseline
+    assert not missing, sorted(missing)
+
+
 def test_oracle_sql_mentions_no_spark_syntax():
     for name, sql in entrymod.oracle_sql().items():
         assert "F." not in sql and "pyspark" not in sql, name
@@ -47,11 +66,13 @@ def test_gate_prefix_rotation_invariants():
     # approximate family via property gates)
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
-    # round-8 rotation: the never-driver-certified round-7 additions
-    # and every round-8-touched plan must occupy certified slots
+    # round-9 rotation: the two round-8 additions that missed the r8
+    # gate (the only entries ever registered without a driver row)
+    # and every plan round 9 touched (operators/graph.py fixes →
+    # pagerank/HITS/CC consumers) must occupy certified slots
     must_certify = {
-        "q186_", "q187_", "q188_", "q189_", "q190_", "q191_", "q192_",
-        "q175_", "q87_", "q51_", "q119_",
+        "q193_", "q194_",
+        "q87_", "q175_", "q187_", "q189_", "q190_",
     }
     stranded = [
         n

@@ -1012,3 +1012,194 @@ def test_score_yield_curve_hand_computed(spark):
     erows = score_yield_curve(empty, "s", (0.5, 0.8), weight_col="w").collect()
     assert len(erows) == 2
     assert all(r["rows_kept"] == 0 and r["weight_kept"] == 0 for r in erows)
+
+
+def test_personalized_pagerank_hand_computed(spark):
+    """Seeded star: teleport mass returns ONLY to the seed, so the
+    hand-iterated pr = (1-d)·r + d·M·pr with r = e_seed — the ranks a
+    global pagerank on the same graph cannot produce (its leaves tie;
+    here the non-seed leaves tie with each other but not the seed)."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # undirected star: hub 0 — leaves 1..3, symmetric edges; seed {1}
+    ed = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(edges, seeds, n_iter=3).collect()
+    }
+    # hand-iterate: restart r = {1: 1.0}; pr_0 = r; hub deg 3, leaves 1
+    r = {0: 0.0, 1: 1.0, 2: 0.0, 3: 0.0}
+    pr = dict(r)
+    for _ in range(3):
+        nxt = {
+            0: 0.15 * r[0] + 0.85 * (pr[1] + pr[2] + pr[3]),
+            1: 0.15 * r[1] + 0.85 * (pr[0] / 3),
+            2: 0.15 * r[2] + 0.85 * (pr[0] / 3),
+            3: 0.15 * r[3] + 0.85 * (pr[0] / 3),
+        }
+        pr = nxt
+    for node, want in pr.items():
+        assert out[node] == pytest.approx(want, abs=1e-6), node
+    # the seed outranks the symmetric leaves; global pagerank ties all 3
+    assert out[1] > out[2] == out[3]
+    g = {r_["node"]: r_["pr"] for r_ in pagerank(edges, n_iter=3).collect()}
+    assert g[1] == g[2] == g[3]
+
+
+def test_personalized_pagerank_seed_set_semantics(spark):
+    """Duplicate seed rows collapse (|S| counts DISTINCT in-graph
+    seeds) and out-of-graph seeds are ignored: seeds {1,1,99} on the
+    star ≡ seeds {1} exactly."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    ed = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    noisy = spark.createDataFrame([(1,), (1,), (99,)], "node long")
+    clean = spark.createDataFrame([(1,)], "node long")
+    a = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(edges, noisy, n_iter=3).collect()
+    }
+    b = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(edges, clean, n_iter=3).collect()
+    }
+    assert a == b
+    # two in-graph seeds split the restart mass: 1/|S| each
+    two = {
+        r["node"]: r["pr"]
+        for r in personalized_pagerank(
+            edges,
+            spark.createDataFrame([(1,), (2,)], "node long"),
+            n_iter=1,
+        ).collect()
+    }
+    # pr_0 = {1: .5, 2: .5}; sweep: 0 <- .85*(.5+.5), 1/2 <- .15*.5
+    assert two[0] == pytest.approx(0.85, abs=1e-6)
+    assert two[1] == two[2] == pytest.approx(0.075, abs=1e-6)
+    assert two[3] == 0.0
+
+
+def test_personalized_pagerank_no_seed_raises_and_releases(spark):
+    """No seed in the graph's node set raises ValueError, and the
+    error path unpersists the edge/node frames it built (ADVICE r8:
+    leak-on-raise) — no NEW persistent RDD ids survive the call."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    ed = [(0, 1), (1, 0)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    with pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(edges, seeds, n_iter=2)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    leaked = after - before
+    assert not leaked, f"persisted RDDs leaked past the raise: {leaked}"
+
+
+def test_pagerank_weight_validation_raises_and_releases(spark):
+    """NULL, zero, and negative edge weights each raise (ADVICE r8:
+    silently-dropped NULL contributions / broken stochastic matrix),
+    and the raise path leaks no persisted frame."""
+    from big_data_project_datapipeline_spark.operators.graph import pagerank
+
+    for bad in (None, 0, -2):
+        ed = [(0, 1, 1), (1, 0, bad)]
+        edges = spark.createDataFrame(ed, "src long, dst long, n long")
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        with pytest.raises(ValueError, match="weights must be"):
+            pagerank(edges, n_iter=2, weight="n")
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        leaked = after - before
+        assert not leaked, (bad, leaked)
+
+
+def test_connected_components_nonconvergence_releases(spark):
+    """The max_iters-exhausted raise (round-8 guard) unpersists the
+    symmetrized edge frame before raising (ADVICE r8). The per-round
+    localCheckpoint snapshots also show up in getPersistentRDDs but
+    free via the ContextCleaner once the exception traceback no
+    longer references them — poll a JVM-GC drain for those (the
+    test_pagerank_caches_release device); the sym unpersist itself is
+    immediate."""
+    import gc
+    import time
+
+    from big_data_project_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    ed = [(i, i + 1) for i in range(64)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(edges, max_iters=2)
+    leaked: set = set()
+    for _ in range(60):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+        leaked = after - before
+        if not leaked:
+            break
+        time.sleep(0.25)
+    assert not leaked, f"persisted RDDs leaked past the raise: {leaked}"
+
+
+def test_connected_components_null_node_id_dropped(spark):
+    """A NULL id in the optional nodes= frame drops, matching the edge
+    path's NULL-endpoint filter (ADVICE r8: it used to emit a
+    (NULL, NULL) singleton component)."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(0,), (1,), (7,), (None,)], "node long"
+    )
+    got = sorted(
+        (r["node"], r["component"])
+        for r in connected_components(edges, nodes=nodes).collect()
+    )
+    assert got == [(0, 0), (1, 0), (7, 7)], got
+
+
+def test_vocab_coverage_curve_hand_computed(spark):
+    """The q194 composition on a 3-doc corpus: explode whitespace
+    tokens → frequency table → score_yield_curve(freq, weight=freq).
+    Hand-computed: tokens a×4 b×2 c×1 (7 total); cutoff 2 keeps
+    {a, b} = 2/3 vocab covering 6/7 tokens; cutoff 4 keeps {a}."""
+    from big_data_project_datapipeline_spark.functions import text as TX
+    from big_data_project_datapipeline_spark.functions.quality import (
+        score_yield_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [("A a b",), ("a B",), ("a c",)], "text string"
+    )
+    freqs = (
+        docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    got = {
+        r["threshold"]: r
+        for r in score_yield_curve(
+            freqs, "freq", (2.0, 4.0), weight_col="freq"
+        ).collect()
+    }
+    assert got[2.0]["n_rows"] == 3 and got[2.0]["n_weight"] == 7
+    assert got[2.0]["rows_kept"] == 2 and got[2.0]["weight_kept"] == 6
+    assert got[2.0]["weight_kept_frac"] == round(6 / 7, 6)
+    assert got[4.0]["rows_kept"] == 1 and got[4.0]["weight_kept"] == 4
+    assert got[4.0]["weight_kept_frac"] == round(4 / 7, 6)
