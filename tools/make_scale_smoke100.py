@@ -22,7 +22,12 @@ with one deliberate difference for documents:
   clone-collapse stage) asks of the device.
 
 Only the tables the flagship queries read are built: events (q166,
-q176), documents (q173, q135), orders (q128).
+q176), documents (q173, q135), orders (q128). The dimension tables
+(region/nation/customer/supplier/part) symlink to sf0.1 like the sf1
+builder — so q189's part universe and q193's customer seed cohort are
+the UNREPLICATED copy-0 sets, i.e. a fixed dim/seed population while
+the fact tables grow 100x (the realistic decade shape: at 100 TB the
+entity dims don't scale with the event volume).
 
 Usage: python tools/make_scale_smoke100.py  (writes .scale_smoke/sf10/)
 """
@@ -100,9 +105,13 @@ def main() -> None:
         con.execute(f"COPY ({sql}) TO '{dst}' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows -> {dst}")
-    # the flagship queries only read the tables above, but the loader
-    # resolves every registered table path lazily, so no placeholders
-    # are needed for the rest.
+    # Dimension tables stay the unreplicated sf0.1 sets (see module
+    # docstring) — symlink them so q189 (part universe) and q193
+    # (customer seed cohort) resolve.
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        link = f"{OUT}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
 
 
 if __name__ == "__main__":

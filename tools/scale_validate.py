@@ -139,10 +139,123 @@ def check_cluster_split(spark, sf_dir) -> list[str]:
     return problems
 
 
+def check_pagerank_family(spark, sf_dir) -> list[str]:
+    """Round-9 graph invariants (VERDICT r8 item 3): rank-vector
+    algebra that must hold at ANY scale for q87 / q190 / q193 — node
+    uniqueness, positivity (every node holds at least its teleport
+    share; PPR non-seeds may sit at exactly 0), rank <= 1, and total
+    mass == 1 (the symmetrized graphs have no dangling nodes, so each
+    sweep preserves mass exactly; per-node round(6) leaves the sum
+    within 0.01 of 1 at these node counts)."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    problems = []
+    for name, lo_exclusive in (
+        ("q87_pagerank", True),
+        ("q190_weighted_pagerank", True),
+        ("q193_personalized_pagerank", False),
+    ):
+        agg = (
+            qs[name](spark, sf_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("node").alias("nd"),
+                F.min("pr").alias("lo"),
+                F.max("pr").alias("hi"),
+                F.sum("pr").alias("mass"),
+            )
+            .first()
+        )
+        if agg["n"] == 0 or agg["nd"] != agg["n"]:
+            problems.append(f"{name}: node multiplicity ({agg['nd']} vs {agg['n']})")
+            continue
+        lo = -1.0 if agg["lo"] is None else agg["lo"]
+        hi = 9.0 if agg["hi"] is None else agg["hi"]
+        lo_bad = lo <= 0 if lo_exclusive else lo < 0
+        if lo_bad or hi > 1.0:
+            problems.append(f"{name}: rank out of range ({agg['lo']}, {agg['hi']})")
+        if abs((agg["mass"] or 0.0) - 1.0) > 0.01:
+            problems.append(f"{name}: total mass {agg['mass']} != 1")
+    return problems
+
+
+def check_kcore(spark, sf_dir) -> list[str]:
+    """q192 at decade scale: independently recompute each surviving
+    node's degree INSIDE the returned core (two semi-joins + one
+    groupBy over the support graph) — it must equal the reported
+    in-core degree and be >= k=2. This is the k-core definition
+    checked from scratch, not via the operator's own fixpoint
+    probe."""
+    import __spark_entry__ as E
+
+    core = E.queries()["q192_kcore"](spark, sf_dir)
+    ed = E._copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    sym = ed.union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = core.select("node")
+    ind_deg = (
+        sym.join(nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(nodes.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bad = (
+        core.join(ind_deg, "node", "left")
+        .filter(
+            F.col("d").isNull()
+            | (F.col("d") != F.col("degree"))
+            | (F.col("d") < 2)
+        )
+        .count()
+    )
+    n = core.count()
+    problems = []
+    if n == 0:
+        problems.append("kcore: empty core at decade scale")
+    if bad:
+        problems.append(f"kcore: {bad}/{n} nodes violate in-core degree == reported >= k")
+    return problems
+
+
+def check_cc_isolates(spark, sf_dir) -> list[str]:
+    """q189 at decade scale: the output covers the FULL part universe
+    exactly once (every part id present, node uniqueness) and every
+    singleton labels itself."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q189_cc_isolates"](spark, sf_dir)
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node")
+    )
+    problems = []
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("node").alias("nd")
+    ).first()
+    if agg["n"] == 0 or agg["nd"] != agg["n"]:
+        problems.append(f"isolates: node multiplicity ({agg['nd']} vs {agg['n']})")
+    missing = parts.join(out.select("node"), "node", "left_anti").count()
+    if missing:
+        problems.append(f"isolates: {missing} part ids absent from the output")
+    bad_single = (
+        out.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"), F.min("node").alias("lo"))
+        .filter((F.col("sz") == 1) & (F.col("component") != F.col("lo")))
+        .count()
+    )
+    if bad_single:
+        problems.append(f"isolates: {bad_single} singletons mislabeled")
+    return problems
+
+
 CHECKS = [
     ("prefix_ranks", check_prefix_ranks),
     ("rrf", check_rrf),
     ("cluster_split", check_cluster_split),
+    ("pagerank_family", check_pagerank_family),
+    ("kcore", check_kcore),
+    ("cc_isolates", check_cc_isolates),
 ]
 
 
