@@ -2103,20 +2103,31 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2) -> str:
     return ",".join(parts)
 
 
-def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 3) -> str:
-    """DuckDB twin of operators/graph.pagerank over the q87 co-purchase
-    graph — iterations unrolled into CTEs with the SAME decimal(28,12)
-    contribution cast and the SAME double literals."""
-    om = 1.0 - damping  # repr'd below → identical parsed double
-    parts = [
-        f"""
-        WITH ed0 AS (
+_Q87_GRAPH_SQL = """ed0 AS (
             SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         edges AS (
             SELECT DISTINCT src, dst FROM (
                 SELECT src, dst FROM ed0
-                UNION ALL SELECT dst, src FROM ed0)),
+                UNION ALL SELECT dst, src FROM ed0))"""
+
+
+def _pagerank_oracle_sql(
+    damping: float = 0.85,
+    n_iter: int = 3,
+    graph_sql: str = _Q87_GRAPH_SQL,
+    node_out: str = "node",
+) -> str:
+    """DuckDB twin of operators/graph.pagerank — iterations unrolled
+    into CTEs with the SAME decimal(28,12) contribution cast and the
+    SAME double literals. ``graph_sql`` supplies the CTE block that
+    must end by defining a deduplicated symmetric ``edges(src, dst)``
+    (default: the q87 co-purchase graph; q195 passes the token
+    co-occurrence graph). ``node_out`` renames the output node column."""
+    om = 1.0 - damping  # repr'd below → identical parsed double
+    parts = [
+        f"""
+        WITH {graph_sql},
         nodes AS (
             SELECT DISTINCT node FROM (
                 SELECT src AS node FROM edges
@@ -2145,7 +2156,8 @@ def _pagerank_oracle_sql(damping: float = 0.85, n_iter: int = 3) -> str:
             CROSS JOIN nn)""")
     return (
         ",".join(parts)
-        + f"\n        SELECT node, ROUND(pr, 6) AS pr FROM r{n_iter}"
+        + f"\n        SELECT node AS {node_out}, ROUND(pr, 6) AS pr"
+        + f" FROM r{n_iter}"
     )
 
 
@@ -4539,17 +4551,20 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entries without a driver row) plus every plan round 9 touched
 # (operators/graph.py: pagerank weight validation + PPR/CC
 # leak-on-raise + HITS auths persist ordering + NULL-node isolates
-# filter → q87/q175/q187/q189/q190); the 41 filler slots re-certify
-# the stalest cohorts — the full q64–q86 round-3 remainder (last
-# driver rows round 4) and q144–q161 from the twice-certified
-# q144–q170 block. q18–q63, q186/q188/q191/q192, q51/q119 (all
-# driver-green in r8) rotate past the cap; q162–q170 are next in
-# line for round 10.
+# filter → q87/q175/q187/q189/q190), the three round-9 new queries
+# q195–q197; the filler slots re-certify the stalest cohorts — the
+# full q64–q86 round-3 remainder (last driver rows round 4) and
+# q144–q158 from the twice-certified q144–q170 block. q18–q63,
+# q186/q188/q191/q192, q51/q119 (all driver-green in r8) rotate past
+# the cap; q159–q170 are next in line for round 10.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
     "q193_personalized_pagerank",
     "q194_vocab_coverage_curve",
+    "q195_textrank_keywords",
+    "q196_dup_cluster_sizes",
+    "q197_lsh_bucket_stats",
     "q87_pagerank",
     "q175_hits",
     "q187_connected_components",
@@ -4593,9 +4608,6 @@ _GATE_PREFIX = [
     "q156_day_completeness",
     "q157_emd_drift",
     "q158_bootstrap_ci",
-    "q159_log_odds",
-    "q160_km_conversion",
-    "q161_snapshot_diff",
 ]
 
 
@@ -4796,6 +4808,82 @@ def q194_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q195_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the window-2 token co-occurrence graph — a token matters when it
+    co-occurs with tokens that matter, the recursive centrality a raw
+    frequency count (q36) cannot express. Edge build is one
+    doc-partitioned window (two leads), map-only besides the graph
+    distinct; then operators/graph.pagerank with all its devices
+    (co-partitioned persisted edges, decimal accumulation, per-sweep
+    localCheckpoint). Nodes are token strings; ranks round(6)."""
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prs = tk.select(
+        "tok",
+        F.lead("tok", 1).over(w).alias("n1"),
+        F.lead("tok", 2).over(w).alias("n2"),
+    )
+    ed0 = (
+        prs.filter(F.col("n1").isNotNull() & (F.col("n1") != F.col("tok")))
+        .select(F.col("tok").alias("src"), F.col("n1").alias("dst"))
+        .unionAll(
+            prs.filter(
+                F.col("n2").isNotNull() & (F.col("n2") != F.col("tok"))
+            ).select(F.col("tok").alias("src"), F.col("n2").alias("dst"))
+        )
+    )
+    sym = ed0.union(
+        ed0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return pagerank(sym, n_iter=3).select(
+        F.col("node").alias("token"), "pr"
+    )
+
+
+def q196_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE distribution — the curation readout after
+    q51's cluster resolution: how many singletons vs how many k-doc
+    clone families the corpus carries (a heavy tail here means dedup
+    is load-bearing; q133's measured clone blow-up started as exactly
+    this histogram). Two map-side-combinable groupBys over the q51
+    cluster labels; O(distinct sizes) output."""
+    d = _t(spark, sf_dir, "documents")
+    decision = D.minhash_dedup_decision(
+        d, num_hashes=16, band_size=8, threshold=0.8
+    )
+    sizes = D.resolve_dup_clusters(decision).groupBy("cluster_root").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+def q197_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index health: per (band, bucket size), how many buckets and
+    how much verify work they imply (Σ sz·(sz−1)/2 candidate pairs) —
+    the readout an operator checks BEFORE deploying q21/q51's banding
+    on a new corpus (a degenerate bucket here is the all-pairs blow-up
+    LSH exists to avoid). Signature pass + two groupBys; integer
+    arithmetic end-to-end (integer div — sz·(sz−1) is always even)."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(d, num_hashes=16)
+    banded = D.banded_rows(sigs, "doc_id", num_hashes=16, band_size=8)
+    bs = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return bs.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.expr("(bucket_size * (bucket_size - 1)) div 2")
+        ).alias("candidate_pairs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -4883,6 +4971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_kcore": q192_kcore,
         "q193_personalized_pagerank": q193_personalized_pagerank,
         "q194_vocab_coverage_curve": q194_vocab_coverage_curve,
+        "q195_textrank_keywords": q195_textrank_keywords,
+        "q196_dup_cluster_sizes": q196_dup_cluster_sizes,
+        "q197_lsh_bucket_stats": q197_lsh_bucket_stats,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -8667,6 +8758,63 @@ def oracle_sql() -> dict[str, str]:
                n_weight, w3 AS weight_kept,
                ROUND(CAST(w3 AS DOUBLE) / NULLIF(CAST(n_weight AS DOUBLE), 0.0), 6) AS weight_kept_frac
         FROM agg
+    """
+    # q195: the q87 pagerank device over the window-2 token
+    # co-occurrence graph (pairs via list_transform/range — the q55
+    # shingle device — mirroring the Spark side's lead(1)/lead(2)
+    # window pairs exactly, self-pairs dropped on both sides).
+    textrank_graph = f"""tr_toks AS (
+            SELECT doc_id, {tokens_sql} AS t FROM documents),
+        p1 AS (
+            SELECT unnest(list_transform(
+                range(0, CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END),
+                i -> struct_pack(src := t[i+1], dst := t[i+2]))) AS p
+            FROM tr_toks),
+        p2 AS (
+            SELECT unnest(list_transform(
+                range(0, CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END),
+                i -> struct_pack(src := t[i+1], dst := t[i+3]))) AS p
+            FROM tr_toks),
+        ed0 AS (
+            SELECT p.src AS src, p.dst AS dst FROM p1 WHERE p.src <> p.dst
+            UNION ALL
+            SELECT p.src AS src, p.dst AS dst FROM p2 WHERE p.src <> p.dst),
+        edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM ed0
+                UNION ALL SELECT dst, src FROM ed0))"""
+    out["q195_textrank_keywords"] = _pagerank_oracle_sql(
+        graph_sql=textrank_graph, node_out="token"
+    )
+    # q196: cluster-size histogram over the q51 cluster labels.
+    out["q196_dup_cluster_sizes"] = f"""
+        WITH clusters AS ({out["q51_dup_clusters"]}),
+        sizes AS (
+            SELECT cluster_root, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM clusters GROUP BY cluster_root)
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size
+    """
+    # q197: LSH bucket-size distribution over the shared banding CTE
+    # (sig_cte + the minhash_cte bands block verbatim); integer-exact
+    # candidate-pair accounting (sz·(sz−1) is even → // is exact).
+    bands_cte = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + PIPE_SEP.join(f"CAST(mh{8*b+j} AS VARCHAR)" for j in range(8))
+        + " AS band_key FROM sigs"
+        for b in range(2)
+    )
+    out["q197_lsh_bucket_stats"] = f"""
+        WITH {sig_cte},
+        bands AS ({bands_cte}),
+        bs AS (
+            SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS bucket_size
+            FROM bands GROUP BY band, band_key)
+        SELECT band, bucket_size,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM((bucket_size * (bucket_size - 1)) // 2) AS BIGINT)
+                   AS candidate_pairs
+        FROM bs GROUP BY band, bucket_size
     """
     out["q186_dedup_yield_curve"] = f"""
         WITH {minhash_cte},

@@ -217,6 +217,9 @@ BENCH_QUERIES = [
     "q192_kcore",
     "q193_personalized_pagerank",
     "q194_vocab_coverage_curve",
+    "q195_textrank_keywords",
+    "q196_dup_cluster_sizes",
+    "q197_lsh_bucket_stats",
 ]
 
 

@@ -217,6 +217,43 @@ def minhash_signatures(
     return staged.select(*cols).repartition(F.col(id_col))
 
 
+def banded_rows(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 8,
+) -> DataFrame:
+    """(id, band, band_key) bucket rows of a MinHash signature frame —
+    the shared banding expression of :func:`_verified_ancestors` /
+    ``streaming/neardup`` (including concat_ws's NULL-skipping on
+    all-NULL empty-doc signatures), exposed for index introspection
+    (q197 bucket stats) and incremental maintenance. One map-only
+    explode: |bands| rows per doc."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{b * band_size + j}")
+                        for j in range(band_size)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("bk")
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -46,9 +46,23 @@ def pagerank(
     n_iter: int = 3,
     checkpoint_every: int = 1,
     weight: str | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Fixed ``n_iter`` PageRank sweeps over a (src, dst) edge list
     (deduplicated internally). Returns (node, pr) with pr round(6).
+
+    ``prepared=True``: ``edges`` is an ALREADY-prepared edge frame —
+    deduplicated, carrying the out-degree as a ``deg`` column, and
+    physically co-located on ``src`` (e.g. a `sinks.write_bucketed`
+    table read, bucketed+sorted on src) — so the one-time
+    distinct+deg-join+repartition+sort+persist is skipped and every
+    sweep's join reads the bucket-local scan directly. This is the
+    100 TB shape when the same graph is ranked repeatedly across jobs:
+    the edge prep (and its sort spill) is paid ONCE at landing time,
+    not per session; within one session the default in-memory persist
+    path wins instead (measured at sf10, see SCALING.md round-9 A/B).
+    Mutually exclusive with ``weight=`` (prepare the weighted frame's
+    ``__w``/``deg`` upstream if needed — not yet plumbed).
 
     ``weight``: optional edge-weight column — contributions become
     ``pr(src) · w(src,dst) / Σ_dst w(src,·)`` (duplicate (src,dst)
@@ -75,7 +89,12 @@ def pagerank(
     shuffle within the single action, so k=0 only re-pays plan cost,
     not execution).
     """
-    e0 = edges.select(src, dst).distinct()
+    if prepared and weight is not None:
+        raise ValueError(
+            "pagerank(prepared=True) does not compose with weight= "
+            "— pre-compute the weighted frame's __w/deg upstream."
+        )
+    e0 = edges.select(src, dst).distinct() if not prepared else None
     # Fold the out-degree INTO the persisted edge frame once (one extra
     # long per edge row) — each iteration then needs a single join
     # (ranks) instead of two (ranks + deg); measured 27% faster at
@@ -92,7 +111,12 @@ def pagerank(
     # (sort memory, not the edge build); the one-time sort at cache
     # fill removes all of it. At gate SFs AQE broadcasts the rank
     # side instead and the sort is simply unused — plan unchanged.
-    if weight is not None:
+    if prepared:
+        # caller-prepared frame: deduplicated, carrying "deg",
+        # co-located+sorted on src (bucketed-table read) — the sweeps
+        # scan it directly; no one-time prep, no persist to release.
+        e = edges
+    elif weight is not None:
         # duplicate (src,dst) rows sum their weights; "deg" becomes the
         # src's total outgoing weight so the unweighted loop body below
         # is reused verbatim (contribution = pr·w/deg with w folded in)
@@ -101,14 +125,20 @@ def pagerank(
             .agg(F.sum(weight).alias("__w"))
         )
         deg = e0.groupBy(src).agg(F.sum("__w").alias("deg"))
+        e = (
+            e0.join(deg, src)
+            .repartition(F.col(src))
+            .sortWithinPartitions(src)
+            .persist()
+        )
     else:
         deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        e0.join(deg, src)
-        .repartition(F.col(src))
-        .sortWithinPartitions(src)
-        .persist()
-    )
+        e = (
+            e0.join(deg, src)
+            .repartition(F.col(src))
+            .sortWithinPartitions(src)
+            .persist()
+        )
     if weight is not None:
         # Weight validation (ADVICE r8): a NULL weight NULLs the whole
         # (src,dst) group sum, NULL/zero totals NULL the contribution
@@ -187,7 +217,9 @@ def pagerank(
     # slower at sf0.1, so instead their release is tied to the result's
     # lifetime (auto on GC, or operators.caching.release_caches for
     # explicit control).
-    return attach_cache_release(out, (e, nodes))
+    return attach_cache_release(
+        out, (nodes,) if prepared else (e, nodes)
+    )
 
 
 def personalized_pagerank(
@@ -286,6 +318,7 @@ def hits(
     dst: str = "dst",
     n_iter: int = 3,
     checkpoint_every: int = 1,
+    prepared_dst: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed ``n_iter`` HITS sweeps (Kleinberg 1999) over a DIRECTED
     (src, dst) edge list (deduplicated internally): authority(v) =
@@ -353,26 +386,38 @@ def hits(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    e0 = edges.select(src, dst).distinct()
-    # sortWithinPartitions: the cached copies expose partitioning AND
-    # ordering on their half-sweep join key, so each sweep's
-    # SortMergeJoin shuffles+sorts only the O(nodes) score frame (see
-    # pagerank — the round-8 sf10 attribution measured ~68 GB of
-    # per-sweep edge-side sort spill without this; at gate SFs AQE
-    # broadcasts the score side and the sort is unused).
-    e_src = (
-        e0.repartition(F.col(src)).sortWithinPartitions(src).persist()
-    )
-    # The dst-partitioned copy derives from the CACHED src copy, not
-    # from e0: two independent persists of e0 each re-run the whole
-    # upstream lineage (edge-build join + distinct) on first
-    # materialization — profiled at sf1 as ~140 MB of duplicate
-    # shuffle, 18% of the query total (tools/profile_hits.py). Reading
-    # through e_src's InMemoryRelation computes the lineage once and
-    # charges only the unavoidable second repartition.
-    e_dst = (
-        e_src.repartition(F.col(dst)).sortWithinPartitions(dst).persist()
-    )
+    if prepared_dst is not None:
+        # caller-prepared pair (the pagerank ``prepared=True`` story,
+        # doubled for HITS' alternating join key): ``edges`` is the
+        # deduplicated copy co-located+sorted on src, ``prepared_dst``
+        # the same rows co-located+sorted on dst — e.g. two
+        # `sinks.write_bucketed` table reads. Half-sweeps scan the
+        # bucket-local tables directly; no one-time prep, no edge
+        # persists to release.
+        e_src, e_dst = edges, prepared_dst
+    else:
+        e0 = edges.select(src, dst).distinct()
+        # sortWithinPartitions: the cached copies expose partitioning
+        # AND ordering on their half-sweep join key, so each sweep's
+        # SortMergeJoin shuffles+sorts only the O(nodes) score frame
+        # (see pagerank — the round-8 sf10 attribution measured
+        # ~68 GB of per-sweep edge-side sort spill without this; at
+        # gate SFs AQE broadcasts the score side and the sort is
+        # unused).
+        e_src = (
+            e0.repartition(F.col(src)).sortWithinPartitions(src).persist()
+        )
+        # The dst-partitioned copy derives from the CACHED src copy,
+        # not from e0: two independent persists of e0 each re-run the
+        # whole upstream lineage (edge-build join + distinct) on first
+        # materialization — profiled at sf1 as ~140 MB of duplicate
+        # shuffle, 18% of the query total (tools/profile_hits.py).
+        # Reading through e_src's InMemoryRelation computes the
+        # lineage once and charges only the unavoidable second
+        # repartition.
+        e_dst = (
+            e_src.repartition(F.col(dst)).sortWithinPartitions(dst).persist()
+        )
     nodes = (
         e_src.select(F.col(src).alias("node"))
         .union(e_src.select(F.col(dst).alias("node")))
@@ -525,9 +570,12 @@ def hits(
         F.round(F.col("h") / F.lit(sh), 6).alias("hub"),
         F.round(F.col("a") / F.lit(sa), 6).alias("auth"),
     )
-    return attach_cache_release(
-        out, (e_src, e_dst, nodes, auths, state, *sweep_persists)
+    release = (
+        (nodes, auths, state, *sweep_persists)
+        if prepared_dst is not None
+        else (e_src, e_dst, nodes, auths, state, *sweep_persists)
     )
+    return attach_cache_release(out, release)
 
 
 def connected_components(

@@ -107,11 +107,23 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int = 32,
     sort_col: str | None = None,
+    align_partitions: bool = True,
 ) -> None:
     """Bucketed managed table: both sides of a repeated equi-join bucketed
     on the key read co-located — the join plans with zero exchanges
-    (verify: no Exchange under SortMergeJoin in .explain)."""
+    (verify: no Exchange under SortMergeJoin in .explain).
+
+    ``align_partitions`` (default ON) repartitions by the bucket column
+    first: the bucket hash is the shuffle hash, so each write task then
+    holds exactly one bucket and emits ONE file. Without it every input
+    partition writes a file per bucket it touches — up to
+    |partitions| x |buckets| files (measured: a 32-partition frame
+    misaligned with 32 buckets wrote 1,024 files instead of 32; at
+    1000-executor scale that is a millions-of-small-files store). Skip
+    only when the input is already partitioned by the bucket column."""
     spark = df.sparkSession
+    if align_partitions:
+        df = df.repartition(num_buckets, F.col(bucket_col))
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     # a crashed prior run can leave the managed location behind with no
     # catalog entry — saveAsTable refuses to reuse it, so clear it
@@ -134,6 +146,34 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def register_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    location: str,
+    schema_sql: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Register an EXISTING bucketed-table directory (files written by
+    :func:`write_bucketed` — bucket ids ride in the part-file names) in
+    the current session's catalog as an EXTERNAL table, with the
+    bucketing spec restated in DDL. The deployment story for pre-landed
+    graph/dim tables: a persistent metastore remembers the spec across
+    sessions, but local in-memory catalogs forget it on restart — this
+    is the bridge (and what `tools/ab_prepared_edges.py`'s per-session
+    measurement uses). External: dropping the registration never
+    deletes the files. Do NOT register over a same-session MANAGED
+    table's own name — the DROP here would delete its files."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    sort = f" SORTED BY ({sort_col})" if sort_col else ""
+    spark.sql(
+        f"CREATE TABLE {table_name} ({schema_sql}) USING parquet "
+        f"CLUSTERED BY ({bucket_col}){sort} INTO {num_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
 
 
 def promote_overwrite(df: DataFrame, path: str) -> None:

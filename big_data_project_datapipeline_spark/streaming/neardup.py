@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from big_data_project_datapipeline_spark.functions.dedup import (
+    banded_rows,
     minhash_signatures,
     token_hash_set,
 )
@@ -173,30 +174,10 @@ def apply_neardup_batch(
         spark, state_dir, exclude_batch_id=batch_id
     )
     sigs = minhash_signatures(batch_df, text_col, id_col, num_hashes)
-    n_bands = num_hashes // band_size
-    # the _verified_ancestors banding expression verbatim — including
-    # concat_ws's NULL-skipping on empty-token docs (all-NULL
-    # signatures share the '' key per band there too)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"mh{b * band_size + j}")
-                        for j in range(band_size)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col,
-        F.col("bk.band").alias("band"),
-        F.col("bk.key").alias("band_key"),
-    )
+    # the _verified_ancestors banding expression (shared helper) —
+    # including concat_ws's NULL-skipping on empty-token docs
+    # (all-NULL signatures share the '' key per band there too)
+    banded = banded_rows(sigs, id_col, num_hashes, band_size)
     batch_buckets = banded.groupBy("band", "band_key").agg(
         F.min(id_col).alias("bucket_min")
     )

@@ -67,11 +67,12 @@ def test_gate_prefix_rotation_invariants():
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
     # round-9 rotation: the two round-8 additions that missed the r8
-    # gate (the only entries ever registered without a driver row)
-    # and every plan round 9 touched (operators/graph.py fixes →
-    # pagerank/HITS/CC consumers) must occupy certified slots
+    # gate (the only entries ever registered without a driver row),
+    # the three round-9 new queries, and every plan round 9 touched
+    # (operators/graph.py fixes → pagerank/HITS/CC consumers) must
+    # occupy certified slots
     must_certify = {
-        "q193_", "q194_",
+        "q193_", "q194_", "q195_", "q196_", "q197_",
         "q87_", "q175_", "q187_", "q189_", "q190_",
     }
     stranded = [

@@ -1203,3 +1203,167 @@ def test_vocab_coverage_curve_hand_computed(spark):
     assert got[2.0]["weight_kept_frac"] == round(6 / 7, 6)
     assert got[4.0]["rows_kept"] == 1 and got[4.0]["weight_kept"] == 4
     assert got[4.0]["weight_kept_frac"] == round(4 / 7, 6)
+
+
+def test_pagerank_prepared_edges_bit_equal(spark):
+    """pagerank(prepared=True) over a pre-landed bucketed (src, dst,
+    deg) table returns bit-identical ranks to the default in-session
+    prep path, and rejects composing with weight=."""
+    from big_data_project_datapipeline_spark import sinks
+    from big_data_project_datapipeline_spark.operators.graph import pagerank
+
+    ed = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)] + [(1, 2), (2, 1)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    want = sorted(
+        (r["node"], r["pr"]) for r in pagerank(edges, n_iter=3).collect()
+    )
+    deg = edges.distinct().groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    prepared = edges.distinct().join(deg, "src").select("src", "dst", "deg")
+    sinks.write_bucketed(prepared, "pr_edges_test", "src", num_buckets=4, sort_col="src")
+    got = sorted(
+        (r["node"], r["pr"])
+        for r in pagerank(
+            spark.table("pr_edges_test"), n_iter=3, prepared=True
+        ).collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="prepared=True"):
+        pagerank(spark.table("pr_edges_test"), weight="deg", prepared=True)
+
+
+def test_hits_prepared_tables_bit_equal(spark):
+    """hits(prepared_dst=) over two pre-landed bucketed copies (one
+    per half-sweep join key) returns bit-identical scores to the
+    default in-session prep path."""
+    from big_data_project_datapipeline_spark import sinks
+    from big_data_project_datapipeline_spark.operators.graph import hits
+
+    ed = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 1)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    want = sorted(
+        (r["node"], r["hub"], r["auth"])
+        for r in hits(edges, n_iter=3).collect()
+    )
+    dedup = edges.distinct()
+    sinks.write_bucketed(dedup, "hits_src_test", "src", num_buckets=4, sort_col="src")
+    sinks.write_bucketed(dedup, "hits_dst_test", "dst", num_buckets=4, sort_col="dst")
+    got = sorted(
+        (r["node"], r["hub"], r["auth"])
+        for r in hits(
+            spark.table("hits_src_test"),
+            n_iter=3,
+            prepared_dst=spark.table("hits_dst_test"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_textrank_edge_construction_and_ranks(spark):
+    """q195's co-occurrence construction on a hand corpus: window-2
+    pairs via lead(1)/lead(2) per doc, NULL tails dropped — the edge
+    stream a position self-join would need a range join for."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a"), (3, "d")],
+        "doc_id long, text string",
+    )
+    # replicate the query body on the tiny frame
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+        ).alias("pos", "tok"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prs = tk.select(
+        "tok",
+        F.lead("tok", 1).over(w).alias("n1"),
+        F.lead("tok", 2).over(w).alias("n2"),
+    )
+    got = sorted(
+        ((r["tok"], r["n1"], r["n2"]) for r in prs.collect()),
+        key=lambda t: tuple(x or "" for x in t),
+    )
+    # doc1 "a b a c": (a,b,a),(b,a,c),(a,c,None),(c,None,None)
+    # doc2 "b a": (b,a,None),(a,None,None); doc3 "d": (d,None,None)
+    assert got == [
+        ("a", None, None), ("a", "b", "a"), ("a", "c", None),
+        ("b", "a", None), ("b", "a", "c"), ("c", None, None),
+        ("d", None, None),
+    ]
+    # edge stream: self-pairs dropped, NULL leads dropped — token "d"
+    # (no neighbor) never enters the graph
+    ed0 = prs.filter(
+        F.col("n1").isNotNull() & (F.col("n1") != F.col("tok"))
+    ).select(F.col("tok").alias("src"), F.col("n1").alias("dst")).unionAll(
+        prs.filter(
+            F.col("n2").isNotNull() & (F.col("n2") != F.col("tok"))
+        ).select(F.col("tok").alias("src"), F.col("n2").alias("dst"))
+    )
+    edges = sorted((r["src"], r["dst"]) for r in ed0.collect())
+    assert edges == [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "a"), ("b", "c"),
+    ]
+    assert not any("d" in e for e in edges)
+
+
+def test_dup_cluster_sizes_hand_computed(spark):
+    """q196's histogram tail on a hand forest: clusters {1,2,3} and
+    {10}, {11} → one 3-cluster, two singletons."""
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        resolve_dup_clusters,
+    )
+
+    decision = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (10, None), (11, None)],
+        "doc_id long, dup_of long",
+    )
+    sizes = (
+        resolve_dup_clusters(decision)
+        .groupBy("cluster_root")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    got = sorted(
+        (r["cluster_size"], r["n_clusters"])
+        for r in sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .collect()
+    )
+    assert got == [(1, 2), (3, 1)]
+
+
+def test_lsh_bucket_stats_hand_computed(spark):
+    """q197's accounting on a hand frame: bucket sizes {3, 2, 1} in
+    band 0 → candidate_pairs 3·2/2=3 and 2·1/2=1, integer-exact."""
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        banded_rows,
+    )
+
+    # synthetic 4-hash signatures, band_size 2 → 2 bands
+    rows = [
+        (1, 7, 7, 1, 1), (2, 7, 7, 2, 2), (3, 7, 7, 3, 3),
+        (4, 8, 8, 1, 1), (5, 8, 8, 9, 9),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, mh0 long, mh1 long, mh2 long, mh3 long"
+    )
+    banded = banded_rows(sigs, "doc_id", num_hashes=4, band_size=2)
+    bs = banded.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    out = bs.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.expr("(bucket_size * (bucket_size - 1)) div 2")
+        ).alias("candidate_pairs"),
+    )
+    got = sorted(
+        (r["band"], r["bucket_size"], r["n_buckets"], r["candidate_pairs"])
+        for r in out.collect()
+    )
+    # band 0: {7|7}×3, {8|8}×2; band 1: {1|1}×2, {2|2},{3|3},{9|9}
+    assert got == [
+        (0, 2, 1, 1), (0, 3, 1, 3),
+        (1, 1, 3, 0), (1, 2, 1, 1),
+    ]

@@ -56,12 +56,18 @@ QUERIES = [
     "q184_rrf_fusion",
     "q175_hits",
     "q87_pagerank",
-    # round-8 new graph/curation queries (q189 excluded: it reads the
-    # part table, which the sf10 builder does not replicate — its CC
-    # loop is q187's, already measured, plus one anti-join)
     "q190_weighted_pagerank",
     "q191_quality_yield_curve",
     "q192_kcore",
+    # round-9 (VERDICT r8 item 3): the sf10 dir now symlinks the
+    # unreplicated dimension tables (make_scale_smoke100.py), so the
+    # two dim-reading graph queries run at both decades — q189's part
+    # universe and q193's customer seed cohort stay the fixed copy-0
+    # sets while the fact-side graph grows (the realistic decade
+    # shape; PPR's message-pass cost is rank-value-independent, so a
+    # fixed seed cohort measures the same per-sweep joins).
+    "q189_cc_isolates",
+    "q193_personalized_pagerank",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10

@@ -144,9 +144,14 @@ def check_pagerank_family(spark, sf_dir) -> list[str]:
     algebra that must hold at ANY scale for q87 / q190 / q193 — node
     uniqueness, positivity (every node holds at least its teleport
     share; PPR non-seeds may sit at exactly 0), rank <= 1, and total
-    mass == 1 (the symmetrized graphs have no dangling nodes, so each
-    sweep preserves mass exactly; per-node round(6) leaves the sum
-    within 0.01 of 1 at these node counts)."""
+    mass == 1 up to ROUNDING (the symmetrized graphs have no dangling
+    nodes, so each sweep preserves mass exactly; the output's
+    per-node round(6) quantizes by up to 5e-7 per node, so the
+    rounded mass may drift |n·5e-7| — at sf10's ~2M-node graphs the
+    teleport share itself sits BELOW the quantization floor, ranks
+    legitimately round to 0.0, and the rounded mass was measured at
+    0.15 for q87. The bound scales with n; positivity is only
+    asserted when the teleport floor survives rounding)."""
     import __spark_entry__ as E
 
     qs = E.queries()
@@ -172,10 +177,15 @@ def check_pagerank_family(spark, sf_dir) -> list[str]:
             continue
         lo = -1.0 if agg["lo"] is None else agg["lo"]
         hi = 9.0 if agg["hi"] is None else agg["hi"]
-        lo_bad = lo <= 0 if lo_exclusive else lo < 0
+        teleport_floor = 0.15 / agg["n"]
+        lo_bad = (
+            lo <= 0
+            if lo_exclusive and teleport_floor >= 2e-6
+            else lo < 0
+        )
         if lo_bad or hi > 1.0:
             problems.append(f"{name}: rank out of range ({agg['lo']}, {agg['hi']})")
-        if abs((agg["mass"] or 0.0) - 1.0) > 0.01:
+        if abs((agg["mass"] or 0.0) - 1.0) > max(0.01, agg["n"] * 5.1e-7):
             problems.append(f"{name}: total mass {agg['mass']} != 1")
     return problems
 
