@@ -4552,11 +4552,11 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/graph.py: pagerank weight validation + PPR/CC
 # leak-on-raise + HITS auths persist ordering + NULL-node isolates
 # filter → q87/q175/q187/q189/q190), the three round-9 new queries
-# q195–q197; the filler slots re-certify the stalest cohorts — the
+# q195–q199; the filler slots re-certify the stalest cohorts — the
 # full q64–q86 round-3 remainder (last driver rows round 4) and
-# q144–q158 from the twice-certified q144–q170 block. q18–q63,
+# q144–q156 from the twice-certified q144–q170 block. q18–q63,
 # q186/q188/q191/q192, q51/q119 (all driver-green in r8) rotate past
-# the cap; q159–q170 are next in line for round 10.
+# the cap; q157–q170 are next in line for round 10.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
@@ -4565,6 +4565,8 @@ _GATE_PREFIX = [
     "q195_textrank_keywords",
     "q196_dup_cluster_sizes",
     "q197_lsh_bucket_stats",
+    "q198_clustering_coefficient",
+    "q199_degree_assortativity",
     "q87_pagerank",
     "q175_hits",
     "q187_connected_components",
@@ -4606,8 +4608,6 @@ _GATE_PREFIX = [
     "q154_acf",
     "q155_fk_integrity",
     "q156_day_completeness",
-    "q157_emd_drift",
-    "q158_bootstrap_ci",
 ]
 
 
@@ -4884,6 +4884,62 @@ def q197_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q198_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the support>=2
+    co-purchase graph (operators/graph.local_clustering): the fraction
+    of each part's co-purchase partners that are ALSO co-purchased
+    together — the local density readout q121's global census
+    aggregates away (a graph can have few triangles overall yet dense
+    pockets). Same degree-ordered O(m^1.5) wedge enumeration as q121;
+    the coefficient is one IEEE division of exact integers."""
+    ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    return G.local_clustering(ed)
+
+
+def q199_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the support>=2 co-purchase
+    graph: the Pearson correlation of endpoint degrees across the
+    symmetrized edge list — do popular parts co-purchase with popular
+    parts (assortative, r>0) or with niche ones (disassortative, r<0)?
+    All moment sums accumulate EXACTLY in decimal(38,0) (degrees are
+    integers), convert to double once, and the closing formula is the
+    same expression in both engines; round(6) on the sqrt output."""
+    ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    sym = ed.union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        sym.join(deg.select(F.col("src"), F.col("d").alias("x")), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("d").alias("y")
+            ),
+            "dst",
+        )
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -4974,6 +5030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_textrank_keywords": q195_textrank_keywords,
         "q196_dup_cluster_sizes": q196_dup_cluster_sizes,
         "q197_lsh_bucket_stats": q197_lsh_bucket_stats,
+        "q198_clustering_coefficient": q198_clustering_coefficient,
+        "q199_degree_assortativity": q199_degree_assortativity,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -8815,6 +8873,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM((bucket_size * (bucket_size - 1)) // 2) AS BIGINT)
                    AS candidate_pairs
         FROM bs GROUP BY band, bucket_size
+    """
+    # q198: the q121 oriented-wedge device, keeping the pivot so each
+    # closed wedge credits its three vertices; coefficient is one IEEE
+    # division of exact integers (identical expression both engines).
+    _support_graph_sql = """op AS (
+            SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+            FROM lineitem),
+        raw_edges AS (
+            SELECT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.k = b.k AND a.p < b.p
+            GROUP BY a.p, b.p HAVING COUNT(*) >= 2)"""
+    out["q198_clustering_coefficient"] = f"""
+        WITH {_support_graph_sql},
+        canon AS (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM raw_edges WHERE src <> dst),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM canon
+                  UNION ALL SELECT v AS n FROM canon)
+            GROUP BY n),
+        oriented AS (
+            SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                        THEN c.u ELSE c.v END AS s,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                        THEN c.v ELSE c.u END AS t
+            FROM canon c
+            JOIN deg du ON c.u = du.n JOIN deg dv ON c.v = dv.n),
+        wedges AS (
+            SELECT w1.s AS pv, w1.t AS x, w2.t AS y
+            FROM oriented w1 JOIN oriented w2
+              ON w1.s = w2.s AND w1.t < w2.t),
+        closing AS (
+            SELECT DISTINCT x, y FROM (
+                SELECT s AS x, t AS y FROM oriented
+                UNION ALL SELECT t AS x, s AS y FROM oriented)),
+        tri AS (
+            SELECT pv, x, y FROM wedges JOIN closing USING (x, y)),
+        credits AS (
+            SELECT pv AS n FROM tri
+            UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri),
+        tc AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS t
+               FROM credits GROUP BY n)
+        SELECT deg.n AS node, deg.d AS degree,
+               CAST(COALESCE(tc.t, 0) AS BIGINT) AS triangles,
+               CASE WHEN deg.d >= 2
+                    THEN CAST(2 * COALESCE(tc.t, 0) AS DOUBLE)
+                         / (deg.d * (deg.d - 1))
+                    ELSE 0.0 END AS clustering
+        FROM deg LEFT JOIN tc ON deg.n = tc.n
+    """
+    # q199: exact decimal(38,0) moment sums -> one double conversion ->
+    # the same closing Pearson formula in both engines (sqrt is
+    # correctly-rounded IEEE; round(6) on the output).
+    out["q199_degree_assortativity"] = f"""
+        WITH {_support_graph_sql},
+        sym AS (
+            SELECT src, dst FROM raw_edges
+            UNION ALL SELECT dst AS src, src AS dst FROM raw_edges),
+        deg AS (SELECT src AS n, COUNT(*) AS d FROM sym GROUP BY src),
+        j AS (
+            SELECT dx.d AS x, dy.d AS y
+            FROM sym
+            JOIN deg dx ON sym.src = dx.n
+            JOIN deg dy ON sym.dst = dy.n),
+        s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+            FROM j)
+        SELECT CAST(n AS BIGINT) AS n_edges,
+               ROUND((n * sxy - sx * sy)
+                     / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                     6) AS assortativity
+        FROM s
     """
     out["q186_dedup_yield_curve"] = f"""
         WITH {minhash_cte},

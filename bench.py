@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "q195_textrank_keywords",
     "q196_dup_cluster_sizes",
     "q197_lsh_bucket_stats",
+    "q198_clustering_coefficient",
+    "q199_degree_assortativity",
 ]
 
 

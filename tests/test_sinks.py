@@ -436,3 +436,63 @@ def test_training_shards_null_doc_id_rejected(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="null doc ids"):
         sinks.write_training_shards(df, str(tmp_path / "x"), n_shards=2)
+
+
+def test_register_bucketed_external_over_landed_dir(spark):
+    """register_bucketed_table re-registers a write_bucketed directory
+    (fresh-catalog role) as an EXTERNAL table whose restated bucketing
+    spec still joins shuffle-free; files survive the registration's
+    own DROP."""
+    import os
+
+    a = spark.range(500).withColumnRenamed("id", "k").withColumn(
+        "va", F.col("k") * 2
+    )
+    sinks.write_bucketed(a, "bk_reg_src", "k", num_buckets=8, sort_col="k")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, "bk_reg_src")
+    sinks.register_bucketed_table(
+        spark, "bk_reg_twin", loc, "k BIGINT, va BIGINT", "k", 8, "k"
+    )
+    b = spark.range(500).withColumnRenamed("id", "k").withColumn(
+        "vb", F.col("k") * 3
+    )
+    sinks.write_bucketed(b, "bk_reg_b", "k", num_buckets=8, sort_col="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bk_reg_twin").join(spark.table("bk_reg_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 500
+        assert "hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # external: dropping the registration keeps the landed files
+    spark.sql("DROP TABLE bk_reg_twin")
+    assert os.path.exists(loc) and any(
+        f.endswith(".parquet") for f in os.listdir(loc)
+    )
+
+
+def test_write_bucketed_one_file_per_bucket(spark, tmp_path):
+    """The round-9 alignment fix: a frame whose partitioning is
+    MISALIGNED with the bucket column still lands exactly one data
+    file per bucket (it wrote |partitions| x |buckets| files before —
+    1,024 measured for a 32-bucket table at sf10)."""
+    import os
+
+    df = (
+        spark.range(2000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") % 7)
+        .repartition(16, F.col("v"))  # deliberately NOT the bucket col
+    )
+    sinks.write_bucketed(df, "bk_onefile", "k", num_buckets=8, sort_col="k")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    files = [
+        f
+        for f in os.listdir(os.path.join(wh, "bk_onefile"))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 8, files

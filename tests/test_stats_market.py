@@ -1367,3 +1367,58 @@ def test_lsh_bucket_stats_hand_computed(spark):
         (0, 2, 1, 1), (0, 3, 1, 3),
         (1, 1, 3, 0), (1, 2, 1, 1),
     ]
+
+
+def test_local_clustering_hand_computed(spark):
+    """Triangle 0-1-2 with pendant 2-3: coefficients 1.0 / 1.0 / 1/3 /
+    0.0 (degree-1 node defined 0), per-node triangle credits sum to
+    3x the global census."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        local_clustering,
+        triangle_count,
+    )
+
+    ed = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 2)]  # dup direction absorbed
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in local_clustering(edges).collect()
+    }
+    assert got[0] == (2, 1, 1.0)
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (3, 1, pytest.approx(1 / 3, abs=1e-12))
+    assert got[3] == (1, 0, 0.0)
+    n_tri = triangle_count(edges).first()["n_triangles"]
+    assert sum(t for (_, t, _) in got.values()) == 3 * n_tri == 3
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    """The q199 moment device on a star graph: perfectly
+    disassortative (r = -1), hand-traced sums (n=6, sx=sy=12, sxy=18,
+    sxx=syy=30)."""
+    ed = [(0, 1), (0, 2), (0, 3)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = sym.join(
+        deg.select("src", F.col("d").alias("x")), "src"
+    ).join(
+        deg.select(F.col("src").alias("dst"), F.col("d").alias("y")), "dst"
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    ).first()
+    assert (s["n"], s["sx"], s["sxy"], s["sxx"]) == (6.0, 12.0, 18.0, 30.0)
+    r = (s["n"] * s["sxy"] - s["sx"] * s["sy"]) / (
+        (s["n"] * s["sxx"] - s["sx"] ** 2) ** 0.5
+        * (s["n"] * s["syy"] - s["sy"] ** 2) ** 0.5
+    )
+    assert r == pytest.approx(-1.0, abs=1e-12)
