@@ -22,9 +22,10 @@ Spark's runtime, bit-reproducing the batch decision on the union:
 - state, per batch-id subdir (the ``streaming/dedup`` exactly-once
   story — a crashed-and-replayed batch overwrites its OWN subdirs and
   folds only shards with a SMALLER batch id):
-  * ``buckets_<id>``: the batch's (band, band_key, bucket_min)
-    contributions — O(new buckets) rows, the only state the candidate
-    step reads; folded by a map-side-combinable groupBy MIN.
+  * ``buckets_<id>``: the batch's (band, band_key, bucket_min, cnt)
+    contributions — O(new buckets) rows; the candidate step folds the
+    MINs, the q197-twin index-health report folds the SUMs (both
+    decomposable, one map-side-combinable groupBy each).
   * ``toks_<id>``: (doc_id, tokset) 60-bit token-hash sets — the
     verify join's right side (an old ancestor's token set must be
     readable without re-reading its text). This is the corpus-sized
@@ -111,7 +112,7 @@ def load_bucket_index(
         spark,
         state_dir,
         "buckets",
-        "band int, band_key string, bucket_min long",
+        "band int, band_key string, bucket_min long, cnt long",
         exclude_batch_id,
     )
     return raw.groupBy("band", "band_key").agg(
@@ -179,10 +180,13 @@ def apply_neardup_batch(
     # (all-NULL signatures share the '' key per band there too)
     banded = banded_rows(sigs, id_col, num_hashes, band_size)
     batch_buckets = banded.groupBy("band", "band_key").agg(
-        F.min(id_col).alias("bucket_min")
+        F.min(id_col).alias("bucket_min"),
+        F.count(F.lit(1)).alias("cnt"),
     )
     all_buckets = (
-        prev_buckets.unionByName(batch_buckets)
+        prev_buckets.unionByName(
+            batch_buckets.select("band", "band_key", "bucket_min")
+        )
         .groupBy("band", "band_key")
         .agg(F.min("bucket_min").alias("bucket_min"))
     )
@@ -317,3 +321,57 @@ def stream_neardup_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def neardup_bucket_stats(spark: SparkSession, state_dir: str) -> DataFrame:
+    """q197's LSH index-health report served FROM the folded store
+    (the kmv_report pattern — one store, all reads): per-bucket sizes
+    are the SUM of the per-batch ``cnt`` contributions (counts
+    decompose exactly), so the result equals the batch
+    ``q197_lsh_bucket_stats`` shape over every doc seen, with no
+    signature recompute. Returns (band, bucket_size, n_buckets,
+    candidate_pairs)."""
+    raw = _load_shards(
+        spark,
+        state_dir,
+        "buckets",
+        "band int, band_key string, bucket_min long, cnt long",
+        None,
+    )
+    bs = raw.groupBy("band", "band_key").agg(
+        F.sum("cnt").alias("bucket_size")
+    )
+    return bs.groupBy("band", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.expr("(bucket_size * (bucket_size - 1)) div 2")
+        ).alias("candidate_pairs"),
+    )
+
+
+def neardup_cluster_sizes(
+    spark: SparkSession, state_dir: str, labels_dir: str
+) -> DataFrame:
+    """q196's cluster-size histogram served from the folded state:
+    linked clusters from the CC label store (every cluster there has
+    >= 2 docs — singletons never enter the edge stream), singleton
+    count = docs seen (decision store) minus labeled docs. Equals the
+    batch histogram over `resolve_dup_clusters` of the union's
+    decision forest. Returns (cluster_size, n_clusters)."""
+    from big_data_project_datapipeline_spark.streaming.graph import (
+        load_labels,
+    )
+
+    labels = load_labels(spark, labels_dir)
+    linked = labels.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = linked.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    n_docs = load_decisions(spark, state_dir).count()
+    n_linked = labels.count()
+    singletons = spark.createDataFrame(
+        [(1, n_docs - n_linked)], "cluster_size long, n_clusters long"
+    )
+    return hist.unionByName(singletons).filter(F.col("n_clusters") > 0)

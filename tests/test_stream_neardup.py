@@ -138,3 +138,64 @@ def test_stray_state_entry_skipped(spark, tmp_path):
     assert _rows(load_decisions(spark, state)) == _batch_decision(
         spark, WAVE1 + WAVE2
     )
+
+
+def test_store_served_reports_equal_batch(spark, tmp_path):
+    """One store, all reads: the folded bucket shards serve the q197
+    index-health report (counts decompose as SUMs) and the label +
+    decision stores serve the q196 cluster-size histogram — both equal
+    their batch twins over every doc seen."""
+    from big_data_project_datapipeline_spark.functions.dedup import (
+        banded_rows,
+        minhash_signatures,
+    )
+    from big_data_project_datapipeline_spark.streaming.neardup import (
+        neardup_bucket_stats,
+        neardup_cluster_sizes,
+    )
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "state")
+    labels = str(tmp_path / "labels")
+    apply_neardup_batch(_mk(spark, WAVE1), 0, state, labels, **KW)
+    apply_neardup_batch(_mk(spark, WAVE2), 1, state, labels, **KW)
+
+    got_buckets = sorted(
+        (r["band"], r["bucket_size"], r["n_buckets"], r["candidate_pairs"])
+        for r in neardup_bucket_stats(spark, state).collect()
+    )
+    union = _mk(spark, WAVE1 + WAVE2)
+    sigs = minhash_signatures(union, num_hashes=KW["num_hashes"])
+    bs = banded_rows(
+        sigs, "doc_id", KW["num_hashes"], KW["band_size"]
+    ).groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    want_buckets = sorted(
+        (r["band"], r["bucket_size"], r["n_buckets"], r["candidate_pairs"])
+        for r in bs.groupBy("band", "bucket_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(
+                F.expr("(bucket_size * (bucket_size - 1)) div 2")
+            ).alias("candidate_pairs"),
+        )
+        .collect()
+    )
+    assert got_buckets == want_buckets
+
+    got_sizes = sorted(
+        (r["cluster_size"], r["n_clusters"])
+        for r in neardup_cluster_sizes(spark, state, labels).collect()
+    )
+    dec = minhash_dedup_decision(union, **KW)
+    want_sizes = sorted(
+        (r["cluster_size"], r["n_clusters"])
+        for r in resolve_dup_clusters(dec)
+        .groupBy("cluster_root")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .collect()
+    )
+    assert got_sizes == want_sizes
