@@ -4552,11 +4552,11 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (operators/graph.py: pagerank weight validation + PPR/CC
 # leak-on-raise + HITS auths persist ordering + NULL-node isolates
 # filter → q87/q175/q187/q189/q190), the three round-9 new queries
-# q195–q199; the filler slots re-certify the stalest cohorts — the
+# q195–q200; the filler slots re-certify the stalest cohorts — the
 # full q64–q86 round-3 remainder (last driver rows round 4) and
-# q144–q156 from the twice-certified q144–q170 block. q18–q63,
+# q144–q155 from the twice-certified q144–q170 block. q18–q63,
 # q186/q188/q191/q192, q51/q119 (all driver-green in r8) rotate past
-# the cap; q157–q170 are next in line for round 10.
+# the cap; q156–q170 are next in line for round 10.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
@@ -4567,6 +4567,7 @@ _GATE_PREFIX = [
     "q197_lsh_bucket_stats",
     "q198_clustering_coefficient",
     "q199_degree_assortativity",
+    "q200_corpus_dedup_summary",
     "q87_pagerank",
     "q175_hits",
     "q187_connected_components",
@@ -4607,7 +4608,6 @@ _GATE_PREFIX = [
     "q153_ols2",
     "q154_acf",
     "q155_fk_integrity",
-    "q156_day_completeness",
 ]
 
 
@@ -4940,6 +4940,57 @@ def q199_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q200_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup dashboard — the numbers a curation run
+    reports after the near-dup pass: docs seen, docs dropped, token
+    mass dropped (the fraction that actually matters for training
+    budgets — dropping 10% of docs can drop 40% of tokens when clones
+    are long), multi-doc cluster count and the largest clone family.
+    Composes the q51 decision/resolve devices with per-doc token
+    counts; the two O(1) aggregates meet in one broadcast stamp (the
+    scalar-stamp crossJoin pattern)."""
+    d = _t(spark, sf_dir, "documents")
+    decision = D.minhash_dedup_decision(
+        d, num_hashes=16, band_size=8, threshold=0.8
+    )
+    toks = d.select(
+        "doc_id", TX.token_count(F.col("text")).cast("long").alias("ntok")
+    )
+    dj = decision.join(toks, "doc_id")
+    sizes = D.resolve_dup_clusters(decision).groupBy("cluster_root").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    cl = sizes.agg(
+        F.sum((F.col("sz") >= 2).cast("int"))
+        .cast("long")
+        .alias("n_clusters_multi"),
+        F.max("sz").cast("long").alias("max_cluster_size"),
+    )
+    base = dj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("is_kept") == 0).cast("int"))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("is_kept") == 0, F.col("ntok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_tokens"),
+    )
+    return base.crossJoin(F.broadcast(cl)).select(
+        "n_docs",
+        "n_dup_docs",
+        "n_tokens",
+        "dup_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double")
+            / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("dup_token_frac"),
+        "n_clusters_multi",
+        "max_cluster_size",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -5032,6 +5083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_lsh_bucket_stats": q197_lsh_bucket_stats,
         "q198_clustering_coefficient": q198_clustering_coefficient,
         "q199_degree_assortativity": q199_degree_assortativity,
+        "q200_corpus_dedup_summary": q200_corpus_dedup_summary,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -8952,6 +9004,40 @@ def oracle_sql() -> dict[str, str]:
                      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
                      6) AS assortativity
         FROM s
+    """
+    # q200: the one-row curation dashboard — q51's decision/resolve
+    # devices + per-doc token counts; the two O(1) aggregates meet in
+    # a CROSS JOIN of single rows (the scalar-stamp pattern).
+    out["q200_corpus_dedup_summary"] = f"""
+        WITH clusters AS ({out["q51_dup_clusters"]}),
+        sizes AS (
+            SELECT cluster_root, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM clusters GROUP BY cluster_root),
+        cl AS (
+            SELECT CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_clusters_multi,
+                   CAST(MAX(sz) AS BIGINT) AS max_cluster_size
+            FROM sizes),
+        dj AS (
+            WITH RECURSIVE {minhash_cte}
+            SELECT d.doc_id,
+                   CASE WHEN v.jaccard >= 0.8 THEN 0 ELSE 1 END AS is_kept,
+                   CAST(len({tokens_sql}) AS BIGINT) AS ntok
+            FROM documents d LEFT JOIN verified v ON d.doc_id = v.doc_id),
+        base AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN is_kept = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN is_kept = 0 THEN ntok ELSE 0 END)
+                        AS BIGINT) AS dup_tokens
+            FROM dj)
+        SELECT n_docs, n_dup_docs, n_tokens, dup_tokens,
+               ROUND(CAST(dup_tokens AS DOUBLE)
+                     / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6)
+                   AS dup_token_frac,
+               n_clusters_multi, max_cluster_size
+        FROM base CROSS JOIN cl
     """
     out["q186_dedup_yield_curve"] = f"""
         WITH {minhash_cte},

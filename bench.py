@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "q197_lsh_bucket_stats",
     "q198_clustering_coefficient",
     "q199_degree_assortativity",
+    "q200_corpus_dedup_summary",
 ]
 
 

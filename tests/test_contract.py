@@ -72,7 +72,7 @@ def test_gate_prefix_rotation_invariants():
     # (operators/graph.py fixes → pagerank/HITS/CC consumers) must
     # occupy certified slots
     must_certify = {
-        "q193_", "q194_", "q195_", "q196_", "q197_", "q198_", "q199_",
+        "q193_", "q194_", "q195_", "q196_", "q197_", "q198_", "q199_", "q200_",
         "q87_", "q175_", "q187_", "q189_", "q190_",
     }
     stranded = [

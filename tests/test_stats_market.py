@@ -1422,3 +1422,27 @@ def test_degree_assortativity_star_is_minus_one(spark):
         * (s["n"] * s["syy"] - s["sy"] ** 2) ** 0.5
     )
     assert r == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_corpus_dedup_summary_hand_computed(spark, tmp_path):
+    """q200 on a 3-doc corpus written as a real documents table:
+    d2 is a token-set clone of d1 (identical set, different order —
+    J = 1.0, signature-identical, so the LSH candidate is GUARANTEED
+    rather than band-probabilistic), d3 distinct — hand-computed
+    doc/token/cluster numbers."""
+    import __spark_entry__ as em
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "en", "s", 19),
+            (2, "j i h g f e d c b a", "en", "s", 19),
+            (3, "x y z w", "en", "s", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = em.q200_corpus_dedup_summary(spark, str(tmp_path)).first()
+    assert row["n_docs"] == 3 and row["n_dup_docs"] == 1
+    assert row["n_tokens"] == 24 and row["dup_tokens"] == 10
+    assert row["dup_token_frac"] == round(10 / 24, 6)
+    assert row["n_clusters_multi"] == 1 and row["max_cluster_size"] == 2
