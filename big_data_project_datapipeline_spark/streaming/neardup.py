@@ -264,10 +264,17 @@ def apply_neardup_batch(
     # index join — the tick's expensive stages — must run once
     decisions = decisions.persist()
     try:
-        decisions.write.mode("overwrite").parquet(
+        # shards store the CANONICAL column names the loaders declare
+        # (a custom id_col would otherwise poison the bootstrap-schema
+        # union on the next tick)
+        decisions.select(
+            F.col(id_col).alias("doc_id"), "dup_of", "jaccard", "is_kept"
+        ).write.mode("overwrite").parquet(
             f"{state_dir}/decisions_{batch_id}"
         )
-        batch_toks.write.mode("overwrite").parquet(
+        batch_toks.select(
+            F.col(id_col).alias("doc_id"), "tokset"
+        ).write.mode("overwrite").parquet(
             f"{state_dir}/toks_{batch_id}"
         )
         batch_buckets.write.mode("overwrite").parquet(

@@ -199,3 +199,17 @@ def test_store_served_reports_equal_batch(spark, tmp_path):
         .collect()
     )
     assert got_sizes == want_sizes
+
+
+def test_custom_id_column_round_trips(spark, tmp_path):
+    """Shards store canonical column names regardless of the caller's
+    id_col — a custom id must fold across ticks (it used to poison the
+    bootstrap-schema union on tick 2)."""
+    state = str(tmp_path / "state")
+    w1 = spark.createDataFrame(WAVE1, "item long, text string")
+    w2 = spark.createDataFrame(WAVE2, "item long, text string")
+    apply_neardup_batch(w1, 0, state, None, id_col="item", **KW)
+    apply_neardup_batch(w2, 1, state, None, id_col="item", **KW)
+    assert _rows(load_decisions(spark, state)) == _batch_decision(
+        spark, WAVE1 + WAVE2
+    )
