@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "q198_clustering_coefficient",
     "q199_degree_assortativity",
     "q200_corpus_dedup_summary",
+    "q201_link_prediction",
+    "q202_seed_bfs_distance",
+    "q203_label_propagation",
 ]
 
 

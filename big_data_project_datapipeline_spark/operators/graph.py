@@ -981,3 +981,202 @@ def local_clustering(
             .alias("clustering"),
         )
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 100,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    2003): for every NON-adjacent canonical pair (u < v) sharing at
+    least one neighbor, the common-neighbor count and the neighbor-set
+    Jaccard |N(u)∩N(v)| / |N(u)∪N(v)|; the ``top_k`` highest-scoring
+    candidate links, ordered (jaccard desc, common desc, u, v) — a
+    total order, so the cut is deterministic under ties. Input may
+    carry either/both directions plus duplicates; self-loops and NULL
+    endpoints drop.
+
+    Jaccard is chosen over Adamic-Adar deliberately: both numerator
+    and denominator are exact integers (|N(u)∪N(v)| =
+    d(u)+d(v)−common), so the score is ONE IEEE division — bit-exact
+    cross-engine (the local_clustering device) — where Adamic-Adar's
+    Σ 1/ln(d) is an order-dependent float sum with a non-correctly-
+    rounded transcendental inside.
+
+    Scale shape: wedge enumeration at each shared-neighbor pivot w is
+    O(Σ d(w)²) — unlike the triangle census, overlap counting NEEDS
+    every wedge, so degree-ordered orientation cannot bound it. Hot
+    hubs are the known hazard (a degree-10⁶ hub alone yields 5·10¹¹
+    wedges); ``max_pivot_degree`` excludes pivots above the cap, the
+    standard production mitigation (a super-hub certifies almost
+    nothing about pair affinity anyway — its 1/|N∪N| contribution is
+    tiny — while costing d² wedges). Default None = exact. Everything
+    else is equi-joins + one map-side-combinable groupBy; the final
+    cut is TakeOrdered(top_k), no global sort materialized.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = canon.union(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("n")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    piv = sym.select(F.col("u").alias("p"), F.col("v").alias("x"))
+    if max_pivot_degree is not None:
+        keep = deg.filter(F.col("d") <= max_pivot_degree).select(
+            F.col("n").alias("p")
+        )
+        piv = piv.join(keep, "p", "left_semi")
+    pairs = (
+        piv.join(piv.select(F.col("p"), F.col("x").alias("y")), "p")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(canon, ["u", "v"], "left_anti")
+    )
+    scored = (
+        pairs.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("long").alias("common_neighbors"),
+            (
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("common_neighbors").desc(), "u", "v"
+    ).limit(top_k)
+
+
+def bfs_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: exact hop distance from the nearest seed, for
+    every node within ``n_rounds`` hops over the undirected graph —
+    (node, dist) with dist ∈ [0, n_rounds]. The k-hop cap is the
+    SEMANTICS (bounded-radius reachability), not a convergence
+    shortcut, so the output is bit-reproducible against a
+    round-unrolled SQL twin by construction. Seeds outside the edge
+    list are kept at dist 0 (the q189 universe contract); NULL seeds
+    and NULL edge endpoints drop; duplicate seeds/edges collapse.
+
+    Scale shape: FRONTIER propagation, not full min-fold — a node's
+    distance settles exactly once, so round k joins only the nodes
+    first reached at round k−1 against the symmetrized edge frame
+    (lazy-localCheckpointed once, computed once), then anti-joins the
+    settled set. Total edge traffic is O(m) across ALL rounds (each
+    edge crosses the join at most twice, once per endpoint) versus
+    O(m·rounds) for the fold-everything variant; per-round state is
+    localCheckpoint-bounded (the kcore_peel device), so the plan stays
+    O(1) at any depth.
+    """
+    a, b = F.col(src), F.col(dst)
+    e0 = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("node")
+    for k in range(1, n_rounds + 1):
+        new = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.union(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected graph, run EXACTLY ``n_rounds`` rounds: every node
+    starts labeled with its own id; each round every node adopts its
+    neighbors' modal label, ties broken by the SMALLEST label — the
+    deterministic variant (the randomized-order original is
+    irreproducible by design; fixed rounds + min-tie-break make the
+    output bit-stable against a round-unrolled SQL twin). A node's own
+    current label does not vote (neighbors only, the classic
+    formulation). Self-loops, NULL endpoints, duplicate edges drop;
+    nodes appear in the output iff they have ≥1 neighbor.
+
+    Unlike connected_components (which converges to the same fixpoint
+    regardless of path), LPA's round count is part of the semantics —
+    communities denser than their surroundings stabilize early, and
+    bounded rounds are the standard production cut (GraphFrames' LPA
+    exposes maxIter the same way).
+
+    Scale shape: per round one equi-join (edges ⋈ labels, shuffling
+    only the O(nodes) label frame against the once-checkpointed edge
+    frame), one map-side-combinable (node, label) count, and one
+    row_number window PARTITIONED by node (full-cardinality key — no
+    global window). Per-round state is localCheckpoint-bounded.
+    """
+    from pyspark.sql import Window
+
+    a, b = F.col(src), F.col(dst)
+    e0 = (
+        edges.select(a.alias("u"), b.alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("node").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    for _ in range(n_rounds):
+        labels = (
+            sym.join(labels.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -1,0 +1,142 @@
+"""Hand-computed fixtures for the round-9 graph additions: neighbor-
+Jaccard link prediction, multi-source bounded BFS, and deterministic
+synchronous label propagation.
+
+Each test pins a semantic the oracle gate can't distinguish from a
+lucky aggregate: the non-adjacency anti-join and exact-integer Jaccard
+in link prediction, the frontier/settled-set contract and the
+seed-outside-graph universe rule in BFS, and LPA's neighbors-only
+voting with the min-label tie-break, hand-iterated three rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_project_datapipeline_spark.operators.graph import (
+    bfs_distance,
+    label_propagation,
+    neighbor_jaccard,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_neighbor_jaccard_square(spark):
+    """4-cycle 0-1-2-3-0: the two diagonals are the only candidate
+    links, each with both neighbors shared -> J = 2/(2+2-2) = 1.0;
+    adjacent pairs never appear (anti-join), self-pairs never appear."""
+    got = neighbor_jaccard(
+        _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    ).collect()
+    rows = {(r["u"], r["v"]): (r["common_neighbors"], r["jaccard"]) for r in got}
+    assert rows == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+
+
+def test_neighbor_jaccard_path_scores_and_order(spark):
+    """Path 0-1-2-3: candidates (0,2) and (1,3), each common=1 with
+    degree sums 1+2 -> J=0.5; tie broken by (u, v) ascending, and
+    top_k=1 keeps only (0,2)."""
+    ed = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    got = [(r["u"], r["v"], r["jaccard"]) for r in neighbor_jaccard(ed).collect()]
+    assert got == [(0, 2, 0.5), (1, 3, 0.5)]
+    top1 = neighbor_jaccard(ed, top_k=1).collect()
+    assert [(r["u"], r["v"]) for r in top1] == [(0, 2)]
+
+
+def test_neighbor_jaccard_pivot_cap_drops_hub_wedges(spark):
+    """Star 0-{1,2,3}: every candidate pair's only shared neighbor is
+    the hub (degree 3); capping max_pivot_degree=2 removes the hub as
+    a pivot, so no candidates survive."""
+    ed = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    assert neighbor_jaccard(ed).count() == 3  # (1,2),(1,3),(2,3)
+    assert neighbor_jaccard(ed, max_pivot_degree=2).count() == 0
+
+
+def test_neighbor_jaccard_absorbs_duplicates_and_loops(spark):
+    """Duplicate edges (both directions) and self-loops do not inflate
+    degrees or common counts: the collapsed graph is the path 0-1-2,
+    so deg(0)=deg(2)=1 and J(0,2) = 1/(1+1-1) = 1.0."""
+    ed = _edges(spark, [(0, 1), (1, 0), (1, 2), (1, 2), (1, 1)])
+    got = {(r["u"], r["v"]): (r["common_neighbors"], r["jaccard"]) for r in
+           neighbor_jaccard(ed).collect()}
+    assert got == {(0, 2): (1, 1.0)}
+
+
+def test_bfs_distance_path_cap_and_outside_seed(spark):
+    """Path 0-1-2-3-4 from seed {0} with n_rounds=2: exactly
+    {0:0, 1:1, 2:2}; a seed absent from the edge list is kept at 0
+    (the q189 universe contract); NULL seeds drop."""
+    ed = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(0,), (99,), (None,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           bfs_distance(ed, seeds, n_rounds=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 99: 0}
+
+
+def test_bfs_distance_two_seeds_take_nearest(spark):
+    """Seeds {0, 4} on the path: every node settles at the distance of
+    the NEARER seed; the middle node is 2 from both."""
+    ed = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           bfs_distance(ed, seeds, n_rounds=3).collect()}
+    assert got == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_distance_settled_nodes_never_relax(spark):
+    """Triangle 0-1-2 with seed {0}: nodes 1 and 2 settle at round 1
+    and the round-2 frontier is empty (the anti-join contract) — no
+    node is re-emitted at a larger distance."""
+    ed = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = bfs_distance(ed, seeds, n_rounds=3).collect()
+    assert len(out) == 3
+    assert {r["node"]: r["dist"] for r in out} == {0: 0, 1: 1, 2: 1}
+
+
+def test_label_propagation_two_triangles_hand_iterated(spark):
+    """Two triangles {0,1,2} and {3,4,5} joined by bridge 2-3,
+    hand-iterated three synchronous rounds with neighbors-only voting
+    and min-label ties:
+      L1 = [1,0,0,2,3,3], L2 = [0,0,0,3,2,2], L3 = [0,0,0,2,2,2] —
+    the two communities emerge with labels 0 and 2."""
+    ed = _edges(
+        spark, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    )
+    for rounds, want in [
+        (1, {0: 1, 1: 0, 2: 0, 3: 2, 4: 3, 5: 3}),
+        (2, {0: 0, 1: 0, 2: 0, 3: 3, 4: 2, 5: 2}),
+        (3, {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}),
+    ]:
+        got = {r["node"]: r["label"] for r in
+               label_propagation(ed, n_rounds=rounds).collect()}
+        assert got == want, f"round {rounds}"
+
+
+def test_label_propagation_neighbors_only_vote(spark):
+    """A node's OWN label never votes: star center 9 with spokes
+    {1,4,5} and spoke edge 4-5, hand-iterated. Round 1: 9 sees ids
+    {1,4,5} -> 1 (its own label 9 does not anchor it). Round 2: L1 is
+    {1:9, 4:5, 5:4}, so 9 sees {9,5,4} -> min 4 — 9's round-1 label 1
+    has vanished entirely, proving no self-vote is mixed in."""
+    ed = _edges(spark, [(9, 1), (9, 4), (9, 5), (4, 5)])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(ed, n_rounds=1).collect()}
+    assert got == {9: 1, 1: 9, 4: 5, 5: 4}
+    got2 = {r["node"]: r["label"] for r in
+            label_propagation(ed, n_rounds=2).collect()}
+    assert got2[9] == 4
+
+
+def test_label_propagation_duplicate_edges_vote_once(spark):
+    """Edge multiplicity must not weight a vote: node 2 sees neighbor
+    1 via a 3x-duplicated edge and neighbor 0 once. Distinct-neighbor
+    voting gives the tie {0:1, 1:1} -> min 0; multiplicity-weighted
+    voting would elect 1 (3 votes). Pin the tie outcome."""
+    ed = _edges(spark, [(2, 1), (1, 2), (2, 1), (2, 0)])
+    got = {r["node"]: r["label"] for r in
+           label_propagation(ed, n_rounds=1).collect()}
+    assert got[2] == 0

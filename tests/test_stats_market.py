@@ -342,7 +342,7 @@ assert len(mine2) >= 4, mine2
 del out2
 gc.collect()  # finalizer path
 
-assert drain(mine1 | mine2, 60), sorted(ids() & (mine1 | mine2))
+assert drain(mine1 | mine2, 150), sorted(ids() & (mine1 | mine2))
 print("LIFETIME OK")
 """
     env = dict(os.environ)
