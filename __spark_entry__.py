@@ -90,6 +90,13 @@ from big_data_project_datapipeline_spark.operators.rolling import (
     rolling_stats,
     trailing_ewma,
 )
+from big_data_project_datapipeline_spark.functions.profile import (
+    column_profile,
+    fd_audit,
+)
+from big_data_project_datapipeline_spark.operators.intervals import (
+    monthly_peak_concurrency,
+)
 from big_data_project_datapipeline_spark.operators.temporal_fill import (
     gap_fill_locf,
 )
@@ -4602,9 +4609,9 @@ _GATE_PREFIX = [
     "q147_mean_shift",
     "q148_domain_cap",
     "q149_mutual_info",
-    "q150_robust_means",
-    "q151_small_order_revenue",
-    "q152_auc",
+    "q204_column_profile",
+    "q205_open_order_peaks",
+    "q206_fd_audit",
     "q201_link_prediction",
     "q202_seed_bfs_distance",
     "q203_label_propagation",
@@ -5036,6 +5043,55 @@ def q203_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.label_propagation(ed, n_rounds=3)
 
 
+def q204_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the orders feed
+    (functions/profile.column_profile): row/NULL/exact-distinct counts
+    and the candidate-key verdict per column — the discovery pass run
+    before wiring an unfamiliar feed. One pruned single-column scan
+    per column (the Expand-free shape; see the module docstring)."""
+    return column_profile(_t(spark, sf_dir, "orders"))
+
+
+def q205_open_order_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly PEAK number of orders in flight
+    (operators/intervals.monthly_peak_concurrency): an order is open
+    from o_orderdate until its LAST lineitem ships; the sweep-line
+    +1/−1 device folds 100 TB of rows into an O(distinct dates) step
+    frame before any window runs (calendar-bounded global window, the
+    q160 allowlist class), and each month's peak includes the
+    carry-in standing as the month opens."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("last_ship"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("start"),
+    )
+    iv = o.join(li, "l_orderkey").select("start", "last_ship")
+    return monthly_peak_concurrency(iv, "start", "last_ship").select(
+        F.col("month").cast("timestamp").alias("month"),
+        F.col("peak").alias("peak_open_orders"),
+    )
+
+
+def q206_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over the part catalog
+    (functions/profile.fd_audit): p_partkey → p_brand must hold (key),
+    p_brand → p_type and p_name → p_brand are violated in this feed —
+    the intra-table schema-contract check (q155's referential twin);
+    a previously-holding FD that breaks is upstream corruption."""
+    return fd_audit(
+        _t(spark, sf_dir, "part"),
+        [
+            ("p_partkey", "p_brand"),
+            ("p_brand", "p_type"),
+            ("p_name", "p_brand"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -5135,6 +5191,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_link_prediction": q201_link_prediction,
         "q202_seed_bfs_distance": q202_seed_bfs_distance,
         "q203_label_propagation": q203_label_propagation,
+        "q204_column_profile": q204_column_profile,
+        "q205_open_order_peaks": q205_open_order_peaks,
+        "q206_fd_audit": q206_fd_audit,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -9143,6 +9202,81 @@ def oracle_sql() -> dict[str, str]:
         {_lpa_round.format(nxt="l3", cur="l2")}
         SELECT node, label FROM l3
     """
+    # q204: one UNION ALL arm per orders column; COUNT(DISTINCT) and
+    # the no-NULLs+all-distinct candidate-key rule are engine-identical.
+    _profile_arm = """
+        SELECT '{c}' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               (COUNT(*) = COUNT({c})
+                AND COUNT(DISTINCT {c}) = COUNT(*)) AS is_candidate_key
+        FROM orders"""
+    out["q204_column_profile"] = " UNION ALL ".join(
+        _profile_arm.format(c=c)
+        for c in [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ]
+    )
+    # q205: the sweep-line device — two deltas per open order, folded
+    # to the O(distinct dates) step frame before any window; month
+    # peak takes GREATEST(in-month max, carry-in from the previous
+    # observed month's closing value).
+    out["q205_open_order_peaks"] = """
+        WITH iv AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS s, l.last_ship AS e
+            FROM orders o
+            JOIN (SELECT l_orderkey,
+                         MAX(CAST(l_shipdate AS DATE)) AS last_ship
+                  FROM lineitem GROUP BY l_orderkey) l
+              ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderdate IS NOT NULL
+              AND l.last_ship >= CAST(o.o_orderdate AS DATE)),
+        steps AS (
+            SELECT ts, CAST(SUM(delta) AS BIGINT) AS net FROM (
+                SELECT s AS ts, 1 AS delta FROM iv
+                UNION ALL SELECT e + 1 AS ts, -1 AS delta FROM iv)
+            GROUP BY ts),
+        run AS (
+            SELECT ts,
+                   CAST(SUM(net) OVER (ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+            FROM steps),
+        per AS (
+            SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+                   MAX(concurrent) AS mx,
+                   arg_max(concurrent, ts) AS last_c
+            FROM run GROUP BY 1)
+        SELECT month,
+               CAST(GREATEST(mx, COALESCE(LAG(last_c) OVER (ORDER BY month),
+                                          0)) AS BIGINT)
+                   AS peak_open_orders
+        FROM per
+    """
+    # q206: per-FD-pair arm — a group violates when its lhs maps to
+    # >1 distinct non-NULL rhs (COUNT(DISTINCT) ignores NULL rhs;
+    # NULL lhs forms its own group in both engines).
+    _fd_arm = """
+        SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violating_groups,
+               (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+        FROM (SELECT {lhs} AS g, COUNT(DISTINCT {rhs}) AS nd
+              FROM part GROUP BY {lhs})"""
+    out["q206_fd_audit"] = " UNION ALL ".join(
+        _fd_arm.format(lhs=l, rhs=r)
+        for l, r in [
+            ("p_partkey", "p_brand"),
+            ("p_brand", "p_type"),
+            ("p_name", "p_brand"),
+        ]
+    )
     # q200: the one-row curation dashboard — q51's decision/resolve
     # devices + per-doc token counts; the two O(1) aggregates meet in
     # a CROSS JOIN of single rows (the scalar-stamp pattern).

@@ -226,6 +226,9 @@ BENCH_QUERIES = [
     "q201_link_prediction",
     "q202_seed_bfs_distance",
     "q203_label_propagation",
+    "q204_column_profile",
+    "q205_open_order_peaks",
+    "q206_fd_audit",
 ]
 
 

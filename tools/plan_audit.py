@@ -61,6 +61,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "q96_key_skew_profile",  # rank after limit(top_n) TakeOrdered cut
     "q103_zipf_fit",  # rank over limit(100) head
     "q160_km_conversion",  # O(distinct event times) survival frame
+    # O(distinct dates)+O(months) calendar-bounded sweep-line frames
+    # (operators/intervals.py module docstring)
+    "q205_open_order_peaks",
 }
 
 
