@@ -4608,7 +4608,7 @@ _GATE_PREFIX = [
     "q146_balance_anti",
     "q147_mean_shift",
     "q148_domain_cap",
-    "q149_mutual_info",
+    "q207_ktruss",
     "q204_column_profile",
     "q205_open_order_peaks",
     "q206_fd_audit",
@@ -5092,6 +5092,21 @@ def q206_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q207_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the support>=2 co-purchase graph
+    (operators/graph.ktruss_peel): the maximal subgraph where every
+    surviving EDGE closes at least one triangle — the edge-cohesion
+    step past q192's vertex k-core (bridges and tendrils that survive
+    coreness die here); returns (u, v, support). n_rounds is pinned
+    at the MEASURED fixpoint (1 round at sf0.001/0.01/0.1 and the
+    derived decades, which are disjoint copies) because a truss round
+    costs a full O(m^1.5) wedge enumeration — unlike kcore's cheap
+    degree passes, headroom rounds are not free; the convergence
+    guard raises rather than ever returning a superset."""
+    ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    return G.ktruss_peel(ed, k=3, n_rounds=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -5194,6 +5209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q204_column_profile": q204_column_profile,
         "q205_open_order_peaks": q205_open_order_peaks,
         "q206_fd_audit": q206_fd_audit,
+        "q207_ktruss": q207_ktruss,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -9201,6 +9217,55 @@ def oracle_sql() -> dict[str, str]:
         {_lpa_round.format(nxt="l2", cur="l1")},
         {_lpa_round.format(nxt="l3", cur="l2")}
         SELECT node, label FROM l3
+    """
+    # q207: k-truss — round-unrolled edge peeling; each round (and the
+    # final readout) re-derives per-edge triangle support via the q198
+    # degree-ordered wedge device over the SURVIVING edge set. One
+    # round (the measured fixpoint everywhere) + the final support.
+    def _truss_support(r: str, e: str) -> str:
+        return f"""
+        deg_{r} AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM {e} UNION ALL SELECT v AS n FROM {e})
+            GROUP BY n),
+        ori_{r} AS (
+            SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                        THEN c.u ELSE c.v END AS s,
+                   CASE WHEN du.d < dv.d OR (du.d = dv.d AND c.u < c.v)
+                        THEN c.v ELSE c.u END AS t
+            FROM {e} c
+            JOIN deg_{r} du ON c.u = du.n JOIN deg_{r} dv ON c.v = dv.n),
+        wed_{r} AS (
+            SELECT w1.s AS p, w1.t AS x, w2.t AS y
+            FROM ori_{r} w1 JOIN ori_{r} w2
+              ON w1.s = w2.s AND w1.t < w2.t),
+        clo_{r} AS (
+            SELECT DISTINCT x, y FROM (
+                SELECT s AS x, t AS y FROM ori_{r}
+                UNION ALL SELECT t AS x, s AS y FROM ori_{r})),
+        tri_{r} AS (SELECT p, x, y FROM wed_{r} JOIN clo_{r} USING (x, y)),
+        sup_{r} AS MATERIALIZED (
+            SELECT u, v, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+                SELECT LEAST(p, x) AS u, GREATEST(p, x) AS v FROM tri_{r}
+                UNION ALL
+                SELECT LEAST(p, y) AS u, GREATEST(p, y) AS v FROM tri_{r}
+                UNION ALL
+                SELECT x AS u, y AS v FROM tri_{r})
+            GROUP BY u, v)"""
+
+    out["q207_ktruss"] = f"""
+        WITH {_support_graph_sql},
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM raw_edges WHERE src <> dst),
+        {_truss_support("0", "e0")},
+        e1 AS MATERIALIZED (
+            SELECT c.u, c.v FROM e0 c
+            JOIN sup_0 s ON c.u = s.u AND c.v = s.v
+            WHERE s.sup >= 1),
+        {_truss_support("1", "e1")}
+        SELECT c.u, c.v, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+        FROM e1 c LEFT JOIN sup_1 s ON c.u = s.u AND c.v = s.v
     """
     # q204: one UNION ALL arm per orders column; COUNT(DISTINCT) and
     # the no-NULLs+all-distinct candidate-key rule are engine-identical.

@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "q204_column_profile",
     "q205_open_order_peaks",
     "q206_fd_audit",
+    "q207_ktruss",
 ]
 
 

@@ -1180,3 +1180,118 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+    n_rounds: int = 6,
+    check_converged: bool = True,
+) -> DataFrame:
+    """k-truss of an undirected graph by bounded-round edge peeling
+    (Cohen 2008): each round recomputes per-edge triangle support over
+    the surviving edges and drops every edge supported by fewer than
+    k−2 triangles; the fixpoint is the maximal subgraph where every
+    edge closes ≥ k−2 triangles — the EDGE-cohesion analogue of the
+    k-core's vertex degree (a k-truss is always inside the (k−1)-core,
+    but far denser: bridges and loose tendrils that survive coreness
+    die here). Returns surviving (u, v, support) canonical edges with
+    support measured INSIDE the truss. Input may carry either/both
+    directions + duplicates; self-loops and NULL endpoints drop.
+
+    Runs EXACTLY ``n_rounds`` rounds (peeling is idempotent at the
+    fixpoint) for bit-reproducibility against a round-unrolled SQL
+    twin; ``check_converged`` (default) re-derives support once more
+    and raises if another round would still drop edges — the kcore
+    convergence-guard contract: never silently return a superset.
+
+    Scale shape: per-round support is the triangle_count wedge device
+    (degree-ordered orientation — wedges only at each triangle's
+    lowest-(degree, id) vertex, O(m_r^1.5) bound, hub-proof), then a
+    map-side-combinable per-edge credit groupBy and one semi-join to
+    drop weak edges; the edge frame shrinks monotonically and each
+    round's state is a lazy localCheckpoint (the kcore_peel device) so
+    the plan stays O(1) at any depth.
+    """
+    if k < 3:
+        raise ValueError("ktruss_peel(): k must be >= 3 (k-2 >= 1 triangles)")
+    a, b = F.col(src), F.col(dst)
+    cur = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _support(canon: DataFrame) -> DataFrame:
+        """Per-edge triangle support over a canonical (u<v) edge set:
+        (u, v, sup) for edges in >= 1 triangle."""
+        deg = (
+            canon.select(F.col("u").alias("n"))
+            .union(canon.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        oriented = (
+            canon.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+            .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+            .select(
+                F.when(
+                    (F.col("du") < F.col("dv"))
+                    | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                    F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+                )
+                .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+                .alias("e")
+            )
+            .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+        )
+        w1 = oriented.select(F.col("s").alias("p"), F.col("t").alias("x"))
+        w2 = oriented.select(F.col("s").alias("p"), F.col("t").alias("y"))
+        wedges = w1.join(w2, "p").filter(F.col("x") < F.col("y"))
+        closing = oriented.select(
+            F.col("s").alias("x"), F.col("t").alias("y")
+        ).union(oriented.select(F.col("t").alias("x"), F.col("s").alias("y")))
+        tri = wedges.join(closing, ["x", "y"], "left_semi")
+        credits = (
+            tri.select(
+                F.least("p", "x").alias("u"), F.greatest("p", "x").alias("v")
+            )
+            .union(
+                tri.select(
+                    F.least("p", "y").alias("u"), F.greatest("p", "y").alias("v")
+                )
+            )
+            .union(tri.select(F.col("x").alias("u"), F.col("y").alias("v")))
+        )
+        return credits.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
+
+    for _ in range(n_rounds):
+        keep = _support(cur).filter(F.col("sup") >= k - 2).select("u", "v")
+        cur = (
+            cur.join(keep, ["u", "v"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    sup = _support(cur)
+    out = (
+        cur.join(sup, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    if check_converged:
+        weak = out.filter(F.col("support") < k - 2).limit(1).count()
+        if weak:
+            raise ValueError(
+                f"ktruss_peel(): not at fixpoint after n_rounds={n_rounds} "
+                "— one more round would still drop edges, so the survivors "
+                "are a SUPERSET of the k-truss. Raise n_rounds (each "
+                "non-converged round removes >= 1 edge)."
+            )
+    return out

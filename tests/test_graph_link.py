@@ -140,3 +140,50 @@ def test_label_propagation_duplicate_edges_vote_once(spark):
     got = {r["node"]: r["label"] for r in
            label_propagation(ed, n_rounds=1).collect()}
     assert got[2] == 0
+
+
+def test_ktruss_k3_triangle_survives_pendant_dies(spark):
+    """Triangle 0-1-2 with pendant edge 2-3: at k=3 (support >= 1) the
+    pendant closes no triangle and dies in round 1; the triangle
+    survives with every edge supporting exactly 1 triangle."""
+    from big_data_project_datapipeline_spark.operators.graph import ktruss_peel
+
+    ed = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    got = {(r["u"], r["v"]): r["support"] for r in
+           ktruss_peel(ed, k=3, n_rounds=1).collect()}
+    assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1}
+
+
+def test_ktruss_two_round_cascade_and_guard(spark):
+    """K4 on {0,1,2,3} plus a two-triangle fan {3-4, 4-5, 3-5 missing}:
+    edges (3,4),(4,5),(3,5)... build T1=(3,4,5), T2=(3,4,6) via edges
+    (3,4),(4,5),(3,5),(4,6),(3,6). At k=4 (support >= 2): round 1
+    drops (4,5),(3,5),(4,6),(3,6) (support 1 each) but KEEPS (3,4)
+    (support 2 at evaluation time); round 2 finds (3,4) now closes no
+    triangle and drops it — a genuine 2-round cascade. n_rounds=1 must
+    RAISE (guard: survivors still a superset); n_rounds=2 returns
+    exactly the K4, every edge supporting 2 triangles."""
+    import pytest as _pytest
+
+    from big_data_project_datapipeline_spark.operators.graph import ktruss_peel
+
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    fan = [(3, 4), (4, 5), (3, 5), (4, 6), (3, 6)]
+    ed = _edges(spark, k4 + fan)
+    with _pytest.raises(ValueError, match="not at fixpoint"):
+        ktruss_peel(ed, k=4, n_rounds=1).collect()
+    got = {(r["u"], r["v"]): r["support"] for r in
+           ktruss_peel(ed, k=4, n_rounds=2).collect()}
+    assert got == {(0, 1): 2, (0, 2): 2, (0, 3): 2,
+                   (1, 2): 2, (1, 3): 2, (2, 3): 2}
+
+
+def test_ktruss_k_validation_and_dup_absorption(spark):
+    from big_data_project_datapipeline_spark.operators.graph import ktruss_peel
+
+    ed = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 0), (0, 0)])
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss_peel(ed, k=2)
+    got = {(r["u"], r["v"]): r["support"] for r in
+           ktruss_peel(ed, k=3, n_rounds=1).collect()}
+    assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1}

@@ -68,6 +68,17 @@ QUERIES = [
     # fixed seed cohort measures the same per-sweep joins).
     "q189_cc_isolates",
     "q193_personalized_pagerank",
+    # round-9 second wave: wedge-enumeration link prediction (the
+    # O(sum d^2) pivot cost under disjoint-copy growth), frontier BFS
+    # (fixed copy-0 seed cohort while the fact graph grows), LPA
+    # (per-round join + window), and the sweep-line step fold
+    "q201_link_prediction",
+    "q202_seed_bfs_distance",
+    "q203_label_propagation",
+    "q205_open_order_peaks",
+    # k-truss: per-round wedge enumeration over disjoint-copy growth
+    # (fixpoint stays 1 round — copies are isomorphic to sf0.1)
+    "q207_ktruss",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10

@@ -259,6 +259,162 @@ def check_cc_isolates(spark, sf_dir) -> list[str]:
     return problems
 
 
+def check_link_prediction(spark, sf_dir) -> list[str]:
+    """q201 at decade scale: every emitted candidate is NON-adjacent
+    (re-checked against an independently joined canonical edge set),
+    u < v, common >= 1, jaccard in (0, 1], and the top-k cut holds."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q201_link_prediction"](spark, sf_dir)
+    canon = E._copurchase_support_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    problems = []
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("common_neighbors").alias("cmin"),
+        F.min("jaccard").alias("jmin"),
+        F.max("jaccard").alias("jmax"),
+        F.sum(F.when(F.col("u") < F.col("v"), 0).otherwise(1)).alias("bad_uv"),
+    ).first()
+    if agg["n"] == 0 or agg["n"] > 100:
+        problems.append(f"linkpred: bad row count {agg['n']}")
+    if (agg["cmin"] or 0) < 1:
+        problems.append(f"linkpred: common_neighbors < 1 ({agg['cmin']})")
+    if not (0.0 < (agg["jmin"] or -1) and (agg["jmax"] or 9) <= 1.0):
+        problems.append(f"linkpred: jaccard out of (0,1] ({agg['jmin']}, {agg['jmax']})")
+    if agg["bad_uv"]:
+        problems.append(f"linkpred: {agg['bad_uv']} rows not u < v")
+    adjacent = out.join(canon, ["u", "v"], "left_semi").count()
+    if adjacent:
+        problems.append(f"linkpred: {adjacent} predicted links already edges")
+    return problems
+
+
+def check_bfs(spark, sf_dir) -> list[str]:
+    """q202 at decade scale: the BFS recurrence re-proved from the
+    edge set — dist-0 rows are EXACTLY the seed set, and every node
+    at dist k > 0 has minimum neighbor distance k-1 (no skipped hop,
+    no relaxation miss); dist within [0, 3]; node uniqueness."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q202_seed_bfs_distance"](spark, sf_dir)
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select(F.col("p_partkey").alias("node"))
+        .distinct()
+    )
+    ed = E._copurchase_support_edges(spark, sf_dir)
+    sym = ed.select("src", "dst").union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    problems = []
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("node").alias("nd"),
+        F.min("dist").alias("lo"),
+        F.max("dist").alias("hi"),
+    ).first()
+    if agg["n"] == 0 or agg["nd"] != agg["n"]:
+        problems.append(f"bfs: node multiplicity ({agg['nd']} vs {agg['n']})")
+    lo = -1 if agg["lo"] is None else agg["lo"]
+    hi = 9 if agg["hi"] is None else agg["hi"]
+    if lo < 0 or hi > 3:
+        problems.append(f"bfs: dist out of [0,3] ({agg['lo']}, {agg['hi']})")
+    d0 = out.filter(F.col("dist") == 0).select("node")
+    if d0.join(seeds, "node", "left_anti").count() or seeds.join(
+        d0, "node", "left_anti"
+    ).count():
+        problems.append("bfs: dist-0 set != seed set")
+    nbr = (
+        out.filter(F.col("dist") > 0)
+        .withColumnRenamed("node", "dst")
+        .join(sym, "dst")
+        .join(
+            out.select(F.col("node").alias("src"), F.col("dist").alias("nd_dist")),
+            "src",
+        )
+        .groupBy("dst", "dist")
+        .agg(F.min("nd_dist").alias("best"))
+    )
+    bad = nbr.filter(F.col("best") != F.col("dist") - 1).count()
+    reached_pos = out.filter(F.col("dist") > 0).count()
+    covered = nbr.count()
+    if bad or covered != reached_pos:
+        problems.append(
+            f"bfs: recurrence broken ({bad} wrong, {reached_pos - covered} without neighbors)"
+        )
+    return problems
+
+
+def check_lpa(spark, sf_dir) -> list[str]:
+    """q203 at decade scale: the output covers the symmetrized node
+    universe exactly once and every label is an existing node id."""
+    import __spark_entry__ as E
+
+    out = E.queries()["q203_label_propagation"](spark, sf_dir)
+    ed = E._copurchase_support_edges(spark, sf_dir)
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    problems = []
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("node").alias("nd")
+    ).first()
+    n_nodes = nodes.count()
+    if agg["n"] != n_nodes or agg["nd"] != agg["n"]:
+        problems.append(
+            f"lpa: coverage broken ({agg['n']} rows, {agg['nd']} distinct, {n_nodes} nodes)"
+        )
+    alien = out.join(
+        nodes.withColumnRenamed("node", "label"), "label", "left_anti"
+    ).count()
+    if alien:
+        problems.append(f"lpa: {alien} labels are not node ids")
+    return problems
+
+
+def check_interval_concurrency(spark, sf_dir) -> list[str]:
+    """q205's step frame at decade scale: sweep-line conservation —
+    deltas sum to 0 (every open closes), concurrency never negative,
+    and the final step lands at 0."""
+    from big_data_project_datapipeline_spark.operators.intervals import (
+        interval_concurrency,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("last_ship"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.to_date("o_orderdate").alias("start"),
+    )
+    step = interval_concurrency(
+        o.join(li, "l_orderkey"), "start", "last_ship"
+    )
+    agg = step.agg(
+        F.sum("net").alias("net_total"),
+        F.min("concurrent").alias("cmin"),
+        F.max_by("concurrent", "ts").alias("last"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    problems = []
+    if agg["n"] == 0:
+        problems.append("sweep: empty step frame")
+    if agg["net_total"] is None or agg["net_total"] != 0:
+        problems.append(f"sweep: deltas sum to {agg['net_total']} != 0")
+    if agg["cmin"] is None or agg["cmin"] < 0:
+        problems.append(f"sweep: negative concurrency {agg['cmin']}")
+    if agg["last"] is None or agg["last"] != 0:
+        problems.append(f"sweep: final step {agg['last']} != 0")
+    return problems
+
+
 CHECKS = [
     ("prefix_ranks", check_prefix_ranks),
     ("rrf", check_rrf),
@@ -266,6 +422,11 @@ CHECKS = [
     ("pagerank_family", check_pagerank_family),
     ("kcore", check_kcore),
     ("cc_isolates", check_cc_isolates),
+    # round-9 second wave
+    ("link_prediction", check_link_prediction),
+    ("bfs", check_bfs),
+    ("lpa", check_lpa),
+    ("interval_sweep", check_interval_concurrency),
 ]
 
 
