@@ -230,6 +230,10 @@ BENCH_QUERIES = [
     "q205_open_order_peaks",
     "q206_fd_audit",
     "q207_ktruss",
+    "q208_spearman_corr",
+    "q209_kruskal_wallis",
+    "q210_theil_sen",
+    "q211_cramers_v",
 ]
 
 

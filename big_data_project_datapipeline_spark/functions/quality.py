@@ -2738,3 +2738,434 @@ def score_yield_curve(
             ).alias("weight_kept_frac"),
         ]
     return one.select(*keep, row).select(*out_cols)
+
+
+def _doubled_avg_ranks(
+    frame: DataFrame,
+    gcols: Sequence[str],
+    value_col: str,
+    count_col: str,
+    rank_col: str,
+) -> DataFrame:
+    """Doubled average (mid) ranks over a COLLAPSED per-(group, value)
+    count frame: r2 = 2*cum_below + c + 1 where cum_below counts rows
+    with a strictly smaller value — i.e. twice the textbook average
+    rank ``cum_below + (c+1)/2`` of a tie group, kept integral so every
+    downstream moment is exact until one final IEEE division. The
+    cumulative count comes from operators/prefix.group_rank_frame (ONE
+    range exchange; never a low-cardinality-group window serializing
+    each group through one task — the grouped_auc device)."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    cum = group_rank_frame(
+        frame,
+        list(gcols),
+        [value_col],
+        group_rank_col=None,
+        group_count_col=None,
+        sum_cols=[count_col],
+    )
+    return cum.select(
+        *gcols,
+        value_col,
+        count_col,
+        (
+            F.lit(2) * (F.col(f"{count_col}__gcum") - F.col(count_col))
+            + F.col(count_col)
+            + F.lit(1)
+        )
+        .cast("decimal(20,0)")
+        .alias(rank_col),
+    )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation of two numeric columns per group —
+    Pearson on average (mid) ranks, the tie-correct definition (equal
+    to the 1 − 6Σd²/n(n²−1) shortcut only when there are NO ties, so
+    the shortcut is never used). The monotone-association complement
+    of q39's linear Pearson.
+
+    Determinism/parity: ranks are doubled-unit integers from the
+    collapsed per-(group, value) frames (Pearson is affine-invariant,
+    so doubling cancels exactly); all five moments fold as
+    decimal(38,0); the only float ops are the final two sqrt's and one
+    division, rounded at the surface. Rows with NULL/NaN in either
+    column drop (pairwise-complete would break the rank universe).
+
+    Scale shape: two map-side-combinable collapses to distinct values,
+    two group_rank_frame range exchanges over the collapsed frames,
+    two hash equi-joins back to rows (AQE-broadcast when the distinct
+    frame is small), one moment aggregate. No O(rows) window
+    partitioned by a low-cardinality group key.
+    """
+    gcols = list(group_cols)
+    xc, yc = F.col(x_col), F.col(y_col)
+    clean = df.filter(
+        xc.isNotNull()
+        & ~F.isnan(xc.cast("double"))
+        & yc.isNotNull()
+        & ~F.isnan(yc.cast("double"))
+    ).select(*gcols, xc.alias("__x"), yc.alias("__y"))
+
+    def _ranks(vcol: str, rcol: str) -> DataFrame:
+        per_v = clean.groupBy(*gcols, vcol).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        return _doubled_avg_ranks(per_v, gcols, vcol, "__c", rcol).drop(
+            "__c"
+        )
+
+    ranked = clean.join(_ranks("__x", "__rx"), [*gcols, "__x"]).join(
+        _ranks("__y", "__ry"), [*gcols, "__y"]
+    )
+    rx = F.col("__rx").cast("decimal(19,0)")
+    ry = F.col("__ry").cast("decimal(19,0)")
+    m = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(rx).cast("double").alias("__sx"),
+        F.sum(ry).cast("double").alias("__sy"),
+        F.sum(rx * rx).cast("double").alias("__sxx"),
+        F.sum(ry * ry).cast("double").alias("__syy"),
+        F.sum(rx * ry).cast("double").alias("__sxy"),
+    )
+    nn = F.col("n").cast("double")
+    num = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")) * F.sqrt(
+        nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    )
+    return m.select(
+        *gcols,
+        "n",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("spearman_rho"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    between_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Kruskal–Wallis H test of ``value_col`` across the levels of
+    ``between_col``, per outer group — the k-sample rank ANOVA that
+    completes the comparison family (Welch q77 = 2-group parametric,
+    KS q144 = 2-sample distribution shape, AUC q152 = 2-group
+    ranking): H = 12/(N(N+1)) Σ_j R_j²/n_j − 3(N+1) on pooled average
+    ranks, with the standard tie correction H/(1 − Σ(t³−t)/(N³−N)).
+
+    Determinism/parity: pooled ranks are doubled-unit integers (so
+    R2_j = 2·R_j folds as decimal(38,0)); each per-level term
+    R2_j²/n_j is one correctly-rounded double, summed via the
+    round-6-then-decimal device (q149 MI precedent) so the fold order
+    can't flip a bit; tie cubes fold as decimal(38,0) (c³ overflows
+    int64 past ~2M-row tie groups). Groups where every value ties
+    emit NULL h_tie_corrected (correction divisor 0).
+
+    Scale shape: two map-side-combinable collapses (per (group, value,
+    level) then per (group, value)), one group_rank_frame range
+    exchange over the pooled collapsed frame, one equi-join back to
+    the per-level cells, two small aggregates.
+    """
+    gcols = list(group_cols)
+    vc, bc = F.col(value_col), F.col(between_col)
+    clean = df.filter(
+        vc.isNotNull() & ~F.isnan(vc.cast("double")) & bc.isNotNull()
+    ).select(*gcols, vc.alias("__v"), bc.alias("__b"))
+    cells = clean.groupBy(*gcols, "__v", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__cb")
+    )
+    pooled = cells.groupBy(*gcols, "__v").agg(
+        F.sum("__cb").cast("long").alias("__c")
+    )
+    ranks = _doubled_avg_ranks(pooled, gcols, "__v", "__c", "__r2")
+    per_level = (
+        cells.join(ranks.drop("__c"), [*gcols, "__v"])
+        .groupBy(*gcols, "__b")
+        .agg(
+            F.sum("__cb").cast("long").alias("__nj"),
+            F.sum(
+                F.col("__cb").cast("decimal(19,0)") * F.col("__r2")
+            ).alias("__r2j"),
+        )
+    )
+    # per-level term R2_j²/n_j: one deterministic double each,
+    # round-6-then-decimal so the k-way fold is order-free
+    stat = per_level.groupBy(*gcols).agg(
+        F.sum("__nj").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("n_levels"),
+        F.sum(
+            F.round(
+                F.col("__r2j").cast("double")
+                * F.col("__r2j").cast("double")
+                / F.col("__nj").cast("double"),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("__s2"),
+    )
+    ties = pooled.groupBy(*gcols).agg(
+        F.sum(
+            F.col("__c").cast("decimal(38,0)")
+            * F.col("__c").cast("decimal(38,0)")
+            * F.col("__c").cast("decimal(38,0)")
+            - F.col("__c").cast("decimal(38,0)")
+        ).alias("__t3")
+    )
+    j = stat.join(ties, gcols) if gcols else stat.crossJoin(
+        F.broadcast(ties)
+    )
+    nn = F.col("n").cast("double")
+    # __s2 carries Σ (2R_j)²/n_j = 4 Σ R_j²/n_j → 12/4 = 3
+    h = F.lit(3.0) * F.col("__s2") / (nn * (nn + F.lit(1.0))) - F.lit(
+        3.0
+    ) * (nn + F.lit(1.0))
+    n_dec = F.col("n").cast("decimal(38,0)")
+    # nullif guards the N=1 group: N³−N = 0 would make the divisor
+    # 0/0 = NaN, leaking NaN (not NULL) through the corrected stat
+    tie_div = F.lit(1.0) - F.col("__t3").cast("double") / F.nullif(
+        (n_dec * n_dec * n_dec - n_dec).cast("double"), F.lit(0.0)
+    )
+    return j.select(
+        *gcols,
+        "n",
+        "n_levels",
+        (F.col("n_levels") - F.lit(1)).cast("int").alias("dof"),
+        F.round(h, 6).alias("h"),
+        F.round(h / F.nullif(tie_div, F.lit(0.0)), 6).alias(
+            "h_tie_corrected"
+        ),
+    )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    max_points: int = 5000,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes of the DAILY-mean series — the outlier-proof complement of
+    q97's OLS slope (one wild day moves an OLS fit, not a slope
+    median; breakdown point ~29%).
+
+    The O(points²) pair build runs over the COLLAPSED daily frame, so
+    its cost is fixed by the calendar span, not the row count — at
+    100 TB the pair count is identical to sf0.1's. ``max_points``
+    makes that contract explicit: one O(1)-output aggregate witnesses
+    the widest group and raises before a mis-grained call (e.g.
+    second-level timestamps) detonates a rows² self-join.
+
+    Determinism/parity: daily means are decimal sums over exact
+    counts → one IEEE division each; each pair slope is one double
+    subtraction/division of engine-identical inputs; the median is
+    the exact interpolated order statistic (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the p·(n−1) definition — sorting
+    doubles and averaging the two central values is bit-stable).
+    Single-day groups emit n_pairs=0 and NULL slope via the left join
+    (a pairless group would otherwise vanish from the output).
+    """
+    gcols = list(group_cols)
+    vc = F.col(value_col)
+    daily = (
+        df.filter(vc.isNotNull() & ~F.isnan(vc.cast("double")))
+        .groupBy(
+            *gcols,
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+            ).alias("__d"),
+        )
+        .agg(
+            (
+                F.sum(vc.cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__v")
+        )
+    )
+    per_g = daily.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    widest = per_g.agg(F.max("n_days")).collect()[0][0]  # collect-ok O(1)
+    if widest is not None and widest > max_points:
+        raise ValueError(
+            f"theil_sen_trend: a group spans {widest} daily points "
+            f"(max_points={max_points}); the pairwise build is "
+            "O(points²) — coarsen the grain or raise max_points "
+            "deliberately"
+        )
+    # the ungrouped pair build joins on a constant key: same bounded
+    # O(points²) output, but planned as a hash join — never a
+    # CartesianProduct node (plan-audit contract)
+    jk = gcols if gcols else ["__one"]
+    a = daily.select(
+        *gcols, F.col("__d").alias("__di"), F.col("__v").alias("__vi")
+    )
+    b = daily.select(
+        *gcols, F.col("__d").alias("__dj"), F.col("__v").alias("__vj")
+    )
+    if not gcols:
+        a = a.withColumn("__one", F.lit(1))
+        b = b.withColumn("__one", F.lit(1))
+    pairs = a.join(b, jk).filter(F.col("__di") < F.col("__dj"))
+    slopes = pairs.select(
+        *gcols,
+        (
+            (F.col("__vj") - F.col("__vi"))
+            / (F.col("__dj") - F.col("__di")).cast("double")
+        ).alias("__slope"),
+    )
+    med = slopes.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile("__slope", F.lit(0.5)).alias("__med"),
+    )
+    joined = per_g.join(med, gcols, "left") if gcols else per_g.crossJoin(
+        F.broadcast(med)
+    )
+    return joined.select(
+        *gcols,
+        "n_days",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        F.round(F.col("__med"), 6).alias("slope_per_day"),
+    )
+
+
+def stacked_pair_cells(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Contingency cells for every unordered column pair of ``cols``,
+    stacked long: (col_x, col_y, x, y, o) with exact counts. Levels
+    are stringified and NULL becomes the sentinel level '__NULL__' —
+    NULL is a real category for association purposes, and a bare NULL
+    key would silently fall out of the totals equi-joins downstream.
+    One map-side-combinable groupBy over a map-only stack; shared by
+    the batch matrix (cramers_v_matrix) and the incremental store
+    (streaming/crosstab), so their cells are the same expression."""
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("stacked_pair_cells needs >= 2 columns")
+    parts = []
+    for i in range(len(cols)):
+        for jj in range(i + 1, len(cols)):
+            cx, cy = cols[i], cols[jj]
+            parts.append(
+                df.select(
+                    F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"),
+                    F.coalesce(
+                        F.col(cx).cast("string"), F.lit("__NULL__")
+                    ).alias("x"),
+                    F.coalesce(
+                        F.col(cy).cast("string"), F.lit("__NULL__")
+                    ).alias("y"),
+                )
+            )
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    return stacked.groupBy("col_x", "col_y", "x", "y").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+
+
+def cramers_v_from_cells(cells: DataFrame) -> DataFrame:
+    """Cramér's V per column pair from a stacked cell frame
+    (col_x, col_y, x, y, o): χ² via the zero-cell-free identity
+    χ² = n·Σ_observed o²/(R_i·C_j) − n (unobserved cells contribute 0
+    to Σ o²/E, so only landed cells are ever scanned), then
+    V = sqrt(χ² / (n·min(r−1, c−1))) — the [0,1]-normalized effect
+    size q149's MI and the raw χ² (q88) don't give.
+
+    Determinism/parity: o, row/col totals and n are exact longs; each
+    cell term o²·n/(R·C) is a chain of correctly-rounded IEEE ops on
+    integer-valued doubles (bit-identical in any engine), folded with
+    the round-9-then-decimal device so the sum order can't flip a
+    bit. 1-level columns emit NULL v (min(r−1,c−1) = 0).
+
+    Scale shape: three map-side-combinable aggregates over the cell
+    frame (row totals, col totals, per-pair grand), two equi-joins
+    back to cells, one O(pairs) broadcast of the grand frame.
+    """
+    rows_t = cells.groupBy("col_x", "col_y", "x").agg(
+        F.sum("o").cast("long").alias("__rt")
+    )
+    cols_t = cells.groupBy("col_x", "col_y", "y").agg(
+        F.sum("o").cast("long").alias("__ct")
+    )
+    grand = cells.groupBy("col_x", "col_y").agg(
+        F.sum("o").cast("long").alias("n")
+    )
+    r_lv = rows_t.groupBy("col_x", "col_y").agg(
+        F.count(F.lit(1)).cast("int").alias("r_levels")
+    )
+    c_lv = cols_t.groupBy("col_x", "col_y").agg(
+        F.count(F.lit(1)).cast("int").alias("c_levels")
+    )
+    pk = ["col_x", "col_y"]
+    term = (
+        F.col("o").cast("double")
+        * F.col("o").cast("double")
+        * F.col("n").cast("double")
+        / (F.col("__rt").cast("double") * F.col("__ct").cast("double"))
+    )
+    chi = (
+        cells.join(rows_t, [*pk, "x"])
+        .join(cols_t, [*pk, "y"])
+        .join(F.broadcast(grand), pk)
+        .groupBy(*pk, "n")
+        .agg(
+            F.sum(F.round(term, 9).cast("decimal(38,9)"))
+            .cast("double")
+            .alias("__s")
+        )
+    )
+    out = (
+        chi.join(F.broadcast(r_lv), pk)
+        .join(F.broadcast(c_lv), pk)
+        .withColumn("__chi2", F.col("__s") - F.col("n").cast("double"))
+        .withColumn(
+            "__mindim",
+            F.least(
+                F.col("r_levels") - F.lit(1), F.col("c_levels") - F.lit(1)
+            ).cast("double"),
+        )
+    )
+    return out.select(
+        *pk,
+        "n",
+        "r_levels",
+        "c_levels",
+        (
+            (F.col("r_levels") - F.lit(1)) * (F.col("c_levels") - F.lit(1))
+        ).cast("int").alias("dof"),
+        F.round(F.col("__chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                # χ² is ≥ 0 mathematically; the round-9 fold can land
+                # an independent table a hair below 0 — clamp before
+                # sqrt so V is 0.0, never NaN
+                F.greatest(F.col("__chi2"), F.lit(0.0))
+                / F.nullif(
+                    F.col("n").cast("double") * F.col("__mindim"),
+                    F.lit(0.0),
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Cramér's V association matrix over the categorical
+    columns ``cols`` — the feed-discovery companion to q204's
+    per-column profile: which columns move together (V≈1 flags a
+    redundant or derived column; V≈0 an independent one). One stacked
+    cell build + the shared χ² tail; see cramers_v_from_cells for the
+    parity and scale contract."""
+    return cramers_v_from_cells(stacked_pair_cells(df, cols))

@@ -1144,7 +1144,11 @@ def test_connected_components_nonconvergence_releases(spark):
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(edges, max_iters=2)
     leaked: set = set()
-    for _ in range(60):
+    # 60 s drain budget: after a full-suite session has cycled ~20k
+    # RDD ids the ContextCleaner queue can take tens of seconds to
+    # reach these snapshots (observed once at 15 s; passes isolated) —
+    # the same insurance the pagerank subprocess twin carries
+    for _ in range(240):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
