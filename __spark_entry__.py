@@ -76,6 +76,9 @@ from big_data_project_datapipeline_spark.functions.quality import (
     kruskal_wallis,
     theil_sen_trend,
     cramers_v_matrix,
+    mann_kendall_trend,
+    logistic_irls,
+    huber_irls,
 )
 from big_data_project_datapipeline_spark.operators import graph as G
 from big_data_project_datapipeline_spark.operators.graph import hits, pagerank
@@ -87,6 +90,7 @@ from big_data_project_datapipeline_spark.operators.fuzzy import (
 from big_data_project_datapipeline_spark.operators.market import (
     copurchase_lift,
     frequent_triples,
+    item_item_cosine,
 )
 from big_data_project_datapipeline_spark.operators.skew import key_skew_profile
 from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
@@ -4600,14 +4604,6 @@ _GATE_PREFIX = [
     "q77_welch_ab",
     "q78_mad_outliers",
     "q79_copurchase_lift",
-    "q80_trailing_ewma",
-    "q81_attribution",
-    "q82_robust_scale",
-    "q83_seasonal_anomalies",
-    "q84_equal_freq_bins",
-    "q85_target_encode",
-    "q86_feature_hashing",
-    "q144_ks_drift",
     # third-wave additions q208–q211 take the q145–q148 slots (that
     # block is twice-certified and rotates to round 10 with q149–q170;
     # never-certified queries always outrank a re-certification)
@@ -4615,6 +4611,16 @@ _GATE_PREFIX = [
     "q209_kruskal_wallis",
     "q210_theil_sen",
     "q211_cramers_v",
+    # q212–q219 take the q144 + q80–q86 tail slots (q144 twice-, the
+    # q64-cohort tail once-certified; all eight re-queue for round 10)
+    "q212_mann_kendall",
+    "q213_item_item_cosine",
+    "q214_harmonic_centrality",
+    "q215_logistic_irls",
+    "q216_naive_bayes",
+    "q217_ar2_daily",
+    "q218_pmi_collocations",
+    "q219_huber_regression",
     "q207_ktruss",
     "q204_column_profile",
     "q205_open_order_peaks",
@@ -5172,6 +5178,173 @@ def q211_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cramers_v_matrix(d, ["lang", "source", "len_bucket"])
 
 
+def q212_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test of the daily mean value per
+    event type (functions/quality.mann_kendall_trend): S, tau-a, the
+    tie-corrected Var(S), and the continuity-corrected z — the
+    distribution-free significance companion to q210's Theil–Sen
+    slope over the SAME bounded day-pair universe (calendar-fixed
+    cost at any row count). Pure integer statistics until the
+    closing divisions."""
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall_trend(ev, "ts", "value", ["event_type"])
+
+
+def q213_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 item-item cosine neighbors over order baskets
+    (operators/market.item_item_cosine): the collaborative-filtering
+    "customers also bought" ranking — cosine of binary
+    basket-incidence vectors, the length-normalized complement of
+    q79's lift (which rewards rare-with-rare pairs lift-style
+    rankings are unusable for). Same one-shuffle within-basket pair
+    device; TakeOrdered total-order cut."""
+    li = _t(spark, sf_dir, "lineitem")
+    return item_item_cosine(
+        li, "l_orderkey", "l_partkey", min_pair_count=2, top_k=100
+    )
+
+
+def _q4_mean(vc):
+    """Daily decimal mean quantized to 4 digits with the floor-based
+    device (one IEEE chain, engine-identical — see q217's docstring
+    for why round(double, 4) is not)."""
+    mean = F.sum(vc.cast("decimal(28,8)")).cast("double") / F.count(
+        F.lit(1)
+    ).cast("double")
+    return (
+        F.signum(mean)
+        * F.floor(F.abs(mean) * F.lit(1e4) + F.lit(0.5))
+        / F.lit(1e4)
+    )
+
+
+def q217_ar2_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) autoregression of the daily mean value per event type —
+    tomorrow's level from the last two observed days' levels
+    (v_t = b0 + b1·v_{t−1} + b2·v_{t−2}), the forecasting step past
+    q154's ACF diagnosis (ACF measures memory; AR(2) FITS it). Daily
+    collapse (the q210 expression), means pre-quantized to 4 digits
+    with the FLOOR-based device sign·floor(|v|·1e4 + 0.5)/1e4 so the
+    decimal moment cast is exact — ``round(double, 4)`` is the wrong
+    tool here: Spark rounds the double's SHORTEST DECIMAL STRING
+    while DuckDB rounds the binary value, and a mean like 38.37875
+    (decimal-sum/int means terminate often) splits them (measured at
+    sf0.001: 38.3788 vs 38.3787); floor of a double product is one
+    IEEE chain, identical everywhere. Then two lag
+    windows sharing one sort over the O(days × types) collapsed frame
+    (the q154 class), then functions/quality.grouped_ols2's one-pass
+    decimal-exact closed form. Cost fixed by the calendar span."""
+    ev = _t(spark, sf_dir, "events")
+    vc = F.col("value")
+    daily = (
+        ev.filter(vc.isNotNull() & ~F.isnan(vc))
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+            ).alias("__d"),
+        )
+        .agg(_q4_mean(vc).alias("__v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("__d")
+    wide = daily.select(
+        "event_type",
+        "__v",
+        F.lag("__v", 1).over(w).alias("__l1"),
+        F.lag("__v", 2).over(w).alias("__l2"),
+    )
+    return grouped_ols2(wide, "__v", "__l1", "__l2", ["event_type"])
+
+
+def q218_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information
+    (functions/corpus.pmi_collocations, min support 5): adjacent token
+    pairs that co-occur far above chance — the phrase detector q101's
+    raw-count head cannot give (counts rank "of the"; PMI ranks the
+    pairs whose parts rarely appear apart). arrays_zip pair build, one
+    pair groupBy, unigram joins on the token key (AQE-skew-split hot
+    heads), TakeOrdered cut."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.pmi_collocations(d, min_count=5, top_k=50)
+
+
+def q219_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression of extended price on quantity and
+    discount per return flag (functions/quality.huber_irls) — the
+    M-estimation step past q153's OLS on the SAME design, so the two
+    outputs read side by side as the outlier-influence audit (a price
+    tail moves the OLS plane; Huber caps each row at c·scale).
+    OLS-init + frozen preliminary MAD scale + exactly 2 reweighted
+    passes; scaled-long moment folds, adjugate solve in column
+    expressions, exact interpolated medians — no matrix library, no
+    UDF, n_reweights+3 pruned scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return huber_irls(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+        ["l_returnflag"],
+        n_reweights=2,
+    )
+
+
+def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND decoded
+    in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
+    token likelihoods from two map-side-combinable aggregates, argmax
+    decode via the absent-token identity (model table holds only
+    observed (class, token) pairs — never the vocab × classes cross
+    product), training-set confusion matrix out. The trained
+    generative counterpart of q113's fixed-weight scorer and q130's
+    rule heuristic; at 100 TB the decode joins the token stream to the
+    model on the token key (the q62 external-LM shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.naive_bayes_confusion(d)
+
+
+def q215_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression per line status
+    (functions/quality.logistic_irls): P(returned | discount,
+    quantity) by exactly 3 relational Newton/IRLS steps — the GLM fit
+    past q153's closed-form OLS (binary labels have no closed form;
+    the fixed-count iteration with quantized state IS the estimator,
+    bit-stable against the round-unrolled SQL twin). Each step: one
+    broadcast of the O(groups) β frame + one 9-moment map-side-
+    combined aggregate + a scalar 3×3 adjugate solve in column
+    expressions; closing pass scores train log-loss. No UDF, no
+    driver solve, 4 pruned scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return logistic_irls(
+        li,
+        F.col("l_returnflag") == "R",
+        "l_discount",
+        "l_quantity",
+        ["l_linestatus"],
+        n_iters=3,
+    )
+
+
+def q214_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality on the support>=2 co-purchase
+    graph (operators/graph.harmonic_centrality): Σ 1/d(s,v) over the
+    8 lowest-keyed Brand#13 landmark parts within 3 hops — the
+    closeness-family score (disconnection-safe) the centrality suite
+    (q87 PageRank / q175 HITS / q198 clustering / q192 core) lacked.
+    Per-seed frontier BFS (operators/graph.multi_source_bfs):
+    O(|landmarks|·edges) total traffic, the priced 100 TB landmark
+    strategy — exact all-pairs closeness is O(n·m) and never runs."""
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#13")
+        .select(F.col("p_partkey").alias("node"))
+        .orderBy("node")
+        .limit(8)
+    )
+    ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    return G.harmonic_centrality(ed, seeds, n_rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
         "q92_feature_pipeline": q92_feature_pipeline,
@@ -5279,6 +5452,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_kruskal_wallis": q209_kruskal_wallis,
         "q210_theil_sen": q210_theil_sen,
         "q211_cramers_v": q211_cramers_v,
+        "q212_mann_kendall": q212_mann_kendall,
+        "q213_item_item_cosine": q213_item_item_cosine,
+        "q214_harmonic_centrality": q214_harmonic_centrality,
+        "q215_logistic_irls": q215_logistic_irls,
+        "q216_naive_bayes": q216_naive_bayes,
+        "q217_ar2_daily": q217_ar2_daily,
+        "q218_pmi_collocations": q218_pmi_collocations,
+        "q219_huber_regression": q219_huber_regression,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -5410,6 +5591,250 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {n: all_q[n] for n in _GATE_PREFIX}
     out.update((n, f) for n, f in all_q.items() if n not in out)
     return out
+
+
+def _logistic_irls_oracle_sql(n_iters: int = 3) -> str:
+    """Round-unrolled twin of functions/quality.logistic_irls (q215):
+    per iteration one rows×β join computing the quantized sigmoid
+    p = clamp(floor(σ(η)·1e9+0.5)/1e9), nine scaled-long moment folds
+    (sign·floor(|t|·1e9+0.5) summed as HUGEINT, /1e9 — the operator's
+    floor-based 9-digit fold), and the 3×3 adjugate Newton update
+    (same expression structure, same round-9 β re-entry, same
+    |det|<=1e-12 freeze). The closing CTE scores train log-loss at
+    the final β."""
+    p_expr = (
+        "LEAST(GREATEST(FLOOR((1.0 / (1.0 + EXP(-(b.b0 + b.b1 * r.x1"
+        " + b.b2 * r.x2)))) * 1e9 + 0.5) / 1e9, 1e-9), 1.0 - 1e-9)"
+    )
+
+    def dsum(expr: str, alias: str) -> str:
+        # the scaled-long half-up fold: sign·floor(|t|·1e9 + 0.5) is an
+        # integer-valued double identical in both engines; HUGEINT sums
+        # exactly; one closing /1e9
+        return (
+            f"CAST(SUM(CAST(SIGN({expr}) * FLOOR(ABS({expr}) * 1e9 + 0.5)"
+            f" AS HUGEINT)) AS DOUBLE) / 1e9 AS {alias}"
+        )
+
+    terms = [
+        ("y - p", "g0"),
+        ("x1 * (y - p)", "g1"),
+        ("x2 * (y - p)", "g2"),
+        ("p * (1.0 - p)", "h00"),
+        ("p * (1.0 - p) * x1", "h01"),
+        ("p * (1.0 - p) * x2", "h02"),
+        ("p * (1.0 - p) * x1 * x1", "h11"),
+        ("p * (1.0 - p) * x1 * x2", "h12"),
+        ("p * (1.0 - p) * x2 * x2", "h22"),
+    ]
+    sums = ",\n                   ".join(dsum(e, a) for e, a in terms)
+    det = (
+        "h00 * (h11 * h22 - h12 * h12)"
+        " - h01 * (h01 * h22 - h02 * h12)"
+        " + h02 * (h01 * h12 - h02 * h11)"
+    )
+    adj = {
+        "a00": "h11 * h22 - h12 * h12",
+        "a01": "h02 * h12 - h01 * h22",
+        "a02": "h01 * h12 - h02 * h11",
+        "a11": "h00 * h22 - h02 * h02",
+        "a12": "h01 * h02 - h00 * h12",
+        "a22": "h00 * h11 - h01 * h01",
+    }
+    adj_cols = ",\n                   ".join(
+        f"{e} AS {a}" for a, e in adj.items()
+    )
+    deltas = {
+        "b0": "(a00 * g0 + a01 * g1 + a02 * g2) / det",
+        "b1": "(a01 * g0 + a11 * g1 + a12 * g2) / det",
+        "b2": "(a02 * g0 + a12 * g1 + a22 * g2) / det",
+    }
+    upd = ",\n               ".join(
+        f"ROUND({b} + CASE WHEN ABS(det) > 1e-12 THEN {d}"
+        f" ELSE 0.0 END, 9) AS {b}"
+        for b, d in deltas.items()
+    )
+    its = []
+    for k in range(1, n_iters + 1):
+        its.append(f"""
+        m{k} AS (
+            SELECT g, MAX(n) AS n, MAX(b0) AS b0, MAX(b1) AS b1,
+                   MAX(b2) AS b2,
+                   {sums}
+            FROM (SELECT r.g, b.n, b.b0, b.b1, b.b2, r.x1, r.x2, r.y,
+                         {p_expr} AS p
+                  FROM rows_l r JOIN bb{k - 1} b ON r.g = b.g)
+            GROUP BY g),
+        bb{k} AS (
+            SELECT g, n,
+               {upd}
+            FROM (SELECT *, {det} AS det,
+                   {adj_cols}
+                  FROM m{k}))""")
+    return f"""
+        WITH rows_l AS (
+            SELECT l_linestatus AS g, CAST(l_discount AS DOUBLE) AS x1,
+                   CAST(l_quantity AS DOUBLE) AS x2,
+                   CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+            FROM lineitem
+            WHERE l_discount IS NOT NULL AND NOT isnan(l_discount)
+              AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)),
+        bb0 AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+            FROM rows_l GROUP BY g),
+        {",".join(its)},
+        closing AS (
+            SELECT g, MAX(n) AS n, MAX(b0) AS b0, MAX(b1) AS b1,
+                   MAX(b2) AS b2,
+                   {dsum("-(y * LN(p) + (1.0 - y) * LN(1.0 - p))", "ll")},
+                   CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+            FROM (SELECT r.g, b.n, b.b0, b.b1, b.b2, r.x1, r.x2, r.y,
+                         {p_expr} AS p
+                  FROM rows_l r JOIN bb{n_iters} b ON r.g = b.g)
+            GROUP BY g)
+        SELECT g AS l_linestatus, n, n_pos,
+               ROUND(b0, 6) AS beta0, ROUND(b1, 6) AS beta1,
+               ROUND(b2, 6) AS beta2,
+               ROUND(ll / CAST(n AS DOUBLE), 6) AS avg_logloss
+        FROM closing
+    """
+
+
+def _huber_oracle_sql(n_reweights: int = 2, c: float = 1.345) -> str:
+    """Round-unrolled twin of functions/quality.huber_irls (q219):
+    OLS init (w = 1), frozen preliminary scale
+    s = 1.4826·MAD(r_OLS) via two quantile_cont medians, then
+    ``n_reweights`` reweighted passes — same scaled-long moment folds,
+    same Huber weight chain, same adjugate solve and round-9 β
+    re-entry as the operator, expression for expression."""
+
+    def dsum(expr: str, alias: str) -> str:
+        return (
+            f"CAST(SUM(CAST(SIGN({expr}) * FLOOR(ABS({expr}) * 1e9 + 0.5)"
+            f" AS HUGEINT)) AS DOUBLE) / 1e9 AS {alias}"
+        )
+
+    def moments(name: str, src: str) -> str:
+        terms = [
+            ("w * 1.0", "h00"),
+            ("w * x1", "h01"),
+            ("w * x2", "h02"),
+            ("w * x1 * x1", "h11"),
+            ("w * x1 * x2", "h12"),
+            ("w * x2 * x2", "h22"),
+            ("w * y", "g0"),
+            ("w * x1 * y", "g1"),
+            ("w * x2 * y", "g2"),
+        ]
+        sums = ",\n                   ".join(dsum(e, a) for e, a in terms)
+        return f"""
+        {name} AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                   {sums}
+            FROM ({src})
+            GROUP BY g)"""
+
+    det = (
+        "h00 * (h11 * h22 - h12 * h12)"
+        " - h01 * (h01 * h22 - h02 * h12)"
+        " + h02 * (h01 * h12 - h02 * h11)"
+    )
+    adj = {
+        "a00": "h11 * h22 - h12 * h12",
+        "a01": "h02 * h12 - h01 * h22",
+        "a02": "h01 * h12 - h02 * h11",
+        "a11": "h00 * h22 - h02 * h02",
+        "a12": "h01 * h02 - h00 * h12",
+        "a22": "h00 * h11 - h01 * h01",
+    }
+    adj_cols = ",\n                   ".join(
+        f"{e} AS {a}" for a, e in adj.items()
+    )
+
+    def solve(name: str, mom: str) -> str:
+        deltas = {
+            "b0": "(a00 * g0 + a01 * g1 + a02 * g2) / det",
+            "b1": "(a01 * g0 + a11 * g1 + a12 * g2) / det",
+            "b2": "(a02 * g0 + a12 * g1 + a22 * g2) / det",
+        }
+        upd = ",\n               ".join(
+            f"ROUND(CASE WHEN ABS(det) > 1e-12 THEN {d}"
+            f" ELSE 0.0 END, 9) AS {b}"
+            for b, d in deltas.items()
+        )
+        return f"""
+        {name} AS (
+            SELECT g, n,
+               {upd}
+            FROM (SELECT *, {det} AS det,
+                   {adj_cols}
+                  FROM {mom}))"""
+
+    resid = "r.y - (b.b0 + b.b1 * r.x1 + b.b2 * r.x2)"
+    w_expr = (
+        f"COALESCE(CASE WHEN b.s > 0.0 THEN LEAST(1.0,"
+        f" CAST({c} AS DOUBLE) * b.s / NULLIF(ABS({resid}), 0.0))"
+        f" ELSE 1.0 END, 1.0)"
+    )
+    parts = [
+        moments(
+            "m0",
+            "SELECT r.g, r.x1, r.x2, r.y, 1.0 AS w FROM rows_h r",
+        ),
+        solve("bb0", "m0"),
+        f"""
+        med AS (
+            SELECT r.g, quantile_cont({resid}, 0.5) AS med
+            FROM rows_h r JOIN bb0 b ON r.g = b.g
+            GROUP BY r.g)""",
+        f"""
+        mad AS (
+            SELECT r.g, quantile_cont(ABS(({resid}) - bm.med), 0.5)
+                       AS madv
+            FROM rows_h r
+            JOIN bb0 b ON r.g = b.g
+            JOIN med bm ON r.g = bm.g
+            GROUP BY r.g)""",
+        """
+        bw0 AS (
+            SELECT bb0.g, bb0.n, bb0.b0, bb0.b1, bb0.b2,
+                   CAST(1.4826 AS DOUBLE) * mad.madv AS s
+            FROM bb0 JOIN mad ON bb0.g = mad.g)""",
+    ]
+    for k in range(1, n_reweights + 1):
+        parts.append(
+            moments(
+                f"m{k}",
+                "SELECT r.g, r.x1, r.x2, r.y, "
+                + w_expr
+                + f" AS w FROM rows_h r JOIN bw{k - 1} b ON r.g = b.g",
+            )
+        )
+        parts.append(solve(f"bb{k}", f"m{k}"))
+        parts.append(f"""
+        bw{k} AS (
+            SELECT bb{k}.g, bb{k}.n, bb{k}.b0, bb{k}.b1, bb{k}.b2,
+                   bw{k - 1}.s
+            FROM bb{k} JOIN bw{k - 1} ON bb{k}.g = bw{k - 1}.g)""")
+    body = ",".join(parts)
+    return f"""
+        WITH rows_h AS (
+            SELECT l_returnflag AS g,
+                   CAST(l_extendedprice AS DOUBLE) AS y,
+                   CAST(l_quantity AS DOUBLE) AS x1,
+                   CAST(l_discount AS DOUBLE) AS x2
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)
+              AND l_quantity IS NOT NULL AND NOT isnan(l_quantity)
+              AND l_discount IS NOT NULL AND NOT isnan(l_discount)),
+        {body}
+        SELECT g AS l_returnflag, n,
+               ROUND(s, 6) AS scale,
+               ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1,
+               ROUND(b2, 6) AS b2
+        FROM bw{n_reweights}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11004,5 +11429,280 @@ def oracle_sql() -> dict[str, str]:
         FROM chi
         JOIN rl ON chi.col_x = rl.col_x AND chi.col_y = rl.col_y
         JOIN cl ON chi.col_x = cl.col_x AND chi.col_y = cl.col_y
+    """
+    # q212: same daily/pair CTEs as q210; S and both variance terms
+    # are exact integers, one closing division/sqrt chain
+    out["q212_mann_kendall"] = """
+        WITH daily AS (
+            SELECT event_type AS g,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY g, d),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY g),
+        s AS (
+            SELECT a.g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CAST(SIGN(b.v - a.v) AS INT)) AS BIGINT)
+                       AS s_stat
+            FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+            GROUP BY a.g),
+        ties AS (
+            SELECT g, CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS t
+            FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM daily GROUP BY g, v)
+            GROUP BY g),
+        closing AS (
+            SELECT per_g.g, per_g.n_days,
+                   CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(s.s_stat, 0) AS BIGINT) AS s_stat,
+                   CAST(per_g.n_days * (per_g.n_days - 1)
+                        * (2 * per_g.n_days + 5) - ties.t AS DOUBLE)
+                       / 18.0 AS var_s
+            FROM per_g
+            LEFT JOIN s ON per_g.g = s.g
+            JOIN ties ON per_g.g = ties.g)
+        SELECT g AS event_type, n_days, n_pairs, s_stat,
+               ROUND(var_s, 6) AS var_s,
+               ROUND(CASE WHEN n_pairs > 0 THEN
+                   CAST(s_stat AS DOUBLE)
+                       / CAST(n_days * (n_days - 1) / 2 AS DOUBLE)
+               END, 6) AS tau,
+               ROUND(CASE WHEN n_pairs > 0 AND var_s > 0.0 THEN
+                   CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - 1.0) / sqrt(var_s)
+                        WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + 1.0) / sqrt(var_s)
+                        ELSE 0.0 END
+               END, 6) AS z
+        FROM closing
+    """
+    # q213: the q79 within-basket pair CTEs, cosine normalization,
+    # total-order top-100 on the UNROUNDED score
+    out["q213_item_item_cosine"] = """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem),
+        p AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_n
+            FROM items a JOIN items b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY a.item, b.item
+            HAVING COUNT(*) >= 2),
+        m AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS item_n
+            FROM items GROUP BY item),
+        scored AS (
+            SELECT p.item_a, p.item_b, p.pair_n,
+                   ma.item_n AS n_a, mb.item_n AS n_b,
+                   CAST(p.pair_n AS DOUBLE)
+                       / (sqrt(CAST(ma.item_n AS DOUBLE))
+                          * sqrt(CAST(mb.item_n AS DOUBLE))) AS cos
+            FROM p
+            JOIN m ma ON ma.item = p.item_a
+            JOIN m mb ON mb.item = p.item_b)
+        SELECT item_a, item_b, pair_n, n_a, n_b,
+               ROUND(cos, 6) AS cosine
+        FROM scored
+        ORDER BY cos DESC, item_a, item_b
+        LIMIT 100
+    """
+    # q214: per-seed round-unrolled BFS min-fold (provably the
+    # frontier function, q202 precedent) + the harmonic tail with the
+    # round-12-then-decimal fold
+    _pbfs_round = """
+        {nxt} AS MATERIALIZED (
+            SELECT seed, node, MIN(dist) AS dist FROM (
+                SELECT seed, node, dist FROM {cur}
+                UNION ALL
+                SELECT d.seed, s.v AS node, d.dist + 1 AS dist
+                FROM sym s JOIN {cur} d ON s.u = d.node)
+            GROUP BY seed, node)"""
+    out["q214_harmonic_centrality"] = f"""
+        WITH {_support_graph_sql},
+        canon AS (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM raw_edges WHERE src <> dst),
+        sym AS MATERIALIZED (
+            SELECT u, v FROM canon
+            UNION ALL SELECT v AS u, u AS v FROM canon),
+        d0 AS (
+            SELECT p_partkey AS seed, p_partkey AS node, 0 AS dist
+            FROM (SELECT p_partkey FROM part
+                  WHERE p_brand = 'Brand#13' AND p_partkey IS NOT NULL
+                  ORDER BY p_partkey LIMIT 8)),
+        {_pbfs_round.format(nxt="pd1", cur="d0")},
+        {_pbfs_round.format(nxt="pd2", cur="pd1")},
+        {_pbfs_round.format(nxt="pd3", cur="pd2")}
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+               ROUND(CAST(SUM(CAST(ROUND(1.0 / CAST(dist AS DOUBLE), 12)
+                                   AS DECIMAL(20,12))) AS DOUBLE), 6)
+                   AS harmonic
+        FROM pd3 WHERE dist > 0 GROUP BY node
+    """
+    out["q215_logistic_irls"] = _logistic_irls_oracle_sql(n_iters=3)
+    out["q219_huber_regression"] = _huber_oracle_sql(n_reweights=2)
+    # q216: NB fit (priors + observed (class, token) counts) + argmax
+    # decode via the absent-token identity; scaled-long term fold;
+    # row_number argmax ≡ Spark's min(struct(-score, class))
+    out["q216_naive_bayes"] = f"""
+        WITH dt AS (
+            SELECT d, y, t, CAST(COUNT(*) AS BIGINT) AS m
+            FROM (SELECT doc_id AS d, lang AS y,
+                         unnest({tokens_sql}) AS t
+                  FROM documents)
+            GROUP BY d, y, t),
+        classes AS (
+            SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS ndocs
+            FROM documents GROUP BY lang),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+        tc AS (
+            SELECT y AS c, t, CAST(SUM(m) AS BIGINT) AS cnt
+            FROM dt GROUP BY y, t),
+        tcl AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tok
+                FROM tc GROUP BY c),
+        vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v_sz
+                  FROM tc),
+        cls AS (
+            SELECT classes.c,
+                   LN(CAST(ndocs AS DOUBLE) / CAST(n_all AS DOUBLE))
+                       AS prior,
+                   LN(CAST(COALESCE(tok, 0) AS DOUBLE)
+                      + 1.0 * CAST(v_sz AS DOUBLE)) AS lnz
+            FROM classes LEFT JOIN tcl ON classes.c = tcl.c, tot, vocab),
+        expanded AS (
+            SELECT dt.d, dt.y, cls.c, cls.prior, cls.lnz, dt.m,
+                   CAST(dt.m AS DOUBLE)
+                       * LN(CAST(COALESCE(tc.cnt, 0) AS DOUBLE) + 1.0)
+                       AS term
+            FROM dt CROSS JOIN cls
+            LEFT JOIN tc ON tc.c = cls.c AND tc.t = dt.t),
+        scored AS (
+            SELECT d, y, c, MAX(prior) AS prior, MAX(lnz) AS lnz,
+                   CAST(SUM(m) AS BIGINT) AS md,
+                   CAST(SUM(CAST(SIGN(term) * FLOOR(ABS(term) * 1e9 + 0.5)
+                                 AS HUGEINT)) AS DOUBLE) / 1e9 AS s1
+            FROM expanded GROUP BY d, y, c),
+        best AS (
+            SELECT y, c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d
+                       ORDER BY prior + s1 - CAST(md AS DOUBLE) * lnz
+                                DESC, c ASC) AS rn
+            FROM scored)
+        SELECT y AS lang, c AS predicted,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM best WHERE rn = 1 GROUP BY y, c
+    """
+    # q217: q210's daily collapse (means floor-quantized to 4 digits
+    # — see the entry docstring for the round-vs-floor engine split),
+    # two LAG windows, then the q153 closed form
+    out["q217_ar2_daily"] = """
+        WITH daily AS (
+            SELECT event_type AS g,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS d,
+                   SIGN(CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+                        / CAST(COUNT(*) AS DOUBLE))
+                       * FLOOR(ABS(CAST(SUM(CAST(value AS DECIMAL(28,8)))
+                                        AS DOUBLE)
+                                   / CAST(COUNT(*) AS DOUBLE)) * 1e4
+                               + 0.5) / 1e4 AS v
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY g, d),
+        wide AS (
+            SELECT g, v,
+                   LAG(v, 1) OVER w AS l1,
+                   LAG(v, 2) OVER w AS l2
+            FROM daily
+            WINDOW w AS (PARTITION BY g ORDER BY d)),
+        m AS (
+            SELECT g,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l1 AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l2 AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l1 AS DECIMAL(18,4))
+                            * CAST(l1 AS DECIMAL(18,4))) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST(l1 AS DECIMAL(18,4))
+                            * CAST(l2 AS DECIMAL(18,4))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(l2 AS DECIMAL(18,4))
+                            * CAST(l2 AS DECIMAL(18,4))) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST(l1 AS DECIMAL(18,4))
+                            * CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l2 AS DECIMAL(18,4))
+                            * CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS s2y,
+                   CAST(SUM(CAST(v AS DECIMAL(18,4))
+                            * CAST(v AS DECIMAL(18,4))) AS DOUBLE) AS syy
+            FROM wide
+            WHERE v IS NOT NULL AND NOT isnan(v)
+              AND l1 IS NOT NULL AND NOT isnan(l1)
+              AND l2 IS NOT NULL AND NOT isnan(l2)
+            GROUP BY g),
+        c AS (
+            SELECT g, n, s1, s2, sy,
+                   s11 - s1 * s1 / n AS c11,
+                   s12 - s1 * s2 / n AS c12,
+                   s22 - s2 * s2 / n AS c22,
+                   s1y - s1 * sy / n AS c1y,
+                   s2y - s2 * sy / n AS c2y,
+                   syy - sy * sy / n AS cyy
+            FROM m),
+        sol AS (
+            SELECT g, n, s1, s2, sy, c1y, c2y, cyy,
+                   (c22 * c1y - c12 * c2y)
+                       / NULLIF(c11 * c22 - c12 * c12, 0.0) AS b1,
+                   (c11 * c2y - c12 * c1y)
+                       / NULLIF(c11 * c22 - c12 * c12, 0.0) AS b2
+            FROM c)
+        SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+               ROUND((sy - b1 * s1 - b2 * s2) / n, 6) AS b0,
+               ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+               ROUND((b1 * c1y + b2 * c2y) / NULLIF(cyy, 0.0), 6) AS r2
+        FROM sol
+    """
+    # q218: zip-adjacent pair build, unigram/bigram totals, mirrored
+    # one-expression PMI, TakeOrdered on the unrounded score
+    out["q218_pmi_collocations"] = f"""
+        WITH staged AS (
+            SELECT {tokens_sql} AS t FROM documents),
+        s1 AS (SELECT t FROM staged WHERE len(t) >= 1),
+        uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(t) AS w FROM s1) GROUP BY w),
+        u_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS u FROM uni),
+        pairs AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2
+            FROM (SELECT t FROM s1 WHERE len(t) >= 2),
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+                          AS i)),
+        pc AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY w1, w2
+            HAVING COUNT(*) >= 5),
+        b_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM pairs),
+        scored AS (
+            SELECT pc.w1, pc.w2, pc.pair_count,
+                   ua.c AS c1, ub.c AS c2,
+                   LN((CAST(pc.pair_count AS DOUBLE)
+                       * CAST(u_tot.u AS DOUBLE)
+                       * CAST(u_tot.u AS DOUBLE))
+                      / ((CAST(b_tot.b AS DOUBLE)
+                          * CAST(ua.c AS DOUBLE))
+                         * CAST(ub.c AS DOUBLE))) AS pmi_raw
+            FROM pc
+            JOIN uni ua ON ua.w = pc.w1
+            JOIN uni ub ON ub.w = pc.w2
+            CROSS JOIN b_tot CROSS JOIN u_tot)
+        SELECT w1, w2, pair_count, c1, c2, ROUND(pmi_raw, 6) AS pmi
+        FROM scored
+        ORDER BY pmi_raw DESC, w1, w2
+        LIMIT 50
     """
     return out

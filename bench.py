@@ -234,6 +234,14 @@ BENCH_QUERIES = [
     "q209_kruskal_wallis",
     "q210_theil_sen",
     "q211_cramers_v",
+    "q212_mann_kendall",
+    "q213_item_item_cosine",
+    "q214_harmonic_centrality",
+    "q215_logistic_irls",
+    "q216_naive_bayes",
+    "q217_ar2_daily",
+    "q218_pmi_collocations",
+    "q219_huber_regression",
 ]
 
 

@@ -1417,3 +1417,263 @@ def positive_pairs(
         F.md5(F.concat_ws(" ", a)).alias("anchor_md5"),
         F.md5(F.concat_ws(" ", b)).alias("positive_md5"),
     )
+
+
+def _scaled9_sum(expr: Column) -> Column:
+    """Order-free 9-digit float fold, floor-based: sign(t)·floor(|t|·1e9
+    + 0.5) is an integer-valued double identical in any engine; summed
+    exactly as decimal(38,0), one closing /1e9. Same contract as the
+    round-then-decimal device but it stays inside codegen — Spark's
+    ``round(double, 9)`` routes every row through BigDecimal (the q215
+    measurement: 9.9 s → 1.2 s per 9-term pass at sf0.1)."""
+    scaled = (
+        F.signum(expr) * F.floor(F.abs(expr) * F.lit(1e9) + F.lit(0.5))
+    ).cast("long")
+    return F.sum(scaled.cast("decimal(38,0)")).cast("double") / F.lit(1e9)
+
+
+def naive_bayes_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes text classifier IN the engine and
+    score its training-set confusion matrix — supervised fit + argmax
+    decode as pure relational algebra (the trained-model counterpart of
+    q113's fixed-weight scorer and q130's rule heuristic): fit is two
+    map-side-combinable aggregates (class priors, per-(class, token)
+    counts), decode is one small-side join + one fold per (doc, class).
+
+    score(d, c) = ln P(c) + Σ_t m_t·ln(cnt_{t,c} + α) − M_d·ln(T_c + αV)
+    using the absent-token identity (a (token, class) pair with no row
+    has cnt 0 → the ln α floor), so the model table stores only
+    OBSERVED pairs and the decode's left join never materializes the
+    vocab × classes cross product. Add-α smoothing; ties break to the
+    smallest class label (min-struct argmax, engine-reproducible).
+    Zero-token documents drop (no likelihood evidence; document count
+    conservation therefore holds over tokenized docs only).
+
+    Parity: counts are exact longs; each ln runs on an integer-valued
+    double (engine-identical); per-token terms fold via the scaled-long
+    device; the closing per-(doc, class) arithmetic is one mirrored
+    expression. Output is the O(classes²) confusion frame
+    (label, predicted, n_docs).
+
+    Scale shape: the decode multiplies the token stream by |classes|
+    (bounded, typically <= tens) through a constant-key broadcast join
+    — never a vocab-sized expansion; the (class, token) model table
+    joins on the token key (AQE-broadcast when small, shuffle-join for
+    a 100 TB vocab, the q62 external-LM shape).
+    """
+    dt = nb_doc_tokens(df, text_col, label_col, id_col)
+    classes, tc = nb_fit(df, text_col, label_col, id_col, doc_tokens=dt)
+    return nb_confusion_from_model(dt, classes, tc, alpha=alpha).select(
+        F.col("__y").alias(label_col), "predicted", "n_docs"
+    )
+
+
+def nb_doc_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, label, token, multiplicity) frame — the shared staging of
+    the NB fit and decode (one explode + one map-side-combinable
+    groupBy)."""
+    toks = TX.tokens(F.col(text_col))
+    return (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.col(label_col).alias("__y"),
+            F.explode(toks).alias("__t"),
+        )
+        .groupBy("__doc", "__y", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    )
+
+
+def nb_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    doc_tokens: DataFrame | None = None,
+):
+    """Multinomial NB model state: (classes = per-class doc counts,
+    tc = per-(class, token) occurrence counts). Both are SUMS — the
+    mergeable state unit the incremental model maintainer folds
+    across ticks (streaming/nbmodel.py); a model folded batch-by-batch
+    is bit-equal to this fit on the union."""
+    dt = (
+        doc_tokens
+        if doc_tokens is not None
+        else nb_doc_tokens(df, text_col, label_col, id_col)
+    )
+    classes = df.groupBy(F.col(label_col).alias("__c")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ndocs")
+    )
+    tc = dt.groupBy(F.col("__y").alias("__c"), "__t").agg(
+        F.sum("__m").cast("long").alias("__cnt")
+    )
+    return classes, tc
+
+
+def nb_confusion_from_model(
+    dt: DataFrame,
+    classes: DataFrame,
+    tc: DataFrame,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Argmax decode of a (doc, label, token, m) frame against an NB
+    model (classes, tc) — the tail shared by the batch operator and
+    the store-served streaming decode. Returns (__y, predicted,
+    n_docs). See naive_bayes_confusion for the semantics/parity
+    contract."""
+    totals = classes.agg(F.sum("__ndocs").cast("long").alias("__N"))
+    tcl = tc.groupBy("__c").agg(F.sum("__cnt").cast("long").alias("__tok"))
+    vocab = tc.select("__t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__V")
+    )
+    cls = (
+        classes.join(tcl, "__c", "left")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__c",
+            F.log(
+                F.col("__ndocs").cast("double") / F.col("__N").cast("double")
+            ).alias("__prior"),
+            F.log(
+                F.coalesce(F.col("__tok"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                + F.lit(alpha) * F.col("__V").cast("double")
+            ).alias("__lnz"),
+        )
+        .withColumn("__one", F.lit(1))
+    )
+    expanded = (
+        dt.withColumn("__one", F.lit(1))
+        .join(F.broadcast(cls), "__one")
+        .join(tc, ["__c", "__t"], "left")
+    )
+    term = F.col("__m").cast("double") * F.log(
+        F.coalesce(F.col("__cnt"), F.lit(0).cast("long")).cast("double")
+        + F.lit(alpha)
+    )
+    scored = expanded.groupBy("__doc", "__y", "__c").agg(
+        F.max("__prior").alias("__prior"),
+        F.max("__lnz").alias("__lnz"),
+        F.sum("__m").cast("long").alias("__md"),
+        _scaled9_sum(term).alias("__s1"),
+    )
+    score = (
+        F.col("__prior")
+        + F.col("__s1")
+        - F.col("__md").cast("double") * F.col("__lnz")
+    )
+    best = scored.groupBy("__doc", "__y").agg(
+        F.min(F.struct((-score).alias("__neg"), F.col("__c"))).alias("__b")
+    )
+    return (
+        best.groupBy(
+            "__y",
+            F.col("__b.__c").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the
+    top-``top_k`` adjacent token pairs ranked by
+    PMI = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p(w1,w2) = c12/B over
+    bigram positions and p(w) = c/U over unigram positions — the
+    "significantly more often together than chance" readout
+    (Church & Hanks 1990). Complements q101's bigram model head: raw
+    count ranks "of the"; PMI ranks the phrases whose parts rarely
+    appear apart. ``min_count`` is the standard PMI support floor
+    (hapax pairs otherwise dominate: PMI is maximal for two tokens
+    seen exactly once, together).
+
+    Parity: all counts exact longs; PMI is one mirrored double
+    expression ln((c12·U·U)/((B·c1)·c2)) (products of integer-valued
+    doubles, correctly rounded in any engine), round(6); the cut is
+    TakeOrdered on the UNROUNDED score with the (w1, w2) tie-break.
+
+    Scale shape: the q101 arrays_zip pair build (no position
+    self-join) + one map-side-combinable pair groupBy; unigram counts
+    join on the token keys (AQE-skew-split hot heads — never
+    broadcast an unbounded vocab); O(top_k) output.
+    """
+    toks = TX.tokens(F.col(text_col))
+    staged = df.select(toks.alias("__t")).filter(F.size("__t") >= 1)
+    uni = staged.select(F.explode("__t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    u_tot = uni.agg(F.sum("c").cast("long").alias("__U"))
+    n = F.size("__t")
+    pairs = (
+        staged.filter(F.size("__t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, n - 1).alias("w1"),
+                    F.slice("__t", 2, n - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    b_tot = pairs.agg(F.count(F.lit(1)).cast("long").alias("__B"))
+    j = (
+        pc.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(b_tot))
+        .crossJoin(F.broadcast(u_tot))
+    )
+    pmi = F.log(
+        (
+            F.col("pair_count").cast("double")
+            * F.col("__U").cast("double")
+            * F.col("__U").cast("double")
+        )
+        / (
+            (F.col("__B").cast("double") * F.col("c1").cast("double"))
+            * F.col("c2").cast("double")
+        )
+    )
+    scored = j.select(
+        "w1", "w2", "pair_count", "c1", "c2", pmi.alias("__pmi")
+    )
+    return (
+        scored.orderBy(F.desc("__pmi"), "w1", "w2")
+        .limit(top_k)
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "c1",
+            "c2",
+            F.round(F.col("__pmi"), 6).alias("pmi"),
+        )
+    )

@@ -2946,6 +2946,64 @@ def kruskal_wallis(
     )
 
 
+def _daily_pair_frames(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    gcols: list,
+    max_points: int,
+    caller: str,
+):
+    """Shared prelude of the pairwise-over-daily-series family
+    (theil_sen_trend, mann_kendall_trend): collapse to per-group
+    daily decimal means, witness the widest group against
+    ``max_points`` (one O(1)-output aggregate — the O(points²) pair
+    build must never see a mis-grained series), and build the i<j
+    day-pair frame. The ungrouped pair build joins on a constant key:
+    same bounded output, but planned as a hash join — never a
+    CartesianProduct node (plan-audit contract). Returns
+    (per_g day counts, pairs)."""
+    vc = F.col(value_col)
+    daily = (
+        df.filter(vc.isNotNull() & ~F.isnan(vc.cast("double")))
+        .groupBy(
+            *gcols,
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+            ).alias("__d"),
+        )
+        .agg(
+            (
+                F.sum(vc.cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__v")
+        )
+    )
+    per_g = daily.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    widest = per_g.agg(F.max("n_days")).collect()[0][0]  # collect-ok O(1)
+    if widest is not None and widest > max_points:
+        raise ValueError(
+            f"{caller}: a group spans {widest} daily points "
+            f"(max_points={max_points}); the pairwise build is "
+            "O(points²) — coarsen the grain or raise max_points "
+            "deliberately"
+        )
+    jk = gcols if gcols else ["__one"]
+    a = daily.select(
+        *gcols, F.col("__d").alias("__di"), F.col("__v").alias("__vi")
+    )
+    b = daily.select(
+        *gcols, F.col("__d").alias("__dj"), F.col("__v").alias("__vj")
+    )
+    if not gcols:
+        a = a.withColumn("__one", F.lit(1))
+        b = b.withColumn("__one", F.lit(1))
+    pairs = a.join(b, jk).filter(F.col("__di") < F.col("__dj"))
+    return daily, per_g, pairs
+
+
 def theil_sen_trend(
     df: DataFrame,
     ts_col: str,
@@ -2975,47 +3033,9 @@ def theil_sen_trend(
     (a pairless group would otherwise vanish from the output).
     """
     gcols = list(group_cols)
-    vc = F.col(value_col)
-    daily = (
-        df.filter(vc.isNotNull() & ~F.isnan(vc.cast("double")))
-        .groupBy(
-            *gcols,
-            F.datediff(
-                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
-            ).alias("__d"),
-        )
-        .agg(
-            (
-                F.sum(vc.cast("decimal(28,8)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("__v")
-        )
+    _, per_g, pairs = _daily_pair_frames(
+        df, ts_col, value_col, gcols, max_points, "theil_sen_trend"
     )
-    per_g = daily.groupBy(*gcols).agg(
-        F.count(F.lit(1)).cast("long").alias("n_days")
-    )
-    widest = per_g.agg(F.max("n_days")).collect()[0][0]  # collect-ok O(1)
-    if widest is not None and widest > max_points:
-        raise ValueError(
-            f"theil_sen_trend: a group spans {widest} daily points "
-            f"(max_points={max_points}); the pairwise build is "
-            "O(points²) — coarsen the grain or raise max_points "
-            "deliberately"
-        )
-    # the ungrouped pair build joins on a constant key: same bounded
-    # O(points²) output, but planned as a hash join — never a
-    # CartesianProduct node (plan-audit contract)
-    jk = gcols if gcols else ["__one"]
-    a = daily.select(
-        *gcols, F.col("__d").alias("__di"), F.col("__v").alias("__vi")
-    )
-    b = daily.select(
-        *gcols, F.col("__d").alias("__dj"), F.col("__v").alias("__vj")
-    )
-    if not gcols:
-        a = a.withColumn("__one", F.lit(1))
-        b = b.withColumn("__one", F.lit(1))
-    pairs = a.join(b, jk).filter(F.col("__di") < F.col("__dj"))
     slopes = pairs.select(
         *gcols,
         (
@@ -3169,3 +3189,446 @@ def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     cell build + the shared χ² tail; see cramers_v_from_cells for the
     parity and scale contract."""
     return cramers_v_from_cells(stacked_pair_cells(df, cols))
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    max_points: int = 5000,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test per group over the daily-mean
+    series — the significance companion of q210's Theil–Sen slope
+    (same pair universe: S = Σ_{i<j} sign(v_j − v_i), the count of
+    concordant minus discordant day pairs): S, Kendall's tau-a, the
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    / 18, and the continuity-corrected normal z. Distribution-free —
+    the "is there ANY monotone drift" readout before trusting a slope.
+
+    Determinism/parity: the sign of a double difference is exact; S
+    and both variance terms are pure integers (bounded far below
+    int64 by the shared ``max_points`` witness), so the only float
+    ops are the closing divisions/sqrt, rounded at the surface.
+    Pairless (single-day) groups emit S=0 with NULL tau/z.
+
+    Scale shape: shares _daily_pair_frames with theil_sen_trend —
+    O(days²) pair cost fixed by the calendar span, never the row
+    count; ties fold from the O(distinct daily means) frame.
+    """
+    gcols = list(group_cols)
+    daily, per_g, pairs = _daily_pair_frames(
+        df, ts_col, value_col, gcols, max_points, "mann_kendall_trend"
+    )
+    s = pairs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.signum(F.col("__vj") - F.col("__vi")).cast("int")
+        )
+        .cast("long")
+        .alias("s_stat"),
+    )
+    per_v = daily.groupBy(*gcols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    ties = per_v.groupBy(*gcols).agg(
+        F.sum(
+            F.col("__c")
+            * (F.col("__c") - F.lit(1))
+            * (F.lit(2) * F.col("__c") + F.lit(5))
+        )
+        .cast("long")
+        .alias("__t")
+    )
+    j = per_g.join(s, gcols, "left") if gcols else per_g.crossJoin(
+        F.broadcast(s)
+    )
+    j = j.join(ties, gcols) if gcols else j.crossJoin(F.broadcast(ties))
+    n = F.col("n_days")
+    var_num = (n * (n - F.lit(1)) * (F.lit(2) * n + F.lit(5))) - F.col(
+        "__t"
+    )
+    var_s = var_num.cast("double") / F.lit(18.0)
+    sc = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sc - F.lit(1.0)) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sc + F.lit(1.0)) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    has_pairs = F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")) > 0
+    nonzero_var = var_s > F.lit(0.0)
+    return j.select(
+        *gcols,
+        "n_days",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+            "n_pairs"
+        ),
+        F.coalesce(F.col("s_stat"), F.lit(0).cast("long")).alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(
+            F.when(
+                has_pairs,
+                sc
+                / (n * (n - F.lit(1)) / F.lit(2)).cast("double"),
+            ),
+            6,
+        ).alias("tau"),
+        F.round(F.when(has_pairs & nonzero_var, z), 6).alias("z"),
+    )
+
+
+def logistic_irls(
+    df: DataFrame,
+    label_expr,
+    x1_col: str,
+    x2_col: str,
+    group_cols: Sequence[str] = (),
+    n_iters: int = 3,
+) -> DataFrame:
+    """Distributed logistic regression per group — two features plus
+    intercept, fit by EXACTLY ``n_iters`` Newton/IRLS steps from β=0:
+    the GLM step past q153's closed-form OLS (a binary label has no
+    closed form; the iteration IS the estimator, and a fixed count
+    with quantized state makes the classic float-iterative fit
+    bit-reproducible against a round-unrolled SQL twin). Entirely
+    relational: each step is one broadcast join of the O(groups) β
+    frame + one map-side-combinable 9-moment aggregate + a scalar
+    3×3 adjugate solve in column expressions — no driver solve, no
+    UDF, ``n_iters``+1 passes over the rows total (the closing pass
+    scores train log-loss at the final β).
+
+    Parity devices: p = clamp(floor(sigmoid(η)·1e9 + 0.5)/1e9)
+    quantizes the one transcendental per row, so every downstream
+    product is a correctly-rounded IEEE op on engine-identical
+    inputs; moment terms fold order-free via the SCALED-LONG
+    quantizer sign(t)·floor(|t|·1e9 + 0.5) summed as decimal(38,0)
+    then /1e9 — the same 9-digit fold contract as the
+    round-9-then-decimal device but floor-based, because Spark's
+    ``round(double, 9)`` routes every row through BigDecimal
+    (measured 9.9 s vs 1.2 s for the 9-moment pass at sf0.1; floor
+    on a double stays in codegen). β re-enters each step rounded to
+    9 (O(groups) rows — BigDecimal is free there). A numerically
+    singular step (|det| <= 1e-12: a separated or degenerate group)
+    freezes β for that step instead of emitting inf/NaN. Labels must
+    be 0/1 after ``label_expr``; NULL/NaN feature rows drop.
+
+    Scale shape: state is O(groups); the aggregate is one shuffle per
+    step with map-side combine; feature scans re-read the (pruned)
+    columns rather than pinning 100 TB in cache.
+    """
+    gcols = list(group_cols)
+    x1, x2 = F.col(x1_col), F.col(x2_col)
+    rows = df.filter(
+        x1.isNotNull()
+        & ~F.isnan(x1.cast("double"))
+        & x2.isNotNull()
+        & ~F.isnan(x2.cast("double"))
+    ).select(
+        *gcols,
+        x1.cast("double").alias("__x1"),
+        x2.cast("double").alias("__x2"),
+        F.when(label_expr, F.lit(1.0)).otherwise(F.lit(0.0)).alias("__y"),
+    )
+    beta = (
+        rows.groupBy(*gcols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            *gcols,
+            "n",
+            F.lit(0.0).alias("b0"),
+            F.lit(0.0).alias("b1"),
+            F.lit(0.0).alias("b2"),
+        )
+    )
+
+    def _p():
+        eta = (
+            F.col("b0")
+            + F.col("b1") * F.col("__x1")
+            + F.col("b2") * F.col("__x2")
+        )
+        raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        # sigmoid is strictly positive: the half-up quantizer needs no
+        # sign handling (floor returns LONG; /1e9 promotes to double)
+        quant = F.floor(raw * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        return F.least(F.greatest(quant, F.lit(1e-9)), F.lit(1.0 - 1e-9))
+
+    def _dsum(expr):
+        scaled = (
+            F.signum(expr) * F.floor(F.abs(expr) * F.lit(1e9) + F.lit(0.5))
+        ).cast("long")
+        return F.sum(scaled.cast("decimal(38,0)")).cast("double") / F.lit(
+            1e9
+        )
+
+    for _ in range(n_iters):
+        j = rows.join(F.broadcast(beta), gcols) if gcols else rows.crossJoin(
+            F.broadcast(beta)
+        )
+        p = _p()
+        w = p * (F.lit(1.0) - p)
+        r = F.col("__y") - p
+        mom = j.groupBy(*gcols).agg(
+            F.max("n").alias("n"),
+            F.max("b0").alias("b0"),
+            F.max("b1").alias("b1"),
+            F.max("b2").alias("b2"),
+            _dsum(r).alias("g0"),
+            _dsum(F.col("__x1") * r).alias("g1"),
+            _dsum(F.col("__x2") * r).alias("g2"),
+            _dsum(w).alias("h00"),
+            _dsum(w * F.col("__x1")).alias("h01"),
+            _dsum(w * F.col("__x2")).alias("h02"),
+            _dsum(w * F.col("__x1") * F.col("__x1")).alias("h11"),
+            _dsum(w * F.col("__x1") * F.col("__x2")).alias("h12"),
+            _dsum(w * F.col("__x2") * F.col("__x2")).alias("h22"),
+        )
+        det = (
+            F.col("h00")
+            * (F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12"))
+            - F.col("h01")
+            * (F.col("h01") * F.col("h22") - F.col("h02") * F.col("h12"))
+            + F.col("h02")
+            * (F.col("h01") * F.col("h12") - F.col("h02") * F.col("h11"))
+        )
+        # adjugate rows of the symmetric H (cofactor expressions)
+        a00 = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
+        a01 = F.col("h02") * F.col("h12") - F.col("h01") * F.col("h22")
+        a02 = F.col("h01") * F.col("h12") - F.col("h02") * F.col("h11")
+        a11 = F.col("h00") * F.col("h22") - F.col("h02") * F.col("h02")
+        a12 = F.col("h01") * F.col("h02") - F.col("h00") * F.col("h12")
+        a22 = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        d0 = (
+            a00 * F.col("g0") + a01 * F.col("g1") + a02 * F.col("g2")
+        ) / det
+        d1 = (
+            a01 * F.col("g0") + a11 * F.col("g1") + a12 * F.col("g2")
+        ) / det
+        d2 = (
+            a02 * F.col("g0") + a12 * F.col("g1") + a22 * F.col("g2")
+        ) / det
+        ok = F.abs(det) > F.lit(1e-12)
+        # per-step lazy localCheckpoint on the O(groups) state frame
+        # (the pagerank per-sweep device): without it each broadcast
+        # nests the whole prior chain as one deep tree and the
+        # planner/codegen re-pays it per step — measured 23.0 s → 9.6 s
+        # at sf0.1 for 3 steps
+        beta = mom.select(
+            *gcols,
+            "n",
+            F.round(
+                F.col("b0") + F.when(ok, d0).otherwise(F.lit(0.0)), 9
+            ).alias("b0"),
+            F.round(
+                F.col("b1") + F.when(ok, d1).otherwise(F.lit(0.0)), 9
+            ).alias("b1"),
+            F.round(
+                F.col("b2") + F.when(ok, d2).otherwise(F.lit(0.0)), 9
+            ).alias("b2"),
+        ).localCheckpoint(eager=False)
+    jf = rows.join(F.broadcast(beta), gcols) if gcols else rows.crossJoin(
+        F.broadcast(beta)
+    )
+    pf = _p()
+    ll_term = -(
+        F.col("__y") * F.log(pf)
+        + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - pf)
+    )
+    out = jf.groupBy(*gcols).agg(
+        F.max("n").alias("n"),
+        F.max("b0").alias("__b0"),
+        F.max("b1").alias("__b1"),
+        F.max("b2").alias("__b2"),
+        _dsum(ll_term).alias("__ll"),
+        # __y is exactly 0.0/1.0: the long cast is exact in any engine
+        F.sum(F.col("__y").cast("long")).cast("long").alias("n_pos"),
+    )
+    return out.select(
+        *gcols,
+        "n",
+        "n_pos",
+        F.round(F.col("__b0"), 6).alias("beta0"),
+        F.round(F.col("__b1"), 6).alias("beta1"),
+        F.round(F.col("__b2"), 6).alias("beta2"),
+        F.round(F.col("__ll") / F.col("n").cast("double"), 6).alias(
+            "avg_logloss"
+        ),
+    )
+
+
+def huber_irls(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    group_cols: Sequence[str] = (),
+    n_reweights: int = 2,
+    c: float = 1.345,
+) -> DataFrame:
+    """Huber robust regression per group — y = b0 + b1·x1 + b2·x2 fit
+    by OLS-initialized IRLS with EXACTLY ``n_reweights`` reweighted
+    passes: the M-estimation step past q153's OLS (one wild row moves
+    an OLS plane; Huber caps its influence at c·scale) and the
+    multi-feature counterpart of q210's Theil–Sen line. Scale is the
+    PRELIMINARY estimate frozen from the OLS residuals
+    (s = 1.4826·MAD(r), MAD about the residual median — the standard
+    two-stage M-estimator; freezing it makes the fixed-count
+    iteration a closed-form-composable, bit-reproducible function).
+    Weights w = min(1, c·s/|r|); a degenerate scale (s <= 0: half the
+    rows on one plane) freezes the OLS fit instead of dividing by 0.
+
+    Determinism/parity devices: moments fold scaled-long (the q215
+    device); β re-enters each pass rounded to 9; the two medians are
+    exact interpolated order statistics (Spark percentile ≡ DuckDB
+    quantile_cont, the q210 pairing); weights are one IEEE chain on
+    engine-identical inputs; the 3×3 normal equations solve by the
+    q215 adjugate expressions.
+
+    Scale shape: n_reweights + 3 passes over the (pruned) rows — two
+    percentile aggregates for the frozen scale, one moment aggregate
+    per pass, O(groups) broadcast state between passes. Never a
+    matrix library, never a UDF. The EXACT medians are the one
+    deliberately non-mergeable piece (Spark's percentile buffers a
+    group's values in the aggregate): they buy bit-reproducibility at
+    the gate SFs; at true 100 TB swap the frozen-scale step to the
+    mergeable histogram-quantile sketch (sketches.
+    histogram_quantile_estimate, q185 — |err| <= bin width, which a
+    c·s threshold tolerates) and everything else scales unchanged.
+    """
+    gcols = list(group_cols)
+    yv, x1v, x2v = F.col(y_col), F.col(x1_col), F.col(x2_col)
+    rows = df.filter(
+        yv.isNotNull()
+        & ~F.isnan(yv.cast("double"))
+        & x1v.isNotNull()
+        & ~F.isnan(x1v.cast("double"))
+        & x2v.isNotNull()
+        & ~F.isnan(x2v.cast("double"))
+    ).select(
+        *gcols,
+        yv.cast("double").alias("__y"),
+        x1v.cast("double").alias("__x1"),
+        x2v.cast("double").alias("__x2"),
+    )
+
+    def _q9(expr):
+        return (
+            F.signum(expr) * F.floor(F.abs(expr) * F.lit(1e9) + F.lit(0.5))
+        ).cast("long")
+
+    def _dsum(expr):
+        return F.sum(_q9(expr).cast("decimal(38,0)")).cast(
+            "double"
+        ) / F.lit(1e9)
+
+    def _moments(j, w):
+        one = F.lit(1.0)
+        x1, x2, y = F.col("__x1"), F.col("__x2"), F.col("__y")
+        return j.groupBy(*gcols).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _dsum(w * one).alias("h00"),
+            _dsum(w * x1).alias("h01"),
+            _dsum(w * x2).alias("h02"),
+            _dsum(w * x1 * x1).alias("h11"),
+            _dsum(w * x1 * x2).alias("h12"),
+            _dsum(w * x2 * x2).alias("h22"),
+            _dsum(w * y).alias("g0"),
+            _dsum(w * x1 * y).alias("g1"),
+            _dsum(w * x2 * y).alias("g2"),
+        )
+
+    def _solve(mom, keep):
+        det = (
+            F.col("h00")
+            * (F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12"))
+            - F.col("h01")
+            * (F.col("h01") * F.col("h22") - F.col("h02") * F.col("h12"))
+            + F.col("h02")
+            * (F.col("h01") * F.col("h12") - F.col("h02") * F.col("h11"))
+        )
+        a00 = F.col("h11") * F.col("h22") - F.col("h12") * F.col("h12")
+        a01 = F.col("h02") * F.col("h12") - F.col("h01") * F.col("h22")
+        a02 = F.col("h01") * F.col("h12") - F.col("h02") * F.col("h11")
+        a11 = F.col("h00") * F.col("h22") - F.col("h02") * F.col("h02")
+        a12 = F.col("h01") * F.col("h02") - F.col("h00") * F.col("h12")
+        a22 = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+        ok = F.abs(det) > F.lit(1e-12)
+        b0 = (
+            a00 * F.col("g0") + a01 * F.col("g1") + a02 * F.col("g2")
+        ) / det
+        b1 = (
+            a01 * F.col("g0") + a11 * F.col("g1") + a12 * F.col("g2")
+        ) / det
+        b2 = (
+            a02 * F.col("g0") + a12 * F.col("g1") + a22 * F.col("g2")
+        ) / det
+        sel = list(gcols) + ["n"] + list(keep)
+        return mom.select(
+            *sel,
+            F.round(F.when(ok, b0).otherwise(F.lit(0.0)), 9).alias("b0"),
+            F.round(F.when(ok, b1).otherwise(F.lit(0.0)), 9).alias("b1"),
+            F.round(F.when(ok, b2).otherwise(F.lit(0.0)), 9).alias("b2"),
+        )
+
+    def _join(beta):
+        return (
+            rows.join(F.broadcast(beta), gcols)
+            if gcols
+            else rows.crossJoin(F.broadcast(beta))
+        )
+
+    def _resid():
+        return F.col("__y") - (
+            F.col("b0")
+            + F.col("b1") * F.col("__x1")
+            + F.col("b2") * F.col("__x2")
+        )
+
+    # pass 1: plain OLS (w = 1)
+    beta = _solve(_moments(rows, F.lit(1.0)), keep=[])
+    # passes 2-3: frozen preliminary scale from the OLS residuals
+    med = _join(beta).groupBy(*gcols).agg(
+        F.percentile(_resid(), F.lit(0.5)).alias("__med")
+    )
+    beta_m = beta.join(med, gcols) if gcols else beta.crossJoin(
+        F.broadcast(med)
+    )
+    mad = _join(beta_m).groupBy(*gcols).agg(
+        F.max("__med").alias("__med"),
+        F.percentile(F.abs(_resid() - F.col("__med")), F.lit(0.5)).alias(
+            "__mad"
+        ),
+    )
+    scale = mad.select(
+        *gcols, (F.lit(1.4826) * F.col("__mad")).alias("__s")
+    )
+    beta = beta.join(scale, gcols) if gcols else beta.crossJoin(
+        F.broadcast(scale)
+    )
+    for _ in range(n_reweights):
+        j = _join(beta)
+        r = _resid()
+        w = F.when(
+            F.col("__s") > F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                F.lit(c) * F.col("__s") / F.nullif(F.abs(r), F.lit(0.0)),
+            ),
+        ).otherwise(F.lit(1.0))
+        # a zero residual gets full weight (nullif makes the division
+        # NULL; least(1.0, NULL) would be NULL, so coalesce to 1)
+        w = F.coalesce(w, F.lit(1.0))
+        mom = _moments(j, w)
+        scale_keep = beta.select(*gcols, "__s")
+        nb = _solve(mom, keep=[])
+        beta = nb.join(scale_keep, gcols) if gcols else nb.crossJoin(
+            F.broadcast(scale_keep)
+        )
+    return beta.select(
+        *gcols,
+        "n",
+        F.round(F.col("__s"), 6).alias("scale"),
+        F.round(F.col("b0"), 6).alias("b0"),
+        F.round(F.col("b1"), 6).alias("b1"),
+        F.round(F.col("b2"), 6).alias("b2"),
+    )

@@ -178,3 +178,57 @@ def frequent_triples(
     return counts.orderBy(
         F.desc("n_baskets"), "item_a", "item_b", "item_c"
     ).limit(top_n)
+
+
+def item_item_cosine(
+    lines: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Item-item cosine similarity over basket co-occurrence — the
+    collaborative-filtering "customers also bought" score:
+    cos(a,b) = pairs(a,b) / sqrt(baskets(a) · baskets(b)), i.e. the
+    cosine of the two items' binary basket-incidence vectors. The
+    complement of :func:`copurchase_lift`: lift normalizes by
+    independence (rewards rare-with-rare), cosine by vector length
+    (stable for recommendation ranking where lift explodes on
+    low-support pairs).
+
+    Composes the lift operator's one-shuffle pair device verbatim —
+    pair counts and marginals are the identical frame; only the
+    closing normalization differs. The ``top_k`` cut is
+    TakeOrdered over the total order (cosine desc, item_a, item_b) —
+    no global sort materialized, and the tie-break makes the kept SET
+    engine-reproducible (counts are exact, sqrt/division is one
+    correctly-rounded IEEE chain on integer-valued doubles).
+    """
+    scored = copurchase_lift(
+        lines, basket_col, item_col, min_pair_count=min_pair_count
+    ).select(
+        "item_a",
+        "item_b",
+        "pair_n",
+        "n_a",
+        "n_b",
+        (
+            F.col("pair_n").cast("double")
+            / (
+                F.sqrt(F.col("n_a").cast("double"))
+                * F.sqrt(F.col("n_b").cast("double"))
+            )
+        ).alias("__cos"),
+    )
+    return (
+        scored.orderBy(F.desc("__cos"), "item_a", "item_b")
+        .limit(top_k)
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.round(F.col("__cos"), 6).alias("cosine"),
+        )
+    )

@@ -603,3 +603,107 @@ class TestPositivePairs:
         assert r["anchor_md5"] == hashlib.md5(b"a b").hexdigest()
         assert r["positive_md5"] == hashlib.md5(b"c d e").hexdigest()
         assert out[2]["anchor_md5"] == hashlib.md5(b"x").hexdigest()
+
+
+# ------------------------------------------------------- naive bayes (q216)
+
+
+def test_naive_bayes_separable_corpus_is_diagonal(spark):
+    """Fully separable vocabularies per class: the training-set
+    confusion matrix is diagonal with per-class doc counts."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        naive_bayes_confusion,
+    )
+
+    docs = [
+        (1, "x x y", "en"),
+        (2, "x y y", "en"),
+        (3, "z z w", "de"),
+        (4, "w z", "de"),
+        (5, "z w w", "de"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    got = {
+        (r["lang"], r["predicted"]): r["n_docs"]
+        for r in naive_bayes_confusion(df).collect()
+    }
+    assert got == {("en", "en"): 2, ("de", "de"): 3}
+
+
+def test_naive_bayes_exact_tie_breaks_to_smallest_class(spark):
+    """Two classes with mirror-image evidence: every score ties, so
+    the argmax must deterministically pick the smallest class label
+    (the min-struct device) — both docs land on class 'a'."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        naive_bayes_confusion,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "b")], ["doc_id", "text", "lang"]
+    )
+    got = {
+        (r["lang"], r["predicted"]): r["n_docs"]
+        for r in naive_bayes_confusion(df).collect()
+    }
+    assert got == {("a", "a"): 1, ("b", "a"): 1}
+
+
+def test_naive_bayes_smoothing_handles_unseen_class_tokens(spark):
+    """A doc whose tokens never appear in the other class still gets
+    finite scores everywhere (add-α floor, no -inf), and doc counts
+    conserve over tokenized docs — the empty-text doc drops."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        naive_bayes_confusion,
+    )
+
+    docs = [
+        (1, "q q q", "en"),
+        (2, "r r r", "de"),
+        (3, "q r q", "en"),
+        (4, "", "de"),  # zero tokens: drops from the decode
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    rows = naive_bayes_confusion(df).collect()
+    assert sum(r["n_docs"] for r in rows) == 3
+    got = {
+        (r["lang"], r["predicted"]): r["n_docs"] for r in rows
+    }
+    assert got[("en", "en")] == 2 and got[("de", "de")] == 1
+
+
+# --------------------------------------------------- pmi collocations (q218)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Corpus: 'a b a b' / 'c c c c' / 'a c' → unigrams a:3 b:2 c:5
+    (U=10), adjacent pairs ab:2 ba:1 cc:3 ac:1 (B=7). min_count=2
+    keeps ab and cc; PMI(ab) = ln(2·10·10/(7·3·2)) = 1.560648,
+    PMI(cc) = ln(3·10·10/(7·5·5)) = ln(12/7) = 0.538997 — ab ranks first."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c c c c"), (3, "a c")], ["doc_id", "text"]
+    )
+    rows = pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert [(r["w1"], r["w2"]) for r in rows] == [("a", "b"), ("c", "c")]
+    ab, cc = rows
+    assert (ab["pair_count"], ab["c1"], ab["c2"]) == (2, 3, 2)
+    assert ab["pmi"] == pytest.approx(1.560648, abs=1e-6)
+    assert cc["pmi"] == pytest.approx(0.538997, abs=1e-6)
+
+
+def test_pmi_min_count_floor_drops_hapax_pairs(spark):
+    """A pair seen once has maximal PMI by construction — the support
+    floor must drop it or hapax noise dominates the head."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "rare pair"), (2, "x y x y x y")], ["doc_id", "text"]
+    )
+    rows = pmi_collocations(df, min_count=2, top_k=10).collect()
+    assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in rows}
+    assert {(r["w1"], r["w2"]) for r in rows} == {("x", "y"), ("y", "x")}

@@ -187,3 +187,94 @@ def test_ktruss_k_validation_and_dup_absorption(spark):
     got = {(r["u"], r["v"]): r["support"] for r in
            ktruss_peel(ed, k=3, n_rounds=1).collect()}
     assert got == {(0, 1): 1, (1, 2): 1, (0, 2): 1}
+
+
+# ------------------------------------------- per-seed BFS / harmonic (q214)
+
+
+def test_multi_source_bfs_per_seed_distances(spark):
+    """Path 1-2-3-4, seeds {1,4}: each seed gets its OWN distance
+    column-space — (1,4)=3 and (4,1)=3 both survive where the
+    single-frontier bfs_distance would collapse them to min=0/1."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in multi_source_bfs(edges, seeds, n_rounds=3).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,
+        (4, 4): 0, (4, 3): 1, (4, 2): 2, (4, 1): 3,
+    }
+
+
+def test_multi_source_bfs_cap_outside_seed_and_dup_collapse(spark):
+    """3-hop cap drops the 4-hop node; a seed outside the edge list
+    persists at dist 0 only; duplicate seeds collapse to one
+    frontier."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        multi_source_bfs,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame(
+        [(1,), (1,), (99,)], "node long"
+    )
+    got = {
+        (r["seed"], r["node"]): r["dist"]
+        for r in multi_source_bfs(edges, seeds, n_rounds=3).collect()
+    }
+    assert got == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,  # node 5 beyond cap
+        (99, 99): 0,
+    }
+
+
+def test_harmonic_centrality_hand_computed(spark):
+    """Path 1-2-3-4, landmarks {1,4}: ends score 1/3 (the far
+    landmark; the 0-distance self term is excluded), middles
+    1/1 + 1/2 = 1.5 with both landmarks reached."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_centrality(edges, seeds, n_rounds=3).collect()
+    }
+    assert got == {
+        1: (1, 0.333333),
+        2: (2, 1.5),
+        3: (2, 1.5),
+        4: (1, 0.333333),
+    }
+
+
+def test_harmonic_centrality_isolated_landmark_contributes_nothing(spark):
+    """A landmark with no edges reaches nobody: it emits no rows of
+    its own (0-distance self excluded) and no other node's score
+    mentions it — n_reached counts only landmarks at positive
+    distance."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        harmonic_centrality,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: (r["n_reached"], r["harmonic"])
+        for r in harmonic_centrality(edges, seeds, n_rounds=3).collect()
+    }
+    assert got == {2: (1, 1.0)}

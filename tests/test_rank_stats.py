@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from big_data_project_datapipeline_spark.functions.quality import (
     cramers_v_matrix,
     kruskal_wallis,
+    mann_kendall_trend,
     spearman_corr,
     theil_sen_trend,
 )
@@ -279,3 +280,345 @@ def test_spearman_matches_pearson_identity_on_permutation(spark):
     expect = 1.0 - 6.0 * d2 / (n * (n * n - 1))
     # the operator rounds at the surface to 6 decimals
     assert got == round(expect, 6)
+
+
+# ------------------------------------------------------------ mann-kendall
+
+
+def test_mann_kendall_hand_computed_with_tie(spark):
+    """Days 0-4, values (1,2,2,5,4): the 10 pair signs sum to S=7
+    (one tied pair contributes 0, one discordant −1); tie term
+    Σt(t−1)(2t+5)=2·1·9=18 → Var=(5·4·15−18)/18=15.666667;
+    z=(7−1)/sqrt(Var)=1.515873, tau=7/10. Single-day group b emits
+    S=0 with NULL tau/z."""
+    import datetime as dt
+
+    vals = [1.0, 2.0, 2.0, 5.0, 4.0]
+    rows = [
+        ("a", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    rows.append(("b", dt.datetime(2024, 1, 1), 9.0))
+    df = spark.createDataFrame(rows, ["g", "ts", "v"])
+    out = {
+        r["g"]: r
+        for r in mann_kendall_trend(df, "ts", "v", ["g"]).collect()
+    }
+    a = out["a"]
+    assert (a["n_days"], a["n_pairs"], a["s_stat"]) == (5, 10, 7)
+    assert a["var_s"] == pytest.approx(15.666667, abs=1e-9)
+    assert a["tau"] == 0.7
+    assert a["z"] == pytest.approx(1.515873, abs=1e-9)
+    b = out["b"]
+    assert (b["n_pairs"], b["s_stat"], b["var_s"]) == (0, 0, 0.0)
+    assert b["tau"] is None and b["z"] is None
+
+
+def test_mann_kendall_constant_series_zero_s_null_z(spark):
+    """All days tie: S=0 and the tie term cancels the variance
+    exactly (Var=0) → z is NULL, tau is 0.0 (pairs exist)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), 5.0)
+            for i in range(3)
+        ],
+        ["ts", "v"],
+    )
+    r = mann_kendall_trend(df, "ts", "v").first()
+    assert (r["s_stat"], r["var_s"], r["tau"]) == (0, 0.0, 0.0)
+    assert r["z"] is None
+
+
+def test_mann_kendall_decreasing_uses_plus_one_correction(spark):
+    """Strictly decreasing 4-day series: S=−6, Var=4·3·13/18=8.666667,
+    z=(S+1)/sqrt(Var) — the continuity correction flips sign with S."""
+    import datetime as dt
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(10 - i))
+            for i in range(4)
+        ],
+        ["ts", "v"],
+    )
+    r = mann_kendall_trend(df, "ts", "v").first()
+    assert r["s_stat"] == -6
+    assert r["z"] == pytest.approx(
+        round(-5.0 / math.sqrt(26.0 / 3.0), 6), abs=1e-9
+    )
+    assert r["tau"] == -1.0
+
+
+def test_mann_kendall_shares_max_points_guard(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1) + dt.timedelta(days=i), float(i))
+            for i in range(5)
+        ],
+        ["ts", "v"],
+    )
+    with pytest.raises(ValueError, match="mann_kendall_trend"):
+        mann_kendall_trend(df, "ts", "v", max_points=3)
+
+
+# ----------------------------------------------------------- logistic irls
+
+
+def _py_logistic_replica(data, iters):
+    """Independent pure-Python replica of the exact quantized
+    algorithm (floor-based 9-digit sigmoid clamp and scaled-long term
+    folds, adjugate solve, round-9 β re-entry) — the operator must
+    match it to the last rounded digit, which is what the DuckDB twin
+    also pins."""
+    b = [0.0, 0.0, 0.0]
+    for _ in range(iters):
+        acc = {k: 0.0 for k in (
+            "g0", "g1", "g2", "h00", "h01", "h02", "h11", "h12", "h22"
+        )}
+        for x1, x2, y in data:
+            eta = b[0] + b[1] * x1 + b[2] * x2
+            raw = 1 / (1 + math.exp(-eta))
+            p = min(max(math.floor(raw * 1e9 + 0.5) / 1e9, 1e-9), 1 - 1e-9)
+            w = p * (1 - p)
+            r = y - p
+            for k, v in (
+                ("g0", r), ("g1", x1 * r), ("g2", x2 * r),
+                ("h00", w), ("h01", w * x1), ("h02", w * x2),
+                ("h11", w * x1 * x1), ("h12", w * x1 * x2),
+                ("h22", w * x2 * x2),
+            ):
+                sgn = (v > 0) - (v < 0)
+                acc[k] += sgn * math.floor(abs(v) * 1e9 + 0.5)
+        m = {k: v / 1e9 for k, v in acc.items()}
+        det = (
+            m["h00"] * (m["h11"] * m["h22"] - m["h12"] * m["h12"])
+            - m["h01"] * (m["h01"] * m["h22"] - m["h02"] * m["h12"])
+            + m["h02"] * (m["h01"] * m["h12"] - m["h02"] * m["h11"])
+        )
+        a00 = m["h11"] * m["h22"] - m["h12"] * m["h12"]
+        a01 = m["h02"] * m["h12"] - m["h01"] * m["h22"]
+        a02 = m["h01"] * m["h12"] - m["h02"] * m["h11"]
+        a11 = m["h00"] * m["h22"] - m["h02"] * m["h02"]
+        a12 = m["h01"] * m["h02"] - m["h00"] * m["h12"]
+        a22 = m["h00"] * m["h11"] - m["h01"] * m["h01"]
+        if abs(det) > 1e-12:
+            b = [
+                round(b[0] + (a00 * m["g0"] + a01 * m["g1"] + a02 * m["g2"]) / det, 9),
+                round(b[1] + (a01 * m["g0"] + a11 * m["g1"] + a12 * m["g2"]) / det, 9),
+                round(b[2] + (a02 * m["g0"] + a12 * m["g1"] + a22 * m["g2"]) / det, 9),
+            ]
+    return b
+
+
+def test_logistic_irls_matches_replica_and_recovers_signal(spark):
+    """400 rows from a known model (β = 0.5, 1.2, −0.8): three Newton
+    steps must (a) equal the independent Python replica of the
+    quantized algorithm to the rounded digit, and (b) land near the
+    generating coefficients — the fit is real, not just
+    reproducible."""
+    import random
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        logistic_irls,
+    )
+
+    random.seed(7)
+    data = []
+    for _ in range(400):
+        x1 = random.uniform(-2, 2)
+        x2 = random.uniform(-2, 2)
+        p = 1 / (1 + math.exp(-(0.5 + 1.2 * x1 - 0.8 * x2)))
+        data.append((x1, x2, 1.0 if random.random() < p else 0.0))
+    df = spark.createDataFrame(
+        [("g", *row) for row in data], ["g", "x1", "x2", "y"]
+    )
+    r = logistic_irls(
+        df, F.col("y") == 1.0, "x1", "x2", ["g"], n_iters=3
+    ).first()
+    want = _py_logistic_replica(data, 3)
+    assert (r["beta0"], r["beta1"], r["beta2"]) == tuple(
+        round(v, 6) for v in want
+    )
+    assert abs(r["beta0"] - 0.5) < 0.35
+    assert abs(r["beta1"] - 1.2) < 0.35
+    assert abs(r["beta2"] + 0.8) < 0.35
+    assert 0.0 < r["avg_logloss"] < math.log(2.0)  # beats the null model
+    assert r["n"] == 400 and r["n_pos"] == sum(int(y) for *_, y in data)
+
+
+def test_logistic_irls_singular_group_freezes_beta(spark):
+    """A group whose features are constant has a singular Hessian in
+    the x directions (det ~ 0 at every step): β freezes at 0 instead
+    of emitting inf/NaN, and the output row survives."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        logistic_irls,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1.0, 1.0, 1.0), ("s", 1.0, 1.0, 0.0)],
+        ["g", "x1", "x2", "y"],
+    )
+    r = logistic_irls(
+        df, F.col("y") == 1.0, "x1", "x2", ["g"], n_iters=3
+    ).first()
+    assert (r["beta0"], r["beta1"], r["beta2"]) == (0.0, 0.0, 0.0)
+    assert r["avg_logloss"] == pytest.approx(round(math.log(2.0), 6), abs=1e-9)
+
+
+def test_logistic_irls_null_nan_feature_rows_drop(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        logistic_irls,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g", 1.0, 1.0, 1.0),
+            ("g", None, 1.0, 0.0),
+            ("g", 1.0, float("nan"), 0.0),
+            ("g", -1.0, 0.5, 0.0),
+        ],
+        ["g", "x1", "x2", "y"],
+    )
+    r = logistic_irls(
+        df, F.col("y") == 1.0, "x1", "x2", ["g"], n_iters=2
+    ).first()
+    assert r["n"] == 2 and r["n_pos"] == 1
+
+
+# ------------------------------------------------------------- ar(2) (q217)
+
+
+def test_ar2_daily_recovers_exact_recurrence(spark):
+    """Days 0-6 follow v_t = 2 + 0.5·v_{t−1} + 0.2·v_{t−2} exactly
+    (every value representable in 4 decimals, so the decimal moment
+    cast is exact): the closed-form fit recovers the generating
+    coefficients with R² = 1. Intraday rows on day 0 average to the
+    daily mean first."""
+    vals = [4.0, 6.0, 5.8, 6.1, 6.21, 6.325, 6.4045]
+    rows = []
+    for i, v in enumerate(vals):
+        if i == 0:
+            # two intraday rows averaging to 4.0
+            rows.append(("e", dt.datetime(2024, 1, 1, 2), 3.0))
+            rows.append(("e", dt.datetime(2024, 1, 1, 20), 5.0))
+        else:
+            rows.append(
+                ("e", dt.datetime(2024, 1, 1) + dt.timedelta(days=i), v)
+            )
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_ols2,
+    )
+    from pyspark.sql import Window
+
+    vc = F.col("value")
+    daily = (
+        df.filter(vc.isNotNull() & ~F.isnan(vc))
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("1970-01-01").cast("date")
+            ).alias("__d"),
+        )
+        .agg(
+            (
+                F.signum(
+                    F.sum(vc.cast("decimal(28,8)")).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                * F.floor(
+                    F.abs(
+                        F.sum(vc.cast("decimal(28,8)")).cast("double")
+                        / F.count(F.lit(1)).cast("double")
+                    )
+                    * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("__v")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("__d")
+    wide = daily.select(
+        "event_type",
+        "__v",
+        F.lag("__v", 1).over(w).alias("__l1"),
+        F.lag("__v", 2).over(w).alias("__l2"),
+    )
+    r = grouped_ols2(wide, "__v", "__l1", "__l2", ["event_type"]).first()
+    assert r["n"] == 5  # 7 days − 2 lag-dropped
+    assert r["b0"] == pytest.approx(2.0, abs=1e-6)
+    assert r["b1"] == pytest.approx(0.5, abs=1e-6)
+    assert r["b2"] == pytest.approx(0.2, abs=1e-6)
+    assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+
+# ------------------------------------------------------------ huber (q219)
+
+
+def test_huber_caps_outlier_influence_where_ols_breaks(spark):
+    """36 rows on the exact plane y = 1 + 2·x1 + 3·x2 plus one wild
+    outlier (y=500): OLS is destroyed (b1 goes negative); two Huber
+    reweights recover the plane to within a few percent."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_ols2,
+        huber_irls,
+    )
+
+    rows = [
+        ("g", float(x1), float(x2), 1.0 + 2.0 * x1 + 3.0 * x2)
+        for x1 in range(6)
+        for x2 in range(6)
+    ]
+    rows.append(("g", 2.0, 2.0, 500.0))
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    ols = grouped_ols2(df, "y", "x1", "x2", ["g"]).first()
+    hub = huber_irls(df, "y", "x1", "x2", ["g"], n_reweights=2).first()
+    assert abs(ols["b1"] - 2.0) > 1.5  # OLS ruined by one row
+    assert hub["n"] == 37
+    assert abs(hub["b1"] - 2.0) < 0.1
+    assert abs(hub["b2"] - 3.0) < 0.1
+    assert hub["scale"] > 0.0
+
+
+def test_huber_zero_mad_freezes_ols_fit(spark):
+    """Every row exactly on the plane: OLS residuals are 0, the
+    preliminary MAD is 0, and the degenerate-scale guard keeps full
+    weights — the reweighted fit equals the exact OLS plane instead
+    of dividing by a zero scale."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        huber_irls,
+    )
+
+    rows = [
+        ("g", float(x1), float(x2), 1.0 + 2.0 * x1 + 3.0 * x2)
+        for x1 in range(4)
+        for x2 in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    r = huber_irls(df, "y", "x1", "x2", ["g"], n_reweights=2).first()
+    assert r["scale"] == 0.0
+    assert r["b0"] == pytest.approx(1.0, abs=1e-6)
+    assert r["b1"] == pytest.approx(2.0, abs=1e-6)
+    assert r["b2"] == pytest.approx(3.0, abs=1e-6)
+
+
+def test_huber_null_nan_rows_drop(spark):
+    from big_data_project_datapipeline_spark.functions.quality import (
+        huber_irls,
+    )
+
+    rows = [
+        ("g", float(i), float(i % 3), 1.0 + 2.0 * i + 3.0 * (i % 3))
+        for i in range(8)
+    ]
+    rows.append(("g", None, 1.0, 5.0))
+    rows.append(("g", 1.0, float("nan"), 5.0))
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    assert huber_irls(df, "y", "x1", "x2", ["g"]).first()["n"] == 8

@@ -1450,3 +1450,45 @@ def test_corpus_dedup_summary_hand_computed(spark, tmp_path):
     assert row["n_tokens"] == 24 and row["dup_tokens"] == 10
     assert row["dup_token_frac"] == round(10 / 24, 6)
     assert row["n_clusters_multi"] == 1 and row["max_cluster_size"] == 2
+
+
+def test_item_item_cosine_hand_computed(spark):
+    """Baskets {A,B},{A,B},{A,C}: pair AB survives min_pair_count=2
+    with cos = 2/sqrt(3·2) = 0.816497; AC (1 basket) is cut. A
+    duplicate item row inside a basket counts once (set semantics)."""
+    from big_data_project_datapipeline_spark.operators.market import (
+        item_item_cosine,
+    )
+
+    lines = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (1, "A"), (2, "A"), (2, "B"), (3, "A"), (3, "C")],
+        "b long, i string",
+    )
+    out = item_item_cosine(lines, "b", "i", min_pair_count=2, top_k=10)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["item_a"], r["item_b"], r["pair_n"], r["n_a"], r["n_b"]) == (
+        "A", "B", 2, 3, 2,
+    )
+    assert r["cosine"] == 0.816497
+
+
+def test_item_item_cosine_top_k_total_order_tie_break(spark):
+    """Two pairs with identical cosine 1.0: the top_k=1 cut keeps the
+    (item_a, item_b)-smallest — the deterministic tie-break that makes
+    the kept SET engine-reproducible."""
+    from big_data_project_datapipeline_spark.operators.market import (
+        item_item_cosine,
+    )
+
+    lines = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A"), (2, "B"),
+         (3, "C"), (3, "D"), (4, "C"), (4, "D")],
+        "b long, i string",
+    )
+    out = item_item_cosine(lines, "b", "i", min_pair_count=2, top_k=1)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert (rows[0]["item_a"], rows[0]["item_b"]) == ("A", "B")
+    assert rows[0]["cosine"] == 1.0

@@ -79,6 +79,32 @@ QUERIES = [
     # k-truss: per-round wedge enumeration over disjoint-copy growth
     # (fixpoint stays 1 round — copies are isomorphic to sf0.1)
     "q207_ktruss",
+    # round-9 third wave: the doubled-mid-rank device (two collapses +
+    # two join-backs) over 10x/100x lineitem (q208) and the pooled
+    # variant over events (q209); the calendar-bounded day-pair family
+    # (q210/q212 — expected FLAT like q205: pair cost fixed by span);
+    # the level-bounded contingency stack (q211); the within-basket
+    # pair device at growing basket density (q213); landmark BFS with
+    # the fixed copy-0 Brand#13 cohort over the grown graph (q214)
+    "q208_spearman_corr",
+    "q209_kruskal_wallis",
+    "q210_theil_sen",
+    "q212_mann_kendall",
+    "q211_cramers_v",
+    "q213_item_item_cosine",
+    "q214_harmonic_centrality",
+    # relational Newton: 4 pruned scans + O(groups) broadcast state —
+    # expected near-linear in rows with zero extra shuffle growth
+    "q215_logistic_irls",
+    # NB decode: token stream × |classes| through a constant-key
+    # broadcast join; model joins on the token key
+    "q216_naive_bayes",
+    # AR(2): calendar-bounded daily collapse (the q210/q212 flat class);
+    # PMI: arrays_zip pair build + vocab-keyed joins
+    "q217_ar2_daily",
+    "q218_pmi_collocations",
+    # Huber IRLS: 5 pruned scans + two percentile aggs, O(groups) state
+    "q219_huber_regression",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10

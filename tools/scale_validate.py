@@ -415,6 +415,271 @@ def check_interval_concurrency(spark, sf_dir) -> list[str]:
     return problems
 
 
+def check_rank_stats(spark, sf_dir) -> list[str]:
+    """q208/q209 at decade scale. The strong witness is the
+    self-correlation identity: spearman_corr(x, x) must be EXACTLY 1.0
+    per group — it runs the full doubled-mid-rank device (collapse →
+    group_rank_frame → join-back → moments) twice over decade-scale
+    partition shapes, and any rank corruption of the round-8
+    boundary-resampling class breaks the identity. Kruskal–Wallis
+    invariants: H >= 0, tie-corrected H >= H (the divisor is <= 1),
+    dof = levels − 1, and n equals an independent clean-row count."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        kruskal_wallis,
+        spearman_corr,
+    )
+
+    problems = []
+    li = load_table(spark, sf_dir, "lineitem")
+    self_rho = spearman_corr(
+        li, "l_extendedprice", "l_extendedprice", ["l_returnflag"]
+    )
+    bad_self = self_rho.filter(
+        F.col("spearman_rho").isNull() | (F.col("spearman_rho") != 1.0)
+    ).count()
+    if bad_self:
+        problems.append(
+            f"spearman: {bad_self} groups where self-rho != 1.0"
+        )
+    rho = spearman_corr(
+        li, "l_quantity", "l_extendedprice", ["l_returnflag"]
+    )
+    bad_range = rho.filter(
+        F.col("spearman_rho").isNull()
+        | (F.abs(F.col("spearman_rho")) > 1.0)
+    ).count()
+    if bad_range:
+        problems.append(f"spearman: {bad_range} groups with |rho| > 1")
+    ev = load_table(spark, sf_dir, "events")
+    kw = kruskal_wallis(ev, "value", "event_type").first()
+    n_clean = ev.filter(
+        F.col("value").isNotNull()
+        & ~F.isnan(F.col("value"))
+        & F.col("event_type").isNotNull()
+    ).count()
+    if kw["n"] != n_clean:
+        problems.append(f"kruskal: n {kw['n']} != clean rows {n_clean}")
+    if kw["h"] is None or kw["h"] < 0:
+        problems.append(f"kruskal: h {kw['h']} < 0")
+    if kw["h_tie_corrected"] is None or kw["h_tie_corrected"] < kw["h"]:
+        problems.append(
+            f"kruskal: corrected {kw['h_tie_corrected']} < h {kw['h']}"
+        )
+    if kw["dof"] != kw["n_levels"] - 1:
+        problems.append("kruskal: dof != n_levels - 1")
+    return problems
+
+
+def check_theil_sen(spark, sf_dir) -> list[str]:
+    """q210 at decade scale: the pair-count law n_pairs =
+    n_days·(n_days−1)/2 must hold exactly (a dropped or duplicated
+    pair breaks it), and since consecutive days are >= 1 apart, every
+    pairwise slope — hence the median — is bounded by the group's
+    daily-mean range: |slope| <= vmax − vmin (independent recompute
+    via plain avg; inequality with epsilon, so the float path
+    difference is irrelevant)."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        theil_sen_trend,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ts = theil_sen_trend(ev, "ts", "value", ["event_type"])
+    bad_pairs = ts.filter(
+        F.col("n_pairs")
+        != (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long")
+    ).count()
+    problems = []
+    if bad_pairs:
+        problems.append(f"theil_sen: {bad_pairs} groups break pair law")
+    daily = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan(F.col("value")))
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.avg("value").alias("v"))
+        .groupBy("event_type")
+        .agg(
+            (F.max("v") - F.min("v")).alias("vrange"),
+        )
+    )
+    bad_bound = (
+        ts.join(daily, "event_type")
+        .filter(
+            F.col("slope_per_day").isNotNull()
+            & (
+                F.abs(F.col("slope_per_day"))
+                > F.col("vrange") + F.lit(1e-6)
+            )
+        )
+        .count()
+    )
+    if bad_bound:
+        problems.append(
+            f"theil_sen: {bad_bound} slopes exceed the daily-range bound"
+        )
+    return problems
+
+
+def check_cramers_v(spark, sf_dir) -> list[str]:
+    """q211 at decade scale: V in [0,1] for every pair, n equals the
+    table row count (every row lands in every pair's cells), dof =
+    (r−1)(c−1), and the self-association identity — a column paired
+    with its own copy must score V = 1.0 exactly (any cell/total
+    mis-join deflates it)."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        cramers_v_matrix,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "lang_twin", F.col("lang")
+    )
+    out = cramers_v_matrix(d, ["lang", "source", "lang_twin"]).collect()
+    n_rows = d.count()
+    problems = []
+    by_pair = {(r["col_x"], r["col_y"]): r for r in out}
+    for key, r in by_pair.items():
+        if r["n"] != n_rows:
+            problems.append(f"cramers {key}: n {r['n']} != {n_rows}")
+        if r["cramers_v"] is not None and not (
+            0.0 <= r["cramers_v"] <= 1.0
+        ):
+            problems.append(f"cramers {key}: v {r['cramers_v']} out of range")
+        if r["dof"] != (r["r_levels"] - 1) * (r["c_levels"] - 1):
+            problems.append(f"cramers {key}: dof mismatch")
+    twin = by_pair[("lang", "lang_twin")]
+    if twin["cramers_v"] != 1.0:
+        problems.append(
+            f"cramers: self-association v {twin['cramers_v']} != 1.0"
+        )
+    return problems
+
+
+def check_logistic(spark, sf_dir) -> list[str]:
+    """q215 at decade scale: n equals an independent clean-row count
+    per group, n_pos <= n, every β finite (a singular or diverging
+    step would surface NaN/inf), and the train log-loss beats the
+    null model's ln 2 — the decade corpora replicate sf0.1's label
+    distribution, where three Newton steps comfortably clear it."""
+    import math
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        logistic_irls,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = logistic_irls(
+        li,
+        F.col("l_returnflag") == "R",
+        "l_discount",
+        "l_quantity",
+        ["l_linestatus"],
+        n_iters=3,
+    ).collect()
+    clean = (
+        li.filter(
+            F.col("l_discount").isNotNull()
+            & ~F.isnan(F.col("l_discount"))
+            & F.col("l_quantity").isNotNull()
+            & ~F.isnan(F.col("l_quantity"))
+        )
+        .groupBy("l_linestatus")
+        .count()
+    )
+    counts = {r["l_linestatus"]: r["count"] for r in clean.collect()}
+    problems = []
+    for r in out:
+        g = r["l_linestatus"]
+        if r["n"] != counts.get(g):
+            problems.append(f"logistic {g}: n {r['n']} != {counts.get(g)}")
+        if not (0 <= r["n_pos"] <= r["n"]):
+            problems.append(f"logistic {g}: n_pos {r['n_pos']} out of range")
+        for b in ("beta0", "beta1", "beta2"):
+            v = r[b]
+            if v is None or math.isnan(v) or math.isinf(v):
+                problems.append(f"logistic {g}: {b} = {v}")
+        ll = r["avg_logloss"]
+        if ll is None or not (0.0 < ll < math.log(2.0)):
+            problems.append(f"logistic {g}: avg_logloss {ll}")
+    if len(out) != len(counts):
+        problems.append("logistic: group set mismatch")
+    return problems
+
+
+def check_naive_bayes(spark, sf_dir) -> list[str]:
+    """q216 at decade scale: confusion-matrix conservation — the doc
+    counts sum to the number of TOKENIZED documents (zero-token docs
+    drop by contract), every predicted label is a real class, and no
+    cell is negative or NULL."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        naive_bayes_confusion,
+    )
+    from big_data_project_datapipeline_spark.functions import text as TXX
+
+    d = load_table(spark, sf_dir, "documents")
+    out = naive_bayes_confusion(d).collect()
+    n_tokenized = d.filter(
+        F.size(TXX.tokens(F.col("text"))) > 0
+    ).count()
+    classes = {r["lang"] for r in d.select("lang").distinct().collect()}
+    problems = []
+    total = sum(r["n_docs"] for r in out)
+    if total != n_tokenized:
+        problems.append(f"nb: confusion total {total} != {n_tokenized}")
+    for r in out:
+        if r["predicted"] not in classes:
+            problems.append(f"nb: phantom class {r['predicted']}")
+        if r["n_docs"] is None or r["n_docs"] <= 0:
+            problems.append(f"nb: bad cell count {r['n_docs']}")
+    return problems
+
+
+def check_huber(spark, sf_dir) -> list[str]:
+    """q219 at decade scale: n equals an independent clean-row count
+    per group, scale is finite and non-negative, and every β is
+    finite (a diverging or singular reweight would surface NaN/inf
+    through the adjugate solve)."""
+    import math
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        huber_irls,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = huber_irls(
+        li,
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+        ["l_returnflag"],
+        n_reweights=2,
+    ).collect()
+    clean = (
+        li.filter(
+            F.col("l_extendedprice").isNotNull()
+            & ~F.isnan(F.col("l_extendedprice"))
+            & F.col("l_quantity").isNotNull()
+            & ~F.isnan(F.col("l_quantity"))
+            & F.col("l_discount").isNotNull()
+            & ~F.isnan(F.col("l_discount"))
+        )
+        .groupBy("l_returnflag")
+        .count()
+    )
+    counts = {r["l_returnflag"]: r["count"] for r in clean.collect()}
+    problems = []
+    for r in out:
+        g = r["l_returnflag"]
+        if r["n"] != counts.get(g):
+            problems.append(f"huber {g}: n {r['n']} != {counts.get(g)}")
+        for col in ("scale", "b0", "b1", "b2"):
+            v = r[col]
+            if v is None or math.isnan(v) or math.isinf(v):
+                problems.append(f"huber {g}: {col} = {v}")
+        if r["scale"] is not None and r["scale"] < 0:
+            problems.append(f"huber {g}: negative scale {r['scale']}")
+    if len(out) != len(counts):
+        problems.append("huber: group set mismatch")
+    return problems
+
+
 CHECKS = [
     ("prefix_ranks", check_prefix_ranks),
     ("rrf", check_rrf),
@@ -427,6 +692,13 @@ CHECKS = [
     ("bfs", check_bfs),
     ("lpa", check_lpa),
     ("interval_sweep", check_interval_concurrency),
+    # round-9 third wave
+    ("rank_stats", check_rank_stats),
+    ("theil_sen", check_theil_sen),
+    ("cramers_v", check_cramers_v),
+    ("logistic", check_logistic),
+    ("naive_bayes", check_naive_bayes),
+    ("huber", check_huber),
 ]
 
 
