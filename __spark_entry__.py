@@ -4563,15 +4563,15 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (tools/compare_oracle.py, tools/certify.py).
 # Round-9 rotation (NOTES_r8 plan): q92/q37 pinned; the two round-8
 # additions that missed the r8 gate (q193/q194 — the only registry
-# entries without a driver row) plus every plan round 9 touched
-# (operators/graph.py: pagerank weight validation + PPR/CC
+# entries without a driver row at round start) plus every plan round
+# 9 touched (operators/graph.py: pagerank weight validation + PPR/CC
 # leak-on-raise + HITS auths persist ordering + NULL-node isolates
-# filter → q87/q175/q187/q189/q190), the three round-9 new queries
-# q195–q200; the filler slots re-certify the stalest cohorts — the
-# full q64–q86 round-3 remainder (last driver rows round 4) and
-# q144–q155 from the twice-certified q144–q170 block. q18–q63,
-# q186/q188/q191/q192, q51/q119 (all driver-green in r8) rotate past
-# the cap; q156–q170 are next in line for round 10.
+# filter → q87/q175/q187/q189/q190), and EVERY round-9 addition
+# q195–q220 (never certified). The remaining filler slots
+# re-certify the stalest cohort front (q64–q78 of the round-3
+# remainder + q144). Displaced mid-round to make room for
+# q208–q220: q145–q148 and q79–q86 — those re-queue FIRST in round
+# 10, then q156–q170 and the round-4-certified q100–q132 block.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
@@ -4603,7 +4603,6 @@ _GATE_PREFIX = [
     "q76_markov_transitions",
     "q77_welch_ab",
     "q78_mad_outliers",
-    "q79_copurchase_lift",
     # third-wave additions q208–q211 take the q145–q148 slots (that
     # block is twice-certified and rotates to round 10 with q149–q170;
     # never-certified queries always outrank a re-certification)
@@ -4611,8 +4610,8 @@ _GATE_PREFIX = [
     "q209_kruskal_wallis",
     "q210_theil_sen",
     "q211_cramers_v",
-    # q212–q219 take the q144 + q80–q86 tail slots (q144 twice-, the
-    # q64-cohort tail once-certified; all eight re-queue for round 10)
+    # q212–q220 take the q144 + q79–q86 tail slots (q144 twice-, the
+    # q64-cohort tail once-certified; all nine re-queue for round 10)
     "q212_mann_kendall",
     "q213_item_item_cosine",
     "q214_harmonic_centrality",
@@ -4621,6 +4620,7 @@ _GATE_PREFIX = [
     "q217_ar2_daily",
     "q218_pmi_collocations",
     "q219_huber_regression",
+    "q220_top_session_paths",
     "q207_ktruss",
     "q204_column_profile",
     "q205_open_order_peaks",
@@ -5289,6 +5289,76 @@ def q219_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q220_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 session journey paths with conversion share: the q12
+    session device (30-min inactivity gap), each session reduced to
+    its ordered first-8-steps path string (the cap is SEMANTICS — a
+    path prefix — and bounds the string domain), conversion = the
+    session contains a purchase ANYWHERE (not just the prefix). The
+    full-path complement of q76's pairwise Markov transitions: which
+    whole journeys happen, and which convert.
+
+    Parity: ordered aggregation via collect_list(struct(rn, type)) →
+    array_sort → join (Spark) ≡ string_agg(... ORDER BY rn) (DuckDB)
+    — rn is a total order, so both emit the identical string; counts
+    exact, one rounded division. TakeOrdered(n_sessions desc, path)
+    cut. Scale: two user-partitioned windows (the q12 class) + two
+    map-side-combinable aggregates; path cardinality is bounded by
+    |types|^8."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(
+        F.col("ts").cast("double")
+    ).over(w)
+    s = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    w2 = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    s2 = s.withColumn("rn", F.row_number().over(w2))
+    per_session = s2.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 8,
+                            F.struct(
+                                F.col("rn").alias("r"),
+                                F.col("event_type").alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            ">",
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    agg = per_session.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("conv").cast("long").alias("n_converted"),
+    )
+    return (
+        agg.orderBy(F.desc("n_sessions"), "path")
+        .limit(25)
+        .select(
+            "path",
+            "n_sessions",
+            "n_converted",
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_sessions").cast("double"),
+                6,
+            ).alias("conversion_rate"),
+        )
+    )
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5460,6 +5530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_ar2_daily": q217_ar2_daily,
         "q218_pmi_collocations": q218_pmi_collocations,
         "q219_huber_regression": q219_huber_regression,
+        "q220_top_session_paths": q220_top_session_paths,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -11547,6 +11618,45 @@ def oracle_sql() -> dict[str, str]:
     """
     out["q215_logistic_irls"] = _logistic_irls_oracle_sql(n_iters=3)
     out["q219_huber_regression"] = _huber_oracle_sql(n_reweights=2)
+    # q220: the q12 session CTEs + ordered string_agg path prefix
+    # (≡ Spark's collect_list(struct) → array_sort → join over the
+    # same rn total order), whole-session conversion flag
+    out["q220_top_session_paths"] = """
+        WITH g AS (
+            SELECT *,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+            SELECT *, CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM g),
+        s2 AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, session_id
+                ORDER BY ts, event_id) AS rn
+            FROM s),
+        per_session AS (
+            SELECT user_id, session_id,
+                   string_agg(CASE WHEN rn <= 8 THEN event_type END,
+                              '>' ORDER BY rn) AS path,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS conv
+            FROM s2 GROUP BY user_id, session_id),
+        agg AS (
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(conv) AS BIGINT) AS n_converted
+            FROM per_session GROUP BY path)
+        SELECT path, n_sessions, n_converted,
+               ROUND(CAST(n_converted AS DOUBLE)
+                     / CAST(n_sessions AS DOUBLE), 6) AS conversion_rate
+        FROM agg
+        ORDER BY n_sessions DESC, path
+        LIMIT 25
+    """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;
     # row_number argmax ≡ Spark's min(struct(-score, class))

@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "q217_ar2_daily",
     "q218_pmi_collocations",
     "q219_huber_regression",
+    "q220_top_session_paths",
 ]
 
 

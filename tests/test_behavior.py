@@ -352,3 +352,60 @@ class TestMarkovSentinelGuards:
     def test_sentinel_conv_state_raises(self, spark):
         with pytest.raises(ValueError, match="conv_state collides"):
             self._run(spark, [["click"]], conv_state="NULL")
+
+
+def test_q220_session_paths_prefix_and_whole_session_conversion(spark):
+    """q220's device (the entry composes it inline): 30-min-gap
+    sessions reduce to ordered first-8-step path strings, while the
+    conversion flag reads the WHOLE session — a purchase at step 9
+    converts a session whose path shows only the 8-step prefix."""
+    import datetime as dt
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_q220", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # user 1, session 1: click > view; session 2 (40-min gap): purchase
+    for off, typ in [(0, "click"), (600, "view"), (3000, "purchase")]:
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=off), 1, typ, 1.0, ""))
+    # user 2, one session: 8 views then a purchase at step 9
+    for k in range(9):
+        eid += 1
+        typ = "purchase" if k == 8 else "view"
+        rows.append(
+            (eid, t0 + dt.timedelta(seconds=60 * k), 2, typ, 1.0, "")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    # the entry loads every table lazily but only reads events here
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    ]:
+        spark.read.parquet(
+            f"/root/testdata/sf0.001/{t}.parquet"
+        ).limit(0).write.mode("overwrite").parquet(
+            os.path.join(d, f"{t}.parquet")
+        )
+    out = {
+        r["path"]: (r["n_sessions"], r["n_converted"], r["conversion_rate"])
+        for r in entry.q220_top_session_paths(spark, d).collect()
+    }
+    assert out["click>view"] == (1, 0, 0.0)
+    assert out["purchase"] == (1, 1, 1.0)
+    eight_views = ">".join(["view"] * 8)
+    assert out[eight_views] == (1, 1, 1.0)  # truncated path, converted

@@ -105,6 +105,8 @@ QUERIES = [
     "q218_pmi_collocations",
     # Huber IRLS: 5 pruned scans + two percentile aggs, O(groups) state
     "q219_huber_regression",
+    # session-path fold: two user-partitioned windows + string agg
+    "q220_top_session_paths",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
