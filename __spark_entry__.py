@@ -91,6 +91,7 @@ from big_data_project_datapipeline_spark.operators.market import (
     copurchase_lift,
     frequent_triples,
     item_item_cosine,
+    skyline_2d,
 )
 from big_data_project_datapipeline_spark.operators.skew import key_skew_profile
 from big_data_project_datapipeline_spark.operators.merge import upsert_keep_last
@@ -4567,10 +4568,10 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 9 touched (operators/graph.py: pagerank weight validation + PPR/CC
 # leak-on-raise + HITS auths persist ordering + NULL-node isolates
 # filter → q87/q175/q187/q189/q190), and EVERY round-9 addition
-# q195–q220 (never certified). The remaining filler slots
-# re-certify the stalest cohort front (q64–q78 of the round-3
+# q195–q221 (never certified). The remaining filler slots
+# re-certify the stalest cohort front (q64–q77 of the round-3
 # remainder + q144). Displaced mid-round to make room for
-# q208–q220: q145–q148 and q79–q86 — those re-queue FIRST in round
+# q208–q221: q145–q148 and q78–q86 — those re-queue FIRST in round
 # 10, then q156–q170 and the round-4-certified q100–q132 block.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
@@ -4602,7 +4603,6 @@ _GATE_PREFIX = [
     "q75_rag_chunks",
     "q76_markov_transitions",
     "q77_welch_ab",
-    "q78_mad_outliers",
     # third-wave additions q208–q211 take the q145–q148 slots (that
     # block is twice-certified and rotates to round 10 with q149–q170;
     # never-certified queries always outrank a re-certification)
@@ -4610,8 +4610,8 @@ _GATE_PREFIX = [
     "q209_kruskal_wallis",
     "q210_theil_sen",
     "q211_cramers_v",
-    # q212–q220 take the q144 + q79–q86 tail slots (q144 twice-, the
-    # q64-cohort tail once-certified; all nine re-queue for round 10)
+    # q212–q221 take the q144 + q78–q86 tail slots (q144 twice-, the
+    # q64-cohort tail once-certified; all ten re-queue for round 10)
     "q212_mann_kendall",
     "q213_item_item_cosine",
     "q214_harmonic_centrality",
@@ -4621,6 +4621,7 @@ _GATE_PREFIX = [
     "q218_pmi_collocations",
     "q219_huber_regression",
     "q220_top_session_paths",
+    "q221_supplier_skyline",
     "q207_ktruss",
     "q204_column_profile",
     "q205_open_order_peaks",
@@ -5359,6 +5360,47 @@ def q220_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q221_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier Pareto front on (avg ship latency, unit price), both
+    minimized (operators/market.skyline_2d): the suppliers no rival
+    beats on BOTH dimensions — the multi-objective shortlist a
+    single-score ranking cannot give (any weighted score picks its
+    winner FROM this set). Sweep-based O(n log n): per-x minimum
+    collapse + one strict-prefix-min range exchange
+    (operators/prefix.partitioned_prefix_strict_min) — never the
+    definitional O(n²) dominance self-join the oracle runs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity",
+        "l_shipdate",
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    m = j.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        (
+            F.sum(
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                ).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_latency_days"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast(
+                "double"
+            )
+            / F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast(
+                "double"
+            )
+        ).alias("unit_price"),
+    )
+    sky = skyline_2d(m, "avg_latency_days", "unit_price")
+    return sky.select(
+        "s_suppkey",
+        F.round("avg_latency_days", 6).alias("avg_latency_days"),
+        F.round("unit_price", 6).alias("unit_price"),
+    )
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5531,6 +5573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_pmi_collocations": q218_pmi_collocations,
         "q219_huber_regression": q219_huber_regression,
         "q220_top_session_paths": q220_top_session_paths,
+        "q221_supplier_skyline": q221_supplier_skyline,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -11656,6 +11699,31 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
         ORDER BY n_sessions DESC, path
         LIMIT 25
+    """
+    # q221: definitional NOT-EXISTS dominance over the same metric
+    # frame — quadratic form, provably the same function as the
+    # operator's sweep (membership decided by identical doubles)
+    out["q221_supplier_skyline"] = """
+        WITH m AS (
+            SELECT l_suppkey AS s_suppkey,
+                   CAST(SUM(CAST(date_diff('day',
+                            CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) AS BIGINT))
+                        AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS lat,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8)))
+                        AS DOUBLE)
+                       / CAST(SUM(CAST(l_quantity AS DECIMAL(28,8)))
+                              AS DOUBLE) AS up
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, ROUND(lat, 6) AS avg_latency_days,
+               ROUND(up, 6) AS unit_price
+        FROM m p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m q
+            WHERE q.lat <= p.lat AND q.up <= p.up
+              AND (q.lat < p.lat OR q.up < p.up))
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

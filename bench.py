@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "q218_pmi_collocations",
     "q219_huber_regression",
     "q220_top_session_paths",
+    "q221_supplier_skyline",
 ]
 
 

@@ -232,3 +232,50 @@ def item_item_cosine(
             F.round(F.col("__cos"), 6).alias("cosine"),
         )
     )
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D skyline (Pareto front, Börzsönyi 2001), both dimensions
+    MINIMIZED: the rows no other row dominates (q dominates p iff
+    q.x <= p.x, q.y <= p.y, and strictly better in at least one) —
+    the multi-objective shortlist a single-score ranking cannot give
+    (every weighted sum of x and y picks its optimum FROM the
+    skyline). Exact duplicates are mutually non-dominating and all
+    survive.
+
+    Scale shape: never the definitional O(n²) dominance self-join —
+    the 2-D front is a SWEEP: collapse to the per-x minimum
+    (map-side-combinable, O(distinct x)), take the strict-prefix
+    minimum of y over x-ascending order
+    (operators/prefix.partitioned_prefix_strict_min — ONE range
+    exchange, no global window), and keep a row iff it achieves its
+    x's minimum y AND beats every smaller-x minimum. One join back to
+    the input on x. O(n log n) work at any scale.
+
+    Parity: membership is decided by comparisons of engine-identical
+    doubles, so the kept SET matches the definitional NOT-EXISTS SQL
+    (the oracle runs that quadratic form — different algorithm,
+    provably the same function; the q202 frontier-vs-fold pairing).
+    NULL/NaN in either dimension drops the row (unordered under
+    dominance).
+    """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        partitioned_prefix_strict_min,
+    )
+
+    xc, yc = F.col(x_col), F.col(y_col)
+    clean = df.filter(
+        xc.isNotNull()
+        & ~F.isnan(xc.cast("double"))
+        & yc.isNotNull()
+        & ~F.isnan(yc.cast("double"))
+    )
+    px = clean.groupBy(x_col).agg(F.min(y_col).alias("__ymin"))
+    pm = partitioned_prefix_strict_min(
+        px, [x_col], "__ymin", out_col="__pmin"
+    )
+    j = clean.join(pm, x_col)
+    return j.filter(
+        (yc == F.col("__ymin"))
+        & (F.col("__pmin").isNull() | (yc < F.col("__pmin")))
+    ).select(*df.columns)

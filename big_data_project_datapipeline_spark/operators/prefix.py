@@ -439,3 +439,63 @@ def ntile_from_rank(rank, n_rows, tiles: int):
         .otherwise(rem + _ceil_div(rank - big_span, q))
         .cast("int")
     )
+
+
+def partitioned_prefix_strict_min(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "__pmin",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive (strict-predecessor) running MIN over the global
+    order — the min-monoid sibling of :func:`partitioned_prefix`'s
+    running sums, for consumers like the 2-D skyline sweep that ask
+    "what is the best value among everything strictly before me".
+    Same device: one range exchange pinned to a single lazy
+    localCheckpoint materialization (the round-8 boundary-resampling
+    correctness requirement), per-partition windows, and an
+    O(partitions) broadcast of the strictly-prior partition minima
+    (min is associative and commutative, so per-partition
+    reassociation is exact for any totally ordered type — no decimal
+    caveat). ``order_cols`` must form a unique key. The first row in
+    the total order gets NULL (empty predecessor set).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    cols = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    ).withColumn("__pid", F.spark_partition_id())
+    part = part.localCheckpoint(eager=False)
+    totals = part.groupBy("__pid").agg(
+        F.min(value_col).alias("__pm")
+    )
+    # bounded O(partitions) frame; pmod keeps the boundedness explicit
+    # in the plan (the partitioned_prefix device)
+    woff = (
+        Window.partitionBy(F.pmod(F.col("__pid"), F.lit(1)))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid", F.min("__pm").over(woff).alias("__off_min")
+    )
+    wp = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # least() skips NULLs: first row of a partition folds in only the
+    # prior-partition minimum; the global first row stays NULL
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .select(
+            *df.columns,
+            F.least(
+                F.min(F.col(value_col)).over(wp), F.col("__off_min")
+            ).alias(out_col),
+        )
+    )

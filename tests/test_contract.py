@@ -75,7 +75,7 @@ def test_gate_prefix_rotation_invariants():
         "q193_", "q194_", "q195_", "q196_", "q197_", "q198_", "q199_", "q200_",
         "q201_", "q202_", "q203_", "q204_", "q205_", "q206_", "q207_",
         "q208_", "q209_", "q210_", "q211_", "q212_", "q213_", "q214_",
-        "q215_", "q216_", "q217_", "q218_", "q219_", "q220_",
+        "q215_", "q216_", "q217_", "q218_", "q219_", "q220_", "q221_",
         "q87_", "q175_", "q187_", "q189_", "q190_",
     }
     stranded = [

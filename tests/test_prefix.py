@@ -444,3 +444,40 @@ def test_ranged_frame_single_materialization_contract(spark):
         assert (agg["lo"], agg["hi"]) == (1, 5000)
         assert agg["nd"] == agg["n"] == 5000
         assert agg["glo"] == 1
+
+
+def test_partitioned_prefix_strict_min_across_forced_partitions(spark):
+    """Strict-predecessor running min must hold across range-partition
+    boundaries (3 forced partitions over 9 rows): the first row in the
+    total order is NULL, every other row sees min over everything
+    strictly before it — including a partition whose local minimum
+    arrives mid-partition."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        partitioned_prefix_strict_min,
+    )
+
+    vals = [(1, 5.0), (2, 3.0), (3, 7.0), (4, 2.0), (5, 9.0),
+            (6, 1.0), (7, 8.0), (8, 0.5), (9, 4.0)]
+    df = spark.createDataFrame(vals, ["k", "v"])
+    out = {
+        r["k"]: r["__pmin"]
+        for r in partitioned_prefix_strict_min(
+            df, ["k"], "v", num_partitions=3
+        ).collect()
+    }
+    run = None
+    for k, v in vals:
+        assert out[k] == run, (k, out[k], run)
+        run = v if run is None else min(run, v)
+
+
+def test_partitioned_prefix_strict_min_single_row_is_null(spark):
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        partitioned_prefix_strict_min,
+    )
+
+    df = spark.createDataFrame([(1, 9.0)], ["k", "v"])
+    assert (
+        partitioned_prefix_strict_min(df, ["k"], "v").first()["__pmin"]
+        is None
+    )

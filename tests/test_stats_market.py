@@ -1492,3 +1492,46 @@ def test_item_item_cosine_top_k_total_order_tie_break(spark):
     assert len(rows) == 1
     assert (rows[0]["item_a"], rows[0]["item_b"]) == ("A", "B")
     assert rows[0]["cosine"] == 1.0
+
+
+def test_skyline_2d_matches_definitional_dominance(spark):
+    """Mixed fixture with duplicate x values, duplicate (x, y) points,
+    and a dominated interior: the sweep's kept set equals the
+    definitional not-exists dominance set (exact duplicates are
+    mutually non-dominating and ALL survive)."""
+    from big_data_project_datapipeline_spark.operators.market import (
+        skyline_2d,
+    )
+
+    pts = [
+        ("a", 1.0, 5.0), ("b", 2.0, 3.0), ("c", 3.0, 3.0),
+        ("d", 4.0, 1.0), ("e", 2.0, 6.0), ("f", 4.0, 1.0),
+        ("g", 0.5, 9.0), ("h", 5.0, 0.5), ("i", 2.0, 3.0),
+        ("j", 6.0, 2.0),
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+
+    def dom(q, p):
+        return (
+            q[1] <= p[1]
+            and q[2] <= p[2]
+            and (q[1] < p[1] or q[2] < p[2])
+        )
+
+    ref = sorted(
+        p[0] for p in pts if not any(dom(q, p) for q in pts)
+    )
+    assert got == ref == ["a", "b", "d", "f", "g", "h", "i"]
+
+
+def test_skyline_2d_null_nan_rows_drop(spark):
+    from big_data_project_datapipeline_spark.operators.market import (
+        skyline_2d,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("b", None, 0.1), ("c", 0.1, float("nan"))],
+        ["id", "x", "y"],
+    )
+    assert [r["id"] for r in skyline_2d(df, "x", "y").collect()] == ["a"]

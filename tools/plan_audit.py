@@ -148,7 +148,16 @@ def collect_site_violations(pkg_dir: str) -> list[str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    spark = get_spark(app_name="plan-audit")
+    # Full FileScan metadata: the default maxMetadataStringLength (100)
+    # truncates a ReadSchema whose struct string is barely over 100
+    # chars — the closing '>' disappears and the wide-scan regex
+    # false-flags a PRUNED scan (first hit: q221's 5-column lineitem
+    # scan at 101 chars). With untruncated strings the {400,} test
+    # measures the actual schema, not the truncation artifact.
+    spark = get_spark(
+        app_name="plan-audit",
+        extra_conf={"spark.sql.maxMetadataStringLength": "4000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
     pkg = os.path.join(

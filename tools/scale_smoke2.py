@@ -107,6 +107,8 @@ QUERIES = [
     "q219_huber_regression",
     # session-path fold: two user-partitioned windows + string agg
     "q220_top_session_paths",
+    # skyline sweep: per-x collapse + one strict-prefix-min exchange
+    "q221_supplier_skyline",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10

@@ -680,6 +680,79 @@ def check_huber(spark, sf_dir) -> list[str]:
     return problems
 
 
+def check_skyline(spark, sf_dir) -> list[str]:
+    """q221 at decade scale: the sweep's kept set must EQUAL the
+    definitional dominance set, recomputed here via the O(n²)
+    crossJoin the operator never runs (affordable because the
+    supplier universe is dim-fixed at every decade) — the strongest
+    possible witness that the strict-prefix-min device is correct
+    over decade partition shapes."""
+    from big_data_project_datapipeline_spark.operators.market import (
+        skyline_2d,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_quantity",
+        "l_shipdate",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    m = j.groupBy(F.col("l_suppkey").alias("s")).agg(
+        (
+            F.sum(
+                F.datediff(
+                    F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                ).cast("long")
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("x"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast(
+                "double"
+            )
+            / F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast(
+                "double"
+            )
+        ).alias("y"),
+    )
+    m = m.persist()
+    got = {r["s"] for r in skyline_2d(m, "x", "y").collect()}
+    a = m.select(
+        F.col("s").alias("ps"), F.col("x").alias("px"),
+        F.col("y").alias("py"),
+    )
+    b = m.select(
+        F.col("x").alias("qx"), F.col("y").alias("qy")
+    )
+    dominated = (
+        a.crossJoin(b)
+        .filter(
+            (F.col("qx") <= F.col("px"))
+            & (F.col("qy") <= F.col("py"))
+            & (
+                (F.col("qx") < F.col("px"))
+                | (F.col("qy") < F.col("py"))
+            )
+        )
+        .select("ps")
+        .distinct()
+    )
+    want = {r["s"] for r in m.select("s").join(
+        dominated, m["s"] == dominated["ps"], "left_anti"
+    ).collect()}
+    m.unpersist()
+    problems = []
+    if got != want:
+        problems.append(
+            f"skyline: sweep set != definitional set "
+            f"(only-sweep {sorted(got - want)[:5]}, "
+            f"only-def {sorted(want - got)[:5]})"
+        )
+    return problems
+
+
 CHECKS = [
     ("prefix_ranks", check_prefix_ranks),
     ("rrf", check_rrf),
@@ -699,6 +772,7 @@ CHECKS = [
     ("logistic", check_logistic),
     ("naive_bayes", check_naive_bayes),
     ("huber", check_huber),
+    ("skyline", check_skyline),
 ]
 
 
