@@ -4576,59 +4576,63 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
-    "q193_personalized_pagerank",
-    "q194_vocab_coverage_curve",
-    "q195_textrank_keywords",
-    "q196_dup_cluster_sizes",
-    "q197_lsh_bucket_stats",
+    # round-10 additions (never driver-certified) always outrank
+    # re-certifications
+    "q222_c4_line_filter",
+    # every plan round 10 touches re-certifies: the IRLS family (the
+    # sketch-scale flag lands in their shared module) and the
+    # wedge/pair family (prepared pre-landing)
+    "q215_logistic_irls",
+    "q219_huber_regression",
+    "q121_triangle_count",
     "q198_clustering_coefficient",
     "q199_degree_assortativity",
-    "q200_corpus_dedup_summary",
-    "q87_pagerank",
-    "q175_hits",
-    "q187_connected_components",
-    "q189_cc_isolates",
-    "q190_weighted_pagerank",
-    "q64_semantic_dedup",
-    "q65_sequence_packing",
-    "q66_train_val_split",
-    "q67_funnel",
-    "q68_cohort_retention",
-    "q69_gap_fill_locf",
-    "q70_scd2",
-    "q71_bm25_search",
-    "q72_value_histogram",
-    "q73_fuzzy_match",
-    "q74_rolling_stats",
-    "q75_rag_chunks",
-    "q76_markov_transitions",
-    "q77_welch_ab",
-    # third-wave additions q208–q211 take the q145–q148 slots (that
-    # block is twice-certified and rotates to round 10 with q149–q170;
-    # never-certified queries always outrank a re-certification)
-    "q208_spearman_corr",
-    "q209_kruskal_wallis",
-    "q210_theil_sen",
-    "q211_cramers_v",
-    # q212–q221 take the q144 + q78–q86 tail slots (q144 twice-, the
-    # q64-cohort tail once-certified; all ten re-queue for round 10)
-    "q212_mann_kendall",
+    "q207_ktruss",
     "q213_item_item_cosine",
     "q214_harmonic_centrality",
-    "q215_logistic_irls",
-    "q216_naive_bayes",
-    "q217_ar2_daily",
-    "q218_pmi_collocations",
-    "q219_huber_regression",
-    "q220_top_session_paths",
-    "q221_supplier_skyline",
-    "q207_ktruss",
-    "q204_column_profile",
-    "q205_open_order_peaks",
-    "q206_fd_audit",
-    "q201_link_prediction",
-    "q202_seed_bfs_distance",
-    "q203_label_propagation",
+    # displaced-mid-round-9 set FIRST among fillers (NOTES_r9 plan):
+    # q144-q148 (twice-certified) + q80-q86 (once, round 4)
+    "q144_ks_drift",
+    "q145_benford_audit",
+    "q146_balance_anti",
+    "q147_mean_shift",
+    "q148_domain_cap",
+    "q80_trailing_ewma",
+    "q81_attribution",
+    "q82_robust_scale",
+    "q83_seasonal_anomalies",
+    "q84_equal_freq_bins",
+    "q85_target_encode",
+    "q86_feature_hashing",
+    # then q156-q170 (the q144-q170 remainder round 9 never reached)
+    "q156_day_completeness",
+    "q157_emd_drift",
+    "q158_bootstrap_ci",
+    "q159_log_odds",
+    "q160_km_conversion",
+    "q161_snapshot_diff",
+    "q162_negative_pairs",
+    "q163_positive_pairs",
+    "q164_mase",
+    "q165_stratified_ate",
+    "q166_quantile_normalize",
+    "q167_pit_labels",
+    "q168_retrieval_eval",
+    "q169_calibration",
+    "q170_tv_distance",
+    # stalest cohort after that: the round-4-certified q100-q132 block
+    "q100_dup_coverage",
+    "q101_bigram_model",
+    "q102_token_budget_sample",
+    "q103_zipf_fit",
+    "q104_token_diversity",
+    "q105_source_similarity",
+    "q106_tokenizer_fertility",
+    "q107_market_share",
+    "q108_oov_rate",
+    "q109_pq_audit",
+    "q110_curation_report",
+    "q111_dsir_importance",
 ]
 
 
@@ -5401,6 +5405,29 @@ def q221_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q222_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level C4 cleaning pass (functions/text.c4_line_filter;
+    Raffel et al. 2020 §2.2): per-doc kept/dropped line counts with
+    first-failing-rule attribution, the kept-word token-budget readout,
+    and the reassembled clean text — the per-LINE curation stage the
+    doc-level Gopher battery (q134) cannot express. Corpus-tuned
+    parameters: the synthetic corpus is punctuation-free single-line
+    prose, so ``require_terminal_punct=False`` (the punct rule is
+    pinned by the multi-line unit fixtures instead), ``min_words=40``
+    splits the 10–99-word distribution near its median, and the rare
+    corpus token ``dup`` stands in for a boilerplate phrase (~5% of
+    docs). Map-only, zero shuffle: each line is tagged once with its
+    rule code in a single struct-array transform; at 100 TB this is an
+    I/O-bound scan-transform pass."""
+    d = _t(spark, sf_dir, "documents")
+    return TX.c4_line_filter(
+        d,
+        min_words=40,
+        require_terminal_punct=False,
+        boilerplate_patterns=("dup",),
+    )
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5574,6 +5601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_huber_regression": q219_huber_regression,
         "q220_top_session_paths": q220_top_session_paths,
         "q221_supplier_skyline": q221_supplier_skyline,
+        "q222_c4_line_filter": q222_c4_line_filter,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -11724,6 +11752,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM m q
             WHERE q.lat <= p.lat AND q.up <= p.up
               AND (q.lat < p.lat OR q.up < p.up))
+    """
+    # q222: list_transform/list_filter mirror of the struct-array line
+    # tagger — same first-failing-rule CASE, kept lines re-selected by
+    # index (DuckDB lambdas can't struct_extract an unnamed zip);
+    # coalesce('') matches Spark's array_join on the all-dropped doc
+    out["q222_c4_line_filter"] = r"""
+        WITH staged AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ln
+            FROM documents),
+        coded AS (
+            SELECT doc_id, ln,
+                list_transform(ln, l -> CASE
+                    WHEN len(list_filter(regexp_split_to_array(l,
+                        '\s+'), t -> t <> '')) < 40 THEN 1
+                    WHEN contains(lower(l), 'dup') THEN 3
+                    WHEN contains(l, '{') OR contains(l, '}') THEN 4
+                    ELSE 0 END) AS cd
+            FROM staged)
+        SELECT doc_id,
+            CAST(len(ln) AS BIGINT) AS n_lines,
+            CAST(len(list_filter(cd, c -> c = 0)) AS BIGINT) AS n_kept,
+            CAST(len(list_filter(cd, c -> c = 1)) AS BIGINT) AS n_short,
+            CAST(0 AS BIGINT) AS n_no_punct,
+            CAST(len(list_filter(cd, c -> c = 3)) AS BIGINT)
+                AS n_boilerplate,
+            CAST(len(list_filter(cd, c -> c = 4)) AS BIGINT) AS n_brace,
+            CAST(COALESCE(list_sum(list_transform(
+                list_filter(range(1, len(ln) + 1), i -> cd[i] = 0),
+                i -> len(list_filter(regexp_split_to_array(ln[i],
+                    '\s+'), t -> t <> '')))), 0) AS BIGINT) AS kept_words,
+            COALESCE(array_to_string(list_transform(
+                list_filter(range(1, len(ln) + 1), i -> cd[i] = 0),
+                i -> ln[i]), chr(10)), '') AS text_clean
+        FROM coded
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

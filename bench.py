@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "q219_huber_regression",
     "q220_top_session_paths",
     "q221_supplier_skyline",
+    "q222_c4_line_filter",
 ]
 
 

@@ -67,16 +67,14 @@ def test_gate_prefix_rotation_invariants():
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
     # round-9 rotation: the two round-8 additions that missed the r8
-    # gate (the only entries ever registered without a driver row),
-    # the three round-9 new queries, and every plan round 9 touched
-    # (operators/graph.py fixes → pagerank/HITS/CC consumers) must
-    # occupy certified slots
+    # round-10 contract: the never-certified additions plus every plan
+    # round 10 touches (the IRLS family's shared quality/sketches
+    # modules and the wedge/pair prepared pre-landing) must occupy
+    # certified slots
     must_certify = {
-        "q193_", "q194_", "q195_", "q196_", "q197_", "q198_", "q199_", "q200_",
-        "q201_", "q202_", "q203_", "q204_", "q205_", "q206_", "q207_",
-        "q208_", "q209_", "q210_", "q211_", "q212_", "q213_", "q214_",
-        "q215_", "q216_", "q217_", "q218_", "q219_", "q220_", "q221_",
-        "q87_", "q175_", "q187_", "q189_", "q190_",
+        "q222_",
+        "q215_", "q219_",
+        "q121_", "q198_", "q199_", "q207_", "q213_", "q214_",
     }
     stranded = [
         n

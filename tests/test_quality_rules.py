@@ -1646,3 +1646,96 @@ class TestRrfFusion:
         assert out[10]["rank_b"] == 2 and out[30]["rank_b"] == 1
         assert out[20]["rrf_score"] == round(1.0 / 62.0, 6)
         assert out[10]["rrf_score"] == round(1.0 / 61.0 + 1.0 / 62.0, 6)
+
+
+class TestC4LineFilter:
+    """Round-10: line-level C4 cleaning (text.c4_line_filter).
+    Rule-cascade attribution, boundary values, reassembly order, and
+    the all-dropped / empty-text degenerate stories."""
+
+    def _run(self, spark, text, **kw):
+        from big_data_project_datapipeline_spark.functions.text import (
+            c4_line_filter,
+        )
+
+        return c4_line_filter(_docs(spark, [(1, text)]), **kw).first()
+
+    def test_mixed_doc_per_rule_attribution(self, spark):
+        out = self._run(
+            spark,
+            "This is a good long sentence with many words here.\n"
+            "short one\n"
+            "Enable javascript to view this page properly okay.\n"
+            "function foo() { return 1; }\n"
+            'Another fine long sentence that ends with a quote."',
+        )
+        assert out["n_lines"] == 5
+        assert out["n_kept"] == 2
+        assert out["n_short"] == 1
+        # the brace line fails terminal punct BEFORE the brace rule —
+        # the documented first-failing cascade priority
+        assert out["n_no_punct"] == 1
+        assert out["n_boilerplate"] == 1
+        assert out["n_brace"] == 0
+        assert out["kept_words"] == 19
+        assert out["text_clean"] == (
+            "This is a good long sentence with many words here.\n"
+            'Another fine long sentence that ends with a quote."'
+        )
+
+    def test_brace_rule_fires_on_punct_terminated_line(self, spark):
+        out = self._run(
+            spark, "A braces line has some words { inside } and ends fine."
+        )
+        assert out["n_brace"] == 1 and out["n_kept"] == 0
+        assert out["text_clean"] == ""
+
+    def test_min_words_boundary_inclusive(self, spark):
+        # exactly min_words survives; one fewer drops as short
+        keep = self._run(spark, "Exactly five words ending here.")
+        drop = self._run(spark, "Only four words here.")
+        assert keep["n_kept"] == 1 and keep["kept_words"] == 5
+        assert drop["n_short"] == 1 and drop["n_kept"] == 0
+
+    def test_terminal_punct_variants(self, spark):
+        for tail in [".", "!", "?", '"']:
+            out = self._run(
+                spark, f"A line with enough words ending properly{tail}"
+            )
+            assert out["n_kept"] == 1, tail
+        # trailing spaces are rtrimmed before the punct check
+        out = self._run(spark, "A line with enough words ending properly.   ")
+        assert out["n_kept"] == 1
+        out = self._run(spark, "a long enough line with no terminal mark")
+        assert out["n_no_punct"] == 1 and out["n_kept"] == 0
+
+    def test_punct_rule_gated_off(self, spark):
+        out = self._run(
+            spark,
+            "a long enough line with no terminal mark",
+            require_terminal_punct=False,
+        )
+        assert out["n_kept"] == 1 and out["n_no_punct"] == 0
+
+    def test_boilerplate_case_insensitive(self, spark):
+        out = self._run(
+            spark, "Read our Cookie Policy before continuing to browse."
+        )
+        assert out["n_boilerplate"] == 1
+
+    def test_empty_text_single_short_line(self, spark):
+        out = self._run(spark, "")
+        assert out["n_lines"] == 1 and out["n_short"] == 1
+        assert out["kept_words"] == 0 and out["text_clean"] == ""
+
+    def test_reassembly_preserves_line_order(self, spark):
+        out = self._run(
+            spark,
+            "Alpha line one has plenty of words to survive easily.\n"
+            "skip\n"
+            "Beta line two also has plenty of words to survive easily.",
+        )
+        assert out["text_clean"].split("\n") == [
+            "Alpha line one has plenty of words to survive easily.",
+            "Beta line two also has plenty of words to survive easily.",
+        ]
