@@ -3456,6 +3456,83 @@ def logistic_irls(
     )
 
 
+def _hist_median(
+    j: DataFrame,
+    gcols: list,
+    expr,
+    n_bins: int,
+    out_name: str,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """Per-group MERGEABLE median estimate for the IRLS frozen-scale
+    step (the 100 TB twin of the exact interpolated percentile): one
+    bounds aggregate + one equi-width bin count (both map-side
+    combinable, O(groups × n_bins) state — the histogram_quantile_
+    estimate device, sketches.py/q185) + a window over the COLLAPSED
+    bin frame (bounded at n_bins rows per group, never the row
+    stream). Estimate = MIDPOINT of the first bin whose cumulative
+    count reaches the nearest-rank target ceil(n/2); the true
+    nearest-rank element lies inside that bin, so
+    |estimate − element| <= bin width / 2. Midpoint, not the q185
+    lower edge, DELIBERATELY: a scale estimate must never collapse to
+    exactly 0 on an outlier-stretched grid (median deviation below
+    one bin width is the COMMON case when outliers stretch the range
+    — lower-edge would return 0.0 there and trip the degenerate-scale
+    guard, silently reverting the robust fit to the ruined OLS; the
+    guard must mean "all values identical", which midpoint preserves:
+    estimate is 0 only when the grid itself is zero-width).
+    Zero-width groups collapse to bin 0 with estimate == the single
+    value (exact).
+
+    ``bounds`` (optional): a pre-computed per-group
+    (__rmin, __rmax, __n) frame freezing the grid — saves the bounds
+    scan when the caller can derive a covering range from state it
+    already holds (the huber MAD grid: |r − med| <= max(rmax − med,
+    med − rmin) exactly, from the residual bounds + median). The grid
+    must COVER the values; psi_bin clamps strays, but a too-wide grid
+    only widens the error bound, never breaks it."""
+    vals = j.select(*gcols, expr.cast("double").alias("__v"))
+    if bounds is None:
+        bounds = vals.groupBy(*gcols).agg(
+            F.min("__v").alias("__rmin"),
+            F.max("__v").alias("__rmax"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+    joined = (
+        vals.join(F.broadcast(bounds), gcols)
+        if gcols
+        else vals.crossJoin(F.broadcast(bounds))
+    )
+    binned = joined.groupBy(
+        *gcols,
+        psi_bin(
+            F.col("__v"), F.col("__rmin"), F.col("__rmax"), n_bins
+        ).alias("__bin"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.select(
+        *gcols, "__bin", F.sum("__c").over(wcum).alias("__cum")
+    )
+    cum = (
+        cum.join(F.broadcast(bounds), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(bounds))
+    )
+    width = (F.col("__rmax") - F.col("__rmin")) / F.lit(float(n_bins))
+    mid = (
+        F.col("__rmin")
+        + (F.col("__bin").cast("double") + F.lit(0.5)) * width
+    )
+    target = F.expr("(__n + 1) div 2")
+    return cum.groupBy(*gcols).agg(
+        F.min(F.when(F.col("__cum") >= target, mid)).alias(out_name)
+    )
+
+
 def huber_irls(
     df: DataFrame,
     y_col: str,
@@ -3464,6 +3541,8 @@ def huber_irls(
     group_cols: Sequence[str] = (),
     n_reweights: int = 2,
     c: float = 1.345,
+    scale_estimator: str = "exact",
+    scale_bins: int = 64,
 ) -> DataFrame:
     """Huber robust regression per group — y = b0 + b1·x1 + b2·x2 fit
     by OLS-initialized IRLS with EXACTLY ``n_reweights`` reweighted
@@ -3487,13 +3566,18 @@ def huber_irls(
     Scale shape: n_reweights + 3 passes over the (pruned) rows — two
     percentile aggregates for the frozen scale, one moment aggregate
     per pass, O(groups) broadcast state between passes. Never a
-    matrix library, never a UDF. The EXACT medians are the one
-    deliberately non-mergeable piece (Spark's percentile buffers a
-    group's values in the aggregate): they buy bit-reproducibility at
-    the gate SFs; at true 100 TB swap the frozen-scale step to the
-    mergeable histogram-quantile sketch (sketches.
-    histogram_quantile_estimate, q185 — |err| <= bin width, which a
-    c·s threshold tolerates) and everything else scales unchanged.
+    matrix library, never a UDF. With the default
+    ``scale_estimator="exact"`` the medians are the one deliberately
+    non-mergeable piece (Spark's percentile buffers a group's values
+    in the aggregate): they buy bit-reproducibility at the gate SFs.
+    ``scale_estimator="sketch"`` is the 100 TB path: both medians come
+    from the mergeable equi-width histogram device (``_hist_median``,
+    the sketches.histogram_quantile_estimate/q185 estimator,
+    ``scale_bins`` bins) — O(groups × bins) aggregate state, no
+    per-group value buffer, |median error| <= one bin width, which the
+    c·s weight threshold tolerates (weights are continuous in s;
+    unit-test-pinned within-bound vs the exact path). Default stays
+    exact for driver-gate parity.
     """
     gcols = list(group_cols)
     yv, x1v, x2v = F.col(y_col), F.col(x1_col), F.col(x2_col)
@@ -3587,18 +3671,65 @@ def huber_irls(
     # pass 1: plain OLS (w = 1)
     beta = _solve(_moments(rows, F.lit(1.0)), keep=[])
     # passes 2-3: frozen preliminary scale from the OLS residuals
-    med = _join(beta).groupBy(*gcols).agg(
-        F.percentile(_resid(), F.lit(0.5)).alias("__med")
-    )
-    beta_m = beta.join(med, gcols) if gcols else beta.crossJoin(
-        F.broadcast(med)
-    )
-    mad = _join(beta_m).groupBy(*gcols).agg(
-        F.max("__med").alias("__med"),
-        F.percentile(F.abs(_resid() - F.col("__med")), F.lit(0.5)).alias(
-            "__mad"
-        ),
-    )
+    if scale_estimator == "sketch":
+        # mergeable frozen-scale path (the promised 100 TB swap): both
+        # medians come from the O(groups × scale_bins) histogram
+        # device — no per-group value buffer anywhere; |error| <= one
+        # bin width per median, which the c·s weight threshold
+        # tolerates (weights are continuous in s). THREE row scans
+        # total (residual bounds, residual bins, deviation bins): the
+        # MAD grid needs no bounds scan because max|r − med| ==
+        # max(rmax − med, med − rmin) exactly (med lies in
+        # [rmin, rmax] by construction — a bin lower edge of that
+        # grid), so its grid derives from state already in hand.
+        rb = _join(beta).groupBy(*gcols).agg(
+            F.min(_resid()).alias("__rmin"),
+            F.max(_resid()).alias("__rmax"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        med = _hist_median(
+            _join(beta), gcols, _resid(), scale_bins, "__med", bounds=rb
+        )
+        beta_m = beta.join(med, gcols) if gcols else beta.crossJoin(
+            F.broadcast(med)
+        )
+        mad_bounds = (
+            rb.join(med, gcols) if gcols else rb.crossJoin(F.broadcast(med))
+        ).select(
+            *gcols,
+            F.lit(0.0).alias("__rmin"),
+            F.greatest(
+                F.col("__rmax") - F.col("__med"),
+                F.col("__med") - F.col("__rmin"),
+            ).alias("__rmax"),
+            F.col("__n"),
+        )
+        mad = _hist_median(
+            _join(beta_m),
+            gcols,
+            F.abs(_resid() - F.col("__med")),
+            scale_bins,
+            "__mad",
+            bounds=mad_bounds,
+        )
+    elif scale_estimator == "exact":
+        med = _join(beta).groupBy(*gcols).agg(
+            F.percentile(_resid(), F.lit(0.5)).alias("__med")
+        )
+        beta_m = beta.join(med, gcols) if gcols else beta.crossJoin(
+            F.broadcast(med)
+        )
+        mad = _join(beta_m).groupBy(*gcols).agg(
+            F.max("__med").alias("__med"),
+            F.percentile(
+                F.abs(_resid() - F.col("__med")), F.lit(0.5)
+            ).alias("__mad"),
+        )
+    else:
+        raise ValueError(
+            f"scale_estimator must be 'exact' or 'sketch', got "
+            f"{scale_estimator!r}"
+        )
     scale = mad.select(
         *gcols, (F.lit(1.4826) * F.col("__mad")).alias("__s")
     )

@@ -622,3 +622,101 @@ def test_huber_null_nan_rows_drop(spark):
     rows.append(("g", 1.0, float("nan"), 5.0))
     df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
     assert huber_irls(df, "y", "x1", "x2", ["g"]).first()["n"] == 8
+
+
+# ------------------------- huber sketch-scale path (round-10, 100 TB)
+
+
+def test_huber_sketch_scale_within_bin_width_bound(spark):
+    """The mergeable histogram frozen-scale path: on an odd-n fixture
+    (exact median == nearest-rank element, no interpolation gap) the
+    sketch scale must sit within 1.4826x the two stacked bin-width
+    bounds of the exact scale — the |err| <= bin width contract of the
+    lower-edge estimator, once for the residual median and once for
+    the MAD."""
+    import math
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        huber_irls,
+    )
+
+    rows = [
+        ("g", float(x1), float(x2), 1.0 + 2.0 * x1 + 3.0 * x2
+         + 0.1 * math.sin(7.0 * x1 + x2))
+        for x1 in range(7)
+        for x2 in range(5)
+    ]
+    rows.append(("g", 2.0, 2.0, 400.0))  # 36 rows: odd after clean
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    exact = huber_irls(df, "y", "x1", "x2", ["g"], n_reweights=2).first()
+    sk = huber_irls(
+        df, "y", "x1", "x2", ["g"], n_reweights=2,
+        scale_estimator="sketch", scale_bins=64,
+    ).first()
+    # residual range is dominated by the outlier (~400); each median
+    # carries <= range/64 of estimator error, MAD additionally absorbs
+    # the median's shift
+    resid_range = 450.0
+    bound = 1.4826 * 3.0 * (resid_range / 64.0)
+    assert abs(sk["scale"] - exact["scale"]) <= bound
+    # and the sketch-path fit still rejects the outlier like exact
+    assert abs(sk["b1"] - 2.0) < 0.1
+    assert abs(sk["b2"] - 3.0) < 0.1
+
+
+def test_huber_sketch_scale_exact_on_zero_width_groups(spark):
+    """All residuals identical (perfect plane): the histogram
+    degenerates to one zero-width bin and the sketch path reproduces
+    the exact path bit-for-bit (scale 0, frozen OLS plane)."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        huber_irls,
+    )
+
+    rows = [
+        ("g", float(x1), float(x2), 1.0 + 2.0 * x1 + 3.0 * x2)
+        for x1 in range(4)
+        for x2 in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    ex = huber_irls(df, "y", "x1", "x2", ["g"], n_reweights=2).first()
+    sk = huber_irls(
+        df, "y", "x1", "x2", ["g"], n_reweights=2,
+        scale_estimator="sketch",
+    ).first()
+    assert (sk["scale"], sk["b0"], sk["b1"], sk["b2"]) == (
+        ex["scale"], ex["b0"], ex["b1"], ex["b2"],
+    )
+
+
+def test_huber_sketch_plan_has_no_percentile_buffer(spark):
+    """The point of the flag: the sketch path's physical plan must
+    contain NO percentile aggregate (the non-mergeable per-group value
+    buffer), while the exact path's does."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        huber_irls,
+    )
+
+    rows = [("g", float(i), float(i % 3), float(i)) for i in range(9)]
+    df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    exact_plan = (
+        huber_irls(df, "y", "x1", "x2", ["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sketch_plan = (
+        huber_irls(df, "y", "x1", "x2", ["g"], scale_estimator="sketch")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "percentile" in exact_plan
+    assert "percentile" not in sketch_plan
+
+
+def test_huber_bad_scale_estimator_raises(spark):
+    import pytest as _pytest
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        huber_irls,
+    )
+
+    df = spark.createDataFrame([("g", 1.0, 1.0, 1.0)], ["g", "x1", "x2", "y"])
+    with _pytest.raises(ValueError, match="scale_estimator"):
+        huber_irls(df, "y", "x1", "x2", ["g"], scale_estimator="nope")
