@@ -28,21 +28,14 @@ from big_data_project_datapipeline_spark.operators.caching import (
 )
 
 
-def copurchase_lift(
+def _pair_stats(
     lines: DataFrame,
     basket_col: str,
     item_col: str,
-    min_pair_count: int = 2,
-) -> DataFrame:
-    """Support and lift for every unordered item pair co-occurring in at
-    least ``min_pair_count`` baskets.
-
-    support(a,b) = pairs(a,b) / n_baskets;
-    lift(a,b) = support(a,b) / (support(a) * support(b))
-              = pairs(a,b) * n_baskets / (baskets(a) * baskets(b)).
-    Both rounded to 6 (pure double arithmetic on exact counts — engine
-    reproducible given the same expression structure).
-    """
+    min_pair_count: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pair-statistics build (see :func:`basket_pair_stats`).
+    Returns (stats frame, persisted baskets handle)."""
     # ONE shuffle on the basket key builds the per-basket distinct item
     # array (collect_set is bounded by basket size); pairs are then
     # generated MAP-SIDE from the sorted array — a self-join on the
@@ -94,7 +87,73 @@ def copurchase_lift(
         )
         .crossJoin(F.broadcast(totals))
     )
-    result = out.select(
+    return out, baskets
+
+
+def basket_pair_stats(
+    lines: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """The LANDABLE pair-statistics frame shared by the whole
+    co-occurrence family: one flat row per unordered item pair
+    (item_a < item_b) co-occurring in >= ``min_pair_count`` baskets —
+    ``(item_a, item_b, pair_n, n_a, n_b, n_baskets)``. Everything
+    downstream is a cheap closing expression over this frame:
+    :func:`copurchase_lift` (support/lift), :func:`item_item_cosine`
+    (cosine + top-k), and the support-graph family (edges =
+    ``select(item_a AS src, item_b AS dst)`` — the same pair set the
+    within-basket self-join build produces, unit-test-pinned).
+
+    This is the 100 TB pre-landing artifact (the pagerank
+    ``prepared=True`` story for the wedge/pair family, VERDICT r9
+    item 4): the pair explosion + its external sort is the single
+    largest measured cost of the family at decade scale (sf10: 37.7 GB
+    spill under q213, 59.2 GB under q214's support-edge twin). Land it
+    ONCE per corpus tick with ``sinks.write_bucketed(stats,
+    "copurchase_pairs", "item_a", sort_col="item_a")`` and every
+    ranking / graph job in the deployment window reads a bucket-local
+    parquet scan instead of re-exploding baskets. One-shot jobs should
+    keep the in-session build (the landing costs one materialization —
+    the same honest framing as the r9 pagerank decision).
+    """
+    out, baskets = _pair_stats(lines, basket_col, item_col, min_pair_count)
+    return attach_cache_release(out, (baskets,))
+
+
+def copurchase_lift(
+    lines: DataFrame | None,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_pair_count: int = 2,
+    prepared_stats: DataFrame | None = None,
+) -> DataFrame:
+    """Support and lift for every unordered item pair co-occurring in at
+    least ``min_pair_count`` baskets.
+
+    support(a,b) = pairs(a,b) / n_baskets;
+    lift(a,b) = support(a,b) / (support(a) * support(b))
+              = pairs(a,b) * n_baskets / (baskets(a) * baskets(b)).
+    Both rounded to 6 (pure double arithmetic on exact counts — engine
+    reproducible given the same expression structure).
+
+    ``prepared_stats``: a pre-landed :func:`basket_pair_stats` frame
+    (``lines`` is then unused and may be None) — the closing select
+    runs directly over the landed table, bit-equal to the default path
+    by construction (same expressions over the same frame).
+    """
+    if prepared_stats is not None:
+        stats: DataFrame = prepared_stats
+        handles: tuple[DataFrame, ...] = ()
+    elif lines is not None:
+        stats, baskets = _pair_stats(
+            lines, basket_col, item_col, min_pair_count
+        )
+        handles = (baskets,)
+    else:
+        raise ValueError("pass lines= or prepared_stats=")
+    result = stats.select(
         "item_a",
         "item_b",
         "pair_n",
@@ -110,7 +169,7 @@ def copurchase_lift(
     # The persisted per-basket arrays release with the result (auto on
     # GC, or operators.caching.release_caches) instead of pinning
     # executor memory for the session lifetime.
-    return attach_cache_release(result, (baskets,))
+    return attach_cache_release(result, handles)
 
 
 def frequent_triples(
@@ -181,11 +240,12 @@ def frequent_triples(
 
 
 def item_item_cosine(
-    lines: DataFrame,
-    basket_col: str,
-    item_col: str,
+    lines: DataFrame | None,
+    basket_col: str = "basket",
+    item_col: str = "item",
     min_pair_count: int = 2,
     top_k: int = 100,
+    prepared_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Item-item cosine similarity over basket co-occurrence — the
     collaborative-filtering "customers also bought" score:
@@ -203,9 +263,17 @@ def item_item_cosine(
     no global sort materialized, and the tie-break makes the kept SET
     engine-reproducible (counts are exact, sqrt/division is one
     correctly-rounded IEEE chain on integer-valued doubles).
+
+    ``prepared_stats``: a pre-landed :func:`basket_pair_stats` frame
+    (``lines`` then unused) — the repeated-recommendation deployment
+    shape; bit-equal to the default path by construction.
     """
     scored = copurchase_lift(
-        lines, basket_col, item_col, min_pair_count=min_pair_count
+        lines,
+        basket_col,
+        item_col,
+        min_pair_count=min_pair_count,
+        prepared_stats=prepared_stats,
     ).select(
         "item_a",
         "item_b",

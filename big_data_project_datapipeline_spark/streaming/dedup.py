@@ -22,8 +22,9 @@ semantics) with the ingest/FE streaming twins' exactly-once story:
   is one equi-join on the gram key. The index itself is the large
   state — O(distinct grams) rows of one string column; lay it out
   bucketed on the gram (``sinks.write_bucketed``) and compact
-  periodically (``sinks.compact_parquet``) to keep the join shuffle
-  one-sided at scale.
+  periodically (:func:`compact_gram_index` — shard count and fold
+  cost stay bounded, measured over a 50-tick run in the tests /
+  NOTES_r10) to keep the join shuffle one-sided at scale.
 """
 
 from __future__ import annotations
@@ -154,3 +155,89 @@ def stream_substring_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_gram_index(
+    spark: SparkSession, index_dir: str, upto_batch_id: int
+) -> int:
+    """The documented "compact periodically" maintenance job, as code
+    (VERDICT r9 item 8): merge every gram shard with batch id <
+    ``upto_batch_id`` into ONE distinct-gram shard, bounding the
+    fold's union cost at O(1 merged + recent shards) instead of
+    O(ticks). Ticks write their full distinct-gram set (simple,
+    replay-idempotent), so grams repeat across shards and the raw
+    ledger grows with ticks even when the gram population doesn't —
+    this job reclaims that.
+
+    Pass the latest CHECKPOINT-COMMITTED batch id: shards >=
+    ``upto_batch_id`` are untouched, so the one batch that can ever
+    replay (the latest, if its commit crashed) still finds the
+    pre-batch state and still excludes its own shard.
+
+    Crash-safe by idempotent redundancy, never by a delete-first
+    window: (1) the merged distinct union writes to a tmp name
+    the loader never matches; (2) one atomic rename publishes it as
+    ``grams_merged_<maxid>_g<gen>`` (matched by the loader's
+    ``grams_`` prefix, never matched by an ``exclude_batch_id``, and
+    the generation counter — one past the highest among the sources —
+    guarantees the published name NEVER collides with a source, so no
+    source is ever deleted before the merged copy is live); (3) only
+    then are the source shards deleted one by one. A crash at ANY
+    point leaves the loaded union a superset-with-duplicates of the
+    true gram set — and ``load_gram_index`` distincts — so correctness
+    never depends on completing the sweep; the next compaction absorbs
+    leftovers (merged shards with maxid < upto re-merge like plain
+    ones). Returns the number of shards merged (0 = nothing to do)."""
+    import os
+    import shutil
+
+    def parse(name: str) -> tuple[int, int] | None:
+        """(batch id, generation) of a shard name, else None."""
+        if name.startswith("grams_merged_"):
+            tail = name[len("grams_merged_"):]
+            parts = tail.split("_g")
+            if (
+                len(parts) == 2
+                and parts[0].isdigit()
+                and parts[1].isdigit()
+            ):
+                return int(parts[0]), int(parts[1])
+            return None
+        if name.startswith("grams_"):
+            tail = name[len("grams_"):]
+            return (int(tail), 0) if tail.isdigit() else None
+        return None
+
+    try:
+        entries = sorted(os.listdir(index_dir))
+    except FileNotFoundError:
+        return 0
+    merge = [
+        d for d in entries if (p := parse(d)) is not None and p[0] < upto_batch_id
+    ]
+    if len(merge) < 2:
+        return 0
+    max_id = max(parse(d)[0] for d in merge)
+    gen = 1 + max(parse(d)[1] for d in merge)
+    # any name without the "grams_" prefix is invisible to the loader;
+    # an UNHIDDEN tmp name keeps the verification read off Spark's
+    # hidden-path filter (dot/underscore prefixes warn and are
+    # version-fragile there)
+    tmp = os.path.join(index_dir, "compact.tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    paths = [os.path.join(index_dir, d) for d in merge]
+    merged = spark.read.parquet(*paths).select("w").distinct()
+    merged.write.mode("overwrite").parquet(tmp)
+    n_src = spark.read.parquet(*paths).select("w").distinct().count()
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n_src:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_gram_index: merged shard row count {n_tmp} != "
+            f"source distinct count {n_src}; aborted, sources kept"
+        )
+    dst = os.path.join(index_dir, f"grams_merged_{max_id}_g{gen}")
+    os.replace(tmp, dst)
+    for d in merge:
+        shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    return len(merge)

@@ -1535,3 +1535,121 @@ def test_skyline_2d_null_nan_rows_drop(spark):
         ["id", "x", "y"],
     )
     assert [r["id"] for r in skyline_2d(df, "x", "y").collect()] == ["a"]
+
+
+# ---------------- prepared pair-stats pre-landing (round-10, 100 TB)
+
+
+def _basket_lines(spark):
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 20), (3, 40),
+        (4, 30), (4, 40),
+        (5, 10), (5, 10),  # duplicate item in one basket collapses
+        (6, 50),           # singleton basket contributes no pair
+    ]
+    return spark.createDataFrame(rows, ["basket", "item"])
+
+
+def test_copurchase_lift_prepared_equals_default(spark):
+    from big_data_project_datapipeline_spark.operators.market import (
+        basket_pair_stats,
+        copurchase_lift,
+    )
+
+    lines = _basket_lines(spark)
+    default = copurchase_lift(lines, "basket", "item").collect()
+    stats = basket_pair_stats(lines, "basket", "item")
+    prepared = copurchase_lift(None, prepared_stats=stats).collect()
+    key = lambda r: (r["item_a"], r["item_b"])  # noqa: E731
+    assert sorted(map(tuple, prepared), key=lambda t: t[:2]) == sorted(
+        map(tuple, default), key=lambda t: t[:2]
+    )
+    assert len(default) > 0
+
+
+def test_item_item_cosine_prepared_equals_default(spark):
+    from big_data_project_datapipeline_spark.operators.market import (
+        basket_pair_stats,
+        item_item_cosine,
+    )
+
+    lines = _basket_lines(spark)
+    default = item_item_cosine(lines, "basket", "item", top_k=5).collect()
+    stats = basket_pair_stats(lines, "basket", "item")
+    prepared = item_item_cosine(
+        None, top_k=5, prepared_stats=stats
+    ).collect()
+    assert [tuple(r) for r in prepared] == [tuple(r) for r in default]
+
+
+def test_pair_stats_bucketed_roundtrip_bit_equal(spark, tmp_path):
+    """The full pre-landing story: land basket_pair_stats bucketed,
+    read it back, and the prepared cosine equals the in-session one
+    bit-for-bit (parquet round-trip of exact longs)."""
+    from big_data_project_datapipeline_spark import sinks
+    from big_data_project_datapipeline_spark.operators.market import (
+        basket_pair_stats,
+        item_item_cosine,
+    )
+
+    lines = _basket_lines(spark)
+    sinks.write_bucketed(
+        basket_pair_stats(lines, "basket", "item"),
+        "t_pair_stats_rt",
+        "item_a",
+        num_buckets=4,
+        sort_col="item_a",
+    )
+    try:
+        prepared = item_item_cosine(
+            None, top_k=5, prepared_stats=spark.table("t_pair_stats_rt")
+        ).collect()
+        default = item_item_cosine(
+            lines, "basket", "item", top_k=5
+        ).collect()
+        assert [tuple(r) for r in prepared] == [tuple(r) for r in default]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_pair_stats_rt")
+
+
+def test_pair_stats_edges_equal_selfjoin_support_device(spark):
+    """The support>=2 graph family contract: edges derived from the
+    landed stats frame are exactly the within-basket self-join
+    device's pair set (distinct items per basket, a < b, count >= 2
+    across baskets) — so one landed table serves q79/q213 AND the
+    q121/q198/q199/q207/q214 wedge/graph consumers."""
+    from big_data_project_datapipeline_spark.operators.market import (
+        basket_pair_stats,
+    )
+
+    lines = _basket_lines(spark)
+    op = lines.select("basket", "item").distinct()
+    a = op.select(F.col("basket").alias("k"), F.col("item").alias("src"))
+    b = op.select(F.col("basket").alias("k"), F.col("item").alias("dst"))
+    selfjoin = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    stats = basket_pair_stats(lines, "basket", "item", min_pair_count=2)
+    derived = stats.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("pair_n").alias("n"),
+    ).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, selfjoin))
+    assert len(selfjoin) > 0
+
+
+def test_copurchase_lift_requires_input(spark):
+    from big_data_project_datapipeline_spark.operators.market import (
+        copurchase_lift,
+    )
+
+    with pytest.raises(ValueError, match="lines= or prepared_stats="):
+        copurchase_lift(None)
