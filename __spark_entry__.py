@@ -58,6 +58,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     mean_shift_scan,
     mutual_information,
     point_in_time_labels,
+    kendall_tau_daily,
     fk_orphan_report,
     grouped_acf,
     grouped_auc,
@@ -4579,9 +4580,15 @@ _GATE_PREFIX = [
     # round-10 additions (never driver-certified) always outrank
     # re-certifications
     "q222_c4_line_filter",
+    "q223_kendall_tau",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
+    # q210/q212 share the daily-pair prelude the round-10
+    # CartesianProduct fix touched (grouped plans unchanged;
+    # re-certified anyway per the touched-plan contract)
+    "q210_theil_sen",
+    "q212_mann_kendall",
     "q215_logistic_irls",
     "q219_huber_regression",
     "q121_triangle_count",
@@ -4630,9 +4637,6 @@ _GATE_PREFIX = [
     "q106_tokenizer_fertility",
     "q107_market_share",
     "q108_oov_rate",
-    "q109_pq_audit",
-    "q110_curation_report",
-    "q111_dsir_importance",
 ]
 
 
@@ -5428,6 +5432,23 @@ def q222_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q223_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily mean value and daily event volume
+    per event type (functions/quality.kendall_tau_daily): does the
+    level move with the traffic? Completes the rank-statistics family
+    — Spearman (q208) correlates ranks, Mann–Kendall (q212) tests one
+    series against time; tau-b correlates TWO series with the proper
+    tie denominator (daily volumes tie constantly, so tau-a is biased
+    toward 0 by construction). Integer-exact C/D/tie counts from one
+    pair aggregate over the COLLAPSED daily frame (the q210/q212
+    calendar-bounded class — pair cost identical at 100 TB);
+    max_points witnesses the widest group before the O(days²) build;
+    the closing sqrt·sqrt division is one IEEE chain mirrored by the
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return kendall_tau_daily(ev, "ts", "value", ["event_type"])
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5602,6 +5623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_top_session_paths": q220_top_session_paths,
         "q221_supplier_skyline": q221_supplier_skyline,
         "q222_c4_line_filter": q222_c4_line_filter,
+        "q223_kendall_tau": q223_kendall_tau,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -11786,6 +11808,59 @@ def oracle_sql() -> dict[str, str]:
                 list_filter(range(1, len(ln) + 1), i -> cd[i] = 0),
                 i -> ln[i]), chr(10)), '') AS text_clean
         FROM coded
+    """
+    # q223: same daily CTE as q212; integer sign products per pair;
+    # tau-b closing sqrt·sqrt mirrored expression-for-expression
+    out["q223_kendall_tau"] = """
+        WITH daily AS (
+            SELECT event_type AS g,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY g, d),
+        per_g AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY g),
+        p AS (
+            SELECT a.g,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CASE WHEN CAST(SIGN(b.v - a.v) AS INT)
+                            * CAST(SIGN(CAST(b.m - a.m AS DOUBLE))
+                                   AS INT) = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                   CAST(SUM(CASE WHEN CAST(SIGN(b.v - a.v) AS INT)
+                            * CAST(SIGN(CAST(b.m - a.m AS DOUBLE))
+                                   AS INT) = -1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+                   CAST(SUM(CASE WHEN SIGN(b.v - a.v) = 0
+                            AND SIGN(CAST(b.m - a.m AS DOUBLE)) <> 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+                   CAST(SUM(CASE WHEN SIGN(CAST(b.m - a.m AS DOUBLE)) = 0
+                            AND SIGN(b.v - a.v) <> 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+                   CAST(SUM(CASE WHEN SIGN(b.v - a.v) = 0
+                            AND SIGN(CAST(b.m - a.m AS DOUBLE)) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS ties_xy
+            FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+            GROUP BY a.g)
+        SELECT per_g.g AS event_type, per_g.n_days,
+               CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(p.concordant, 0) AS BIGINT) AS concordant,
+               CAST(COALESCE(p.discordant, 0) AS BIGINT) AS discordant,
+               CAST(COALESCE(p.ties_x, 0) AS BIGINT) AS ties_x,
+               CAST(COALESCE(p.ties_y, 0) AS BIGINT) AS ties_y,
+               CAST(COALESCE(p.ties_xy, 0) AS BIGINT) AS ties_xy,
+               ROUND(CAST(p.concordant - p.discordant AS DOUBLE)
+                     / (sqrt(NULLIF(CAST(p.n_pairs - p.ties_x
+                                         - p.ties_xy AS DOUBLE), 0.0))
+                        * sqrt(NULLIF(CAST(p.n_pairs - p.ties_y
+                                           - p.ties_xy AS DOUBLE), 0.0))),
+                     6) AS tau_b
+        FROM per_g LEFT JOIN p ON per_g.g = p.g
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "q220_top_session_paths",
     "q221_supplier_skyline",
     "q222_c4_line_filter",
+    "q223_kendall_tau",
 ]
 
 

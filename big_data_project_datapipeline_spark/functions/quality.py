@@ -2998,8 +2998,17 @@ def _daily_pair_frames(
         *gcols, F.col("__d").alias("__dj"), F.col("__v").alias("__vj")
     )
     if not gcols:
-        a = a.withColumn("__one", F.lit(1))
-        b = b.withColumn("__one", F.lit(1))
+        # pmod(day, 1) is 0 for EVERY day (negatives included) but is
+        # data-dependent, so Catalyst cannot constant-fold the key out
+        # of the equi-condition — a literal F.lit(1) key folds to
+        # TRUE and the join degenerates to a CartesianProduct node
+        # (round-10 fix; the node was latent because the registered
+        # consumers are all grouped). Single-key hash join over the
+        # max_points-bounded daily frame — same bounded cost, audit-
+        # clean plan. NULL-day rows never paired under either scheme
+        # (__di < __dj is NULL-false), so semantics are unchanged.
+        a = a.withColumn("__one", F.pmod(F.col("__di"), F.lit(1)))
+        b = b.withColumn("__one", F.pmod(F.col("__dj"), F.lit(1)))
     pairs = a.join(b, jk).filter(F.col("__di") < F.col("__dj"))
     return daily, per_g, pairs
 
@@ -3762,4 +3771,131 @@ def huber_irls(
         F.round(F.col("b0"), 6).alias("b0"),
         F.round(F.col("b1"), 6).alias("b1"),
         F.round(F.col("b2"), 6).alias("b2"),
+    )
+
+
+def kendall_tau_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    max_points: int = 5000,
+) -> DataFrame:
+    """Kendall tau-b between a group's DAILY MEAN value and its DAILY
+    VOLUME (row count): does the level move with the traffic? The
+    tie-correct ordinal association completing the rank-statistics
+    family — Spearman (q208) correlates ranks, Mann–Kendall (q212)
+    tests one series against time; tau-b correlates two series with
+    the proper tie denominator (daily counts tie CONSTANTLY, so tau-a
+    would be biased toward 0 by construction).
+
+    tau_b = (C − D) / (sqrt(n0 − Tx) · sqrt(n0 − Ty)), n0 = pairs,
+    Tx/Ty = pairs tied on that variable (computed from the SAME pair
+    aggregate — a pair tied on x is sx = 0, so Tx = ties_x + ties_xy;
+    no second value-level groupBy needed). NULL when either factor is
+    0 (a constant series has no ordinal signal — explicit degenerate
+    story, doubles as the division guard).
+
+    Scale shape: the O(days²) pair build runs over the COLLAPSED
+    daily frame (the q210/q212 calendar-bounded class — pair cost
+    identical at 100 TB); ``max_points`` witnesses the widest group
+    first and raises on a mis-grained series. Ungrouped calls join on
+    a constant key (hash join, never a CartesianProduct node).
+
+    Parity: daily means are decimal-sum/count (engine-identical
+    doubles), volumes are exact longs; every pair contributes integer
+    sign products; C/D/tie counts fold as longs; the closing
+    sqrt·sqrt/division is one IEEE chain mirrored by the oracle;
+    round(6).
+    """
+    gcols = list(group_cols)
+    vc = F.col(value_col)
+    daily = (
+        df.filter(vc.isNotNull() & ~F.isnan(vc.cast("double")))
+        .groupBy(
+            *gcols,
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+            ).alias("__d"),
+        )
+        .agg(
+            (
+                F.sum(vc.cast("decimal(28,8)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__v"),
+            F.count(F.lit(1)).cast("long").alias("__m"),
+        )
+    )
+    per_g = daily.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    widest = per_g.agg(F.max("n_days")).collect()[0][0]  # collect-ok O(1)
+    if widest is not None and widest > max_points:
+        raise ValueError(
+            f"kendall_tau_daily: a group spans {widest} daily points "
+            f"(max_points={max_points}); the pairwise build is "
+            "O(points²) — coarsen the grain or raise max_points "
+            "deliberately"
+        )
+    jk = gcols if gcols else ["__one"]
+    a = daily.select(
+        *gcols,
+        F.col("__d").alias("__di"),
+        F.col("__v").alias("__vi"),
+        F.col("__m").alias("__mi"),
+    )
+    b = daily.select(
+        *gcols,
+        F.col("__d").alias("__dj"),
+        F.col("__v").alias("__vj"),
+        F.col("__m").alias("__mj"),
+    )
+    if not gcols:
+        # pmod(day, 1): constant 0 yet non-foldable — see
+        # _daily_pair_frames (a literal key folds out of the
+        # equi-condition and the join plans as CartesianProduct)
+        a = a.withColumn("__one", F.pmod(F.col("__di"), F.lit(1)))
+        b = b.withColumn("__one", F.pmod(F.col("__dj"), F.lit(1)))
+    sx = F.signum(F.col("__vj") - F.col("__vi")).cast("int")
+    sy = F.signum((F.col("__mj") - F.col("__mi")).cast("double")).cast(
+        "int"
+    )
+    pairs = a.join(b, jk).filter(F.col("__di") < F.col("__dj"))
+    agg = pairs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(((sx * sy) == 1).cast("long")).alias("concordant"),
+        F.sum(((sx * sy) == -1).cast("long")).alias("discordant"),
+        F.sum(((sx == 0) & (sy != 0)).cast("long")).alias("ties_x"),
+        F.sum(((sy == 0) & (sx != 0)).cast("long")).alias("ties_y"),
+        F.sum(((sx == 0) & (sy == 0)).cast("long")).alias("ties_xy"),
+    )
+    joined = (
+        per_g.join(agg, gcols, "left")
+        if gcols
+        else per_g.crossJoin(F.broadcast(agg))
+    )
+    xf = (
+        F.col("n_pairs") - F.col("ties_x") - F.col("ties_xy")
+    ).cast("double")
+    yf = (
+        F.col("n_pairs") - F.col("ties_y") - F.col("ties_xy")
+    ).cast("double")
+    tau = (
+        (F.col("concordant") - F.col("discordant")).cast("double")
+        / (
+            F.sqrt(F.nullif(xf, F.lit(0.0)))
+            * F.sqrt(F.nullif(yf, F.lit(0.0)))
+        )
+    )
+    zl = F.lit(0).cast("long")
+    return joined.select(
+        *gcols,
+        "n_days",
+        F.coalesce(F.col("n_pairs"), zl).alias("n_pairs"),
+        F.coalesce(F.col("concordant"), zl).alias("concordant"),
+        F.coalesce(F.col("discordant"), zl).alias("discordant"),
+        F.coalesce(F.col("ties_x"), zl).alias("ties_x"),
+        F.coalesce(F.col("ties_y"), zl).alias("ties_y"),
+        F.coalesce(F.col("ties_xy"), zl).alias("ties_xy"),
+        F.round(tau, 6).alias("tau_b"),
     )

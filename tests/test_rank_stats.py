@@ -720,3 +720,122 @@ def test_huber_bad_scale_estimator_raises(spark):
     df = spark.createDataFrame([("g", 1.0, 1.0, 1.0)], ["g", "x1", "x2", "y"])
     with _pytest.raises(ValueError, match="scale_estimator"):
         huber_irls(df, "y", "x1", "x2", ["g"], scale_estimator="nope")
+
+
+# --------------------------------------- kendall tau-b (q223, round-10)
+
+
+def _tau_events(spark, rows):
+    return spark.createDataFrame(rows, "g string, ts timestamp, value double")
+
+
+def test_kendall_tau_hand_computed(spark):
+    """4-day series with one x-tie pair, one y-tie pair, C=1, D=3:
+    tau_b = (1-3)/(sqrt(5)*sqrt(5)) = -0.4 exactly."""
+    from datetime import datetime as DT
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        kendall_tau_daily,
+    )
+
+    rows = []
+    for day, vals in [
+        (1, [0.5, 1.5]),        # v=1.0 m=2
+        (2, [2.0, 2.0]),        # v=2.0 m=2  (y-tie vs d1)
+        (3, [1.0, 2.0, 3.0]),   # v=2.0 m=3  (x-tie vs d2)
+        (4, [3.0]),             # v=3.0 m=1
+    ]:
+        for v in vals:
+            rows.append(("g", DT(2024, 1, day, 12, 0), v))
+    out = kendall_tau_daily(_tau_events(spark, rows), "ts", "value", ["g"])
+    r = out.first()
+    assert (
+        r["n_days"], r["n_pairs"], r["concordant"], r["discordant"],
+        r["ties_x"], r["ties_y"], r["ties_xy"],
+    ) == (4, 6, 1, 3, 1, 1, 0)
+    assert r["tau_b"] == pytest.approx(-0.4, abs=1e-9)
+
+
+def test_kendall_tau_constant_series_null(spark):
+    """All daily means equal: the x tie factor is 0 and tau is NULL
+    (no ordinal signal), never a division error."""
+    from datetime import datetime as DT
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        kendall_tau_daily,
+    )
+
+    rows = [
+        ("g", DT(2024, 1, d, 1), 5.0) for d in range(1, 4)
+    ] + [("g", DT(2024, 1, 3, 2), 5.0)]
+    r = kendall_tau_daily(
+        _tau_events(spark, rows), "ts", "value", ["g"]
+    ).first()
+    assert r["tau_b"] is None
+    assert r["ties_x"] + r["ties_xy"] == r["n_pairs"]
+
+
+def test_kendall_tau_single_day_group(spark):
+    from datetime import datetime as DT
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        kendall_tau_daily,
+    )
+
+    rows = [("solo", DT(2024, 2, 1), 1.0)]
+    r = kendall_tau_daily(
+        _tau_events(spark, rows), "ts", "value", ["g"]
+    ).first()
+    # single-day groups survive with zero pairs and NULL tau
+    assert r["n_days"] == 1 and r["n_pairs"] == 0 and r["tau_b"] is None
+
+
+def test_kendall_tau_max_points_witness_raises(spark):
+    from datetime import datetime as DT
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        kendall_tau_daily,
+    )
+
+    rows = [("g", DT(2024, 1, d), float(d)) for d in range(1, 6)]
+    with pytest.raises(ValueError, match="max_points"):
+        kendall_tau_daily(
+            _tau_events(spark, rows), "ts", "value", ["g"], max_points=3
+        )
+
+
+def test_kendall_tau_ungrouped_no_cartesian(spark):
+    from datetime import datetime as DT
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        kendall_tau_daily,
+    )
+
+    rows = [("g", DT(2024, 1, d), float(d % 3)) for d in range(1, 8)]
+    out = kendall_tau_daily(_tau_events(spark, rows), "ts", "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert out.first()["n_pairs"] == 21
+
+
+def test_theil_sen_and_mk_ungrouped_no_cartesian(spark):
+    """Round-10 regression pin for the latent ungrouped
+    CartesianProduct: a literal constant join key folds out of the
+    equi-condition; the pmod(day, 1) key does not. Values must be
+    unchanged by the key swap."""
+    from datetime import datetime as DT
+
+    from big_data_project_datapipeline_spark.functions.quality import (
+        mann_kendall_trend,
+        theil_sen_trend,
+    )
+
+    rows = [("g", DT(2024, 1, d), float(d)) for d in range(1, 8)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+    ts = theil_sen_trend(df, "ts", "value")
+    mk = mann_kendall_trend(df, "ts", "value")
+    for out in (ts, mk):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+    assert ts.first()["slope_per_day"] == pytest.approx(1.0, abs=1e-9)
+    assert mk.first()["s_stat"] == 21  # strictly increasing: all +1
