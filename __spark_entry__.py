@@ -59,6 +59,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     mutual_information,
     point_in_time_labels,
     kendall_tau_daily,
+    fdr_bh,
     fk_orphan_report,
     grouped_acf,
     grouped_auc,
@@ -4581,6 +4582,7 @@ _GATE_PREFIX = [
     # re-certifications
     "q222_c4_line_filter",
     "q223_kendall_tau",
+    "q224_fdr_bh",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4636,7 +4638,6 @@ _GATE_PREFIX = [
     "q105_source_similarity",
     "q106_tokenizer_fertility",
     "q107_market_share",
-    "q108_oov_rate",
 ]
 
 
@@ -5449,6 +5450,50 @@ def q223_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_tau_daily(ev, "ts", "value", ["event_type"])
 
 
+def q224_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR step-up over a 120-hypothesis drift
+    battery (functions/quality.fdr_bh): per (event_type × hour-of-day)
+    two-sample KS drift across the q144 split boundary, KS tail
+    p ≈ min(1, 2·exp(−2·KS²·nm/(n+m))) floor-quantized to 6 (the q217
+    device — round(double,k) is engine-split at decimal-string ties),
+    then the step-up k* = max{i: p(i) <= i·q/m} over the ascending
+    p-rank with ties broken by the hypothesis id (total order →
+    engine-reproducible rejected set). The multiple-testing closure
+    the per-test drift flags (q144/q147/q157) lack: at m=120 (or a
+    100 TB feature store's thousands) uncontrolled per-test α IS the
+    false-discovery machine. The rank window runs over the O(m)
+    COLLAPSED battery — the q67/q160 bounded-global-window class."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hyp",
+        F.concat_ws(
+            "|",
+            F.col("event_type"),
+            F.lpad(F.hour("ts").cast("string"), 2, "0"),
+        ),
+    )
+    d = ks_drift(
+        ev,
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+        value_col="value",
+        group_col="hyp",
+    )
+    lam2 = (
+        F.col("ks")
+        * F.col("ks")
+        * F.col("n_ref").cast("double")
+        * F.col("n_cur").cast("double")
+        / (F.col("n_ref").cast("double") + F.col("n_cur").cast("double"))
+    )
+    p_raw = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam2))
+    hyp = d.select(
+        "hyp",
+        (F.floor(p_raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "p"
+        ),
+    )
+    return fdr_bh(hyp, "p", q=0.05, id_cols=["hyp"])
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5624,6 +5669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_supplier_skyline": q221_supplier_skyline,
         "q222_c4_line_filter": q222_c4_line_filter,
         "q223_kendall_tau": q223_kendall_tau,
+        "q224_fdr_bh": q224_fdr_bh,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -11861,6 +11907,67 @@ def oracle_sql() -> dict[str, str]:
                                            - p.ties_xy AS DOUBLE), 0.0))),
                      6) AS tau_b
         FROM per_g LEFT JOIN p ON per_g.g = p.g
+    """
+    # q224: the q144 ECDF device on the composite (type|hour) group,
+    # KS tail p floor-quantized to 6, BH step-up with the total-order
+    # rank; COUNT(*) OVER () is the m fold, k* a scalar cross join
+    out["q224_fdr_bh"] = """
+        WITH clean AS (
+            SELECT event_type || '|' ||
+                   lpad(CAST(date_part('hour', ts) AS VARCHAR), 2, '0')
+                       AS grp,
+                   value AS v,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN 1 ELSE 0 END AS is_ref
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)),
+        per_v AS (
+            SELECT grp, v, SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+            FROM clean GROUP BY grp, v),
+        tot AS (
+            SELECT grp, CAST(SUM(cr) AS BIGINT) AS n_ref,
+                   CAST(SUM(cc) AS BIGINT) AS n_cur
+            FROM per_v GROUP BY grp),
+        cum AS (
+            SELECT grp,
+                   SUM(cr) OVER w AS ccr, SUM(cc) OVER w AS ccc
+            FROM per_v
+            WINDOW w AS (PARTITION BY grp ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)),
+        d AS (
+            SELECT c.grp, t.n_ref, t.n_cur,
+                   ABS(CAST(ccr AS DOUBLE)
+                           / NULLIF(CAST(n_ref AS DOUBLE), 0.0)
+                       - CAST(ccc AS DOUBLE)
+                           / NULLIF(CAST(n_cur AS DOUBLE), 0.0)) AS diff
+            FROM cum c JOIN tot t USING (grp)),
+        agg AS (
+            SELECT grp, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+                   ROUND(MAX(diff), 6) AS ks
+            FROM d GROUP BY grp),
+        hyp AS (
+            SELECT grp AS hyp,
+                   floor(LEAST(1.0, 2.0 * exp(-2.0 * ks * ks
+                       * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                       / (CAST(n_ref AS DOUBLE)
+                          + CAST(n_cur AS DOUBLE)))) * 1e6 + 0.5)
+                       / 1e6 AS p
+            FROM agg),
+        ranked AS (
+            SELECT hyp, p,
+                   CAST(ROW_NUMBER() OVER (ORDER BY p, hyp) AS BIGINT)
+                       AS r,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM hyp WHERE p IS NOT NULL AND NOT isnan(p)),
+        k AS (
+            SELECT MAX(CASE WHEN p * CAST(m AS DOUBLE)
+                            <= CAST(r AS DOUBLE) * 0.05
+                       THEN r END) AS kstar
+            FROM ranked)
+        SELECT hyp, p AS p_value, r AS p_rank, m AS m_tests,
+               COALESCE(r <= kstar, FALSE) AS rejected
+        FROM ranked, k
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

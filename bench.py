@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q221_supplier_skyline",
     "q222_c4_line_filter",
     "q223_kendall_tau",
+    "q224_fdr_bh",
 ]
 
 

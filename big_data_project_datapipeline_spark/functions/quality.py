@@ -3899,3 +3899,65 @@ def kendall_tau_daily(
         F.coalesce(F.col("ties_xy"), zl).alias("ties_xy"),
         F.round(tau, 6).alias("tau_b"),
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    q: float = 0.05,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over a HYPOTHESIS frame
+    (Benjamini & Yekutieli's classic step-up): given one row per
+    hypothesis with a p-value, find k* = max{ i : p(i) <= i·q/m } over
+    the ascending p-ranks and reject exactly ranks 1..k* — the
+    multiple-testing closure for every battery this module emits
+    (drift per feature, rate tests per segment, trend tests per
+    series). Controlling per-test α at q across m hypotheses is wrong
+    at any scale; at a 100 TB feature store m is thousands and
+    uncontrolled false discovery is the default failure mode.
+
+    Input contract: ``df`` is the COLLAPSED battery (one row per
+    hypothesis, O(m) rows), not the underlying data — the global rank
+    window here is bounded by construction (the q67/q160 allowlist
+    class). NULL/NaN p-values drop (an untestable hypothesis is not a
+    hypothesis; they'd otherwise poison the rank axis).
+
+    Determinism/parity: rank is a row_number over the (p, *id_cols)
+    TOTAL order (ties in p are broken by ids, so the rank — and
+    therefore the rejected set — is engine-reproducible); the step-up
+    comparison p·m <= rank·q and the closing k* fold are the same
+    IEEE expressions both engines evaluate on identical doubles.
+    Rejection is monotone in rank by construction (every rank <= k*
+    rejects, even where its own p briefly exceeds its critical value —
+    that is the STEP-UP, not a bug).
+    """
+    ids = list(id_cols)
+    pv = F.col(p_col)
+    hyp = df.filter(pv.isNotNull() & ~F.isnan(pv.cast("double"))).select(
+        *ids, pv.cast("double").alias("__p")
+    )
+    m_frame = hyp.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    w = Window.orderBy("__p", *ids)
+    ranked = hyp.crossJoin(F.broadcast(m_frame)).withColumn(
+        "__r", F.row_number().over(w).cast("long")
+    )
+    passed = (
+        F.col("__p") * F.col("__m").cast("double")
+        <= F.col("__r").cast("double") * F.lit(float(q))
+    )
+    kstar = ranked.agg(
+        F.max(F.when(passed, F.col("__r"))).alias("__k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kstar))
+        .select(
+            *ids,
+            F.col("__p").alias("p_value"),
+            F.col("__r").alias("p_rank"),
+            F.col("__m").alias("m_tests"),
+            F.coalesce(F.col("__r") <= F.col("__k"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+    )

@@ -839,3 +839,65 @@ def test_theil_sen_and_mk_ungrouped_no_cartesian(spark):
         assert "CartesianProduct" not in plan
     assert ts.first()["slope_per_day"] == pytest.approx(1.0, abs=1e-9)
     assert mk.first()["s_stat"] == 21  # strictly increasing: all +1
+
+
+# ------------------------------------------------ BH FDR (q224, round-10)
+
+
+def _hyp(spark, rows):
+    return spark.createDataFrame(rows, "h string, p double")
+
+
+def test_fdr_bh_textbook_stepup(spark):
+    """Classic BH: p = .01/.02/.03/.04/.20 at q=.05, m=5 — criticals
+    are .01/.02/.03/.04/.05, k*=4, exactly the first four reject."""
+    from big_data_project_datapipeline_spark.functions.quality import fdr_bh
+
+    rows = [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.2)]
+    out = {
+        r["h"]: (r["p_rank"], r["rejected"])
+        for r in fdr_bh(_hyp(spark, rows), "p", id_cols=["h"]).collect()
+    }
+    assert out == {
+        "a": (1, True), "b": (2, True), "c": (3, True), "d": (4, True),
+        "e": (5, False),
+    }
+
+
+def test_fdr_bh_stepup_rescues_middle_rank(spark):
+    """The STEP-UP semantics: p = .001/.04/.041 at q=.05, m=3 —
+    rank 2 fails its own critical (.04 > .0333) but rank 3 passes
+    (.041 <= .05), so k*=3 and ALL THREE reject."""
+    from big_data_project_datapipeline_spark.functions.quality import fdr_bh
+
+    rows = [("a", 0.001), ("b", 0.04), ("c", 0.041)]
+    out = fdr_bh(_hyp(spark, rows), "p", id_cols=["h"]).collect()
+    assert all(r["rejected"] for r in out) and len(out) == 3
+
+
+def test_fdr_bh_null_nan_hypotheses_drop_from_m(spark):
+    from big_data_project_datapipeline_spark.functions.quality import fdr_bh
+
+    rows = [("a", 0.01), ("b", None), ("c", float("nan")), ("d", 0.5)]
+    out = fdr_bh(_hyp(spark, rows), "p", id_cols=["h"]).collect()
+    assert len(out) == 2
+    assert all(r["m_tests"] == 2 for r in out)
+
+
+def test_fdr_bh_tie_ranks_broken_by_id(spark):
+    from big_data_project_datapipeline_spark.functions.quality import fdr_bh
+
+    rows = [("b", 0.03), ("a", 0.03), ("c", 0.01)]
+    out = {
+        r["h"]: r["p_rank"]
+        for r in fdr_bh(_hyp(spark, rows), "p", id_cols=["h"]).collect()
+    }
+    assert out == {"c": 1, "a": 2, "b": 3}
+
+
+def test_fdr_bh_nothing_rejects(spark):
+    from big_data_project_datapipeline_spark.functions.quality import fdr_bh
+
+    rows = [("a", 0.9), ("b", 0.95)]
+    out = fdr_bh(_hyp(spark, rows), "p", id_cols=["h"]).collect()
+    assert not any(r["rejected"] for r in out)

@@ -64,6 +64,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     # O(distinct dates)+O(months) calendar-bounded sweep-line frames
     # (operators/intervals.py module docstring)
     "q205_open_order_peaks",
+    # BH step-up rank over the O(m)=120 COLLAPSED hypothesis battery
+    # (quality.fdr_bh input contract — never the row stream)
+    "q224_fdr_bh",
 }
 
 
