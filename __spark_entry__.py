@@ -60,6 +60,7 @@ from big_data_project_datapipeline_spark.functions.quality import (
     point_in_time_labels,
     kendall_tau_daily,
     fdr_bh,
+    grouped_rank_elements,
     fk_orphan_report,
     grouped_acf,
     grouped_auc,
@@ -4583,6 +4584,7 @@ _GATE_PREFIX = [
     "q222_c4_line_filter",
     "q223_kendall_tau",
     "q224_fdr_bh",
+    "q225_embedding_outliers",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4637,7 +4639,6 @@ _GATE_PREFIX = [
     "q104_token_diversity",
     "q105_source_similarity",
     "q106_tokenizer_fertility",
-    "q107_market_share",
 ]
 
 
@@ -5494,6 +5495,36 @@ def q224_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdr_bh(hyp, "p", q=0.05, id_cols=["hyp"])
 
 
+def q225_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anomaly audit — the missing outlier member of the
+    embeddings family (q26 stats / q89 clusters / q91 PCA / q64
+    semantic dedup): every vector's squared distance to its nearest
+    relational-k-means centroid (functions/similarity.
+    kmeans_assign_relational, the q89 device verbatim), flagged
+    against its CLUSTER's exact nearest-rank p90 distance (per-cluster
+    thresholds — distance scale varies by cluster; a global cut flags
+    whole tight clusters). The curation read: far-from-every-centroid
+    vectors are mojibake/empty-text/wrong-modality embeddings that
+    poison ANN recall and centroid updates. Threshold element via
+    quality.grouped_rank_elements (integer nearest-rank — both engines
+    pick the identical element); flag is one comparison of
+    engine-identical rounded doubles. Scale: the q89 budget + one
+    collapsed rank pass + a broadcast join back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = SIM.kmeans_assign_relational(emb, k=8, n_iter=2)
+    thr = grouped_rank_elements(base, ["cluster"], "dist2", [(90, 100, "thr")])
+    return (
+        base.join(F.broadcast(thr), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "dist2",
+            F.col("thr").alias("p90_dist2"),
+            (F.col("dist2") > F.col("thr")).alias("is_outlier"),
+        )
+    )
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5670,6 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_c4_line_filter": q222_c4_line_filter,
         "q223_kendall_tau": q223_kendall_tau,
         "q224_fdr_bh": q224_fdr_bh,
+        "q225_embedding_outliers": q225_embedding_outliers,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -6874,6 +6906,27 @@ def oracle_sql() -> dict[str, str]:
         "q175_hits": _hits_oracle_sql(),
         "q180_markov_attribution": _markov_attr_oracle_sql(),
         "q89_kmeans": _kmeans_oracle_sql(),
+        # q225: the q89 unrolled k-means verbatim as the base frame;
+        # per-cluster nearest-rank p90 element (row_number at the
+        # integer target over the dist2 order — same element as
+        # grouped_rank_elements' distinct-value cum device); one
+        # comparison of engine-identical rounded doubles
+        "q225_embedding_outliers": f"""
+            WITH base AS ({_kmeans_oracle_sql()}),
+            ranked AS (
+                SELECT cluster, dist2,
+                       ROW_NUMBER() OVER (PARTITION BY cluster
+                                          ORDER BY dist2, vec_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY cluster) AS n
+                FROM base),
+            thr AS (
+                SELECT cluster, dist2 AS p90_dist2
+                FROM ranked
+                WHERE rn = (90 * n + 99) // 100)
+            SELECT b.vec_id, b.cluster, b.dist2, t.p90_dist2,
+                   b.dist2 > t.p90_dist2 AS is_outlier
+            FROM base b JOIN thr t USING (cluster)
+        """,
         "q98_sentence_stats": f"""
             WITH st AS (
                 SELECT doc_id,

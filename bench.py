@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "q222_c4_line_filter",
     "q223_kendall_tau",
     "q224_fdr_bh",
+    "q225_embedding_outliers",
 ]
 
 

@@ -1653,3 +1653,71 @@ def test_copurchase_lift_requires_input(spark):
 
     with pytest.raises(ValueError, match="lines= or prepared_stats="):
         copurchase_lift(None)
+
+
+# --------------- embedding outlier audit (q225 composition, round-10)
+
+
+def test_embedding_outliers_flags_far_vector_per_cluster(spark):
+    """Two well-separated clusters with different scales plus one wild
+    vector: the per-cluster p90 cut flags the wild vector and does NOT
+    flag the loose-but-normal cluster (a global cut would)."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_rank_elements,
+    )
+    from big_data_project_datapipeline_spark.functions.similarity import (
+        kmeans_assign_relational,
+    )
+
+    rows = []
+    # tight cluster near (0,0): ids 0..9 (id 0,1 seed the two clusters)
+    for i in range(10):
+        rows.append((i, [0.01 * i, 0.0]))
+    # loose cluster near (10,10): ids 10..19
+    for i in range(10):
+        rows.append((10 + i, [10.0 + 0.5 * i, 10.0]))
+    # MODERATE outlier: far enough to flag (dist2 ~20 vs ~0.2 for the
+    # tight cluster), near enough that it cannot capture a centroid —
+    # an extreme point becomes its own cluster with dist2=0 (the known
+    # limitation of centroid-based outlier scoring, verified while
+    # building this fixture)
+    rows.append((99, [0.0, 5.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = kmeans_assign_relational(emb, k=2, n_iter=2)
+    thr = grouped_rank_elements(
+        base, ["cluster"], "dist2", [(90, 100, "thr")]
+    )
+    from pyspark.sql import functions as FF
+
+    out = {
+        r["vec_id"]: (r["cluster"], r["is_outlier"])
+        for r in base.join(thr, "cluster")
+        .select(
+            "vec_id", "cluster",
+            (FF.col("dist2") > FF.col("thr")).alias("is_outlier"),
+        )
+        .collect()
+    }
+    assert out[99][1] is True
+    # every loose-cluster member is at or below its own p90 except at
+    # most one (the nearest-rank cut keeps >= 90% unflagged per cluster)
+    loose = [v for k, v in out.items() if 10 <= k <= 19]
+    assert sum(1 for _, o in loose if o) <= 1
+    tight = [v for k, v in out.items() if k <= 9]
+    assert sum(1 for _, o in tight if o) <= 1
+
+
+def test_embedding_outlier_threshold_is_exact_rank_element(spark):
+    """The p90 threshold must be an actual dist2 VALUE from the
+    cluster (nearest-rank element, never an interpolation)."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        grouped_rank_elements,
+    )
+
+    rows = [("c", float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "cluster string, dist2 double")
+    thr = grouped_rank_elements(
+        df, ["cluster"], "dist2", [(90, 100, "thr")]
+    ).first()
+    # ceil(0.9 * 10) = 9 -> the 9th smallest of 1..10 is 9.0
+    assert thr["thr"] == 9.0
