@@ -4585,6 +4585,7 @@ _GATE_PREFIX = [
     "q223_kendall_tau",
     "q224_fdr_bh",
     "q225_embedding_outliers",
+    "q226_lpa_modularity",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4638,7 +4639,6 @@ _GATE_PREFIX = [
     "q103_zipf_fit",
     "q104_token_diversity",
     "q105_source_similarity",
-    "q106_tokenizer_fertility",
 ]
 
 
@@ -5525,6 +5525,24 @@ def q225_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity audit of the q203 LPA communities
+    (operators/graph.modularity): Newman–Girvan Q per community and in
+    total — the partition-quality readout that says whether the
+    detected pockets beat random wiring before anyone acts on them
+    (LPA can converge to one giant label or shatter; Q is the
+    standard referee). EXACT until the surface: per-community
+    contribution is the integer rational (4·m·e_c − D_c²)/(4m²) with
+    the numerator Σ folded in decimal(38,0) (order-free — a float sum
+    of per-community terms would be fold-order-dependent), one IEEE
+    division, floor-quantized (the q217 device). Same fixed-round LPA
+    and support graph as q203; two label-keyed edge joins and two
+    O(communities) aggregates on top."""
+    ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    lab = G.label_propagation(ed, n_rounds=3)
+    return G.modularity(ed, lab)
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5702,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_kendall_tau": q223_kendall_tau,
         "q224_fdr_bh": q224_fdr_bh,
         "q225_embedding_outliers": q225_embedding_outliers,
+        "q226_lpa_modularity": q226_lpa_modularity,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -10010,6 +10029,63 @@ def oracle_sql() -> dict[str, str]:
                 SELECT x AS u, y AS v FROM tri_{r})
             GROUP BY u, v)"""
 
+    # q226: q203's unrolled LPA as the label frame (nested WITH in a
+    # derived table), canon/deg rebuilt from the shared fragment;
+    # per-community contribution is the EXACT integer rational
+    # (4·m·e_c − D_c²)/(4m²), numerator summed in DECIMAL (order-free),
+    # one double division, floor-quantized 9/6 (the q217 device)
+    out["q226_lpa_modularity"] = f"""
+        WITH {_support_graph_sql},
+        canon AS (
+            SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM raw_edges WHERE src <> dst),
+        deg AS (
+            SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS n FROM canon
+                  UNION ALL SELECT v AS n FROM canon)
+            GROUP BY n),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
+        lab AS ({out["q203_label_propagation"]}),
+        within AS (
+            SELECT la.label AS community,
+                   CAST(COUNT(*) AS BIGINT) AS inner_edges
+            FROM canon c
+            JOIN lab la ON c.u = la.node
+            JOIN lab lb ON c.v = lb.node
+            WHERE la.label = lb.label
+            GROUP BY la.label),
+        comm AS (
+            SELECT la.label AS community,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(COALESCE(deg.d, 0)) AS BIGINT) AS degree_sum
+            FROM lab la LEFT JOIN deg ON la.node = deg.n
+            GROUP BY la.label),
+        closing AS (
+            SELECT community, n_nodes,
+                   CAST(COALESCE(w.inner_edges, 0) AS BIGINT)
+                       AS inner_edges,
+                   degree_sum,
+                   CAST(4 AS DECIMAL(38,0)) * mm.m
+                       * COALESCE(w.inner_edges, 0)
+                     - CAST(degree_sum AS DECIMAL(38,0)) * degree_sum
+                       AS num,
+                   mm.m AS m
+            FROM comm LEFT JOIN within w USING (community), mm),
+        tot AS (
+            SELECT CAST(SUM(num) AS DECIMAL(38,0)) AS tnum,
+                   MAX(m) AS m2
+            FROM closing)
+        SELECT c.community, c.n_nodes, c.inner_edges, c.degree_sum,
+               CASE WHEN c.num >= 0 THEN 1.0 ELSE -1.0 END
+                   * floor(ABS(CAST(c.num AS DOUBLE)
+                               / CAST(4 * c.m * c.m AS DOUBLE))
+                           * 1e9 + 0.5) / 1e9 AS contribution,
+               CASE WHEN t.tnum >= 0 THEN 1.0 ELSE -1.0 END
+                   * floor(ABS(CAST(t.tnum AS DOUBLE)
+                               / CAST(4 * t.m2 * t.m2 AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 AS modularity
+        FROM closing c, tot t
+    """
     out["q207_ktruss"] = f"""
         WITH {_support_graph_sql},
         e0 AS MATERIALIZED (

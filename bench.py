@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "q223_kendall_tau",
     "q224_fdr_bh",
     "q225_embedding_outliers",
+    "q226_lpa_modularity",
 ]
 
 

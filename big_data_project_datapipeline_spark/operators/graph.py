@@ -1399,3 +1399,129 @@ def harmonic_centrality(
             6,
         ).alias("harmonic"),
     )
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman–Girvan modularity of a community assignment — the
+    quality score of a partition (LPA q203, CC q187, or any label
+    frame): Q = Σ_c [ e_c/m − (D_c/2m)² ], e_c = within-community
+    edges, D_c = community degree sum, m = |edges|. Q ≈ 0 means the
+    partition is no better than random wiring; this is the readout
+    that tells you whether to TRUST the communities before acting on
+    them. Returns one row per community (n_nodes, inner_edges,
+    degree_sum, contribution) with the scalar ``modularity`` stamped
+    on every row (the q137 broadcast-scalar shape).
+
+    Exactness: the per-community contribution is the exact integer
+    rational (4·m·e_c − D_c²) / (4m²) — numerator folded in
+    decimal(38,0) (Σ_c is therefore order-free and EXACT; a float
+    Σ of per-community doubles would be fold-order-dependent), ONE
+    IEEE division at the surface, floor-quantized (contribution 9
+    digits, modularity 6) because round(double, k) is the engine-split
+    q217 trap. D_c² <= (2m)², so decimal(38,0) holds to ~1.5e18
+    edges.
+
+    Scale shape: canonical dedup (1 shuffle), degree agg, two
+    label-keyed joins of the edge list, two O(communities) aggregates;
+    the m scalar and the total fold broadcast back. Nodes in
+    ``labels`` but outside ``edges`` contribute degree 0; edges whose
+    endpoints are missing from ``labels`` are EXCLUDED from e_c (and
+    from nothing else — document your label universe).
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("n"))
+        .union(canon.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    m_frame = canon.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    lab = labels.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("community")
+    )
+    within = (
+        canon.join(
+            lab.select(F.col("n").alias("u"), F.col("community").alias("cu")),
+            "u",
+        )
+        .join(
+            lab.select(F.col("n").alias("v"), F.col("community").alias("cv")),
+            "v",
+        )
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inner_edges"))
+    )
+    comm = (
+        lab.join(deg, "n", "left")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0)))
+            .cast("long")
+            .alias("degree_sum"),
+        )
+    )
+    dec = "decimal(38,0)"
+    closing = (
+        comm.join(within, "community", "left")
+        .crossJoin(F.broadcast(m_frame))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("inner_edges"), F.lit(0))
+            .cast("long")
+            .alias("inner_edges"),
+            "degree_sum",
+            (
+                F.lit(4).cast(dec)
+                * F.col("__m").cast(dec)
+                * F.coalesce(F.col("inner_edges"), F.lit(0)).cast(dec)
+                - F.col("degree_sum").cast(dec)
+                * F.col("degree_sum").cast(dec)
+            ).alias("__num"),
+            F.col("__m"),
+        )
+    )
+    tot = closing.agg(
+        F.sum("__num").cast(dec).alias("__tnum"), F.max("__m").alias("__m2")
+    )
+
+    def _q(x, digits):
+        s = F.lit(float(10 ** digits))
+        return F.signum(x) * F.floor(F.abs(x) * s + F.lit(0.5)) / s
+
+    denom = (
+        F.lit(4).cast("long") * F.col("__m") * F.col("__m")
+    ).cast("double")
+    denom2 = (
+        F.lit(4).cast("long") * F.col("__m2") * F.col("__m2")
+    ).cast("double")
+    return (
+        closing.crossJoin(F.broadcast(tot))
+        .select(
+            "community",
+            "n_nodes",
+            "inner_edges",
+            "degree_sum",
+            _q(F.col("__num").cast("double") / denom, 9).alias(
+                "contribution"
+            ),
+            _q(F.col("__tnum").cast("double") / denom2, 6).alias(
+                "modularity"
+            ),
+        )
+    )

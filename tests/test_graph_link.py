@@ -278,3 +278,88 @@ def test_harmonic_centrality_isolated_landmark_contributes_nothing(spark):
         for r in harmonic_centrality(edges, seeds, n_rounds=3).collect()
     }
     assert got == {2: (1, 1.0)}
+
+
+# ------------------------------------- modularity (q226, round-10)
+
+
+class TestModularity:
+    def _frames(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+            "src long, dst long",
+        )
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+            "node long, label long",
+        )
+        return edges, labels
+
+    def test_two_triangles_bridge_hand_value(self, spark):
+        """m=7, each community: e_c=3, D_c=7 -> contribution
+        (4*7*3-49)/196 = 35/196; Q = 70/196 = 0.357142857... ->
+        floor-quantized 0.357143."""
+        from big_data_project_datapipeline_spark.operators.graph import (
+            modularity,
+        )
+
+        edges, labels = self._frames(spark)
+        rows = {r["community"]: r for r in modularity(edges, labels).collect()}
+        for c in (1, 4):
+            assert rows[c]["n_nodes"] == 3
+            assert rows[c]["inner_edges"] == 3
+            assert rows[c]["degree_sum"] == 7
+            assert rows[c]["contribution"] == pytest.approx(
+                35.0 / 196.0, abs=1e-9
+            )
+        assert rows[1]["modularity"] == 0.357143
+
+    def test_single_community_is_zero(self, spark):
+        """Everything in one community: e=m and D=2m, so Q is exactly
+        (4m^2 - 4m^2)/4m^2 = 0."""
+        from big_data_project_datapipeline_spark.operators.graph import (
+            modularity,
+        )
+
+        edges, _ = self._frames(spark)
+        labels = spark.createDataFrame(
+            [(n, 0) for n in range(1, 7)], "node long, label long"
+        )
+        r = modularity(edges, labels).first()
+        assert r["modularity"] == 0.0 and r["inner_edges"] == 7
+
+    def test_unlabeled_endpoint_and_isolated_label(self, spark):
+        """An edge with an unlabeled endpoint drops from e_c; a
+        labeled node with no edges contributes degree 0."""
+        from big_data_project_datapipeline_spark.operators.graph import (
+            modularity,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3)], "src long, dst long"
+        )
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (99, 7)], "node long, label long"
+        )
+        rows = {r["community"]: r for r in modularity(edges, labels).collect()}
+        assert rows[1]["inner_edges"] == 1  # (2,3) lost its label
+        assert rows[1]["degree_sum"] == 3   # deg(1)=1, deg(2)=2
+        assert rows[7]["n_nodes"] == 1 and rows[7]["degree_sum"] == 0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from big_data_project_datapipeline_spark.operators.graph import (
+            modularity,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (1, 1)], "src long, dst long"
+        )
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1)], "node long, label long"
+        )
+        r = modularity(edges, labels).first()
+        # one canonical edge, self-loop dropped: e=1, D=2, m=1 -> Q=0
+        assert r["inner_edges"] == 1 and r["degree_sum"] == 2
+        assert r["modularity"] == 0.0
