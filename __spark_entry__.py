@@ -4586,6 +4586,7 @@ _GATE_PREFIX = [
     "q224_fdr_bh",
     "q225_embedding_outliers",
     "q226_lpa_modularity",
+    "q227_negative_sampling",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4638,7 +4639,6 @@ _GATE_PREFIX = [
     "q102_token_budget_sample",
     "q103_zipf_fit",
     "q104_token_diversity",
-    "q105_source_similarity",
 ]
 
 
@@ -5543,6 +5543,22 @@ def q226_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.modularity(ed, lab)
 
 
+def q227_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table over the corpus vocabulary
+    (functions/corpus.negative_sampling_table): P(token) ∝ count^0.75
+    as half-open cumulative [lo, hi) ranges an embedding trainer
+    samples with uniform draws — the training-side complement of the
+    q103/q111/q116 corpus statics. pow is the one transcendental,
+    floor-quantized to 9 immediately; the running sum folds EXACT
+    integer-scaled weights in decimal(38,0) through the range-
+    partitioned prefix device (one range exchange over the O(vocab)
+    collapsed frame, no global window); lo/hi/prob derive from exact
+    ints. Oracle runs a plain window cumsum — different algorithm,
+    same function (the q221 frontier-vs-fold pairing)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.negative_sampling_table(d)
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5721,6 +5737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_fdr_bh": q224_fdr_bh,
         "q225_embedding_outliers": q225_embedding_outliers,
         "q226_lpa_modularity": q226_lpa_modularity,
+        "q227_negative_sampling": q227_negative_sampling,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -12097,6 +12114,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT hyp, p AS p_value, r AS p_rank, m AS m_tests,
                COALESCE(r <= kstar, FALSE) AS rejected
         FROM ranked, k
+    """
+    # q227: plain window cumsum over the same quantized weights —
+    # different algorithm than the range-partitioned prefix, same
+    # function; pow floor-quantized at 9 on both sides
+    out["q227_negative_sampling"] = f"""
+        WITH cnt AS (
+            SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest({tokens_sql}) AS t FROM documents)
+            GROUP BY t),
+        w AS (
+            SELECT token, n,
+                   CAST(floor(pow(CAST(n AS DOUBLE), 0.75) * 1e9 + 0.5)
+                        AS DECIMAL(38,0)) AS wi
+            FROM cnt),
+        c AS (
+            SELECT token, n, wi,
+                   SUM(wi) OVER (ORDER BY token
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+            FROM w),
+        tot AS (SELECT CAST(SUM(wi) AS DECIMAL(38,0)) AS t FROM w)
+        SELECT token, n,
+               CAST(wi AS DOUBLE) / 1e9 AS weight,
+               CAST(cum - wi AS DOUBLE) / 1e9 AS lo,
+               CAST(cum AS DOUBLE) / 1e9 AS hi,
+               floor(CAST(wi AS DOUBLE)
+                     / NULLIF(CAST(tot.t AS DOUBLE), 0.0) * 1e9 + 0.5)
+                   / 1e9 AS prob
+        FROM c, tot
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "q224_fdr_bh",
     "q225_embedding_outliers",
     "q226_lpa_modularity",
+    "q227_negative_sampling",
 ]
 
 

@@ -1677,3 +1677,71 @@ def pmi_collocations(
             F.round(F.col("__pmi"), 6).alias("pmi"),
         )
     )
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.75,
+) -> DataFrame:
+    """word2vec-style negative-sampling table (Mikolov et al. 2013):
+    P(token) ∝ count^alpha (alpha=0.75 flattens the unigram head so
+    frequent tokens don't monopolize the negatives), emitted as
+    half-open CUMULATIVE ranges [lo, hi) over the token-ascending
+    total order — the artifact an embedding trainer samples against
+    with uniform draws in [0, total). The missing TRAINING-side
+    complement of the corpus statics (q103 Zipf / q111 DSIR / q116
+    temperature mix read the distribution; this one feeds a sampler).
+
+    Determinism/parity: pow(count, alpha) is the one non-correctly-
+    rounded op — it is floor-quantized to 9 digits immediately
+    (sign-free: counts >= 1) and every downstream number derives from
+    the EXACT integer-scaled weights: the running sum folds in
+    decimal(38,0) via the range-partitioned prefix device
+    (operators/prefix.partitioned_prefix — one range exchange, no
+    global window, reassociation-exact), lo/hi are exact-int → double
+    casts, prob is one guarded division floor-quantized to 9.
+
+    Scale shape: one map-side-combinable token count, one range
+    exchange over the O(vocab) collapsed frame, a broadcast total.
+    """
+    from big_data_project_datapipeline_spark.functions.text import tokens
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        partitioned_prefix,
+    )
+
+    tok = df.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wi = F.floor(
+        F.pow(F.col("n").cast("double"), F.lit(float(alpha))) * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    weighted = cnt.select("token", "n", wi.alias("__wi"))
+    cum = partitioned_prefix(weighted, ["token"], sum_cols=["__wi"])
+    tot = weighted.agg(F.sum("__wi").cast("decimal(38,0)").alias("__tot"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "n",
+            (F.col("__wi").cast("double") / F.lit(1e9)).alias("weight"),
+            (
+                (F.col("__wi__cum") - F.col("__wi")).cast("double")
+                / F.lit(1e9)
+            ).alias("lo"),
+            (F.col("__wi__cum").cast("double") / F.lit(1e9)).alias("hi"),
+            (
+                F.floor(
+                    F.col("__wi").cast("double")
+                    / F.nullif(F.col("__tot").cast("double"), F.lit(0.0))
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e9)
+            ).alias("prob"),
+        )
+    )

@@ -707,3 +707,61 @@ def test_pmi_min_count_floor_drops_hapax_pairs(spark):
     rows = pmi_collocations(df, min_count=2, top_k=10).collect()
     assert ("rare", "pair") not in {(r["w1"], r["w2"]) for r in rows}
     assert {(r["w1"], r["w2"]) for r in rows} == {("x", "y"), ("y", "x")}
+
+
+# --------------------------- negative-sampling table (q227, round-10)
+
+
+class TestNegativeSampling:
+    def test_ranges_tile_and_weights_match_pow(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            negative_sampling_table,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a a a a b b c"), (2, "a b c c")],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            negative_sampling_table(docs).collect(),
+            key=lambda r: r["token"],
+        )
+        # counts: a=5, b=3, c=3
+        assert [(r["token"], r["n"]) for r in rows] == [
+            ("a", 5), ("b", 3), ("c", 3),
+        ]
+        import math
+
+        for r in rows:
+            want = math.floor(r["n"] ** 0.75 * 1e9 + 0.5) / 1e9
+            assert r["weight"] == want
+        # half-open ranges tile the total mass in token order
+        assert rows[0]["lo"] == 0.0
+        for prev, cur in zip(rows, rows[1:]):
+            assert prev["hi"] == cur["lo"]
+        assert rows[-1]["hi"] == sum(r["weight"] for r in rows)
+        # probabilities sum to ~1
+        assert abs(sum(r["prob"] for r in rows) - 1.0) < 1e-6
+
+    def test_alpha_one_is_unigram(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            negative_sampling_table,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x x y")], "doc_id long, text string"
+        )
+        rows = {
+            r["token"]: r
+            for r in negative_sampling_table(docs, alpha=1.0).collect()
+        }
+        assert rows["x"]["weight"] == 2.0 and rows["y"]["weight"] == 1.0
+        assert rows["x"]["prob"] == pytest.approx(2.0 / 3.0, abs=1e-9)
+
+    def test_empty_corpus_empty_table(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            negative_sampling_table,
+        )
+
+        docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        assert negative_sampling_table(docs).count() == 0
