@@ -4587,6 +4587,7 @@ _GATE_PREFIX = [
     "q225_embedding_outliers",
     "q226_lpa_modularity",
     "q227_negative_sampling",
+    "q228_bpe_train",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4638,7 +4639,6 @@ _GATE_PREFIX = [
     "q101_bigram_model",
     "q102_token_budget_sample",
     "q103_zipf_fit",
-    "q104_token_diversity",
 ]
 
 
@@ -5559,6 +5559,24 @@ def q227_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.negative_sampling_table(d)
 
 
+def q228_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 6 BPE merges in-engine
+    (functions/corpus.bpe_train_merges) — the loop q118 documents
+    itself as the counting kernel of: per round, frequency-weighted
+    adjacent-pair counts over the O(vocab) distinct word table, the
+    (count desc, pair asc) total-order winner as a broadcast one-row
+    frame, and the left-to-right non-overlapping merge REWRITE as a
+    single fold per word ('aaa' under (a,a) is [aa, a] — sequential
+    semantics no join expresses; corpus._apply_merge). The merge
+    table out is the artifact a tokenizer ships. Oracle unrolls the
+    rounds with a list_reduce string-state fold — same semantics,
+    different encoding, pinned bit-equal. Scale: one corpus token
+    count, then vocab-sized rounds (Heaps-bounded) — why real BPE
+    trainers count words first."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.bpe_train_merges(d, n_merges=6)
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5738,6 +5756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q225_embedding_outliers": q225_embedding_outliers,
         "q226_lpa_modularity": q226_lpa_modularity,
         "q227_negative_sampling": q227_negative_sampling,
+        "q228_bpe_train": q228_bpe_train,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -12143,6 +12162,57 @@ def oracle_sql() -> dict[str, str]:
                      / NULLIF(CAST(tot.t AS DOUBLE), 0.0) * 1e9 + 0.5)
                    / 1e9 AS prob
         FROM c, tot
+    """
+    # q228: round-unrolled BPE trainer — per round a pair count, a
+    # MATERIALIZED 1-row winner, and the list_reduce string-state fold
+    # (acc = out || '~' || pend; same left-to-right non-overlap
+    # semantics as corpus._apply_merge's struct fold)
+    _bpe_round = """
+        pairs_{r} AS (
+            SELECT l, r2, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+                SELECT s[pos] AS l, s[pos + 1] AS r2, cnt
+                FROM (SELECT cnt, s, unnest(range(1, len(s))) AS pos
+                      FROM words_{p} WHERE len(s) >= 2))
+            GROUP BY l, r2),
+        win_{r} AS MATERIALIZED (
+            SELECT {r} AS round, l AS left_, r2 AS right_, pc
+            FROM pairs_{r} ORDER BY pc DESC, l, r2 LIMIT 1),
+        words_{r} AS MATERIALIZED (
+            SELECT string_split(ltrim(
+                CASE WHEN split_part(f, '~', 2) = ''
+                     THEN split_part(f, '~', 1)
+                     ELSE split_part(f, '~', 1) || ' '
+                          || split_part(f, '~', 2) END, ' '), ' ') AS s,
+                   cnt
+            FROM (SELECT cnt, list_reduce(list_prepend('~', s),
+                (acc, x) -> CASE
+                    WHEN split_part(acc, '~', 2) = ''
+                        THEN split_part(acc, '~', 1) || '~' || x
+                    WHEN split_part(acc, '~', 2) = w.left_
+                         AND x = w.right_
+                        THEN split_part(acc, '~', 1) || ' '
+                             || w.left_ || w.right_ || '~'
+                    ELSE split_part(acc, '~', 1) || ' '
+                         || split_part(acc, '~', 2) || '~' || x
+                    END) AS f
+                  FROM words_{p}, win_{r} w))"""
+    _bpe_rounds = ",\n".join(
+        _bpe_round.format(r=i, p=i - 1) for i in range(1, 7)
+    )
+    _bpe_union = " UNION ALL ".join(
+        f"SELECT * FROM win_{i}" for i in range(1, 7)
+    )
+    out["q228_bpe_train"] = f"""
+        WITH wc AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({tokens_sql}) AS token FROM documents)
+            GROUP BY token),
+        words_0 AS (
+            SELECT regexp_split_to_array(token, '') AS s, cnt FROM wc),
+        {_bpe_rounds}
+        SELECT round, left_ AS "left", right_ AS "right",
+               pc AS pair_count
+        FROM ({_bpe_union})
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "q225_embedding_outliers",
     "q226_lpa_modularity",
     "q227_negative_sampling",
+    "q228_bpe_train",
 ]
 
 

@@ -1745,3 +1745,127 @@ def negative_sampling_table(
             ).alias("prob"),
         )
     )
+
+
+def _apply_merge(arr, left, right):
+    """Left-to-right non-overlapping BPE merge of the adjacent symbol
+    pair (left, right) in one fold over the symbol array — the
+    sequential rewrite a join cannot express (after a merge the next
+    candidate pair starts AFTER the merged token: 'aaa' under (a,a)
+    is [aa, a], never [a, aa] nor [aa, aa]). State is
+    struct(out, pend); '' marks no pending symbol (symbols are never
+    empty). Mirrored by the oracle's list_reduce string fold —
+    identical semantics, different encoding."""
+    empty = F.lit("")
+
+    def step(acc, x):
+        out, pend = acc["out"], acc["pend"]
+        return (
+            F.when(
+                pend == empty,
+                F.struct(out.alias("out"), x.alias("pend")),
+            )
+            .when(
+                (pend == left) & (x == right),
+                F.struct(
+                    F.concat(out, F.array(F.concat(left, right))).alias(
+                        "out"
+                    ),
+                    empty.alias("pend"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(out, F.array(pend)).alias("out"),
+                    x.alias("pend"),
+                )
+            )
+        )
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), empty.alias("pend")
+    )
+    return F.aggregate(
+        arr,
+        init,
+        step,
+        lambda acc: F.when(acc["pend"] == empty, acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["pend"]))
+        ),
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """TRAIN the first ``n_merges`` BPE merges in-engine (Sennrich et
+    al. 2016) — the loop :func:`bpe_pair_stats` documents itself as
+    the kernel of: per round, count frequency-weighted adjacent symbol
+    pairs over the distinct word table, pick the max (count desc,
+    pair asc — a total order, so the learned merge SEQUENCE is
+    engine-reproducible), rewrite every word's symbol array with the
+    left-to-right fold (:func:`_apply_merge`), repeat. Returns the
+    merge table (round, left, right, pair_count) — the artifact a
+    tokenizer ships.
+
+    Fully relational: the winner is a broadcast ONE-ROW frame cross-
+    joined into the rewrite (never a driver collect); each round's
+    word table localCheckpoints so the per-round lineage (a fold
+    nested per round) stays flat. Stops early when the pair space is
+    exhausted (< n_merges rows out — the empty winner propagates).
+
+    Scale shape: the corpus pass is ONE token count; every round then
+    runs on the O(vocab) distinct word table (Heaps-bounded), with a
+    map-side-combinable pair count and a 1-row TakeOrdered. At 100 TB
+    the round cost is vocab-, not corpus-, sized — which is why real
+    BPE trainers count words first.
+    """
+    wc = token_counts(df, text_col)
+    words = wc.select(
+        F.split(F.col("token"), "").alias("__s"),
+        F.col("cnt").alias("__f"),
+    ).localCheckpoint(eager=False)
+    merges = []
+    for r in range(1, n_merges + 1):
+        n = F.size("__s")
+        pairs = (
+            words.filter(n >= 2)
+            .select(
+                "__f",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("__s", 1, n - 1).alias("a"),
+                        F.slice("__s", 2, n - 1).alias("b"),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(
+                F.col("p.a").alias("left"), F.col("p.b").alias("right")
+            )
+            .agg(F.sum("__f").cast("long").alias("pair_count"))
+        )
+        win = (
+            pairs.orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "left",
+                "right",
+                "pair_count",
+            )
+        )
+        merges.append(win)
+        words = (
+            words.crossJoin(F.broadcast(win))
+            .select(
+                _apply_merge(
+                    F.col("__s"), F.col("left"), F.col("right")
+                ).alias("__s"),
+                "__f",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = merges[0]
+    for w in merges[1:]:
+        out = out.unionByName(w)
+    return out

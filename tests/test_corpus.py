@@ -765,3 +765,64 @@ class TestNegativeSampling:
 
         docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
         assert negative_sampling_table(docs).count() == 0
+
+
+# ----------------------------------- BPE merge trainer (q228, round-10)
+
+
+class TestBpeTrainMerges:
+    def test_hand_traced_three_rounds_then_exhaustion(self, spark):
+        """'aaab aaab ab': round 1 merges (a,a) [count 4], round 2
+        (a,b) [3], round 3 (aa,ab) [2] — a CHAINED merge using round
+        1+2 symbols — then the pair space is exhausted and rounds 4+
+        emit nothing."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            bpe_train_merges,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab ab")], "doc_id long, text string"
+        )
+        rows = [
+            (r["round"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train_merges(docs, n_merges=4).collect()
+        ]
+        assert rows == [
+            (1, "a", "a", 4),
+            (2, "a", "b", 3),
+            (3, "aa", "ab", 2),
+        ]
+
+    def test_apply_merge_nonoverlap_left_to_right(self, spark):
+        """The fold contract: 'aaa' under (a,a) -> [aa, a], 'aaaa' ->
+        [aa, aa]; a merged token never re-merges within the round."""
+        from pyspark.sql import functions as F
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            _apply_merge,
+        )
+
+        df = spark.createDataFrame(
+            [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["b", "a"],),
+             (["a"],)],
+            "s array<string>",
+        )
+        got = [
+            r["m"]
+            for r in df.select(
+                _apply_merge(F.col("s"), F.lit("a"), F.lit("a")).alias("m")
+            ).collect()
+        ]
+        assert got == [["aa", "a"], ["aa", "aa"], ["b", "a"], ["a"]]
+
+    def test_tie_breaks_lexicographically(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            bpe_train_merges,
+        )
+
+        # 'xy' and 'ab' both appear twice: (a,b) wins the tie
+        docs = spark.createDataFrame(
+            [(1, "xy xy ab ab")], "doc_id long, text string"
+        )
+        first = bpe_train_merges(docs, n_merges=1).first()
+        assert (first["left"], first["right"]) == ("a", "b")
