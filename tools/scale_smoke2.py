@@ -109,6 +109,18 @@ QUERIES = [
     "q220_top_session_paths",
     # skyline sweep: per-x collapse + one strict-prefix-min exchange
     "q221_supplier_skyline",
+    # round-10 additions: map-only line cascade (expected ~linear in
+    # docs); calendar-bounded day-pair tau (the q210/q212 flat class);
+    # the 120-hypothesis ECDF battery (collapsed per-(hyp,value)
+    # frame); k-means + rank threshold; LPA + modularity closing
+    # aggregates; vocab-bounded sampling table and BPE rounds
+    "q222_c4_line_filter",
+    "q223_kendall_tau",
+    "q224_fdr_bh",
+    "q225_embedding_outliers",
+    "q226_lpa_modularity",
+    "q227_negative_sampling",
+    "q228_bpe_train",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10

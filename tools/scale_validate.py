@@ -753,6 +753,184 @@ def check_skyline(spark, sf_dir) -> list[str]:
     return problems
 
 
+
+
+def check_kendall(spark, sf_dir) -> list[str]:
+    """q223 at decade scale: the pair identity n_pairs =
+    n_days(n_days-1)/2 per group, the partition identity
+    C + D + ties_x + ties_y + ties_xy = n_pairs, and tau_b in [-1, 1]
+    (NULL allowed only when a tie factor is 0)."""
+    from big_data_project_datapipeline_spark.functions.quality import (
+        kendall_tau_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = kendall_tau_daily(ev, "ts", "value", ["event_type"]).collect()
+    problems = []
+    for r in out:
+        nd = r["n_days"]
+        if r["n_pairs"] != nd * (nd - 1) // 2:
+            problems.append(f"kendall {r['event_type']}: pair identity")
+        parts = (
+            r["concordant"] + r["discordant"] + r["ties_x"]
+            + r["ties_y"] + r["ties_xy"]
+        )
+        if parts != r["n_pairs"]:
+            problems.append(f"kendall {r['event_type']}: partition identity")
+        t = r["tau_b"]
+        if t is None:
+            if (r["n_pairs"] - r["ties_x"] - r["ties_xy"]) > 0 and (
+                r["n_pairs"] - r["ties_y"] - r["ties_xy"]
+            ) > 0:
+                problems.append(
+                    f"kendall {r['event_type']}: NULL tau with nonzero "
+                    "factors"
+                )
+        elif not (-1.0 <= t <= 1.0):
+            problems.append(f"kendall {r['event_type']}: tau {t} range")
+    return problems
+
+
+def check_fdr(spark, sf_dir) -> list[str]:
+    """q224 at decade scale: ranks are exactly 1..m, m equals the
+    row count, and the rejected set is DOWNWARD CLOSED in rank (the
+    step-up contract: rank r rejected implies every smaller rank
+    rejected)."""
+    import __spark_entry__ as entrymod
+
+    out = sorted(
+        entrymod.queries()["q224_fdr_bh"](spark, sf_dir).collect(),
+        key=lambda r: r["p_rank"],
+    )
+    problems = []
+    m = len(out)
+    if [r["p_rank"] for r in out] != list(range(1, m + 1)):
+        problems.append("fdr: ranks not 1..m")
+    if any(r["m_tests"] != m for r in out):
+        problems.append("fdr: m_tests mismatch")
+    seen_unrejected = False
+    for r in out:
+        if not r["rejected"]:
+            seen_unrejected = True
+        elif seen_unrejected:
+            problems.append(f"fdr: rejected rank {r['p_rank']} above an "
+                            "unrejected one")
+            break
+    return problems
+
+
+def check_negative_sampling(spark, sf_dir) -> list[str]:
+    """q227 at decade scale: the [lo, hi) ranges TILE the total mass
+    exactly in token order (hi(i) == lo(i+1), first lo == 0 — exact
+    equality, every number derives from the same scaled integers) and
+    probabilities lie in [0, 1]."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        negative_sampling_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = sorted(
+        negative_sampling_table(d).collect(), key=lambda r: r["token"]
+    )
+    problems = []
+    if not rows:
+        return ["negsamp: empty table"]
+    if rows[0]["lo"] != 0.0:
+        problems.append("negsamp: first lo != 0")
+    for a, b in zip(rows, rows[1:]):
+        if a["hi"] != b["lo"]:
+            problems.append(f"negsamp: gap at {b['token']}")
+            break
+    for r in rows:
+        if not (0.0 <= r["prob"] <= 1.0):
+            problems.append(f"negsamp: prob {r['prob']} range")
+            break
+    return problems
+
+
+def check_modularity(spark, sf_dir) -> list[str]:
+    """q226 at decade scale, against an INDEPENDENT recount of the
+    support graph: sum(degree_sum) == 2m, sum(inner_edges) <= m,
+    sum(contribution) == modularity within the stacked quantization
+    (communities x 1e-9 + 1e-6), and Q in [-0.5, 1]."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as FF
+
+    out = entrymod.queries()["q226_lpa_modularity"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(FF.col("l_orderkey").alias("k"),
+                  FF.col("l_partkey").alias("src"))
+    b = op.select(FF.col("l_orderkey").alias("k"),
+                  FF.col("l_partkey").alias("dst"))
+    m = (
+        a.join(b, "k")
+        .filter(FF.col("src") < FF.col("dst"))
+        .groupBy("src", "dst")
+        .agg(FF.count(FF.lit(1)).alias("n"))
+        .filter(FF.col("n") >= 2)
+        .count()
+    )
+    problems = []
+    if sum(r["degree_sum"] for r in out) != 2 * m:
+        problems.append("modularity: sum(degree) != 2m")
+    if sum(r["inner_edges"] for r in out) > m:
+        problems.append("modularity: inner edges exceed m")
+    q = out[0]["modularity"]
+    tol = len(out) * 1e-9 + 1e-6
+    if abs(sum(r["contribution"] for r in out) - q) > tol:
+        problems.append("modularity: contributions do not refold to Q")
+    if not (-0.5 <= q <= 1.0):
+        problems.append(f"modularity: Q {q} out of range")
+    return problems
+
+
+def check_c4_and_bpe(spark, sf_dir) -> list[str]:
+    """q222/q228 at decade scale: the line-rule counts partition
+    n_lines per doc and text_clean is empty iff nothing was kept;
+    the learned BPE merge counts are non-increasing across rounds
+    (a pair created by merge r occurs at most pair_count(r) times,
+    and round r's winner was the max — so the next max cannot rise)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    problems = []
+    bad = (
+        qs["q222_c4_line_filter"](spark, sf_dir)
+        .filter(
+            (F.col("n_kept") + F.col("n_short") + F.col("n_no_punct")
+             + F.col("n_boilerplate") + F.col("n_brace"))
+            != F.col("n_lines")
+        )
+        .count()
+    )
+    if bad:
+        problems.append(f"c4: {bad} docs fail the rule partition")
+    incon = (
+        qs["q222_c4_line_filter"](spark, sf_dir)
+        .filter(
+            ((F.col("n_kept") == 0) & (F.col("text_clean") != ""))
+            | ((F.col("n_kept") > 0) & (F.col("text_clean") == ""))
+        )
+        .count()
+    )
+    if incon:
+        problems.append(f"c4: {incon} docs break the kept/text contract")
+    merges = sorted(
+        qs["q228_bpe_train"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    if not merges:
+        problems.append("bpe: no merges learned")
+    for x, y in zip(merges, merges[1:]):
+        if y["pair_count"] > x["pair_count"]:
+            problems.append(
+                f"bpe: count rose {x['pair_count']} -> {y['pair_count']}"
+            )
+            break
+    return problems
+
+
 CHECKS = [
     ("prefix_ranks", check_prefix_ranks),
     ("rrf", check_rrf),
@@ -773,6 +951,12 @@ CHECKS = [
     ("naive_bayes", check_naive_bayes),
     ("huber", check_huber),
     ("skyline", check_skyline),
+    # round-10 additions
+    ("kendall", check_kendall),
+    ("fdr", check_fdr),
+    ("negative_sampling", check_negative_sampling),
+    ("modularity", check_modularity),
+    ("c4_and_bpe", check_c4_and_bpe),
 ]
 
 
