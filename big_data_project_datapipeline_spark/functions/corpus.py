@@ -1716,6 +1716,21 @@ def negative_sampling_table(
     cnt = tok.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    return sampling_table_from_counts(cnt, alpha=alpha)
+
+
+def sampling_table_from_counts(
+    cnt: DataFrame, alpha: float = 0.75
+) -> DataFrame:
+    """The sampling-table tail of :func:`negative_sampling_table` over
+    an already-materialized (token, n) count frame — shared verbatim
+    with the streaming store's served report
+    (streaming/corpus.negative_sampling_report), so the incremental
+    path is bit-equal to batch by construction."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        partitioned_prefix,
+    )
+
     wi = F.floor(
         F.pow(F.col("n").cast("double"), F.lit(float(alpha))) * F.lit(1e9)
         + F.lit(0.5)

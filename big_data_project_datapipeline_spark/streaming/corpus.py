@@ -155,6 +155,25 @@ def zipf_report(spark: SparkSession, store_dir: str, top_ranks: int = 100):
     return CO.zipf_fit_from_counts(counts, top_ranks=top_ranks)
 
 
+def negative_sampling_report(
+    spark: SparkSession, store_dir: str, alpha: float = 0.75
+):
+    """word2vec negative-sampling table (q227) served straight off the
+    maintained (token, cnt) store — the training-side artifact
+    refreshed per corpus tick with ZERO corpus rescans (the zipf_report
+    pattern): the store already holds the one aggregate the table
+    derives from, and the tail is the SAME
+    corpus.sampling_table_from_counts expression as batch — bit-equal
+    to negative_sampling_table over every document ever folded (pinned
+    by test)."""
+    counts = spark.read.schema(COUNT_SCHEMA).parquet(
+        os.path.join(store_dir, "counts")
+    )
+    return CO.sampling_table_from_counts(
+        counts.select("token", F.col("cnt").alias("n")), alpha=alpha
+    )
+
+
 # --- DSIR weight maintenance -------------------------------------------
 # The expensive half of DSIR importance weighting (functions/corpus.
 # dsir_importance) is the corpus-wide (bucket, ct, cr) histogram — also

@@ -153,3 +153,26 @@ def test_fold_ledger_is_atomic_with_store_and_deltas_pruned(spark, store):
         for r in spark.read.parquet(store + "/counts").collect()
     }
     assert got == {"a": 1, "b": 2, "c": 1}
+
+
+def test_negative_sampling_report_matches_batch_table(spark, store):
+    """Round-10: the store-served q227 sampling table must be
+    bit-equal to the batch negative_sampling_table over every doc
+    ever folded (same sampling_table_from_counts tail, same exact
+    integer-scaled weights)."""
+    wave1 = _docs(spark, [(0, "a b a"), (1, "b c")])
+    wave2 = _docs(spark, [(2, "a d d d")])
+    SC.maintain_token_counts(spark, wave1, store, batch_id="t1")
+    SC.maintain_token_counts(spark, wave2, store, batch_id="t2")
+    inc = sorted(
+        map(tuple, SC.negative_sampling_report(spark, store).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            CO.negative_sampling_table(
+                wave1.unionByName(wave2)
+            ).collect(),
+        )
+    )
+    assert inc == batch and len(inc) == 4
