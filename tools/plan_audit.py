@@ -58,6 +58,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "q67_funnel",  # O(funnel steps) collapsed frame (behavior.py)
     "q71_bm25_search",  # rank after limit(k) candidate cut
     "q89_kmeans",  # seed selection after limit(k)
+    "q225_embedding_outliers",  # wraps the q89 device: same limit(k) seed window
     "q96_key_skew_profile",  # rank after limit(top_n) TakeOrdered cut
     "q103_zipf_fit",  # rank over limit(100) head
     "q160_km_conversion",  # O(distinct event times) survival frame
