@@ -4588,6 +4588,7 @@ _GATE_PREFIX = [
     "q226_lpa_modularity",
     "q227_negative_sampling",
     "q228_bpe_train",
+    "q229_neardup_decontaminate",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4638,7 +4639,6 @@ _GATE_PREFIX = [
     "q100_dup_coverage",
     "q101_bigram_model",
     "q102_token_budget_sample",
-    "q103_zipf_fit",
 ]
 
 
@@ -5577,6 +5577,20 @@ def q228_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.bpe_train_merges(d, n_merges=6)
 
 
+def q229_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate eval-set decontamination
+    (functions/dedup.neardup_decontaminate): every training doc scored
+    against the src1 pseudo-benchmark cohort through the SHARED MinHash
+    band index (one signature pass, train-vs-eval bucket equi-join —
+    never train × eval), exact token-set Jaccard verify on the
+    candidates only, deterministic best match, flag at J >= 0.8 — the
+    FUZZY complement of q56's exact n-gram screen (paraphrased
+    benchmark leakage has no exact n-gram overlap). O(train) output,
+    the q21 decision shape."""
+    d = _t(spark, sf_dir, "documents")
+    return D.neardup_decontaminate(d, F.col("source") == "src1")
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5757,6 +5771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q226_lpa_modularity": q226_lpa_modularity,
         "q227_negative_sampling": q227_negative_sampling,
         "q228_bpe_train": q228_bpe_train,
+        "q229_neardup_decontaminate": q229_neardup_decontaminate,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -6433,6 +6448,53 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(v.jaccard, 6) AS jaccard,
                    CASE WHEN v.jaccard >= 0.8 THEN 0 ELSE 1 END AS is_kept
             FROM documents d LEFT JOIN verified v ON d.doc_id = v.doc_id
+        """,
+        # q229: q21's band index split train-vs-eval (src1 cohort) —
+        # bucket equi-join candidates, exact hashed-token-set verify,
+        # deterministic best match per train doc, flag at J >= 0.8
+        "q229_neardup_decontaminate": f"""
+            WITH {sig_cte},
+            bands229 AS (
+                {' UNION ALL '.join(
+                    f"SELECT doc_id, {b} AS band, "
+                    + PIPE_SEP.join(f"CAST(mh{8*b+j} AS VARCHAR)" for j in range(8))
+                    + " AS band_key FROM sigs"
+                    for b in range(2))}),
+            lab AS (SELECT doc_id, source = 'src1' AS is_eval
+                    FROM documents),
+            evb AS (SELECT b.doc_id AS right_id, band, band_key
+                    FROM bands229 b JOIN lab USING (doc_id)
+                    WHERE is_eval),
+            trb AS (SELECT b.doc_id AS left_id, band, band_key
+                    FROM bands229 b JOIN lab USING (doc_id)
+                    WHERE NOT is_eval),
+            cand AS (
+                SELECT DISTINCT left_id, right_id
+                FROM trb JOIN evb USING (band, band_key)),
+            tsets AS (SELECT doc_id, {htokens_sql} AS s FROM documents),
+            ver AS (
+                SELECT c.left_id, c.right_id,
+                       COALESCE(CAST(len(list_intersect(a.s, b.s))
+                                     AS DOUBLE)
+                           / NULLIF(len(list_distinct(
+                                 list_concat(a.s, b.s))), 0), 0.0)
+                           AS jaccard
+                FROM cand c
+                JOIN tsets a ON c.left_id = a.doc_id
+                JOIN tsets b ON c.right_id = b.doc_id),
+            best AS (
+                SELECT left_id, right_id, jaccard FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY left_id
+                        ORDER BY jaccard DESC, right_id) AS rn
+                    FROM ver) WHERE rn = 1)
+            SELECT d.doc_id,
+                   CASE WHEN b.jaccard >= 0.8 THEN b.right_id END
+                       AS contaminated_by,
+                   ROUND(b.jaccard, 6) AS jaccard,
+                   COALESCE(b.jaccard >= 0.8, FALSE) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
+            LEFT JOIN best b ON d.doc_id = b.left_id
         """,
         "q22_ngram_jaccard": f"""
             WITH {sig_cte},

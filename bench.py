@@ -251,6 +251,7 @@ BENCH_QUERIES = [
     "q226_lpa_modularity",
     "q227_negative_sampling",
     "q228_bpe_train",
+    "q229_neardup_decontaminate",
 ]
 
 

@@ -1378,3 +1378,75 @@ def allpairs_jaccard(
         )
     )
     return attach_cache_release(verified, (tok,))
+
+
+def neardup_decontaminate(
+    df: DataFrame,
+    eval_filter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    band_size: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Eval-set decontamination by NEAR-duplicate (the fuzzy complement
+    of the exact n-gram screen, q56): one row per TRAINING doc with the
+    best-matching eval doc's id and exact token-set Jaccard, flagged at
+    ``threshold`` — paraphrased or lightly-edited benchmark leakage
+    that exact n-gram overlap misses, which is how modern curation
+    stacks (Dolma/Llama) actually screen eval sets.
+
+    ``eval_filter`` is a boolean Column splitting the corpus (True =
+    eval/benchmark doc). Candidates come from the SHARED MinHash band
+    index (one signature pass over the whole corpus, one bucket
+    equi-join of train rows against eval rows — never train × eval);
+    only the bucketed candidates pay the exact-Jaccard verify
+    (:func:`jaccard_pairs`). Best match per train doc is the
+    deterministic (jaccard desc, eval id asc) row_number — partitioned
+    by train doc, never a global window. Train docs with no candidate
+    emit NULL jaccard / contaminated = false (the q21 decision shape:
+    O(train) output, never a pair dump).
+
+    Recall is the banding curve at (num_hashes, band_size) — same
+    knobs and caveats as :func:`minhash_dedup_decision`; the q197
+    bucket-stats audit applies to this index verbatim.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes)
+    banded = banded_rows(sigs, id_col, num_hashes, band_size)
+    flags = df.select(F.col(id_col), eval_filter.alias("__is_eval"))
+    bt = banded.join(flags, id_col)
+    evb = bt.filter(F.col("__is_eval")).select(
+        F.col(id_col).alias("right_id"), "band", "band_key"
+    )
+    trb = bt.filter(~F.col("__is_eval")).select(
+        F.col(id_col).alias("left_id"), "band", "band_key"
+    )
+    cand = (
+        trb.join(evb, ["band", "band_key"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    ver = jaccard_pairs(df, cand, text_col, id_col)
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("jaccard"), F.asc("right_id")
+    )
+    best = (
+        ver.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("left_id").alias(id_col),
+            F.col("right_id").alias("__match"),
+            F.col("jaccard").alias("__j"),
+        )
+    )
+    train = df.filter(~eval_filter).select(id_col)
+    return train.join(best, id_col, "left").select(
+        id_col,
+        F.when(F.col("__j") >= threshold, F.col("__match")).alias(
+            "contaminated_by"
+        ),
+        F.round("__j", 6).alias("jaccard"),
+        F.coalesce(F.col("__j") >= threshold, F.lit(False)).alias(
+            "contaminated"
+        ),
+    )

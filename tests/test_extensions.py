@@ -1237,3 +1237,75 @@ def test_dvec_expr_rejects_non_finite():
     for bad in (math.inf, -math.inf, math.nan):
         with _pytest.raises(ValueError):
             _dvec_sql([1.0, bad])
+
+
+# ---------------- near-dup eval decontamination (q229, round-10)
+
+
+class TestNeardupDecontaminate:
+    def _docs(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        # doc 1 = eval benchmark; doc 10 = token-set clone of it
+        # (J = 1.0 -> the LSH candidate is guaranteed, not
+        # band-probabilistic — the q200 fixture convention);
+        # doc 11 = clean; docs 12/13 = train-train clones (must NOT
+        # flag each other: the screen is train-vs-eval only)
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta", "eval"),
+            (10, "zeta epsilon delta gamma beta alpha", "train"),
+            (11, "totally different words nothing shared here", "train"),
+            (12, "red green blue cyan magenta yellow", "train"),
+            (13, "yellow magenta cyan blue green red", "train"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_flags_eval_clone_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from big_data_project_datapipeline_spark.functions.dedup import (
+            neardup_decontaminate,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in neardup_decontaminate(
+                self._docs(spark), F.col("source") == "eval"
+            ).collect()
+        }
+        # eval doc excluded from the output; every train doc present
+        assert set(out) == {10, 11, 12, 13}
+        assert out[10]["contaminated"] and out[10]["contaminated_by"] == 1
+        assert out[10]["jaccard"] == 1.0
+        # train-train clones are NOT contamination
+        assert not out[12]["contaminated"] and not out[13]["contaminated"]
+        assert out[12]["contaminated_by"] is None
+        # the clean doc has no candidate at all
+        assert out[11]["jaccard"] is None and not out[11]["contaminated"]
+
+    def test_subthreshold_match_reports_but_does_not_flag(self, spark):
+        from pyspark.sql import functions as F
+
+        from big_data_project_datapipeline_spark.functions.dedup import (
+            neardup_decontaminate,
+        )
+
+        # 5 shared + 3 distinct tokens: J = 5/11 ~ 0.4545 — when the
+        # bands collide the match is reported with its jaccard but not
+        # flagged at 0.8; with a HIGH threshold nothing can flag
+        rows = [
+            (1, "a b c d e f g h", "eval"),
+            (2, "a b c d e x y z", "train"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        out = neardup_decontaminate(
+            docs, F.col("source") == "eval", threshold=0.8
+        ).first()
+        assert not out["contaminated"]
+        if out["jaccard"] is not None:  # band-probabilistic candidate
+            assert out["jaccard"] == pytest.approx(5.0 / 11.0, abs=1e-6)
+            assert out["contaminated_by"] is None
