@@ -4589,6 +4589,7 @@ _GATE_PREFIX = [
     "q227_negative_sampling",
     "q228_bpe_train",
     "q229_neardup_decontaminate",
+    "q230_bpe_compression",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4638,7 +4639,6 @@ _GATE_PREFIX = [
     # stalest cohort after that: the round-4-certified q100-q132 block
     "q100_dup_coverage",
     "q101_bigram_model",
-    "q102_token_budget_sample",
 ]
 
 
@@ -5591,6 +5591,20 @@ def q229_neardup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.neardup_decontaminate(d, F.col("source") == "src1")
 
 
+def q230_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE compression curve (functions/corpus.bpe_compression_curve):
+    after each of q228's learned merges, the corpus's total symbol
+    count and compression ratio vs raw characters — the curve whose
+    knee is the merge-budget stopping rule. total_symbols is NOT
+    derivable from pair counts (overlapping occurrences merge fewer
+    times than they count: 'aaa' has two (a,a) pairs, one merge), so
+    each round's post-rewrite word table — frames the trainer already
+    builds — is summed: one O(vocab) aggregate per round. Exact
+    integer totals, one IEEE division, floor-quantized 6."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.bpe_compression_curve(d, n_merges=6)
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5772,6 +5786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q227_negative_sampling": q227_negative_sampling,
         "q228_bpe_train": q228_bpe_train,
         "q229_neardup_decontaminate": q229_neardup_decontaminate,
+        "q230_bpe_compression": q230_bpe_compression,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -12275,6 +12290,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT round, left_ AS "left", right_ AS "right",
                pc AS pair_count
         FROM ({_bpe_union})
+    """
+    # q230: the same unrolled trainer + per-round exact symbol totals
+    # (len(s)·cnt over the round's word table) and the floor-quantized
+    # compression vs raw characters
+    _bpe_sizes = ",\n".join(
+        f"sz_{i} AS (SELECT CAST(SUM(len(s) * cnt) AS BIGINT) "
+        f"AS total_symbols FROM words_{i})"
+        for i in range(1, 7)
+    )
+    _bpe_curve_union = " UNION ALL ".join(
+        f"SELECT w.*, s.total_symbols FROM win_{i} w, sz_{i} s"
+        for i in range(1, 7)
+    )
+    out["q230_bpe_compression"] = f"""
+        WITH wc AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({tokens_sql}) AS token FROM documents)
+            GROUP BY token),
+        words_0 AS (
+            SELECT regexp_split_to_array(token, '') AS s, cnt FROM wc),
+        {_bpe_rounds},
+        base AS (
+            SELECT CAST(SUM(length(token) * cnt) AS BIGINT) AS chars
+            FROM wc),
+        {_bpe_sizes}
+        SELECT round, left_ AS "left", right_ AS "right",
+               pc AS pair_count, total_symbols,
+               floor(CAST(total_symbols AS DOUBLE)
+                     / CAST(base.chars AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS compression
+        FROM ({_bpe_curve_union}), base
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "q227_negative_sampling",
     "q228_bpe_train",
     "q229_neardup_decontaminate",
+    "q230_bpe_compression",
 ]
 
 

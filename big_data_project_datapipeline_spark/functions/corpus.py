@@ -1835,12 +1835,27 @@ def bpe_train_merges(
     the round cost is vocab-, not corpus-, sized — which is why real
     BPE trainers count words first.
     """
+    merges, _ = _bpe_round_frames(df, text_col, n_merges)
+    out = merges[0]
+    for w in merges[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def _bpe_round_frames(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list, list]:
+    """The BPE trainer loop shared by :func:`bpe_train_merges` and
+    :func:`bpe_compression_curve`: per round, the 1-row winner frame
+    and the post-rewrite word table (expressions identical to the
+    original in-line loop — factored, not changed)."""
     wc = token_counts(df, text_col)
     words = wc.select(
         F.split(F.col("token"), "").alias("__s"),
         F.col("cnt").alias("__f"),
     ).localCheckpoint(eager=False)
     merges = []
+    word_frames = []
     for r in range(1, n_merges + 1):
         n = F.size("__s")
         pairs = (
@@ -1880,7 +1895,59 @@ def bpe_train_merges(
             )
             .localCheckpoint(eager=False)
         )
-    out = merges[0]
-    for w in merges[1:]:
+        word_frames.append(words)
+    return merges, word_frames
+
+
+def bpe_compression_curve(
+    df: DataFrame, text_col: str = "text", n_merges: int = 6
+) -> DataFrame:
+    """The tokenizer-training READOUT on top of
+    :func:`bpe_train_merges`: after each learned merge, the corpus's
+    total symbol count and the compression ratio vs characters —
+    (round, left, right, pair_count, total_symbols, compression) —
+    the curve that decides how many merges a vocabulary budget buys
+    (its knee is the stopping rule). total_symbols is NOT derivable
+    from pair counts alone (overlapping occurrences merge fewer times
+    than they count: 'aaa' has two (a,a) pairs but one merge), so each
+    round's post-rewrite word table is aggregated — one
+    O(vocab)-frame sum per round on frames the trainer already built.
+
+    Exactness: symbol totals are exact integers (Σ cnt · |symbols|);
+    compression = total_symbols / total_chars is one IEEE division of
+    exact longs, floor-quantized to 6 (the q217 device).
+    """
+    merges, word_frames = _bpe_round_frames(df, text_col, n_merges)
+    wc = token_counts(df, text_col)
+    base = wc.agg(
+        F.sum(F.length("token").cast("long") * F.col("cnt"))
+        .cast("long")
+        .alias("__chars")
+    )
+    rows = []
+    for win, words in zip(merges, word_frames):
+        size = words.agg(
+            F.sum(F.size("__s").cast("long") * F.col("__f"))
+            .cast("long")
+            .alias("total_symbols")
+        )
+        rows.append(
+            win.crossJoin(F.broadcast(size)).crossJoin(F.broadcast(base))
+        )
+    out = rows[0]
+    for w in rows[1:]:
         out = out.unionByName(w)
-    return out
+    ratio = (
+        F.col("total_symbols").cast("double")
+        / F.col("__chars").cast("double")
+    )
+    return out.select(
+        "round",
+        "left",
+        "right",
+        "pair_count",
+        "total_symbols",
+        (
+            F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("compression"),
+    )

@@ -826,3 +826,45 @@ class TestBpeTrainMerges:
         )
         first = bpe_train_merges(docs, n_merges=1).first()
         assert (first["left"], first["right"]) == ("a", "b")
+
+
+def test_bpe_compression_curve_hand_traced(spark):
+    """'aaab aaab ab' (10 chars weighted): round 1 merges (a,a) —
+    pair_count 4 but only TWO merges happen (overlap: 'aaa' counts 2
+    pairs, merges once) -> 8 symbols; round 2 (a,b): 8-3=5; round 3
+    (aa,ab): 5-2=3. The total_symbols column is exactly why the curve
+    cannot be derived from pair counts."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        bpe_compression_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string"
+    )
+    rows = [
+        (r["round"], r["left"], r["right"], r["pair_count"],
+         r["total_symbols"], r["compression"])
+        for r in bpe_compression_curve(docs, n_merges=3).collect()
+    ]
+    assert rows == [
+        (1, "a", "a", 4, 8, 0.8),
+        (2, "a", "b", 3, 5, 0.5),
+        (3, "aa", "ab", 2, 3, 0.3),
+    ]
+
+
+def test_bpe_compression_strictly_decreases(spark):
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        bpe_compression_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat ran")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        bpe_compression_curve(docs, n_merges=4).collect(),
+        key=lambda r: r["round"],
+    )
+    totals = [r["total_symbols"] for r in rows]
+    assert all(a > b for a, b in zip(totals, totals[1:]))

@@ -928,6 +928,13 @@ def check_c4_and_bpe(spark, sf_dir) -> list[str]:
                 f"bpe: count rose {x['pair_count']} -> {y['pair_count']}"
             )
             break
+    curve = sorted(
+        qs["q230_bpe_compression"](spark, sf_dir).collect(),
+        key=lambda r: r["round"],
+    )
+    totals = [r["total_symbols"] for r in curve]
+    if not all(a > b for a, b in zip(totals, totals[1:])):
+        problems.append("bpe: total_symbols not strictly decreasing")
     return problems
 
 
