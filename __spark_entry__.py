@@ -4590,6 +4590,7 @@ _GATE_PREFIX = [
     "q228_bpe_train",
     "q229_neardup_decontaminate",
     "q230_bpe_compression",
+    "q231_good_turing",
     # every plan round 10 touches re-certifies: the IRLS family (the
     # sketch-scale flag lands in their shared module) and the
     # wedge/pair family (prepared pre-landing)
@@ -4638,7 +4639,6 @@ _GATE_PREFIX = [
     "q170_tv_distance",
     # stalest cohort after that: the round-4-certified q100-q132 block
     "q100_dup_coverage",
-    "q101_bigram_model",
 ]
 
 
@@ -5605,6 +5605,21 @@ def q230_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.bpe_compression_curve(d, n_merges=6)
 
 
+def q231_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table
+    (functions/corpus.good_turing): per observed token frequency r,
+    the type count N_r, the smoothed count r* = (r+1)·N_{r+1}/N_r,
+    that stratum's token-mass share, and the UNSEEN-mass estimate
+    P0 = N_1/N stamped on every row — the number that prices OOV
+    probability from the training corpus alone (q108's OOV rate needs
+    a held-out set; GT estimates the unseen mass without one).
+    Completes the corpus-statics family (q103 Zipf / q135 Heaps / q108
+    OOV / q227 sampling). Exact integer aggregates; divisions
+    floor-quantized 6; O(distinct r) output via a bounded self-join."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.good_turing(d)
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5787,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_bpe_train": q228_bpe_train,
         "q229_neardup_decontaminate": q229_neardup_decontaminate,
         "q230_bpe_compression": q230_bpe_compression,
+        "q231_good_turing": q231_good_turing,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -12321,6 +12337,33 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(base.chars AS DOUBLE) * 1e6 + 0.5) / 1e6
                    AS compression
         FROM ({_bpe_curve_union}), base
+    """
+    # q231: count-of-counts + shifted self-join; floor-quantized
+    # divisions of exact longs
+    out["q231_good_turing"] = f"""
+        WITH cnt AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS r
+            FROM (SELECT unnest({tokens_sql}) AS token FROM documents)
+            GROUP BY token),
+        nr AS (
+            SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM cnt GROUP BY r),
+        tot AS (
+            SELECT CAST(SUM(r * n_types) AS BIGINT) AS n,
+                   CAST(COALESCE(SUM(CASE WHEN r = 1 THEN n_types END),
+                                 0) AS BIGINT) AS n1
+            FROM nr),
+        nxt AS (SELECT r - 1 AS r, n_types AS nr_next FROM nr)
+        SELECT nr.r, nr.n_types,
+               floor(CAST(nr.r + 1 AS DOUBLE) * CAST(nxt.nr_next AS DOUBLE)
+                     / CAST(nr.n_types AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS r_star,
+               floor(CAST(nr.r * nr.n_types AS DOUBLE)
+                     / CAST(tot.n AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS mass_share,
+               floor(CAST(tot.n1 AS DOUBLE) / CAST(tot.n AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS p_unseen
+        FROM nr LEFT JOIN nxt ON nr.r = nxt.r, tot
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "q228_bpe_train",
     "q229_neardup_decontaminate",
     "q230_bpe_compression",
+    "q231_good_turing",
 ]
 
 

@@ -1951,3 +1951,72 @@ def bpe_compression_curve(
             F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
         ).alias("compression"),
     )
+
+
+def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good–Turing frequency-of-frequencies table (Gale & Sampson's
+    classic): for each observed token frequency r, the number of types
+    N_r at that frequency, the smoothed count r* = (r+1)·N_{r+1}/N_r
+    (NULL where N_{r+1} is unobserved — simple GT leaves those slots to
+    the caller's smoothing fit), that stratum's share of the token mass
+    r·N_r/N, and the UNSEEN-mass estimate P0 = N_1/N stamped on every
+    row (the q137 broadcast-scalar shape) — the number that prices OOV
+    probability for any LM built on this corpus (the q108 OOV rate
+    measures a given held-out set; P0 estimates the unseen mass from
+    the training corpus alone).
+
+    Exactness: N_r and N are exact integer aggregates; r* and the mass
+    shares are single IEEE divisions of exact longs, floor-quantized
+    to 6 (the q217 device). N_{r+1} arrives by an equi-join of the
+    O(distinct r) frequency table to itself — bounded output (token
+    frequencies are heavily repeated; distinct r grows ~log-ish).
+
+    Scale shape: one map-side-combinable token count, one count-of-
+    counts aggregate over the O(vocab) frame, a self-join + scalar
+    broadcasts over the O(distinct r) collapsed table.
+    """
+    from big_data_project_datapipeline_spark.functions.text import tokens
+
+    cnt = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+    )
+    nr = cnt.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    tot = nr.agg(
+        F.sum(F.col("r") * F.col("n_types")).cast("long").alias("__n"),
+        F.sum(F.when(F.col("r") == 1, F.col("n_types")))
+        .cast("long")
+        .alias("__n1"),
+    )
+    nxt = nr.select(
+        (F.col("r") - F.lit(1)).alias("r"),
+        F.col("n_types").alias("__nr_next"),
+    )
+
+    def _q6(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return (
+        nr.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_types",
+            _q6(
+                (F.col("r") + F.lit(1)).cast("double")
+                * F.col("__nr_next").cast("double")
+                / F.col("n_types").cast("double")
+            ).alias("r_star"),
+            _q6(
+                (F.col("r") * F.col("n_types")).cast("double")
+                / F.col("__n").cast("double")
+            ).alias("mass_share"),
+            _q6(
+                F.coalesce(F.col("__n1"), F.lit(0)).cast("double")
+                / F.col("__n").cast("double")
+            ).alias("p_unseen"),
+        )
+    )

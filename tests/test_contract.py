@@ -72,7 +72,7 @@ def test_gate_prefix_rotation_invariants():
     # modules and the wedge/pair prepared pre-landing) must occupy
     # certified slots
     must_certify = {
-        "q222_", "q223_", "q224_", "q225_", "q226_", "q227_", "q228_", "q229_", "q230_",
+        "q222_", "q223_", "q224_", "q225_", "q226_", "q227_", "q228_", "q229_", "q230_", "q231_",
         "q215_", "q219_", "q210_", "q212_",
         "q121_", "q198_", "q199_", "q207_", "q213_", "q214_",
     }

@@ -868,3 +868,41 @@ def test_bpe_compression_strictly_decreases(spark):
     )
     totals = [r["total_symbols"] for r in rows]
     assert all(a > b for a, b in zip(totals, totals[1:]))
+
+
+class TestGoodTuring:
+    def test_hand_frequency_of_frequencies(self, spark):
+        """corpus 'a a a b b c d': counts a=3,b=2,c=1,d=1 ->
+        N_1=2, N_2=1, N_3=1, N=7; r*(1) = 2*N_2/N_1 = 1.0;
+        r*(2) = 3*N_3/N_2 = 3.0; r*(3) NULL (no N_4);
+        P0 = N_1/N = 2/7."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            good_turing,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a a a b b c d")], "doc_id long, text string"
+        )
+        rows = {r["r"]: r for r in good_turing(docs).collect()}
+        assert rows[1]["n_types"] == 2 and rows[1]["r_star"] == 1.0
+        assert rows[2]["n_types"] == 1 and rows[2]["r_star"] == 3.0
+        assert rows[3]["n_types"] == 1 and rows[3]["r_star"] is None
+        import math
+
+        want = math.floor(2.0 / 7.0 * 1e6 + 0.5) / 1e6
+        assert all(r["p_unseen"] == want for r in rows.values())
+        # mass shares partition the token mass
+        assert (
+            abs(sum(r["mass_share"] for r in rows.values()) - 1.0) < 1e-5
+        )
+
+    def test_no_singletons_zero_unseen_mass(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            good_turing,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "x x y y")], "doc_id long, text string"
+        )
+        rows = good_turing(docs).collect()
+        assert all(r["p_unseen"] == 0.0 for r in rows)

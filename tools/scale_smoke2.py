@@ -124,6 +124,7 @@ QUERIES = [
     # shared band index, train-vs-eval bucket join, bounded verify
     "q229_neardup_decontaminate",
     "q230_bpe_compression",
+    "q231_good_turing",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
