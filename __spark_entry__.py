@@ -5537,8 +5537,21 @@ def q226_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-community terms would be fold-order-dependent), one IEEE
     division, floor-quantized (the q217 device). Same fixed-round LPA
     and support graph as q203; two label-keyed edge joins and two
-    O(communities) aggregates on top."""
-    ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
+    O(communities) aggregates on top.
+
+    The edge build is localCheckpointed ONCE before fanning into the
+    two consumers (VERDICT r10 item: LPA checkpoints only its own
+    derived ``sym`` and modularity re-derives ``canon``, so the
+    ledger's most expensive build — the within-order pair self-join —
+    ran TWICE, doubling the family's sf10 spill to 104 GB). One lazy
+    localCheckpoint on the O(edges) frame halves that; at deployment
+    scale the prepared pair-stats landing removes the build entirely
+    (market.support_graph_edges(prepared_stats=...))."""
+    ed = (
+        _copurchase_support_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
     lab = G.label_propagation(ed, n_rounds=3)
     return G.modularity(ed, lab)
 
