@@ -1842,6 +1842,28 @@ def bpe_train_merges(
     return out
 
 
+def _adjacent_pair_counts(words: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent symbol-pair counts over a
+    (__s array<string>, __f long) word table — the BPE counting
+    kernel shared by the exact and batched trainers (one map-only
+    zip-explode + one map-side-combinable groupBy)."""
+    n = F.size("__s")
+    return (
+        words.filter(n >= 2)
+        .select(
+            "__f",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__s", 1, n - 1).alias("a"),
+                    F.slice("__s", 2, n - 1).alias("b"),
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("left"), F.col("p.b").alias("right"))
+        .agg(F.sum("__f").cast("long").alias("pair_count"))
+    )
+
+
 def _bpe_round_frames(
     df: DataFrame, text_col: str, n_merges: int
 ) -> tuple[list, list]:
@@ -1857,23 +1879,7 @@ def _bpe_round_frames(
     merges = []
     word_frames = []
     for r in range(1, n_merges + 1):
-        n = F.size("__s")
-        pairs = (
-            words.filter(n >= 2)
-            .select(
-                "__f",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice("__s", 1, n - 1).alias("a"),
-                        F.slice("__s", 2, n - 1).alias("b"),
-                    )
-                ).alias("p"),
-            )
-            .groupBy(
-                F.col("p.a").alias("left"), F.col("p.b").alias("right")
-            )
-            .agg(F.sum("__f").cast("long").alias("pair_count"))
-        )
+        pairs = _adjacent_pair_counts(words)
         win = (
             pairs.orderBy(F.desc("pair_count"), "left", "right")
             .limit(1)
@@ -1897,6 +1903,141 @@ def _bpe_round_frames(
         )
         word_frames.append(words)
     return merges, word_frames
+
+
+def bpe_train_merges_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    batch_k: int = 4,
+) -> DataFrame:
+    """BPE training at realistic merge budgets (VERDICT r10 item 6):
+    per round learn UP TO ``batch_k`` merges instead of one — the
+    standard scalable approximation (SentencePiece/fast HF trainers
+    batch the same way), because :func:`bpe_train_merges`'s
+    one-merge-per-round loop is exact but needs 10k+ driver rounds for
+    a production vocabulary, while this runs ``total/batch_k`` rounds
+    for the same budget.
+
+    Per round: the top-``batch_k`` candidate pairs by the exact-trainer
+    total order (count desc, left asc, right asc) collapse to ONE
+    sorted-array row (array_sort over a <=k-row collect_list — no
+    window, no driver collect); a greedy fold over that O(k) array
+    keeps a candidate iff neither symbol was used by a higher-ranked
+    kept pair (the used set also blocks symbols equal to a kept pair's
+    MERGED token, so no kept merge can create or destroy another kept
+    pair's occurrences mid-batch); the kept merges then apply to every
+    word IN RANK ORDER as one nested fold (outer fold over the kept
+    array, inner :func:`_apply_merge` left-to-right rewrite). Output:
+    (round, rank, left, right, pair_count) where rank is the position
+    within the round's kept batch and pair_count is the PRE-round
+    count (exactly what the exact trainer reports for its winner).
+
+    With ``batch_k=1`` every round keeps exactly the exact trainer's
+    winner and the two trainers produce the identical merge sequence
+    (test-pinned). Pair exhaustion yields an empty kept batch: the
+    fold is the identity, the round emits no rows, and later rounds
+    stay empty — same early-stop surface as the exact trainer.
+
+    Scale shape: identical to the exact trainer per round (one
+    vocab-sized pair count, a k-row TakeOrdered, a broadcast 1-row
+    kept frame, one map-only rewrite pass over the O(vocab) word
+    table) — but ``batch_k``× fewer rounds per merge budget.
+    """
+    if batch_k < 1 or n_rounds < 1:
+        raise ValueError(
+            "bpe_train_merges_batched: n_rounds and batch_k must be >= 1"
+        )
+    wc = token_counts(df, text_col)
+    words = wc.select(
+        F.split(F.col("token"), "").alias("__s"),
+        F.col("cnt").alias("__f"),
+    ).localCheckpoint(eager=False)
+    kept_t = "array<struct<left:string,right:string,pair_count:bigint>>"
+
+    def _greedy(acc, c):
+        ok = ~F.array_contains(acc["used"], c["left"]) & ~F.array_contains(
+            acc["used"], c["right"]
+        )
+        taken = F.struct(
+            F.concat(
+                acc["kept"],
+                F.array(
+                    F.struct(
+                        c["left"].alias("left"),
+                        c["right"].alias("right"),
+                        c["pair_count"].alias("pair_count"),
+                    )
+                ),
+            ).alias("kept"),
+            F.concat(
+                acc["used"],
+                F.array(
+                    c["left"],
+                    c["right"],
+                    F.concat(c["left"], c["right"]),
+                ),
+            ).alias("used"),
+        )
+        return F.when(ok, taken).otherwise(acc)
+
+    out_frames = []
+    for r in range(1, n_rounds + 1):
+        cand = (
+            _adjacent_pair_counts(words)
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(batch_k)
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("pair_count")).alias("__nc"),
+                            F.col("left"),
+                            F.col("right"),
+                            F.col("pair_count"),
+                        )
+                    )
+                ).alias("__cand")
+            )
+        )
+        init = F.struct(
+            F.array().cast(kept_t).alias("kept"),
+            F.array().cast("array<string>").alias("used"),
+        )
+        kept_row = cand.select(
+            F.aggregate(
+                "__cand", init, _greedy, lambda a: a["kept"]
+            ).alias("__kept")
+        ).localCheckpoint(eager=False)
+        out_frames.append(
+            kept_row.select(
+                F.posexplode("__kept").alias("__i", "__m")
+            ).select(
+                F.lit(r).cast("int").alias("round"),
+                (F.col("__i") + 1).cast("int").alias("rank"),
+                F.col("__m.left").alias("left"),
+                F.col("__m.right").alias("right"),
+                F.col("__m.pair_count").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(kept_row))
+            .select(
+                F.aggregate(
+                    "__kept",
+                    F.col("__s"),
+                    lambda acc, m: _apply_merge(
+                        acc, m["left"], m["right"]
+                    ),
+                ).alias("__s"),
+                "__f",
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = out_frames[0]
+    for w in out_frames[1:]:
+        out = out.unionByName(w)
+    return out
 
 
 def bpe_compression_curve(

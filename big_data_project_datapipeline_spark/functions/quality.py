@@ -186,24 +186,88 @@ def mad_outlier_summary(
     value_col: str,
     by: Sequence[str] = (),
     n_sigmas: float = 3.0,
+    scale_estimator: str = "exact",
+    scale_bins: int = 64,
 ) -> DataFrame:
     """Robust outlier summary per group: lower-median, MAD (lower-median
     of absolute deviations), and the count/rate of rows whose deviation
     exceeds ``n_sigmas × 1.4826 × MAD``.
 
-    Two grouped_lower_median passes (medians are data elements, so the
-    deviations — and therefore the threshold comparison — are bit-exact
-    in any engine); the median/MAD frames are O(groups) and broadcast
-    back to the row stream.
+    ``scale_estimator="exact"`` (default, the gate/oracle path): two
+    grouped_lower_median passes — medians are data elements, so the
+    deviations and therefore the threshold comparison are bit-exact in
+    any engine. The rank device is a distributed range sort over the
+    per-group DISTINCT values; for continuous doubles that collapsed
+    frame is still O(rows), so the exact path pays two full range
+    exchanges at decade scale.
+
+    ``scale_estimator="sketch"`` is the 100 TB path (the q219 huber
+    swap, round-11 audit): both medians come from the mergeable
+    O(groups × scale_bins) histogram device (:func:`_hist_median`) —
+    every aggregate map-side combinable, NO sort, no per-group value
+    buffer; |median error| <= bin width/2 per median, and the MAD grid
+    derives its bounds from the value bounds already in hand
+    (max|v − med| == max(vmax − med, med − vmin) exactly), so the
+    whole summary is THREE row scans (bounds, value bins, deviation
+    bins) plus the closing flag pass. The outlier threshold moves by
+    at most 1.4826·n_sigmas·(stacked bin error), which the within-bound
+    test pins.
     """
-    med = grouped_lower_median(df, by, value_col, "median")
-    rows = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).join(
-        F.broadcast(med), list(by) if by else None, "inner" if by else "cross"
-    )
-    dev = rows.withColumn(
-        "__dev", F.abs(F.col(value_col) - F.col("median"))
-    )
-    mad = grouped_lower_median(dev, by, "__dev", "mad")
+    if scale_estimator == "exact":
+        med = grouped_lower_median(df, by, value_col, "median")
+        rows = df.filter(F.col(value_col).isNotNull() & ~F.isnan(F.col(value_col).cast("double"))).join(
+            F.broadcast(med), list(by) if by else None, "inner" if by else "cross"
+        )
+        dev = rows.withColumn(
+            "__dev", F.abs(F.col(value_col) - F.col("median"))
+        )
+        mad = grouped_lower_median(dev, by, "__dev", "mad")
+    elif scale_estimator == "sketch":
+        bys = list(by)
+        clean = df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
+        vals = clean.select(
+            *bys, F.col(value_col).cast("double").alias("__v")
+        )
+        bounds = vals.groupBy(*bys).agg(
+            F.min("__v").alias("__rmin"),
+            F.max("__v").alias("__rmax"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+        med = _hist_median(
+            vals, bys, F.col("__v"), scale_bins, "median", bounds=bounds
+        )
+        mad_bounds = (
+            bounds.join(med, bys)
+            if bys
+            else bounds.crossJoin(F.broadcast(med))
+        ).select(
+            *bys,
+            F.lit(0.0).alias("__rmin"),
+            F.greatest(
+                F.col("__rmax") - F.col("median"),
+                F.col("median") - F.col("__rmin"),
+            ).alias("__rmax"),
+            F.col("__n"),
+        )
+        rows = clean.join(
+            F.broadcast(med), bys if bys else None,
+            "inner" if bys else "cross",
+        )
+        dev = rows.withColumn(
+            "__dev",
+            F.abs(F.col(value_col).cast("double") - F.col("median")),
+        )
+        mad = _hist_median(
+            dev, bys, F.col("__dev"), scale_bins, "mad", bounds=mad_bounds
+        )
+    else:
+        raise ValueError(
+            f"scale_estimator must be 'exact' or 'sketch', got "
+            f"{scale_estimator!r}"
+        )
     flagged = dev.join(F.broadcast(mad), list(by) if by else None,
                        "inner" if by else "cross")
     thr = F.lit(float(n_sigmas)) * F.lit(MAD_SIGMA) * F.col("mad")

@@ -172,6 +172,51 @@ def copurchase_lift(
     return attach_cache_release(result, handles)
 
 
+def support_graph_edges(
+    lines: DataFrame | None = None,
+    basket_col: str = "basket",
+    item_col: str = "item",
+    min_pair_count: int = 2,
+    prepared_stats: DataFrame | None = None,
+) -> DataFrame:
+    """The co-occurrence SUPPORT GRAPH's weighted edge list
+    ``(src, dst, n)`` — one row per unordered item pair (src < dst)
+    co-occurring in >= ``min_pair_count`` baskets, weight = basket
+    count. This is the edge frame the whole graph family consumes
+    (pagerank/LPA/modularity/k-truss/clustering/assortativity — the
+    q121/q198/q199/q207/q226 build), expressed over the SAME pair
+    statistics as lift/cosine so one landed table serves ranking and
+    graph jobs alike (the pair set is unit-test-pinned equal to the
+    within-basket self-join device).
+
+    ``prepared_stats``: a pre-landed :func:`basket_pair_stats` frame
+    (``lines`` then unused) — the 100 TB deployment shape (VERDICT r10
+    item 3): the pair explosion + external sort dominating the
+    family's decade cost happens once in the landing, and every graph
+    consumer's edge build becomes a bucket-local parquet scan. Graph
+    results over prepared edges are bit-equal to the in-session build
+    by construction (same rows in, fixed-round algorithms on top) —
+    pinned per consumer in test_stats_market.py. One-shot jobs keep
+    the in-session build (the honest q226 gate default).
+    """
+    if prepared_stats is not None:
+        stats: DataFrame = prepared_stats
+        handles: tuple[DataFrame, ...] = ()
+    elif lines is not None:
+        stats, baskets = _pair_stats(
+            lines, basket_col, item_col, min_pair_count
+        )
+        handles = (baskets,)
+    else:
+        raise ValueError("pass lines= or prepared_stats=")
+    edges = stats.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("dst"),
+        F.col("pair_n").alias("n"),
+    )
+    return attach_cache_release(edges, handles)
+
+
 def frequent_triples(
     lines: DataFrame,
     basket_col: str,

@@ -906,3 +906,108 @@ class TestGoodTuring:
         )
         rows = good_turing(docs).collect()
         assert all(r["p_unseen"] == 0.0 for r in rows)
+
+
+class TestBpeTrainBatched:
+    """Round-11 batched trainer (VERDICT r10 item 6): up to batch_k
+    symbol-disjoint merges per round — the scalable approximation for
+    realistic merge budgets."""
+
+    def test_batch_k1_equals_exact_trainer(self, spark):
+        """batch_k=1 keeps exactly the exact trainer's winner each
+        round: identical merge sequence, counts, and early stop."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            bpe_train_merges,
+            bpe_train_merges_batched,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "merge merge merge term term mer"),
+             (2, "merge term banana banana")],
+            "doc_id long, text string",
+        )
+        exact = [
+            (r["round"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train_merges(docs, n_merges=6).collect()
+        ]
+        batched = [
+            (r["round"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_train_merges_batched(
+                docs, n_rounds=6, batch_k=1
+            ).collect()
+        ]
+        assert batched == exact
+        assert len(exact) == 6
+
+    def test_greedy_excludes_symbol_sharing_candidate(self, spark):
+        """Candidates (a,b)x10, (b,c)x8, (d,e)x6 with batch_k=3:
+        (b,c) shares 'b' with the rank-1 kept pair and is skipped;
+        (d,e) is disjoint and lands at rank 2 of the KEPT batch."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            bpe_train_merges_batched,
+        )
+
+        text = " ".join(["ab"] * 10 + ["bc"] * 8 + ["de"] * 6)
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        rows = [
+            (r["round"], r["rank"], r["left"], r["right"],
+             r["pair_count"])
+            for r in bpe_train_merges_batched(
+                docs, n_rounds=1, batch_k=3
+            ).collect()
+        ]
+        assert rows == [(1, 1, "a", "b", 10), (1, 2, "d", "e", 6)]
+
+    def test_batched_rewrite_is_left_to_right_and_chains_rounds(
+        self, spark
+    ):
+        """'aaab aaab ab' with batch_k=2: every round's rank-2
+        candidate shares a symbol with the kept winner ((a,b) shares
+        'a' in round 1; (aa,a) shares 'a' in round 2), so each batch
+        keeps exactly one merge and the batched trainer reproduces the
+        exact trainer's full chained sequence — including round 3's
+        (aa,ab) merge built from rounds 1+2's symbols, which proves
+        the rewrite really applied between rounds."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            bpe_train_merges_batched,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "aaab aaab ab")], "doc_id long, text string"
+        )
+        rows = [
+            (r["round"], r["rank"], r["left"], r["right"],
+             r["pair_count"])
+            for r in bpe_train_merges_batched(
+                docs, n_rounds=3, batch_k=2
+            ).collect()
+        ]
+        assert rows == [
+            (1, 1, "a", "a", 4),
+            (2, 1, "a", "b", 3),
+            (3, 1, "aa", "ab", 2),
+        ]
+
+    def test_pair_exhaustion_emits_nothing_and_validates_args(
+        self, spark
+    ):
+        import pytest
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            bpe_train_merges_batched,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "ab ab")], "doc_id long, text string"
+        )
+        rows = bpe_train_merges_batched(
+            docs, n_rounds=3, batch_k=4
+        ).collect()
+        # round 1 learns (a,b); rounds 2-3 have no pairs left
+        assert [(r["round"], r["left"], r["right"]) for r in rows] == [
+            (1, "a", "b")
+        ]
+        with pytest.raises(ValueError, match="batch_k"):
+            bpe_train_merges_batched(docs, n_rounds=0)

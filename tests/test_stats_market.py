@@ -75,6 +75,76 @@ def test_mad_outlier_flags_extreme_only(spark):
     assert out["n_outliers"] == 1 and out["n"] == 5
 
 
+def test_mad_sketch_within_stacked_bin_bound(spark):
+    """The round-11 mergeable MAD path (the q219 huber swap applied to
+    mad_outlier_summary): median and MAD each carry <= bin width/2 of
+    histogram-midpoint error, the MAD additionally absorbing the
+    median's shift — pin the stacked bound and that the extreme
+    outlier still flags."""
+    vals = [float(v) for v in range(1, 50, 2)] + [1000.0]  # range ~999
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "k string, value double"
+    )
+    ex = mad_outlier_summary(df, "value", ["k"]).first()
+    sk = mad_outlier_summary(
+        df, "value", ["k"], scale_estimator="sketch", scale_bins=64
+    ).first()
+    value_range = 999.0
+    med_err = value_range / 64.0  # bin width of the value grid
+    assert abs(sk["median"] - ex["median"]) <= med_err
+    # MAD grid spans max|v - med| (~975): its bin error stacks on the
+    # median's shift
+    mad_err = med_err + 1000.0 / 64.0
+    assert abs(sk["mad"] - ex["mad"]) <= mad_err
+    assert sk["n"] == ex["n"] == 26
+    # 1000 deviates ~975 vs threshold ~3*1.4826*MAD(~13): both paths
+    # flag exactly the one extreme point
+    assert sk["n_outliers"] == ex["n_outliers"] == 1
+
+
+def test_mad_sketch_exact_on_zero_width_groups(spark):
+    """All values identical: both grids are zero-width, the sketch
+    path reproduces the exact path bit-for-bit (median == the value,
+    MAD == 0, no outliers)."""
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5, "k string, value double"
+    )
+    ex = mad_outlier_summary(df, "value", ["k"]).first()
+    sk = mad_outlier_summary(
+        df, "value", ["k"], scale_estimator="sketch"
+    ).first()
+    assert (sk["median"], sk["mad"], sk["n_outliers"]) == (
+        ex["median"], ex["mad"], ex["n_outliers"]
+    ) == (7.0, 0.0, 0)
+
+
+def test_mad_sketch_plan_never_sorts_values(spark):
+    """The point of the flag: the exact path's rank device SORTS the
+    distinct-value frame (`Sort [... __v ASC]` — O(rows) for a
+    continuous column, twice), while the sketch plan's only sorts are
+    over the `__bin` frame (bounded at scale_bins rows per group) and
+    O(groups) join keys — no value column is ever sorted or buffered."""
+    import re
+
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(9)], "k string, value double"
+    )
+    exact_plan = (
+        mad_outlier_summary(df, "value", ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    sketch_plan = (
+        mad_outlier_summary(df, "value", ["k"], scale_estimator="sketch")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    value_sort = re.compile(r"Sort \[[^\]\n]*__(v|dev)#")
+    assert value_sort.search(exact_plan)
+    assert not value_sort.search(sketch_plan)
+    assert "percentile" not in sketch_plan
+    with pytest.raises(ValueError, match="scale_estimator"):
+        mad_outlier_summary(df, "value", ["k"], scale_estimator="bogus")
+
+
 def test_copurchase_lift_normalization(spark):
     # baskets: {a,b,c}, {a,b}, {a,b} → pair (a,b) in 3 of 3 baskets
     lines = spark.createDataFrame(
@@ -1644,6 +1714,65 @@ def test_pair_stats_edges_equal_selfjoin_support_device(spark):
     ).collect()
     assert sorted(map(tuple, derived)) == sorted(map(tuple, selfjoin))
     assert len(selfjoin) > 0
+
+
+def test_graph_family_prepared_edges_bit_equal(spark):
+    """Round-11 (VERDICT r10 item 3): LPA, modularity, and k-truss
+    over support_graph_edges(prepared_stats=) — the landed
+    basket_pair_stats table round-tripped through a bucketed sink —
+    are bit-equal to the same consumers over the in-session build.
+    Fixed-round algorithms over the identical (pinned) edge set can't
+    differ; this pins the whole chain including the parquet
+    round-trip, like lift/cosine before it."""
+    from big_data_project_datapipeline_spark import sinks
+    from big_data_project_datapipeline_spark.operators.graph import (
+        ktruss_peel,
+        label_propagation,
+        modularity,
+    )
+    from big_data_project_datapipeline_spark.operators.market import (
+        basket_pair_stats,
+        support_graph_edges,
+    )
+
+    # two overlapping triangles (support-2 each) + a pendant edge and
+    # a chord: non-trivial communities, a k-truss that actually peels
+    rows = []
+    b = 0
+    for members in [(10, 20, 30), (10, 20, 30), (20, 30, 40),
+                    (20, 30, 40), (50, 60), (50, 60), (10, 40),
+                    (10, 40)]:
+        b += 1
+        rows.extend((b, i) for i in members)
+    lines = spark.createDataFrame(rows, ["basket", "item"])
+
+    default = support_graph_edges(lines, "basket", "item")
+    stats = basket_pair_stats(lines, "basket", "item")
+    sinks.write_bucketed(
+        stats, "t_sge_stats", "item_a", num_buckets=4, sort_col="item_a"
+    )
+    try:
+        prepared = support_graph_edges(
+            prepared_stats=spark.table("t_sge_stats")
+        )
+        # weighted edge frame itself round-trips bit-equal
+        assert sorted(map(tuple, prepared.collect())) == sorted(
+            map(tuple, default.collect())
+        )
+        de, pe = default.select("src", "dst"), prepared.select("src", "dst")
+        for build in (
+            lambda e: label_propagation(e, n_rounds=3),
+            lambda e: modularity(e, label_propagation(e, n_rounds=3)),
+            lambda e: ktruss_peel(e, k=3, n_rounds=4),
+        ):
+            d = sorted(map(tuple, build(de).collect()))
+            p = sorted(map(tuple, build(pe).collect()))
+            assert d == p
+            assert len(d) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sge_stats")
+    with pytest.raises(ValueError, match="lines= or prepared_stats="):
+        support_graph_edges()
 
 
 def test_copurchase_lift_requires_input(spark):
