@@ -4576,69 +4576,73 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remainder + q144). Displaced mid-round to make room for
 # q208–q221: q145–q148 and q78–q86 — those re-queue FIRST in round
 # 10, then q156–q170 and the round-4-certified q100–q132 block.
+# Round-11 rotation (VERDICT r10 item 1 + NOTES_r10 plan): q92/q37
+# pinned; round-11 additions (never driver-certified) next; then every
+# plan round 11 touches — q226 (the localCheckpoint fix), q215/q219
+# (quality.py gained the mad-sketch + audit edits in their shared
+# module), q228/q230 (corpus.py BPE loop factored for the batched
+# trainer), q213/q214 (market.py gained support_graph_edges),
+# q78 (mad_outlier_summary gained scale_estimator=) — then the ENTIRE
+# 38-query certification-freshness cohort whose latest driver rows
+# date from rounds 3–4 (q79/q88/q89/q95–q98 from round 3; the
+# q101–q143 round-4 block). After this round every registered query's
+# driver row is <= 4 rounds old and the rotation debt is cleared.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
-    # round-10 additions (never driver-certified) always outrank
+    # round-11 additions (never driver-certified) outrank
     # re-certifications
-    "q222_c4_line_filter",
-    "q223_kendall_tau",
-    "q224_fdr_bh",
-    "q225_embedding_outliers",
+    "q232_token_gini",
+    "q233_bpe_train_batched",
+    # plans round 11 touches
     "q226_lpa_modularity",
-    "q227_negative_sampling",
-    "q228_bpe_train",
-    "q229_neardup_decontaminate",
-    "q230_bpe_compression",
-    "q231_good_turing",
-    # every plan round 10 touches re-certifies: the IRLS family (the
-    # sketch-scale flag lands in their shared module) and the
-    # wedge/pair family (prepared pre-landing)
-    # q210/q212 share the daily-pair prelude the round-10
-    # CartesianProduct fix touched (grouped plans unchanged;
-    # re-certified anyway per the touched-plan contract)
-    "q210_theil_sen",
-    "q212_mann_kendall",
     "q215_logistic_irls",
     "q219_huber_regression",
-    "q121_triangle_count",
-    "q198_clustering_coefficient",
-    "q199_degree_assortativity",
-    "q207_ktruss",
+    "q228_bpe_train",
+    "q230_bpe_compression",
     "q213_item_item_cosine",
     "q214_harmonic_centrality",
-    # displaced-mid-round-9 set FIRST among fillers (NOTES_r9 plan):
-    # q144-q148 (twice-certified) + q80-q86 (once, round 4)
-    "q144_ks_drift",
-    "q145_benford_audit",
-    "q146_balance_anti",
-    "q147_mean_shift",
-    "q148_domain_cap",
-    "q80_trailing_ewma",
-    "q81_attribution",
-    "q82_robust_scale",
-    "q83_seasonal_anomalies",
-    "q84_equal_freq_bins",
-    "q85_target_encode",
-    "q86_feature_hashing",
-    # then q156-q170 (the q144-q170 remainder round 9 never reached)
-    "q156_day_completeness",
-    "q157_emd_drift",
-    "q158_bootstrap_ci",
-    "q159_log_odds",
-    "q160_km_conversion",
-    "q161_snapshot_diff",
-    "q162_negative_pairs",
-    "q163_positive_pairs",
-    "q164_mase",
-    "q165_stratified_ate",
-    "q166_quantile_normalize",
-    "q167_pit_labels",
-    "q168_retrieval_eval",
-    "q169_calibration",
-    "q170_tv_distance",
-    # stalest cohort after that: the round-4-certified q100-q132 block
-    "q100_dup_coverage",
+    "q78_mad_outliers",
+    # the round-3 cohort (stalest driver rows in the registry)
+    "q79_copurchase_lift",
+    "q88_chi_square",
+    "q89_kmeans",
+    "q95_dup_cluster_sizes",
+    "q96_key_skew_profile",
+    "q97_trend_ols",
+    "q98_sentence_stats",
+    # the round-4 block (displaced from the r10 gate by q222-q231)
+    "q101_bigram_model",
+    "q103_zipf_fit",
+    "q104_token_diversity",
+    "q105_source_similarity",
+    "q106_tokenizer_fertility",
+    "q107_market_share",
+    "q108_oov_rate",
+    "q109_pq_audit",
+    "q110_curation_report",
+    "q111_dsir_importance",
+    "q112_bigram_perplexity",
+    "q113_quality_classifier",
+    "q114_normalize_text",
+    "q115_simhash_neardup",
+    "q116_temperature_mix",
+    "q118_bpe_pair_stats",
+    "q120_corpus_drift",
+    "q122_lone_late_supplier",
+    "q123_weighted_sample",
+    "q125_running_balance",
+    "q129_ship_latency",
+    "q130_lang_confusion",
+    "q131_source_entropy",
+    "q132_frequent_triples",
+    "q134_gopher_rules",
+    "q136_readability",
+    "q137_part_value_share",
+    "q139_promo_share",
+    "q140_dataset_card",
+    "q142_ngram_novelty",
+    "q143_min_cost_supplier",
 ]
 
 
@@ -5633,6 +5637,47 @@ def q231_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.good_turing(d)
 
 
+def q232_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of each source's token-frequency
+    distribution (functions/corpus.token_gini): per source n_types,
+    n_tokens, the population Gini of the type counts, and the
+    token-mass share of the top ceil(n/10) types — the Lorenz-curve
+    readout that flags boilerplate/template-heavy sources before a
+    mix (q103's Zipf slope fits the law's SHAPE; Gini measures raw
+    mass concentration, robust when the law doesn't hold). Exact to
+    the surface: ascending (count, token) ranks from the
+    group_rank_frame range-exchange device (never a window partitioned
+    by the low-cardinality source — the q166 funnel), Σ rank·cnt and
+    Σ cnt folded in decimal(38,0), the integer-rational Gini
+    (2S − (n+1)T)/(nT) and the top-decile share each ONE IEEE
+    division, floor-quantized 6 (the q217 device). Oracle runs a
+    plain row_number window — different rank algorithm, same
+    function."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.token_gini(d)
+
+
+def q233_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training — up to batch_k=2 symbol-disjoint merges
+    per round for 3 rounds (functions/corpus.bpe_train_merges_batched,
+    VERDICT r10 item 6): the scalable approximation real trainers use
+    for production merge budgets (q228's exact loop is one driver
+    round per merge; a 30k vocabulary needs 30k rounds — batching
+    learns k per round at the same per-round cost). Per round the
+    top-k candidates collapse to ONE sorted array row (k-row
+    TakeOrdered + collect_list, no window, no driver collect), a
+    greedy O(k) fold keeps symbol-disjoint pairs (the used set also
+    blocks a kept pair's merged token, so kept merges can't interact
+    mid-batch), and the kept merges apply in rank order as one nested
+    left-to-right rewrite fold. batch_k=1 reproduces q228's exact
+    sequence (test-pinned). Oracle unrolls the rounds with ranked
+    CTEs: rank-2 kept via the same disjointness predicate, rewrite as
+    two sequential list_reduce folds (the excluded case folds a ''
+    sentinel pair no symbol matches — the identity)."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.bpe_train_merges_batched(d, n_rounds=3, batch_k=2)
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5816,6 +5861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q229_neardup_decontaminate": q229_neardup_decontaminate,
         "q230_bpe_compression": q230_bpe_compression,
         "q231_good_turing": q231_good_turing,
+        "q232_token_gini": q232_token_gini,
+        "q233_bpe_train_batched": q233_bpe_train_batched,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -12377,6 +12424,120 @@ def oracle_sql() -> dict[str, str]:
                floor(CAST(tot.n1 AS DOUBLE) / CAST(tot.n AS DOUBLE)
                      * 1e6 + 0.5) / 1e6 AS p_unseen
         FROM nr LEFT JOIN nxt ON nr.r = nxt.r, tot
+    """
+    # q232: per-source ascending (cnt, token) ranks via a plain
+    # row_number window (different algorithm than Spark's range-
+    # exchange rank device, same function), exact HUGEINT folds, the
+    # integer-rational Gini and top-decile share floor-quantized at 6
+    out["q232_token_gini"] = f"""
+        WITH tok AS (
+            SELECT source AS grp, unnest({tokens_sql}) AS token
+            FROM documents),
+        g AS (
+            SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok GROUP BY grp, token),
+        r AS (
+            SELECT grp, cnt,
+                   row_number() OVER (
+                       PARTITION BY grp ORDER BY cnt, token) AS rk,
+                   COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM g),
+        a AS (
+            SELECT grp, CAST(MAX(n) AS BIGINT) AS n_types,
+                   SUM(CAST(cnt AS HUGEINT)) AS t,
+                   SUM(CAST(rk AS HUGEINT) * CAST(cnt AS HUGEINT)) AS s,
+                   COALESCE(SUM(CASE WHEN rk > n - ((n + 9) // 10)
+                                     THEN CAST(cnt AS HUGEINT) END),
+                            0) AS topc
+            FROM r GROUP BY grp)
+        SELECT grp AS source, n_types, CAST(t AS BIGINT) AS n_tokens,
+               floor(CAST(2 * s - (n_types + 1) * t AS DOUBLE)
+                     / CAST(n_types * t AS DOUBLE) * 1e6 + 0.5) / 1e6
+                   AS gini,
+               floor(CAST(topc AS DOUBLE) / CAST(t AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 AS top_decile_share
+        FROM a
+    """
+    # q233: the batched trainer unrolled — per round a ranked top-2
+    # CTE, the rank-2 candidate kept only when symbol-disjoint from
+    # the winner (incl. the winner's merged token), and TWO sequential
+    # list_reduce rewrite folds (the excluded case folds the ''
+    # sentinel pair no symbol can match — the identity rewrite)
+    _bfold = """
+            SELECT string_split(ltrim(
+                CASE WHEN split_part(f, '~', 2) = ''
+                     THEN split_part(f, '~', 1)
+                     ELSE split_part(f, '~', 1) || ' '
+                          || split_part(f, '~', 2) END, ' '), ' ') AS s,
+                   cnt
+            FROM (SELECT cnt, list_reduce(list_prepend('~', s),
+                (acc, x) -> CASE
+                    WHEN split_part(acc, '~', 2) = ''
+                        THEN split_part(acc, '~', 1) || '~' || x
+                    WHEN split_part(acc, '~', 2) = w.left_
+                         AND x = w.right_
+                        THEN split_part(acc, '~', 1) || ' '
+                             || w.left_ || w.right_ || '~'
+                    ELSE split_part(acc, '~', 1) || ' '
+                         || split_part(acc, '~', 2) || '~' || x
+                    END) AS f
+                  FROM {src}, {win} w)"""
+    _bpe_batched_round = (
+        """
+        bpairs_{r} AS (
+            SELECT l, r2, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+                SELECT s[pos] AS l, s[pos + 1] AS r2, cnt
+                FROM (SELECT cnt, s, unnest(range(1, len(s))) AS pos
+                      FROM bw_{p} WHERE len(s) >= 2))
+            GROUP BY l, r2),
+        bcand_{r} AS (
+            SELECT l, r2, pc,
+                   row_number() OVER (ORDER BY pc DESC, l, r2) AS rk
+            FROM bpairs_{r}),
+        bk1_{r} AS MATERIALIZED (
+            SELECT l AS left_, r2 AS right_, pc
+            FROM bcand_{r} WHERE rk = 1),
+        bk2_{r} AS MATERIALIZED (
+            SELECT c.l AS left_, c.r2 AS right_, c.pc
+            FROM bcand_{r} c, bk1_{r} k
+            WHERE c.rk = 2
+              AND c.l <> k.left_ AND c.l <> k.right_
+              AND c.l <> k.left_ || k.right_
+              AND c.r2 <> k.left_ AND c.r2 <> k.right_
+              AND c.r2 <> k.left_ || k.right_),
+        bk2x_{r} AS (
+            SELECT coalesce(max(left_), '') AS left_,
+                   coalesce(max(right_), '') AS right_ FROM bk2_{r}),
+        bwa_{r} AS ("""
+        + _bfold.format(src="bw_{p}", win="bk1_{r}")
+        + """),
+        bw_{r} AS MATERIALIZED ("""
+        + _bfold.format(src="bwa_{r}", win="bk2x_{r}")
+        + """),
+        bwin_{r} AS (
+            SELECT {r} AS round, 1 AS rnk, left_, right_, pc
+            FROM bk1_{r}
+            UNION ALL
+            SELECT {r} AS round, 2 AS rnk, left_, right_, pc
+            FROM bk2_{r})"""
+    )
+    _bpe_batched_rounds = ",\n".join(
+        _bpe_batched_round.format(r=i, p=i - 1) for i in range(1, 4)
+    )
+    _bpe_batched_union = " UNION ALL ".join(
+        f"SELECT * FROM bwin_{i}" for i in range(1, 4)
+    )
+    out["q233_bpe_train_batched"] = f"""
+        WITH wc AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({tokens_sql}) AS token FROM documents)
+            GROUP BY token),
+        bw_0 AS (
+            SELECT regexp_split_to_array(token, '') AS s, cnt FROM wc),
+        {_bpe_batched_rounds}
+        SELECT round, rnk AS "rank", left_ AS "left",
+               right_ AS "right", pc AS pair_count
+        FROM ({_bpe_batched_union})
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

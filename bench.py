@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "q229_neardup_decontaminate",
     "q230_bpe_compression",
     "q231_good_turing",
+    "q232_token_gini",
+    "q233_bpe_train_batched",
 ]
 
 

@@ -2161,3 +2161,86 @@ def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("p_unseen"),
         )
     )
+
+
+def token_gini(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Gini concentration of the token-frequency distribution per
+    group — the Lorenz-curve summary completing the corpus-statics
+    family (Zipf q103 fits the SHAPE of the rank-frequency law,
+    Good-Turing q231 prices the unseen tail; Gini answers "how much of
+    this source's token mass sits in how few types", the
+    boilerplate/template-heaviness readout a curation pass reads
+    before mixing sources). Per group: n_types, n_tokens, gini, and
+    top_decile_share (the token-mass share of the top ceil(n/10) types
+    by count — the headline number behind the coefficient).
+
+    Exact until the surface: with types ranked 1..n ascending by
+    (count, token) — the tie order provably cannot change Σ rank·count
+    since tied counts commute — the population Gini is the integer
+    rational (2·Σ rank·cnt − (n+1)·Σcnt) / (n·Σcnt); both folds run in
+    decimal(38,0) (order-free), ONE IEEE division at the surface,
+    floor-quantized to 6 (the q217 device, non-negative by
+    construction so the unsigned form suffices). The top-decile cut is
+    pure integer arithmetic (rank > n − (n+9) div 10).
+
+    Scale shape: one token explode + one map-side-combinable
+    (group, token) count collapses the corpus to the O(vocab) type
+    frame; the rank comes from the group_rank_frame range-exchange
+    device (NEVER a window partitioned by the low-cardinality group —
+    the q166 funnel); one O(groups)-output closing aggregate.
+    """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    dec = "decimal(38,0)"
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(TX.tokens(F.col(text_col))).alias("token"),
+    )
+    g = tok.groupBy("grp", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ranked = group_rank_frame(
+        g,
+        ["grp"],
+        ["cnt", "token"],
+        group_rank_col="__rank",
+        group_count_col="__gn",
+    )
+    top_cut = F.expr("__gn - ((__gn + 9) div 10)")
+    agg = ranked.groupBy("grp").agg(
+        F.max("__gn").cast("long").alias("n_types"),
+        F.sum(F.col("cnt").cast(dec)).cast(dec).alias("__t"),
+        F.sum((F.col("__rank").cast(dec) * F.col("cnt").cast(dec)).cast(dec))
+        .cast(dec)
+        .alias("__s"),
+        F.sum(
+            F.when(F.col("__rank") > top_cut, F.col("cnt").cast(dec))
+        )
+        .cast(dec)
+        .alias("__topc"),
+    )
+
+    def _q6(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    num = (
+        F.lit(2).cast(dec) * F.col("__s")
+        - (F.col("n_types") + F.lit(1)).cast(dec) * F.col("__t")
+    )
+    den = F.col("n_types").cast(dec) * F.col("__t")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_types",
+        F.col("__t").cast("long").alias("n_tokens"),
+        _q6(num.cast("double") / den.cast("double")).alias("gini"),
+        _q6(
+            F.coalesce(F.col("__topc"), F.lit(0).cast(dec)).cast("double")
+            / F.col("__t").cast("double")
+        ).alias("top_decile_share"),
+    )

@@ -66,15 +66,21 @@ def test_gate_prefix_rotation_invariants():
     # approximate family via property gates)
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
-    # round-9 rotation: the two round-8 additions that missed the r8
-    # round-10 contract: the never-certified additions plus every plan
-    # round 10 touches (the IRLS family's shared quality/sketches
-    # modules and the wedge/pair prepared pre-landing) must occupy
+    # round-11 contract: the never-certified additions (q232/q233),
+    # every plan round 11 touches (q226 localCheckpoint fix; the
+    # quality.py/corpus.py/market.py modules behind q215/q219/q228/
+    # q230/q213/q214/q78), and the ENTIRE 38-query round-3/4
+    # certification-freshness cohort (VERDICT r10 item 1) must occupy
     # certified slots
     must_certify = {
-        "q222_", "q223_", "q224_", "q225_", "q226_", "q227_", "q228_", "q229_", "q230_", "q231_",
-        "q215_", "q219_", "q210_", "q212_",
-        "q121_", "q198_", "q199_", "q207_", "q213_", "q214_",
+        "q232_", "q233_",
+        "q226_", "q215_", "q219_", "q228_", "q230_", "q213_", "q214_",
+        "q78_", "q79_", "q88_", "q89_", "q95_", "q96_", "q97_", "q98_",
+        "q101_", "q103_", "q104_", "q105_", "q106_", "q107_", "q108_",
+        "q109_", "q110_", "q111_", "q112_", "q113_", "q114_", "q115_",
+        "q116_", "q118_", "q120_", "q122_", "q123_", "q125_", "q129_",
+        "q130_", "q131_", "q132_", "q134_", "q136_", "q137_", "q139_",
+        "q140_", "q142_", "q143_",
     }
     stranded = [
         n

@@ -1011,3 +1011,52 @@ class TestBpeTrainBatched:
         ]
         with pytest.raises(ValueError, match="batch_k"):
             bpe_train_merges_batched(docs, n_rounds=0)
+
+
+class TestTokenGini:
+    def test_hand_computed_gini_and_top_share(self, spark):
+        """counts a:1 b:1 c:2 -> asc ranks a1 b2 c3; S=1+2+6=9, T=4,
+        n=3: gini = (2*9 - 4*4)/(3*4) = 1/6; top ceil(3/10)=1 type
+        (c) holds 2/4 of the mass."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            token_gini,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "c c a b", "s")], "doc_id long, text string, source string"
+        )
+        r = token_gini(docs).first()
+        assert (r["n_types"], r["n_tokens"]) == (3, 4)
+        assert r["gini"] == 0.166667  # floor(1/6*1e6+0.5)/1e6
+        assert r["top_decile_share"] == 0.5
+
+    def test_uniform_counts_gini_zero(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            token_gini,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d", "s"), (2, "a b c d", "s")],
+            "doc_id long, text string, source string",
+        )
+        r = token_gini(docs).first()
+        assert r["gini"] == 0.0
+        # ceil(4/10)=1 of 4 equal types holds exactly 1/4
+        assert r["top_decile_share"] == 0.25
+
+    def test_extreme_concentration_approaches_limit(self, spark):
+        """one type with 96 of 100 tokens + 4 singletons: gini nears
+        its n-type ceiling (n-1)/n and the top decile holds ~all."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            token_gini,
+        )
+
+        text = " ".join(["z"] * 96 + ["a", "b", "c", "d"])
+        docs = spark.createDataFrame(
+            [(1, text, "s")], "doc_id long, text string, source string"
+        )
+        r = token_gini(docs).first()
+        # ranks a1 b2 c3 d4 z5; S=1+2+3+4+480=490, T=100, n=5
+        # gini = (980-600)/500 = 0.76; top ceil(5/10)=1 type share .96
+        assert r["gini"] == 0.76
+        assert r["top_decile_share"] == 0.96
