@@ -18,11 +18,20 @@ GC drain between; the one-time landing is timed separately (it
 amortizes across the deployment window). Shuffle/spill via UI REST,
 windowed per run.
 
+Round 11 (VERDICT r10 item 3) extends the A/B to the graph-family
+consumers of the SAME landed table via market.support_graph_edges:
+LPA (q203), LPA+modularity (q226, at its post-fix single-build
+default), and k-truss (q207) — prepared edges are a bucket-local scan
+per consumer instead of the in-session pair explosion.
+
 Usage:
   python tools/ab_prepared_pairs.py orchestrate [sf_dir]
+  python tools/ab_prepared_pairs.py orchestrate_graph [sf_dir]
   python tools/ab_prepared_pairs.py prep [sf_dir]
   python tools/ab_prepared_pairs.py <variant> [sf_dir]
   variants: q213_default q213_prepared q214_default q214_prepared
+            q203_default q203_prepared q226_default q226_prepared
+            q207_default q207_prepared
 """
 
 from __future__ import annotations
@@ -152,6 +161,33 @@ def run_variant(spark, variant: str, sf_dir: str) -> None:
             return harmonic_centrality(
                 ed, seeds_frame(spark, sf_dir), n_rounds=3
             )
+        from big_data_project_datapipeline_spark.operators.graph import (
+            ktruss_peel,
+            label_propagation,
+            modularity,
+        )
+        from big_data_project_datapipeline_spark.operators.market import (
+            support_graph_edges,
+        )
+
+        if variant.startswith(("q203", "q226", "q207")):
+            if variant.endswith("_prepared"):
+                ed = support_graph_edges(
+                    prepared_stats=spark.table("ab_pair_stats")
+                ).select("src", "dst")
+            else:
+                ed = em._copurchase_support_edges(spark, sf_dir).select(
+                    "src", "dst"
+                )
+                if variant == "q226_default":
+                    # the post-fix gate default: ONE localCheckpoint
+                    # before the two consumers
+                    ed = ed.localCheckpoint(eager=False)
+            if variant.startswith("q203"):
+                return label_propagation(ed, n_rounds=3)
+            if variant.startswith("q226"):
+                return modularity(ed, label_propagation(ed, n_rounds=3))
+            return ktruss_peel(ed, k=3, n_rounds=1)
         raise SystemExit(f"unknown variant {variant}")
 
     for i in range(2):
@@ -177,14 +213,16 @@ def run_variant(spark, variant: str, sf_dir: str) -> None:
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "orchestrate"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else ".scale_smoke/sf10"
-    if mode == "orchestrate":
+    if mode in ("orchestrate", "orchestrate_graph"):
         subprocess.run([sys.executable, __file__, "prep", sf_dir], check=True)
-        for v in [
-            "q213_default",
-            "q213_prepared",
-            "q214_default",
-            "q214_prepared",
-        ]:
+        variants = (
+            ["q213_default", "q213_prepared", "q214_default",
+             "q214_prepared"]
+            if mode == "orchestrate"
+            else ["q203_default", "q203_prepared", "q226_default",
+                  "q226_prepared", "q207_default", "q207_prepared"]
+        )
+        for v in variants:
             subprocess.run([sys.executable, __file__, v, sf_dir], check=True)
         return
     from big_data_project_datapipeline_spark.session import get_spark

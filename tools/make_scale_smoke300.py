@@ -45,6 +45,11 @@ def main() -> None:
     specs = {
         "lineitem": ("l_orderkey", "l_partkey"),
         "documents": ("doc_id",),
+        # round-11 (VERDICT r10 item 4): q87's customer-part graph at
+        # the fourth decade needs orders; o_orderkey shares the
+        # lineitem shift (joins stay within-copy), o_custkey disjoint
+        # per copy (same scheme as make_scale_smoke100.py)
+        "orders": ("o_orderkey", "o_custkey"),
     }
     only = set(sys.argv[1:])
     for table, keys in specs.items():

@@ -125,6 +125,12 @@ QUERIES = [
     "q229_neardup_decontaminate",
     "q230_bpe_compression",
     "q231_good_turing",
+    # round-11: the post-fix q226 (single-build localCheckpoint), the
+    # per-source Gini rank device (group_rank_frame range exchange over
+    # the O(vocab) type frame), and the batched BPE trainer
+    # (vocab-bounded rounds like q228)
+    "q232_token_gini",
+    "q233_bpe_train_batched",
 ]
 SFS = [("sf1", ".scale_smoke/sf1"), ("sf10", ".scale_smoke/sf10")]
 # sf1 lacks a replicated documents/orders variant with the sf10
