@@ -2193,11 +2193,6 @@ def token_gini(
     device (NEVER a window partitioned by the low-cardinality group —
     the q166 funnel); one O(groups)-output closing aggregate.
     """
-    from big_data_project_datapipeline_spark.operators.prefix import (
-        group_rank_frame,
-    )
-
-    dec = "decimal(38,0)"
     tok = df.select(
         F.col(group_col).alias("grp"),
         F.explode(TX.tokens(F.col(text_col))).alias("token"),
@@ -2205,15 +2200,39 @@ def token_gini(
     g = tok.groupBy("grp", "token").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
+    return _gini_tail(g, ["grp"]).withColumnRenamed("grp", group_col)
+
+
+def gini_from_counts(cnt: DataFrame) -> DataFrame:
+    """The Gini/top-decile tail of :func:`token_gini` over an
+    already-materialized global (token, n) count frame — shared
+    verbatim with the streaming store's served report
+    (streaming/corpus.gini_report), so the incremental path is
+    bit-equal to a batch recount by construction (the
+    sampling_table_from_counts pairing, q227's precedent). One row
+    out: (n_types, n_tokens, gini, top_decile_share)."""
+    g = cnt.select("token", F.col("n").cast("long").alias("cnt"))
+    return _gini_tail(g, [])
+
+
+def _gini_tail(g: DataFrame, gcols: list) -> DataFrame:
+    """Shared Gini closing over a (*gcols, token, cnt) type frame —
+    expressions identical to the original in-line q232 form (factored,
+    not changed)."""
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    dec = "decimal(38,0)"
     ranked = group_rank_frame(
         g,
-        ["grp"],
+        gcols,
         ["cnt", "token"],
         group_rank_col="__rank",
         group_count_col="__gn",
     )
     top_cut = F.expr("__gn - ((__gn + 9) div 10)")
-    agg = ranked.groupBy("grp").agg(
+    agg = ranked.groupBy(*gcols).agg(
         F.max("__gn").cast("long").alias("n_types"),
         F.sum(F.col("cnt").cast(dec)).cast(dec).alias("__t"),
         F.sum((F.col("__rank").cast(dec) * F.col("cnt").cast(dec)).cast(dec))
@@ -2235,7 +2254,7 @@ def token_gini(
     )
     den = F.col("n_types").cast(dec) * F.col("__t")
     return agg.select(
-        F.col("grp").alias(group_col),
+        *gcols,
         "n_types",
         F.col("__t").cast("long").alias("n_tokens"),
         _q6(num.cast("double") / den.cast("double")).alias("gini"),

@@ -174,6 +174,20 @@ def negative_sampling_report(
     )
 
 
+def gini_report(spark: SparkSession, store_dir: str):
+    """Corpus-wide Gini concentration + top-decile mass share (q232's
+    readout, global) served straight off the maintained (token, cnt)
+    store — zero corpus rescans (the zipf_report pattern); the tail is
+    the SAME corpus.gini_from_counts expression as batch, bit-equal to
+    a full recount over every document ever folded (pinned by test)."""
+    counts = spark.read.schema(COUNT_SCHEMA).parquet(
+        os.path.join(store_dir, "counts")
+    )
+    return CO.gini_from_counts(
+        counts.select("token", F.col("cnt").alias("n"))
+    )
+
+
 # --- DSIR weight maintenance -------------------------------------------
 # The expensive half of DSIR importance weighting (functions/corpus.
 # dsir_importance) is the corpus-wide (bucket, ct, cr) histogram — also

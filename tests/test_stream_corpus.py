@@ -176,3 +176,29 @@ def test_negative_sampling_report_matches_batch_table(spark, store):
         )
     )
     assert inc == batch and len(inc) == 4
+
+
+def test_gini_report_matches_batch_recount(spark, store):
+    """Round-11: the store-served corpus Gini must be bit-equal to
+    gini_from_counts over a batch recount of every doc ever folded
+    (same _gini_tail expressions), and consistent with the per-source
+    token_gini device when the corpus is one source."""
+    wave1 = _docs(spark, [(0, "a b a"), (1, "b c")])
+    wave2 = _docs(spark, [(2, "a d d d")])
+    SC.maintain_token_counts(spark, wave1, store, batch_id="t1")
+    SC.maintain_token_counts(spark, wave2, store, batch_id="t2")
+    inc = SC.gini_report(spark, store).first()
+    batch = CO.gini_from_counts(
+        CO.token_counts(wave1.unionByName(wave2)).selectExpr(
+            "token", "cnt AS n"
+        )
+    ).first()
+    assert tuple(inc) == tuple(batch)
+    # counts: a3 b2 c1 d3 -> asc ranks c1 b2 (a,d tie by token) a3 d4
+    # S = 1*1 + 2*2 + 3*3 + 4*3 = 26; T=9, n=4
+    # gini = (52 - 45)/36; top ceil(4/10)=1 type (d, rank 4) share 3/9
+    assert inc["n_types"] == 4 and inc["n_tokens"] == 9
+    assert inc["gini"] == round(7 / 36, 6) or abs(
+        inc["gini"] - 7 / 36
+    ) < 1e-6
+    assert abs(inc["top_decile_share"] - 3 / 9) < 1e-6

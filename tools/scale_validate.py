@@ -885,6 +885,55 @@ def check_modularity(spark, sf_dir) -> list[str]:
     return problems
 
 
+def check_gini_and_batched_bpe(spark, sf_dir) -> list[str]:
+    """Round-11 additions at decade scale. q232: Gini in [0, (n-1)/n],
+    top-decile share in (0, 1], and the share can never sit below the
+    uniform floor ceil(n/10)/n (the top decile holds AT LEAST its
+    proportional mass by construction of the descending cut). q233:
+    within a round ranks are count-ordered; across rounds the rank-1
+    winner counts are non-increasing (a pair created by a round's
+    merges occurs at most that round's winner count times — the q228
+    argument batch-wise)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    problems = []
+    for r in qs["q232_token_gini"](spark, sf_dir).collect():
+        n = r["n_types"]
+        if not (0.0 <= r["gini"] <= (n - 1) / n + 1e-9):
+            problems.append(f"gini: {r['source']} out of range {r['gini']}")
+            break
+        floor_share = -(-n // 10) / n  # ceil(n/10)/n
+        if not (floor_share - 1e-6 <= r["top_decile_share"] <= 1.0):
+            problems.append(
+                f"gini: {r['source']} top share {r['top_decile_share']} "
+                f"below uniform floor {floor_share}"
+            )
+            break
+    rows = sorted(
+        qs["q233_bpe_train_batched"](spark, sf_dir).collect(),
+        key=lambda r: (r["round"], r["rank"]),
+    )
+    if not rows:
+        problems.append("batched bpe: no merges learned")
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    prev_top = None
+    for rnd in sorted(by_round):
+        batch = by_round[rnd]
+        counts = [r["pair_count"] for r in batch]
+        if counts != sorted(counts, reverse=True):
+            problems.append(f"batched bpe: round {rnd} ranks not count-ordered")
+        if prev_top is not None and counts[0] > prev_top:
+            problems.append(
+                f"batched bpe: round {rnd} winner count rose "
+                f"{prev_top} -> {counts[0]}"
+            )
+        prev_top = counts[0]
+    return problems
+
+
 def check_c4_and_bpe(spark, sf_dir) -> list[str]:
     """q222/q228 at decade scale: the line-rule counts partition
     n_lines per doc and text_clean is empty iff nothing was kept;
@@ -964,15 +1013,26 @@ CHECKS = [
     ("negative_sampling", check_negative_sampling),
     ("modularity", check_modularity),
     ("c4_and_bpe", check_c4_and_bpe),
+    # round-11 additions
+    ("gini_and_batched_bpe", check_gini_and_batched_bpe),
 ]
 
 
 def main() -> int:
-    sf_dirs = sys.argv[1:] or [".scale_smoke/sf1", ".scale_smoke/sf10"]
+    # args: [sf_dir ...] [--only name1,name2]
+    args = sys.argv[1:]
+    only: set[str] = set()
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dirs = args or [".scale_smoke/sf1", ".scale_smoke/sf10"]
     spark = get_spark(app_name="scale-validate")
     failures = 0
     for sf_dir in sf_dirs:
         for name, fn in CHECKS:
+            if only and name not in only:
+                continue
             problems = fn(spark, sf_dir)
             if problems:
                 failures += 1
