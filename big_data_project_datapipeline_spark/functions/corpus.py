@@ -2123,6 +2123,18 @@ def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("r"))
     )
+    return good_turing_from_counts(cnt.select("token", F.col("r").alias("n")))
+
+
+def good_turing_from_counts(cnt: DataFrame) -> DataFrame:
+    """The Good–Turing tail of :func:`good_turing` over an
+    already-materialized (token, n) count frame — shared verbatim with
+    the streaming store's served report (streaming/corpus.
+    good_turing_report), so the incremental path is bit-equal to a
+    batch recount by construction (the gini_from_counts /
+    sampling_table_from_counts pairing). Expressions identical to the
+    original in-line form (factored, not changed)."""
+    cnt = cnt.select("token", F.col("n").cast("long").alias("r"))
     nr = cnt.groupBy("r").agg(
         F.count(F.lit(1)).cast("long").alias("n_types")
     )

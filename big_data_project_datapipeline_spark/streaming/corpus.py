@@ -174,6 +174,22 @@ def negative_sampling_report(
     )
 
 
+def good_turing_report(spark: SparkSession, store_dir: str):
+    """Good–Turing frequency-of-frequencies + unseen-mass estimate
+    (q231's readout) served straight off the maintained (token, cnt)
+    store — zero corpus rescans; the tail is the SAME
+    corpus.good_turing_from_counts expression as batch, bit-equal to a
+    full recount over every document ever folded (pinned by test).
+    The production rhythm this enables: P0 repriced per corpus tick
+    from one O(vocab) aggregate, never a corpus pass."""
+    counts = spark.read.schema(COUNT_SCHEMA).parquet(
+        os.path.join(store_dir, "counts")
+    )
+    return CO.good_turing_from_counts(
+        counts.select("token", F.col("cnt").alias("n"))
+    )
+
+
 def gini_report(spark: SparkSession, store_dir: str):
     """Corpus-wide Gini concentration + top-decile mass share (q232's
     readout, global) served straight off the maintained (token, cnt)

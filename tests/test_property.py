@@ -466,3 +466,82 @@ def test_grouped_prefix_matches_window_under_forced_partitions(
     for a, b in zip(got, exp):
         for c in ("id", "g", "v", "r", "gr", "gn", "v__gcum", "v__gtot"):
             assert a[c] == b[c], (c, a, b)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "ab", "ba", "abc", "ca", "c"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_token_gini_matches_python_reference(spark, docs):
+    """token_gini vs a pure-Python Gini on random corpora: exact
+    n_types/n_tokens, the quantized integer-rational Gini, and the
+    top-decile share."""
+    import math
+
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        token_gini,
+    )
+
+    rows = [(i, " ".join(toks), "s") for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    got = token_gini(df).first()
+
+    from collections import Counter
+
+    counts = Counter(t for toks in docs for t in toks)
+    ordered = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    t = sum(c for _, c in ordered)
+    s = sum((i + 1) * c for i, (_, c) in enumerate(ordered))
+    gini = (2 * s - (n + 1) * t) / (n * t)
+    k = -(-n // 10)  # ceil(n/10)
+    top = sum(c for _, c in ordered[n - k:]) / t
+    q6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert (got["n_types"], got["n_tokens"]) == (n, t)
+    assert got["gini"] == q6(gini)
+    assert got["top_decile_share"] == q6(top)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_batched_bpe_k1_equals_exact_on_random_corpora(spark, words, n):
+    """bpe_train_merges_batched(batch_k=1) must reproduce the exact
+    trainer's merge sequence on arbitrary corpora — the pin that the
+    batching machinery (candidate array, greedy fold, nested rewrite)
+    degenerates to the exact algorithm at k=1."""
+    from big_data_project_datapipeline_spark.functions.corpus import (
+        bpe_train_merges,
+        bpe_train_merges_batched,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    exact = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(df, n_merges=n).collect()
+    ]
+    batched = [
+        (r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges_batched(
+            df, n_rounds=n, batch_k=1
+        ).collect()
+    ]
+    assert batched == exact

@@ -202,3 +202,25 @@ def test_gini_report_matches_batch_recount(spark, store):
         inc["gini"] - 7 / 36
     ) < 1e-6
     assert abs(inc["top_decile_share"] - 3 / 9) < 1e-6
+
+
+def test_good_turing_report_matches_batch_recount(spark, store):
+    """Round-11: the store-served Good-Turing table must be bit-equal
+    to good_turing over every doc ever folded (same
+    good_turing_from_counts tail) — P0 repriced per tick without a
+    corpus pass."""
+    wave1 = _docs(spark, [(0, "a b a"), (1, "b c")])
+    wave2 = _docs(spark, [(2, "a d d d")])
+    SC.maintain_token_counts(spark, wave1, store, batch_id="t1")
+    SC.maintain_token_counts(spark, wave2, store, batch_id="t2")
+    inc = sorted(
+        map(tuple, SC.good_turing_report(spark, store).collect())
+    )
+    batch = sorted(
+        map(tuple, CO.good_turing(wave1.unionByName(wave2)).collect())
+    )
+    assert inc == batch
+    # counts a3 b2 c1 d3: N_1=1 N_2=1 N_3=2, N=9 -> P0 = 1/9
+    rows = {r[0]: r for r in inc}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1][1] == 1 and rows[2][1] == 1 and rows[3][1] == 2
