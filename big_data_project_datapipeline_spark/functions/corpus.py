@@ -1944,6 +1944,22 @@ def bpe_train_merges_batched(
     kept frame, one map-only rewrite pass over the O(vocab) word
     table) — but ``batch_k``× fewer rounds per merge budget.
     """
+    kept_frames, _ = _bpe_batched_round_frames(
+        df, text_col, n_rounds, batch_k
+    )
+    out = kept_frames[0]
+    for w in kept_frames[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def _bpe_batched_round_frames(
+    df: DataFrame, text_col: str, n_rounds: int, batch_k: int
+) -> tuple[list, list]:
+    """The batched trainer loop shared by :func:`bpe_train_merges_batched`
+    and :func:`bpe_compression_curve_batched`: per round, the exploded
+    kept-merge frame and the post-rewrite word table (expressions
+    identical to the original in-line loop — factored, not changed)."""
     if batch_k < 1 or n_rounds < 1:
         raise ValueError(
             "bpe_train_merges_batched: n_rounds and batch_k must be >= 1"
@@ -1982,6 +1998,7 @@ def bpe_train_merges_batched(
         return F.when(ok, taken).otherwise(acc)
 
     out_frames = []
+    word_frames = []
     for r in range(1, n_rounds + 1):
         cand = (
             _adjacent_pair_counts(words)
@@ -2034,10 +2051,75 @@ def bpe_train_merges_batched(
             )
             .localCheckpoint(eager=False)
         )
-    out = out_frames[0]
-    for w in out_frames[1:]:
+        word_frames.append(words)
+    return out_frames, word_frames
+
+
+def bpe_compression_curve_batched(
+    df: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    batch_k: int = 4,
+) -> DataFrame:
+    """The merge-BUDGET curve at batched cadence (the q230 readout for
+    :func:`bpe_train_merges_batched`, closing VERDICT r10 item 6's
+    budget-comparison ask): after each ROUND's whole kept batch, the
+    corpus's exact total symbol count, the cumulative merge budget
+    spent, and the compression vs raw characters — (round,
+    n_merges_in_round, budget_spent, total_symbols, compression).
+    This is the curve a tokenizer team reads when batching: it shows
+    compression per BUDGET unit, so batched-vs-exact cadences compare
+    on the same x-axis. One O(vocab) aggregate per round over word
+    frames the trainer already built; exactness devices identical to
+    :func:`bpe_compression_curve`.
+    """
+    kept_frames, word_frames = _bpe_batched_round_frames(
+        df, text_col, n_rounds, batch_k
+    )
+    wc = token_counts(df, text_col)
+    base = wc.agg(
+        F.sum(F.length("token").cast("long") * F.col("cnt"))
+        .cast("long")
+        .alias("__chars")
+    )
+    rows = []
+    for r, (kept, words) in enumerate(zip(kept_frames, word_frames), 1):
+        nk = kept.agg(
+            F.lit(r).cast("int").alias("round"),
+            F.count(F.lit(1)).cast("long").alias("n_merges_in_round"),
+        )
+        size = words.agg(
+            F.sum(F.size("__s").cast("long") * F.col("__f"))
+            .cast("long")
+            .alias("total_symbols")
+        )
+        rows.append(
+            nk.crossJoin(F.broadcast(size)).crossJoin(F.broadcast(base))
+        )
+    out = rows[0]
+    for w in rows[1:]:
         out = out.unionByName(w)
-    return out
+    from pyspark.sql import Window as _W
+
+    # budget_spent = running sum of batch sizes over the O(n_rounds)
+    # collapsed frame (bounded rows — the q224 allowlist class is not
+    # even needed: n_rounds is a call-site constant)
+    wcum = _W.orderBy("round").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    ratio = (
+        F.col("total_symbols").cast("double")
+        / F.col("__chars").cast("double")
+    )
+    return out.select(
+        "round",
+        "n_merges_in_round",
+        F.sum("n_merges_in_round").over(wcum).alias("budget_spent"),
+        "total_symbols",
+        (F.floor(ratio * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "compression"
+        ),
+    )
 
 
 def bpe_compression_curve(
