@@ -2357,3 +2357,175 @@ def _gini_tail(g: DataFrame, gcols: list) -> DataFrame:
             / F.col("__t").cast("double")
         ).alias("top_decile_share"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    budgets: tuple = (100, 1000, 10000),
+) -> DataFrame:
+    """Vocabulary-budget coverage curve: for each budget k, the share
+    of the corpus token mass covered by the top-k types (count desc,
+    token asc ties) — the readout that prices a vocabulary truncation
+    BEFORE training a tokenizer (every type past the budget becomes
+    UNK/byte-fallback; this is the complement of q108's measured OOV
+    rate and q232's concentration summary, read per candidate budget).
+    Output: (budget, n_types_used, covered_tokens, coverage) with
+    exact integer counts and ONE floor-quantized IEEE division per
+    row.
+
+    Scale shape: one token count collapses the corpus to the O(vocab)
+    type frame; the descending rank comes from the partitioned_prefix
+    range-exchange device (order key = (-cnt, token) — ascending rank
+    over the negated count IS the descending count rank, unique by the
+    token tie-break); one conditional aggregate serves every budget in
+    a single pass (no per-budget scans).
+    """
+    from big_data_project_datapipeline_spark.operators.prefix import (
+        group_rank_frame,
+    )
+
+    if not budgets or any(int(k) < 1 for k in budgets):
+        raise ValueError("vocab_coverage: budgets must be >= 1")
+    dec = "decimal(38,0)"
+    g = token_counts(df, text_col).select(
+        "token", "cnt", (-F.col("cnt")).alias("__negcnt")
+    )
+    ranked = group_rank_frame(
+        g, [], ["__negcnt", "token"], group_rank_col="__rank",
+        group_count_col="__gn",
+    )
+    aggs = [
+        F.max("__gn").cast("long").alias("__n"),
+        F.sum(F.col("cnt").cast(dec)).cast(dec).alias("__t"),
+    ]
+    for k in budgets:
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("__rank") <= F.lit(int(k)), F.col("cnt").cast(dec)
+                )
+            )
+            .cast(dec)
+            .alias(f"__cov_{int(k)}")
+        )
+    a = ranked.agg(*aggs)
+
+    def _q6(x):
+        return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    rows = []
+    for k in budgets:
+        cov = F.coalesce(
+            F.col(f"__cov_{int(k)}"), F.lit(0).cast(dec)
+        )
+        rows.append(
+            a.select(
+                F.lit(int(k)).cast("long").alias("budget"),
+                F.least(F.lit(int(k)).cast("long"), F.col("__n")).alias(
+                    "n_types_used"
+                ),
+                cov.cast("long").alias("covered_tokens"),
+                _q6(cov.cast("double") / F.col("__t").cast("double")).alias(
+                    "coverage"
+                ),
+            )
+        )
+    out = rows[0]
+    for w in rows[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+def kneser_ney_bigram(
+    df: DataFrame, text_col: str = "text", discount: float = 0.75
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model trained in-engine (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated form with one fixed
+    discount D): the standard n-gram smoothing — the step past q101's
+    unsmoothed MLE conditionals and the model q112's perplexity filter
+    would score with in production (MLE assigns zero to every unseen
+    bigram; KN redistributes exactly the discounted mass to a
+    CONTINUATION prior — "how many contexts does w2 complete" — which
+    is the right novelty prior for text).
+
+        P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                      + λ(w1) · P_cont(w2)
+        λ(w1)    = D · N1+(w1,·) / c(w1)
+        P_cont(w2) = N1+(·,w2) / N1+(··)
+
+    Returns one row per OBSERVED bigram: (w1, w2, c12, c1, fanout =
+    N1+(w1,·), p_cont, lambda_w1, p_kn) — a scorer joins on (w1, w2)
+    and backs off to λ(w1)·P_cont(w2) for unseen pairs (both factors
+    are in the table via any w1-row / any w2-row). Probabilities are
+    floor-quantized to 9 (scoring-grade precision; the engine-split
+    q217 device). D = 0.75 is the classic default and is exact in
+    binary, so max(c12 − D, 0) is one exact double subtraction of
+    integer-valued doubles.
+
+    Normalization (pinned in tests): for every context w1,
+    Σ_{w2 ∈ V} P_KN(w2|w1) = 1 — the discounted mass D·N1+(w1,·)
+    equals exactly what the continuation prior redistributes.
+
+    Scale shape: bigrams from one map-only arrays_zip explode (the
+    q101/q118 device) + one map-side-combinable (w1, w2) count; every
+    other statistic is an O(bigram-types) aggregate off that frame
+    (context totals, fanouts, continuation counts) joined back on
+    vocab-sized keys; the two scalars broadcast.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError("kneser_ney_bigram: discount must be in (0, 1)")
+    toks = df.select(TX.tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    big = (
+        toks.filter(n >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, n - 1).alias("w1"),
+                    F.slice("__t", 2, n - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("fanout"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("__n1_right")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("long").alias("__n1_all"))
+
+    def _q9(x):
+        return F.floor(x * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    d = F.lit(float(discount))
+    p_cont = F.col("__n1_right").cast("double") / F.col(
+        "__n1_all"
+    ).cast("double")
+    lam = (
+        d * F.col("fanout").cast("double") / F.col("c1").cast("double")
+    )
+    p_kn = (
+        F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+        / F.col("c1").cast("double")
+        + lam * p_cont
+    )
+    return (
+        big.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "fanout",
+            _q9(p_cont).alias("p_cont"),
+            _q9(lam).alias("lambda_w1"),
+            _q9(p_kn).alias("p_kn"),
+        )
+    )

@@ -1106,3 +1106,120 @@ class TestBpeCompressionCurveBatched:
         assert (r["n_merges_in_round"], r["budget_spent"]) == (2, 2)
         assert r["total_symbols"] == 32
         assert r["compression"] == 0.666667
+
+
+class TestVocabCoverage:
+    def test_hand_computed_budgets(self, spark):
+        """counts z:5 a:2 b:1 (T=8): top-1 covers 5/8, top-2 covers
+        7/8, top-100 covers all with n_types_used clamped to 3."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            vocab_coverage,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "z z z z z a a b")], "doc_id long, text string"
+        )
+        rows = {
+            r["budget"]: r
+            for r in vocab_coverage(
+                docs, budgets=(1, 2, 100)
+            ).collect()
+        }
+        assert rows[1]["covered_tokens"] == 5
+        assert rows[1]["coverage"] == 0.625
+        assert rows[2]["covered_tokens"] == 7
+        assert rows[2]["coverage"] == 0.875
+        assert rows[100]["n_types_used"] == 3
+        assert rows[100]["coverage"] == 1.0
+
+    def test_tie_break_is_token_ascending(self, spark):
+        """'b' and 'a' both x2: top-1 takes 'a' (count desc, token
+        asc) — deterministic, engine-reproducible."""
+        import pytest
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            vocab_coverage,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "b a b a c")], "doc_id long, text string"
+        )
+        r = {
+            x["budget"]: x
+            for x in vocab_coverage(docs, budgets=(1,)).collect()
+        }[1]
+        assert r["covered_tokens"] == 2  # 'a', never 'c'
+        with pytest.raises(ValueError, match="budgets"):
+            vocab_coverage(docs, budgets=(0,))
+
+
+class TestKneserNeyBigram:
+    def _model(self, spark, text):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_bigram,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        return {
+            (r["w1"], r["w2"]): r
+            for r in kneser_ney_bigram(docs).collect()
+        }
+
+    def test_hand_computed_probabilities(self, spark):
+        """'a b a b a c': bigrams (a,b)x2 (b,a)x2 (a,c)x1; c(a)=3,
+        N1+(a,.)=2; P_cont(b)=P_cont(a)=P_cont(c)=1/3 (each completes
+        one context type of 3 bigram types). P_KN(b|a) =
+        (2-.75)/3 + .75*2/3 * 1/3 = 0.41666... + 0.16666... = 0.583333...
+        P_KN(c|a) = .25/3 + 1/6 = 0.25."""
+        import math
+
+        m = self._model(spark, "a b a b a c")
+        q9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+        ab = m[("a", "b")]
+        assert (ab["c12"], ab["c1"], ab["fanout"]) == (2, 3, 2)
+        assert ab["p_cont"] == q9(1 / 3)
+        assert ab["lambda_w1"] == q9(0.75 * 2 / 3)
+        assert ab["p_kn"] == q9((2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3))
+        ac = m[("a", "c")]
+        assert ac["p_kn"] == q9((1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3))
+
+    def test_full_vocab_normalization(self, spark):
+        """For every context w1: sum over the WHOLE vocab of P_KN —
+        observed rows' p_kn plus the backoff lambda*P_cont for unseen
+        pairs — equals 1 (the discounted mass exactly funds the
+        continuation redistribution)."""
+        import pytest as _pt
+
+        m = self._model(spark, "a b a b a c b c a")
+        p_cont = {}
+        lam = {}
+        for (w1, w2), r in m.items():
+            p_cont[w2] = r["p_cont"]
+            lam[w1] = r["lambda_w1"]
+        # continuation prior is itself a distribution over seen w2s
+        assert sum(p_cont.values()) == _pt.approx(1.0, abs=1e-6)
+        contexts = {w1 for (w1, _) in m}
+        vocab = set(p_cont)
+        for w1 in contexts:
+            s = 0.0
+            for w2 in vocab:
+                if (w1, w2) in m:
+                    s += m[(w1, w2)]["p_kn"]
+                else:
+                    s += lam[w1] * p_cont[w2]
+            assert s == _pt.approx(1.0, abs=1e-6), w1
+
+    def test_discount_validation(self, spark):
+        import pytest
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_bigram,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="discount"):
+            kneser_ney_bigram(docs, discount=1.5)
