@@ -2490,6 +2490,14 @@ def kneser_ney_bigram(
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
     )
+    return _kn_model_from_pairs(big, discount)
+
+
+def _kn_model_from_pairs(big: DataFrame, discount: float) -> DataFrame:
+    """The KN closing over a (w1, w2, c12) bigram-count frame — shared
+    by :func:`kneser_ney_bigram` and :func:`kneser_ney_doc_scores`
+    (expressions identical to the original in-line form — factored,
+    not changed)."""
     ctx = big.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("fanout"),
@@ -2528,4 +2536,75 @@ def kneser_ney_bigram(
             _q9(lam).alias("lambda_w1"),
             _q9(p_kn).alias("p_kn"),
         )
+    )
+
+
+def kneser_ney_doc_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document scoring under the interpolated Kneser–Ney bigram
+    model (:func:`kneser_ney_bigram`) — avg ln p_KN(w2|w1) over the
+    document's bigram occurrences and the perplexity exp(−avg): the
+    production form of q112's add-k filter (KN is what a KenLM-class
+    scorer actually smooths with; add-k over-penalizes phrase-shaped
+    text whose continuations are diverse). Fit on the corpus itself
+    (the q112 self-contained/oracle-checkable framing), so every
+    scored bigram is in the model and the backoff branch never fires
+    here; held-out scoring joins the exported model table and backs
+    off via (lambda_w1, p_cont) exactly as documented there.
+
+    Docs with < 2 tokens emit no row. Determinism devices are q112's
+    verbatim: the model's p_kn is floor-quantized at 9, ln of
+    engine-identical doubles is glibc-identical, per-doc c·ln p terms
+    fold in decimal(28,12), round(6) surfaces.
+
+    Scale shape: ONE tokenize pass (doc pairs stage the corpus counts
+    — the model derives from the same frame, unlike a naive
+    train-then-score double read); the model join shuffles on
+    (w1, w2), deliberately not broadcast (bigram vocab is hapax-heavy
+    and unbounded); everything else is vocab-bounded.
+    """
+    toks = TX.tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__t")
+    ).filter(F.size("__t") >= 2)
+    n = F.size("__t")
+    doc_pairs = (
+        staged.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__t", 1, n - 1).alias("w1"),
+                    F.slice("__t", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = doc_pairs.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("c12")
+    )
+    model = _kn_model_from_pairs(big, discount).select("w1", "w2", "p_kn")
+    scored = doc_pairs.join(model, ["w1", "w2"]).withColumn(
+        "lp",
+        (F.col("c").cast("double") * F.log(F.col("p_kn"))).cast(
+            "decimal(28,12)"
+        ),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_pairs"),
+        (F.sum("lp").cast("double") / F.sum("c")).alias("__avg"),
+    )
+    return per.select(
+        "doc_id",
+        "n_pairs",
+        F.round("__avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 6).alias("ppl"),
     )

@@ -1223,3 +1223,53 @@ class TestKneserNeyBigram:
         )
         with pytest.raises(ValueError, match="discount"):
             kneser_ney_bigram(docs, discount=1.5)
+
+
+class TestKneserNeyDocScores:
+    def test_hand_computed_single_doc(self, spark):
+        """'a b a b a c': avg = (2 ln P(b|a) + 2 ln P(a|b) +
+        ln P(c|a)) / 5 over the quantized model values."""
+        import math
+
+        import pytest as _pt
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_doc_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a c")], "doc_id long, text string"
+        )
+        r = kneser_ney_doc_scores(docs).first()
+        q9 = lambda x: math.floor(x * 1e9 + 0.5) / 1e9  # noqa: E731
+        p_ba = q9((2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3))
+        p_ab = q9((2 - 0.75) / 2 + (0.75 * 1 / 2) * (1 / 3))
+        p_ca = q9((1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 3))
+        avg = (
+            2 * math.log(p_ba) + 2 * math.log(p_ab) + math.log(p_ca)
+        ) / 5
+        assert r["n_pairs"] == 5
+        assert r["avg_logprob"] == _pt.approx(round(avg, 6), abs=1e-6)
+        assert r["ppl"] == _pt.approx(math.exp(-avg), abs=1e-5)
+
+    def test_short_docs_emit_no_row_and_salad_scores_worse(self, spark):
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_doc_scores,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat"),
+                (2, "the cat sat on the mat"),
+                (3, "mat the on sat cat the"),  # same bag, shuffled
+                (4, "solo"),                     # < 2 tokens: no row
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in kneser_ney_doc_scores(docs).collect()
+        }
+        assert set(rows) == {1, 2, 3}
+        assert rows[1]["ppl"] == rows[2]["ppl"]
+        # the shuffled doc's bigrams are mostly hapax: higher perplexity
+        assert rows[3]["ppl"] > rows[1]["ppl"]

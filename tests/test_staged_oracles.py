@@ -76,6 +76,48 @@ STAGED_KNESER_NEY_SQL = f"""
 """
 
 
+STAGED_KN_DOC_SCORES_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+    doc_pairs AS (
+        SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT doc_id, t[pos] AS w1, t[pos + 1] AS w2
+              FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS pos
+                    FROM toks WHERE len(t) >= 2))
+        GROUP BY doc_id, w1, w2),
+    big AS (
+        SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12
+        FROM doc_pairs GROUP BY w1, w2),
+    ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS fanout
+        FROM big GROUP BY w1),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM big GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1a FROM big),
+    model AS (
+        SELECT b.w1, b.w2,
+               floor((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                          / CAST(c1 AS DOUBLE)
+                      + ((0.75 * CAST(fanout AS DOUBLE))
+                             / CAST(c1 AS DOUBLE))
+                        * (CAST(n1r AS DOUBLE) / CAST(n1a AS DOUBLE)))
+                     * 1e9 + 0.5) / 1e9 AS p_kn
+        FROM big b JOIN ctx c USING (w1) JOIN cont USING (w2), tot),
+    scored AS (
+        SELECT doc_id, c,
+               CAST(CAST(c AS DOUBLE) * ln(p_kn) AS DECIMAL(28,12)) AS lp
+        FROM doc_pairs JOIN model USING (w1, w2)),
+    per AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+               CAST(SUM(lp) AS DOUBLE) / SUM(c) AS avg
+        FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_pairs, ROUND(avg, 6) AS avg_logprob,
+           ROUND(exp(-avg), 6) AS ppl
+    FROM per
+"""
+
+
 def _duck(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     con.execute(
@@ -109,10 +151,13 @@ def _assert_bit_equal(sdf: pd.DataFrame, ddf: pd.DataFrame) -> None:
             assert s[c].equals(d[c]), c
 
 
-@pytest.mark.parametrize("which", ["vocab_coverage", "kneser_ney"])
+@pytest.mark.parametrize(
+    "which", ["vocab_coverage", "kneser_ney", "kn_doc_scores"]
+)
 def test_staged_oracle_bit_exact_at_sf0001(spark, which):
     from big_data_project_datapipeline_spark.functions.corpus import (
         kneser_ney_bigram,
+        kneser_ney_doc_scores,
         vocab_coverage,
     )
     from big_data_project_datapipeline_spark.tables import load_table
@@ -121,7 +166,10 @@ def test_staged_oracle_bit_exact_at_sf0001(spark, which):
     if which == "vocab_coverage":
         sdf = vocab_coverage(docs, budgets=(100, 1000, 10000)).toPandas()
         ddf = _duck(STAGED_VOCAB_COVERAGE_SQL)
-    else:
+    elif which == "kneser_ney":
         sdf = kneser_ney_bigram(docs).toPandas()
         ddf = _duck(STAGED_KNESER_NEY_SQL)
+    else:
+        sdf = kneser_ney_doc_scores(docs).toPandas()
+        ddf = _duck(STAGED_KN_DOC_SCORES_SQL)
     _assert_bit_equal(sdf, ddf)
