@@ -4587,62 +4587,74 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # date from rounds 3–4 (q79/q88/q89/q95–q98 from round 3; the
 # q101–q143 round-4 block). After this round every registered query's
 # driver row is <= 4 rounds old and the rotation debt is cleared.
+# Round-12 rotation (VERDICT r11 items 1/3 + NOTES_r11 plan): q92/q37
+# pinned; the three round-12 registrations (q234–q236, staged in r11,
+# never driver-certified) next; then every plan round 12 touches —
+# q187/q189 (graph.py connected_components gained the eager per-round
+# snapshot release in the non-convergence path), q79/q213 (market.py
+# prepared_stats now rejects an explicit min_pair_count — the
+# ADVICE-r11 fix — and the in-session path threads the None-sentinel
+# default), q198/q199 (degree_assortativity factored into
+# operators/graph.py and both wired for prepared support edges) —
+# then the round-5 cohort (stalest driver rows: q20/q21/q25/q54/q59/
+# q90/q91/q93/q94/q99), the 16 round-6 rows, and the front of the
+# round-7 block (q01–q09/q102/q10/q11/q124) to fill 50.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
-    # round-11 additions (never driver-certified) outrank
-    # re-certifications
-    "q232_token_gini",
-    "q233_bpe_train_batched",
-    # plans round 11 touches
-    "q226_lpa_modularity",
-    "q215_logistic_irls",
-    "q219_huber_regression",
-    "q228_bpe_train",
-    "q230_bpe_compression",
-    "q213_item_item_cosine",
-    "q214_harmonic_centrality",
-    "q78_mad_outliers",
-    # the round-3 cohort (stalest driver rows in the registry)
+    # round-12 registrations (staged in r11, never driver-certified)
+    "q234_vocab_coverage",
+    "q235_kneser_ney_bigram",
+    "q236_kn_doc_scores",
+    # plans round 12 touches
+    "q187_connected_components",
+    "q189_cc_isolates",
     "q79_copurchase_lift",
-    "q88_chi_square",
-    "q89_kmeans",
-    "q95_dup_cluster_sizes",
-    "q96_key_skew_profile",
-    "q97_trend_ols",
-    "q98_sentence_stats",
-    # the round-4 block (displaced from the r10 gate by q222-q231)
-    "q101_bigram_model",
-    "q103_zipf_fit",
-    "q104_token_diversity",
-    "q105_source_similarity",
-    "q106_tokenizer_fertility",
-    "q107_market_share",
-    "q108_oov_rate",
-    "q109_pq_audit",
-    "q110_curation_report",
-    "q111_dsir_importance",
-    "q112_bigram_perplexity",
-    "q113_quality_classifier",
-    "q114_normalize_text",
-    "q115_simhash_neardup",
-    "q116_temperature_mix",
-    "q118_bpe_pair_stats",
-    "q120_corpus_drift",
-    "q122_lone_late_supplier",
-    "q123_weighted_sample",
-    "q125_running_balance",
-    "q129_ship_latency",
-    "q130_lang_confusion",
-    "q131_source_entropy",
-    "q132_frequent_triples",
-    "q134_gopher_rules",
-    "q136_readability",
-    "q137_part_value_share",
-    "q139_promo_share",
-    "q140_dataset_card",
-    "q142_ngram_novelty",
-    "q143_min_cost_supplier",
+    "q213_item_item_cosine",
+    "q198_clustering_coefficient",
+    "q199_degree_assortativity",
+    # the round-5 cohort (stalest driver rows in the registry)
+    "q20_exact_dedup",
+    "q21_minhash_lsh",
+    "q25_cosine_topk",
+    "q54_media_features",
+    "q59_scrub_pii",
+    "q90_ann_lsh",
+    "q91_pca",
+    "q93_ann_ivf",
+    "q94_approx_stats",
+    "q99_substring_dedup",
+    # the 16 round-6 rows
+    "q117_ann_ivfpq",
+    "q133_collapse_neardup",
+    "q138_containment_dedup",
+    "q149_mutual_info",
+    "q151_small_order_revenue",
+    "q153_ols2",
+    "q155_fk_integrity",
+    "q171_ks_drift_binned",
+    "q172_jsd_drift",
+    "q173_allpairs_jaccard",
+    "q176_hll_distinct",
+    "q177_countmin",
+    "q178_kmv_overlap",
+    "q179_bloom_membership",
+    "q180_markov_attribution",
+    "q181_rolling_hll",
+    # the front of the round-7 block (fills 50)
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_top_customers",
+    "q04_priority_semi",
+    "q05_customers_without_orders",
+    "q06_full_outer_hourly",
+    "q07_upsert_keep_last",
+    "q08_asof_nearest",
+    "q09_temporal_features",
+    "q102_token_budget_sample",
+    "q10_interaction_math",
+    "q11_zscore",
+    "q124_gini_dispersion",
 ]
 
 
@@ -5678,6 +5690,62 @@ def q233_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.bpe_train_merges_batched(d, n_rounds=3, batch_k=2)
 
 
+def q234_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-budget coverage curve
+    (functions/corpus.vocab_coverage): for each candidate budget k,
+    the share of corpus token mass the top-k types cover (count desc,
+    token asc ties) — the readout that prices a vocabulary truncation
+    BEFORE training a tokenizer (every type past the budget becomes
+    UNK/byte-fallback; complement of q108's measured OOV rate and
+    q232's concentration summary, read per budget). One token count
+    collapses the corpus to the O(vocab) type frame; the descending
+    rank comes from the partitioned_prefix range-exchange device
+    (ascending rank over (-cnt, token) IS the descending-count rank);
+    ONE conditional aggregate serves every budget in a single pass.
+    Exact integer counts; one floor-quantized IEEE division per row.
+    Oracle ranks with a plain row_number window — different algorithm,
+    same function."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.vocab_coverage(d, budgets=(100, 1000, 10000))
+
+
+def q235_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram model trained in-engine
+    (functions/corpus.kneser_ney_bigram; Kneser & Ney 1995, Chen &
+    Goodman 1999's interpolated form, fixed D=0.75) — the step past
+    q101's unsmoothed MLE conditionals: MLE assigns zero to unseen
+    bigrams; KN redistributes exactly the discounted mass to the
+    CONTINUATION prior ("how many contexts does w2 complete"). One row
+    per OBSERVED bigram: (w1, w2, c12, c1, fanout, p_cont, lambda_w1,
+    p_kn) — a scorer joins on (w1, w2) and backs off to
+    λ(w1)·P_cont(w2) for unseen pairs from the same table. Per-context
+    FULL-vocab normalization Σ P_KN = 1 exactly (test-pinned).
+    Probabilities floor-quantized at 9 (the q217 engine-split device).
+    Scale shape: one map-only arrays_zip bigram explode, three
+    vocab-bounded aggregates, joins on the bigram keys — never the
+    vocab × vocab cross product."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.kneser_ney_bigram(d)
+
+
+def q236_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document scoring under the interpolated Kneser–Ney bigram
+    model (functions/corpus.kneser_ney_doc_scores): avg ln p_KN over
+    the doc's bigram occurrences + perplexity exp(−avg) — the
+    production form of q112's add-k filter (KN is what a KenLM-class
+    scorer actually smooths with; add-k over-penalizes phrase-shaped
+    text with diverse continuations). Fit on the corpus itself (the
+    q112 self-contained framing), so every scored bigram is in the
+    model and the backoff branch never fires here. ONE tokenize pass
+    stages both the doc pairs and the model counts; the model join
+    shuffles on (w1, w2), deliberately NOT broadcast (bigram vocab is
+    hapax-heavy and unbounded). q112's determinism devices verbatim:
+    p_kn floor-quantized at 9, decimal(28,12) term fold, round(6)
+    surfaces."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.kneser_ney_doc_scores(d)
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5863,6 +5931,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q231_good_turing": q231_good_turing,
         "q232_token_gini": q232_token_gini,
         "q233_bpe_train_batched": q233_bpe_train_batched,
+        "q234_vocab_coverage": q234_vocab_coverage,
+        "q235_kneser_ney_bigram": q235_kneser_ney_bigram,
+        "q236_kn_doc_scores": q236_kn_doc_scores,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -12538,6 +12609,127 @@ def oracle_sql() -> dict[str, str]:
         SELECT round, rnk AS "rank", left_ AS "left",
                right_ AS "right", pc AS pair_count
         FROM ({_bpe_batched_union})
+    """
+    # q234: plain row_number descending-count rank (different
+    # algorithm than Spark's range-exchange device, same function),
+    # HUGEINT folds, ONE conditional aggregate for all three budgets,
+    # coverage floor-quantized at 6. Pre-validated at sf0.001 in
+    # tests/test_staged_oracles.py before registration (NOTES_r11).
+    out["q234_vocab_coverage"] = f"""
+        WITH wc AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({tokens_sql}) AS token FROM documents)
+            GROUP BY token),
+        r AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, token) AS rk,
+                   COUNT(*) OVER () AS n,
+                   SUM(CAST(cnt AS HUGEINT)) OVER () AS t
+            FROM wc),
+        a AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n, MAX(t) AS t,
+                   COALESCE(SUM(CASE WHEN rk <= 100
+                                     THEN CAST(cnt AS HUGEINT) END),
+                            0) AS c100,
+                   COALESCE(SUM(CASE WHEN rk <= 1000
+                                     THEN CAST(cnt AS HUGEINT) END),
+                            0) AS c1000,
+                   COALESCE(SUM(CASE WHEN rk <= 10000
+                                     THEN CAST(cnt AS HUGEINT) END),
+                            0) AS c10000
+            FROM r)
+        SELECT CAST(b.budget AS BIGINT) AS budget,
+               CAST(least(b.budget, a.n) AS BIGINT) AS n_types_used,
+               CAST(b.cov AS BIGINT) AS covered_tokens,
+               floor(CAST(b.cov AS DOUBLE) / CAST(a.t AS DOUBLE) * 1e6
+                     + 0.5) / 1e6 AS coverage
+        FROM a, LATERAL (VALUES (100, a.c100), (1000, a.c1000),
+                                (10000, a.c10000)) AS b(budget, cov)
+    """
+    # q235: observed-bigram counts + per-context totals/fanout +
+    # continuation counts, the interpolated-KN closing expression with
+    # every probability floor-quantized at 9 — exactly the Spark
+    # expression structure over the same exact longs. Pre-validated at
+    # sf0.001 in tests/test_staged_oracles.py before registration.
+    out["q235_kneser_ney_bigram"] = f"""
+        WITH toks AS (SELECT {tokens_sql} AS t FROM documents),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+                SELECT t[pos] AS w1, t[pos + 1] AS w2
+                FROM (SELECT t, unnest(range(1, len(t))) AS pos
+                      FROM toks WHERE len(t) >= 2))
+            GROUP BY w1, w2),
+        ctx AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS fanout
+            FROM big GROUP BY w1),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r
+            FROM big GROUP BY w2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1a FROM big)
+        SELECT b.w1, b.w2, b.c12, c.c1, c.fanout,
+               floor(CAST(n1r AS DOUBLE) / CAST(n1a AS DOUBLE) * 1e9
+                     + 0.5) / 1e9 AS p_cont,
+               floor((0.75 * CAST(fanout AS DOUBLE))
+                     / CAST(c1 AS DOUBLE) * 1e9 + 0.5) / 1e9
+                   AS lambda_w1,
+               floor((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                          / CAST(c1 AS DOUBLE)
+                      + ((0.75 * CAST(fanout AS DOUBLE))
+                             / CAST(c1 AS DOUBLE))
+                        * (CAST(n1r AS DOUBLE) / CAST(n1a AS DOUBLE)))
+                     * 1e9 + 0.5) / 1e9 AS p_kn
+        FROM big b JOIN ctx c USING (w1) JOIN cont USING (w2), tot
+    """
+    # q236: the q235 model rebuilt from per-doc pair counts (one
+    # tokenize pass stages both, like the Spark plan), per-doc
+    # c·ln(p_kn) terms folded in DECIMAL(28,12), round(6) surfaces —
+    # q112's determinism devices verbatim. Pre-validated at sf0.001 in
+    # tests/test_staged_oracles.py before registration.
+    out["q236_kn_doc_scores"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens_sql} AS t FROM documents),
+        doc_pairs AS (
+            SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, t[pos] AS w1, t[pos + 1] AS w2
+                  FROM (SELECT doc_id, t, unnest(range(1, len(t)))
+                            AS pos
+                        FROM toks WHERE len(t) >= 2))
+            GROUP BY doc_id, w1, w2),
+        big AS (
+            SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12
+            FROM doc_pairs GROUP BY w1, w2),
+        ctx AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS fanout
+            FROM big GROUP BY w1),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r
+            FROM big GROUP BY w2),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1a FROM big),
+        model AS (
+            SELECT b.w1, b.w2,
+                   floor((greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                              / CAST(c1 AS DOUBLE)
+                          + ((0.75 * CAST(fanout AS DOUBLE))
+                                 / CAST(c1 AS DOUBLE))
+                            * (CAST(n1r AS DOUBLE)
+                               / CAST(n1a AS DOUBLE)))
+                         * 1e9 + 0.5) / 1e9 AS p_kn
+            FROM big b JOIN ctx c USING (w1) JOIN cont USING (w2),
+                 tot),
+        scored AS (
+            SELECT doc_id, c,
+                   CAST(CAST(c AS DOUBLE) * ln(p_kn)
+                        AS DECIMAL(28,12)) AS lp
+            FROM doc_pairs JOIN model USING (w1, w2)),
+        per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+                   CAST(SUM(lp) AS DOUBLE) / SUM(c) AS avg
+            FROM scored GROUP BY doc_id)
+        SELECT doc_id, n_pairs, ROUND(avg, 6) AS avg_logprob,
+               ROUND(exp(-avg), 6) AS ppl
+        FROM per
     """
     # q216: NB fit (priors + observed (class, token) counts) + argmax
     # decode via the absent-token identity; scaled-long term fold;

@@ -256,6 +256,9 @@ BENCH_QUERIES = [
     "q231_good_turing",
     "q232_token_gini",
     "q233_bpe_train_batched",
+    "q234_vocab_coverage",
+    "q235_kneser_ney_bigram",
+    "q236_kn_doc_scores",
 ]
 
 

@@ -2387,6 +2387,10 @@ def vocab_coverage(
 
     if not budgets or any(int(k) < 1 for k in budgets):
         raise ValueError("vocab_coverage: budgets must be >= 1")
+    if len({int(k) for k in budgets}) != len(budgets):
+        # duplicate budgets would alias two identical __cov_{k} columns
+        # in one agg — an ambiguous-column AnalysisException downstream
+        raise ValueError("vocab_coverage: budgets must be distinct")
     dec = "decimal(38,0)"
     g = token_counts(df, text_col).select(
         "token", "cnt", (-F.col("cnt")).alias("__negcnt")
@@ -2409,7 +2413,10 @@ def vocab_coverage(
             .cast(dec)
             .alias(f"__cov_{int(k)}")
         )
-    a = ranked.agg(*aggs)
+    # an empty corpus yields one all-null agg row (max/sum over zero
+    # rows); drop it so the surface is an EMPTY frame, matching the
+    # other corpus operators' empty-input behavior (ADVICE r11)
+    a = ranked.agg(*aggs).filter(F.col("__t").isNotNull())
 
     def _q6(x):
         return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)

@@ -126,7 +126,7 @@ def copurchase_lift(
     lines: DataFrame | None,
     basket_col: str = "basket",
     item_col: str = "item",
-    min_pair_count: int = 2,
+    min_pair_count: int | None = None,
     prepared_stats: DataFrame | None = None,
 ) -> DataFrame:
     """Support and lift for every unordered item pair co-occurring in at
@@ -141,14 +141,25 @@ def copurchase_lift(
     ``prepared_stats``: a pre-landed :func:`basket_pair_stats` frame
     (``lines`` is then unused and may be None) — the closing select
     runs directly over the landed table, bit-equal to the default path
-    by construction (same expressions over the same frame).
+    by construction (same expressions over the same frame). The landed
+    table's own threshold governs: passing ``min_pair_count`` together
+    with ``prepared_stats`` raises, because the operator cannot
+    re-threshold rows the landing already dropped (ADVICE r11).
     """
     if prepared_stats is not None:
+        if min_pair_count is not None:
+            raise ValueError(
+                "min_pair_count cannot be combined with prepared_stats: "
+                "the landed basket_pair_stats table's threshold governs"
+            )
         stats: DataFrame = prepared_stats
         handles: tuple[DataFrame, ...] = ()
     elif lines is not None:
         stats, baskets = _pair_stats(
-            lines, basket_col, item_col, min_pair_count
+            lines,
+            basket_col,
+            item_col,
+            2 if min_pair_count is None else int(min_pair_count),
         )
         handles = (baskets,)
     else:
@@ -176,7 +187,7 @@ def support_graph_edges(
     lines: DataFrame | None = None,
     basket_col: str = "basket",
     item_col: str = "item",
-    min_pair_count: int = 2,
+    min_pair_count: int | None = None,
     prepared_stats: DataFrame | None = None,
 ) -> DataFrame:
     """The co-occurrence SUPPORT GRAPH's weighted edge list
@@ -197,14 +208,26 @@ def support_graph_edges(
     results over prepared edges are bit-equal to the in-session build
     by construction (same rows in, fixed-round algorithms on top) —
     pinned per consumer in test_stats_market.py. One-shot jobs keep
-    the in-session build (the honest q226 gate default).
+    the in-session build (the honest q226 gate default). As with
+    :func:`copurchase_lift`, the landed table's threshold governs:
+    ``min_pair_count`` together with ``prepared_stats`` raises
+    (ADVICE r11 — a landing with a different threshold would silently
+    yield a different graph).
     """
     if prepared_stats is not None:
+        if min_pair_count is not None:
+            raise ValueError(
+                "min_pair_count cannot be combined with prepared_stats: "
+                "the landed basket_pair_stats table's threshold governs"
+            )
         stats: DataFrame = prepared_stats
         handles: tuple[DataFrame, ...] = ()
     elif lines is not None:
         stats, baskets = _pair_stats(
-            lines, basket_col, item_col, min_pair_count
+            lines,
+            basket_col,
+            item_col,
+            2 if min_pair_count is None else int(min_pair_count),
         )
         handles = (baskets,)
     else:
@@ -288,7 +311,7 @@ def item_item_cosine(
     lines: DataFrame | None,
     basket_col: str = "basket",
     item_col: str = "item",
-    min_pair_count: int = 2,
+    min_pair_count: int | None = None,
     top_k: int = 100,
     prepared_stats: DataFrame | None = None,
 ) -> DataFrame:
@@ -311,7 +334,9 @@ def item_item_cosine(
 
     ``prepared_stats``: a pre-landed :func:`basket_pair_stats` frame
     (``lines`` then unused) — the repeated-recommendation deployment
-    shape; bit-equal to the default path by construction.
+    shape; bit-equal to the default path by construction. The landed
+    table's threshold governs — combining it with ``min_pair_count``
+    raises (via :func:`copurchase_lift`).
     """
     scored = copurchase_lift(
         lines,

@@ -66,21 +66,19 @@ def test_gate_prefix_rotation_invariants():
     # approximate family via property gates)
     osql = set(entrymod.oracle_sql())
     assert all(n in osql for n in prefix), sorted(prefix - osql)
-    # round-11 contract: the never-certified additions (q232/q233),
-    # every plan round 11 touches (q226 localCheckpoint fix; the
-    # quality.py/corpus.py/market.py modules behind q215/q219/q228/
-    # q230/q213/q214/q78), and the ENTIRE 38-query round-3/4
-    # certification-freshness cohort (VERDICT r10 item 1) must occupy
+    # round-12 contract: the never-certified round-12 registrations
+    # (q234–q236, staged in r11), every plan round 12 touches
+    # (graph.py connected_components eager snapshot release →
+    # q187/q189; market.py prepared_stats threshold guard →
+    # q79/q213; q198/q199 degree_assortativity factoring + prepared
+    # support edges), and the round-5 cohort — the stalest driver
+    # rows in the registry (VERDICT r11 item 3) — must occupy
     # certified slots
     must_certify = {
-        "q232_", "q233_",
-        "q226_", "q215_", "q219_", "q228_", "q230_", "q213_", "q214_",
-        "q78_", "q79_", "q88_", "q89_", "q95_", "q96_", "q97_", "q98_",
-        "q101_", "q103_", "q104_", "q105_", "q106_", "q107_", "q108_",
-        "q109_", "q110_", "q111_", "q112_", "q113_", "q114_", "q115_",
-        "q116_", "q118_", "q120_", "q122_", "q123_", "q125_", "q129_",
-        "q130_", "q131_", "q132_", "q134_", "q136_", "q137_", "q139_",
-        "q140_", "q142_", "q143_",
+        "q234_", "q235_", "q236_",
+        "q187_", "q189_", "q79_", "q213_", "q198_", "q199_",
+        "q20_", "q21_", "q25_", "q54_", "q59_", "q90_", "q91_",
+        "q93_", "q94_", "q99_",
     }
     stranded = [
         n

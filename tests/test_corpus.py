@@ -1152,6 +1152,39 @@ class TestVocabCoverage:
         with pytest.raises(ValueError, match="budgets"):
             vocab_coverage(docs, budgets=(0,))
 
+    def test_duplicate_budgets_rejected(self, spark):
+        """duplicate budgets would alias two identical __cov_{k}
+        columns in one agg (ambiguous-column AnalysisException
+        downstream) — rejected up front instead (ADVICE r11)."""
+        import pytest
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            vocab_coverage,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="distinct"):
+            vocab_coverage(docs, budgets=(100, 100))
+
+    def test_empty_corpus_yields_empty_frame(self, spark):
+        """zero tokens → EMPTY result frame (not one all-null row per
+        budget) — the empty-input surface of the other corpus
+        operators (ADVICE r11)."""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            vocab_coverage,
+        )
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string"
+        )
+        out = vocab_coverage(docs, budgets=(10, 100))
+        assert out.count() == 0
+        assert out.columns == [
+            "budget", "n_types_used", "covered_tokens", "coverage"
+        ]
+
 
 class TestKneserNeyBigram:
     def _model(self, spark, text):

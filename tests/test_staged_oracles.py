@@ -1,12 +1,14 @@
-"""Round-12 staged registrations: the two operators built in round 11
-with deferred registry entries (vocab_coverage, kneser_ney_bigram —
-see NOTES_r11) validated HERE against their DuckDB oracle SQL at
-sf0.001 with the driver's comparison semantics (sorted columns, sorted
-rows, bit-exact floats), so round 12's registration is a move, not new
-work. The SQL strings below are the future oracle_sql() entries
-verbatim."""
+"""Unit-level oracle pins for the three round-11-staged corpus
+operators (vocab_coverage, kneser_ney_bigram, kneser_ney_doc_scores —
+see NOTES_r11), validated against their DuckDB oracle SQL at sf0.001
+with the driver's comparison semantics (sorted columns, sorted rows,
+bit-exact floats). Registered in round 12 as q234/q235/q236 — the SQL
+strings below are the oracle_sql() entries verbatim; this file keeps
+the fast unit-level check alive without a full registry sweep."""
 
 from __future__ import annotations
+
+import os
 
 import duckdb
 import numpy as np
@@ -14,6 +16,12 @@ import pandas as pd
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# portable-fixture guard (ADVICE r11): skip, don't error, on a machine
+# without the driver-generated parquet
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"{SF_DIR} fixture absent"
+)
 TOKENS_SQL = (
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
 )

@@ -1784,6 +1784,37 @@ def test_copurchase_lift_requires_input(spark):
         copurchase_lift(None)
 
 
+def test_prepared_stats_rejects_min_pair_count(spark):
+    """A landed basket_pair_stats table's threshold governs: passing
+    min_pair_count together with prepared_stats raises instead of
+    silently yielding a different pair set / graph than the in-session
+    build (ADVICE r11) — on all three prepared-path consumers."""
+    from big_data_project_datapipeline_spark.operators.market import (
+        copurchase_lift,
+        item_item_cosine,
+        support_graph_edges,
+    )
+
+    stats = spark.createDataFrame(
+        [("a", "b", 3, 4, 5, 10)],
+        "item_a string, item_b string, pair_n long, n_a long, "
+        "n_b long, n_baskets long",
+    )
+    for call in (
+        lambda: copurchase_lift(
+            None, min_pair_count=3, prepared_stats=stats
+        ),
+        lambda: item_item_cosine(
+            None, min_pair_count=3, prepared_stats=stats
+        ),
+        lambda: support_graph_edges(
+            min_pair_count=3, prepared_stats=stats
+        ),
+    ):
+        with pytest.raises(ValueError, match="threshold governs"):
+            call()
+
+
 # --------------- embedding outlier audit (q225 composition, round-10)
 
 
