@@ -4945,46 +4945,17 @@ def q198_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q199_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity (Newman 2002) of the support>=2 co-purchase
-    graph: the Pearson correlation of endpoint degrees across the
-    symmetrized edge list — do popular parts co-purchase with popular
-    parts (assortative, r>0) or with niche ones (disassortative, r<0)?
-    All moment sums accumulate EXACTLY in decimal(38,0) (degrees are
-    integers), convert to double once, and the closing formula is the
-    same expression in both engines; round(6) on the sqrt output."""
+    graph (operators/graph.degree_assortativity, factored from this
+    entry in round 12 so the prepared-support-edge path pins bit-equal
+    to the in-session build): the Pearson correlation of endpoint
+    degrees across the symmetrized edge list — do popular parts
+    co-purchase with popular parts (assortative, r>0) or with niche
+    ones (disassortative, r<0)? All moment sums accumulate EXACTLY in
+    decimal(38,0) (degrees are integers), convert to double once, and
+    the closing formula is the same expression in both engines;
+    round(6) on the sqrt output."""
     ed = _copurchase_support_edges(spark, sf_dir).select("src", "dst")
-    sym = ed.union(
-        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    j = (
-        sym.join(deg.select(F.col("src"), F.col("d").alias("x")), "src")
-        .join(
-            deg.select(
-                F.col("src").alias("dst"), F.col("d").alias("y")
-            ),
-            "dst",
-        )
-    )
-    dec = "decimal(38,0)"
-    s = j.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
-    )
-    return s.select(
-        F.col("n").cast("long").alias("n_edges"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
-                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
-        ).alias("assortativity"),
-    )
+    return G.degree_assortativity(ed)
 
 
 def q200_corpus_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,32 @@ from big_data_project_datapipeline_spark.operators.caching import (
 _HITS_DEC = "decimal(28,12)"
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free (blocking) the executor blocks behind an EAGER
+    ``localCheckpoint()`` frame that no future computation references.
+
+    ``DataFrame.unpersist`` cannot reach checkpoint blocks — they
+    belong to the internal RDD inside the frame's ``LogicalRDD`` node,
+    not to a cache entry — so superseded per-round snapshots otherwise
+    wait for ContextCleaner GC, which in a long session (tens of
+    thousands of RDD ids) can lag tens of seconds and lets executor
+    storage grow with the round count (VERDICT r11 item 2). Releasing
+    is only safe when the snapshot is truly superseded: the checkpoint
+    truncated lineage, so a released round can never be recomputed.
+
+    Quietly a no-op for frames whose analyzed plan is not a bare
+    ``LogicalRDD`` (nothing to release).
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(True)
+    except Exception:
+        # best-effort: a py4j surface change must degrade to the old
+        # GC-drain behavior, never fail the operator
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -617,9 +643,11 @@ def connected_components(
     ``localCheckpoint``ed (round-7 finding: per-round caching cannot
     bound the unrolled plan either way — leaked caches nest a level
     per round, correctly-unpersisted caches re-inline upstream
-    lineage into dependents), so the plan stays O(1) at any depth and
-    old rounds free on GC. The convergence probe materializes the
-    round it checks.
+    lineage into dependents), so the plan stays O(1) at any depth;
+    each superseded round's snapshot is freed EAGERLY (blocking) as
+    soon as the next round materializes, so executor storage is O(1)
+    rounds too — including on the non-convergence raise path. The
+    convergence probe materializes the round it checks.
 
     Raises ``ValueError`` if the fixpoint is not reached within
     ``max_iters`` rounds (ADVICE r7: exhausting the budget silently
@@ -650,6 +678,11 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
+    # handle on the round's snapshot so each superseded round frees
+    # EAGERLY (blocking) inside the loop rather than waiting on
+    # ContextCleaner GC — bounds executor storage at O(1) rounds and
+    # makes the raise path deterministic (VERDICT r11 item 2)
+    prev_snap = parent
     for _ in range(max_iters):
         nb_min = (
             sym.join(
@@ -692,12 +725,19 @@ def connected_components(
         changed = (
             jumped.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
         )
+        # jumped materialized at its eager localCheckpoint above, so
+        # the previous round's snapshot is unreferenced by any future
+        # computation — free its blocks now
+        _release_local_checkpoint(prev_snap)
+        prev_snap = jumped
         parent = jumped.select("node", "comp")
         if changed == 0:
             break
     else:
         # release before raising (ADVICE r8): the error path must not
-        # leak the persisted symmetrized edge frame
+        # leak the persisted symmetrized edge frame — nor the final
+        # round's snapshot (no result escapes, so nothing needs it)
+        _release_local_checkpoint(prev_snap)
         sym.unpersist()
         raise ValueError(
             f"connected_components(): labels did not converge within "
@@ -980,6 +1020,63 @@ def local_clustering(
             .otherwise(F.lit(0.0))
             .alias("clustering"),
         )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph: the Pearson correlation of endpoint degrees across the
+    symmetrized edge list — do high-degree nodes attach to high-degree
+    nodes (assortative, r > 0) or to low-degree ones (disassortative,
+    r < 0)? Returns one row ``(n_edges, assortativity)`` with n_edges
+    counted over the symmetrized list (2m).
+
+    Determinism: all moment sums accumulate EXACTLY in decimal(38,0)
+    (degrees are integers), convert to double once, and the closing
+    Pearson formula is one expression both engines share; round(6) on
+    the sqrt output. Factored out of the q199 entry (round 12) so the
+    prepared-support-edge path can be pinned bit-equal to the
+    in-session build — expression structure is the entry's verbatim.
+
+    Scale shape: one map-side-combinable degree count, two equi-joins
+    of the O(2m) edge list against the O(nodes) degree frame, one
+    6-moment fold — no windows, no driver state.
+    """
+    ed = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sym = ed.union(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        sym.join(deg.select(F.col("src"), F.col("d").alias("x")), "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("d").alias("y")
+            ),
+            "dst",
+        )
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
     )
 
 

@@ -1195,15 +1195,11 @@ def test_pagerank_weight_validation_raises_and_releases(spark):
 
 def test_connected_components_nonconvergence_releases(spark):
     """The max_iters-exhausted raise (round-8 guard) unpersists the
-    symmetrized edge frame before raising (ADVICE r8). The per-round
-    localCheckpoint snapshots also show up in getPersistentRDDs but
-    free via the ContextCleaner once the exception traceback no
-    longer references them — poll a JVM-GC drain for those (the
-    test_pagerank_caches_release device); the sym unpersist itself is
-    immediate."""
-    import gc
-    import time
-
+    symmetrized edge frame AND eagerly frees every per-round
+    localCheckpoint snapshot before raising (VERDICT r11 item 2:
+    releases are blocking via the LogicalRDD handle, not
+    ContextCleaner GC — no drain poll, deterministic in any session
+    no matter how many RDD ids have cycled)."""
     from big_data_project_datapipeline_spark.operators.graph import (
         connected_components,
     )
@@ -1213,20 +1209,31 @@ def test_connected_components_nonconvergence_releases(spark):
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     with pytest.raises(ValueError, match="did not converge"):
         connected_components(edges, max_iters=2)
-    leaked: set = set()
-    # 60 s drain budget: after a full-suite session has cycled ~20k
-    # RDD ids the ContextCleaner queue can take tens of seconds to
-    # reach these snapshots (observed once at 15 s; passes isolated) —
-    # the same insurance the pagerank subprocess twin carries
-    for _ in range(240):
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
-        leaked = after - before
-        if not leaked:
-            break
-        time.sleep(0.25)
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    leaked = after - before
     assert not leaked, f"persisted RDDs leaked past the raise: {leaked}"
+
+
+def test_connected_components_bounds_in_loop_storage(spark):
+    """Superseded per-round snapshots free INSIDE the loop: after a
+    converged run, at most the final round's snapshot plus the
+    released-on-GC result handle remain — never one block set per
+    round (the executor-storage bound the eager release buys)."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    # a 64-node path needs several pointer-jumping rounds to converge
+    ed = [(i, i + 1) for i in range(64)]
+    edges = spark.createDataFrame(ed, "src long, dst long")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    out = connected_components(edges, max_iters=20)
+    assert out.count() == 65
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    # live: the persisted sym frame (released with the result handle)
+    # + the final round's snapshot backing `out`. Everything earlier
+    # was freed in-loop.
+    assert len(after - before) <= 2, sorted(after - before)
 
 
 def test_connected_components_null_node_id_dropped(spark):
@@ -1726,8 +1733,10 @@ def test_graph_family_prepared_edges_bit_equal(spark):
     round-trip, like lift/cosine before it."""
     from big_data_project_datapipeline_spark import sinks
     from big_data_project_datapipeline_spark.operators.graph import (
+        degree_assortativity,
         ktruss_peel,
         label_propagation,
+        local_clustering,
         modularity,
     )
     from big_data_project_datapipeline_spark.operators.market import (
@@ -1764,6 +1773,9 @@ def test_graph_family_prepared_edges_bit_equal(spark):
             lambda e: label_propagation(e, n_rounds=3),
             lambda e: modularity(e, label_propagation(e, n_rounds=3)),
             lambda e: ktruss_peel(e, k=3, n_rounds=4),
+            # round 12 (VERDICT r11 item 5): the q198/q199 consumers
+            local_clustering,
+            degree_assortativity,
         ):
             d = sorted(map(tuple, build(de).collect()))
             p = sorted(map(tuple, build(pe).collect()))
@@ -1773,6 +1785,23 @@ def test_graph_family_prepared_edges_bit_equal(spark):
         spark.sql("DROP TABLE IF EXISTS t_sge_stats")
     with pytest.raises(ValueError, match="lines= or prepared_stats="):
         support_graph_edges()
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    """A star K_{1,3} is perfectly disassortative: every symmetrized
+    edge pairs the degree-3 hub with a degree-1 leaf, so the endpoint
+    degree correlation is exactly -1 (Newman 2002). n_edges counts the
+    symmetrized list (2m = 6)."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).first()
+    assert r["n_edges"] == 6
+    assert r["assortativity"] == -1.0
 
 
 def test_copurchase_lift_requires_input(spark):
