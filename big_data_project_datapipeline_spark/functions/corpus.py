@@ -2482,9 +2482,20 @@ def kneser_ney_bigram(
     """
     if not (0.0 < discount < 1.0):
         raise ValueError("kneser_ney_bigram: discount must be in (0, 1)")
+    return _kn_model_from_pairs(bigram_counts(df, text_col), discount)
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus bigram-count frame ``(w1, w2, c12)`` — one map-only
+    arrays_zip explode (the q101/q118 device) + one map-side-combinable
+    count. The mergeable state behind the KN family: associative long
+    sums, so a streaming store folds per-batch deltas of this frame
+    and :func:`kneser_ney_from_counts` re-prices the model per tick
+    with zero corpus rescans (streaming/corpus.maintain_bigram_counts
+    — the token_counts pattern one n-gram order up)."""
     toks = df.select(TX.tokens(F.col(text_col)).alias("__t"))
     n = F.size("__t")
-    big = (
+    return (
         toks.filter(n >= 2)
         .select(
             F.explode(
@@ -2497,6 +2508,21 @@ def kneser_ney_bigram(
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
     )
+
+
+def kneser_ney_from_counts(
+    big: DataFrame, discount: float = 0.75
+) -> DataFrame:
+    """The interpolated-KN closing over an already-aggregated
+    ``(w1, w2, c12)`` bigram-count frame — :func:`kneser_ney_bigram`'s
+    tail exposed for count stores (the gini_from_counts pattern):
+    served off a maintained store it is bit-equal to the batch model
+    over every document ever folded, because exact long counts admit
+    exactly one value no matter how they were summed."""
+    if not (0.0 < discount < 1.0):
+        raise ValueError(
+            "kneser_ney_from_counts: discount must be in (0, 1)"
+        )
     return _kn_model_from_pairs(big, discount)
 
 
@@ -2574,12 +2600,27 @@ def kneser_ney_doc_scores(
     (w1, w2), deliberately not broadcast (bigram vocab is hapax-heavy
     and unbounded); everything else is vocab-bounded.
     """
+    doc_pairs = _kn_doc_pairs(df, text_col, id_col)
+    big = doc_pairs.groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("c12")
+    )
+    model = _kn_model_from_pairs(big, discount)
+    return kn_score_doc_pairs(doc_pairs, model)
+
+
+def _kn_doc_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document bigram occurrence counts ``(doc_id, w1, w2, c)``
+    — the staged frame :func:`kneser_ney_doc_scores` both scores and
+    derives its model from (factored round 12 so the streaming twin
+    scores with the identical expressions)."""
     toks = TX.tokens(F.col(text_col))
     staged = df.select(
         F.col(id_col).alias("doc_id"), toks.alias("__t")
     ).filter(F.size("__t") >= 2)
     n = F.size("__t")
-    doc_pairs = (
+    return (
         staged.select(
             "doc_id",
             F.explode(
@@ -2595,11 +2636,22 @@ def kneser_ney_doc_scores(
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    big = doc_pairs.groupBy("w1", "w2").agg(
-        F.sum("c").cast("long").alias("c12")
-    )
-    model = _kn_model_from_pairs(big, discount).select("w1", "w2", "p_kn")
-    scored = doc_pairs.join(model, ["w1", "w2"]).withColumn(
+
+
+def kn_score_doc_pairs(doc_pairs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score per-document bigram counts under a KN model table — the
+    closing tail of :func:`kneser_ney_doc_scores`, exposed so a
+    maintained bigram store can serve the model
+    (streaming/corpus.kn_doc_scores_report) with bit-equal output:
+    p_kn is floor-quantized at 9 in the model, ln of engine-identical
+    doubles is glibc-identical, per-doc c·ln p terms fold in
+    decimal(28,12), round(6) surfaces. ``model`` needs columns
+    (w1, w2, p_kn); observed-pairs-only semantics (an unseen bigram in
+    ``doc_pairs`` simply drops from the inner join — the fit-on-self
+    framing where that branch never fires)."""
+    scored = doc_pairs.join(
+        model.select("w1", "w2", "p_kn"), ["w1", "w2"]
+    ).withColumn(
         "lp",
         (F.col("c").cast("double") * F.log(F.col("p_kn"))).cast(
             "decimal(28,12)"

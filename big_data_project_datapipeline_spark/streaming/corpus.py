@@ -204,6 +204,86 @@ def gini_report(spark: SparkSession, store_dir: str):
     )
 
 
+# --- Kneser–Ney bigram-model maintenance -------------------------------
+# The expensive half of the KN family (functions/corpus.
+# kneser_ney_bigram / kneser_ney_doc_scores) is the corpus-wide
+# (w1, w2, c12) bigram aggregate — an associative-sum state exactly
+# like token counts, one n-gram order up. Folding per-batch deltas
+# keeps the language model current per corpus tick; re-pricing the
+# model and scoring any candidate batch are then O(bigram-types) tails
+# with ZERO corpus rescans.
+
+BIGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("w1", T.StringType()),
+        T.StructField("w2", T.StringType()),
+        T.StructField("c12", T.LongType()),
+    ]
+)
+
+
+def merge_bigram_counts(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(delta)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c12").cast("long").alias("c12"))
+    )
+
+
+def maintain_bigram_counts(
+    spark: SparkSession,
+    docs_batch: DataFrame,
+    store_dir: str,
+    batch_id: str,
+) -> DataFrame:
+    """One cron tick of bigram-count maintenance: land the batch's
+    (w1, w2, c12) delta under a batch-keyed subdir (replay overwrites,
+    never double-counts — the maintain_token_counts device), fold
+    unfolded deltas into the base store, return the merged frame."""
+    path = os.path.join(store_dir, "deltas", str(batch_id))
+    CO.bigram_counts(docs_batch).write.mode("overwrite").parquet(path)
+    return _fold_pending_deltas(
+        spark, store_dir, BIGRAM_SCHEMA, merge_bigram_counts
+    )
+
+
+def kneser_ney_report(
+    spark: SparkSession, store_dir: str, discount: float = 0.75
+):
+    """The interpolated-KN bigram model (q235's surface) served
+    straight off the maintained (w1, w2, c12) store — zero corpus
+    rescans (the zipf_report pattern); the tail is the SAME
+    corpus.kneser_ney_from_counts expressions as batch, bit-equal to
+    kneser_ney_bigram over every document ever folded (pinned by
+    test): exact long counts admit exactly one value however they
+    were summed."""
+    big = spark.read.schema(BIGRAM_SCHEMA).parquet(
+        os.path.join(store_dir, "counts")
+    )
+    return CO.kneser_ney_from_counts(big, discount=discount)
+
+
+def kn_doc_scores_report(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+):
+    """Per-document KN scores (q236's surface) for a candidate batch
+    under the STORE-served model — the production perplexity-filter
+    rhythm: the model re-prices per corpus tick from the maintained
+    bigram store; scoring any batch is one tokenize pass over that
+    batch + one join against the O(bigram-types) model table. When
+    every folded document is also the scored batch, output is
+    bit-equal to the batch kneser_ney_doc_scores (pinned by test) —
+    the scoring tail is corpus.kn_score_doc_pairs verbatim."""
+    model = kneser_ney_report(spark, store_dir, discount=discount)
+    doc_pairs = CO._kn_doc_pairs(docs, text_col, id_col)
+    return CO.kn_score_doc_pairs(doc_pairs, model)
+
+
 # --- DSIR weight maintenance -------------------------------------------
 # The expensive half of DSIR importance weighting (functions/corpus.
 # dsir_importance) is the corpus-wide (bucket, ct, cr) histogram — also

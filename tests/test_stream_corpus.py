@@ -224,3 +224,61 @@ def test_good_turing_report_matches_batch_recount(spark, store):
     rows = {r[0]: r for r in inc}
     assert set(rows) == {1, 2, 3}
     assert rows[1][1] == 1 and rows[2][1] == 1 and rows[3][1] == 2
+
+
+@pytest.fixture()
+def bigram_store(tmp_path):
+    return str(tmp_path / "bigram_store")
+
+
+def test_kneser_ney_report_matches_batch_model(spark, bigram_store):
+    """Round-12 (VERDICT r11 item 7): the store-served KN model must
+    be bit-equal to kneser_ney_bigram over every doc ever folded —
+    exact (w1, w2, c12) longs admit one value however summed, and the
+    kneser_ney_from_counts tail is the batch expressions verbatim."""
+    wave1 = _docs(spark, [(0, "a b a b c"), (1, "b c b")])
+    wave2 = _docs(spark, [(2, "a b a"), (3, "c a b")])
+    SC.maintain_bigram_counts(spark, wave1, bigram_store, batch_id="t1")
+    SC.maintain_bigram_counts(spark, wave2, bigram_store, batch_id="t2")
+    inc = sorted(
+        map(tuple, SC.kneser_ney_report(spark, bigram_store).collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            CO.kneser_ney_bigram(wave1.unionByName(wave2)).collect(),
+        )
+    )
+    assert inc == batch and len(inc) > 0
+
+
+def test_kn_bigram_replayed_tick_is_idempotent(spark, bigram_store):
+    wave1 = _docs(spark, [(0, "x y x y")])
+    SC.maintain_bigram_counts(spark, wave1, bigram_store, batch_id="t1")
+    # cron retry of the SAME batch id: c12 must not double
+    SC.maintain_bigram_counts(spark, wave1, bigram_store, batch_id="t1")
+    got = {
+        (r.w1, r.w2): r.c12
+        for r in spark.read.parquet(bigram_store + "/counts").collect()
+    }
+    assert got == {("x", "y"): 2, ("y", "x"): 1}
+
+
+def test_kn_doc_scores_report_matches_batch(spark, bigram_store):
+    """Scoring the folded corpus under the store-served model is
+    bit-equal to the batch kneser_ney_doc_scores (the scoring tail is
+    corpus.kn_score_doc_pairs verbatim; the model counts are the same
+    exact longs)."""
+    wave1 = _docs(spark, [(0, "a b a b c"), (1, "b c b")])
+    wave2 = _docs(spark, [(2, "a b a c a b")])
+    SC.maintain_bigram_counts(spark, wave1, bigram_store, batch_id="t1")
+    SC.maintain_bigram_counts(spark, wave2, bigram_store, batch_id="t2")
+    docs = wave1.unionByName(wave2)
+    inc = sorted(
+        map(
+            tuple,
+            SC.kn_doc_scores_report(spark, docs, bigram_store).collect(),
+        )
+    )
+    batch = sorted(map(tuple, CO.kneser_ney_doc_scores(docs).collect()))
+    assert inc == batch and len(inc) == 3
