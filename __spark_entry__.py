@@ -4886,8 +4886,16 @@ def q195_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = ed0.union(
         ed0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return pagerank(sym, n_iter=3).select(
-        F.col("node").alias("token"), "pr"
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
+
+    pr = pagerank(sym, n_iter=3)
+    # bind-then-derive with an upstream chain: the chained temporary
+    # would drop the pagerank handle (and, round 12, its final-sweep
+    # snapshot) before the caller's action
+    return attach_cache_release(
+        pr.select(F.col("node").alias("token"), "pr"), (), upstream=(pr,)
     )
 
 
@@ -5539,8 +5547,16 @@ def q226_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint(eager=False)
     )
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
+
     lab = G.label_propagation(ed, n_rounds=3)
-    return G.modularity(ed, lab)
+    out = G.modularity(ed, lab)
+    # the shared edge snapshot's blocks free with the result instead
+    # of draining via ContextCleaner GC (the round-12 release device;
+    # modularity's own upstream chain covers lab's round snapshots)
+    return attach_cache_release(out, (), snapshots=(ed,))
 
 
 def q227_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from big_data_project_datapipeline_spark.operators.caching import (
     attach_cache_release,
+    release_local_checkpoint,
 )
 
 # HITS contribution-accumulator type. Module-level so the overflow
@@ -36,32 +37,6 @@ from big_data_project_datapipeline_spark.operators.caching import (
 # detector without a 1e8-edge graph; production value documented in
 # hits()'s docstring.
 _HITS_DEC = "decimal(28,12)"
-
-
-def _release_local_checkpoint(df: DataFrame) -> None:
-    """Eagerly free (blocking) the executor blocks behind an EAGER
-    ``localCheckpoint()`` frame that no future computation references.
-
-    ``DataFrame.unpersist`` cannot reach checkpoint blocks — they
-    belong to the internal RDD inside the frame's ``LogicalRDD`` node,
-    not to a cache entry — so superseded per-round snapshots otherwise
-    wait for ContextCleaner GC, which in a long session (tens of
-    thousands of RDD ids) can lag tens of seconds and lets executor
-    storage grow with the round count (VERDICT r11 item 2). Releasing
-    is only safe when the snapshot is truly superseded: the checkpoint
-    truncated lineage, so a released round can never be recomputed.
-
-    Quietly a no-op for frames whose analyzed plan is not a bare
-    ``LogicalRDD`` (nothing to release).
-    """
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getName().endswith("LogicalRDD"):
-            plan.rdd().unpersist(True)
-    except Exception:
-        # best-effort: a py4j surface change must degrade to the old
-        # GC-drain behavior, never fail the operator
-        pass
 
 
 def pagerank(
@@ -214,6 +189,11 @@ def pagerank(
         if weight is not None
         else (F.col("pr") / F.col("deg"))
     )
+    # superseded per-sweep snapshots free EAGERLY (blocking) once the
+    # next sweep's checkpoint has materialized — the connected_
+    # components round-12 device; bounds executor storage at O(1)
+    # sweeps instead of O(n_iter) frames draining via ContextCleaner
+    prev_snap: DataFrame | None = None
     for _i in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", src), src)
@@ -237,14 +217,22 @@ def pagerank(
         )
         if checkpoint_every and (_i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
+            if prev_snap is not None:
+                # the eager checkpoint above just materialized, so the
+                # previous snapshot is unreferenced by anything ahead
+                release_local_checkpoint(prev_snap)
+            prev_snap = ranks
     out = ranks.select("node", F.round("pr", 6).alias("pr"))
     # The persisted edge/node frames must not pin executor memory for
     # the session lifetime; eager checkpointing here was measured 1.9x
     # slower at sf0.1, so instead their release is tied to the result's
     # lifetime (auto on GC, or operators.caching.release_caches for
-    # explicit control).
+    # explicit control) — as is the final sweep's snapshot, which the
+    # result's plan reads (round-12 cross-run accumulation fix).
     return attach_cache_release(
-        out, (nodes,) if prepared else (e, nodes)
+        out,
+        (nodes,) if prepared else (e, nodes),
+        snapshots=(prev_snap,) if prev_snap is not None else (),
     )
 
 
@@ -311,6 +299,7 @@ def personalized_pagerank(
         F.col("__seed") == 1, F.lit(1.0 / ns)
     ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", restart.alias("pr"))
+    prev_snap: DataFrame | None = None  # the pagerank round-12 device
     for _i in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", src), src)
@@ -334,8 +323,15 @@ def personalized_pagerank(
         )
         if checkpoint_every and (_i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
+            if prev_snap is not None:
+                release_local_checkpoint(prev_snap)
+            prev_snap = ranks
     out = ranks.select("node", F.round("pr", 6).alias("pr"))
-    return attach_cache_release(out, (e, nodes))
+    return attach_cache_release(
+        out,
+        (e, nodes),
+        snapshots=(prev_snap,) if prev_snap is not None else (),
+    )
 
 
 def hits(
@@ -462,6 +458,7 @@ def hits(
     auths = None
     per_sweep_norm = n_iter > 3
     sweep_persists: list[DataFrame] = []
+    prev_snap: DataFrame | None = None  # the pagerank round-12 device
 
     def _sweep(ed, key, out_node, score_in, ovf_in, score_out, ovf_out):
         # One half-sweep with the sticky overflow flag: a contribution
@@ -520,6 +517,12 @@ def hits(
         ckpted = checkpoint_every and (_i + 1) % checkpoint_every == 0
         if ckpted:
             hubs = hubs.localCheckpoint()
+            if prev_snap is not None:
+                # the checkpoint above just materialized (and, on the
+                # final sweep, filled the persisted auths cache in the
+                # same job) — the previous sweep's snapshot is dead
+                release_local_checkpoint(prev_snap)
+            prev_snap = hubs
         if per_sweep_norm:
             # overflow guard for deep runs: rescale the carrier frame
             # to L1 = 1 after every sweep so per-sweep growth is
@@ -601,7 +604,11 @@ def hits(
         if prepared_dst is not None
         else (e_src, e_dst, nodes, auths, state, *sweep_persists)
     )
-    return attach_cache_release(out, release)
+    return attach_cache_release(
+        out,
+        release,
+        snapshots=(prev_snap,) if prev_snap is not None else (),
+    )
 
 
 def connected_components(
@@ -728,7 +735,7 @@ def connected_components(
         # jumped materialized at its eager localCheckpoint above, so
         # the previous round's snapshot is unreferenced by any future
         # computation — free its blocks now
-        _release_local_checkpoint(prev_snap)
+        release_local_checkpoint(prev_snap)
         prev_snap = jumped
         parent = jumped.select("node", "comp")
         if changed == 0:
@@ -737,7 +744,7 @@ def connected_components(
         # release before raising (ADVICE r8): the error path must not
         # leak the persisted symmetrized edge frame — nor the final
         # round's snapshot (no result escapes, so nothing needs it)
-        _release_local_checkpoint(prev_snap)
+        release_local_checkpoint(prev_snap)
         sym.unpersist()
         raise ValueError(
             f"connected_components(): labels did not converge within "
@@ -759,7 +766,10 @@ def connected_components(
             .select("node", F.col("node").alias("component"))
         )
         out = out.unionByName(isolated)
-    return attach_cache_release(out, (sym,))
+    # the final round's snapshot backs the result's plan — its blocks
+    # free (blocking) with the result instead of draining via
+    # ContextCleaner GC, the round-12 cross-run accumulation fix
+    return attach_cache_release(out, (sym,), snapshots=(prev_snap,))
 
 
 def kcore_peel(
@@ -805,6 +815,11 @@ def kcore_peel(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # round snapshots ride on the result and free (blocking) with it —
+    # lazy checkpoints materialize at the caller's action, so in-loop
+    # release has no hook; the guarded release skips any that never
+    # computed (round-12 cross-run accumulation fix)
+    snaps = [cur]
     for _ in range(n_rounds):
         keep = (
             cur.groupBy("u")
@@ -821,6 +836,7 @@ def kcore_peel(
             .select("u", "v")
             .localCheckpoint(eager=False)
         )
+        snaps.append(cur)
     if check_converged:
         dropped = (
             cur.groupBy("u")
@@ -830,14 +846,22 @@ def kcore_peel(
             .count()
         )
         if dropped:
+            # release before raising: the probe above materialized the
+            # whole chain, and no result escapes to carry the handles
+            for s in snaps:
+                release_local_checkpoint(s)
             raise ValueError(
                 f"kcore_peel(): not at fixpoint after n_rounds="
                 f"{n_rounds} — one more round would still drop nodes, "
                 "so the survivors are a SUPERSET of the k-core. Raise "
                 "n_rounds (each non-converged round removes >= 1 node)."
             )
-    return cur.groupBy(F.col("u").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    return attach_cache_release(
+        cur.groupBy(F.col("u").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        ),
+        (),
+        snapshots=snaps,
     )
 
 
@@ -1203,6 +1227,7 @@ def bfs_distance(
         .select("node", F.lit(0).cast("int").alias("dist"))
         .localCheckpoint(eager=False)
     )
+    snaps = [sym, dist]  # the kcore_peel round-12 release device
     frontier = dist.select("node")
     for k in range(1, n_rounds + 1):
         new = (
@@ -1214,8 +1239,9 @@ def bfs_distance(
             .localCheckpoint(eager=False)
         )
         dist = dist.union(new).localCheckpoint(eager=False)
+        snaps.extend((new, dist))
         frontier = new.select("node")
-    return dist
+    return attach_cache_release(dist, (), snapshots=snaps)
 
 
 def label_propagation(
@@ -1263,6 +1289,7 @@ def label_propagation(
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=False)
+    snaps = [sym, labels]  # the kcore_peel round-12 release device
     w = Window.partitionBy("node").orderBy(
         F.col("votes").desc(), F.col("label").asc()
     )
@@ -1276,7 +1303,8 @@ def label_propagation(
             .select("node", "label")
             .localCheckpoint(eager=False)
         )
-    return labels
+        snaps.append(labels)
+    return attach_cache_release(labels, (), snapshots=snaps)
 
 
 def ktruss_peel(
@@ -1322,6 +1350,7 @@ def ktruss_peel(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    snaps = [cur]  # the kcore_peel round-12 release device
 
     def _support(canon: DataFrame) -> DataFrame:
         """Per-edge triangle support over a canonical (u<v) edge set:
@@ -1372,6 +1401,7 @@ def ktruss_peel(
             cur.join(keep, ["u", "v"], "left_semi")
             .localCheckpoint(eager=False)
         )
+        snaps.append(cur)
     sup = _support(cur)
     out = (
         cur.join(sup, ["u", "v"], "left")
@@ -1382,16 +1412,21 @@ def ktruss_peel(
         )
         .localCheckpoint(eager=False)
     )
+    snaps.append(out)
     if check_converged:
         weak = out.filter(F.col("support") < k - 2).limit(1).count()
         if weak:
+            # release before raising: the probe above materialized the
+            # whole chain, and no result escapes to carry the handles
+            for s in snaps:
+                release_local_checkpoint(s)
             raise ValueError(
                 f"ktruss_peel(): not at fixpoint after n_rounds={n_rounds} "
                 "— one more round would still drop edges, so the survivors "
                 "are a SUPERSET of the k-truss. Raise n_rounds (each "
                 "non-converged round removes >= 1 edge)."
             )
-    return out
+    return attach_cache_release(out, (), snapshots=snaps)
 
 
 def multi_source_bfs(
@@ -1439,6 +1474,7 @@ def multi_source_bfs(
         )
         .localCheckpoint(eager=False)
     )
+    snaps = [sym, dist]  # the kcore_peel round-12 release device
     frontier = dist.select("seed", "node")
     for k in range(1, n_rounds + 1):
         new = (
@@ -1452,8 +1488,9 @@ def multi_source_bfs(
             .localCheckpoint(eager=False)
         )
         dist = dist.union(new).localCheckpoint(eager=False)
+        snaps.extend((new, dist))
         frontier = new.select("seed", "node")
-    return dist
+    return attach_cache_release(dist, (), snapshots=snaps)
 
 
 def harmonic_centrality(
@@ -1485,7 +1522,7 @@ def harmonic_centrality(
         n_rounds=n_rounds,
     )
     pos = d.filter(F.col("dist") > 0)
-    return pos.groupBy("node").agg(
+    out = pos.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_reached"),
         F.round(
             F.sum(
@@ -1496,6 +1533,9 @@ def harmonic_centrality(
             6,
         ).alias("harmonic"),
     )
+    # the BFS frame's snapshot releases must not fire while this
+    # derived result is alive (upstream chain, round 12)
+    return attach_cache_release(out, (), upstream=(d,))
 
 
 def modularity(
@@ -1607,7 +1647,7 @@ def modularity(
     denom2 = (
         F.lit(4).cast("long") * F.col("__m2") * F.col("__m2")
     ).cast("double")
-    return (
+    out = (
         closing.crossJoin(F.broadcast(tot))
         .select(
             "community",
@@ -1622,3 +1662,9 @@ def modularity(
             ),
         )
     )
+    # the labels/edges arguments commonly carry their own attached
+    # releases (label_propagation snapshots, support-edge handles) and
+    # are dropped at the call site — modularity(ed, label_propagation(
+    # ed)) — while this result's plan still reads them; the upstream
+    # chain defers their release to this result's lifetime (round 12)
+    return attach_cache_release(out, (), upstream=(edges, labels))
