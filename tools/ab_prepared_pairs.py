@@ -31,7 +31,12 @@ Usage:
   python tools/ab_prepared_pairs.py <variant> [sf_dir]
   variants: q213_default q213_prepared q214_default q214_prepared
             q203_default q203_prepared q226_default q226_prepared
-            q207_default q207_prepared
+            q207_default q207_prepared q198_default q198_prepared
+            q199_default q199_prepared
+
+Round 12 (VERDICT r11 item 5) extends orchestrate_graph with the last
+two support-graph consumers: local_clustering (q198) and
+degree_assortativity (q199, factored into operators/graph this round).
 """
 
 from __future__ import annotations
@@ -141,9 +146,10 @@ def run_variant(spark, variant: str, sf_dir: str) -> None:
                 top_k=100,
             )
         if variant == "q213_prepared":
+            # the landed table's threshold governs (round-12 guard:
+            # an explicit min_pair_count here would raise)
             return item_item_cosine(
                 None,
-                min_pair_count=2,
                 top_k=100,
                 prepared_stats=spark.table("ab_pair_stats"),
             )
@@ -162,15 +168,17 @@ def run_variant(spark, variant: str, sf_dir: str) -> None:
                 ed, seeds_frame(spark, sf_dir), n_rounds=3
             )
         from big_data_project_datapipeline_spark.operators.graph import (
+            degree_assortativity,
             ktruss_peel,
             label_propagation,
+            local_clustering,
             modularity,
         )
         from big_data_project_datapipeline_spark.operators.market import (
             support_graph_edges,
         )
 
-        if variant.startswith(("q203", "q226", "q207")):
+        if variant.startswith(("q203", "q226", "q207", "q198", "q199")):
             if variant.endswith("_prepared"):
                 ed = support_graph_edges(
                     prepared_stats=spark.table("ab_pair_stats")
@@ -187,6 +195,10 @@ def run_variant(spark, variant: str, sf_dir: str) -> None:
                 return label_propagation(ed, n_rounds=3)
             if variant.startswith("q226"):
                 return modularity(ed, label_propagation(ed, n_rounds=3))
+            if variant.startswith("q198"):
+                return local_clustering(ed)
+            if variant.startswith("q199"):
+                return degree_assortativity(ed)
             return ktruss_peel(ed, k=3, n_rounds=1)
         raise SystemExit(f"unknown variant {variant}")
 
@@ -220,7 +232,9 @@ def main() -> None:
              "q214_prepared"]
             if mode == "orchestrate"
             else ["q203_default", "q203_prepared", "q226_default",
-                  "q226_prepared", "q207_default", "q207_prepared"]
+                  "q226_prepared", "q207_default", "q207_prepared",
+                  "q198_default", "q198_prepared", "q199_default",
+                  "q199_prepared"]
         )
         for v in variants:
             subprocess.run([sys.executable, __file__, v, sf_dir], check=True)

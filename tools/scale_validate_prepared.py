@@ -18,6 +18,10 @@ prepared outputs are right, from scratch, at that scale:
 4. modularity refold over prepared edges + LPA labels: sum(degree)
    == 2m with m recounted INDEPENDENTLY from the landed pair-stats
    table, inner_edges <= m, contributions refold to Q, Q in range.
+5. (round 12) local_clustering + degree_assortativity over prepared
+   edges: per-node coverage, coefficient in [0,1], triangle counts
+   within the degree bound; assortativity's n_edges == 2m against the
+   independent recount and r in [-1, 1].
 
 Assumes `ab_pair_stats` (tools/ab_prepared_pairs.py prep) and
 `ab_pr_edges` (tools/ab_prepared_edges.py prep) are landed for the
@@ -189,6 +193,69 @@ def check_lpa_modularity_prepared(spark, ed) -> list[str]:
     return problems
 
 
+def check_clustering_assortativity_prepared(spark, ed) -> list[str]:
+    """Round-12 (VERDICT r11 item 5): the q198/q199 consumers over the
+    prepared support edges — from-scratch value invariants at the
+    fourth decade."""
+    from big_data_project_datapipeline_spark.operators.graph import (
+        degree_assortativity,
+        local_clustering,
+    )
+
+    problems = []
+    lc = local_clustering(ed)
+    agg = lc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("node").alias("nd"),
+        F.min("clustering").alias("lo"),
+        F.max("clustering").alias("hi"),
+        F.sum(
+            (
+                F.lit(2) * F.col("triangles")
+                > F.col("degree") * (F.col("degree") - 1)
+            ).cast("int")
+        ).alias("overfull"),
+    ).first()
+    nodes = (
+        ed.select(F.col("src").alias("node"))
+        .union(ed.select(F.col("dst").alias("node")))
+        .distinct()
+        .count()
+    )
+    if agg["n"] != nodes or agg["nd"] != agg["n"]:
+        problems.append(
+            f"clustering: coverage broken ({agg['n']} rows, "
+            f"{agg['nd']} distinct, {nodes} nodes)"
+        )
+    if (agg["lo"] or 0.0) < 0.0 or (agg["hi"] or 0.0) > 1.0:
+        problems.append(
+            f"clustering: coefficient out of [0,1] ({agg['lo']}, "
+            f"{agg['hi']})"
+        )
+    if agg["overfull"]:
+        problems.append(
+            f"clustering: {agg['overfull']} nodes count more triangles "
+            "than their degree admits"
+        )
+    # assortativity: n_edges over the symmetrized list must equal 2m
+    # with m recounted INDEPENDENTLY from the landed stats table, and
+    # a Pearson correlation lives in [-1, 1]
+    r = degree_assortativity(ed).first()
+    m = spark.table("ab_pair_stats").filter(F.col("pair_n") >= 2).count()
+    if r["n_edges"] != 2 * m:
+        problems.append(
+            f"assortativity: n_edges {r['n_edges']} != 2m (m={m} "
+            "recounted from the landed table)"
+        )
+    if r["assortativity"] is not None and not (
+        -1.0 <= r["assortativity"] <= 1.0
+    ):
+        problems.append(
+            f"assortativity: r {r['assortativity']} out of [-1, 1]"
+        )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale_smoke/sf30"
     spark = get_spark(app_name="scale-validate-prepared")
@@ -200,6 +267,10 @@ def main() -> int:
         ("pagerank_prepared", check_pagerank_prepared(spark)),
         ("cc_prepared", check_cc_prepared(spark, ed)),
         ("lpa_modularity_prepared", check_lpa_modularity_prepared(spark, ed)),
+        (
+            "clustering_assortativity_prepared",
+            check_clustering_assortativity_prepared(spark, ed),
+        ),
     ):
         if problems:
             failures += 1
