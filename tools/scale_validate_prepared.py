@@ -104,7 +104,12 @@ def check_cc_prepared(spark, ed) -> list[str]:
         connected_components,
     )
 
-    labels = connected_components(ed).localCheckpoint(eager=False)
+    # bind the CC result for the check's lifetime (round-12 caching
+    # contract: a chained temporary would release the materialized
+    # final-round snapshot before the derived lazy checkpoint below
+    # ever computes from it)
+    cc = connected_components(ed)
+    labels = cc.localCheckpoint(eager=False)
     problems = []
     nodes = (
         ed.select(F.col("src").alias("node"))
