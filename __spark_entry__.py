@@ -4588,8 +4588,8 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q101–q143 round-4 block). After this round every registered query's
 # driver row is <= 4 rounds old and the rotation debt is cleared.
 # Round-12 rotation (VERDICT r11 items 1/3 + NOTES_r11 plan): q92/q37
-# pinned; the three round-12 registrations (q234–q236, staged in r11,
-# never driver-certified) next; then every plan round 12 touches —
+# pinned; the four round-12 registrations (q234–q236 staged in r11,
+# q237 the new held-out-KN scorer — never driver-certified) next; then every plan round 12 touches —
 # q187/q189 (graph.py connected_components gained the eager per-round
 # snapshot release in the non-convergence path), q79/q213 (market.py
 # prepared_stats now rejects an explicit min_pair_count — the
@@ -4598,7 +4598,7 @@ def q185_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/graph.py and both wired for prepared support edges) —
 # then the round-5 cohort (stalest driver rows: q20/q21/q25/q54/q59/
 # q90/q91/q93/q94/q99), the 16 round-6 rows, and the front of the
-# round-7 block (q01–q09/q102/q10/q11/q124) to fill 50.
+# round-7 block (q01–q09/q102/q10/q11) to fill 50.
 _GATE_PREFIX = [
     "q92_feature_pipeline",
     "q37_ingest_pipeline",
@@ -4606,6 +4606,7 @@ _GATE_PREFIX = [
     "q234_vocab_coverage",
     "q235_kneser_ney_bigram",
     "q236_kn_doc_scores",
+    "q237_kn_held_out",
     # plans round 12 touches
     "q187_connected_components",
     "q189_cc_isolates",
@@ -4654,7 +4655,6 @@ _GATE_PREFIX = [
     "q102_token_budget_sample",
     "q10_interaction_math",
     "q11_zscore",
-    "q124_gini_dispersion",
 ]
 
 
@@ -5733,6 +5733,31 @@ def q236_kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CO.kneser_ney_doc_scores(d)
 
 
+def q237_kn_held_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT Kneser–Ney scoring with live backoff
+    (functions/corpus.kneser_ney_score_held_out): the model trains on
+    every non-src1 document and scores the src1 cohort (the q229
+    train/eval split), so unseen bigrams actually fire the backoff
+    branches q236's fit-on-self framing never exercises — seen pair →
+    interpolated p_KN; unseen pair under a seen context →
+    λ(w1)·P̃_cont(w2); OOV context → P̃_cont(w2) alone. The
+    continuation prior is add-one smoothed over the model's right
+    vocabulary + one UNK slot, so every probability is positive and
+    each seen context's open-vocabulary conditional sums to 1 EXACTLY
+    (test-pinned). Output adds n_backoff — the per-doc novelty count a
+    perplexity filter reads next to ppl. Determinism: probabilities
+    floor-quantized at 9 before ln, decimal(28,12) term folds,
+    round(6) surfaces; the two model scalars fold in as exact
+    literals. Scale: the q62/q112 external-LM join shape — the score
+    stream LEFT-joins the O(bigram-types) count table and two
+    O(vocab) marginals; no cross products."""
+    d = _t(spark, sf_dir, "documents")
+    return CO.kneser_ney_score_held_out(
+        d.filter(F.col("source") != "src1"),
+        d.filter(F.col("source") == "src1"),
+    )
+
+
 def q216_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes language classifier trained AND decoded
     in-engine (functions/corpus.naive_bayes_confusion): add-1-smoothed
@@ -5921,6 +5946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q234_vocab_coverage": q234_vocab_coverage,
         "q235_kneser_ney_bigram": q235_kneser_ney_bigram,
         "q236_kn_doc_scores": q236_kn_doc_scores,
+        "q237_kn_held_out": q237_kn_held_out,
         "q188_cluster_aware_split": q188_cluster_aware_split,
         # The round-3 block q100–q132, driver-certified in round 4
         # (CORRECTNESS_r04.json) and rotated out to make room for
@@ -12715,6 +12741,80 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(lp) AS DOUBLE) / SUM(c) AS avg
             FROM scored GROUP BY doc_id)
         SELECT doc_id, n_pairs, ROUND(avg, 6) AS avg_logprob,
+               ROUND(exp(-avg), 6) AS ppl
+        FROM per
+    """
+    # q237: held-out KN with backoff — model CTEs from the non-src1
+    # train split, the score stream LEFT-joined on (w1,w2)/w1/w2 with
+    # the three-branch probability (seen pair / backoff / OOV
+    # context), add-one smoothed continuation over V+1 slots, every p
+    # floor-quantized at 9 before ln, decimal(28,12) term fold
+    out["q237_kn_held_out"] = f"""
+        WITH tr AS (
+            SELECT {tokens_sql} AS t FROM documents
+            WHERE source <> 'src1'),
+        big AS (
+            SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM (
+                SELECT t[pos] AS w1, t[pos + 1] AS w2
+                FROM (SELECT t, unnest(range(1, len(t))) AS pos
+                      FROM tr WHERE len(t) >= 2))
+            GROUP BY w1, w2),
+        ctx AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS fanout
+            FROM big GROUP BY w1),
+        cont AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r
+            FROM big GROUP BY w2),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n1a,
+                   CAST(COUNT(DISTINCT w2) AS BIGINT) AS v
+            FROM big),
+        sc AS (
+            SELECT doc_id, {tokens_sql} AS t FROM documents
+            WHERE source = 'src1'),
+        dp AS (
+            SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, t[pos] AS w1, t[pos + 1] AS w2
+                  FROM (SELECT doc_id, t, unnest(range(1, len(t)))
+                            AS pos
+                        FROM sc WHERE len(t) >= 2))
+            GROUP BY doc_id, w1, w2),
+        j AS (
+            SELECT dp.doc_id, dp.c,
+                   CASE WHEN big.c12 IS NULL THEN 1 ELSE 0 END
+                       AS backoff,
+                   floor((CASE
+                       WHEN big.c12 IS NOT NULL THEN
+                           greatest(CAST(big.c12 AS DOUBLE) - 0.75,
+                                    0.0) / CAST(ctx.c1 AS DOUBLE)
+                           + (0.75 * CAST(ctx.fanout AS DOUBLE)
+                                  / CAST(ctx.c1 AS DOUBLE))
+                             * ((CAST(COALESCE(cont.n1r, 0) AS DOUBLE)
+                                     + 1)
+                                / CAST(tot.n1a + tot.v + 1 AS DOUBLE))
+                       WHEN ctx.c1 IS NOT NULL THEN
+                           (0.75 * CAST(ctx.fanout AS DOUBLE)
+                                / CAST(ctx.c1 AS DOUBLE))
+                           * ((CAST(COALESCE(cont.n1r, 0) AS DOUBLE)
+                                   + 1)
+                              / CAST(tot.n1a + tot.v + 1 AS DOUBLE))
+                       ELSE
+                           (CAST(COALESCE(cont.n1r, 0) AS DOUBLE) + 1)
+                           / CAST(tot.n1a + tot.v + 1 AS DOUBLE)
+                   END) * 1e9 + 0.5) / 1e9 AS p
+            FROM dp LEFT JOIN big USING (w1, w2)
+                    LEFT JOIN ctx USING (w1)
+                    LEFT JOIN cont USING (w2), tot),
+        per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_pairs,
+                   CAST(SUM(c * backoff) AS BIGINT) AS n_backoff,
+                   CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(p)
+                                 AS DECIMAL(28,12))) AS DOUBLE)
+                       / SUM(c) AS avg
+            FROM j GROUP BY doc_id)
+        SELECT doc_id, n_pairs, n_backoff,
+               ROUND(avg, 6) AS avg_logprob,
                ROUND(exp(-avg), 6) AS ppl
         FROM per
     """

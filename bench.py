@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     "q234_vocab_coverage",
     "q235_kneser_ney_bigram",
     "q236_kn_doc_scores",
+    "q237_kn_held_out",
 ]
 
 

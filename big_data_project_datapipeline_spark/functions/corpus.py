@@ -2667,3 +2667,121 @@ def kn_score_doc_pairs(doc_pairs: DataFrame, model: DataFrame) -> DataFrame:
         F.round("__avg", 6).alias("avg_logprob"),
         F.round(F.exp(-F.col("__avg")), 6).alias("ppl"),
     )
+
+
+def kneser_ney_score_held_out(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """HELD-OUT document scoring under an interpolated Kneser–Ney
+    bigram model — the backoff branch :func:`kneser_ney_doc_scores`
+    documents but (fit-on-self) never fires: the model trains on
+    ``train_df`` and scores ``score_df``, so scored bigrams can be
+    (a) observed pairs (the full interpolated p_KN), (b) unseen pairs
+    under a SEEN context w1 (pure backoff λ(w1)·P̃_cont(w2)), or
+    (c) pairs whose context w1 the model never saw (the continuation
+    prior P̃_cont(w2) alone — the standard lower-order fallback). This
+    is the production perplexity-filter shape: fit on yesterday's
+    corpus, score today's candidates (q112's add-k filter smoothed
+    the way a KenLM-class scorer actually would).
+
+    OOV handling makes the open vocabulary sum to one: the
+    continuation prior is add-one smoothed over the train model's
+    right-word vocabulary PLUS one UNK slot,
+    P̃_cont(w2) = (N1+(·,w2) + 1) / (N1+(··) + V + 1) with V =
+    |{w2 : N1+(·,w2) > 0}|, so an unseen w2 prices at
+    1/(N1+(··) + V + 1) — never zero, never log(−inf). Per seen
+    context, Σ_{w2 ∈ V ∪ {UNK}} P_KN(w2|w1) = 1 EXACTLY (the
+    discounted mass equals what the smoothed prior redistributes —
+    test-pinned), so this is a proper conditional over the open
+    vocabulary.
+
+    Per scored document: n_pairs (bigram occurrences), n_backoff
+    (occurrences scored on branch b/c — the novelty readout),
+    avg_logprob, ppl. Docs with < 2 tokens emit no row. Determinism:
+    every probability floor-quantized at 9 before ln (the q217
+    engine-split device), c·ln p terms fold in decimal(28,12),
+    round(6) surfaces; the two scalars (N1+(··), V) fold in as exact
+    literals from one bounded O(1)-output action.
+
+    Scale shape: ONE tokenize pass per side; the score stream
+    LEFT-joins the O(bigram-types) count table on (w1, w2) and the
+    two O(vocab) marginal tables on w1 / w2 — the q62/q112
+    external-LM join shape, no cross products, everything else
+    vocab-bounded.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError(
+            "kneser_ney_score_held_out: discount must be in (0, 1)"
+        )
+    big = bigram_counts(train_df, text_col)
+    ctx = big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("fanout"),
+    )
+    cont = big.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1r")
+    )
+    # the two scalars fold in as literals (the q87 node-count device):
+    # one bounded O(1)-output action on the O(bigram-types) frame
+    tot = big.agg(
+        F.count(F.lit(1)).cast("long").alias("n1a"),
+        F.countDistinct("w2").cast("long").alias("v"),
+    ).first()
+    n1a, v = tot["n1a"] or 0, tot["v"] or 0
+    denom = float(n1a + v + 1)  # + the UNK slot
+
+    def _q9(x):
+        return F.floor(x * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+
+    d = F.lit(float(discount))
+    doc_pairs = _kn_doc_pairs(score_df, text_col, id_col)
+    joined = (
+        doc_pairs.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(cont, "w2", "left")
+    )
+    # smoothed continuation prior — defined for EVERY w2 (unseen
+    # right words take the UNK slot's mass)
+    p_cont_s = (
+        (F.coalesce(F.col("n1r"), F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(denom)
+    )
+    lam = d * F.col("fanout").cast("double") / F.col("c1").cast("double")
+    p = F.when(
+        F.col("c12").isNotNull(),
+        _q9(
+            F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+            / F.col("c1").cast("double")
+            + lam * p_cont_s
+        ),
+    ).otherwise(
+        F.when(
+            F.col("c1").isNotNull(), _q9(lam * p_cont_s)
+        ).otherwise(_q9(p_cont_s))
+    )
+    scored = joined.select(
+        "doc_id",
+        "c",
+        F.col("c12").isNull().cast("int").alias("__backoff"),
+        (F.col("c").cast("double") * F.log(p)).cast(
+            "decimal(28,12)"
+        ).alias("lp"),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_pairs"),
+        F.sum(F.col("c") * F.col("__backoff")).cast("long").alias(
+            "n_backoff"
+        ),
+        (F.sum("lp").cast("double") / F.sum("c")).alias("__avg"),
+    )
+    return per.select(
+        "doc_id",
+        "n_pairs",
+        "n_backoff",
+        F.round("__avg", 6).alias("avg_logprob"),
+        F.round(F.exp(-F.col("__avg")), 6).alias("ppl"),
+    )

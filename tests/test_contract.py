@@ -75,7 +75,7 @@ def test_gate_prefix_rotation_invariants():
     # rows in the registry (VERDICT r11 item 3) — must occupy
     # certified slots
     must_certify = {
-        "q234_", "q235_", "q236_",
+        "q234_", "q235_", "q236_", "q237_",
         "q187_", "q189_", "q79_", "q213_", "q198_", "q199_",
         "q20_", "q21_", "q25_", "q54_", "q59_", "q90_", "q91_",
         "q93_", "q94_", "q99_",

@@ -1306,3 +1306,117 @@ class TestKneserNeyDocScores:
         assert rows[1]["ppl"] == rows[2]["ppl"]
         # the shuffled doc's bigrams are mostly hapax: higher perplexity
         assert rows[3]["ppl"] > rows[1]["ppl"]
+
+
+class TestKneserNeyHeldOut:
+    def _frames(self, spark, train_rows, score_rows):
+        tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+        sc = spark.createDataFrame(score_rows, "doc_id long, text string")
+        return tr, sc
+
+    def test_hand_computed_backoff_branches(self, spark):
+        """train 'a b a c': big ab/ba/ac (=1 each), ctx a(c1=2,f=2)
+        b(1,1); cont a/b/c n1r=1; n1a=3 V=3 -> denom 7,
+        smoothed cont 2/7 seen / 1/7 unseen.
+        score doc 10 'a b z': (a,b) seen = 0.125 + 0.75*(2/7);
+        (b,z) backoff = (0.75*1/1)*(1/7). doc 11 'z q': OOV context
+        = 1/7. All floor-quantized at 9 before ln."""
+        import math
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_score_held_out,
+        )
+
+        tr, sc = self._frames(
+            spark,
+            [(1, "a b a c")],
+            [(10, "a b z"), (11, "z q"), (12, "x")],
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in kneser_ney_score_held_out(tr, sc).collect()
+        }
+        assert set(rows) == {10, 11}  # doc 12 (<2 tokens) emits none
+
+        def q9(x):
+            return math.floor(x * 1e9 + 0.5) / 1e9
+
+        p_ab = q9(0.125 + 0.75 * (2 / 7))
+        p_bz = q9((0.75 * 1 / 1) * (1 / 7))
+        avg10 = (math.log(p_ab) + math.log(p_bz)) / 2
+        assert rows[10]["n_pairs"] == 2 and rows[10]["n_backoff"] == 1
+        assert rows[10]["avg_logprob"] == round(avg10, 6)
+        assert rows[10]["ppl"] == round(math.exp(-avg10), 6)
+        p_zq = q9(1 / 7)
+        assert rows[11]["n_pairs"] == 1 and rows[11]["n_backoff"] == 1
+        assert rows[11]["avg_logprob"] == round(math.log(p_zq), 6)
+
+    def test_open_vocab_normalization(self, spark):
+        """for the seen context 'a', P_KN over {a, b, c, UNK} sums to
+        1 (quantization-tolerant): the discounted mass equals exactly
+        what the smoothed continuation prior redistributes."""
+        import math
+
+        def q9(x):
+            return math.floor(x * 1e9 + 0.5) / 1e9
+
+        # model trained on 'a b a c' (see above); score docs that
+        # enumerate context-a pairs: seen (a,b) (a,c), unseen (a,a),
+        # and the UNK slot via (a,<unseen>)
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_score_held_out,
+        )
+
+        tr = spark.createDataFrame(
+            [(1, "a b a c")], "doc_id long, text string"
+        )
+        probs = []
+        for i, w2 in enumerate(["a", "b", "c", "zz"]):
+            sc = spark.createDataFrame(
+                [(100 + i, f"a {w2}")], "doc_id long, text string"
+            )
+            r = kneser_ney_score_held_out(tr, sc).first()
+            probs.append(math.exp(r["avg_logprob"]))
+        # each prob was rounded at 6 after ln; allow that tolerance
+        assert abs(sum(probs) - 1.0) < 1e-4, probs
+
+    def test_backoff_scores_below_seen(self, spark):
+        """a doc of observed bigrams must out-score (lower ppl) every
+        same-length novelty doc — both the unseen-pairs-under-seen-
+        contexts doc and the all-OOV doc, whose n_backoff counts flag
+        them. (The two novelty classes do NOT order against each
+        other in general: λ(w1)·P̃_cont can legitimately price below
+        the OOV prior when the context barely backs off.)"""
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_score_held_out,
+        )
+
+        tr = spark.createDataFrame(
+            [(1, "a b a b a c a c")], "doc_id long, text string"
+        )
+        sc = spark.createDataFrame(
+            [(10, "a b a b"), (11, "b c b c"), (12, "q z q z")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in kneser_ney_score_held_out(tr, sc).collect()
+        }
+        assert rows[10]["ppl"] < rows[11]["ppl"], rows
+        assert rows[10]["ppl"] < rows[12]["ppl"], rows
+        assert rows[10]["n_backoff"] == 0
+        assert rows[11]["n_backoff"] == 3
+        assert rows[12]["n_backoff"] == 3
+
+    def test_discount_validation(self, spark):
+        import pytest
+
+        from big_data_project_datapipeline_spark.functions.corpus import (
+            kneser_ney_score_held_out,
+        )
+
+        tr = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        with pytest.raises(ValueError, match="discount"):
+            kneser_ney_score_held_out(tr, tr, discount=1.0)
