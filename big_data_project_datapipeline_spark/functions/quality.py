@@ -3616,6 +3616,7 @@ def huber_irls(
     c: float = 1.345,
     scale_estimator: str = "exact",
     scale_bins: int = 64,
+    lineage_cap: bool = True,
 ) -> DataFrame:
     """Huber robust regression per group — y = b0 + b1·x1 + b2·x2 fit
     by OLS-initialized IRLS with EXACTLY ``n_reweights`` reweighted
@@ -3741,8 +3742,17 @@ def huber_irls(
             + F.col("b2") * F.col("__x2")
         )
 
+    def _cap(f: DataFrame) -> DataFrame:
+        # per-pass lazy localCheckpoint on the O(groups) state (the
+        # q215 logistic_irls lineage-cap device): without it each pass
+        # nests the whole prior chain as one deep tree re-paid by the
+        # planner per pass (r12 A/B with 256 KB openCost, 6 runs each:
+        # best 9.0 s vs 11.0 s warm-solo at sf0.1). ``lineage_cap=
+        # False`` keeps the pure-lineage plan for plan inspection.
+        return f.localCheckpoint(eager=False) if lineage_cap else f
+
     # pass 1: plain OLS (w = 1)
-    beta = _solve(_moments(rows, F.lit(1.0)), keep=[])
+    beta = _cap(_solve(_moments(rows, F.lit(1.0)), keep=[]))
     # passes 2-3: frozen preliminary scale from the OLS residuals
     if scale_estimator == "sketch":
         # mergeable frozen-scale path (the promised 100 TB swap): both
@@ -3806,8 +3816,10 @@ def huber_irls(
     scale = mad.select(
         *gcols, (F.lit(1.4826) * F.col("__mad")).alias("__s")
     )
-    beta = beta.join(scale, gcols) if gcols else beta.crossJoin(
-        F.broadcast(scale)
+    beta = _cap(
+        beta.join(scale, gcols)
+        if gcols
+        else beta.crossJoin(F.broadcast(scale))
     )
     for _ in range(n_reweights):
         j = _join(beta)
@@ -3825,8 +3837,10 @@ def huber_irls(
         mom = _moments(j, w)
         scale_keep = beta.select(*gcols, "__s")
         nb = _solve(mom, keep=[])
-        beta = nb.join(scale_keep, gcols) if gcols else nb.crossJoin(
-            F.broadcast(scale_keep)
+        beta = _cap(
+            nb.join(scale_keep, gcols)
+            if gcols
+            else nb.crossJoin(F.broadcast(scale_keep))
         )
     return beta.select(
         *gcols,

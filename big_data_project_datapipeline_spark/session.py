@@ -62,6 +62,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split floor (r12, guide §6): Spark sizes file splits as
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)).
+        # The 4 MB default openCost floor caps an 11 MB single-file scan
+        # at 3 tasks regardless of core count; with the floor at 256 KB
+        # the scale-adaptive bytes/parallelism term governs, so small
+        # tables fan out to the core count (sf0.1 lineitem: 3 -> 32
+        # scan tasks, q219 pass stages ~3x less wall) while at cluster
+        # scale bytes/minPartitionNum >> 256 KB and split sizing is
+        # unchanged. 256 KB also remains a sane per-file open charge on
+        # NVMe/object storage (the 4 MB default is spinning-HDFS-era);
+        # for many-tiny-file layouts it packs MORE files per task, not
+        # fewer. Env-overridable for cluster profiles.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(256 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -698,12 +698,18 @@ def test_huber_sketch_plan_has_no_percentile_buffer(spark):
 
     rows = [("g", float(i), float(i % 3), float(i)) for i in range(9)]
     df = spark.createDataFrame(rows, ["g", "x1", "x2", "y"])
+    # lineage_cap=False: the r12 per-pass localCheckpoint truncates the
+    # final frame's lineage to an ExistingRDD leaf, so plan inspection
+    # needs the pure-lineage tree.
     exact_plan = (
-        huber_irls(df, "y", "x1", "x2", ["g"])
+        huber_irls(df, "y", "x1", "x2", ["g"], lineage_cap=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     sketch_plan = (
-        huber_irls(df, "y", "x1", "x2", ["g"], scale_estimator="sketch")
+        huber_irls(
+            df, "y", "x1", "x2", ["g"], scale_estimator="sketch",
+            lineage_cap=False,
+        )
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "percentile" in exact_plan
