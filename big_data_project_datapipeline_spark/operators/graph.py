@@ -24,7 +24,7 @@ undirected (symmetrized) edge list to avoid them entirely.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from big_data_project_datapipeline_spark.operators.caching import (
@@ -95,7 +95,23 @@ def pagerank(
             "pagerank(prepared=True) does not compose with weight= "
             "— pre-compute the weighted frame's __w/deg upstream."
         )
-    e0 = edges.select(src, dst).distinct() if not prepared else None
+    # One-shuffle edge prep (r12, guide §2.4): repartition the RAW
+    # edges on src FIRST, then dedup. hash(src) partitioning satisfies
+    # the (src, dst) dedup's and the src degree-count's clustering
+    # requirement (equal (src,dst) ⇒ equal src ⇒ same partition), so
+    # both aggregates run partition-local and the old
+    # distinct→deg-join→repartition chain's SECOND full O(edges)
+    # exchange disappears; the one repartition exchange is computed
+    # once and read by both the edge and the degree branch
+    # (ReusedExchange). Trade: the single exchange carries pre-dedup
+    # rows (no map-side dedup combine) — a win unless the duplication
+    # factor exceeds ~2, which co-purchase-style builds stay well
+    # under (r12 A/B below).
+    e0 = (
+        edges.select(src, dst).repartition(F.col(src)).distinct()
+        if not prepared
+        else None
+    )
     # Fold the out-degree INTO the persisted edge frame once (one extra
     # long per edge row) — each iteration then needs a single join
     # (ranks) instead of two (ranks + deg); measured 27% faster at
@@ -122,24 +138,15 @@ def pagerank(
         # src's total outgoing weight so the unweighted loop body below
         # is reused verbatim (contribution = pr·w/deg with w folded in)
         e0 = (
-            edges.groupBy(src, dst)
+            edges.repartition(F.col(src))
+            .groupBy(src, dst)
             .agg(F.sum(weight).alias("__w"))
         )
         deg = e0.groupBy(src).agg(F.sum("__w").alias("deg"))
-        e = (
-            e0.join(deg, src)
-            .repartition(F.col(src))
-            .sortWithinPartitions(src)
-            .persist()
-        )
+        e = e0.join(deg, src).sortWithinPartitions(src).persist()
     else:
         deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-        e = (
-            e0.join(deg, src)
-            .repartition(F.col(src))
-            .sortWithinPartitions(src)
-            .persist()
-        )
+        e = e0.join(deg, src).sortWithinPartitions(src).persist()
     if weight is not None:
         # Weight validation (ADVICE r8): a NULL weight NULLs the whole
         # (src,dst) group sum, NULL/zero totals NULL the contribution
@@ -267,14 +274,10 @@ def personalized_pagerank(
     over an empty restart set has no meaning; returning the zero
     vector silently would hide a wiring bug upstream).
     """
-    e0 = edges.select(src, dst).distinct()
+    # one-shuffle edge prep — see pagerank (r12)
+    e0 = edges.select(src, dst).repartition(F.col(src)).distinct()
     deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = (
-        e0.join(deg, src)
-        .repartition(F.col(src))
-        .sortWithinPartitions(src)
-        .persist()
-    )
+    e = e0.join(deg, src).sortWithinPartitions(src).persist()
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
         e.select(F.col(src).alias("node"))
@@ -418,16 +421,21 @@ def hits(
         # persists to release.
         e_src, e_dst = edges, prepared_dst
     else:
-        e0 = edges.select(src, dst).distinct()
         # sortWithinPartitions: the cached copies expose partitioning
         # AND ordering on their half-sweep join key, so each sweep's
         # SortMergeJoin shuffles+sorts only the O(nodes) score frame
         # (see pagerank — the round-8 sf10 attribution measured
         # ~68 GB of per-sweep edge-side sort spill without this; at
         # gate SFs AQE broadcasts the score side and the sort is
-        # unused).
+        # unused). repartition RAW rows before the dedup so the dedup
+        # runs partition-local on the one exchange (the r12 pagerank
+        # one-shuffle prep).
         e_src = (
-            e0.repartition(F.col(src)).sortWithinPartitions(src).persist()
+            edges.select(src, dst)
+            .repartition(F.col(src))
+            .distinct()
+            .sortWithinPartitions(src)
+            .persist()
         )
         # The dst-partitioned copy derives from the CACHED src copy,
         # not from e0: two independent persists of e0 each re-run the
@@ -674,8 +682,8 @@ def connected_components(
     # SortMergeJoin skip the O(edges)-side sort)
     sym = (
         e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
         .repartition(F.col("u"))
+        .distinct()
         .sortWithinPartitions("u")
         .persist()
     )
@@ -727,11 +735,20 @@ def connected_components(
                 ).alias("comp"),
                 F.col("x.old_comp").alias("old_comp"),
             )
-            .localCheckpoint()
         )
-        changed = (
-            jumped.filter(F.col("comp") != F.col("old_comp")).limit(1).count()
-        )
+        # The convergence probe RIDES the checkpoint's materialization
+        # job via df.observe (r12): the old separate
+        # filter(...).limit(1).count() was a second O(nodes) action per
+        # round — one job per round instead of two, same decision
+        # (changed > 0), values untouched (observe is a pure metric).
+        obs = Observation()
+        jumped = jumped.observe(
+            obs,
+            F.sum(
+                (F.col("comp") != F.col("old_comp")).cast("long")
+            ).alias("changed"),
+        ).localCheckpoint()
+        changed = int(obs.get["changed"] or 0)
         # jumped materialized at its eager localCheckpoint above, so
         # the previous round's snapshot is unreferenced by any future
         # computation — free its blocks now
