@@ -1998,7 +1998,23 @@ def bootstrap_mean_ci(
         % F.lit(M - 1)
         + F.lit(1)
     )
-    seeded = clean.select(*gcols, "__v", seed.alias("__seed"))
+    # Fan the ×B explode out across the cluster (r12, guide §2.5 input
+    # skew): the heavy stage below does B× the scan's row count of
+    # CDF-chain work, and a single-row-group (or gzip) input pins all
+    # of it to one scan task. A deterministic hash repartition on the
+    # unique id moves the PRE-explode rows (1/B of the downstream
+    # work) exactly once — bounded insurance at any scale, and it
+    # makes the replicate pass scale with cores instead of with input
+    # row groups. Hash, not round-robin: no sort-before-repartition
+    # pass, stable under task retry (SPARK-38388).
+    # numPartitions pinned to defaultParallelism (cores — scale-
+    # adaptive, not a constant): without it AQE coalesces this tiny
+    # pre-explode exchange (~1 MB shuffled) back to ONE partition by
+    # byte size and re-serializes the ×B compute it exists to spread.
+    seeded = clean.select(*gcols, "__v", seed.alias("__seed")).repartition(
+        clean.sparkSession.sparkContext.defaultParallelism,
+        F.col("__seed"),
+    )
     rep = seeded.select(
         *gcols,
         "__v",

@@ -74,9 +74,13 @@ def get_spark(
         # NVMe/object storage (the 4 MB default is spinning-HDFS-era);
         # for many-tiny-file layouts it packs MORE files per task, not
         # fewer. Env-overridable for cluster profiles.
+        # 64 KB keeps every small table at full core-count fan-out
+        # (events 2 MB: 8 tasks at a 256 KB floor, 32 at 64 KB — the
+        # q158 explode stage was 7.2 s of CPU squeezed into 8 tasks)
+        # while remaining a sane per-file open charge.
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(256 * 1024)),
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(64 * 1024)),
         )
     )
     for k, v in (extra_conf or {}).items():
