@@ -1,0 +1,73 @@
+"""Round-12 scan fan-out device (tables._fan_out_unsplittable).
+
+The driver testdata ships one parquet row group per table, so a scan —
+and everything Catalyst fuses into the scan stage — runs in ONE task
+regardless of core count. load_table fans such inputs out with a
+round-robin repartition derived from the file's PHYSICAL layout
+(row_groups < defaultParallelism and enough rows to matter), which is
+a provable no-op on production-scale tables.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_project_datapipeline_spark import tables
+from big_data_project_datapipeline_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache():
+    tables._ROW_GROUPS.clear()
+    yield
+    tables._ROW_GROUPS.clear()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_single_row_group_table_fans_out(spark):
+    df = load_table(spark, SF_DIR, "lineitem")
+    assert "Repartition" in _plan(df), _plan(df)
+
+
+def test_tiny_dim_table_does_not_fan_out(spark):
+    # nation: 25 rows < cores*16 — fan-out would be pure scheduling
+    # overhead on a broadcast-bound dim
+    df = load_table(spark, SF_DIR, "nation")
+    assert "Repartition" not in _plan(df)
+
+
+def test_many_row_group_table_does_not_fan_out(spark):
+    # simulate a production-layout table: pretend the footer reported
+    # more row groups than cores — the fan-out must be a no-op
+    key = (SF_DIR, "lineitem")
+    tables._ROW_GROUPS[key] = (1 << 20, 6001)
+    df = load_table(spark, SF_DIR, "lineitem")
+    assert "Repartition" not in _plan(df)
+
+
+def test_fanout_preserves_column_pruning(spark):
+    # guide §6 / PLAN_AUDIT contract: the repartition must not block
+    # projection pushdown — a two-column projection reads two columns
+    df = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "l_extendedprice" not in scan[0], plan[:2000]
+
+
+def test_fanout_preserves_values(spark):
+    # same rows either way — the repartition only moves them
+    fanned = load_table(spark, SF_DIR, "orders")
+    key = (SF_DIR, "orders")
+    tables._ROW_GROUPS[key] = (1 << 20, 0)
+    flat = load_table(spark, SF_DIR, "orders")
+    assert "Repartition" not in _plan(flat)
+    a = sorted(map(tuple, fanned.collect()))
+    b = sorted(map(tuple, flat.collect()))
+    assert a == b

@@ -56,8 +56,28 @@ def test_q25_query_side_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def _production_layout():
+    """Make the r12 single-row-group input fan-out inert by pretending
+    every table has a production layout (row_groups >> cores): the
+    map-only plan-shape tests below assert the AT-SCALE shape, which is
+    exactly what the fan-out preserves there (tests/test_fanout.py
+    covers the local fan-out behavior itself)."""
+    from big_data_project_datapipeline_spark import tables as _tables
+
+    _tables._ROW_GROUPS.clear()
+    for t in _tables.TABLE_NAMES:
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            _tables._ROW_GROUPS[(f"/root/testdata/{sf}", t)] = (1 << 20, 0)
+
+
 def test_q09_single_stage_projection(spark):
-    plan = plan_of(spark, "q09_temporal_features")
+    _production_layout()
+    try:
+        plan = plan_of(spark, "q09_temporal_features")
+    finally:
+        from big_data_project_datapipeline_spark import tables as _tables
+
+        _tables._ROW_GROUPS.clear()
     # pure projection: no exchange at all (map-only at any scale)
     assert "Exchange" not in plan
     assert "*(1)" in plan  # whole-stage codegen span (star notation)
@@ -86,8 +106,15 @@ def test_q40_range_join_keeps_equi_key(spark):
 
 
 def test_q43_winnow_stays_map_only(spark):
-    """Fingerprinting is a scan→project pipeline: no exchange at all."""
-    plan = plan_of(spark, "q43_winnow_fingerprints")
+    """Fingerprinting is a scan→project pipeline: no exchange at all
+    in the at-scale shape (see test_q09_single_stage_projection)."""
+    _production_layout()
+    try:
+        plan = plan_of(spark, "q43_winnow_fingerprints")
+    finally:
+        from big_data_project_datapipeline_spark import tables as _tables
+
+        _tables._ROW_GROUPS.clear()
     assert "Exchange" not in plan
 
 
@@ -144,8 +171,15 @@ def test_q64_decision_no_cartesian(spark):
 
 
 def test_q75_chunking_stays_map_only(spark):
-    plan = plan_of(spark, "q75_rag_chunks")
-    # tokenize → sequence/explode → slice: zero exchanges at any scale
+    # tokenize → sequence/explode → slice: zero exchanges in the
+    # at-scale shape (see test_q09_single_stage_projection)
+    _production_layout()
+    try:
+        plan = plan_of(spark, "q75_rag_chunks")
+    finally:
+        from big_data_project_datapipeline_spark import tables as _tables
+
+        _tables._ROW_GROUPS.clear()
     assert "Exchange" not in plan
 
 
