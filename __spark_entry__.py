@@ -118,8 +118,14 @@ TWO_PI = 2.0 * math.pi
 PIPE_SEP = " || '|' || "
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    # fan_out=True: opt into the unsplittable-input fan-out for the
+    # queries whose post-scan compute amortizes the extra exchange —
+    # the r13 same-window 237-query A/B behind each opt-in lives in
+    # OPTIMIZATION_r13.md (tables.load_table for the mechanism).
+    return load_table(spark, sf_dir, name, fan_out=fan_out)
 
 
 def _dsum(c, alias):
@@ -139,7 +145,7 @@ def _dsum_expr(col, alias):
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style scan→filter→agg (F*, P2, A1/A4/A5). Filter pushed to
     the parquet scan; partial aggregation map-side."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=True)
     # Money columns are exact 2-decimal values: doing the product chain in
     # decimal keeps every intermediate exact (and bit-identical to DuckDB's
     # decimal engine); a double product cast to decimal is NOT portable
@@ -530,7 +536,7 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex), quality ratios,
     language ID, content fingerprint — all JVM-side expressions."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     stats = TX.add_text_stats(d)  # tokenizes once, derives all stats
     return stats.select(
         "doc_id",
@@ -548,7 +554,7 @@ def q23_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q24_lang_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level quality rollup: predicted vs labelled language."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     enriched = TX.add_text_stats(d).select(
         "lang", "predicted_lang", F.col("quality_score").alias("q")
     )
@@ -1099,7 +1105,7 @@ def q43_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (integer-exact, so still oracle-checked; the pure-expression
     variant is pinned equal in test_extensions). Scalar summary per doc
     keeps the oracle hashable (the full set is an array column)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     staged = d.withColumn("fingerprints", TX.winnow_fingerprints_udf()(F.col("text")))
     fp = F.col("fingerprints")
     return staged.select(
@@ -1374,7 +1380,7 @@ def q58_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode + groupBy) rather than per-row HOF mode-finding, which would
     be O(len²) on book-length docs. All outputs are ratios of counts —
     exact IEEE division, no rounding needed."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return TX.add_repetition_metrics(d)
 
 
@@ -1385,7 +1391,7 @@ def q59_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2 dialect so the oracle runs the identical chain. Behavioural edge
     cases (URLs containing '@', multiple matches) are pinned in unit tests
     with crafted rows; the gate checks the chain over the corpus."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     t = F.col("text")
     counts = TX.scrub_counts(t)
     clean = TX.scrub_text(t)
@@ -1416,7 +1422,7 @@ def q61_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate chunks repeated millions of times (a row_number window
     keyed on chunk would put a hot chunk's every instance in ONE
     partition); see dedup.chunk_dedup for the 100 TB notes."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return D.chunk_dedup(d, k=3)
 
 
@@ -1609,7 +1615,7 @@ def q73_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/fuzzy.blocked_levenshtein_pairs — equality blocks on
     p_brand + admissible length band; the DP distance runs only inside a
     block, never across the full cross product)."""
-    p = _t(spark, sf_dir, "part")
+    p = _t(spark, sf_dir, "part", fan_out=True)
     return blocked_levenshtein_pairs(
         p, ["p_brand"], "p_name", "p_partkey", max_dist=2
     )
@@ -1778,7 +1784,7 @@ def q89_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.kmeans_assign_relational — broadcast centroid frame,
     q25's diff-dot distance fold, decimal (cluster,pos) partial sums;
     every step in-engine, hence oracle-checkable end-to-end)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan_out=True)
     return SIM.kmeans_assign_relational(emb, k=8, n_iter=2)
 
 
@@ -1890,7 +1896,7 @@ def q99_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.exact_substring_dedup for the 100 TB shape (groupBy-min
     first-occurrence decision, map-side combinable, no gram-partitioned
     windows)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return D.exact_substring_dedup(d, window=8)
 
 
@@ -1900,7 +1906,7 @@ def q100_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions covered by any corpus-wide repeated 8-gram (ALL
     occurrences, unlike q99's keep-first removal) + fraction of docs
     touched. See dedup.dup_span_coverage for the 100 TB shape."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return D.dup_span_coverage(d, window=8)
 
 
@@ -1970,7 +1976,7 @@ def q93_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see _ann_recall_gate; raw top-k = SIM.ivf_topk, recall also pinned
     in unit tests). Measured mean recall@5: 0.56–0.70 across
     sf0.001/0.01/0.1 → threshold 0.30."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan_out=True)
     qs = emb.filter(F.col("vec_id") < 10)
     ann = SIM.ivf_topk(emb, qs, k=5, n_lists=16, n_probe=4)
     return _ann_recall_gate(emb, qs, ann, k=5, min_mean_recall=0.30)
@@ -3097,7 +3103,7 @@ def q130_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares — the "is the heuristic good enough to route languages"
     audit. Map-only prediction + one (lang, predicted) aggregate +
     a broadcast join of per-lang totals."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     pred = d.select(
         "lang", TX.predicted_lang(F.col("text")).alias("predicted_lang")
     )
@@ -3267,7 +3273,7 @@ def q138_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote/extraction/superset catcher symmetric Jaccard (q22) misses.
     Integer cross-multiplied threshold; hot tokens excluded by
     construction so no block exceeds C(max_df, 2) pairs."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return D.containment_duplicates(d)
 
 
@@ -3369,7 +3375,7 @@ def q142_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of a doc's distinct word 8-grams first seen in this doc —
     the dedup-aware per-doc contribution signal complementing q99
     (span removal) and q100 (corpus coverage)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return CO.ngram_novelty(d, k=8)
 
 
@@ -3592,7 +3598,7 @@ def q153_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/quality.grouped_ols2): extended price on quantity and
     discount — normal equations from ten decimal-exact moments in ONE
     aggregate pass, Cramer-solved in doubles, with R2."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=True)
     return grouped_ols2(
         li,
         y_col="l_extendedprice",
@@ -4434,7 +4440,7 @@ def q182_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal collapse, rank + running sum via the round-6
     operators/prefix.group_rank_frame device, integer decile-boundary
     explode). The curve-point companion to q124's Gini scalar."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders", fan_out=True)
     return lorenz_concentration(
         o, "o_totalprice", "o_custkey", "o_orderpriority", n_points=10
     )
@@ -4705,7 +4711,7 @@ def q188_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split for corpora where near-dups cross sources. Dedup decision +
     pointer-jump resolve (checkpoint-bounded) + one map-only bucket
     projection."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     return D.cluster_aware_split(d, num_hashes=16, band_size=8, threshold=0.8)
 
 
@@ -4780,7 +4786,7 @@ def q191_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``score >= t`` curation filter keeps — q186's tuning-curve read
     for the QUALITY axis instead of the near-dup axis. One conditional
     aggregate; thresholds cost columns, not passes."""
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents", fan_out=True)
     tk = TX.tokens(F.col("text"))
     scored = d.select(
         TX.quality_score(F.col("text"), tk).alias("q"),
@@ -5284,7 +5290,7 @@ def q219_huber_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes; scaled-long moment folds, adjugate solve in column
     expressions, exact interpolated medians — no matrix library, no
     UDF, n_reweights+3 pruned scans."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=True)
     return huber_irls(
         li,
         "l_extendedprice",
@@ -5783,7 +5789,7 @@ def q215_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined aggregate + a scalar 3×3 adjugate solve in column
     expressions; closing pass scores train log-loss. No UDF, no
     driver solve, 4 pruned scans."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan_out=True)
     return logistic_irls(
         li,
         F.col("l_returnflag") == "R",

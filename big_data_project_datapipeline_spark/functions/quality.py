@@ -3758,6 +3758,8 @@ def huber_irls(
             + F.col("b2") * F.col("__x2")
         )
 
+    snaps: list[DataFrame] = []
+
     def _cap(f: DataFrame) -> DataFrame:
         # per-pass lazy localCheckpoint on the O(groups) state (the
         # q215 logistic_irls lineage-cap device): without it each pass
@@ -3765,7 +3767,14 @@ def huber_irls(
         # planner per pass (r12 A/B with 256 KB openCost, 6 runs each:
         # best 9.0 s vs 11.0 s warm-solo at sf0.1). ``lineage_cap=
         # False`` keeps the pure-lineage plan for plan inspection.
-        return f.localCheckpoint(eager=False) if lineage_cap else f
+        # Snapshots ride on the result via attach_cache_release below
+        # (ADVICE r12): blocks free with the result instead of
+        # lingering until ContextCleaner GC.
+        if not lineage_cap:
+            return f
+        f = f.localCheckpoint(eager=False)
+        snaps.append(f)
+        return f
 
     # pass 1: plain OLS (w = 1)
     beta = _cap(_solve(_moments(rows, F.lit(1.0)), keep=[]))
@@ -3858,7 +3867,11 @@ def huber_irls(
             if gcols
             else nb.crossJoin(F.broadcast(scale_keep))
         )
-    return beta.select(
+    from big_data_project_datapipeline_spark.operators.caching import (
+        attach_cache_release,
+    )
+
+    out = beta.select(
         *gcols,
         "n",
         F.round(F.col("__s"), 6).alias("scale"),
@@ -3866,6 +3879,7 @@ def huber_irls(
         F.round(F.col("b1"), 6).alias("b1"),
         F.round(F.col("b2"), 6).alias("b2"),
     )
+    return attach_cache_release(out, (), snapshots=snaps)
 
 
 def kendall_tau_daily(

@@ -62,25 +62,24 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # Scan-split floor (r12, guide §6): Spark sizes file splits as
+        # Scan-split sizing (guide §6): Spark sizes file splits as
         # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)).
-        # The 4 MB default openCost floor caps an 11 MB single-file scan
-        # at 3 tasks regardless of core count; with the floor at 256 KB
-        # the scale-adaptive bytes/parallelism term governs, so small
-        # tables fan out to the core count (sf0.1 lineitem: 3 -> 32
-        # scan tasks, q219 pass stages ~3x less wall) while at cluster
-        # scale bytes/minPartitionNum >> 256 KB and split sizing is
-        # unchanged. 256 KB also remains a sane per-file open charge on
-        # NVMe/object storage (the 4 MB default is spinning-HDFS-era);
-        # for many-tiny-file layouts it packs MORE files per task, not
-        # fewer. Env-overridable for cluster profiles.
-        # 64 KB keeps every small table at full core-count fan-out
-        # (events 2 MB: 8 tasks at a 256 KB floor, 32 at 64 KB — the
-        # q158 explode stage was 7.2 s of CPU squeezed into 8 tasks)
-        # while remaining a sane per-file open charge.
+        # r12 floored openCost at 64 KB so single-file scans split to
+        # the core count — but a parquet file splits only at row-group
+        # granularity, so on the single-row-group driver inputs every
+        # extra split is an EMPTY task: pure scheduler tax, measured
+        # ~30 s across the 237-query bench in a same-window A/B
+        # (64 KB vs 4 MB, fan-out off: 440.5 s -> 410.2 s). Real scan
+        # parallelism for unsplittable inputs comes from the opt-in
+        # fan-out repartition (tables._fan_out_unsplittable), which
+        # needs no split help. Back at the stock 4 MB default; the env
+        # knob stays for layouts where splits are real (multi-row-group
+        # derived datasets, e.g. tools/make_scale_smoke*).
         .config(
             "spark.sql.files.openCostInBytes",
-            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(64 * 1024)),
+            os.environ.get(
+                "SPARK_GRAFT_OPEN_COST_BYTES", str(4 * 1024 * 1024)
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -8,6 +8,8 @@ the queries that consume them (check with ``.explain``: ``PushedFilters`` /
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -26,7 +28,9 @@ TABLE_NAMES = [
 ]
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
     """Read one testdata table.
 
     Timestamp normalization: generator vintages differ — TIMESTAMP(NANOS)
@@ -39,6 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     downstream then sees one timestamp semantics regardless of vintage.
     The confs are runtime-settable, so this also works on a
     driver-provided SparkSession.
+
+    ``fan_out=True`` requests the unsplittable-input fan-out
+    (:func:`_fan_out_unsplittable`) for consumers whose post-scan
+    compute is heavy enough to amortize one extra exchange. Default
+    OFF (r13): the r12 always-on fan-out was a measured net loss —
+    a same-window full-bench A/B (fan-out on vs off, 237 queries at
+    sf0.1/local[32]) showed 75 s of additive exchange/AQE-replan tax
+    spread over ~190 light queries against 37 s of wins concentrated
+    in ~30 compute-amplified ones, and NO table for which winners
+    outweigh losers. The winners now opt in at their call sites.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -55,14 +69,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 field.name, F.col(field.name).cast(T.TimestampType())
             )
-    return _fan_out_unsplittable(spark, sf_dir, name, df)
+    # SPARK_GRAFT_FANOUT: "auto" (default — honor the per-call-site
+    # flag), "off" (never fan out), "all" (the r12 always-on policy,
+    # kept for A/B measurement).
+    mode = os.environ.get("SPARK_GRAFT_FANOUT", "auto")
+    if mode == "off":
+        return df
+    if fan_out or mode == "all":
+        return _fan_out_unsplittable(spark, sf_dir, name, df)
+    return df
 
 
-# parquet row-group counts per (sf_dir, table): the row group is the
+# parquet (row_groups, rows) per (sf_dir, table): the row group is the
 # atomic scan-split unit, so this is the table's TRUE maximum scan
 # parallelism no matter how splits are configured. Footer-only read,
 # cached per process.
-_ROW_GROUPS: dict[tuple[str, str], int] = {}
+_ROW_GROUPS: dict[tuple[str, str], tuple[int, int]] = {}
 
 
 def _fan_out_unsplittable(
@@ -86,7 +108,15 @@ def _fan_out_unsplittable(
     pushes both below a Repartition node — PLAN_AUDIT's ReadSchema
     check stays green) and sort-before-repartition (on by default,
     SPARK-23207) keeps the row->partition assignment deterministic
-    under task retry."""
+    under task retry.
+
+    OPT-IN since r13 (``load_table(..., fan_out=True)``): the extra
+    exchange is one more AQE query stage — a full driver re-plan plus
+    a cores-wide task wave — which a sub-second single-pass query
+    never earns back. Only call sites whose per-row compute is heavy
+    (text tokenization/shingling, vector math, multi-pass IRLS
+    moments) request it; the same-window A/B behind the per-query
+    list lives in OPTIMIZATION_r13.md."""
     key = (sf_dir, name)
     if key not in _ROW_GROUPS:
         try:

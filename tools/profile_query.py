@@ -66,10 +66,6 @@ def main() -> None:
                 s = stages.get(sid)
                 if not s:
                     continue
-                dur = None
-                if s.get("firstTaskLaunchedTime") and s.get("completionTime"):
-                    # REST gives ISO strings; use executorRunTime as proxy
-                    pass
                 print(
                     f"    stage {sid}: tasks={s['numCompleteTasks']} "
                     f"runTime={s['executorRunTime']/1000:.2f}s "
