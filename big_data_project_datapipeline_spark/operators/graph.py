@@ -95,39 +95,34 @@ def pagerank(
             "pagerank(prepared=True) does not compose with weight= "
             "— pre-compute the weighted frame's __w/deg upstream."
         )
-    # One-shuffle edge prep (r12, guide §2.4): repartition the RAW
-    # edges on src FIRST, then dedup. hash(src) partitioning satisfies
-    # the (src, dst) dedup's and the src degree-count's clustering
-    # requirement (equal (src,dst) ⇒ equal src ⇒ same partition), so
-    # both aggregates run partition-local and the old
-    # distinct→deg-join→repartition chain's SECOND full O(edges)
-    # exchange disappears; the one repartition exchange is computed
-    # once and read by both the edge and the degree branch
-    # (ReusedExchange). Trade: the single exchange carries pre-dedup
-    # rows (no map-side dedup combine) — a win unless the duplication
-    # factor exceeds ~2, which co-purchase-style builds stay well
-    # under (r12 A/B below).
-    e0 = (
-        edges.select(src, dst).repartition(F.col(src)).distinct()
-        if not prepared
-        else None
-    )
-    # Fold the out-degree INTO the persisted edge frame once (one extra
-    # long per edge row) — each iteration then needs a single join
-    # (ranks) instead of two (ranks + deg); measured 27% faster at
-    # sf0.1 and storage-neutral vs caching deg separately.
+    # One-exchange edge prep (r12/r13, guide §2.4): repartition the
+    # RAW edges on src FIRST, then dedup — hash(src) partitioning
+    # satisfies the (src, dst) dedup's clustering requirement, so the
+    # aggregate runs partition-local on the one exchange. The
+    # out-degree then comes from a WINDOW over the same partitioning
+    # (r13): the r12 shape derived deg as a SECOND aggregate branch
+    # joined back, counting on ReusedExchange to share the repartition
+    # — but AQE does not reuse it (verified in the executed plan:
+    # two independent ShuffleQueryStages, the entire upstream edge
+    # build executed twice). count(*) OVER (PARTITION BY src) needs no
+    # second branch, no join, and its required sort IS the
+    # sortWithinPartitions the cached frame wants anyway. Same-session
+    # A/B at sf0.1 (q87 co-purchase build, noop sink): join-deg
+    # 5.53/2.69 s vs window-deg 2.29/1.25 s, values identical.
     #
-    # sortWithinPartitions(src) makes the cached frame BOTH hash-
-    # partitioned AND sorted on the join key; InMemoryTableScan
-    # exposes the cached plan's outputPartitioning/outputOrdering, so
-    # every iteration's SortMergeJoin skips exchange AND sort on the
-    # O(edges) side — only the O(nodes) rank frame shuffles+sorts per
-    # sweep. Without it each sweep re-sorted the edge side: the
-    # round-8 sf10 attribution run measured 78 GB of external-sort
-    # spill across 3 iterations on the 60M-edge co-purchase graph
-    # (sort memory, not the edge build); the one-time sort at cache
-    # fill removes all of it. At gate SFs AQE broadcasts the rank
-    # side instead and the sort is simply unused — plan unchanged.
+    # The one-time sort makes the cached frame BOTH hash-partitioned
+    # AND sorted on the join key; InMemoryTableScan exposes the cached
+    # plan's outputPartitioning/outputOrdering, so every iteration's
+    # SortMergeJoin skips exchange AND sort on the O(edges) side —
+    # only the O(nodes) rank frame shuffles+sorts per sweep. Without
+    # it each sweep re-sorted the edge side: the round-8 sf10
+    # attribution run measured 78 GB of external-sort spill across 3
+    # iterations on the 60M-edge co-purchase graph; the one-time sort
+    # at cache fill removes all of it. At gate SFs AQE broadcasts the
+    # rank side instead and the sort is simply unused.
+    from pyspark.sql import Window
+
+    wdeg = Window.partitionBy(src)
     if prepared:
         # caller-prepared frame: deduplicated, carrying "deg",
         # co-located+sorted on src (bucketed-table read) — the sweeps
@@ -136,17 +131,27 @@ def pagerank(
     elif weight is not None:
         # duplicate (src,dst) rows sum their weights; "deg" becomes the
         # src's total outgoing weight so the unweighted loop body below
-        # is reused verbatim (contribution = pr·w/deg with w folded in)
-        e0 = (
+        # is reused verbatim (contribution = pr·w/deg with w folded in).
+        # Integral weights (recommended, see docstring) keep the window
+        # fold exact like the old aggregate+join; float weights were
+        # order-unspecified in both shapes.
+        e = (
             edges.repartition(F.col(src))
             .groupBy(src, dst)
             .agg(F.sum(weight).alias("__w"))
+            .withColumn("deg", F.sum("__w").over(wdeg))
+            .sortWithinPartitions(src)
+            .persist()
         )
-        deg = e0.groupBy(src).agg(F.sum("__w").alias("deg"))
-        e = e0.join(deg, src).sortWithinPartitions(src).persist()
     else:
-        deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-        e = e0.join(deg, src).sortWithinPartitions(src).persist()
+        e = (
+            edges.select(src, dst)
+            .repartition(F.col(src))
+            .distinct()
+            .withColumn("deg", F.count(F.lit(1)).over(wdeg))
+            .sortWithinPartitions(src)
+            .persist()
+        )
     if weight is not None:
         # Weight validation (ADVICE r8): a NULL weight NULLs the whole
         # (src,dst) group sum, NULL/zero totals NULL the contribution
@@ -196,11 +201,16 @@ def pagerank(
         if weight is not None
         else (F.col("pr") / F.col("deg"))
     )
-    # superseded per-sweep snapshots free EAGERLY (blocking) once the
-    # next sweep's checkpoint has materialized — the connected_
-    # components round-12 device; bounds executor storage at O(1)
-    # sweeps instead of O(n_iter) frames draining via ContextCleaner
-    prev_snap: DataFrame | None = None
+    # LAZY per-sweep checkpoints (r13): the iteration count is fixed —
+    # nothing needs a mid-loop action — so the sweeps materialize in
+    # dependency order at the CALLER's single terminal action (the
+    # kcore_peel device) instead of one eager job + AQE replan cycle
+    # per sweep. Cold-path A/B at sf0.1 (same session, q87 build):
+    # eager 12.4 s vs lazy 5.8 s first run, 4.7 s both warm — the
+    # eager jobs only re-paid driver planning. Plan depth stays O(1)
+    # per sweep either way (LogicalRDD leaf). Snapshots ride on the
+    # result and free (blocking) with it.
+    snaps: list[DataFrame] = []
     for _i in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", src), src)
@@ -223,23 +233,19 @@ def pagerank(
             )
         )
         if checkpoint_every and (_i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
-            if prev_snap is not None:
-                # the eager checkpoint above just materialized, so the
-                # previous snapshot is unreferenced by anything ahead
-                release_local_checkpoint(prev_snap)
-            prev_snap = ranks
+            ranks = ranks.localCheckpoint(eager=False)
+            snaps.append(ranks)
     out = ranks.select("node", F.round("pr", 6).alias("pr"))
     # The persisted edge/node frames must not pin executor memory for
     # the session lifetime; eager checkpointing here was measured 1.9x
     # slower at sf0.1, so instead their release is tied to the result's
     # lifetime (auto on GC, or operators.caching.release_caches for
-    # explicit control) — as is the final sweep's snapshot, which the
-    # result's plan reads (round-12 cross-run accumulation fix).
+    # explicit control) — as are the sweep snapshots the result's plan
+    # reads (round-12 cross-run accumulation fix).
     return attach_cache_release(
         out,
         (nodes,) if prepared else (e, nodes),
-        snapshots=(prev_snap,) if prev_snap is not None else (),
+        snapshots=snaps,
     )
 
 
@@ -274,10 +280,17 @@ def personalized_pagerank(
     over an empty restart set has no meaning; returning the zero
     vector silently would hide a wiring bug upstream).
     """
-    # one-shuffle edge prep — see pagerank (r12)
-    e0 = edges.select(src, dst).repartition(F.col(src)).distinct()
-    deg = e0.groupBy(src).agg(F.count(F.lit(1)).alias("deg"))
-    e = e0.join(deg, src).sortWithinPartitions(src).persist()
+    # one-exchange edge prep with window out-degree — see pagerank (r13)
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(src, dst)
+        .repartition(F.col(src))
+        .distinct()
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy(src)))
+        .sortWithinPartitions(src)
+        .persist()
+    )
     seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
     nodes = (
         e.select(F.col(src).alias("node"))
@@ -302,7 +315,7 @@ def personalized_pagerank(
         F.col("__seed") == 1, F.lit(1.0 / ns)
     ).otherwise(F.lit(0.0))
     ranks = nodes.select("node", restart.alias("pr"))
-    prev_snap: DataFrame | None = None  # the pagerank round-12 device
+    snaps: list[DataFrame] = []  # lazy sweep snapshots — see pagerank (r13)
     for _i in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("node", src), src)
@@ -325,16 +338,10 @@ def personalized_pagerank(
             )
         )
         if checkpoint_every and (_i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
-            if prev_snap is not None:
-                release_local_checkpoint(prev_snap)
-            prev_snap = ranks
+            ranks = ranks.localCheckpoint(eager=False)
+            snaps.append(ranks)
     out = ranks.select("node", F.round("pr", 6).alias("pr"))
-    return attach_cache_release(
-        out,
-        (e, nodes),
-        snapshots=(prev_snap,) if prev_snap is not None else (),
-    )
+    return attach_cache_release(out, (e, nodes), snapshots=snaps)
 
 
 def hits(
@@ -466,7 +473,7 @@ def hits(
     auths = None
     per_sweep_norm = n_iter > 3
     sweep_persists: list[DataFrame] = []
-    prev_snap: DataFrame | None = None  # the pagerank round-12 device
+    snaps: list[DataFrame] = []  # lazy sweep snapshots — see pagerank (r13)
 
     def _sweep(ed, key, out_node, score_in, ovf_in, score_out, ovf_out):
         # One half-sweep with the sticky overflow flag: a contribution
@@ -511,12 +518,11 @@ def hits(
             # (profiled: every loop stage TWICE with identical bytes,
             # ~204 MB = half the loop shuffle at sf1,
             # tools/profile_hits.py). Persist must happen HERE, before
-            # the half-sweep: with the default per-sweep
-            # localCheckpoint the final hubs materializes EAGERLY at
-            # the end of this iteration, so a post-loop persist would
-            # arrive after that job already re-ran the auths lineage
-            # uncached (ADVICE r8) — this way the checkpoint job
-            # itself fills the cache and the state join reads it.
+            # the half-sweep, so BOTH consumers read the cache: with
+            # the r13 lazy checkpoints everything materializes at the
+            # post-loop bounded action, whose first evaluation of the
+            # auths subtree fills the cache for the other consumer
+            # (Spark serializes concurrent fills per partition).
             auths = auths.persist()
         hubs = _sweep(
             e_dst.join(auths.withColumnRenamed("node", dst), dst),
@@ -524,13 +530,11 @@ def hits(
         )
         ckpted = checkpoint_every and (_i + 1) % checkpoint_every == 0
         if ckpted:
-            hubs = hubs.localCheckpoint()
-            if prev_snap is not None:
-                # the checkpoint above just materialized (and, on the
-                # final sweep, filled the persisted auths cache in the
-                # same job) — the previous sweep's snapshot is dead
-                release_local_checkpoint(prev_snap)
-            prev_snap = hubs
+            # lazy — the sweeps materialize in dependency order at the
+            # post-loop bounded action (see pagerank r13; cold-path
+            # job/replan cost, not execution, is what eagerness paid)
+            hubs = hubs.localCheckpoint(eager=False)
+            snaps.append(hubs)
         if per_sweep_norm:
             # overflow guard for deep runs: rescale the carrier frame
             # to L1 = 1 after every sweep so per-sweep growth is
@@ -612,11 +616,7 @@ def hits(
         if prepared_dst is not None
         else (e_src, e_dst, nodes, auths, state, *sweep_persists)
     )
-    return attach_cache_release(
-        out,
-        release,
-        snapshots=(prev_snap,) if prev_snap is not None else (),
-    )
+    return attach_cache_release(out, release, snapshots=snaps)
 
 
 def connected_components(
