@@ -62,6 +62,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # PySpark call-site capture (r13, guide §1.2 per-task work —
+        # here per-DRIVER work): with dataFrameDebugging on (the
+        # default), EVERY Python DataFrame/Column API call walks the
+        # Python stack and ships the call site to the JVM for error
+        # enrichment — measured 5–16 ms per F.col / 230 ms per
+        # groupBy().agg() on this host vs 1.4 / 72 ms with it off
+        # (same process, toggled back and forth). Across the 237-query
+        # registry one full construction pass is ~240 s with capture
+        # on — pure driver-side fixed cost repeated per run. The trade
+        # is error messages without user-code line numbers; operators
+        # raise their own typed errors, so the loss is small.
+        # Env-overridable for debugging sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         # Scan-split sizing (guide §6): Spark sizes file splits as
         # min(maxPartitionBytes, max(openCostInBytes, bytes/minPartitionNum)).
         # r12 floored openCost at 64 KB so single-file scans split to
