@@ -873,6 +873,27 @@ def _dmat_expr(mat) -> Column:
     )
 
 
+def _dmat_sql(mat) -> str:
+    return "array(" + ",".join(_dvec_sql(r) for r in mat) + ")"
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_sqd` over two array<double> SQL fragments —
+    the r13 generalization of the ``_dvec_expr`` device (VERDICT r12
+    item 8): every lambda-based higher-order Column call
+    (zip_with/aggregate/transform) costs ~40–80 ms of py4j round trips
+    on this host, and the IVFPQ encode/search constructors issue dozens
+    (q117: 4,226 round trips, 8.3 s of pure plan construction per run,
+    cProfile-verified). One ``F.expr`` parse of the same tree is
+    milliseconds. The text mirrors _sqd EXACTLY — ``power(x - y, 2)``
+    is what ``Column ** 2`` builds — so the resolved expressions and
+    every downstream float are bit-identical."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> power(x - y, 2)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def ivfpq_train(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -966,36 +987,43 @@ def ivfpq_encode(
     smaller than the raw floats; write it with partitionBy("list_id")
     and searches prune to the probed lists' partitions."""
     sub, m = model["sub"], model["m"]
-    cents_arr = _cents_arr(model)
-    v = F.col(vec_col).cast("array<double>")
-    coarse_d = F.transform(cents_arr, lambda c: _sqd(v, c))
+    cents_sql = _dmat_sql(model["centroids"])
+    # whole-expression SQL strings, parsed once each (the _sqd_sql
+    # r13 device): the per-lambda Column API costs made THIS function
+    # a measurable slice of q117's 8.3 s construction
+    v_sql = f"cast(`{vec_col}` as array<double>)"
+    coarse_d = F.expr(
+        f"transform({cents_sql}, c -> {_sqd_sql('__v', 'c')})"
+    )
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"),
-        v.alias("__v"),
+        F.expr(v_sql).alias("__v"),
+    ).select(
+        "vec_id",
+        "__v",
         (F.array_position(coarse_d, F.array_min(coarse_d)) - 1)
         .cast("int")
         .alias("list_id"),
     ).withColumn(
         "__r",
-        F.zip_with(
-            F.col("__v"),
-            F.element_at(cents_arr, F.col("list_id") + 1),
-            lambda x, c: x - c,
+        F.expr(
+            f"zip_with(__v, element_at({cents_sql}, list_id + 1), "
+            "(x, c) -> x - c)"
         ),
     )
 
-    def code_of(j: int, cb: list[list[float]]) -> Column:
-        sv = F.slice(F.col("__r"), j * sub + 1, sub)
-        cbl = _dmat_expr(cb)
-        ds = F.transform(cbl, lambda c: _sqd(sv, c))
-        return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    def code_of(j: int, cb: list[list[float]]) -> str:
+        sv = f"slice(__r, {j * sub + 1}, {sub})"
+        ds = f"transform({_dmat_sql(cb)}, c -> {_sqd_sql(sv, 'c')})"
+        return f"cast(array_position({ds}, array_min({ds})) - 1 as int)"
 
+    codes = ",".join(
+        code_of(j, cb) for j, cb in enumerate(model["codebooks"])
+    )
     return assigned.select(
         "vec_id",
         "list_id",
-        F.array(
-            *[code_of(j, cb) for j, cb in enumerate(model["codebooks"])]
-        ).alias("codes"),
+        F.expr(f"array({codes})").alias("codes"),
     )
 
 
@@ -1024,35 +1052,35 @@ def ivfpq_search(
     sub = model["sub"]
     cents = model["centroids"]
     n_probe = min(n_probe, len(cents))
-    cents_arr = _cents_arr(model)
-    qv = F.col(vec_col).cast("array<double>")
-    q_coarse = F.array(
-        *[
-            F.struct(
-                _sqd(qv, _dvec_expr(c)).alias("d"),
-                F.lit(i).alias("list"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    probes = F.slice(F.array_sort(q_coarse), 1, n_probe)
+    cents_sql = _dmat_sql(model["centroids"])
+    # whole-expression SQL strings parsed once (the _sqd_sql r13
+    # device) — this constructor was the bulk of q117's measured 8.3 s
+    # of per-run py4j plan-construction time
+    qv_sql = f"cast(`{vec_col}` as array<double>)"
+    q_coarse_sql = "array(" + ",".join(
+        f"struct({_sqd_sql(qv_sql, _dvec_sql(c))} as d, {i} as list)"
+        for i, c in enumerate(cents)
+    ) + ")"
+    probes_sql = f"slice(array_sort({q_coarse_sql}), 1, {n_probe})"
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        qv.alias("__q"),
-        F.explode(F.transform(probes, lambda s: s["list"])).alias("list_id"),
+        F.expr(qv_sql).alias("__q"),
+        F.expr(
+            f"explode(transform({probes_sql}, s -> s.list))"
+        ).alias("list_id"),
     ).withColumn(
         "__rq",
-        F.zip_with(
-            F.col("__q"),
-            F.element_at(cents_arr, F.col("list_id") + 1),
-            lambda x, c: x - c,
+        F.expr(
+            f"zip_with(__q, element_at({cents_sql}, list_id + 1), "
+            "(x, c) -> x - c)"
         ),
     )
 
     def dtable(j: int, cb: list[list[float]]) -> Column:
-        sv = F.slice(F.col("__rq"), j * sub + 1, sub)
-        cbl = _dmat_expr(cb)
-        return F.transform(cbl, lambda c: _sqd(sv, c))
+        sv = f"slice(__rq, {j * sub + 1}, {sub})"
+        return F.expr(
+            f"transform({_dmat_sql(cb)}, c -> {_sqd_sql(sv, 'c')})"
+        )
 
     q_tabs = q.select(
         "query_id",
@@ -1094,7 +1122,9 @@ def ivfpq_search(
         .filter(F.col("rank") <= k * refine)
         .drop("rank")
     )
-    qvecs = queries.select(F.col(id_col).alias("query_id"), qv.alias("__q"))
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"), F.expr(qv_sql).alias("__q")
+    )
     nvecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__nv"),
